@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are registered in themed modules, each pairing a Spark
+  * implementation with a DuckDB oracle (see [[graft.queries.QueryDef]]):
+  *  - [[RelationalQueries]]  q01–q17: the reference's 11 analysis
+  *    queries + projection/filter/join/union/scalar-function inventory
+  *  - [[LifecycleQueries]]   q18–q20: surrogate keys + SCD Type 2
+  *  - [[WindowQueries]]      q21–q24: windows, sessionization, JSON
+  */
 object SparkEntry {
+
+  val registry: Seq[QueryDef] =
+    RelationalQueries.all ++ LifecycleQueries.all ++ WindowQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_global_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, StringType}
+
+/** SCD Type 2 dimension maintenance — SURVEY.md §2.10.
+  *
+  * Re-expresses `apply_scd_type2`
+  * (`/root/reference/python/scd_implementation.py:16-100`) as pure
+  * DataFrame algebra: one full-outer join on the business id, a
+  * null-safe change predicate over the tracked attributes, a four-way
+  * union (expired-old / new-version / brand-new / unchanged-history),
+  * and a deterministic re-key.
+  *
+  * Faithful semantics preserved:
+  *  - change compare is `fillna('')`-style for strings (null equals
+  *    empty string, `scd_implementation.py:48-49`), `<=>` otherwise;
+  *  - only CURRENT rows join against the new snapshot
+  *    (`scd_implementation.py:34`); expired history flows through;
+  *  - expired rows get `expiry_date = asOf - 1 day`, new versions
+  *    `version = old + 1` (`scd_implementation.py:58-68`);
+  *  - ids that disappear from the snapshot are retained unchanged
+  *    (no delete handling);
+  *  - surrogate keys are re-assigned per run from the sorted
+  *    `(id, version)` order (`scd_implementation.py:96-98`) — NOT
+  *    stable across runs, exactly like the reference. The wall-clock
+  *    `datetime.now()` is parameterized as `asOf` (SURVEY.md §7.3).
+  *
+  * Scale notes (100 TB design point): the join shuffles both sides on
+  * the business id only — tracked-attribute comparison is map-side; the
+  * four classes are produced from ONE shared joined frame (Spark reuses
+  * the exchange under AQE). The only global order is the final re-key,
+  * bounded by dimension cardinality; for billion-row dimensions swap
+  * [[SurrogateKeys.stableHashKey]] and skip the re-sort — the driver of
+  * that choice is documented there.
+  */
+object ScdType2 {
+
+  /** @param newSnap   new snapshot: `idCol` + `attrCols`
+    * @param existing  prior dimension state (None/empty → first run):
+    *                  `skCol, idCol, attrCols..., version,
+    *                  effective_date, expiry_date, is_current`
+    * @param idCol     business key (e.g. `unified_patient_id`)
+    * @param attrCols  all carried attribute columns
+    * @param tracked   subset of `attrCols` that triggers a new version
+    * @param skCol     surrogate-key output column
+    * @param asOf      run date (reference: `datetime.now()`)
+    */
+  def apply(newSnap: DataFrame, existing: Option[DataFrame], idCol: String,
+      attrCols: Seq[String], tracked: Seq[String], skCol: String,
+      asOf: LocalDate): DataFrame = {
+
+    val asOfCol = lit(java.sql.Date.valueOf(asOf)).cast(DateType)
+    val nullDate = lit(null).cast(DateType)
+
+    def stamped(df: DataFrame, version: Column): DataFrame = df
+      .withColumn("version", version.cast("long"))
+      .withColumn("effective_date", asOfCol)
+      .withColumn("expiry_date", nullDate)
+      .withColumn("is_current", lit(true))
+
+    val outCols = (Seq(skCol, idCol) ++ attrCols ++
+      Seq("version", "effective_date", "expiry_date", "is_current")).map(col)
+
+    def rekey(df: DataFrame): DataFrame = df
+      .withColumn(skCol,
+        row_number().over(Window.orderBy(col(idCol), col("version"))).cast("long") - 1)
+      .select(outCols: _*)
+
+    val nonEmptyExisting = existing.filter(!_.isEmpty)
+    nonEmptyExisting match {
+      case None =>
+        // First run (`scd_implementation.py:21-30`).
+        rekey(stamped(newSnap.select((idCol +: attrCols).map(col): _*), lit(1)))
+
+      case Some(existingDim) =>
+        val cur = existingDim.filter(col("is_current"))
+          .withColumn("_old_present", lit(true))
+        val newP = newSnap.select(
+          col(idCol) +: attrCols.map(c => col(c).as(s"_new_$c")): _*)
+          .withColumn("_new_present", lit(true))
+
+        // Full-outer diff join on the business id (J5).
+        val joined = cur.join(newP, Seq(idCol), "full_outer").cache()
+
+        // `fillna('')`-style null-safe inequality for strings, <=> else.
+        val changePred = tracked.map { a =>
+          val (o, n) = (col(a), col(s"_new_$a"))
+          joined.schema(a).dataType match {
+            case StringType => !(coalesce(o, lit("")) === coalesce(n, lit("")))
+            case _          => !(o <=> n)
+          }
+        }.reduce(_ || _)
+
+        val matched = col("_old_present") && col("_new_present")
+        val changed = joined.filter(matched && changePred)
+
+        val expiredOld = changed
+          .select((Seq(idCol, "version", "effective_date") ++ attrCols).map(col): _*)
+          .withColumn("expiry_date", date_sub(asOfCol, 1))
+          .withColumn("is_current", lit(false))
+
+        val newVersion = stamped(
+          changed.select(
+            col(idCol) +: (attrCols.map(c => col(s"_new_$c").as(c)) :+
+              (col("version") + 1).as("_v")): _*),
+          col("_v")).drop("_v")
+
+        // Right-only rows carry a NULL `_old_present` (not false).
+        val brandNew = stamped(
+          joined.filter(col("_old_present").isNull && col("_new_present"))
+            .select(col(idCol) +: attrCols.map(c => col(s"_new_$c").as(c)): _*),
+          lit(1))
+
+        // Unchanged = ALL existing rows (incl. expired history) whose id
+        // is not in the changed set (`scd_implementation.py:82-86`).
+        val changedIds = changed.select(idCol).distinct()
+        val unchanged = existingDim.join(changedIds, Seq(idCol), "left_anti")
+
+        val assembled = unchanged.drop(skCol)
+          .unionByName(expiredOld)
+          .unionByName(newVersion)
+          .unionByName(brandNew)
+        rekey(assembled)
+    }
+  }
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{ScdType2, SurrogateKeys}
+
+/** Surrogate-key generation (A1/J1) and SCD Type 2 (§2.10) exposed as
+  * driver-checkable queries over the testdata `customer` table. The
+  * SCD oracle reproduces the operator's full semantics in ANSI SQL
+  * (full-outer diff, four-way union, deterministic re-key) so the
+  * DuckDB hash-compare exercises every branch: changed / brand-new /
+  * disappeared-retained / unchanged.
+  */
+object LifecycleQueries {
+
+  // ---------------------------------------------------------------
+  // q18 — surrogate-key generate + attach (A1 row_number re-key, J1
+  // broadcast attach).
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val sk = SurrogateKeys.surrogateKeys(p, Seq("p_brand"), "brand_sk")
+    SurrogateKeys.attach(p, sk, Seq("p_brand"))
+      .groupBy(col("brand_sk"), col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("brand_sk"))
+  }
+  private val q18Sql =
+    """WITH sk AS (
+      |  SELECT p_brand, row_number() OVER (ORDER BY p_brand) - 1 AS brand_sk
+      |  FROM (SELECT DISTINCT p_brand FROM part WHERE p_brand IS NOT NULL))
+      |SELECT sk.brand_sk, p.p_brand, COUNT(*) AS n_parts
+      |FROM part p JOIN sk ON p.p_brand = sk.p_brand
+      |GROUP BY sk.brand_sk, p.p_brand ORDER BY sk.brand_sk""".stripMargin
+
+  // ---------------------------------------------------------------
+  // SCD2 fixtures: customer as the dimension snapshot.
+  private val scdAttrs = Seq("c_name", "c_mktsegment", "c_acctbal")
+  private val scdTracked = Seq("c_mktsegment", "c_acctbal")
+
+  private def snapshot(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+
+  /** Deterministic second snapshot: segment change for custkey%7==0,
+    * drop custkey%13==5 (disappeared → retained), add brand-new ids
+    * (+1,000,000) for custkey%11==3. */
+  private def mutatedSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val snap = snapshot(s, dir)
+    val mutated = snap.filter(col("c_custkey") % 13 =!= 5)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, concat(col("c_mktsegment"), lit("-V2")))
+          .otherwise(col("c_mktsegment")))
+    val brandNew = snap.filter(col("c_custkey") % 11 === 3)
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      .withColumn("c_acctbal", col("c_acctbal") + 1)
+    mutated.unionByName(brandNew)
+  }
+
+  // q19 — SCD2 first run (`scd_implementation.py:21-30`).
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    ScdType2(snapshot(s, dir), None, "c_custkey", scdAttrs, scdTracked,
+        "customer_sk", LocalDate.parse("2024-06-01"))
+      .orderBy(col("customer_sk"))
+  private val q19Sql =
+    """SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS customer_sk,
+      | c_custkey, c_name, c_mktsegment, c_acctbal,
+      | CAST(1 AS BIGINT) AS version, DATE '2024-06-01' AS effective_date,
+      | CAST(NULL AS DATE) AS expiry_date, TRUE AS is_current
+      |FROM customer ORDER BY 1""".stripMargin
+
+  // q20 — SCD2 incremental run (`scd_implementation.py:33-100`).
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val existing = ScdType2(snapshot(s, dir), None, "c_custkey", scdAttrs,
+      scdTracked, "customer_sk", LocalDate.parse("2024-06-01"))
+    ScdType2(mutatedSnapshot(s, dir), Some(existing), "c_custkey", scdAttrs,
+        scdTracked, "customer_sk", LocalDate.parse("2024-07-01"))
+      .orderBy(col("customer_sk"))
+  }
+  private val q20Sql =
+    """WITH snap AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+      |first_run AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+      |         CAST(1 AS BIGINT) AS version, DATE '2024-06-01' AS effective_date,
+      |         CAST(NULL AS DATE) AS expiry_date, TRUE AS is_current
+      |  FROM snap),
+      |new_snap AS (
+      |  SELECT c_custkey, c_name,
+      |         CASE WHEN c_custkey % 7 = 0 THEN c_mktsegment || '-V2'
+      |              ELSE c_mktsegment END AS c_mktsegment,
+      |         c_acctbal
+      |  FROM snap WHERE c_custkey % 13 <> 5
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_mktsegment, c_acctbal + 1
+      |  FROM snap WHERE c_custkey % 11 = 3),
+      |changed AS (
+      |  SELECT e.c_custkey, e.c_name, e.c_mktsegment, e.c_acctbal,
+      |         e.version, e.effective_date,
+      |         n.c_name AS n_name, n.c_mktsegment AS n_seg, n.c_acctbal AS n_bal
+      |  FROM first_run e JOIN new_snap n USING (c_custkey)
+      |  WHERE e.is_current
+      |    AND (COALESCE(e.c_mktsegment, '') <> COALESCE(n.c_mktsegment, '')
+      |         OR e.c_acctbal IS DISTINCT FROM n.c_acctbal)),
+      |assembled AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, version,
+      |         effective_date, expiry_date, is_current
+      |  FROM first_run WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, version,
+      |         effective_date, DATE '2024-06-30', FALSE
+      |  FROM changed
+      |  UNION ALL
+      |  SELECT c_custkey, n_name, n_seg, n_bal, version + 1,
+      |         DATE '2024-07-01', CAST(NULL AS DATE), TRUE
+      |  FROM changed
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, CAST(1 AS BIGINT),
+      |         DATE '2024-07-01', CAST(NULL AS DATE), TRUE
+      |  FROM new_snap WHERE c_custkey NOT IN (SELECT c_custkey FROM first_run))
+      |SELECT row_number() OVER (ORDER BY c_custkey, version) - 1 AS customer_sk,
+      |       c_custkey, c_name, c_mktsegment, c_acctbal, version,
+      |       effective_date, expiry_date, is_current
+      |FROM assembled ORDER BY 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q18_surrogate_keys", q18, Some(q18Sql)),
+    QueryDef("q19_scd2_first_run", q19, Some(q19Sql)),
+    QueryDef("q20_scd2_incremental", q20, Some(q20Sql)),
+  )
+}

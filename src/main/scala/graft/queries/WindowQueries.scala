@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Window/analytic queries over the `events` table. The reference has
+  * no window functions (SURVEY.md §2.6); these cover the Spark-native
+  * surface a Spark user of this engine expects: ranking, lag, running
+  * aggregates, gap-based sessionization, and the batch form of the
+  * streaming windowed aggregation (see `graft.streaming` for the
+  * `readStream` equivalent).
+  *
+  * Scale notes: every window partitions by `user_id` — the shuffle is
+  * one hash exchange on the session key and each partition's state is
+  * one user's events (bounded). No global windows anywhere. Running
+  * sums go through DECIMAL so the result is order/association-proof
+  * across engines (DuckDB evaluates windowed SUM with a segment tree —
+  * a plain double running sum would differ in ulps).
+  */
+object WindowQueries {
+
+  // q21 — ranking / lag / running aggregate per user.
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).filter(col("user_id") < 20)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(
+        col("user_id"), col("event_id"), col("event_type"), col("value"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        sum(col("value").cast(DecimalType(28, 9)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+  private val q21Sql =
+    """SELECT user_id, event_id, event_type, value,
+      | row_number() OVER w AS rn,
+      | lag(value, 1) OVER w AS prev_value,
+      | CAST(SUM(CAST(value AS DECIMAL(28,9))) OVER (
+      |   PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events WHERE user_id < 20
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, rn""".stripMargin
+
+  // q22 — gap-based sessionization (30-minute inactivity gap), the
+  // batch analog of `flatMapGroupsWithState` sessionization.
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    val withGap = e
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("is_new_session",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap.groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"))
+      .withColumn("session_seconds",
+        ((col("session_end_us") - col("session_start_us")) / 1000000L).cast("long"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+  private val q22Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    SUM(is_new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events,
+      |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+      |  CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS session_seconds
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // q23 — hourly tumbling-window aggregation (batch form of the
+  // Structured Streaming windowed agg in `graft.streaming`).
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour_bucket"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 9))).cast("double").as("total_value"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  }
+  private val q23Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+      | event_type, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // q24 — semi-structured extraction from the JSON `props` column
+  // (regexp-based so both engines share exact semantics).
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    e.withColumn("prop_k",
+        nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit("")).cast("int"))
+      .groupBy(col("prop_k"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("prop_k"))
+  }
+  private val q24Sql =
+    """SELECT CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS INTEGER) AS prop_k,
+      | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q21_window_funcs", q21, Some(q21Sql)),
+    QueryDef("q22_sessionize", q22, Some(q22Sql)),
+    QueryDef("q23_windowed_agg", q23, Some(q23Sql)),
+    QueryDef("q24_json_extract", q24, Some(q24Sql)),
+  )
+}
