@@ -16,7 +16,8 @@ import graft.queries._
 object SparkEntry {
 
   val registry: Seq[QueryDef] =
-    RelationalQueries.all ++ LifecycleQueries.all ++ WindowQueries.all
+    RelationalQueries.all ++ LifecycleQueries.all ++ WindowQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

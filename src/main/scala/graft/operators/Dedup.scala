@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines:
+  * exact (content-hash groupBy), MinHash+LSH banding, SimHash, and
+  * n-gram Jaccard verification.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup is one hash-shuffle on a 16-byte digest — the
+  *    canonical first stage; it feeds survivors to the near-dup pass.
+  *  - MinHash+LSH is the linear-time near-dup path: signatures are
+  *    map-side; candidates come from a shuffle on (band, bandKey)
+  *    buckets — never an all-pairs product. Pair verification touches
+  *    only bucket-colliding pairs.
+  *  - SimHash gives a single 64-bit sketch per doc; duplicate clusters
+  *    are an exact groupBy on the sketch, and near-miss scans use
+  *    `bit_count(a ^ b)` (built-in, codegen'd) within buckets.
+  *  - All-pairs Jaccard exists only as a bucketed verifier
+  *    ([[ngramJaccardPairs]] takes bucket columns for exactly that
+  *    reason — an unbucketed call at scale is a design error).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: survivors keep the minimum id.
+    * Returns (docId, contentHash, groupSize, keeperId). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val groups = hashed.groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
+    hashed.join(groups, Seq("content_hash"))
+  }
+
+  /** Per-doc MinHash signature: k 60-bit mins over word-`n`-gram
+    * shingles. Null signature rows (docs shorter than n tokens) are
+    * dropped — they cannot near-dup at shingle granularity. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int): DataFrame = {
+    val sh = shingles(tokens(col(textCol)), shingleN)
+    val sig = df.select(
+      col(idCol) +:
+        (0 until k).map(j =>
+          array_min(transform(sh, s => hash60Seeded(s, j))).as(s"mh$j")): _*)
+    sig.filter(col("mh0").isNotNull)
+  }
+
+  /** LSH candidate pairs: `bands` bands of `rowsPerBand` consecutive
+    * minhashes; docs colliding on any full band become a candidate
+    * pair, then pairs are verified with exact shingle Jaccard >=
+    * `threshold`. Returns (idA, idB, jaccard), idA < idB. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
+
+    // band key = the band's minhashes joined; explode to (band, key)
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
+    }: _*)
+    val exploded = sigs.select(col(idCol), explode(bandKeys).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+
+    val shingled = df.select(col(idCol),
+      shingles(tokens(col(textCol)), shingleN).as("sh"))
+    verifyJaccard(candidates, shingled, idCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against distinct
+    * shingle sets: |A∩B| / (|A|+|B|-|A∩B|). */
+  private def verifyJaccard(pairs: DataFrame, shingled: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
+    val sa = shingled.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val sb = shingled.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", inter.cast("double") / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** All-pairs n-gram Jaccard within buckets (the non-probabilistic
+    * verifier; bucket columns bound the pair product). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, threshold: Double, bucketCols: Seq[String]): DataFrame = {
+    val shingled = df.select(
+      (col(idCol) +: bucketCols.map(col)) :+
+        shingles(tokens(col(textCol)), shingleN).as("sh"): _*)
+    val a = shingled.select(
+      col(idCol).as("id_a") +: col("sh").as("sh_a") +: bucketCols.map(col): _*)
+    val b = shingled.select(
+      col(idCol).as("id_b") +: col("sh").as("sh_b") +: bucketCols.map(col): _*)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    val union = size(col("sh_a")) + size(col("sh_b")) - inter
+    a.join(b, bucketCols).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", inter.cast("double") / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Per-doc SimHash over token hashes: bit b of the sketch is set
+    * when the b-th bit is set in more token hashes than not.
+    * `bits` <= 60 (hash60 width). */
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    val tokenRows = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("h", hash60(col("tok")))
+    val bitSumExprs = (0 until bits).map(b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s$b"))
+    val bitSums = tokenRows.groupBy(col(idCol))
+      .agg(bitSumExprs.head, bitSumExprs.tail: _*)
+    val sketch = (0 until bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
+    bitSums.select(col(idCol), sketch.as("simhash"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Scale design (100 TB):
+  *  - [[bruteForceTopK]] is the exactness baseline: a broadcast of the
+  *    (small) query set against the full corpus — one corpus scan, no
+  *    corpus shuffle, per-partition partial top-k before the final
+  *    merge (Spark's TakeOrderedAndProject / window-rank on the
+  *    broadcast side).
+  *  - [[bucketedTopK]] is the IVF-style scale path: a coarse quantizer
+  *    (here: any bucket column — a cluster id, an LSH bucket, a label)
+  *    restricts each query to its bucket's inverted list, turning the
+  *    N×M product into Σ bucket-local products. At 100 TB the bucket
+  *    column is the partition key, so a probe touches one partition.
+  *
+  * All arithmetic is double-precision with a fixed left-to-right fold,
+  * matching DuckDB's `list_inner_product` exactly — verified value-
+  * identical cross-engine in the oracle gate.
+  */
+object Similarity {
+
+  /** Elementwise double dot product as a sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k cosine neighbors of each query vector over the whole
+    * corpus. `queries` must be broadcast-sized (it is sent to every
+    * corpus partition); the corpus side never shuffles. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF-style bucketed top-k: each query searches only its own
+    * bucket's inverted list. */
+  def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, bucketCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), col(bucketCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col(bucketCol))
+    val scored = c.join(broadcast(q), Seq(bucketCol))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(bucketCol), col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a bucket (the
+    * embedding analog of [[Dedup.ngramJaccardPairs]]). */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"), col(bucketCol))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col(bucketCol))
+    a.join(b, Seq(bucketCol)).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") > threshold)
+      .select(col(bucketCol), col("id_a"), col("id_b"), col("cosine"))
+  }
+}

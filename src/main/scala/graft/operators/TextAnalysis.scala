@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Text-analysis operators for training-data curation: per-document
+  * statistics, quality scoring, n-gram-heuristic language id, and
+  * content fingerprinting. Everything is a built-in column expression
+  * (map-side, codegen'd, no shuffle except user-requested aggregation).
+  */
+object TextAnalysis {
+
+  /** Function-word evidence lists for the language-id heuristic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "他"))
+
+  /** Per-doc statistics: token count, char count, alpha ratio, average
+    * word length. */
+  def docStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      length(t).cast("long").as("n_chars"),
+      (length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
+        nullif(length(t), lit(0))).as("alpha_ratio"),
+      (aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        nullif(size(toks), lit(0))).as("avg_word_len"))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards mid-length documents,
+    * alphabetic content, moderate word length, and stopword presence;
+    * penalizes punctuation walls. Weights are fixed and documented so
+    * the DuckDB oracle reproduces them exactly. */
+  def qualityScore(textCol: Column): Column = {
+    val t = textCol
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val alphaRatio = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
+      nullif(length(t), lit(0))
+    val punctRatio = length(regexp_replace(t, "[^.,!?;:]", "")).cast("double") /
+      nullif(length(t), lit(0))
+    val stopHits = size(filter(toks,
+      w => lower(w).isin(langStopwords.flatMap(_._2).filter(_.forall(_ < 128)): _*)))
+    val stopRatio = stopHits.cast("double") / nullif(size(toks), lit(0))
+    val lengthTerm = least(nTok / 64.0, lit(1.0))
+    // No rounding: per-row scalar arithmetic in a fixed order is
+    // bit-deterministic, so the oracle mirrors the expression verbatim.
+    least(lit(1.0), greatest(lit(0.0),
+      lengthTerm * 0.3 + coalesce(alphaRatio, lit(0.0)) * 0.4 +
+        least(coalesce(stopRatio, lit(0.0)) * 4, lit(1.0)) * 0.2 +
+        (lit(1.0) - least(coalesce(punctRatio, lit(0.0)) * 10, lit(1.0))) * 0.1))
+  }
+
+  /** N-gram/function-word language id: per language, count token hits
+    * in its evidence list; highest count wins (ties broken by language
+    * code order); zero evidence → "und". */
+  def langId(textCol: Column): Column = {
+    val toks = transform(tokens(textCol), w => lower(w))
+    val scores = langStopwords.map { case (lang, words) =>
+      lang -> size(filter(toks, w => w.isin(words: _*)))
+    }
+    // deterministic argmax: fold through (bestLang, bestScore)
+    val (firstLang, firstScore) = scores.head
+    val best = scores.tail.foldLeft((lit(firstLang), firstScore)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Rolling-hash content fingerprint after normalization (lowercase,
+    * strip non-alphanumerics-except-space, collapse whitespace) —
+    * robust to case/punctuation edits, exact otherwise. */
+  def fingerprint(textCol: Column): Column = {
+    val normalized = regexp_replace(lower(textCol), "[^a-z0-9 ]", " ")
+    rollingFingerprint(tokens(normalized))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity search over the `embeddings` table (`array<float>`,
+  * 64-dim): brute-force exact top-k, IVF-style bucketed top-k, and
+  * cosine near-dup pairs.
+  *
+  * Cross-engine float note: both sides cast the float vectors to
+  * double and compute dot products as a sequential left fold — Spark
+  * via `aggregate(zip_with(...))`, DuckDB via `list_inner_product` on
+  * `DOUBLE[]` (verified to equal an explicit sequential fold). With
+  * identical operand order the doubles are bit-identical, so ranks and
+  * values hash-match without rounding.
+  */
+object SimilarityQueries {
+
+  private val dCos =
+    "list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv)))"
+
+  // q34 — brute-force exact top-5 neighbors for query vectors id < 10.
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q34Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id, $dCos AS cosine
+      |  FROM q CROSS JOIN (SELECT vec_id, v AS cv FROM e) e
+      |  WHERE query_id <> e.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // q35 — IVF-style bucketed top-3: queries search only their own
+  // label's inverted list (the coarse-quantizer scale path).
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.bucketedTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        bucketCol = "label", k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q35Sql =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, label, v AS qv FROM e WHERE vec_id < 20),
+      |scored AS (
+      |  SELECT q.label, query_id, c.vec_id AS neighbor_id, $dCos AS cosine
+      |  FROM q JOIN (SELECT vec_id, label, v AS cv FROM e) c ON q.label = c.label
+      |  WHERE query_id <> c.vec_id),
+      |ranked AS (SELECT label, query_id, neighbor_id, cosine,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT label, query_id, rank, neighbor_id, cosine FROM ranked
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // q36 — embedding-cosine near-dup pairs within label buckets.
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        bucketCol = "label", threshold = 0.30)
+      .orderBy(col("label"), col("id_a"), col("id_b"))
+  private val q36Sql =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+      | list_inner_product(a.v, b.v)
+      |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS cosine
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_inner_product(a.v, b.v)
+      |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) > 0.30
+      |ORDER BY a.label, id_a, id_b""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q34_ann_brute_force", q34, Some(q34Sql)),
+    QueryDef("q35_ann_bucketed", q35, Some(q35Sql)),
+    QueryDef("q36_embedding_neardup", q36, Some(q36Sql)),
+  )
+}

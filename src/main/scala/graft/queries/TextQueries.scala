@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, TextAnalysis, TextFunctions}
+
+/** Training-data text operators over the `documents` table: per-doc
+  * stats, quality scoring, language id, fingerprinting, exact dedup,
+  * MinHash+LSH near-dup pairs, SimHash sketches, bucketed n-gram
+  * Jaccard, and the multimodal binary-column plumbing.
+  *
+  * Oracle SQL notes: DuckDB `regexp_replace` needs the 'g' flag to
+  * match Spark's replace-all; the shared 60-bit hash is
+  * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`; list folds seed via
+  * `list_prepend` (DuckDB's reduce has no initial-value form).
+  */
+object TextQueries {
+
+  /** DuckDB fragment: whitespace tokens of `text`. */
+  private val dTokens =
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+  /** DuckDB fragment: 60-bit md5 hash of an expression. */
+  private def dHash(x: String) = s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+  /** DuckDB fragment: distinct word-3-gram shingles of list `t`. */
+  private def dShingles(t: String) =
+    s"list_distinct(CASE WHEN len($t) >= 3 THEN " +
+      s"list_transform(generate_series(1, len($t) - 2), i -> array_to_string($t[i:i+2], ' ')) " +
+      s"ELSE [] END)"
+
+  // ---------------------------------------------------------------
+  // q25 — per-document statistics (token counting).
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.docStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  private val q25Sql =
+    s"""WITH t AS (SELECT doc_id, text, $dTokens AS toks FROM documents)
+      |SELECT doc_id,
+      | CAST(len(toks) AS BIGINT) AS n_tokens,
+      | CAST(length(text) AS BIGINT) AS n_chars,
+      | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |   / NULLIF(length(text), 0) AS alpha_ratio,
+      | CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+      |   / NULLIF(len(toks), 0) AS avg_word_len
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q26 — quality score per doc (fixed-weight heuristic).
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  private val q26Sql = {
+    val asciiStops = TextAnalysis.langStopwords.flatMap(_._2)
+      .filter(_.forall(_ < 128)).map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, lang, text, $dTokens AS toks FROM documents)
+      |SELECT doc_id, lang,
+      | least(1.0, greatest(0.0,
+      |   least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.3
+      |   + COALESCE(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |       / NULLIF(length(text), 0), 0.0) * 0.4
+      |   + least(COALESCE(CAST(len(list_filter(toks, w -> lower(w) IN ($asciiStops))) AS DOUBLE)
+      |       / NULLIF(len(toks), 0), 0.0) * 4, 1.0) * 0.2
+      |   + (1.0 - least(COALESCE(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+      |       / NULLIF(length(text), 0), 0.0) * 10, 1.0)) * 0.1)) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q27 — language-id heuristic vs the labeled lang (confusion counts).
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+  private val q27Sql = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter(lt, w -> w IN (${words.map(w => s"'$w'").mkString(", ")})))"
+    val Seq(en, de, es, fr, zh) = TextAnalysis.langStopwords.map(p => hits(p._2))
+    s"""WITH t AS (SELECT lang, list_transform($dTokens, w -> lower(w)) AS lt FROM documents),
+      |sc AS (SELECT lang, $en AS s_en, $de AS s_de, $es AS s_es, $fr AS s_fr, $zh AS s_zh FROM t),
+      |p AS (SELECT lang, CASE
+      |   WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) = 0 THEN 'und'
+      |   WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      |   WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      |   WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      |   WHEN s_fr >= s_zh THEN 'fr'
+      |   ELSE 'zh' END AS lang_pred FROM sc)
+      |SELECT lang, lang_pred, COUNT(*) AS n_docs FROM p
+      |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q28 — rolling-hash fingerprint per doc (normalized content).
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  private val q28Sql = {
+    val normToks = "list_filter(regexp_split_to_array(trim(" +
+      "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), '\\s+'), t -> t <> '')"
+    s"""SELECT doc_id,
+      | list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |   list_transform($normToks, t -> ${dHash("t")})),
+      |   (acc, h) -> (acc * 31 + h) % 1000000007) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q29 — exact dedup summary (content-hash groups).
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("content_hash")).as("n_unique"),
+        sum(when(col("doc_id") =!= col("keeper_id"), 1).otherwise(0)).as("n_dupes_removed"))
+  private val q29Sql =
+    """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+      |g AS (SELECT content_hash, min(doc_id) AS keeper_id FROM h GROUP BY content_hash)
+      |SELECT COUNT(*) AS n_docs, COUNT(DISTINCT h.content_hash) AS n_unique,
+      | CAST(SUM(CASE WHEN h.doc_id <> g.keeper_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes_removed
+      |FROM h JOIN g ON h.content_hash = g.content_hash""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q30 — MinHash+LSH near-dup pairs (16 perms, 8 bands × 2,
+  // verified at trigram Jaccard >= 0.5).
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  private val q30Sql = {
+    val mh = (0 until 16).map(j =>
+      s"list_min(list_transform(sh, x -> ${dHash(s"'$j:' || x")})) AS mh$j").mkString(",\n ")
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sigs")
+      .mkString("\n UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |shl AS (SELECT doc_id, ${dShingles("toks")} AS sh FROM t),
+      |sigs AS (SELECT doc_id, $mh FROM shl WHERE len(sh) > 0),
+      |bk AS ($bandSelects),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      | CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+      |FROM cand JOIN shl sa ON cand.id_a = sa.doc_id JOIN shl sb ON cand.id_b = sb.doc_id
+      |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+      |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q31 — SimHash sketch per doc + cluster size on the exact sketch.
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val sk = Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", bits = 32)
+    sk.withColumn("n_sharing", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      .orderBy(col("doc_id"))
+  }
+  private val q31Sql = {
+    val bitTerms = (0 until 32).map(b =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) % 2) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |h AS (SELECT doc_id, list_transform(toks, x -> ${dHash("x")}) AS hs
+      |      FROM t WHERE len(toks) > 0),
+      |sk AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM h)
+      |SELECT doc_id, simhash, COUNT(*) OVER (PARTITION BY simhash) AS n_sharing
+      |FROM sk ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q32 — bucketed n-gram Jaccard pairs (same lang+source bucket).
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleN = 3, threshold = 0.35, bucketCols = Seq("lang", "source"))
+      .orderBy(col("id_a"), col("id_b"))
+  private val q32Sql =
+    s"""WITH t AS (SELECT doc_id, lang, source, $dTokens AS toks FROM documents),
+      |shl AS (SELECT doc_id, lang, source, ${dShingles("toks")} AS sh FROM t)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      |FROM shl a JOIN shl b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q33 — multimodal plumbing: binary payloads + stub decode via
+  // mapPartitions, aggregated by media kind.
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir), "doc_id", "text")
+    val feats = Multimodal.decodeStub(s, media)
+    feats.groupBy(col("kind")).agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        (sum(col("width")).cast("double") / count(lit(1))).as("avg_width"),
+        sum(col("frames")).as("total_frames"))
+      .orderBy(col("kind"))
+  }
+  private val q33Sql =
+    """WITH m AS (SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+      |f AS (SELECT kind, n_bytes, CAST(n_bytes % 640 AS INTEGER) AS width,
+      |  CASE WHEN kind = 'video' THEN CAST(n_bytes % 30 + 1 AS INTEGER) ELSE 1 END AS frames
+      |  FROM m)
+      |SELECT kind, COUNT(*) AS n_media,
+      | CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      | CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_width,
+      | CAST(SUM(frames) AS BIGINT) AS total_frames
+      |FROM f GROUP BY kind ORDER BY kind""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q25_text_stats", q25, Some(q25Sql)),
+    QueryDef("q26_quality_score", q26, Some(q26Sql)),
+    QueryDef("q27_lang_id", q27, Some(q27Sql)),
+    QueryDef("q28_fingerprint", q28, Some(q28Sql)),
+    QueryDef("q29_dedup_exact", q29, Some(q29Sql)),
+    QueryDef("q30_minhash_lsh", q30, Some(q30Sql)),
+    QueryDef("q31_simhash", q31, Some(q31Sql)),
+    QueryDef("q32_ngram_jaccard", q32, Some(q32Sql)),
+    QueryDef("q33_multimodal_stub", q33, Some(q33Sql)),
+  )
+}

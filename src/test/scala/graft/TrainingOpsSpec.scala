@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Unit semantics for the training-data operators (dedup, similarity,
+  * text analysis, multimodal plumbing). */
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+  import spark.implicits._
+
+  private val sf001 = "/root/testdata/sf0.001"
+
+  test("exactGroups: keeper is min id, dupes counted") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(df, "doc_id", "text").collect()
+    val aaa = g.filter(_.getAs[Long]("doc_id") != 2L)
+    assert(aaa.forall(_.getAs[Long]("keeper_id") == 1L))
+    assert(aaa.forall(_.getAs[Long]("group_size") == 3L))
+  }
+
+  test("minhash LSH pairs are a subset of exhaustive jaccard pairs, high recall") {
+    val docs = Tables.documents(spark, sf001).withColumn("b", lit(1))
+    val truth = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, Seq("b"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 3, 8, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(truth), "LSH pairs must pass the exact-jaccard verifier")
+    if (truth.nonEmpty)
+      assert(lsh.size.toDouble / truth.size >= 0.8,
+        s"LSH recall ${lsh.size}/${truth.size} below 0.8")
+  }
+
+  test("identical texts get identical simhash; different texts differ") {
+    val df = Seq(
+      (1L, "spark makes big data small again and again"),
+      (2L, "spark makes big data small again and again"),
+      (3L, "an entirely different sentence about storage engines"))
+      .toDF("doc_id", "text")
+    val sk = Dedup.simhash(df, "doc_id", "text", 32).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sk(1L) == sk(2L))
+    assert(sk(1L) != sk(3L))
+  }
+
+  test("simhash hamming distance via built-in bit_count") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text")
+    val sk = Dedup.simhash(df, "doc_id", "text", 32)
+    val d = sk.as("a").join(sk.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .collect().head.getAs[Int]("hamming")
+    assert(d >= 0 && d <= 8, s"near-identical docs should be hamming-close, got $d")
+  }
+
+  test("bruteForceTopK ranks a duplicated vector first with cosine ~1") {
+    val e = Tables.embeddings(spark, sf001)
+    val dup = e.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(100000L))
+    val corpus = e.unionByName(dup)
+    val top = Similarity.bruteForceTopK(corpus, e.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 3).collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 100000L)
+    assert(math.abs(top.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    val cs = top.map(_.getAs[Double]("cosine"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bucketedTopK never crosses buckets") {
+    val e = Tables.embeddings(spark, sf001)
+    val out = Similarity.bucketedTopK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", "label", 3)
+    val joined = out.join(e.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label")), Seq("neighbor_id"))
+    assert(joined.filter(col("label") =!= col("neighbor_label")).count() == 0)
+  }
+
+  test("fingerprint is invariant to case and punctuation") {
+    val df = Seq(
+      (1L, "Hello, World! This is Spark."),
+      (2L, "hello world  this is spark"),
+      (3L, "hello world this is flink"))
+      .toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("langId picks evidence-backed language, und on none") {
+    val df = Seq(
+      (1L, "the cat and the dog is in a house"),
+      (2L, "der hund und die katze ist nicht hier"),
+      (3L, "zzz qqq xxx www")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("decodeStub keeps payload bytes and deterministic metadata") {
+    val docs = Seq((3L, "abc"), (4L, "abcd")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
+    val feats = Multimodal.decodeStub(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(3L).kind == "image" && feats(3L).n_bytes == 3L)
+    assert(feats(4L).kind == "audio" && feats(4L).width == 4 % 640)
+    assert(feats(3L).frames == 1)
+  }
+}
