@@ -16,8 +16,14 @@ import org.apache.spark.sql.types.LongType
 object TextFunctions {
 
   /** Deterministic 60-bit hash: first 15 hex chars of md5.
-    * DuckDB equivalent: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. */
-  def hash60(c: Column): Column =
+    * DuckDB equivalent: `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`.
+    * Backed by the native [[graft.plans.Md5Hash60]] expression (no
+    * hex-string round trip); [[hash60Composed]] is the built-in
+    * composition it is value-identical to (pinned by test). */
+  def hash60(c: Column): Column = graft.plans.Md5Hash60(c)
+
+  /** Built-in-composition form of [[hash60]] (reference semantics). */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
   /** Seeded variant for minhash permutations. */

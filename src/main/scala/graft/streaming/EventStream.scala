@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming over the events table: tumbling-window
+  * aggregation with a watermark, and gap-based sessionization as
+  * custom state over `flatMapGroupsWithState`.
+  *
+  * These are the streaming twins of the batch queries q23 (windowed
+  * agg) and q22 (sessionize) — same semantics, verified against each
+  * other in EventStreamSpec. The reference has no streaming surface
+  * (SURVEY.md §2.12); this is the Spark-native extension a streaming
+  * claims/events feed would use.
+  *
+  * Scale notes: state is partitioned by the group key (user), so the
+  * stateful operator shuffles once on user_id and each task owns a
+  * bounded per-user state (one open session + a counter). The
+  * watermark bounds state retention; without it, open-ended event-time
+  * aggregation state grows without limit.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(sessionId: Long, startUs: Long, endUs: Long, n: Long)
+
+  final case class SessionSummary(user_id: Long, session_id: Long,
+      n_events: Long, session_start_us: Long, session_end_us: Long)
+
+  /** Tumbling event-time window counts per event type. Append-mode
+    * compatible: the watermark lets Spark finalize windows and drop
+    * their state. */
+  def windowedCounts(events: DataFrame, windowLength: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 9))).cast("double").as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  private def tsUs(e: Event): Long = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+
+  /** Gap-based sessionization: events within `gapSeconds` of the
+    * session's end extend it; otherwise the session closes and is
+    * emitted. Open sessions close via event-time timeout once the
+    * watermark passes their gap horizon. */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+      gapSeconds: Long, watermark: String): Dataset[SessionSummary] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def fn(userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(SessionSummary(userId, s.sessionId, s.n, s.startUs, s.endUs))
+      } else {
+        val sorted = batch.toVector.sortBy(e => (tsUs(e), e.event_id))
+        var closed = Vector.empty[SessionSummary]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val us = tsUs(e)
+          cur = cur match {
+            case Some(s) if us - s.endUs <= gapUs =>
+              Some(s.copy(endUs = math.max(s.endUs, us), n = s.n + 1))
+            case Some(s) =>
+              closed :+= SessionSummary(userId, s.sessionId, s.n, s.startUs, s.endUs)
+              Some(SessionState(s.sessionId + 1, us, us, 1))
+            case None =>
+              Some(SessionState(1, us, us, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close the session once event time passes its gap horizon
+          state.setTimeoutTimestamp(s.endUs / 1000 + gapSeconds * 1000)
+        }
+        closed.iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Streaming semantics vs their batch twins (q22/q23). */
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+
+  private def eventsDir: String = {
+    val dir = Files.createTempDirectory("events_stream").toString
+    // single file → single micro-batch: the parquet files are not
+    // time-ordered, so multi-batch reads would legitimately time out
+    // sessions that a later file extends (watermark semantics) and the
+    // batch-equivalence below would not hold.
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streamed windowed counts equal the batch aggregation") {
+    val dir = eventsDir
+    val batchDf = spark.read.parquet(dir)
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(dir)
+
+    val q = EventStream.windowedCounts(streamDf, "1 hour", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStream.windowedCounts(batchDf, "1 hour", "10 minutes")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionize emits gap-separated sessions; timeout closes the tail") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStream.sessionize(spark, mem.toDS(), gapSeconds = 1800, "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      // user 7: two events 5 min apart (one session), then a 2h gap
+      mem.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(5), 7, "view", 2.0),
+        Event(3, ts(125), 7, "click", 3.0))
+      q.processAllAvailable()
+      // first session closes in-batch at the 2h gap
+      val closed = spark.table("sess_out").as[EventStream.SessionSummary].collect()
+      assert(closed.length == 1)
+      assert(closed.head.user_id == 7 && closed.head.session_id == 1 &&
+        closed.head.n_events == 2)
+
+      // advancing the watermark far past the open session times it out
+      mem.addData(Event(4, ts(100000), 99, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(5, ts(100001), 99, "view", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_out").as[EventStream.SessionSummary].collect()
+      val u7 = all.filter(_.user_id == 7).sortBy(_.session_id)
+      assert(u7.length == 2, s"expected the tail session to time out, got ${u7.toSeq}")
+      assert(u7(1).session_id == 2 && u7(1).n_events == 1)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize agrees with the batch q22 on session counts") {
+    import spark.implicits._
+    val dir = eventsDir
+    val batchDf = spark.read.parquet(dir)
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = EventStream.sessionize(spark,
+        streamDf.as[Event], gapSeconds = 1800, "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess_b").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_b").as[EventStream.SessionSummary].collect()
+      val batch = SparkEntry.queries("q22_sessionize")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+          r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).toSet
+      val streamedSet = streamed.map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSet
+      // every emitted session exactly matches a batch session (no
+      // splits, no duplicates, identical boundaries)
+      assert(streamed.length == streamedSet.size)
+      assert(streamedSet.subsetOf(batch))
+      // the only sessions NOT emitted are those still inside the gap
+      // horizon of the final watermark (max event time), which remain
+      // open in state — event-time timeout semantics.
+      val maxTsUs = batchDf.select(max(unix_micros(col("ts")))).collect().head.getLong(0)
+      val expectedOpen = batch.count { case (_, _, endUs, _) => endUs + 1800L * 1000000L > maxTsUs }
+      assert(batch.size - streamedSet.size == expectedOpen)
+    } finally q.stop()
+  }
+}

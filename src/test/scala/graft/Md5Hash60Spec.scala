@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextFunctions
+import graft.plans.Md5Hash60
+
+/** The native hash60 expression must be value-identical to the
+  * built-in composition (and therefore to the DuckDB oracle form). */
+class Md5Hash60Spec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+
+  test("native hash60 == conv(substr(md5)) composition on real text") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+    val mismatches = toks
+      .select(TextFunctions.hash60(col("t")).as("native"),
+        TextFunctions.hash60Composed(col("t")).as("composed"))
+      .filter(col("native") =!= col("composed")).count()
+    assert(mismatches == 0L)
+  }
+
+  test("handles empty string, unicode, null") {
+    import spark.implicits._
+    val df = Seq(Some(""), Some("héllo wörld 中文"), None).toDF("s")
+    val rows = df.select(TextFunctions.hash60(col("s")).as("n"),
+      TextFunctions.hash60Composed(col("s")).as("c")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getLong(0) == r.getLong(1))
+    }
+  }
+
+  test("registered SQL function works and codegen path is exercised") {
+    Md5Hash60.register(spark)
+    val n = spark.sql(
+      "SELECT hash60(text) AS h FROM parquet.`/root/testdata/sf0.001/documents.parquet`")
+      .filter(col("h") < 0).count()
+    assert(n == 0L, "hash60 is 60-bit and never negative")
+  }
+}
