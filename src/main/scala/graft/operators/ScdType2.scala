@@ -71,7 +71,11 @@ object ScdType2 {
         row_number().over(Window.orderBy(col(idCol), col("version"))).cast("long") - 1)
       .select(outCols: _*)
 
-    val nonEmptyExisting = existing.filter(!_.isEmpty)
+    // Cache the prior state BEFORE the emptiness probe: the probe is an
+    // action, and the state is then read three more times (current-row
+    // join, unchanged-history anti join) — uncached, a non-trivial
+    // upstream plan would re-execute each time.
+    val nonEmptyExisting = existing.map(_.cache()).filter(!_.isEmpty)
     nonEmptyExisting match {
       case None =>
         // First run (`scd_implementation.py:21-30`).

@@ -132,14 +132,17 @@ object TextQueries {
         k = 16, shingleN = 3, bands = 8, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   private val q30Sql = {
+    import graft.operators.Dedup.{minhashPermA, minhashPermB, MinhashPrime}
     val mh = (0 until 16).map(j =>
-      s"list_min(list_transform(sh, x -> ${dHash(s"'$j:' || x")})) AS mh$j").mkString(",\n ")
+      s"list_min(list_transform(hs, h -> (${minhashPermA(j)} * h + ${minhashPermB(j)}) % $MinhashPrime)) AS mh$j")
+      .mkString(",\n ")
     val bandSelects = (0 until 8).map(b =>
       s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sigs")
       .mkString("\n UNION ALL ")
     s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
       |shl AS (SELECT doc_id, ${dShingles("toks")} AS sh FROM t),
-      |sigs AS (SELECT doc_id, $mh FROM shl WHERE len(sh) > 0),
+      |hb AS (SELECT doc_id, sh, list_transform(sh, x -> ${dHash("x")} % 4294967296) AS hs FROM shl),
+      |sigs AS (SELECT doc_id, sh, $mh FROM hb WHERE len(sh) > 0),
       |bk AS ($bandSelects),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
