@@ -120,10 +120,19 @@ object ScdType2 {
             .select(col(idCol) +: attrCols.map(c => col(s"_new_$c").as(c)): _*),
           lit(1))
 
-        // Unchanged = ALL existing rows (incl. expired history) whose id
-        // is not in the changed set (`scd_implementation.py:82-86`).
+        // Unchanged = every existing row EXCEPT the current rows of
+        // changed ids (those are replaced by their expired copies).
+        // Expired history of changed ids flows through. NOTE: the
+        // reference drops ALL rows of a changed id here
+        // (`scd_implementation.py:82-86`) — on a second change an id
+        // would lose its v1 history. That path never executed (the
+        // `version_old` crash, see the class doc), so we implement the
+        // correct retention; the invariant is property-tested.
         val changedIds = changed.select(idCol).distinct()
-        val unchanged = existingDim.join(changedIds, Seq(idCol), "left_anti")
+          .withColumn("_changed", lit(true))
+        val unchanged = existingDim.join(changedIds, Seq(idCol), "left")
+          .filter(col("_changed").isNull || !col("is_current"))
+          .drop("_changed")
 
         val assembled = unchanged.drop(skCol)
           .unionByName(expiredOld)
