@@ -25,8 +25,22 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Join two same-bucketed tables on their bucket key: no exchange. */
+  /** Join two same-bucketed tables on their bucket key: no exchange.
+    * The zero-shuffle contract is enforced, not assumed: both tables
+    * must be bucketed on `key` with equal bucket counts, otherwise the
+    * planner would silently reintroduce the exchange this module
+    * exists to eliminate. */
   def colocatedJoin(spark: SparkSession, left: String, right: String,
-      key: String): DataFrame =
+      key: String): DataFrame = {
+    def spec(t: String) = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec
+      .getOrElse(throw new IllegalArgumentException(s"table $t is not bucketed"))
+    val (l, r) = (spec(left), spec(right))
+    require(l.bucketColumnNames == Seq(key) && r.bucketColumnNames == Seq(key),
+      s"both tables must be bucketed on '$key' (got ${l.bucketColumnNames} / ${r.bucketColumnNames})")
+    require(l.numBuckets == r.numBuckets,
+      s"bucket counts must match for a co-located join (got ${l.numBuckets} vs ${r.numBuckets})")
     spark.table(left).join(spark.table(right), key)
+  }
 }

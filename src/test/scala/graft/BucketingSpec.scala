@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -10,23 +8,29 @@ import graft.operators.Bucketing
 /** Co-located bucketed joins must plan WITHOUT a shuffle exchange —
   * the point of pre-bucketing fact tables on their join key. */
 class BucketingSpec extends AnyFunSuite {
-  lazy val spark = {
-    val wh = Files.createTempDirectory("graft_wh").toString
-    val s = Sessions.builder("local[4]", 4)
-      .config("spark.sql.warehouse.dir", wh)
-      // derby metastore for saveAsTable in tests
-      .config("javax.jdo.option.ConnectionURL",
-        s"jdbc:derby:;databaseName=$wh/metastore_db;create=true")
-      // tiny SF would auto-broadcast and bypass the bucketed path we
-      // are asserting (at fact scale broadcast is not an option)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  // Shared-session reality: all suites run in one forked JVM, so
+  // builder-time configs on getOrCreate are unreliable (static SQL
+  // configs silently no-op when a session already exists) and any
+  // modifiable conf we set leaks to other suites. So: use the shared
+  // session, set the one conf we need via conf.set, and RESTORE it.
+  lazy val spark = Sessions.local(4)
 
   test("bucketed orders ⋈ lineitem joins with no shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
+    // tiny SF would auto-broadcast and bypass the bucketed path we are
+    // asserting (at fact scale broadcast is not an option)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      runBucketedJoinAssertions(sf)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  private def runBucketedJoinAssertions(sf: String): Unit = {
     Bucketing.writeBucketed(
       Tables.orders(spark, sf).select("o_orderkey", "o_totalprice", "o_orderstatus")
         .withColumnRenamed("o_orderkey", "l_orderkey"),
