@@ -16,18 +16,30 @@ object Bench {
     val qs = headline.filter(SparkEntry.queries.contains)
     // Warm the JVM/codegen once on the smallest SF so measured times
     // reflect the engine, not first-call JIT + planner warmup.
-    qs.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    qs.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () } // failure surfaces in the timed run
+    }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = qs.map { name =>
       spark.catalog.clearCache() // isolate per-query timings
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors += name -> e.getMessage.takeWhile(_ != '\n').take(200)
+          name -> -1.0 // visible failure marker, not a bogus timing
+      }
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

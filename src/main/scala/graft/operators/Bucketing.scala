@@ -33,11 +33,14 @@ object Bucketing {
   def colocatedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame = {
     def spec(t: String) = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(t))
       .bucketSpec
       .getOrElse(throw new IllegalArgumentException(s"table $t is not bucketed"))
     val (l, r) = (spec(left), spec(right))
-    require(l.bucketColumnNames == Seq(key) && r.bucketColumnNames == Seq(key),
+    // Spark resolves the join key case-insensitively; compare likewise.
+    def onKey(s: org.apache.spark.sql.catalyst.catalog.BucketSpec) =
+      s.bucketColumnNames.map(_.toLowerCase) == Seq(key.toLowerCase)
+    require(onKey(l) && onKey(r),
       s"both tables must be bucketed on '$key' (got ${l.bucketColumnNames} / ${r.bucketColumnNames})")
     require(l.numBuckets == r.numBuckets,
       s"bucket counts must match for a co-located join (got ${l.numBuckets} vs ${r.numBuckets})")

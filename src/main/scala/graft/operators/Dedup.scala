@@ -63,18 +63,19 @@ object Dedup {
     * hashing per (seed × shingle) would multiply the md5 cost by k. */
   private[operators] def withShingleSignatures(df: DataFrame, idCol: String,
       textCol: String, k: Int, shingleN: Int): DataFrame = {
-    // The persist below is a MATERIALIZATION BARRIER, not just a reuse
-    // cache: without it, CollapseProject inlines the shingle+hash
-    // arrays into every one of the k minhash projections and the
-    // corpus is re-tokenized and re-hashed k times per row (measured
-    // 10×+ slowdown). The cached frame is one corpus pass of
-    // (id, shingles, base hashes); the k permutations then read the
-    // cached array. At production scale this frame is written to a
-    // staging table instead of executor memory.
+    // The localCheckpoint below is a MATERIALIZATION BARRIER, not just
+    // a reuse cache: without it, CollapseProject inlines the
+    // shingle+hash arrays into every one of the k minhash projections
+    // and the corpus is re-tokenized and re-hashed k times per row
+    // (measured 10×+ slowdown). The checkpointed frame is one corpus
+    // pass of (id, shingles, base hashes); the k permutations then
+    // read the materialized array. Checkpoint (not cache) so blocks
+    // are reclaimed once unreachable; at production scale this frame
+    // is written to a staging table instead of executor storage.
     val withBase = df.select(col(idCol),
         shingles(tokens(col(textCol)), shingleN).as("sh"))
       .withColumn("hs", transform(col("sh"), s => hash60(s) % 4294967296L))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     withBase.select(
       col(idCol) +: col("sh") +:
         (0 until k).map(j =>
@@ -92,13 +93,12 @@ object Dedup {
       k: Int, shingleN: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
-    // ONE corpus pass computes shingles + signatures, then persist:
-    // the frame is referenced four times below (both self-join sides,
-    // both verification sides) and would otherwise re-tokenize the
-    // corpus each time. Signatures are id + k longs + shingles — at
-    // production scale, write this to a staging table instead.
+    // The shingle+hash base frame inside withShingleSignatures is the
+    // single materialization; signatures re-derive from it with cheap
+    // arithmetic on each of the four references below (both self-join
+    // sides, both verification sides). A second persist here would pin
+    // the dominant payload (the shingle arrays) twice.
     val sigs = withShingleSignatures(df, idCol, textCol, k, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // band key = the band's minhashes joined; explode to (band, key)
     val bandKeys = array((0 until bands).map { b =>
@@ -137,9 +137,13 @@ object Dedup {
     * verifier; bucket columns bound the pair product). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, threshold: Double, bucketCols: Seq[String]): DataFrame = {
+    // Empty shingle sets (docs shorter than n tokens) are excluded, as
+    // in the LSH path: jaccard would be 0/0 = NaN, and NaN passes
+    // `>= threshold` under Spark's NaN-greatest ordering.
     val shingled = df.select(
       (col(idCol) +: bucketCols.map(col)) :+
         shingles(tokens(col(textCol)), shingleN).as("sh"): _*)
+      .filter(size(col("sh")) > 0)
     val a = shingled.select(
       col(idCol).as("id_a") +: col("sh").as("sh_a") +: bucketCols.map(col): _*)
     val b = shingled.select(

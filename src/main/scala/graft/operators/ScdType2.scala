@@ -71,11 +71,16 @@ object ScdType2 {
         row_number().over(Window.orderBy(col(idCol), col("version"))).cast("long") - 1)
       .select(outCols: _*)
 
-    // Cache the prior state BEFORE the emptiness probe: the probe is an
-    // action, and the state is then read three more times (current-row
-    // join, unchanged-history anti join) — uncached, a non-trivial
-    // upstream plan would re-execute each time.
-    val nonEmptyExisting = existing.map(_.cache()).filter(!_.isEmpty)
+    // Materialize the prior state BEFORE the emptiness probe: the probe
+    // is an action, and the state is then read three more times
+    // (current-row join, unchanged-history join) — unmaterialized, a
+    // non-trivial upstream plan would re-execute each time.
+    // localCheckpoint (not cache): checkpoint blocks are released by
+    // the ContextCleaner once unreachable, while CacheManager pins
+    // cached plans until an explicit unpersist this operator has no
+    // hook for. Production multi-run deployments read the prior state
+    // from storage anyway (see RcmRun).
+    val nonEmptyExisting = existing.map(_.localCheckpoint()).filter(!_.isEmpty)
     nonEmptyExisting match {
       case None =>
         // First run (`scd_implementation.py:21-30`).
@@ -88,8 +93,9 @@ object ScdType2 {
           col(idCol) +: attrCols.map(c => col(c).as(s"_new_$c")): _*)
           .withColumn("_new_present", lit(true))
 
-        // Full-outer diff join on the business id (J5).
-        val joined = cur.join(newP, Seq(idCol), "full_outer").cache()
+        // Full-outer diff join on the business id (J5); materialized
+        // once — read by all four row classes below.
+        val joined = cur.join(newP, Seq(idCol), "full_outer").localCheckpoint()
 
         // `fillna('')`-style null-safe inequality for strings, <=> else.
         val changePred = tracked.map { a =>

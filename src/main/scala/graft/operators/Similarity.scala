@@ -33,8 +33,14 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Null-safe cosine: a zero-norm vector yields NULL, not NaN.
+    * NaN would sort ABOVE every real similarity under `desc` and pass
+    * `> threshold` filters (Spark NaN semantics), making a zero vector
+    * the rank-1 "neighbor" of everything; NULL drops out of both. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom > 0, dot(a, b) / denom)
+  }
 
   /** Exact top-k cosine neighbors of each query vector over the whole
     * corpus. `queries` must be broadcast-sized (it is sent to every

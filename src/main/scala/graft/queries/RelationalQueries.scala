@@ -330,7 +330,7 @@ object RelationalQueries {
     """SELECT c_custkey,
       | regexp_replace(c_name, '\D', '', 'g') AS name_digits,
       | upper(substr(lower(c_mktsegment), 1, 1)) || substr(lower(c_mktsegment), 2) AS segment_title,
-      | upper(regexp_replace(c_mktsegment, 'AUTO', '')) || '-' || CAST(c_custkey AS VARCHAR) AS unified_id,
+      | upper(regexp_replace(c_mktsegment, 'AUTO', '', 'g')) || '-' || CAST(c_custkey AS VARCHAR) AS unified_id,
       | COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'Unknown') AS segment_or_unknown
       |FROM customer ORDER BY c_custkey""".stripMargin
 

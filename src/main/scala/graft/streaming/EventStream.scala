@@ -50,7 +50,20 @@ object EventStream {
   /** Gap-based sessionization: events within `gapSeconds` of the
     * session's end extend it; otherwise the session closes and is
     * emitted. Open sessions close via event-time timeout once the
-    * watermark passes their gap horizon. */
+    * watermark passes their gap horizon.
+    *
+    * Semantics notes:
+    *  - after a timeout closes a session, a TOMBSTONE state (n = 0)
+    *    retains the per-user session counter so later sessions never
+    *    reuse an emitted (user_id, session_id); tombstones expire
+    *    after 10 further gaps of inactivity;
+    *  - late-but-within-watermark events that sort before the open
+    *    session's start MERGE into it (extending `session_start_us`
+    *    backward) — a batch recomputation with global ordering might
+    *    instead call them a separate earlier session. Streaming
+    *    cannot retroactively renumber emitted sessions; choose the
+    *    watermark delay no larger than the session gap if this
+    *    distinction matters. */
   def sessionize(spark: SparkSession, events: Dataset[Event],
       gapSeconds: Long, watermark: String): Dataset[SessionSummary] = {
     import spark.implicits._
@@ -60,8 +73,15 @@ object EventStream {
         state: GroupState[SessionState]): Iterator[SessionSummary] = {
       if (state.hasTimedOut) {
         val s = state.get
-        state.remove()
-        Iterator(SessionSummary(userId, s.sessionId, s.n, s.startUs, s.endUs))
+        if (s.n == 0) { // tombstone expired: user idle for 10+ gaps
+          state.remove()
+          Iterator.empty
+        } else {
+          state.update(s.copy(n = 0)) // keep the counter as a tombstone
+          state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs + gapSeconds * 10 * 1000)
+          Iterator(SessionSummary(userId, s.sessionId, s.n, s.startUs, s.endUs))
+        }
       } else {
         val sorted = batch.toVector.sortBy(e => (tsUs(e), e.event_id))
         var closed = Vector.empty[SessionSummary]
@@ -69,8 +89,11 @@ object EventStream {
         sorted.foreach { e =>
           val us = tsUs(e)
           cur = cur match {
+            case Some(s) if s.n == 0 => // revive from tombstone: next id
+              Some(SessionState(s.sessionId + 1, us, us, 1))
             case Some(s) if us - s.endUs <= gapUs =>
-              Some(s.copy(endUs = math.max(s.endUs, us), n = s.n + 1))
+              Some(s.copy(startUs = math.min(s.startUs, us),
+                endUs = math.max(s.endUs, us), n = s.n + 1))
             case Some(s) =>
               closed :+= SessionSummary(userId, s.sessionId, s.n, s.startUs, s.endUs)
               Some(SessionState(s.sessionId + 1, us, us, 1))
@@ -80,8 +103,8 @@ object EventStream {
         }
         cur.foreach { s =>
           state.update(s)
-          // close the session once event time passes its gap horizon
-          state.setTimeoutTimestamp(s.endUs / 1000 + gapSeconds * 1000)
+          if (s.n > 0) // close the session once event time passes its gap horizon
+            state.setTimeoutTimestamp(s.endUs / 1000 + gapSeconds * 1000)
         }
         closed.iterator
       }

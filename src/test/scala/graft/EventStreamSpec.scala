@@ -75,6 +75,17 @@ class EventStreamSpec extends AnyFunSuite {
       val u7 = all.filter(_.user_id == 7).sortBy(_.session_id)
       assert(u7.length == 2, s"expected the tail session to time out, got ${u7.toSeq}")
       assert(u7(1).session_id == 2 && u7(1).n_events == 1)
+
+      // tombstone: a post-timeout event for user 7 must get session id
+      // 3 — never a reused id 1/2 (emitted keys stay unique)
+      mem.addData(Event(6, ts(100002), 7, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(7, ts(400000), 99, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val u7b = spark.table("sess_out").as[EventStream.SessionSummary].collect()
+        .filter(_.user_id == 7).sortBy(_.session_id)
+      assert(u7b.map(_.session_id).toSeq == Seq(1L, 2L, 3L),
+        s"session ids must stay unique after timeout, got ${u7b.toSeq}")
     } finally q.stop()
   }
 
