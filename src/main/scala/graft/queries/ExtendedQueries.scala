@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.DataQuality
+
+/** Extended analytics surface beyond the reference's own inventory:
+  * rollup subtotals, semi joins, exact percentiles, ordered string
+  * aggregation, pivot, and the data-quality profile (the reference's
+  * validation checks as first-class operators).
+  *
+  * Percentile determinism: fractions are powers of two (0.25/0.5/0.75)
+  * over integer-valued doubles, so linear interpolation is EXACT in
+  * both engines regardless of the interpolation formula's operation
+  * order.
+  */
+object ExtendedQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  // q37 — ROLLUP subtotals (grouping-sets surface).
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double").as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total_price"), col("n_orders"))
+      .orderBy(col("status"), col("priority"))
+  }
+  private val q37Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      | COALESCE(o_orderpriority, 'ALL') AS priority,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+      | COUNT(*) AS n_orders
+      |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  // q38 — semi join (EXISTS): customers with 1995 orders.
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o95 = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o95, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+  private val q38Sql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND EXTRACT(YEAR FROM o_orderdate) = 1995)
+      |ORDER BY c_custkey""".stripMargin
+
+  // q39 — exact percentiles of quantity per return flag.
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q39Sql =
+    """SELECT l_returnflag,
+      | quantile_cont(l_quantity, 0.25) AS p25,
+      | quantile_cont(l_quantity, 0.5) AS p50,
+      | quantile_cont(l_quantity, 0.75) AS p75,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // q40 — ordered string aggregation (listagg analog).
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+  private val q40Sql =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      | COUNT(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // q41 — pivot: order totals per year × status column.
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(dec(col("o_totalprice"))).cast("double"))
+      .orderBy(col("order_year"))
+  }
+  private val q41Sql =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS F,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS O,
+      | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS P
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q42 — one-pass data-quality profile (null counts + duplicate stats).
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val nulls = DataQuality.nullProfile(e,
+      Seq("event_id", "user_id", "event_type", "value", "props"))
+    val dups = DataQuality.duplicateStats(e, Seq("user_id", "event_type"))
+      .select(lit("__dup_user_event").as("column_name"),
+        col("n_rows"), col("n_duplicate_rows").as("n_nulls"))
+    nulls.unionByName(dups).orderBy(col("column_name"))
+  }
+  private val q42Sql =
+    """SELECT * FROM (
+      | SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
+      |   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM events
+      | UNION ALL SELECT 'user_id', COUNT(*),
+      |   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      | UNION ALL SELECT 'event_type', COUNT(*),
+      |   CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      | UNION ALL SELECT 'value', COUNT(*),
+      |   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      | UNION ALL SELECT 'props', COUNT(*),
+      |   CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM events
+      | UNION ALL SELECT '__dup_user_event', CAST(SUM(c) AS BIGINT),
+      |   CAST(SUM(c - 1) AS BIGINT)
+      |   FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id, event_type))
+      |ORDER BY column_name""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q37_rollup", q37, Some(q37Sql)),
+    QueryDef("q38_semi_join", q38, Some(q38Sql)),
+    QueryDef("q39_percentiles", q39, Some(q39Sql)),
+    QueryDef("q40_string_agg", q40, Some(q40Sql)),
+    QueryDef("q41_pivot", q41, Some(q41Sql)),
+    QueryDef("q42_dq_profile", q42, Some(q42Sql)),
+  )
+}
