@@ -3,11 +3,13 @@ package graft
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver (`BENCH_r{N}.json`). */
 object Bench {
-  /** Representative spread: scans+aggs, joins, top-k, windows, SCD2. */
+  /** Representative spread: scans+aggs, joins, top-k, windows, SCD2,
+    * plus the training-data ops (LSH dedup, SimHash, brute-force ANN). */
   val headline: Seq[String] = Seq(
     "q01_global_agg", "q02_groupby_agg", "q03_join_groupby",
     "q05_conditional_rates", "q09_top20_ltv", "q10_brand_profitability",
-    "q20_scd2_incremental", "q22_sessionize")
+    "q20_scd2_incremental", "q22_sessionize",
+    "q30_minhash_lsh", "q31_simhash", "q34_ann_brute_force")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
