@@ -30,8 +30,10 @@ object RcmRun {
     val existing = if (existingPath.exists())
       Some(spark.read.parquet(existingPath.toString).localCheckpoint()) else None
 
+    val t0 = System.nanoTime()
     val result = RcmPipeline.run(spark, dataDir, asOf, existing)
     RcmPipeline.write(result.star, outDir)
+    println(f"[rcm] pipeline run+write: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     (result.star.dimensions ++ result.star.facts).foreach { case (name, df) =>
       println(f"[rcm] $name%-20s ${spark.read.parquet(s"$outDir/$name.parquet").count()}%8d rows")

@@ -26,6 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class Md5Hash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "hash60"
+  // deterministic pure function → Catalyst constant-folds literal args
+  override def foldable: Boolean = child.foldable
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)

@@ -32,6 +32,15 @@ class Md5Hash60Spec extends AnyFunSuite {
     }
   }
 
+  test("literal arguments constant-fold in the optimized plan") {
+    val df = spark.range(1).select(TextFunctions.hash60(lit("abc")).as("h"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("hash60"),
+      s"hash60(literal) should fold to a constant, plan: $optimized")
+    assert(df.collect().head.getLong(0) ==
+      df.select(TextFunctions.hash60Composed(lit("abc"))).collect().head.getLong(0))
+  }
+
   test("registered SQL function works and codegen path is exercised") {
     Md5Hash60.register(spark)
     val n = spark.sql(
