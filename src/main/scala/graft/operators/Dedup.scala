@@ -140,14 +140,22 @@ object Dedup {
     // Empty shingle sets (docs shorter than n tokens) are excluded, as
     // in the LSH path: jaccard would be 0/0 = NaN, and NaN passes
     // `>= threshold` under Spark's NaN-greatest ordering.
+    //
+    // Pairs intersect HASHED shingle sets (distinct 60-bit longs), not
+    // string arrays: the pair product dominates, and long equality is
+    // ~10× cheaper per element than string hashing. The checkpoint
+    // materializes one shingle+hash pass shared by both join sides.
     val shingled = df.select(
       (col(idCol) +: bucketCols.map(col)) :+
         shingles(tokens(col(textCol)), shingleN).as("sh"): _*)
       .filter(size(col("sh")) > 0)
+      .withColumn("hsh", array_distinct(transform(col("sh"), s => hash60(s))))
+      .drop("sh")
+      .localCheckpoint()
     val a = shingled.select(
-      col(idCol).as("id_a") +: col("sh").as("sh_a") +: bucketCols.map(col): _*)
+      col(idCol).as("id_a") +: col("hsh").as("sh_a") +: bucketCols.map(col): _*)
     val b = shingled.select(
-      col(idCol).as("id_b") +: col("sh").as("sh_b") +: bucketCols.map(col): _*)
+      col(idCol).as("id_b") +: col("hsh").as("sh_b") +: bucketCols.map(col): _*)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val union = size(col("sh_a")) + size(col("sh_b")) - inter
     a.join(b, bucketCols).filter(col("id_a") < col("id_b"))

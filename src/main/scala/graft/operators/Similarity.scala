@@ -42,16 +42,26 @@ object Similarity {
     when(denom > 0, dot(a, b) / denom)
   }
 
+  /** Pairwise cosine from a precomputed per-vector norm: the pair
+    * product dominates these operators, so norms are computed once per
+    * VECTOR before the join (column references survive the join — no
+    * re-inlining), not once per pair. Values are identical to
+    * [[cosine]] — same per-pair arithmetic. */
+  private def pairCosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, dot(va, vb) / (na * nb))
+
   /** Exact top-k cosine neighbors of each query vector over the whole
     * corpus. `queries` must be broadcast-sized (it is sent to every
     * corpus partition); the corpus side never shuffles. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", pairCosine(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -63,11 +73,13 @@ object Similarity {
     * bucket's inverted list. */
   def bucketedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, bucketCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), col(bucketCol))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col(bucketCol))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"), col(bucketCol))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"), col(bucketCol))
     val scored = c.join(broadcast(q), Seq(bucketCol))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", pairCosine(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -79,10 +91,12 @@ object Similarity {
     * embedding analog of [[Dedup.ngramJaccardPairs]]). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"), col(bucketCol))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col(bucketCol))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      l2Norm(col(vecCol)).as("na"), col(bucketCol))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      l2Norm(col(vecCol)).as("nb"), col(bucketCol))
     a.join(b, Seq(bucketCol)).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine", pairCosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cosine") > threshold)
       .select(col(bucketCol), col("id_a"), col("id_b"), col("cosine"))
   }

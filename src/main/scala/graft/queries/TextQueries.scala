@@ -182,8 +182,10 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   private val q32Sql =
     s"""WITH t AS (SELECT doc_id, lang, source, $dTokens AS toks FROM documents),
-      |shl AS (SELECT doc_id, lang, source, ${dShingles("toks")} AS sh FROM t
-      |        WHERE len(${dShingles("toks")}) > 0)
+      |shl0 AS (SELECT doc_id, lang, source, ${dShingles("toks")} AS sh FROM t
+      |         WHERE len(${dShingles("toks")}) > 0),
+      |shl AS (SELECT doc_id, lang, source,
+      |        list_distinct(list_transform(sh, x -> ${dHash("x")})) AS sh FROM shl0)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       | CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
