@@ -77,6 +77,14 @@ def main():
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(x.columns)}")
             n_fail += 1
             continue
+        # strict dtype compare (both sides read via duckdb → comparable):
+        # int32 vs int64 values are == in Python but may hash-differ.
+        dt_bad = [(c, str(g[c].dtype), str(x[c].dtype)) for c in g.columns
+                  if str(g[c].dtype) != str(x[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype mismatch {dt_bad}")
+            n_fail += 1
+            continue
         if len(g) != len(x):
             print(f"FAIL {name}: rows {len(g)} vs {len(x)}")
             n_fail += 1
