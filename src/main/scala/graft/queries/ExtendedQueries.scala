@@ -134,6 +134,29 @@ object ExtendedQueries {
       |   FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id, event_type))
       |ORDER BY column_name""".stripMargin
 
+  // q43 — as-of association: attribute each purchase to the user's
+  // most recent prior (or same-instant) click via last-carried-forward.
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("us", unix_micros(col("ts")))
+    val attributed = graft.operators.AsOf.lastCarriedForward(
+      e, Seq("user_id"), Seq(col("ts"), col("event_id")),
+      when(col("event_type") === "click", col("us")), "last_click_us")
+    attributed.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("us").as("purchase_us"),
+        col("last_click_us"),
+        col("last_click_us").isNotNull.as("attributed"))
+      .orderBy(col("event_id"))
+  }
+  private val q43Sql =
+    """WITH w AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |  last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      |  FROM events)
+      |SELECT user_id, event_id, us AS purchase_us, last_click_us,
+      |  last_click_us IS NOT NULL AS attributed
+      |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q37_rollup", q37, Some(q37Sql)),
     QueryDef("q38_semi_join", q38, Some(q38Sql)),
@@ -141,5 +164,6 @@ object ExtendedQueries {
     QueryDef("q40_string_agg", q40, Some(q40Sql)),
     QueryDef("q41_pivot", q41, Some(q41Sql)),
     QueryDef("q42_dq_profile", q42, Some(q42Sql)),
+    QueryDef("q43_asof_attribution", q43, Some(q43Sql)),
   )
 }

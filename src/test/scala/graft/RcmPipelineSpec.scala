@@ -77,6 +77,24 @@ class RcmPipelineSpec extends AnyFunSuite {
     assert(math.abs(rate - 89.86) < 0.01)
   }
 
+  test("Q4 payor mix matches the DuckDB recompute over the same CSVs") {
+    val rows = RcmAnalytics.q4PayorPerformance(star).collect()
+      .map(r => r.getAs[String]("PayorType") ->
+        (r.getAs[Long]("TotalClaims"), r.getAs[Long]("ApprovedClaims"))).toMap
+    assert(rows("Private") == (6784L, 1374L))
+    assert(rows("Self-pay") == (6645L, 1309L))
+    assert(rows("Government") == (6571L, 1314L))
+  }
+
+  test("Q7 avg days in A/R and Q8 write-offs match the recompute") {
+    val ar = RcmAnalytics.q7AvgDaysInAR(star).collect().head.getAs[Double]("AverageDaysInAR")
+    assert(math.abs(ar - -729.630472854641) < 1e-6)
+    // this snapshot has NO denied claims with PaidAmount exactly 0 —
+    // the write-off sum is null over an empty filter (pinned quirk)
+    val wo = RcmAnalytics.q8TotalWriteOffs(star).collect().head
+    assert(wo.isNullAt(wo.fieldIndex("TotalWriteOffAmount")))
+  }
+
   test("all 11 analysis queries run and return rows") {
     RcmAnalytics.all.foreach { case (name, fn) =>
       assert(fn(star).count() > 0, s"$name returned no rows")
