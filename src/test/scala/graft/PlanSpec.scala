@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests: the physical plans these queries are
+  * DESIGNED to produce (SURVEY.md §4, README "100 TB design notes").
+  * A passing result here is the difference between "returns the right
+  * rows" and "would still be fast at 1000× the data".
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+  private val sf = "/root/testdata/sf0.01"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** Final adaptive plan in formatted mode — codegen spans only appear
+    * once AQE has finalized, so execute first. */
+  private def finalPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize THIS plan under AQE (count() would build its own)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q07: the event-type filter is pushed into the parquet scan") {
+    val p = planOf("q07_filtered_avg")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"), p)
+  }
+
+  test("q07: scan reads only the two needed columns (pruning)") {
+    val p = planOf("q07_filtered_avg")
+    assert(p.contains("ReadSchema: struct<event_type:string,value:double>"), p)
+  }
+
+  test("q09: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q09_top20_ltv")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q13: anti join is a broadcast hash join (no shuffle of customers)") {
+    val p = planOf("q13_anti_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("q01: aggregation runs inside whole-stage codegen") {
+    val p = finalPlanOf("q01_global_agg")
+    // formatted mode marks codegen'd operators with '*' and tags them
+    // with a codegen id in the detail section
+    assert(p.contains("* HashAggregate"), p)
+    assert(p.contains("[codegen id :"), p)
+  }
+
+  test("q02: grouped aggregation is partial (map-side combine before shuffle)") {
+    val df = SparkEntry.queries("q02_groupby_agg")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // partial_sum markers appear below the exchange → map-side combine
+    assert(p.contains("partial_sum"), p)
+  }
+}

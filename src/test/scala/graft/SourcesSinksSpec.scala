@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink breadth beyond the pipeline's parquet+CSV: JSON
+  * round-trip with declared schema, partitioned parquet writes with
+  * partition pruning, and schema-on-read enforcement. */
+class SourcesSinksSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+  private val sf = "/root/testdata/sf0.001"
+
+  test("JSON sink/source round-trip preserves rows under a declared schema") {
+    val dir = Files.createTempDirectory("events_json").toString
+    val e = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "props")
+    e.write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.count() == e.count())
+    val a = e.agg(sum("event_id"), countDistinct("event_type")).collect().head
+    val b = back.agg(sum("event_id"), countDistinct("event_type")).collect().head
+    assert(a == b)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("events_part").toString
+    Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(one.count() == expected)
+  }
+
+  test("schema-on-read coerces malformed values to null (permissive mode)") {
+    val dir = Files.createTempDirectory("bad_csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.csv"),
+      "id,amount,when\n1,10.5,2024-01-01\n2,notanumber,2024-02-30\n3,7.25,2024-03-03\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType),
+      StructField("when", DateType)))
+    val df = spark.read.option("header", "true").schema(schema).csv(dir)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(1).isNullAt(1), "unparseable double → null (pd.to_numeric coerce analog)")
+    assert(rows(1).isNullAt(2), "invalid date → null (to_datetime coerce analog, S6/X4)")
+  }
+}
