@@ -22,15 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-phase salted sum+count per key. Equivalent to
-    * `df.groupBy(keys).agg(sum(value), count(*))` for any data; immune
-    * to single-key reducer hot-spotting. Decimal-aggregates the value
-    * so the two-phase split cannot change the float result. */
+  private val SaltCol = "__graft_salt"
+  private val ValCol = "__graft_v"
+
+  private def requireFree(df: DataFrame): Unit =
+    require(!df.columns.exists(c => c == SaltCol || c == ValCol),
+      s"input already defines internal column $SaltCol/$ValCol")
+
+  /** Two-phase salted sum+count per key, equivalent to
+    * `sum(CAST(value AS DECIMAL(28,9))) , count(*)` per key; immune to
+    * single-key reducer hot-spotting. The decimal aggregation makes
+    * the two-phase split value-identical to the direct aggregation —
+    * with decimal's domain: |value| < 1e19 (ANSI cast overflow fails
+    * the job beyond that) and quantization at 1e-9. The salt is
+    * DETERMINISTIC (hash of the value): a salt from partition id or
+    * monotonically_increasing_id would re-salt rows differently when a
+    * stage retries after a fetch failure, double-counting or dropping
+    * rows. */
   def saltedSum(df: DataFrame, keys: Seq[String], value: Column,
       buckets: Int): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    requireFree(df)
+    val salted = df.withColumn(SaltCol, pmod(xxhash64(value), lit(buckets)))
     val phase1 = salted
-      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .groupBy((keys.map(col) :+ col(SaltCol)): _*)
       .agg(sum(value.cast("decimal(28,9)")).as("_psum"), count(lit(1)).as("_pcnt"))
     phase1.groupBy(keys.map(col): _*)
       .agg(sum(col("_psum")).cast("double").as("total"),
@@ -43,14 +57,15 @@ object Skew {
     * per key. The classic fix for count-distinct state skew. */
   def saltedCountDistinct(df: DataFrame, keys: Seq[String], value: Column,
       buckets: Int): DataFrame = {
+    requireFree(df)
     val salted = df
-      .withColumn("_v", value)
-      .withColumn("_salt", pmod(xxhash64(value), lit(buckets)))
+      .withColumn(ValCol, value)
+      .withColumn(SaltCol, pmod(xxhash64(value), lit(buckets)))
     val phase1 = salted
-      .select((keys.map(col) :+ col("_salt") :+ col("_v")): _*)
+      .select((keys.map(col) :+ col(SaltCol) :+ col(ValCol)): _*)
       .distinct()
-      .groupBy((keys.map(col) :+ col("_salt")): _*)
-      .agg(count(col("_v")).as("_pd"))
+      .groupBy((keys.map(col) :+ col(SaltCol)): _*)
+      .agg(count(col(ValCol)).as("_pd"))
     phase1.groupBy(keys.map(col): _*)
       .agg(sum(col("_pd")).cast("long").as("n_distinct"))
   }

@@ -157,6 +157,41 @@ object ExtendedQueries {
       |  last_click_us IS NOT NULL AS attributed
       |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  // q44 — ranking-function suite per segment: dense_rank, ntile,
+  // percent_rank, cume_dist, nth_value (ratio outputs are int-ratio
+  // doubles — deterministic cross-engine). Lives here, not in
+  // WindowQueries, whose scale contract is bounded per-user windows;
+  // this windows by a 5-value segment key and is bounded by the
+  // custkey filter.
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.customer(s, dir).filter(col("c_custkey") < 300)
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(desc("c_acctbal"), col("c_custkey"))
+    c.select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        dense_rank().over(w).cast("long").as("drank"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        nth_value(col("c_custkey"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_best"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+  private val q44Sql =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      | dense_rank() OVER w AS drank,
+      | ntile(4) OVER w AS quartile,
+      | percent_rank() OVER w AS pct_rank,
+      | cume_dist() OVER w AS cume,
+      | nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+      |   ORDER BY c_acctbal DESC, c_custkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_best
+      |FROM customer WHERE c_custkey < 300
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q37_rollup", q37, Some(q37Sql)),
     QueryDef("q38_semi_join", q38, Some(q38Sql)),
@@ -165,5 +200,6 @@ object ExtendedQueries {
     QueryDef("q41_pivot", q41, Some(q41Sql)),
     QueryDef("q42_dq_profile", q42, Some(q42Sql)),
     QueryDef("q43_asof_attribution", q43, Some(q43Sql)),
+    QueryDef("q44_rank_suite", q44, Some(q44Sql)),
   )
 }

@@ -123,42 +123,10 @@ object WindowQueries {
       | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // q44 — ranking-function suite per segment: dense_rank, ntile,
-  // percent_rank, cume_dist, nth_value (ratio outputs are int-ratio
-  // doubles — deterministic cross-engine).
-  private def q44(s: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(s, dir).filter(col("c_custkey") < 300)
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(desc("c_acctbal"), col("c_custkey"))
-    c.select(
-        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-        dense_rank().over(w).cast("long").as("drank"),
-        ntile(4).over(w).cast("long").as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"),
-        nth_value(col("c_custkey"), 2)
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("second_best"))
-      .orderBy(col("c_mktsegment"), col("c_custkey"))
-  }
-  private val q44Sql =
-    """SELECT c_mktsegment, c_custkey, c_acctbal,
-      | dense_rank() OVER w AS drank,
-      | ntile(4) OVER w AS quartile,
-      | percent_rank() OVER w AS pct_rank,
-      | cume_dist() OVER w AS cume,
-      | nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
-      |   ORDER BY c_acctbal DESC, c_custkey
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_best
-      |FROM customer WHERE c_custkey < 300
-      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
-      |ORDER BY c_mktsegment, c_custkey""".stripMargin
-
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_window_funcs", q21, Some(q21Sql)),
     QueryDef("q22_sessionize", q22, Some(q22Sql)),
     QueryDef("q23_windowed_agg", q23, Some(q23Sql)),
     QueryDef("q24_json_extract", q24, Some(q24Sql)),
-    QueryDef("q44_rank_suite", q44, Some(q44Sql)),
   )
 }

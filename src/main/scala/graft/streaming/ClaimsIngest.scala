@@ -21,11 +21,17 @@ import graft.etl.{RcmSchemas, RcmTransform}
   */
 object ClaimsIngest {
 
-  /** Source tag from the filename, as the reference derives it. */
-  def tagged(raw: DataFrame): DataFrame = raw
-    .withColumn("source_hospital",
-      when(lower(input_file_name()).contains("hospital1"), "hospital_a")
+  /** Source tag derived from the file's BASENAME (matching the whole
+    * path would mis-tag any file under a directory named hospital1).
+    * The else-branch default to hospital_b is the reference's own
+    * semantics (`extraction.py:103` — 'hospital_a' if 'hospital1' in
+    * filename else 'hospital_b'), preserved faithfully. */
+  def tagged(raw: DataFrame): DataFrame = {
+    val basename = element_at(split(input_file_name(), "/"), -1)
+    raw.withColumn("source_hospital",
+      when(lower(basename).contains("hospital1"), "hospital_a")
         .otherwise("hospital_b"))
+  }
 
   def start(spark: SparkSession, watchDir: String, outDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 100): StreamingQuery = {

@@ -23,10 +23,10 @@ class SkewAndIngestSpec extends AnyFunSuite {
   }
 
   test("saltedCountDistinct equals countDistinct even with one hot key") {
-    val e = Tables.events(spark, "/root/testdata/sf0.001")
-      // make 'click' a heavy hitter: replicate it 5x
-      .union(Tables.events(spark, "/root/testdata/sf0.001")
-        .filter(col("event_type") === "click"))
+    val base = Tables.events(spark, "/root/testdata/sf0.001")
+    val clicks = base.filter(col("event_type") === "click")
+    // make 'click' a heavy hitter: 5x its original row count
+    val e = base.union(clicks).union(clicks).union(clicks).union(clicks)
     val direct = e.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
