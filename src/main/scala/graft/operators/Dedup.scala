@@ -34,16 +34,12 @@ object Dedup {
     hashed.join(groups, Seq("content_hash"))
   }
 
-  /** Per-doc MinHash signature: k 60-bit mins over word-`n`-gram
-    * shingles. Null signature rows (docs shorter than n tokens) are
-    * dropped — they cannot near-dup at shingle granularity.
-    *
-    * The shingle array is materialized in its own projection FIRST:
-    * inlining it into the k minhash columns would tokenize + shingle +
-    * dedupe the document k times per row (measured 20×+ slowdown). */
+  /** Per-doc MinHash signature: k permuted mins over the document's
+    * hashed word-`n`-gram shingle set. Rows for docs shorter than n
+    * tokens are dropped — they cannot near-dup at shingle granularity. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int): DataFrame =
-    withShingleSignatures(df, idCol, textCol, k, shingleN).drop("sh")
+    withShingleSignatures(df, idCol, textCol, k, shingleN).drop("hs")
 
   /** Universal-hash permutation family over a 32-bit base hash:
     * `h_j(x) = (a_j * h32(x) + b_j) mod P32` with P32 prime > 2^32.
@@ -57,27 +53,30 @@ object Dedup {
   def minhashPermA(j: Int): Long = (1103515245L * (j + 1) + 12345L) % 2147483647L
   def minhashPermB(j: Int): Long = (1140671485L * (j + 1) + 720524513L) % MinhashPrime
 
-  /** Shingles + signature in one corpus pass: (id, sh, mh0..mh{k-1}).
-    * The md5 base hash runs ONCE per shingle (materialized as `hs`);
-    * the k permutations are cheap arithmetic over that array —
-    * hashing per (seed × shingle) would multiply the md5 cost by k. */
+  /** Hashed shingles + signature in one corpus pass:
+    * (id, hs, mh0..mh{k-1}) where `hs` is the distinct 32-bit shingle
+    * hash set. The md5 base hash runs ONCE per shingle; the k
+    * permutations are cheap arithmetic over that array — hashing per
+    * (seed × shingle) would multiply the md5 cost by k. Shingle
+    * STRINGS never materialize past this projection: both banding and
+    * Jaccard verification operate on the hash set (collision odds
+    * 2^-32 per distinct-shingle pair — immaterial, and the oracle
+    * mirrors the same hashing). */
   private[operators] def withShingleSignatures(df: DataFrame, idCol: String,
       textCol: String, k: Int, shingleN: Int): DataFrame = {
     // The localCheckpoint below is a MATERIALIZATION BARRIER, not just
     // a reuse cache: without it, CollapseProject inlines the
     // shingle+hash arrays into every one of the k minhash projections
     // and the corpus is re-tokenized and re-hashed k times per row
-    // (measured 10×+ slowdown). The checkpointed frame is one corpus
-    // pass of (id, shingles, base hashes); the k permutations then
-    // read the materialized array. Checkpoint (not cache) so blocks
-    // are reclaimed once unreachable; at production scale this frame
-    // is written to a staging table instead of executor storage.
+    // (measured 10×+ slowdown). Checkpoint (not cache) so blocks are
+    // reclaimed once unreachable; at production scale this frame is
+    // written to a staging table instead of executor storage.
     val withBase = df.select(col(idCol),
-        shingles(tokens(col(textCol)), shingleN).as("sh"))
-      .withColumn("hs", transform(col("sh"), s => hash60(s) % 4294967296L))
+        array_distinct(transform(shingles(tokens(col(textCol)), shingleN),
+          s => hash60(s) % 4294967296L)).as("hs"))
       .localCheckpoint()
     withBase.select(
-      col(idCol) +: col("sh") +:
+      col(idCol) +: col("hs") +:
         (0 until k).map(j =>
           array_min(transform(col("hs"),
             h => (lit(minhashPermA(j)) * h + minhashPermB(j)) % MinhashPrime))
@@ -116,7 +115,7 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
 
-    verifyJaccard(candidates, sigs.select(col(idCol), col("sh")), idCol, threshold)
+    verifyJaccard(candidates, sigs.select(col(idCol), col("hs").as("sh")), idCol, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs against distinct

@@ -141,17 +141,18 @@ object TextQueries {
       .mkString("\n UNION ALL ")
     s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
       |shl AS (SELECT doc_id, ${dShingles("toks")} AS sh FROM t),
-      |hb AS (SELECT doc_id, sh, list_transform(sh, x -> ${dHash("x")} % 4294967296) AS hs FROM shl),
-      |sigs AS (SELECT doc_id, sh, $mh FROM hb WHERE len(sh) > 0),
+      |hb AS (SELECT doc_id,
+      |  list_distinct(list_transform(sh, x -> ${dHash("x")} % 4294967296)) AS hs FROM shl),
+      |sigs AS (SELECT doc_id, hs, $mh FROM hb WHERE len(hs) > 0),
       |bk AS ($bandSelects),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
       |SELECT id_a, id_b,
-      | CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-      |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-      |FROM cand JOIN shl sa ON cand.id_a = sa.doc_id JOIN shl sb ON cand.id_b = sb.doc_id
-      |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-      |   / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.5
+      | CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+      |   / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
+      |FROM cand JOIN hb sa ON cand.id_a = sa.doc_id JOIN hb sb ON cand.id_b = sb.doc_id
+      |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+      |   / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
   }
 

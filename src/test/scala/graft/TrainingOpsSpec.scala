@@ -102,6 +102,19 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("asOf lastCarriedForward carries the last non-null observation") {
+    val df = Seq(
+      (7L, 1L, Some(10.0)), (7L, 2L, None), (7L, 3L, Some(30.0)), (7L, 4L, None),
+      (8L, 1L, None)).toDF("k", "seq", "v")
+    val out = operators.AsOf.lastCarriedForward(df, Seq("k"), Seq(col("seq")), col("v"), "carried")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(3))).toMap
+    assert(out((7L, 1L)).contains(10.0))
+    assert(out((7L, 2L)).contains(10.0))
+    assert(out((7L, 3L)).contains(30.0))
+    assert(out((7L, 4L)).contains(30.0))
+    assert(out((8L, 1L)).isEmpty)
+  }
+
   test("decodeStub keeps payload bytes and deterministic metadata") {
     val docs = Seq((3L, "abc"), (4L, "abcd")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocuments(docs, "doc_id", "text")
