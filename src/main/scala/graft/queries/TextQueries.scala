@@ -222,6 +222,31 @@ object TextQueries {
       | CAST(SUM(frames) AS BIGINT) AS total_frames
       |FROM f GROUP BY kind ORDER BY kind""".stripMargin
 
+  // q45 — BPE-ish subword token counting next to whitespace tokens:
+  // alpha runs, digit runs, and single punctuation marks (the
+  // pre-tokenization shape BPE vocabularies train over). The pattern
+  // uses only portable regex constructs so both engines agree.
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        graft.operators.TextFunctions.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("long").as("bpe_tokens"),
+        (length(col("text")).cast("double") /
+          nullif(size(regexp_extract_all(col("text"), lit(bpePattern), lit(0))), lit(0)))
+          .as("chars_per_bpe_token"))
+      .orderBy(col("doc_id"))
+  }
+  private val q45Sql =
+    s"""SELECT doc_id,
+      | CAST(len($dTokens) AS BIGINT) AS ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+      | CAST(length(text) AS DOUBLE)
+      |   / NULLIF(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0) AS chars_per_bpe_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q25_text_stats", q25, Some(q25Sql)),
     QueryDef("q26_quality_score", q26, Some(q26Sql)),
@@ -232,5 +257,6 @@ object TextQueries {
     QueryDef("q31_simhash", q31, Some(q31Sql)),
     QueryDef("q32_ngram_jaccard", q32, Some(q32Sql)),
     QueryDef("q33_multimodal_stub", q33, Some(q33Sql)),
+    QueryDef("q45_bpe_tokens", q45, Some(q45Sql)),
   )
 }
