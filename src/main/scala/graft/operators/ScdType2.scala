@@ -3,7 +3,6 @@ package graft.operators
 import java.time.LocalDate
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, StringType}
 
@@ -33,10 +32,12 @@ import org.apache.spark.sql.types.{DateType, StringType}
   * Scale notes (100 TB design point): the join shuffles both sides on
   * the business id only — tracked-attribute comparison is map-side; the
   * four classes are produced from ONE shared joined frame (Spark reuses
-  * the exchange under AQE). The only global order is the final re-key,
-  * bounded by dimension cardinality; for billion-row dimensions swap
-  * [[SurrogateKeys.stableHashKey]] and skip the re-sort — the driver of
-  * that choice is documented there.
+  * the exchange under AQE). The final re-key is
+  * [[SurrogateKeys.sequentialKeys]] — a two-phase range-partitioned
+  * re-key with no single-partition window, so it parallelizes across
+  * the cluster even at billion-row dimension cardinality; for stable
+  * cross-run keys swap [[SurrogateKeys.stableHashKeyChecked]] — the
+  * trade-off is documented there.
   */
 object ScdType2 {
 
@@ -49,10 +50,24 @@ object ScdType2 {
     * @param tracked   subset of `attrCols` that triggers a new version
     * @param skCol     surrogate-key output column
     * @param asOf      run date (reference: `datetime.now()`)
+    * @param checkUniqueIds guard against duplicate business ids in
+    *                  `newSnap`: a duplicated id would fan out the
+    *                  full-outer join and silently emit multiple
+    *                  current rows per id. Costs one aggregation job
+    *                  over the (dimension-sized) snapshot; disable only
+    *                  when uniqueness is guaranteed upstream.
     */
   def apply(newSnap: DataFrame, existing: Option[DataFrame], idCol: String,
       attrCols: Seq[String], tracked: Seq[String], skCol: String,
-      asOf: LocalDate): DataFrame = {
+      asOf: LocalDate, checkUniqueIds: Boolean = true): DataFrame = {
+
+    if (checkUniqueIds) {
+      val dup = newSnap.groupBy(col(idCol)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"ScdType2: duplicate business id in new snapshot (e.g. ${dup.headOption.map(_.get(0))}) — " +
+          s"dedupe on $idCol upstream; one-current-row-per-id cannot hold otherwise")
+    }
 
     val asOfCol = lit(java.sql.Date.valueOf(asOf)).cast(DateType)
     val nullDate = lit(null).cast(DateType)
@@ -66,10 +81,12 @@ object ScdType2 {
     val outCols = (Seq(skCol, idCol) ++ attrCols ++
       Seq("version", "effective_date", "expiry_date", "is_current")).map(col)
 
-    def rekey(df: DataFrame): DataFrame = df
-      .withColumn(skCol,
-        row_number().over(Window.orderBy(col(idCol), col("version"))).cast("long") - 1)
-      .select(outCols: _*)
+    // Two-phase parallel re-key over the deterministic (id, version)
+    // order — `scd_implementation.py:96-98` semantics without the
+    // single-partition window (see SurrogateKeys scale notes).
+    def rekey(df: DataFrame): DataFrame =
+      SurrogateKeys.sequentialKeys(df, Seq(col(idCol), col("version")), skCol)
+        .select(outCols: _*)
 
     // Materialize the prior state BEFORE the emptiness probe: the probe
     // is an action, and the state is then read three more times

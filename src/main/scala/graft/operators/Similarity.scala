@@ -10,9 +10,16 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB):
   *  - [[bruteForceTopK]] is the exactness baseline: a broadcast of the
   *    (small) query set against the full corpus — one corpus scan, no
-  *    corpus shuffle, per-partition partial top-k before the final
-  *    merge (Spark's TakeOrderedAndProject / window-rank on the
-  *    broadcast side).
+  *    corpus shuffle. The `row_number <= k` rank filter is written in
+  *    the exact shape Catalyst's `InferWindowGroupLimit` rule
+  *    recognizes, so the physical plan inserts a map-side
+  *    `WindowGroupLimit(Partial)` BELOW the exchange: each corpus
+  *    partition emits at most k rows per query, and the final
+  *    per-query merge ranks only k·P candidates instead of the whole
+  *    scored product. PlanSpec pins this shape (a regression to a
+  *    full-shuffle rank is a test failure). Requires
+  *    k <= `spark.sql.window.group.limit.threshold` (default 1000) —
+  *    raise the conf before raising k past it.
   *  - [[bucketedTopK]] is the IVF-style scale path: a coarse quantizer
   *    (here: any bucket column — a cluster id, an LSH bucket, a label)
   *    restricts each query to its bucket's inverted list, turning the
@@ -62,11 +69,21 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", pairCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    rankTopK(scored, k, col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** `row_number() <= k` in the canonical shape for Catalyst's
+    * `InferWindowGroupLimit`: the filter compares the raw (int) rank
+    * against a literal, with the widening cast applied only AFTER the
+    * filter — so the rule fires without relying on cast-unwrapping and
+    * the plan gets a map-side partial group-limit below the exchange. */
+  private def rankTopK(scored: DataFrame, k: Int, outCols: Column*): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .withColumn("rank", col("rank").cast("long"))
+      .select(outCols: _*)
   }
 
   /** IVF-style bucketed top-k: each query searches only its own
@@ -80,11 +97,8 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq(bucketCol))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", pairCosine(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cosine"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(bucketCol), col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    rankTopK(scored, k,
+      col(bucketCol), col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
   /** Embedding-cosine near-duplicate pairs within a bucket (the

@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Surrogate-key generation + attachment — SURVEY.md §2.5 A1 / §2.4 J1.
   *
@@ -14,26 +14,54 @@ import org.apache.spark.sql.functions._
   * reference (SURVEY.md §7.3 "surrogate-key determinism").
   *
   * Scale notes (100 TB design point):
-  *  - Sequential keys require a total order; Spark plans a global sort,
-  *    but the input here is always the DISTINCT natural-key set of a
-  *    dimension (10⁴–10⁷ rows after dedup), never a fact table, so the
-  *    single-stage sort is cheap and bounded by dimension cardinality.
-  *  - For billion-row dimensions prefer [[stableHashKey]]: a collision-
-  *    checked 64-bit hash, fully parallel, no sort, stable across runs
-  *    (sequential keys are NOT stable across runs — the reference
-  *    re-keys every run and rebuilds facts, SURVEY.md §2.10).
+  *  - Sequential keys require a total order, but NOT a single-partition
+  *    window: [[sequentialKeys]] is a two-phase re-key — range
+  *    repartition + per-partition local sort, a partition-count pass,
+  *    then per-partition `offset + local index`. Every phase is fully
+  *    parallel; the only driver-side data is the P-length count array.
+  *    (Round 1 used `Window.orderBy` with no partition spec — the
+  *    "No Partition Defined" single-task funnel; gone.)
+  *  - For billion-row dimensions prefer [[stableHashKey]]: a 64-bit
+  *    hash, fully parallel, no sort, stable across runs (sequential
+  *    keys are NOT stable across runs — the reference re-keys every
+  *    run and rebuilds facts, SURVEY.md §2.10). [[stableHashKeyChecked]]
+  *    adds the birthday-bound collision assertion.
   *  - Attachment is a plain equi join; Spark auto-broadcasts dimension
   *    key maps below the broadcast threshold, so fact-side attachment
   *    is a broadcast hash join with no shuffle of the fact table.
   */
 object SurrogateKeys {
 
+  /** Dense sequential 0-based key over an explicit deterministic total
+    * order, without ever funnelling the frame through one task.
+    *
+    * Phase 1 distributes rows by range on `orderCols` and sorts within
+    * partitions (range boundaries + local sort = global total order);
+    * the frame is materialized once (`localCheckpoint`) so phase 2's
+    * count job does not recompute the sort. Phase 2 is
+    * `RDD.zipWithIndex`: a per-partition count pass, driver-side
+    * prefix-sum of the P counts, then `offset + local index` map —
+    * the classic two-phase re-key.
+    *
+    * `orderCols` must be a unique key of `df` for the assignment to be
+    * deterministic (all call sites here order by a distinct key set).
+    */
+  def sequentialKeys(df: DataFrame, orderCols: Seq[Column], skName: String): DataFrame = {
+    val spark = df.sparkSession
+    val partitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(partitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .localCheckpoint()
+    val schema = StructType(sorted.schema.fields :+ StructField(skName, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(indexed, schema)
+  }
+
   /** Distinct natural keys → dense sequential sk starting at 0,
     * ordered by the natural key columns (deterministic). */
   def surrogateKeys(df: DataFrame, naturalKey: Seq[String], skName: String): DataFrame = {
     val keys = df.select(naturalKey.map(col): _*).na.drop().distinct()
-    val w = Window.orderBy(naturalKey.map(col): _*)
-    keys.withColumn(skName, row_number().over(w).cast("long") - 1)
+    sequentialKeys(keys, naturalKey.map(col), skName)
   }
 
   /** Same, but ordered by explicit columns (e.g. dim_date ordered by the
@@ -41,7 +69,7 @@ object SurrogateKeys {
   def surrogateKeysOrdered(df: DataFrame, naturalKey: Seq[String],
       skName: String, orderBy: Seq[Column]): DataFrame = {
     val keys = df.select(naturalKey.map(col): _*).na.drop().distinct()
-    keys.withColumn(skName, row_number().over(Window.orderBy(orderBy: _*)).cast("long") - 1)
+    sequentialKeys(keys, orderBy, skName)
   }
 
   /** Scale-path alternative: stable 64-bit hash key of the natural key.
@@ -49,6 +77,22 @@ object SurrogateKeys {
   def stableHashKey(df: DataFrame, naturalKey: Seq[String], skName: String): DataFrame =
     df.select(naturalKey.map(col): _*).na.drop().distinct()
       .withColumn(skName, xxhash64(naturalKey.map(col): _*))
+
+  /** [[stableHashKey]] + the collision assertion the scale path needs:
+    * one aggregation comparing rows vs distinct hashes; throws on any
+    * collision (at 64 bits the birthday bound reaches ~1% only past
+    * ~6×10⁸ keys — and a collision here must fail loudly, because two
+    * natural keys sharing an sk silently merges dimension members). */
+  def stableHashKeyChecked(df: DataFrame, naturalKey: Seq[String], skName: String): DataFrame = {
+    // materialize once: the assertion is an action and the caller will
+    // read the frame again
+    val keyed = stableHashKey(df, naturalKey, skName).localCheckpoint()
+    val Row(rows: Long, hashes: Long) =
+      keyed.agg(count(lit(1)), countDistinct(col(skName))).head()
+    require(rows == hashes,
+      s"stableHashKey collision: $rows natural keys -> $hashes distinct hashes on ${naturalKey.mkString(",")}")
+    keyed
+  }
 
   /** J1 — attach a surrogate key by left join on the natural key.
     * Key maps are dimension-sized → explicitly broadcast so the fact

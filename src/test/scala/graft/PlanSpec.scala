@@ -51,6 +51,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("[codegen id :"), p)
   }
 
+  /** The scored corpus×queries product must never fully shuffle into
+    * |queries| reducers: Catalyst's InferWindowGroupLimit has to plan a
+    * map-side WindowGroupLimit(Partial) below the exchange so each
+    * corpus partition forwards at most k rows per query. */
+  private def assertPartialGroupLimit(name: String): Unit = {
+    val lines = planOf(name).linesIterator.toSeq
+    val partial = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    val finalGl = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Final"))
+    assert(partial >= 0 && finalGl >= 0, lines.mkString("\n"))
+    // tree prints top-down: the Partial node is deeper (below the
+    // exchange), so it must appear AFTER the Final node
+    assert(partial > finalGl, lines.mkString("\n"))
+  }
+
+  test("q34: ANN top-k rank is a map-side partial group-limit, not a full shuffle") {
+    assertPartialGroupLimit("q34_ann_brute_force")
+  }
+
+  test("q35: bucketed ANN rank is a map-side partial group-limit too") {
+    assertPartialGroupLimit("q35_ann_bucketed")
+  }
+
   test("q02: grouped aggregation is partial (map-side combine before shuffle)") {
     val df = SparkEntry.queries("q02_groupby_agg")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -22,8 +22,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df.columns):
-        df = df.sort_values(by=list(df.columns), ignore_index=True,
-                            key=lambda s: s.map(lambda v: (v is None or v != v, v)))
+        # NaN must map to a deterministic key: a raw NaN in the tuple makes
+        # Python tuple comparison inconsistent and the sort order unstable.
+        df = df.sort_values(
+            by=list(df.columns), ignore_index=True, kind="stable",
+            key=lambda s: s.map(
+                lambda v: (v is None, v != v,
+                           v if v is not None and v == v else 0)))
     return df
 
 
