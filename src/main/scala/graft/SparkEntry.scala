@@ -16,12 +16,14 @@ import graft.queries._
   *  - [[SimilarityQueries]]  q34–q36: ANN + embedding near-dup
   *  - [[ExtendedQueries]]    q37–q44: rollup/semi/percentile/pivot/
   *    DQ-profile/as-of/ranking
+  *  - [[SqlQueries]]         q46: the `spark.sql` front door
   */
 object SparkEntry {
 
   val registry: Seq[QueryDef] =
     RelationalQueries.all ++ LifecycleQueries.all ++ WindowQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ ExtendedQueries.all
+      TextQueries.all ++ SimilarityQueries.all ++ ExtendedQueries.all ++
+      SqlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

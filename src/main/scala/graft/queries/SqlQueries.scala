@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The `spark.sql` entry surface over the testdata, oracle-gated —
+  * proof that the engine's SQL front door (temp views + full Catalyst
+  * parse → analyze → optimize → codegen) produces byte-identical
+  * results to the DataFrame DSL path. The RCM star schema has the same
+  * twin surface in [[graft.analytics.RcmAnalyticsSql]], pinned
+  * DSL-vs-SQL by RcmAnalyticsSqlSpec; this module puts one SQL-string
+  * query into the driver's DuckDB gate itself.
+  *
+  * Scale notes: identical to the DSL twins — SQL and DSL build the
+  * same logical plan, so pushdown/broadcast/partial-agg behavior is
+  * unchanged (PlanSpec pins the star-join shape).
+  */
+object SqlQueries {
+
+  private def registerViews(s: SparkSession, dir: String, tables: String*): Unit =
+    tables.foreach(t => Tables.table(s, dir, t).createOrReplaceTempView(t))
+
+  // ---------------------------------------------------------------
+  // q46 — revenue by segment and year through the SQL front door
+  // (J6/A3/A8/X8/O1 via spark.sql; the SQL twin of the q03/q04 DSL
+  // shapes). Decimal-aggregate-then-cast keeps the double
+  // order-independent, so the DuckDB hash matches exactly.
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, "lineitem", "orders", "customer")
+    s.sql("""SELECT c_mktsegment, year(o_orderdate) AS order_year,
+            |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+            |  COUNT(*) AS n_items
+            |FROM lineitem
+            |JOIN orders ON l_orderkey = o_orderkey
+            |JOIN customer ON o_custkey = c_custkey
+            |GROUP BY c_mktsegment, year(o_orderdate)
+            |ORDER BY c_mktsegment, order_year""".stripMargin)
+  }
+  private val q46Sql =
+    """SELECT c_mktsegment, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q46_sql_surface", q46, Some(q46Sql)),
+  )
+}
