@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextFunctions._
@@ -26,20 +27,44 @@ import TextFunctions._
 object Dedup {
 
   /** Exact dedup by content hash: survivors keep the minimum id.
-    * Returns (docId, contentHash, groupSize, keeperId). */
+    * Returns (contentHash, docId, keeperId, groupSize).
+    *
+    * One pass: group stats come from window aggregates over
+    * `partitionBy(content_hash)` — a single scan + single shuffle of
+    * (id, 16-byte digest) rows. The groupBy-then-rejoin alternative
+    * hashes the corpus twice (both join inputs re-derive from the
+    * scan) and shuffles twice. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.select(col(idCol), md5(col(textCol)).as("content_hash"))
-    val groups = hashed.groupBy(col("content_hash"))
-      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("group_size"))
-    hashed.join(groups, Seq("content_hash"))
+    val byHash = Window.partitionBy(col("content_hash"))
+    df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .select(col("content_hash"), col(idCol),
+        min(col(idCol)).over(byHash).as("keeper_id"),
+        count(lit(1)).over(byHash).as("group_size"))
   }
+
+  /** Materialization barrier for a frame that is re-read several times
+    * and must NOT be re-derived (see [[withShingleSignatures]]).
+    *  - `stagingDir = None` (default): `localCheckpoint` — blocks live
+    *    in executor storage; right for single-job corpora that fit the
+    *    cluster's storage memory+disk.
+    *  - `stagingDir = Some(dir)`: write-then-read a parquet staging
+    *    table — the 100 TB path. Storage is the DFS, the frame
+    *    survives executor loss, and downstream stages get columnar
+    *    pruning + split-sized partitions instead of pinned blocks. */
+  private def materialize(df: DataFrame, stagingDir: Option[String]): DataFrame =
+    stagingDir match {
+      case Some(dir) =>
+        df.write.mode("overwrite").parquet(dir)
+        df.sparkSession.read.parquet(dir)
+      case None => df.localCheckpoint()
+    }
 
   /** Per-doc MinHash signature: k permuted mins over the document's
     * hashed word-`n`-gram shingle set. Rows for docs shorter than n
     * tokens are dropped — they cannot near-dup at shingle granularity. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleN: Int): DataFrame =
-    withShingleSignatures(df, idCol, textCol, k, shingleN).drop("hs")
+      k: Int, shingleN: Int, stagingDir: Option[String] = None): DataFrame =
+    withShingleSignatures(df, idCol, textCol, k, shingleN, stagingDir).drop("hs")
 
   /** Universal-hash permutation family over a 32-bit base hash:
     * `h_j(x) = (a_j * h32(x) + b_j) mod P32` with P32 prime > 2^32.
@@ -63,18 +88,19 @@ object Dedup {
     * 2^-32 per distinct-shingle pair — immaterial, and the oracle
     * mirrors the same hashing). */
   private[operators] def withShingleSignatures(df: DataFrame, idCol: String,
-      textCol: String, k: Int, shingleN: Int): DataFrame = {
-    // The localCheckpoint below is a MATERIALIZATION BARRIER, not just
+      textCol: String, k: Int, shingleN: Int,
+      stagingDir: Option[String] = None): DataFrame = {
+    // The materialize() below is a MATERIALIZATION BARRIER, not just
     // a reuse cache: without it, CollapseProject inlines the
     // shingle+hash arrays into every one of the k minhash projections
     // and the corpus is re-tokenized and re-hashed k times per row
-    // (measured 10×+ slowdown). Checkpoint (not cache) so blocks are
-    // reclaimed once unreachable; at production scale this frame is
-    // written to a staging table instead of executor storage.
-    val withBase = df.select(col(idCol),
+    // (measured 10×+ slowdown). Local checkpoint by default; pass
+    // `stagingDir` to stage through parquet at production scale.
+    val withBase = materialize(
+      df.select(col(idCol),
         array_distinct(transform(shingles(tokens(col(textCol)), shingleN),
-          s => hash60(s) % 4294967296L)).as("hs"))
-      .localCheckpoint()
+          s => hash60(s) % 4294967296L)).as("hs")),
+      stagingDir)
     withBase.select(
       col(idCol) +: col("hs") +:
         (0 until k).map(j =>
@@ -89,7 +115,8 @@ object Dedup {
     * pair, then pairs are verified with exact shingle Jaccard >=
     * `threshold`. Returns (idA, idB, jaccard), idA < idB. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleN: Int, bands: Int, threshold: Double): DataFrame = {
+      k: Int, shingleN: Int, bands: Int, threshold: Double,
+      stagingDir: Option[String] = None): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
     // The shingle+hash base frame inside withShingleSignatures is the
@@ -97,7 +124,7 @@ object Dedup {
     // arithmetic on each of the four references below (both self-join
     // sides, both verification sides). A second persist here would pin
     // the dominant payload (the shingle arrays) twice.
-    val sigs = withShingleSignatures(df, idCol, textCol, k, shingleN)
+    val sigs = withShingleSignatures(df, idCol, textCol, k, shingleN, stagingDir)
 
     // band key = the band's minhashes joined; explode to (band, key)
     val bandKeys = array((0 until bands).map { b =>
