@@ -63,7 +63,14 @@ object EventStream {
     *    instead call them a separate earlier session. Streaming
     *    cannot retroactively renumber emitted sessions; choose the
     *    watermark delay no larger than the session gap if this
-    *    distinction matters. */
+    *    distinction matters;
+    *  - timeout timestamps are clamped above the current watermark.
+    *    Spark 4.1 drops late rows before this operator (pinned in
+    *    EventStreamSpec via numRowsDroppedByWatermark), so surviving
+    *    rows always produce a valid timeout — the clamp is defense
+    *    against versions/configs where a boundary row reaches the
+    *    function and an unclamped setTimeoutTimestamp would throw
+    *    IllegalArgumentException and kill the query. */
   def sessionize(spark: SparkSession, events: Dataset[Event],
       gapSeconds: Long, watermark: String): Dataset[SessionSummary] = {
     import spark.implicits._
@@ -71,6 +78,11 @@ object EventStream {
 
     def fn(userId: Long, batch: Iterator[Event],
         state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      // EventTimeTimeout requires a timestamp strictly beyond the
+      // current watermark; clamp so no input pattern can make
+      // setTimeoutTimestamp throw and kill the query (see scaladoc).
+      def setTimeout(atMs: Long): Unit =
+        state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs + 1, atMs))
       if (state.hasTimedOut) {
         val s = state.get
         if (s.n == 0) { // tombstone expired: user idle for 10+ gaps
@@ -78,8 +90,7 @@ object EventStream {
           Iterator.empty
         } else {
           state.update(s.copy(n = 0)) // keep the counter as a tombstone
-          state.setTimeoutTimestamp(
-            state.getCurrentWatermarkMs + gapSeconds * 10 * 1000)
+          setTimeout(state.getCurrentWatermarkMs + gapSeconds * 10 * 1000)
           Iterator(SessionSummary(userId, s.sessionId, s.n, s.startUs, s.endUs))
         }
       } else {
@@ -104,7 +115,7 @@ object EventStream {
         cur.foreach { s =>
           state.update(s)
           if (s.n > 0) // close the session once event time passes its gap horizon
-            state.setTimeoutTimestamp(s.endUs / 1000 + gapSeconds * 1000)
+            setTimeout(s.endUs / 1000 + gapSeconds * 1000)
         }
         closed.iterator
       }

@@ -89,6 +89,36 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("an event far behind the watermark cannot kill the query") {
+    // Spark 4.1 drops late rows BEFORE flatMapGroupsWithState (verified
+    // here via numRowsDroppedByWatermark), so a surviving row always has
+    // ts >= watermark and its natural timeout (end + gap) lands beyond
+    // the watermark. The setTimeout clamp in sessionize() is defense for
+    // versions/configs where boundary rows do reach the function — this
+    // test pins today's semantics: row dropped, query alive, no phantom
+    // session, no IllegalArgumentException.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStream.sessionize(spark, mem.toDS(), gapSeconds = 1800, "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sess_late").start()
+    try {
+      def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData(Event(1, ts(100000), 2, "click", 1.0)) // watermark → ~t+100000min
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(10), 3, "click", 1.0)) // far beyond the watermark
+      q.processAllAvailable() // must not throw
+      assert(q.lastProgress.stateOperators.map(_.numRowsDroppedByWatermark).sum == 1L)
+      mem.addData(Event(3, ts(200000), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val u3 = spark.table("sess_late").as[EventStream.SessionSummary].collect()
+        .filter(_.user_id == 3)
+      assert(u3.isEmpty, "a watermark-dropped row must not create a session")
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with the batch q22 on session counts") {
     import spark.implicits._
     val dir = eventsDir
