@@ -28,8 +28,14 @@ object RcmPipeline {
   final case class Result(star: RcmModeling.StarSchema, validation: RcmModeling.Validation)
 
   def run(spark: SparkSession, refDir: String, asOf: LocalDate,
+      existingDimPatients: Option[DataFrame] = None): Result =
+    runRaw(RcmExtraction.runOnReferenceData(spark, refDir), asOf, existingDimPatients)
+
+  /** Same pipeline over already-extracted raw data — the entry point a
+    * JDBC deployment uses after [[RcmExtraction.run]] with
+    * [[RcmExtraction.JdbcSource]]s (exercised in JdbcSourceSpec). */
+  def runRaw(raw: RcmExtraction.RawData, asOf: LocalDate,
       existingDimPatients: Option[DataFrame] = None): Result = {
-    val raw = RcmExtraction.runOnReferenceData(spark, refDir)
     val asOfCol = lit(java.sql.Date.valueOf(asOf))
     val (tables, claims) = RcmTransform.run(raw, asOfCol)
 
@@ -49,22 +55,52 @@ object RcmPipeline {
     Result(star, RcmModeling.validate(star))
   }
 
-  /** S4/S5 analog: persist the star schema as parquet. The BigQuery
-    * clustering spec (`load.py:100-103`) maps to sort-within-partition
-    * layout: facts by `patient_sk`, dim_patients by
-    * `(unified_patient_id, is_current)` — giving the same locality for
-    * sk-point queries that BQ clustering gives. */
-  def write(star: RcmModeling.StarSchema, outDir: String): Unit = {
+  /** One table's write-then-verify reconciliation: rows the pipeline
+    * computed vs rows actually re-readable from the sink (the
+    * reference's post-load validation, `load.py:115-119`). */
+  final case class TableLoad(name: String, written: Long, reloaded: Long) {
+    def reconciled: Boolean = written == reloaded
+  }
+
+  /** S4/S5 analog: persist the star schema as parquet and reconcile
+    * every table — write, re-read from the sink, compare counts. A
+    * mismatch (lost task output, partial overwrite, sink corruption)
+    * throws rather than letting a silently-short table flow downstream.
+    *
+    * The BigQuery clustering spec (`load.py:100-103`) maps to
+    * sort-within-partition layout: facts by `patient_sk`, dim_patients
+    * by `(unified_patient_id, is_current)` — giving the same locality
+    * for sk-point queries that BQ clustering gives.
+    *
+    * Scale notes: the written count comes from the same cached frame
+    * the write consumed (one extra count job over in-memory/sink-local
+    * data, never a pipeline recompute); the reloaded count is a
+    * parquet-footer metadata scan. Both are O(partitions), not
+    * O(data). */
+  def write(star: RcmModeling.StarSchema, outDir: String): Seq[TableLoad] = {
     val clustering: Map[String, Seq[String]] = Map(
       "fact_transactions" -> Seq("patient_sk"),
       "fact_claims" -> Seq("patient_sk"),
       "dim_patients" -> Seq("unified_patient_id", "is_current"))
-    (star.dimensions ++ star.facts).foreach { case (name, df) =>
+    val loads = (star.dimensions ++ star.facts).toSeq.map { case (name, df) =>
       val out = clustering.get(name) match {
         case Some(cols) => df.sortWithinPartitions(cols.map(col): _*)
         case None       => df
       }
-      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      // Materialize once: the count and the write must see the SAME
+      // rows (an uncached lazy plan could legitimately recompute
+      // differently only in the presence of a bug upstream — exactly
+      // what reconciliation exists to catch, not mask).
+      val pinned = out.localCheckpoint()
+      val written = pinned.count()
+      val spark = df.sparkSession
+      pinned.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      val reloaded = spark.read.parquet(s"$outDir/$name.parquet").count()
+      TableLoad(name, written, reloaded)
     }
+    val bad = loads.filterNot(_.reconciled)
+    require(bad.isEmpty,
+      s"post-load reconciliation failed: ${bad.mkString(", ")}")
+    loads
   }
 }

@@ -32,11 +32,11 @@ object RcmRun {
 
     val t0 = System.nanoTime()
     val result = RcmPipeline.run(spark, dataDir, asOf, existing)
-    RcmPipeline.write(result.star, outDir)
+    val loads = RcmPipeline.write(result.star, outDir)
     println(f"[rcm] pipeline run+write: ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    (result.star.dimensions ++ result.star.facts).foreach { case (name, df) =>
-      println(f"[rcm] $name%-20s ${spark.read.parquet(s"$outDir/$name.parquet").count()}%8d rows")
+    loads.foreach { l =>
+      println(f"[rcm] ${l.name}%-20s ${l.reloaded}%8d rows (write-verify ok)")
     }
     println(s"[rcm] validation: orphanedPatients=${result.validation.orphanedPatients} " +
       s"nonPositiveAmounts=${result.validation.nonPositiveAmounts}")

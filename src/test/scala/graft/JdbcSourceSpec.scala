@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.DriverManager
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.etl.{RcmExtraction, RcmPipeline}
+import graft.etl.RcmExtraction.{CsvSource, JdbcSource}
+
+/** Exercises the production JDBC extraction path (S1 proper,
+  * `extraction.py:20-41`) end-to-end against an embedded Apache Derby
+  * database — no external server, same `spark.read.format("jdbc")`
+  * machinery a MySQL deployment uses. The hospital CSVs are loaded
+  * INTO Derby through Spark's JDBC writer, then extracted back through
+  * [[graft.etl.RcmExtraction.JdbcSource]] and run through the full
+  * pipeline; results must match the CSV path exactly.
+  */
+class JdbcSourceSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+
+  private val refDir = "/root/reference"
+  private val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+  /** One embedded DB with a schema per hospital, populated from the
+    * committed CSVs via Spark's JDBC writer. */
+  private lazy val url: String = {
+    val dbDir = Files.createTempDirectory("derby_rcm").toString
+    val u = s"jdbc:derby:$dbDir/rcm;create=true"
+    val conn = DriverManager.getConnection(u)
+    try Seq("hospital_a", "hospital_b").foreach { s =>
+      conn.createStatement().execute(s"CREATE SCHEMA $s")
+    } finally conn.close()
+    Seq(("hospital_a", "hospital1_db"), ("hospital_b", "hospital2_db"))
+      .foreach { case (hosp, dbDirName) =>
+        val csv = CsvSource(s"$refDir/SQL/hospital_dbs/$dbDirName", hosp)
+        RcmExtraction.tablesToExtract.foreach { t =>
+          csv.read(spark, t).write.format("jdbc")
+            .option("url", u).option("dbtable", s"$hosp.$t")
+            .option("driver", driver).save()
+        }
+      }
+    u
+  }
+
+  private def jdbcRaw: RcmExtraction.RawData = RcmExtraction.run(
+    spark,
+    JdbcSource(url, "hospital_a", Map("driver" -> driver)),
+    JdbcSource(url, "hospital_b", Map("driver" -> driver)),
+    Seq(
+      (s"$refDir/Data/claims/hospital1_claim_data.csv", "hospital_a"),
+      (s"$refDir/Data/claims/hospital2_claim_data.csv", "hospital_b")))
+
+  test("JDBC extraction matches CSV extraction table-for-table") {
+    val viaJdbc = jdbcRaw
+    val viaCsv = RcmExtraction.runOnReferenceData(spark, refDir)
+    RcmExtraction.tablesToExtract.foreach { t =>
+      val j = viaJdbc.tables(t)
+      val c = viaCsv.tables(t)
+      assert(j.columns.sorted.toSeq == c.columns.sorted.toSeq, s"$t columns")
+      assert(j.count() == c.count(), s"$t count")
+    }
+    // small tables: full row multisets must agree, not just counts
+    Seq("departments", "providers").foreach { t =>
+      val j = jdbcRaw.tables(t).collect().map(_.toString).sorted.toSeq
+      val c = viaCsv.tables(t).collect().map(_.toString).sorted.toSeq
+      assert(j == c, s"$t rows differ between JDBC and CSV extraction")
+    }
+  }
+
+  test("full pipeline over JDBC extraction reproduces RcmPipelineSpec counts") {
+    val result = RcmPipeline.runRaw(jdbcRaw, LocalDate.parse("2024-12-01"))
+    assert(result.star.dimensions("dim_patients").count() == 10000L)
+    assert(result.star.dimensions("dim_providers").count() == 55L)
+    assert(result.star.dimensions("dim_procedures").count() == 996L)
+    assert(result.star.facts("fact_transactions").count() == 20000L)
+    assert(result.star.facts("fact_claims").count() == 20000L)
+    assert(result.validation.orphanedPatients == 0L)
+  }
+}

@@ -69,6 +69,16 @@ class RcmPipelineSpec extends AnyFunSuite {
     assert(ids.forall(id => id.startsWith("A-HOSP") || id.startsWith("B-HOSP")))
   }
 
+  test("write reconciles written-vs-reloaded counts per table (load.py:115-119)") {
+    val dir = java.nio.file.Files.createTempDirectory("rcm_write_verify").toString
+    val loads = RcmPipeline.write(star, dir)
+    assert(loads.size == star.dimensions.size + star.facts.size)
+    assert(loads.forall(_.reconciled), s"unreconciled: ${loads.filterNot(_.reconciled)}")
+    val byName = loads.map(l => l.name -> l.reloaded).toMap
+    assert(byName("fact_claims") == 20000L)
+    assert(byName("dim_patients") == 10000L)
+  }
+
   test("Q1 KPIs match the reference recompute (BASELINE.md)") {
     val r = RcmAnalytics.q1TotalRevenue(star).collect().head
     assert(math.abs(r.getAs[Double]("TotalBilledAmount") - 5.065520146e7) < 1.0)
