@@ -28,12 +28,16 @@ object LifecycleQueries {
       .agg(count(lit(1)).as("n_parts"))
       .orderBy(col("brand_sk"))
   }
+  // LEFT JOIN mirrors SurrogateKeys.attach exactly: a null natural key
+  // (never in this testdata, but possible in general) keeps its fact
+  // row with a null brand_sk in BOTH engines, so the gate can't drift
+  // on null-key data.
   private val q18Sql =
     """WITH sk AS (
       |  SELECT p_brand, row_number() OVER (ORDER BY p_brand) - 1 AS brand_sk
       |  FROM (SELECT DISTINCT p_brand FROM part WHERE p_brand IS NOT NULL))
       |SELECT sk.brand_sk, p.p_brand, COUNT(*) AS n_parts
-      |FROM part p JOIN sk ON p.p_brand = sk.p_brand
+      |FROM part p LEFT JOIN sk ON p.p_brand = sk.p_brand
       |GROUP BY sk.brand_sk, p.p_brand ORDER BY sk.brand_sk""".stripMargin
 
   // ---------------------------------------------------------------
