@@ -1,39 +1,60 @@
 package graft
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line for the driver (`BENCH_r{N}.json`). */
+  * prints ONE JSON line for the driver (`BENCH_r{N}.json`). Each query
+  * reports the median of three timed runs, so one GC pause or
+  * stage-scheduling hiccup can't masquerade as a round-over-round
+  * regression. */
 object Bench {
   /** Representative spread: scans+aggs, joins, top-k, windows, SCD2,
-    * plus the training-data ops (LSH dedup, SimHash, brute-force ANN). */
+    * the training-data ops (LSH dedup, SimHash, ANN brute + bucketed),
+    * as-of association, and the ranking suite. */
   val headline: Seq[String] = Seq(
     "q01_global_agg", "q02_groupby_agg", "q03_join_groupby",
     "q05_conditional_rates", "q09_top20_ltv", "q10_brand_profitability",
     "q20_scd2_incremental", "q22_sessionize",
-    "q30_minhash_lsh", "q31_simhash", "q34_ann_brute_force")
+    "q30_minhash_lsh", "q31_simhash", "q34_ann_brute_force",
+    "q35_ann_bucketed", "q43_asof_attribution", "q44_rank_suite")
+
+  private val runsPerQuery = 3
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.local(cpus)
     val qs = headline.filter(SparkEntry.queries.contains)
-    // Warm the JVM/codegen once on the smallest SF so measured times
-    // reflect the engine, not first-call JIT + planner warmup.
+    // Warm the JVM/codegen against the benchmarked directory (one
+    // untimed pass) so measured times reflect the engine, not
+    // first-call JIT + planner warmup. A warmup failure is logged, not
+    // swallowed — it would otherwise skew only the first timed run and
+    // mask a warmup-only regression.
     qs.foreach { n =>
-      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () } // failure surfaces in the timed run
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+      }
     }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = qs.map { name =>
-      spark.catalog.clearCache() // isolate per-query timings
-      val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors += name -> e.getMessage.takeWhile(_ != '\n').take(200)
-          name -> -1.0 // visible failure marker, not a bogus timing
+      val times = (1 to runsPerQuery).flatMap { _ =>
+        spark.catalog.clearCache() // isolate per-query timings
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors += name -> e.getMessage.takeWhile(_ != '\n').take(200)
+            None
+        }
       }
+      if (times.isEmpty) name -> -1.0 // visible failure marker, not a bogus timing
+      else name -> median(times)
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -41,7 +62,7 @@ object Bench {
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"runs_per_query":$runsPerQuery,"stat":"median","sf":"$sfDir"}""")
     spark.stop()
   }
 }
