@@ -17,13 +17,15 @@ import graft.queries._
   *  - [[ExtendedQueries]]    q37–q44: rollup/semi/percentile/pivot/
   *    DQ-profile/as-of/ranking
   *  - [[SqlQueries]]         q46: the `spark.sql` front door
+  *  - [[CurationQueries]]    q47–q50: skew-safe aggs, deterministic
+  *    sampling/caps, stable hash surrogate keys
   */
 object SparkEntry {
 
   val registry: Seq[QueryDef] =
     RelationalQueries.all ++ LifecycleQueries.all ++ WindowQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ ExtendedQueries.all ++
-      SqlQueries.all
+      SqlQueries.all ++ CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

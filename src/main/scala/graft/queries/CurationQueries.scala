@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Sampling, Skew, SurrogateKeys}
+
+/** Corpus-curation + skew-mitigation queries (q47–q50): the operators
+  * the round-1 verdict noted as unit-tested-but-not-oracle-gated
+  * ([[graft.operators.Skew]], [[SurrogateKeys.stableHashKeyChecked]])
+  * plus the deterministic sampling ops ([[graft.operators.Sampling]]).
+  * Every query here has an exact DuckDB oracle — the hash-derived
+  * selections use the same 60-bit md5 on both engines.
+  */
+object CurationQueries {
+
+  /** DuckDB fragment: 60-bit md5 hash, value-identical to
+    * [[graft.operators.TextFunctions.hash60]]. */
+  private def dHash(x: String) = s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  // ---------------------------------------------------------------
+  // q47 — salted two-phase aggregation equals the direct aggregation
+  // (the skew-mitigation path, oracle-gated end-to-end).
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSum(Tables.events(s, dir), Seq("event_type"), col("value"), buckets = 7)
+      .orderBy(col("event_type"))
+  private val q47Sql =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n_rows
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q48 — deterministic 1-in-10 hash sample of the corpus: the
+  // selected SET (not just its size) must match across engines.
+  // No ORDER BY on either side: the gate compares row multisets, and
+  // a sort would bolt a range exchange onto what is otherwise a pure
+  // map-side filter (PlanSpec pins the exchange-free plan).
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(Tables.documents(s, dir), col("doc_id").cast("string"), 1, 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  private val q48Sql =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE ${dHash("CAST(doc_id AS VARCHAR)")} % 10 < 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q49 — cap each language at 20 docs by deterministic hash order
+  // (language rebalancing for a training mix).
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(Tables.documents(s, dir), Seq("lang"),
+        col("doc_id").cast("string"), n = 20)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("lang"), col("doc_id"))
+  private val q49Sql =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang, row_number() OVER (
+       |      PARTITION BY lang
+       |      ORDER BY ${dHash("CAST(doc_id AS VARCHAR)")}, CAST(doc_id AS VARCHAR)) AS rn
+       |  FROM documents)
+       |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q50 — stable hash surrogate keys at scale: attach
+  // stableHashKeyChecked skeys (collision assertion included) and
+  // verify the defining invariant — exactly one distinct sk per
+  // natural key, none shared. The sk VALUES are engine-specific
+  // (xxhash64); the invariant is not.
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val sk = SurrogateKeys.stableHashKeyChecked(p, Seq("p_brand"), "brand_sk")
+    SurrogateKeys.attach(p, sk, Seq("p_brand"))
+      .agg(
+        countDistinct(col("p_brand")).as("n_brands"),
+        countDistinct(col("brand_sk")).as("n_sks"),
+        count(lit(1)).as("n_parts"))
+  }
+  private val q50Sql =
+    """SELECT COUNT(DISTINCT p_brand) AS n_brands,
+      |       COUNT(DISTINCT p_brand) AS n_sks,
+      |       COUNT(*) AS n_parts
+      |FROM part""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q47_salted_agg", q47, Some(q47Sql)),
+    QueryDef("q48_hash_sample", q48, Some(q48Sql)),
+    QueryDef("q49_cap_per_group", q49, Some(q49Sql)),
+    QueryDef("q50_stable_hash_sk", q50, Some(q50Sql)),
+  )
+}

@@ -75,6 +75,26 @@ class PlanSpec extends AnyFunSuite {
     assertPartialGroupLimit("q35_ann_bucketed")
   }
 
+  test("q29: exact dedup is one pass — a single scan and a single md5") {
+    val p = planOf("q29_dedup_exact")
+    // the groupBy-then-rejoin shape scanned documents twice and hashed
+    // the corpus twice; the window rewrite must show exactly one scan
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert("md5".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q48: hash sample is a map-side filter — no exchange at all") {
+    val p = planOf("q48_hash_sample")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q49: per-group cap is a map-side partial group-limit") {
+    val lines = planOf("q49_cap_per_group").linesIterator.toSeq
+    val partial = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    assert(partial >= 0, lines.mkString("\n"))
+  }
+
   test("q02: grouped aggregation is partial (map-side combine before shuffle)") {
     val df = SparkEntry.queries("q02_groupby_agg")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
