@@ -3,6 +3,7 @@ package graft.operators
 import java.time.LocalDate
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, StringType}
 
@@ -53,20 +54,29 @@ object ScdType2 {
     * @param checkUniqueIds guard against duplicate business ids in
     *                  `newSnap`: a duplicated id would fan out the
     *                  full-outer join and silently emit multiple
-    *                  current rows per id. Costs one aggregation job
-    *                  over the (dimension-sized) snapshot; disable only
-    *                  when uniqueness is guaranteed upstream.
+    *                  current rows per id. The guard is IN-PLAN (a
+    *                  per-id window count + `assert_true` filter), so
+    *                  it costs zero extra Spark jobs — its hash
+    *                  exchange on the id is the same distribution the
+    *                  diff join needs and is reused. A violation
+    *                  surfaces as a SparkException at execution time.
     */
   def apply(newSnap: DataFrame, existing: Option[DataFrame], idCol: String,
       attrCols: Seq[String], tracked: Seq[String], skCol: String,
       asOf: LocalDate, checkUniqueIds: Boolean = true): DataFrame = {
 
-    if (checkUniqueIds) {
-      val dup = newSnap.groupBy(col(idCol)).count()
-        .filter(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"ScdType2: duplicate business id in new snapshot (e.g. ${dup.headOption.map(_.get(0))}) — " +
-          s"dedupe on $idCol upstream; one-current-row-per-id cannot hold otherwise")
+    val snap = if (!checkUniqueIds) newSnap else {
+      require(!newSnap.columns.contains("__graft_nid"),
+        "input already defines internal column __graft_nid")
+      newSnap
+        .withColumn("__graft_nid",
+          count(lit(1)).over(Window.partitionBy(col(idCol))))
+        .filter(assert_true(col("__graft_nid") <= 1,
+          concat(lit("ScdType2: duplicate business id in new snapshot: "),
+            col(idCol).cast("string"),
+            lit(s" — dedupe on $idCol upstream; one-current-row-per-id cannot hold otherwise")))
+          .isNull)
+        .drop("__graft_nid")
     }
 
     val asOfCol = lit(java.sql.Date.valueOf(asOf)).cast(DateType)
@@ -101,12 +111,12 @@ object ScdType2 {
     nonEmptyExisting match {
       case None =>
         // First run (`scd_implementation.py:21-30`).
-        rekey(stamped(newSnap.select((idCol +: attrCols).map(col): _*), lit(1)))
+        rekey(stamped(snap.select((idCol +: attrCols).map(col): _*), lit(1)))
 
       case Some(existingDim) =>
         val cur = existingDim.filter(col("is_current"))
           .withColumn("_old_present", lit(true))
-        val newP = newSnap.select(
+        val newP = snap.select(
           col(idCol) +: attrCols.map(c => col(c).as(s"_new_$c")): _*)
           .withColumn("_new_present", lit(true))
 

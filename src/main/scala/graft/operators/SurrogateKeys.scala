@@ -16,11 +16,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * Scale notes (100 TB design point):
   *  - Sequential keys require a total order, but NOT a single-partition
   *    window: [[sequentialKeys]] is a two-phase re-key — range
-  *    repartition + per-partition local sort, a partition-count pass,
+  *    repartition + per-partition local sort, one materialization,
   *    then per-partition `offset + local index`. Every phase is fully
   *    parallel; the only driver-side data is the P-length count array.
-  *    (Round 1 used `Window.orderBy` with no partition spec — the
-  *    "No Partition Defined" single-task funnel; gone.)
+  *    Frames under the broadcast threshold skip all of it and rank in
+  *    a single deliberate task. (Round 1 used `Window.orderBy` with no
+  *    partition spec — the "No Partition Defined" single-task funnel;
+  *    gone.)
   *  - For billion-row dimensions prefer [[stableHashKey]]: a 64-bit
   *    hash, fully parallel, no sort, stable across runs (sequential
   *    keys are NOT stable across runs — the reference re-keys every
@@ -33,20 +35,51 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object SurrogateKeys {
 
   /** Dense sequential 0-based key over an explicit deterministic total
-    * order, without ever funnelling the frame through one task.
+    * order. Frames under the broadcast threshold rank in one task (the
+    * right plan for a small dimension — see the size gate below);
+    * larger frames never funnel through one task:
     *
     * Phase 1 distributes rows by range on `orderCols` and sorts within
     * partitions (range boundaries + local sort = global total order);
-    * the frame is materialized once (`localCheckpoint`) so phase 2's
-    * count job does not recompute the sort. Phase 2 is
-    * `RDD.zipWithIndex`: a per-partition count pass, driver-side
-    * prefix-sum of the P counts, then `offset + local index` map —
-    * the classic two-phase re-key.
+    * the frame is materialized once (`localCheckpoint`) so phase 2
+    * indexes ONE fixed lineage. Phase 2 is `RDD.zipWithIndex`: a
+    * per-partition count pass, driver-side prefix-sum of the P counts,
+    * then `offset + local index`.
+    *
+    * The materialization barrier is load-bearing for CORRECTNESS, not
+    * just reuse: range bounds are SAMPLED, and when the parent's
+    * intra-partition row order is nondeterministic (e.g. downstream of
+    * a join), two executions of the same range exchange can pick
+    * different bounds. Any single set of bounds still yields the exact
+    * global rank (bounds move partition BOUNDARIES, not the total
+    * order), but a plan that evaluates the exchange in two branches
+    * (count + rank) can see two inconsistent partitionings and emit
+    * wrong offsets — observed in practice before the checkpoint was
+    * made mandatory here.
     *
     * `orderCols` must be a unique key of `df` for the assignment to be
     * deterministic (all call sites here order by a distinct key set).
     */
   def sequentialKeys(df: DataFrame, orderCols: Seq[Column], skName: String): DataFrame = {
+    // Size gate, same spirit as AQE's coalesce-to-one: a frame whose
+    // plan-estimated size fits comfortably in a single task (the
+    // broadcast threshold) gains nothing from a distributed re-key —
+    // it takes a deliberate one-partition rank (constant partition
+    // key, so the ordering semantics are identical) and skips two
+    // exchanges + a range-sampling pass. Dimension-scale frames above
+    // the threshold take the fully parallel two-phase path below.
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val small = threshold > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+    if (small)
+      // One partition + total local sort, then
+      // monotonically_increasing_id: on partition 0 the ids are
+      // exactly 0..N-1 in row (= sort) order. No WindowExec, no extra
+      // job; deterministic regardless of upstream row order (the sort
+      // canonicalizes it). The id is non-deterministic to Catalyst, so
+      // it cannot be reordered across the sort.
+      return df.coalesce(1).sortWithinPartitions(orderCols: _*)
+        .withColumn(skName, monotonically_increasing_id())
     val spark = df.sparkSession
     val partitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = df.repartitionByRange(partitions, orderCols: _*)

@@ -21,6 +21,16 @@ class ScdType2Spec extends AnyFunSuite {
   private def snap(rows: (String, String, String)*) =
     rows.toDF("id", "name", "address")
 
+  test("duplicate business id in the snapshot fails loudly (in-plan guard)") {
+    val dup = snap(("a", "Ann", "1 Main"), ("a", "Ann2", "2 Oak"), ("b", "Bob", "3 Elm"))
+    val ex = intercept[Exception] {
+      ScdType2(dup, None, "id", attrs, tracked, "sk", d1).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("duplicate business id")), ex.toString)
+  }
+
   test("first run stamps version 1, current, effective=asOf") {
     val out = ScdType2(snap(("b", "Bob", "1 Main"), ("a", "Ann", "2 Oak")),
       None, "id", attrs, tracked, "sk", d1).collect()
