@@ -80,11 +80,12 @@ object Dedup {
 
   /** Hashed shingles + signature in one corpus pass:
     * (id, hs, mh0..mh{k-1}) where `hs` is the distinct 32-bit shingle
-    * hash set. The md5 base hash runs ONCE per shingle; the k
-    * permutations are cheap arithmetic over that array — hashing per
-    * (seed × shingle) would multiply the md5 cost by k. Shingle
-    * STRINGS never materialize past this projection: both banding and
-    * Jaccard verification operate on the hash set (collision odds
+    * hash set. The md5 base hash runs ONCE per TOKEN
+    * ([[TextFunctions.hashedShingles]] combines token hashes into gram
+    * hashes arithmetically — shingle strings never exist at all); the
+    * k permutations are cheap arithmetic over that array — hashing per
+    * (seed × shingle) would multiply the md5 cost by k. Banding and
+    * Jaccard verification both operate on the hash set (collision odds
     * 2^-32 per distinct-shingle pair — immaterial, and the oracle
     * mirrors the same hashing). */
   private[operators] def withShingleSignatures(df: DataFrame, idCol: String,
@@ -98,8 +99,7 @@ object Dedup {
     // `stagingDir` to stage through parquet at production scale.
     val withBase = materialize(
       df.select(col(idCol),
-        array_distinct(transform(shingles(tokens(col(textCol)), shingleN),
-          s => hash60(s) % 4294967296L)).as("hs")),
+        hashedShingles(tokens(col(textCol)), shingleN).as("hs")),
       stagingDir)
     withBase.select(
       col(idCol) +: col("hs") +:

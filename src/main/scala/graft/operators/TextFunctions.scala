@@ -45,6 +45,28 @@ object TextFunctions {
     array_distinct(when(size(toks) >= n, grams).otherwise(array()))
   }
 
+  /** Hashed word n-gram shingles straight from per-token hashes:
+    * `sh(i) = fold_{j<n} (acc * 65599 + th(i+j)) mod P`, `th` = 32-bit
+    * [[hash60]] of each token, P = [[graft.operators.Dedup.MinhashPrime]],
+    * final value reduced mod 2^32 (the minhash permutation domain).
+    *
+    * Why not hash shingle STRINGS: per-gram `concat_ws` + `slice`
+    * allocates a string per shingle and md5-hashes ~n× the corpus
+    * bytes. Here md5 runs once per TOKEN and the gram combine is n-1
+    * `zip_with` passes over n shifted array slices — constant
+    * allocations per document, not per gram. Overflow-safe in signed
+    * 64-bit in both engines: acc < P < 2^33, acc*65599 < 2^50.
+    * DuckDB mirror (n = 3):
+    * `((((th[i]*65599 + th[i+1]) % P) * 65599 + th[i+2]) % P) % 4294967296`. */
+  def hashedShingles(toks: Column, n: Int): Column = {
+    val th = transform(toks, t => hash60(t) % 4294967296L)
+    val m = greatest(size(th) - (n - 1), lit(0))
+    val shifted = (0 until n).map(j => slice(th, lit(j + 1), m))
+    val combined = shifted.reduce((acc, nxt) =>
+      zip_with(acc, nxt, (a, b) => pmod(a * 65599L + b, lit(4294967311L))))
+    array_distinct(transform(combined, h => h % 4294967296L))
+  }
+
   /** Rolling polynomial fingerprint over token hashes:
     * `h := (h*31 + hash60(tok)) mod 1e9+7`, left fold from 0.
     * Stays overflow-free in signed 64-bit: h*31 < 3.2e10, +2^60 < 2^63.

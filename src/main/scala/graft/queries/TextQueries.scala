@@ -140,9 +140,12 @@ object TextQueries {
       s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sigs")
       .mkString("\n UNION ALL ")
     s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
-      |shl AS (SELECT doc_id, ${dShingles("toks")} AS sh FROM t),
+      |th AS (SELECT doc_id,
+      |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM t),
       |hb AS (SELECT doc_id,
-      |  list_distinct(list_transform(sh, x -> ${dHash("x")} % 4294967296)) AS hs FROM shl),
+      |  list_distinct(list_transform(range(1, len(th) - 1),
+      |    i -> ((((th[i] * 65599 + th[i+1]) % 4294967311) * 65599 + th[i+2]) % 4294967311) % 4294967296)) AS hs
+      |  FROM th),
       |sigs AS (SELECT doc_id, hs, $mh FROM hb WHERE len(hs) > 0),
       |bk AS ($bandSelects),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
