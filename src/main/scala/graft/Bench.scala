@@ -53,7 +53,11 @@ object Bench {
             None
         }
       }
-      if (times.isEmpty) name -> -1.0 // visible failure marker, not a bogus timing
+      // All-or-nothing: a query that failed ANY of its runs reports the
+      // -1 failure marker (plus its errors entry), never a timing — a
+      // partial median over 2 runs is s(1) = the max, and a row in both
+      // queries{} and errors{} would be ambiguous to the driver.
+      if (times.length < runsPerQuery) name -> -1.0
       else name -> median(times)
     }
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }

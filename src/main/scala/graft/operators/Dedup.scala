@@ -50,12 +50,17 @@ object Dedup {
     *  - `stagingDir = Some(dir)`: write-then-read a parquet staging
     *    table — the 100 TB path. Storage is the DFS, the frame
     *    survives executor loss, and downstream stages get columnar
-    *    pruning + split-sized partitions instead of pinned blocks. */
+    *    pruning + split-sized partitions instead of pinned blocks.
+    *    Each call stages under a fresh unique subdirectory of `dir`,
+    *    so two operators (or two runs) sharing a staging namespace
+    *    can never silently alias each other's data through the lazy
+    *    read; the caller owns cleanup of the namespace. */
   private def materialize(df: DataFrame, stagingDir: Option[String]): DataFrame =
     stagingDir match {
       case Some(dir) =>
-        df.write.mode("overwrite").parquet(dir)
-        df.sparkSession.read.parquet(dir)
+        val unique = s"$dir/stage-${java.util.UUID.randomUUID()}"
+        df.write.mode("error").parquet(unique)
+        df.sparkSession.read.parquet(unique)
       case None => df.localCheckpoint()
     }
 

@@ -37,7 +37,13 @@ object Sampling {
   /** Cap each group at `n` rows, selected in deterministic hash order
     * of `keyCol` (ties broken by the key itself). The per-group
     * selection is uniform-without-replacement in expectation but fully
-    * reproducible. */
+    * reproducible.
+    *
+    * `keyCol` must be unique within each group for the selected ROWS
+    * to be deterministic (same contract as
+    * [[SurrogateKeys.sequentialKeys]]'s orderCols): duplicated keys
+    * straddling the rank-n boundary leave the survivor choice to
+    * partition-input order. */
   def capPerGroup(df: DataFrame, groupCols: Seq[String], keyCol: Column,
       n: Int): DataFrame = {
     require(!df.columns.contains("__graft_rn"), "input already defines __graft_rn")

@@ -38,14 +38,6 @@ class SurrogateKeysSpec extends AnyFunSuite {
     assert(small.toSeq.sortBy(_._1).map(_._2) == small.toSeq.sortBy(_._2).map(_._2))
   }
 
-  test("small path plans no window operator at all") {
-    val plan = SurrogateKeys.sequentialKeys(
-        Tables.customer(spark, sf).select(col("c_custkey"), col("c_name")),
-        Seq(col("c_custkey")), "sk")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), plan)
-  }
-
   test("neither path plans a window operator (no single-partition funnel)") {
     def plan(): String = SurrogateKeys.sequentialKeys(
         Tables.customer(spark, sf).select(col("c_custkey"), col("c_name")),

@@ -43,8 +43,11 @@ class TrainingOpsSpec extends AnyFunSuite {
     val staged = pairs(Some(s"$staging/shingles"))
     assert(staged == pairs(None))
     assert(staged.nonEmpty)
-    // the barrier really went through parquet
-    assert(new java.io.File(s"$staging/shingles").listFiles().exists(_.getName.endsWith(".parquet")))
+    // the barrier really went through parquet (one unique stage subdir)
+    val stages = new java.io.File(s"$staging/shingles").listFiles()
+    assert(stages != null && stages.exists(d =>
+      d.getName.startsWith("stage-") &&
+        d.listFiles().exists(_.getName.endsWith(".parquet"))))
   }
 
   test("identical texts get identical simhash; different texts differ") {
