@@ -101,6 +101,77 @@ object Similarity {
       col(bucketCol), col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF coarse quantization: assign every corpus vector to its
+    * nearest (max-cosine) centroid, ties to the lower centroid id.
+    *
+    * ZERO-SHUFFLE by construction: the K centroids are collected into
+    * one broadcast array row and the argmax is a per-row `aggregate`
+    * fold over that array — no crossJoin row explosion, no window, no
+    * groupBy. The fold's accumulator keeps (best cos, best cid) with
+    * an order-independent tie rule, so centroid list order (from
+    * `collect_list`) cannot affect the result. At 100 TB this is the
+    * map-side pass that builds the inverted lists; write the output
+    * partitioned by `centroid_id` and [[ivfTopK]] probes become
+    * partition-local scans.
+    *
+    * A zero-norm vector assigns to centroid_id -1 (no valid cosine). */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val cents = centroids.select(collect_list(struct(
+      col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
+      l2Norm(col(vecCol)).as("cnorm"))).as("__cents"))
+    val vn = l2Norm(col(vecCol))
+    val best = aggregate(
+      col("__cents"),
+      struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val cos = when(vn * c.getField("cnorm") > 0,
+          dot(col(vecCol), c.getField("cvec")) / (vn * c.getField("cnorm")))
+          .otherwise(lit(Double.NegativeInfinity))
+        when(cos > acc.getField("cos") ||
+            (cos === acc.getField("cos") && c.getField("cid") < acc.getField("cid")),
+          struct(cos.as("cos"), c.getField("cid").as("cid")))
+          .otherwise(acc)
+      })
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("__best", best)
+      .withColumn("centroid_id", col("__best.cid"))
+      .withColumn("centroid_cosine",
+        when(col("__best.cid") >= 0, col("__best.cos")))
+      .drop("__cents", "__best")
+  }
+
+  /** IVF multi-probe top-k: corpus vectors live in their [[ivfAssign]]
+    * bucket; each query probes its `nProbe` nearest centroids' inverted
+    * lists and ranks only those candidates. Buckets partition the
+    * corpus (argmax is unique), so probe candidate sets are disjoint —
+    * no dedup pass. The rank filter keeps the map-side
+    * `WindowGroupLimit(Partial)` shape (see [[bruteForceTopK]]). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        l2Norm(col(vecCol)).as("cn"), col("centroid_id"))
+    val cents = centroids.select(collect_list(struct(
+      col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
+      l2Norm(col(vecCol)).as("cnorm"))).as("__cents"))
+    val qn = l2Norm(col(vecCol))
+    // (-cos, cid) ascending == (cos desc, cid asc): the same tie rule
+    // as ivfAssign, extended to the top nProbe
+    val scoredCents = transform(col("__cents"), c =>
+      struct((lit(0.0) - dot(col(vecCol), c.getField("cvec")) / (qn * c.getField("cnorm"))).as("negcos"),
+        c.getField("cid").as("cid")))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("__probe", explode(slice(array_sort(scoredCents), 1, nProbe)))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        qn.as("qn"), col("__probe.cid").as("centroid_id"))
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", pairCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    rankTopK(scored, k, col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a bucket (the
     * embedding analog of [[Dedup.ngramJaccardPairs]]). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

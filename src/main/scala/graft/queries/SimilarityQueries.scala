@@ -77,9 +77,73 @@ object SimilarityQueries {
       |   / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) > 0.30
       |ORDER BY a.label, id_a, id_b""".stripMargin
 
+  // q51 — IVF coarse quantization: zero-shuffle argmax assignment of
+  // every vector to its nearest of 8 centroids (vectors 0..7), then
+  // per-centroid inverted-list stats. min/max cosine (order
+  // statistics, no accumulation) keep the doubles bit-exact
+  // cross-engine.
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfAssign(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("centroid_cosine")).as("min_cosine"),
+        max(col("centroid_cosine")).as("max_cosine"))
+      .orderBy(col("centroid_id"))
+  }
+  private val q51Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_inner_product(e.v, cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cv, cv))) AS cos
+      |  FROM e CROSS JOIN c),
+      |best AS (SELECT vec_id, cid, cos,
+      |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn FROM scored)
+      |SELECT cid AS centroid_id, COUNT(*) AS n_vectors,
+      |  MIN(cos) AS min_cosine, MAX(cos) AS max_cosine
+      |FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid""".stripMargin
+
+  // q52 — IVF multi-probe top-3: queries probe their 2 nearest
+  // centroids' inverted lists (centroids = vectors 0..7, queries =
+  // vectors 0..9).
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+        e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q52Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (SELECT vec_id, cid FROM (
+      |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_inner_product(e.v, cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cv, cv))) DESC,
+      |    c.cid) AS rn
+      |  FROM e CROSS JOIN c) WHERE rn = 1),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |qs AS (SELECT query_id, qv, cid, row_number() OVER (PARTITION BY query_id ORDER BY
+      |    list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) DESC,
+      |    cid) AS pr
+      |  FROM q CROSS JOIN c),
+      |cand AS (
+      |  SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, e2.v AS cv
+      |  FROM (SELECT query_id, qv, cid FROM qs WHERE pr <= 2) p
+      |  JOIN assign a ON a.cid = p.cid
+      |  JOIN e e2 ON e2.vec_id = a.vec_id
+      |  WHERE a.vec_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM (SELECT query_id, neighbor_id, $dCos AS cosine FROM cand))
+      |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q34_ann_brute_force", q34, Some(q34Sql)),
     QueryDef("q35_ann_bucketed", q35, Some(q35Sql)),
     QueryDef("q36_embedding_neardup", q36, Some(q36Sql)),
+    QueryDef("q51_ivf_assign", q51, Some(q51Sql)),
+    QueryDef("q52_ivf_multiprobe", q52, Some(q52Sql)),
   )
 }

@@ -95,6 +95,20 @@ class PlanSpec extends AnyFunSuite {
     assert(partial >= 0, lines.mkString("\n"))
   }
 
+  test("q51: IVF assignment is map-side — the corpus hash-shuffles once") {
+    val p = planOf("q51_ivf_assign")
+    // exactly one hash exchange (the groupBy over 8 assigned buckets);
+    // the argmax fold itself must not shuffle or window the corpus.
+    // (The remaining exchanges are 8-row: centroid collect_list's
+    // SinglePartition, its broadcast, and the orderBy's range.)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q52: IVF multi-probe rank keeps the partial group-limit shape") {
+    assertPartialGroupLimit("q52_ivf_multiprobe")
+  }
+
   test("q02: grouped aggregation is partial (map-side combine before shuffle)") {
     val df = SparkEntry.queries("q02_groupby_agg")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -96,6 +96,33 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(joined.filter(col("label") =!= col("neighbor_label")).count() == 0)
   }
 
+  test("ivfAssign: centroids assign to themselves with cosine ~1") {
+    val e = Tables.embeddings(spark, sf001)
+    val cents = e.filter(col("vec_id") < 8)
+    val assigned = Similarity.ivfAssign(e, cents, "vec_id", "embedding")
+    val self = assigned.filter(col("vec_id") < 8)
+      .select("vec_id", "centroid_id", "centroid_cosine").collect()
+    assert(self.forall(r => r.getLong(0) == r.getLong(1)), self.mkString(", "))
+    assert(self.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-12))
+    // assignment is total: every vector lands in exactly one bucket
+    assert(assigned.count() == e.count())
+    assert(assigned.filter(col("centroid_id") < 0).count() == 0)
+  }
+
+  test("ivfTopK hits are a subset of brute-force hits with sane ranks") {
+    val e = Tables.embeddings(spark, sf001)
+    val queries = e.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(e, queries, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 50)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // multi-probe recall: every IVF hit is a genuine near neighbor
+    // (within the brute-force top-50 of its query)
+    assert(ivf.nonEmpty && ivf.subsetOf(brute),
+      s"${(ivf -- brute).size} IVF hits outside brute-force top-50")
+  }
+
   test("fingerprint is invariant to case and punctuation") {
     val df = Seq(
       (1L, "Hello, World! This is Spark."),
