@@ -81,10 +81,34 @@ object CurationQueries {
       |       COUNT(*) AS n_parts
       |FROM part""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q53 — deterministic shard assignment for corpus export: 8 shards
+  // by content-independent id hash, per-shard doc/token budgets. At
+  // scale this is the map-side pass before a partitioned write
+  // (`partitionBy(shard)`); balanced by the hash, reproducible across
+  // runs and engines.
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextFunctions.{hash60, tokenCount}
+    Tables.documents(s, dir)
+      .withColumn("shard", pmod(hash60(col("doc_id").cast("string")), lit(8L)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text"))).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("shard"))
+  }
+  private val q53Sql =
+    s"""SELECT ${dHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
     QueryDef("q48_hash_sample", q48, Some(q48Sql)),
     QueryDef("q49_cap_per_group", q49, Some(q49Sql)),
     QueryDef("q50_stable_hash_sk", q50, Some(q50Sql)),
+    QueryDef("q53_shard_budgets", q53, Some(q53Sql)),
   )
 }

@@ -45,6 +45,18 @@ object EventStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Exactly-once-per-id ingestion: drop duplicate `idCols` arrivals
+    * within the watermark horizon. Uses
+    * `dropDuplicatesWithinWatermark`, so the per-id state expires once
+    * the watermark passes the first-seen event time + delay — bounded
+    * state, unlike a plain streaming `dropDuplicates` whose id set
+    * grows forever. The dedup state shuffles once on the id columns;
+    * at 100 TB the delay chooses the state size (ids seen within one
+    * horizon), not the corpus size. */
+  def dedupedStream(events: DataFrame, watermark: String, idCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   private def tsUs(e: Event): Long = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
 
   /** Gap-based sessionization: events within `gapSeconds` of the

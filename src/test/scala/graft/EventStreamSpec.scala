@@ -119,6 +119,23 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupedStream collapses duplicate event ids to the batch distinct") {
+    val dir = Files.createTempDirectory("events_dup").toString
+    val base = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    base.unionAll(base).coalesce(1).write.mode("overwrite").parquet(dir)
+    val batchDf = spark.read.parquet(dir)
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = EventStream.dedupedStream(streamDf, "10 minutes", Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out")
+      assert(streamed.count() == base.count())
+      assert(streamed.select("event_id").distinct().count() == base.count())
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with the batch q22 on session counts") {
     import spark.implicits._
     val dir = eventsDir
