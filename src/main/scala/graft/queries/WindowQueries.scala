@@ -123,10 +123,31 @@ object WindowQueries {
       | COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // q54 — interval correlation: each click paired with the same
+  // user's purchases within 30 minutes after it. Batch twin of the
+  // stream-stream interval join (EventStream.correlate — EventStreamSpec
+  // pins streamed == batch); comparisons happen at microsecond
+  // precision on both engines (Spark ts is µs; DuckDB epoch_us floors
+  // the ns parquet timestamps identically).
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.correlate(
+        Tables.events(s, dir), "click", "purchase", 1800, "0 seconds")
+      .orderBy(col("a_id"), col("b_id"))
+  private val q54Sql =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'purchase'
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+      |ORDER BY a_id, b_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_window_funcs", q21, Some(q21Sql)),
     QueryDef("q22_sessionize", q22, Some(q22Sql)),
     QueryDef("q23_windowed_agg", q23, Some(q23Sql)),
     QueryDef("q24_json_extract", q24, Some(q24Sql)),
+    QueryDef("q54_interval_join", q54, Some(q54Sql)),
   )
 }

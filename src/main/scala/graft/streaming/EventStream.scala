@@ -45,6 +45,32 @@ object EventStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: pair each `typeA` event with the
+    * same user's `typeB` events that follow within `withinSeconds`.
+    * On streaming inputs both sides are watermarked, so Spark bounds
+    * the join state to the interval + watermark horizon and expires
+    * it as the watermark advances (the canonical stream-stream join
+    * discipline); on batch inputs `withWatermark` is a no-op and this
+    * is a plain interval equi-join — the batch twin used by the q54
+    * oracle. One shuffle on user_id for each side; state per user is
+    * bounded by event rate × horizon. */
+  def correlate(events: DataFrame, typeA: String, typeB: String,
+      withinSeconds: Long, watermark: String): DataFrame = {
+    val a = events.filter(col("event_type") === typeA)
+      .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = events.filter(col("event_type") === typeB)
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
+        "inner")
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
+  }
+
   /** Exactly-once-per-id ingestion: drop duplicate `idCols` arrivals
     * within the watermark horizon. Uses
     * `dropDuplicatesWithinWatermark`, so the per-id state expires once

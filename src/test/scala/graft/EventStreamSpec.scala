@@ -119,6 +119,22 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    val dir = eventsDir
+    val batchDf = spark.read.parquet(dir)
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = EventStream.correlate(streamDf, "click", "purchase", 1800, "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("corr_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("corr_out").collect().map(_.toSeq).toSet
+      val batch = EventStream.correlate(batchDf, "click", "purchase", 1800, "0 seconds")
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dedupedStream collapses duplicate event ids to the batch distinct") {
     val dir = Files.createTempDirectory("events_dup").toString
     val base = Tables.events(spark, "/root/testdata/sf0.001")
