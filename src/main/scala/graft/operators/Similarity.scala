@@ -32,8 +32,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise double dot product as a sequential fold. */
-  def dot(a: Column, b: Column): Column =
+  /** Elementwise double dot product as a strict sequential fold —
+    * native codegen'd kernel ([[graft.plans.DotProduct]]); the
+    * higher-order-function composition it is value-identical to lives
+    * in [[dotComposed]] (pinned equal by DotProductSpec). */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct(a, b)
+
+  /** Built-in-composition form of [[dot]] (reference semantics; HOFs
+    * are interpreted, so this is the slow path). */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
