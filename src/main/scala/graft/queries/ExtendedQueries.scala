@@ -192,7 +192,59 @@ object ExtendedQueries {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q55 — set operations (INTERSECT / EXCEPT): 1997→1998 customer
+  // retention cohorts. Both operators shuffle once on the full row
+  // (distinct semantics); the year filters prune at the scan.
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def activeIn(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val retained = activeIn(1997).intersect(activeIn(1998))
+      .agg(count(lit(1)).as("n_customers")).withColumn("cohort", lit("retained"))
+    val churned = activeIn(1997).except(activeIn(1998))
+      .agg(count(lit(1)).as("n_customers")).withColumn("cohort", lit("churned"))
+    retained.unionByName(churned)
+      .select(col("cohort"), col("n_customers"))
+      .orderBy(col("cohort"))
+  }
+  private val q55Sql =
+    """WITH y97 AS (SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997),
+      |y98 AS (SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1998)
+      |SELECT 'retained' AS cohort,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98)) AS n_customers
+      |UNION ALL
+      |SELECT 'churned',
+      |  (SELECT COUNT(*) FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98))
+      |ORDER BY cohort""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q56 — fuzzy match via levenshtein (identical DP edit distance in
+  // both engines): near-identical part names within a brand bucket.
+  // The bucket bounds the pair product, same discipline as
+  // ngramJaccardPairs.
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(
+      col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 10)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_close_pairs"), min(col("dist")).as("min_dist"))
+      .orderBy(col("p_brand"))
+  }
+  private val q56Sql =
+    """SELECT a.p_brand, COUNT(*) AS n_close_pairs,
+      |  CAST(MIN(levenshtein(a.p_name, b.p_name)) AS INTEGER) AS min_dist
+      |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 10
+      |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q55_set_ops", q55, Some(q55Sql)),
+    QueryDef("q56_fuzzy_match", q56, Some(q56Sql)),
     QueryDef("q37_rollup", q37, Some(q37Sql)),
     QueryDef("q38_semi_join", q38, Some(q38Sql)),
     QueryDef("q39_percentiles", q39, Some(q39Sql)),
