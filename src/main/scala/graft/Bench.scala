@@ -13,8 +13,9 @@ object Bench {
     "q01_global_agg", "q02_groupby_agg", "q03_join_groupby",
     "q05_conditional_rates", "q09_top20_ltv", "q10_brand_profitability",
     "q20_scd2_incremental", "q22_sessionize",
-    "q30_minhash_lsh", "q31_simhash", "q34_ann_brute_force",
-    "q35_ann_bucketed", "q43_asof_attribution", "q44_rank_suite")
+    "q29_dedup_exact", "q30_minhash_lsh", "q31_simhash",
+    "q34_ann_brute_force", "q35_ann_bucketed", "q43_asof_attribution",
+    "q44_rank_suite", "q51_ivf_assign", "q52_ivf_multiprobe")
 
   private val runsPerQuery = 3
 

@@ -104,11 +104,28 @@ object CurationQueries {
        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q57 — sketch surface: HyperLogLog++ approximate count-distinct
+  // per event type. Sketch internals are engine-specific, so there is
+  // deliberately NO value oracle (the driver records the weaker
+  // rows-only check); TrainingOpsSpec bounds the estimate against the
+  // exact count instead. At 100 TB this is the single-pass,
+  // fixed-memory alternative to exact count-distinct: mergeable
+  // partial sketches, no distinct shuffle of the value domain.
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
     QueryDef("q48_hash_sample", q48, Some(q48Sql)),
     QueryDef("q49_cap_per_group", q49, Some(q49Sql)),
     QueryDef("q50_stable_hash_sk", q50, Some(q50Sql)),
     QueryDef("q53_shard_budgets", q53, Some(q53Sql)),
+    QueryDef("q57_approx_distinct", q57, None),
   )
 }

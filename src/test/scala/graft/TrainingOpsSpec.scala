@@ -123,6 +123,19 @@ class TrainingOpsSpec extends AnyFunSuite {
       s"${(ivf -- brute).size} IVF hits outside brute-force top-50")
   }
 
+  test("approx count-distinct stays within 3x rsd of the exact count") {
+    val e = Tables.events(spark, sf001)
+    val approx = SparkEntry.queries("q57_approx_distinct")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.06, s"$k: approx $ap vs exact $ex")
+    }
+  }
+
   test("fingerprint is invariant to case and punctuation") {
     val df = Seq(
       (1L, "Hello, World! This is Spark."),
