@@ -108,44 +108,51 @@ object Similarity {
       col(bucketCol), col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** One broadcast row holding the K centroids as
+    * array<struct<cid, cvec, cnorm>> — the shared build for
+    * [[ivfAssign]] and [[ivfTopK]]. */
+  private def centArray(centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    centroids.select(collect_list(struct(
+      col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
+      l2Norm(col(vecCol)).as("cnorm"))).as("__cents"))
+
+  /** Per-centroid scores as array<struct<negcos, cid>>: ascending
+    * struct order == (cosine desc, cid asc) — the shared tie rule.
+    * ONE dot product per centroid. A zero-norm vector or centroid
+    * scores +∞ (sorts last, never wins/probed while a real score
+    * exists) instead of dividing by zero — ANSI mode would otherwise
+    * kill the query on an all-zeros vector. */
+  private def negCosCents(vec: Column, vn: Column): Column =
+    transform(col("__cents"), c =>
+      struct(
+        when(vn * c.getField("cnorm") > 0,
+          lit(0.0) - dot(vec, c.getField("cvec")) / (vn * c.getField("cnorm")))
+          .otherwise(lit(Double.PositiveInfinity)).as("negcos"),
+        c.getField("cid").as("cid")))
+
   /** IVF coarse quantization: assign every corpus vector to its
     * nearest (max-cosine) centroid, ties to the lower centroid id.
     *
     * ZERO-SHUFFLE by construction: the K centroids are collected into
-    * one broadcast array row and the argmax is a per-row `aggregate`
-    * fold over that array — no crossJoin row explosion, no window, no
-    * groupBy. The fold's accumulator keeps (best cos, best cid) with
-    * an order-independent tie rule, so centroid list order (from
-    * `collect_list`) cannot affect the result. At 100 TB this is the
-    * map-side pass that builds the inverted lists; write the output
-    * partitioned by `centroid_id` and [[ivfTopK]] probes become
-    * partition-local scans.
+    * one broadcast array row and the argmax is `array_min` over the
+    * per-row score array — no crossJoin row explosion, no window, no
+    * groupBy, one dot product per (row, centroid) per evaluation.
+    * At 100 TB this is the map-side pass that builds the inverted
+    * lists; write the output partitioned by `centroid_id` and
+    * [[ivfTopK]] probes become partition-local scans.
     *
     * A zero-norm vector assigns to centroid_id -1 (no valid cosine). */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val cents = centroids.select(collect_list(struct(
-      col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
-      l2Norm(col(vecCol)).as("cnorm"))).as("__cents"))
-    val vn = l2Norm(col(vecCol))
-    val best = aggregate(
-      col("__cents"),
-      struct(lit(Double.NegativeInfinity).as("cos"), lit(-1L).as("cid")),
-      (acc, c) => {
-        val cos = when(vn * c.getField("cnorm") > 0,
-          dot(col(vecCol), c.getField("cvec")) / (vn * c.getField("cnorm")))
-          .otherwise(lit(Double.NegativeInfinity))
-        when(cos > acc.getField("cos") ||
-            (cos === acc.getField("cos") && c.getField("cid") < acc.getField("cid")),
-          struct(cos.as("cos"), c.getField("cid").as("cid")))
-          .otherwise(acc)
-      })
-    corpus.crossJoin(broadcast(cents))
-      .withColumn("__best", best)
-      .withColumn("centroid_id", col("__best.cid"))
+    val best = array_min(negCosCents(col(vecCol), l2Norm(col(vecCol))))
+    corpus.crossJoin(broadcast(centArray(centroids, idCol, vecCol)))
+      .withColumn("centroid_id",
+        when(best.getField("negcos") =!= Double.PositiveInfinity, best.getField("cid"))
+          .otherwise(lit(-1L)))
       .withColumn("centroid_cosine",
-        when(col("__best.cid") >= 0, col("__best.cos")))
-      .drop("__cents", "__best")
+        when(best.getField("negcos") =!= Double.PositiveInfinity,
+          lit(0.0) - best.getField("negcos")))
+      .drop("__cents")
   }
 
   /** IVF multi-probe top-k: corpus vectors live in their [[ivfAssign]]
@@ -159,18 +166,15 @@ object Similarity {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         l2Norm(col(vecCol)).as("cn"), col("centroid_id"))
-    val cents = centroids.select(collect_list(struct(
-      col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"),
-      l2Norm(col(vecCol)).as("cnorm"))).as("__cents"))
     val qn = l2Norm(col(vecCol))
-    // (-cos, cid) ascending == (cos desc, cid asc): the same tie rule
-    // as ivfAssign, extended to the top nProbe
-    val scoredCents = transform(col("__cents"), c =>
-      struct((lit(0.0) - dot(col(vecCol), c.getField("cvec")) / (qn * c.getField("cnorm"))).as("negcos"),
-        c.getField("cid").as("cid")))
+    // ascending (negcos, cid) == (cos desc, cid asc): the same
+    // zero-norm-guarded scoring and tie rule as ivfAssign, extended to
+    // the top nProbe
+    val scoredCents = negCosCents(col(vecCol), qn)
     val probes = queries
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centArray(centroids, idCol, vecCol)))
       .withColumn("__probe", explode(slice(array_sort(scoredCents), 1, nProbe)))
+      .filter(col("__probe.negcos") =!= Double.PositiveInfinity)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         qn.as("qn"), col("__probe.cid").as("centroid_id"))
     val scored = assigned.join(broadcast(probes), Seq("centroid_id"))

@@ -109,18 +109,20 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(assigned.filter(col("centroid_id") < 0).count() == 0)
   }
 
-  test("ivfTopK hits are a subset of brute-force hits with sane ranks") {
+  test("ivfTopK probing ALL buckets equals brute force exactly") {
+    // the invariant that holds for any fixture: with nProbe = K every
+    // inverted list is searched, so multi-probe IVF degenerates to the
+    // exact search — same k, same (cosine desc, id) tie rule.
     val e = Tables.embeddings(spark, sf001)
     val queries = e.filter(col("vec_id") < 10)
-    val ivf = Similarity.ivfTopK(e, queries, e.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 3, nProbe = 2)
-      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 50)
-      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    // multi-probe recall: every IVF hit is a genuine near neighbor
-    // (within the brute-force top-50 of its query)
-    assert(ivf.nonEmpty && ivf.subsetOf(brute),
-      s"${(ivf -- brute).size} IVF hits outside brute-force top-50")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cosine")
+        .collect().map(_.toSeq).toSet
+    val ivf = rows(Similarity.ivfTopK(e, queries, e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 3, nProbe = 8))
+    val brute = rows(Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 3))
+    assert(ivf == brute)
+    assert(ivf.nonEmpty)
   }
 
   test("approx count-distinct stays within 3x rsd of the exact count") {
