@@ -106,19 +106,49 @@ object CurationQueries {
 
   // ---------------------------------------------------------------
   // q57 — sketch surface: HyperLogLog++ approximate count-distinct
-  // per event type. Sketch internals are engine-specific, so there is
-  // deliberately NO value oracle (the driver records the weaker
-  // rows-only check); TrainingOpsSpec bounds the estimate against the
-  // exact count instead. At 100 TB this is the single-pass,
-  // fixed-memory alternative to exact count-distinct: mergeable
-  // partial sketches, no distinct shuffle of the value domain.
+  // per event type. Sketch ESTIMATES are engine-specific, so the
+  // estimate itself never leaves the query: it feeds only the
+  // `within_3rsd` boolean (|approx - exact| <= 3·rsd·exact). Every
+  // output column — counts, exact distinct, and the bound check that
+  // DuckDB asserts as a TRUE literal — is then oracle-comparable, and
+  // the hash gate genuinely fails if the HLL estimate drifts outside
+  // its published 3-sigma error envelope. At 100 TB the sketch is the
+  // single-pass, fixed-memory alternative to exact count-distinct:
+  // mergeable partial sketches, no distinct shuffle of the value
+  // domain (the exact twin here exists only to ground the bound at
+  // test scale).
   private def q57(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
+      .select(
+        col("event_type"), col("n_events"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * lit(3 * 0.02)).as("within_3rsd"))
       .orderBy(col("event_type"))
+  private val q57Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_3rsd
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q58 — salted two-phase count-distinct equals the direct
+  // COUNT(DISTINCT): the skew-mitigation path the salting exists for
+  // (distinct-value state, not row count, is what hot-spots a
+  // reducer). Phase 1 dedupes (key, salt, value) — the shuffle key
+  // includes the value, so it is uniform even when one event_type
+  // owns most rows; phase 2 merges tiny per-salt partial counts.
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedCountDistinct(Tables.events(s, dir), Seq("event_type"),
+        col("user_id"), buckets = 7)
+      .orderBy(col("event_type"))
+  private val q58Sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
@@ -126,6 +156,7 @@ object CurationQueries {
     QueryDef("q49_cap_per_group", q49, Some(q49Sql)),
     QueryDef("q50_stable_hash_sk", q50, Some(q50Sql)),
     QueryDef("q53_shard_budgets", q53, Some(q53Sql)),
-    QueryDef("q57_approx_distinct", q57, None),
+    QueryDef("q57_approx_distinct", q57, Some(q57Sql)),
+    QueryDef("q58_salted_distinct", q58, Some(q58Sql)),
   )
 }

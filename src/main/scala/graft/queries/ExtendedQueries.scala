@@ -193,19 +193,27 @@ object ExtendedQueries {
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
   // ---------------------------------------------------------------
-  // q55 — set operations (INTERSECT / EXCEPT): 1997→1998 customer
-  // retention cohorts. Both operators shuffle once on the full row
-  // (distinct semantics); the year filters prune at the scan.
+  // q55 — set-operation semantics (INTERSECT / EXCEPT): 1997→1998
+  // customer retention cohorts. Computed as ONE scan with per-year
+  // presence flags — the literal intersect/except formulation scans
+  // and shuffles orders once per cohort per year (four scans); the
+  // flag rewrite gets the identical sets from a single date-pruned
+  // scan and a single hash shuffle on o_custkey. stack() guarantees
+  // both cohort rows exist even when a cohort is empty (matching the
+  // scalar-subquery oracle).
   private def q55(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    def activeIn(y: Int) =
-      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
-    val retained = activeIn(1997).intersect(activeIn(1998))
-      .agg(count(lit(1)).as("n_customers")).withColumn("cohort", lit("retained"))
-    val churned = activeIn(1997).except(activeIn(1998))
-      .agg(count(lit(1)).as("n_customers")).withColumn("cohort", lit("churned"))
-    retained.unionByName(churned)
-      .select(col("cohort"), col("n_customers"))
+    val y = year(col("o_orderdate"))
+    val flags = o
+      .filter(col("o_orderdate").between("1997-01-01", "1998-12-31"))
+      .groupBy(col("o_custkey"))
+      .agg(max(y === 1997).as("y97"), max(y === 1998).as("y98"))
+    flags
+      .agg(
+        count(when(col("y97") && col("y98"), 1)).as("retained"),
+        count(when(col("y97") && !col("y98"), 1)).as("churned"))
+      .select(expr(
+        "stack(2, 'churned', churned, 'retained', retained) AS (cohort, n_customers)"))
       .orderBy(col("cohort"))
   }
   private val q55Sql =

@@ -109,6 +109,24 @@ class PlanSpec extends AnyFunSuite {
     assertPartialGroupLimit("q52_ivf_multiprobe")
   }
 
+  test("q58: salted count-distinct is two-phase — the wide shuffle keys on the value") {
+    val p = planOf("q58_salted_distinct")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    // phase 1 (the only shuffle proportional to |rows|) must include
+    // the distinct value in its partition key — uniform by construction,
+    // no reducer ever owns one event_type's whole value domain
+    assert(exchanges.exists(_.contains("__graft_v")), p)
+    // phase 2 merges per-salt partials: a second, tiny hash exchange
+    assert(exchanges.length >= 2, p)
+  }
+
+  test("q55: retention cohorts read orders exactly once") {
+    val p = planOf("q55_set_ops")
+    // the naive intersect/except formulation scanned orders four times;
+    // the presence-flag rewrite must show a single date-pruned scan
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
   test("q02: grouped aggregation is partial (map-side combine before shuffle)") {
     val df = SparkEntry.queries("q02_groupby_agg")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
