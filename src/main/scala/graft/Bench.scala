@@ -1,14 +1,28 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line for the driver (`BENCH_r{N}.json`). Each query
   * reports the median of three timed runs, so one GC pause or
   * stage-scheduling hiccup can't masquerade as a round-over-round
-  * regression. */
+  * regression.
+  *
+  * The artifact must be AUDITABLE: a bench that runs concurrently with
+  * other load can report 10–50× noise on shuffle-heavy queries while
+  * trivial scans stay flat, and a bare median is indistinguishable from
+  * a real plan regression. So every run's raw time is emitted
+  * (`runs`), plus machine load before/after (`loadavg`) and total JVM
+  * GC time (`gc_ms`) — a contaminated run is self-evident in the
+  * record, and any query whose spread exceeds 3× is re-run up to two
+  * extra times before the median is taken.
+  */
 object Bench {
   /** Representative spread: scans+aggs, joins, top-k, windows, SCD2,
     * the training-data ops (LSH dedup, SimHash, ANN brute + bucketed),
-    * as-of association, and the ranking suite. */
+    * as-of association, the ranking suite — plus the reference's own
+    * workload end-to-end (`rcm_pipeline`: CSV extract → star + SCD2 →
+    * parquet write-verify → Q1 KPI). */
   val headline: Seq[String] = Seq(
     "q01_global_agg", "q02_groupby_agg", "q03_join_groupby",
     "q05_conditional_rates", "q09_top20_ltv", "q10_brand_profitability",
@@ -18,56 +32,139 @@ object Bench {
     "q44_rank_suite", "q51_ivf_assign", "q52_ivf_multiprobe")
 
   private val runsPerQuery = 3
+  /** Extra runs granted when max/min spread exceeds this — one noisy
+    * run then costs a re-measure instead of poisoning the median. */
+  private val spreadLimit = 3.0
+  private val maxExtraRuns = 2
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s(s.length / 2)
   }
 
+  private def loadAvg(): Seq[Double] =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq.empty }
+
+  private def gcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+  }
+
+  /** Release persisted blocks between timed runs. clearCache() frees
+    * only catalog-cached tables — localCheckpoint blocks (ScdType2,
+    * SurrogateKeys, Dedup.materialize, RcmPipeline.write) wait for GC +
+    * ContextCleaner otherwise, and a full bench session would pin
+    * dozens of dead block sets of storage memory. Each timed run builds
+    * its frames from scratch, so no prior run's checkpoint is ever
+    * re-read: unpersisting them is safe.
+    *
+    * This is the release half of the checkpoint lifecycle contract
+    * documented on [[graft.operators.ScdType2]],
+    * [[graft.operators.SurrogateKeys]] and
+    * [[graft.operators.Dedup.materialize]]; CheckpointLifecycleSpec
+    * pins that repeated operator runs stay block-stable under it. */
+  def releaseBlocks(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** The reference workload end-to-end: extract the reference CSVs,
+    * build the star schema with SCD2, write-verify all tables, compute
+    * the Q1 revenue KPI. Mirrors `graft.etl.RcmRun` minus the prints. */
+  private def rcmPipeline(spark: SparkSession, refDir: String): Unit = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_bench_rcm")
+    try {
+      val result = etl.RcmPipeline.run(
+        spark, refDir, java.time.LocalDate.parse("2024-12-01"), None)
+      etl.RcmPipeline.write(result.star, outDir.toString)
+      analytics.RcmAnalytics.q1TotalRevenue(result.star).collect()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outDir).iterator().asScala.toSeq
+        .reverse.foreach(p => p.toFile.delete())
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val refDir = sys.env.getOrElse("SPARK_GRAFT_REF_DIR", "/root/reference")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.local(cpus)
-    val qs = headline.filter(SparkEntry.queries.contains)
+
+    val items: Seq[(String, () => Unit)] =
+      headline.filter(SparkEntry.queries.contains).map { n =>
+        n -> (() => { SparkEntry.queries(n)(spark, sfDir).count(); () })
+      } ++ (if (new java.io.File(refDir).isDirectory)
+        Seq("rcm_pipeline" -> (() => rcmPipeline(spark, refDir)))
+      else Seq.empty)
+
     // Warm the JVM/codegen against the benchmarked directory (one
     // untimed pass) so measured times reflect the engine, not
     // first-call JIT + planner warmup. A warmup failure is logged, not
     // swallowed — it would otherwise skew only the first timed run and
     // mask a warmup-only regression.
-    qs.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
+    items.foreach { case (n, fn) =>
+      try fn()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
       }
     }
+
+    val loadBefore = loadAvg()
+    val gcBefore = gcMs()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = qs.map { name =>
-      val times = (1 to runsPerQuery).flatMap { _ =>
-        spark.catalog.clearCache() // isolate per-query timings
+    val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val results = items.map { case (name, fn) =>
+      def timedRun(): Option[Double] = {
+        releaseBlocks(spark) // isolate per-query timings + free checkpoint blocks
         val t0 = System.nanoTime()
-        try {
-          SparkEntry.queries(name)(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            errors += name -> e.getMessage.takeWhile(_ != '\n').take(200)
-            None
+        try { fn(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          errors += name -> e.getMessage.takeWhile(_ != '\n').take(200)
+          None
         }
       }
+      var times = (1 to runsPerQuery).flatMap(_ => timedRun())
+      val failed = times.length < runsPerQuery
+      // Spread gate: a single contended run shows up as max/min > 3;
+      // grant extra runs so the median reflects the quiet majority (the
+      // raw list still records the outlier for the auditor).
+      var extra = 0
+      while (!failed && extra < maxExtraRuns &&
+          times.min > 0 && times.max / times.min > spreadLimit) {
+        timedRun().foreach(t => times = times :+ t)
+        extra += 1
+      }
+      rawRuns += name -> times
       // All-or-nothing: a query that failed ANY of its runs reports the
       // -1 failure marker (plus its errors entry), never a timing — a
       // partial median over 2 runs is s(1) = the max, and a row in both
       // queries{} and errors{} would be ambiguous to the driver.
-      if (times.length < runsPerQuery) name -> -1.0
-      else name -> median(times)
+      if (failed) name -> -1.0 else name -> median(times)
     }
+    val loadAfter = loadAvg()
+    val gcDelta = gcMs() - gcBefore
+
+    def numArr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
     val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val runsJson = rawRuns.map { case (k, v) => "\"" + k + "\":" + numArr(v) }
+      .mkString("{", ",", "}")
+    // The headline total stays comparable round-over-round: it sums the
+    // sf-scaled q* queries only. rcm_pipeline (fixed-size reference
+    // workload, independent of SPARK_GRAFT_SF_DIR) is reported in
+    // queries{}/runs{} but excluded here — folding a constant ~10 s into
+    // a ~9 s scaling total would drown the signal the total exists for.
+    val total = results.collect {
+      case (k, v) if v >= 0 && k != "rcm_pipeline" => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"errors":$errJson,"runs_per_query":$runsPerQuery,"stat":"median","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_excludes":["rcm_pipeline"],"queries":$qJson,"errors":$errJson,"runs":$runsJson,"runs_per_query":$runsPerQuery,"stat":"median","loadavg_before":${numArr(loadBefore)},"loadavg_after":${numArr(loadAfter)},"gc_ms":$gcDelta,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

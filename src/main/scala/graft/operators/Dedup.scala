@@ -54,7 +54,16 @@ object Dedup {
     *    Each call stages under a fresh unique subdirectory of `dir`,
     *    so two operators (or two runs) sharing a staging namespace
     *    can never silently alias each other's data through the lazy
-    *    read; the caller owns cleanup of the namespace. */
+    *    read; the caller owns cleanup of the namespace.
+    *
+    * Lifecycle (localCheckpoint path): the blocks stay pinned until JVM
+    * GC + ContextCleaner reclaim the RDD — `spark.catalog.clearCache()`
+    * does NOT free them. A long-lived session that calls this operator
+    * repeatedly should release dead blocks between calls once the
+    * returned frame is consumed:
+    * `sc.getPersistentRDDs.values.foreach(_.unpersist(false))` (see
+    * [[graft.Bench.releaseBlocks]]; CheckpointLifecycleSpec pins
+    * block-count stability under that contract). */
   private def materialize(df: DataFrame, stagingDir: Option[String]): DataFrame =
     stagingDir match {
       case Some(dir) =>

@@ -106,7 +106,10 @@ object ScdType2 {
     // the ContextCleaner once unreachable, while CacheManager pins
     // cached plans until an explicit unpersist this operator has no
     // hook for. Production multi-run deployments read the prior state
-    // from storage anyway (see RcmRun).
+    // from storage anyway (see RcmRun). Sessions that call this
+    // operator repeatedly should release consumed checkpoint blocks
+    // between calls (graft.Bench.releaseBlocks documents the pattern;
+    // CheckpointLifecycleSpec pins stability under it).
     val nonEmptyExisting = existing.map(_.localCheckpoint()).filter(!_.isEmpty)
     nonEmptyExisting match {
       case None =>

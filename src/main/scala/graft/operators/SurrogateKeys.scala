@@ -59,6 +59,11 @@ object SurrogateKeys {
     *
     * `orderCols` must be a unique key of `df` for the assignment to be
     * deterministic (all call sites here order by a distinct key set).
+    *
+    * Lifecycle: the checkpoint's blocks stay pinned until GC +
+    * ContextCleaner; long-lived sessions calling this repeatedly should
+    * release consumed blocks between calls ([[graft.Bench.releaseBlocks]];
+    * CheckpointLifecycleSpec pins block stability under that pattern).
     */
   def sequentialKeys(df: DataFrame, orderCols: Seq[Column], skName: String): DataFrame = {
     // Size gate, same spirit as AQE's coalesce-to-one: a frame whose

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the checkpoint lifecycle contract: operators that localCheckpoint
+  * internally (Dedup.materialize, SurrogateKeys.sequentialKeys, ScdType2)
+  * pin executor storage blocks that `spark.catalog.clearCache()` does NOT
+  * free — only GC + ContextCleaner (eventually) or an explicit unpersist
+  * does. A long-lived session (the bench, a notebook, a service) that
+  * calls these operators repeatedly must release consumed blocks between
+  * calls or storage memory fills with dead block sets. This spec proves
+  * the documented release pattern ([[Bench.releaseBlocks]]) keeps the
+  * persistent-RDD count flat across repeated runs of the heaviest
+  * checkpoint user (q30: one LSH barrier per call) and the SCD2 path
+  * (q20: three checkpoints per call).
+  */
+class CheckpointLifecycleSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+  private val sf = "/root/testdata/sf0.001"
+
+  private def persistentCount: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("repeated q30 runs stay block-stable under releaseBlocks") {
+    val counts = (1 to 10).map { _ =>
+      SparkEntry.queries("q30_minhash_lsh")(spark, sf).count()
+      val during = persistentCount
+      Bench.releaseBlocks(spark)
+      (during, persistentCount)
+    }
+    // the operator really does pin blocks (the test exercises something)
+    assert(counts.exists(_._1 > 0), s"q30 never checkpointed: $counts")
+    // after every release, nothing stays registered
+    assert(counts.forall(_._2 == 0), s"blocks leaked past release: $counts")
+  }
+
+  test("repeated SCD2 incremental runs stay block-stable under releaseBlocks") {
+    val counts = (1 to 5).map { _ =>
+      SparkEntry.queries("q20_scd2_incremental")(spark, sf).count()
+      val during = persistentCount
+      Bench.releaseBlocks(spark)
+      (during, persistentCount)
+    }
+    assert(counts.exists(_._1 > 0), s"q20 never checkpointed: $counts")
+    assert(counts.forall(_._2 == 0), s"blocks leaked past release: $counts")
+  }
+
+  // Deliberately NOT tested: "without release the count grows". Whether
+  // dead checkpoints linger depends on when driver GC feeds the
+  // ContextCleaner's reference queue — a correct implementation can
+  // legitimately show either outcome on any given run. The stable
+  // property is the contract above: explicit release always drops the
+  // registry to zero, immediately.
+}
