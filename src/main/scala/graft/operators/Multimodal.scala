@@ -7,10 +7,15 @@ import org.apache.spark.sql.functions._
   * pipeline as opaque `binary` payloads with typed metadata, processed
   * by per-partition batch functions over a typed `Dataset`.
   *
-  * The decode kernel is a clearly marked STUB — this container has no
-  * image/audio codecs, so [[decodeStub]] derives deterministic fake
-  * dimensions from the payload length. Everything AROUND the stub is
-  * the real scale design:
+  * The IMAGE decode path is real: the JDK ships PNG/BMP/GIF/JPEG codecs
+  * (`javax.imageio`), so `kind = "image"` payloads that parse as one of
+  * those formats report their actual pixel dimensions. Audio/video
+  * decode remains a clearly marked STUB (no such codecs in the JDK or
+  * this container) — as is any image payload that no installed reader
+  * accepts: both fall back to deterministic fake dimensions derived
+  * from the payload length, so tests and the SQL oracle can verify the
+  * plumbing end-to-end. Everything around the kernel is the real scale
+  * design:
   *  - payloads stay in executor memory as byte arrays, never in driver
   *    memory, never stringified;
   *  - `mapPartitions` gives the decode library one JVM-local batch per
@@ -39,19 +44,34 @@ object Multimodal {
         (col(idCol) % 3 + 1).cast("int")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** STUB decode: real deployments replace the body with an actual
-    * codec call (e.g. javax.imageio / ffmpeg bindings); dimensions here
-    * are a deterministic function of payload length so tests and the
-    * SQL oracle can verify the plumbing end-to-end. */
+  /** Executor-side image decode via the JDK's ImageIO (PNG/BMP/GIF/
+    * JPEG): actual (width, height), or None when no installed reader
+    * accepts the bytes. ImageIO.read is thread-safe per call; the
+    * ByteArrayInputStream wraps the payload without copying it. */
+  private def tryDecodeImage(bytes: Array[Byte]): Option[(Int, Int)] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      .map(img => (img.getWidth, img.getHeight))
+    catch { case _: java.io.IOException => None }
+
+  /** Feature extraction over a media table. Images decode for real
+    * (see [[tryDecodeImage]]); audio/video — and undecodable image
+    * bytes — take the stub path: dimensions are a deterministic
+    * function of payload length. */
   def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { batch =>
       batch.map { m =>
         val n = m.payload.length.toLong
-        // ??? <- codec goes here; fake is deterministic in n:
-        MediaFeatures(m.media_id, m.kind, n,
-          width = (n % 640).toInt, height = (n % 480).toInt,
-          frames = if (m.kind == "video") (n % 30 + 1).toInt else 1)
+        val real = if (m.kind == "image") tryDecodeImage(m.payload) else None
+        real match {
+          case Some((w, h)) =>
+            MediaFeatures(m.media_id, m.kind, n, width = w, height = h, frames = 1)
+          case None =>
+            // ??? <- audio/video codec goes here; fake is deterministic in n:
+            MediaFeatures(m.media_id, m.kind, n,
+              width = (n % 640).toInt, height = (n % 480).toInt,
+              frames = if (m.kind == "video") (n % 30 + 1).toInt else 1)
+        }
       }
     }
   }

@@ -187,4 +187,30 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(feats(4L).kind == "audio" && feats(4L).width == 4 % 640)
     assert(feats(3L).frames == 1)
   }
+
+  test("image payloads decode to their REAL pixel dimensions via ImageIO") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", png(17, 23)),
+      (2L, "image", png(640, 1)),
+      (3L, "image", "not an image at all".getBytes("UTF-8")),
+      (4L, "audio", png(9, 9))) // wrong kind: decode must not even be tried
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.decodeStub(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 17 && feats(1L).height == 23 && feats(1L).frames == 1)
+    assert(feats(2L).width == 640 && feats(2L).height == 1)
+    // undecodable image bytes fall back to the deterministic stub
+    val n3 = feats(3L).n_bytes
+    assert(feats(3L).width == (n3 % 640).toInt && feats(3L).height == (n3 % 480).toInt)
+    // audio kind never decodes, even when the bytes ARE a valid png
+    val n4 = feats(4L).n_bytes
+    assert(feats(4L).width == (n4 % 640).toInt)
+  }
 }
