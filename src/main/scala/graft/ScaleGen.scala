@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-shape data generator: writes an N×-scaled copy of a testdata
+  * directory by unioning key-shifted copies of every fact-like table
+  * (dims `region`/`nation` stay fixed, like TPC-H scale factors do).
+  * Used for the SCALE.md experiment — verifying the headline queries
+  * grow ~linearly in rows rather than super-linearly (shuffle blowup,
+  * pair explosion) when the data is 10× bigger.
+  *
+  * Each copy `i` shifts every key column by `i * 100_000_000` — joins
+  * and groupings keep their per-key cardinalities while key-space
+  * cardinality scales with the data, exactly how a bigger corpus
+  * behaves. `documents.text` is additionally passed through a per-copy
+  * character rotation (10 distinct mappings) so copies do NOT become
+  * cross-copy near-duplicates: without it, every doc would gain 9 LSH
+  * twins and the near-dup pair count would grow quadratically in copies
+  * — a data-distribution change, not a plan-scale measurement.
+  *
+  * Usage: runMain graft.ScaleGen <srcDir> <destDir> <copies>
+  */
+object ScaleGen {
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey", "o_custkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events"     -> Seq("event_id", "user_id"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val rotAlphabet = "aeiousnrtl"
+
+  private def mutate(table: String, df: DataFrame, i: Int): DataFrame = {
+    val shifted = keyCols(table).foldLeft(df) { (d, k) =>
+      d.withColumn(k, (col(k) + lit(i * 100000000L)).cast(d.schema(k).dataType))
+    }
+    if (table == "documents" && i > 0)
+      shifted.withColumn("text",
+        translate(col("text"), rotAlphabet,
+          rotAlphabet.drop(i % rotAlphabet.length) +
+            rotAlphabet.take(i % rotAlphabet.length)))
+    else shifted
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (src, dest, copies) = (args(0), args(1), args(2).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = Sessions.local(cpus)
+    Tables.names.foreach { t =>
+      val base = spark.read.parquet(s"$src/$t.parquet")
+      val out =
+        if (!keyCols.contains(t)) base
+        else (0 until copies).map(i => mutate(t, base, i)).reduce(_.unionByName(_))
+      out.write.mode("overwrite").parquet(s"$dest/$t.parquet")
+      println(s"[scalegen] $t: ${spark.read.parquet(s"$dest/$t.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}
