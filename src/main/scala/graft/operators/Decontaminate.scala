@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import TextFunctions._
+
+/** Benchmark decontamination: flag training documents that share any
+  * word-n-gram with an evaluation/benchmark set — the standard overlap
+  * check run before training so eval scores measure generalization,
+  * not memorization of leaked test items.
+  *
+  * Scale design (100 TB corpus, benchmark sets of 1e3–1e6 docs):
+  *  - The EVAL side is tiny by construction; its distinct hashed
+  *    n-gram set (one long per gram) is broadcast — the corpus-side
+  *    probe is then a map-side broadcast semi join: ONE pass over the
+  *    training corpus, no corpus shuffle at all.
+  *  - Grams are 60-bit md5-derived hashes ([[TextFunctions.hash60]]),
+  *    not strings: the broadcast table stays 8 bytes/gram and equality
+  *    is a long compare.
+  *  - The corpus side explodes grams only into the join (no
+  *    materialized gram table); Catalyst plans
+  *    generate → broadcast-semi-join → distinct-on-id, with the
+  *    distinct the only shuffle (on contaminated ids — a small set).
+  */
+object Decontaminate {
+
+  /** Distinct hashed word-`n`-gram shingles of `textCol`. */
+  private def grams(df: DataFrame, cols: Seq[String], textCol: String, n: Int) =
+    df.select(cols.map(col) :+
+      array_distinct(transform(shingles(tokens(col(textCol)), n),
+        s => hash60(s))).as("__grams"): _*)
+
+  /** `train` plus a boolean `flagCol`: true iff the doc shares at
+    * least one word-`n`-gram with any `eval` doc. Rows of `train` are
+    * preserved 1:1 (docs too short to shingle flag false). */
+  def flagContaminated(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int, flagCol: String = "is_contaminated"): DataFrame = {
+    val evalGrams = grams(eval, Seq.empty, textCol, n)
+      .select(explode(col("__grams")).as("g")).distinct()
+    val contaminated = grams(train, Seq(idCol), textCol, n)
+      .select(col(idCol), explode(col("__grams")).as("g"))
+      .join(broadcast(evalGrams), "g", "left_semi")
+      .select(col(idCol)).distinct()
+      .withColumn(flagCol, lit(true))
+    train.join(contaminated, Seq(idCol), "left")
+      .withColumn(flagCol, coalesce(col(flagCol), lit(false)))
+  }
+}

@@ -204,6 +204,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list: the step that
+    * turns PAIRS into DEDUP DECISIONS. LSH emits (a,b), (b,c); keeping
+    * "one of each pair" would wrongly retain b AND c — the unit of
+    * deduplication is the transitive cluster, labeled here by its
+    * minimum member id (the canonical survivor).
+    *
+    * Algorithm: iterative min-label propagation (the same fixpoint
+    * GraphX's ConnectedComponents runs via Pregel): every node starts
+    * at `min(self, neighbors)`, and each round each node takes the min
+    * of its own and its neighbors' labels, until no label changes.
+    * Rounds = graph diameter; each round is one hash join + one
+    * aggregation, both shuffling on node id. Near-dup graphs are
+    * overwhelmingly tiny star/clique clusters (diameter ≤ ~3), so this
+    * converges in a handful of rounds; for adversarially deep graphs
+    * (long chains) prefer star-contraction variants, which converge in
+    * O(log n) rounds at the price of more complex rounds.
+    *
+    * Each round localCheckpoints the label frame: it truncates the
+    * otherwise exponentially growing lineage AND pins the only state
+    * the next round needs (see the lifecycle contract on
+    * [[materialize]]). The convergence probe doubles as the
+    * materializing action.
+    *
+    * Returns (node, component): every id that appears in `pairs`,
+    * labeled with the min id of its component. Singletons (ids never
+    * paired) don't appear — callers re-attach them with a left join +
+    * `coalesce(component, id)`.
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxRounds: Int = 30): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint() // re-read every round; one shuffle, once
+    var labels = edges.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("node"), least(col("src"), col("nmin")).as("label"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val neighborLabels = edges
+        .join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("label"))
+      val next = neighborLabels.union(labels.select(col("node"), col("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxRounds rounds — graph diameter exceeds the bound; raise maxRounds or use a star-contraction variant")
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** Per-doc SimHash over token hashes: bit b of the sketch is set
     * when the b-th bit is set in more token hashes than not.
     * `bits` <= 60 (hash60 width). */

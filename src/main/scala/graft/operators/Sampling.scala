@@ -34,6 +34,36 @@ object Sampling {
     df.filter(pmod(hash60(keyCol), lit(denom.toLong)) < num)
   }
 
+  /** Temperature-smoothed mixture weights per group — the sampling
+    * weights a multi-source/multi-lingual training mix uses to
+    * up-weight small sources: `w_g ∝ p_g^alpha` with `alpha = 0.5`
+    * (sqrt smoothing; alpha→1 is proportional, alpha→0 uniform).
+    *
+    * sqrt (not a general `pow`) is deliberate for the oracle gate:
+    * sqrt is IEEE-754 correctly rounded in every engine while pow is
+    * not, so weights hash-match cross-engine bit-for-bit. The
+    * normalizing denominator Σ√p is an ORDERED left fold over the
+    * group keys (collect to an array, sort, fold) — floating-point
+    * addition isn't associative, and an unordered SUM could differ in
+    * the last ulp between engines. The collect is over GROUPS (source
+    * labels, languages — tens to thousands), never rows, so the
+    * driver-side footprint is trivial at any corpus size.
+    *
+    * Returns (key, n_rows, p, weight), one row per group. */
+  def mixtureWeights(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+    val withTotal = counts.crossJoin(counts.agg(sum(col("n_rows")).as("total")))
+      .withColumn("p", col("n_rows").cast("double") / col("total"))
+    val denom = withTotal
+      .agg(aggregate(
+        array_sort(collect_list(struct(col(keyCol), col("p")))),
+        lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("p"))).as("denom"))
+    withTotal.crossJoin(denom)
+      .select(col(keyCol), col("n_rows"), col("p"),
+        (sqrt(col("p")) / col("denom")).as("weight"))
+  }
+
   /** Cap each group at `n` rows, selected in deterministic hash order
     * of `keyCol` (ties broken by the key itself). The per-group
     * selection is uniform-without-replacement in expectation but fully

@@ -80,6 +80,44 @@ object TextAnalysis {
     best.getField("lang")
   }
 
+  /** Repetition statistics per document — the Gopher/C4-style signals
+    * that catch boilerplate and degenerate generations which length or
+    * stopword heuristics miss: a page of "buy now buy now …" has
+    * perfect alpha ratio and fine length but collapses under
+    * distinct-token and top-token-multiplicity tests.
+    *
+    * Columns: `n_tokens`, `n_distinct`, `top_token_count` (max
+    * multiplicity of any single token), `distinct_ratio`,
+    * `top_token_frac`. All map-side built-in expressions; the max
+    * multiplicity is a linear fold over the SORTED token array (equal
+    * tokens are adjacent → longest run = highest count), keeping the
+    * whole computation inside codegen with zero per-row allocation
+    * beyond the sort. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val sorted = array_sort(toks)
+    // fold state: (prev token, current run, best run); "" is safe as
+    // the initial prev — tokens are non-empty by construction
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      best.as("top_token_count"),
+      (size(array_distinct(toks)).cast("double") /
+        nullif(size(toks), lit(0))).as("distinct_ratio"),
+      (best.cast("double") / nullif(size(toks), lit(0))).as("top_token_frac"))
+  }
+
   /** Rolling-hash content fingerprint after normalization (lowercase,
     * strip non-alphanumerics-except-space, collapse whitespace) —
     * robust to case/punctuation edits, exact otherwise. */

@@ -150,6 +150,25 @@ object CurationQueries {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q62 — temperature-smoothed mixture weights per source (w ∝ √p,
+  // normalized): the sampling weights a multi-source training mix
+  // feeds its data loader. sqrt is correctly rounded in both engines
+  // and the Σ√p denominator is an ordered fold on both sides, so the
+  // weights hash-match exactly (see [[Sampling.mixtureWeights]]).
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    Sampling.mixtureWeights(Tables.documents(s, dir), "source")
+      .orderBy(col("source"))
+  private val q62Sql =
+    """WITH c AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source),
+      |t AS (SELECT SUM(n_rows) AS total FROM c),
+      |p AS (SELECT source, n_rows, CAST(n_rows AS DOUBLE) / total AS p FROM c, t),
+      |d AS (SELECT list_reduce(
+      |        list_prepend(0.0, list(p ORDER BY source)),
+      |        (acc, x) -> acc + sqrt(x)) AS denom FROM p)
+      |SELECT source, n_rows, p, sqrt(p) / denom AS weight
+      |FROM p, d ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
     QueryDef("q48_hash_sample", q48, Some(q48Sql)),
@@ -158,5 +177,6 @@ object CurationQueries {
     QueryDef("q53_shard_budgets", q53, Some(q53Sql)),
     QueryDef("q57_approx_distinct", q57, Some(q57Sql)),
     QueryDef("q58_salted_distinct", q58, Some(q58Sql)),
+    QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
   )
 }

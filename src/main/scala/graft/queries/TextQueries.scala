@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, TextAnalysis, TextFunctions}
+import graft.operators.{Decontaminate, Dedup, Multimodal, TextAnalysis, TextFunctions}
 
 /** Training-data text operators over the `documents` table: per-doc
   * stats, quality scoring, language id, fingerprinting, exact dedup,
@@ -250,8 +250,91 @@ object TextQueries {
       |   / NULLIF(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 0) AS chars_per_bpe_token
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q59 — near-dup CLUSTERS: connected components over the q30 LSH
+  // pairs, each doc labeled with its cluster's min id (the canonical
+  // survivor). Pairs alone under-delete — (a,b),(b,c) must collapse to
+  // ONE survivor, which only the transitive closure knows. The oracle
+  // computes the same closure with a recursive CTE over the q30 pair
+  // SQL (tractable at oracle scale; the Spark side is the O(diameter)
+  // min-label-propagation that works at corpus scale).
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+  private val q59Sql =
+    s"""WITH RECURSIVE pairs AS (
+      |$q30Sql
+      |),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      |         FROM reach GROUP BY src)
+      |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q60 — benchmark decontamination: training docs sharing any word
+  // trigram with the eval slice (doc_id % 97 == 3 stands in for a
+  // benchmark set), counted per language. The eval gram set broadcasts;
+  // the corpus side is one map-side semi-join pass (see
+  // [[graft.operators.Decontaminate]] scale notes).
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalSet = docs.filter(col("doc_id") % 97 === 3)
+    val train = docs.filter(col("doc_id") % 97 =!= 3)
+    Decontaminate.flagContaminated(train, evalSet, "doc_id", "text", n = 3)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+      .orderBy(col("lang"))
+  }
+  private val q60Sql =
+    s"""WITH t AS (SELECT doc_id, lang, $dTokens AS toks FROM documents),
+      |sh AS (SELECT doc_id, lang,
+      |  list_transform(${dShingles("toks")}, s -> ${dHash("s")}) AS hs FROM t),
+      |eg AS (SELECT DISTINCT unnest(hs) AS g FROM sh WHERE doc_id % 97 = 3),
+      |tg AS (SELECT doc_id, unnest(hs) AS g FROM sh WHERE doc_id % 97 <> 3),
+      |cont AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (g))
+      |SELECT sh.lang, COUNT(*) AS n_train,
+      |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      |FROM sh LEFT JOIN cont c USING (doc_id)
+      |WHERE sh.doc_id % 97 <> 3
+      |GROUP BY sh.lang ORDER BY sh.lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q61 — repetition statistics (Gopher/C4-style quality signals):
+  // distinct-token ratio and top-token multiplicity per doc. The max
+  // multiplicity is a linear fold over the sorted token array on the
+  // Spark side; the oracle computes the same number as the max
+  // per-distinct-token count (mode count == longest sorted run).
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  private val q61Sql = {
+    val topCnt =
+      "COALESCE(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))), 0)"
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents)
+      |SELECT doc_id,
+      | CAST(len(toks) AS BIGINT) AS n_tokens,
+      | CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      | CAST($topCnt AS BIGINT) AS top_token_count,
+      | CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(len(toks), 0) AS distinct_ratio,
+      | CAST($topCnt AS DOUBLE) / NULLIF(len(toks), 0) AS top_token_frac
+      |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q25_text_stats", q25, Some(q25Sql)),
+    QueryDef("q59_dedup_clusters", q59, Some(q59Sql)),
+    QueryDef("q60_decontaminate", q60, Some(q60Sql)),
+    QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q26_quality_score", q26, Some(q26Sql)),
     QueryDef("q27_lang_id", q27, Some(q27Sql)),
     QueryDef("q28_fingerprint", q28, Some(q28Sql)),

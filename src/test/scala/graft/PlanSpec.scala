@@ -127,6 +127,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
+  test("q60: decontamination probes the corpus with a broadcast semi join") {
+    val p = planOf("q60_decontaminate")
+    // eval gram set broadcasts; the training corpus must NOT shuffle
+    // into the contamination join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
   test("q02: grouped aggregation is partial (map-side combine before shuffle)") {
     val df = SparkEntry.queries("q02_groupby_agg")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -143,6 +143,69 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents labels transitive clusters by min id") {
+    // two chains and a clique: {1,2,3,4} via chain, {10,11,12} via
+    // clique edges, pair order/direction mixed on purpose
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),
+      (11L, 10L), (10L, 12L), (12L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("connectedComponents converges on a long chain and fails fast past maxRounds") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L) && got.size == 12)
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxRounds = 1).collect()
+    }
+  }
+
+  test("flagContaminated flags exactly the docs sharing an n-gram with eval") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "completely unrelated training content here"),
+      (3L, "short doc"), // too short to trigram: never contaminated
+      (4L, "we said the quick brown dog")) // shares "the quick brown"
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, "watch the quick brown fox run")).toDF("doc_id", "text")
+    val got = operators.Decontaminate.flagContaminated(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_contaminated")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
+  test("repetitionStats catches degenerate repetition") {
+    val df = Seq(
+      (1L, "buy now buy now buy now"),
+      (2L, "all words here are different"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_tokens") == 6 &&
+      got(1L).getAs[Long]("n_distinct") == 2 &&
+      got(1L).getAs[Long]("top_token_count") == 3)
+    assert(got(1L).getAs[Double]("top_token_frac") == 0.5)
+    assert(got(2L).getAs[Long]("top_token_count") == 1 &&
+      got(2L).getAs[Double]("distinct_ratio") == 1.0)
+    assert(got(3L).getAs[Long]("n_tokens") == 0 && got(3L).isNullAt(4))
+  }
+
+  test("mixtureWeights: sqrt smoothing normalizes and compresses the mix") {
+    val df = (1 to 90).map(i => (i, "big")) ++ (1 to 10).map(i => (i, "small"))
+    val got = operators.Sampling.mixtureWeights(df.toDF("id", "src"), "src")
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val wBig = got("big").getAs[Double]("weight")
+    val wSmall = got("small").getAs[Double]("weight")
+    assert(math.abs(wBig + wSmall - 1.0) < 1e-12)
+    // smoothing: small source gets MORE than its 10% share, big less than 90%
+    assert(wSmall > 0.1 && wBig < 0.9 && wBig > wSmall)
+  }
+
   test("fingerprint is invariant to case and punctuation") {
     val df = Seq(
       (1L, "Hello, World! This is Spark."),
