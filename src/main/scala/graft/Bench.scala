@@ -129,14 +129,19 @@ object Bench {
         }
       }
       var times = (1 to runsPerQuery).flatMap(_ => timedRun())
-      val failed = times.length < runsPerQuery
+      var failed = times.length < runsPerQuery
       // Spread gate: a single contended run shows up as max/min > 3;
       // grant extra runs so the median reflects the quiet majority (the
-      // raw list still records the outlier for the auditor).
+      // raw list still records the outlier for the auditor). A FAILED
+      // extra run flips the query to failed too — it wrote an errors{}
+      // entry, and all-or-nothing means never a timing alongside one.
       var extra = 0
       while (!failed && extra < maxExtraRuns &&
           times.min > 0 && times.max / times.min > spreadLimit) {
-        timedRun().foreach(t => times = times :+ t)
+        timedRun() match {
+          case Some(t) => times = times :+ t
+          case None    => failed = true
+        }
         extra += 1
       }
       rawRuns += name -> times

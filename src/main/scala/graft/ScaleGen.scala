@@ -49,6 +49,12 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val (src, dest, copies) = (args(0), args(1), args(2).toInt)
+    // one distinct rotation per copy: past rotAlphabet.length the
+    // mapping repeats (i % len), copies i and i+len get byte-identical
+    // text, and the cross-copy near-dup explosion this generator exists
+    // to prevent comes back silently
+    require(copies >= 1 && copies <= rotAlphabet.length,
+      s"copies=$copies out of range 1..${rotAlphabet.length} (distinct text rotations)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = Sessions.local(cpus)
     Tables.names.foreach { t =>

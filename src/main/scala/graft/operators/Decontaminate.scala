@@ -15,9 +15,11 @@ import TextFunctions._
   *    n-gram set (one long per gram) is broadcast — the corpus-side
   *    probe is then a map-side broadcast semi join: ONE pass over the
   *    training corpus, no corpus shuffle at all.
-  *  - Grams are 60-bit md5-derived hashes ([[TextFunctions.hash60]]),
-  *    not strings: the broadcast table stays 8 bytes/gram and equality
-  *    is a long compare.
+  *  - Grams are hashed longs ([[TextFunctions.hashedShingles]] — md5
+  *    once per TOKEN, gram hashes combined arithmetically), not
+  *    strings: no per-gram string allocation or ~n× corpus md5 bytes
+  *    on the hot side, the broadcast table stays 8 bytes/gram, and
+  *    equality is a long compare.
   *  - The corpus side explodes grams only into the join (no
   *    materialized gram table); Catalyst plans
   *    generate → broadcast-semi-join → distinct-on-id, with the
@@ -28,8 +30,7 @@ object Decontaminate {
   /** Distinct hashed word-`n`-gram shingles of `textCol`. */
   private def grams(df: DataFrame, cols: Seq[String], textCol: String, n: Int) =
     df.select(cols.map(col) :+
-      array_distinct(transform(shingles(tokens(col(textCol)), n),
-        s => hash60(s))).as("__grams"): _*)
+      hashedShingles(tokens(col(textCol)), n).as("__grams"): _*)
 
   /** `train` plus a boolean `flagCol`: true iff the doc shares at
     * least one word-`n`-gram with any `eval` doc. Rows of `train` are

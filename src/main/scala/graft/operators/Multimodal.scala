@@ -47,11 +47,17 @@ object Multimodal {
   /** Executor-side image decode via the JDK's ImageIO (PNG/BMP/GIF/
     * JPEG): actual (width, height), or None when no installed reader
     * accepts the bytes. ImageIO.read is thread-safe per call; the
-    * ByteArrayInputStream wraps the payload without copying it. */
+    * ByteArrayInputStream wraps the payload without copying it.
+    *
+    * NonFatal (not just IOException): JDK readers CLAIM formats from a
+    * short magic ("BM"…) and then parse garbage as header fields,
+    * throwing ArrayIndexOutOfBounds / NegativeArraySize and friends on
+    * malformed input. Any such payload must fall back to the stub, not
+    * fail the Spark task. */
   private def tryDecodeImage(bytes: Array[Byte]): Option[(Int, Int)] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
       .map(img => (img.getWidth, img.getHeight))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Feature extraction over a media table. Images decode for real
     * (see [[tryDecodeImage]]); audio/video — and undecodable image

@@ -204,8 +204,12 @@ object ExtendedQueries {
   private def q55(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val y = year(col("o_orderdate"))
+    // half-open upper bound: o_orderdate is a timestamp, and
+    // between(..., "1998-12-31") would cast the bound to midnight and
+    // silently drop intra-day 1998-12-31 rows the EXTRACT(YEAR) oracle
+    // keeps
     val flags = o
-      .filter(col("o_orderdate").between("1997-01-01", "1998-12-31"))
+      .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1999-01-01")
       .groupBy(col("o_custkey"))
       .agg(max(y === 1997).as("y97"), max(y === 1998).as("y98"))
     flags

@@ -297,8 +297,12 @@ object TextQueries {
   }
   private val q60Sql =
     s"""WITH t AS (SELECT doc_id, lang, $dTokens AS toks FROM documents),
+      |tho AS (SELECT doc_id, lang,
+      |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM t),
       |sh AS (SELECT doc_id, lang,
-      |  list_transform(${dShingles("toks")}, s -> ${dHash("s")}) AS hs FROM t),
+      |  list_distinct(list_transform(range(1, len(th) - 1),
+      |    i -> ((((th[i] * 65599 + th[i+1]) % 4294967311) * 65599 + th[i+2]) % 4294967311) % 4294967296)) AS hs
+      |  FROM tho),
       |eg AS (SELECT DISTINCT unnest(hs) AS g FROM sh WHERE doc_id % 97 = 3),
       |tg AS (SELECT doc_id, unnest(hs) AS g FROM sh WHERE doc_id % 97 <> 3),
       |cont AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (g))
@@ -318,8 +322,12 @@ object TextQueries {
     TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
   private val q61Sql = {
+    // null-symmetric with the Spark fold: NULL text -> NULL (Spark's
+    // aggregate over a null array), empty token list -> 0 (the fold's
+    // initial best). A bare COALESCE would one-sidedly map NULL to 0.
     val topCnt =
-      "COALESCE(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))), 0)"
+      "CASE WHEN toks IS NULL THEN NULL ELSE " +
+        "COALESCE(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))), 0) END"
     s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents)
       |SELECT doc_id,
       | CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -263,6 +263,10 @@ class TrainingOpsSpec extends AnyFunSuite {
       (1L, "image", png(17, 23)),
       (2L, "image", png(640, 1)),
       (3L, "image", "not an image at all".getBytes("UTF-8")),
+      // "BM" magic: the JDK BMP reader CLAIMS these bytes then throws a
+      // RuntimeException parsing garbage header ints — must fall back,
+      // not kill the task
+      (5L, "image", "BMW is a carmaker, not a bitmap".getBytes("UTF-8")),
       (4L, "audio", png(9, 9))) // wrong kind: decode must not even be tried
       .toDF("media_id", "kind", "payload")
     val feats = Multimodal.decodeStub(spark, media).collect()
@@ -272,6 +276,8 @@ class TrainingOpsSpec extends AnyFunSuite {
     // undecodable image bytes fall back to the deterministic stub
     val n3 = feats(3L).n_bytes
     assert(feats(3L).width == (n3 % 640).toInt && feats(3L).height == (n3 % 480).toInt)
+    val n5 = feats(5L).n_bytes
+    assert(feats(5L).width == (n5 % 640).toInt && feats(5L).height == (n5 % 480).toInt)
     // audio kind never decodes, even when the bytes ARE a valid png
     val n4 = feats(4L).n_bytes
     assert(feats(4L).width == (n4 % 640).toInt)
