@@ -53,21 +53,27 @@ object TextQueries {
       .select(col("doc_id"), col("lang"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .orderBy(col("doc_id"))
-  private val q26Sql = {
+  /** DuckDB fragment: the fixed-weight quality score over columns
+    * `text` and `toks` — mirrors [[TextAnalysis.qualityScore]] verbatim
+    * (shared by q26 and the q63 curation pipeline). */
+  private val dQuality = {
     val asciiStops = TextAnalysis.langStopwords.flatMap(_._2)
       .filter(_.forall(_ < 128)).map(w => s"'$w'").mkString(", ")
-    s"""WITH t AS (SELECT doc_id, lang, text, $dTokens AS toks FROM documents)
-      |SELECT doc_id, lang,
-      | least(1.0, greatest(0.0,
+    s"""least(1.0, greatest(0.0,
       |   least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.3
       |   + COALESCE(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
       |       / NULLIF(length(text), 0), 0.0) * 0.4
       |   + least(COALESCE(CAST(len(list_filter(toks, w -> lower(w) IN ($asciiStops))) AS DOUBLE)
       |       / NULLIF(len(toks), 0), 0.0) * 4, 1.0) * 0.2
       |   + (1.0 - least(COALESCE(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-      |       / NULLIF(length(text), 0), 0.0) * 10, 1.0)) * 0.1)) AS quality
-      |FROM t ORDER BY doc_id""".stripMargin
+      |       / NULLIF(length(text), 0), 0.0) * 10, 1.0)) * 0.1))""".stripMargin
   }
+
+  private val q26Sql =
+    s"""WITH t AS (SELECT doc_id, lang, text, $dTokens AS toks FROM documents)
+      |SELECT doc_id, lang,
+      | $dQuality AS quality
+      |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // q27 — language-id heuristic vs the labeled lang (confusion counts).
@@ -131,7 +137,11 @@ object TextQueries {
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 16, shingleN = 3, bands = 8, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
-  private val q30Sql = {
+  /** The LSH pair machinery as a reusable CTE chain over `src` (must
+    * expose doc_id + text): t → th → hb (hashed trigram shingles) →
+    * sigs (16 minhashes) → bk (8 band keys) → cand. Shared by q30, the
+    * q59 closure, and the q63 curation pipeline. */
+  private def dLshCtes(src: String): String = {
     import graft.operators.Dedup.{minhashPermA, minhashPermB, MinhashPrime}
     val mh = (0 until 16).map(j =>
       s"list_min(list_transform(hs, h -> (${minhashPermA(j)} * h + ${minhashPermB(j)}) % $MinhashPrime)) AS mh$j")
@@ -139,7 +149,7 @@ object TextQueries {
     val bandSelects = (0 until 8).map(b =>
       s"SELECT doc_id, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sigs")
       .mkString("\n UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $dTokens AS toks FROM $src),
       |th AS (SELECT doc_id,
       |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM t),
       |hb AS (SELECT doc_id,
@@ -149,15 +159,34 @@ object TextQueries {
       |sigs AS (SELECT doc_id, hs, $mh FROM hb WHERE len(hs) > 0),
       |bk AS ($bandSelects),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-      |SELECT id_a, id_b,
+      |  FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Jaccard-verified pair select over the [[dLshCtes]] chain. */
+  private val dLshPairsSelect =
+    """SELECT id_a, id_b,
       | CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
       |   / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
       |FROM cand JOIN hb sa ON cand.id_a = sa.doc_id JOIN hb sb ON cand.id_b = sb.doc_id
       |WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
-      |   / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5
+      |   / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5""".stripMargin
+
+  /** Transitive closure over a `pairs` CTE → `comp(doc_id, component)`.
+    * Requires WITH RECURSIVE at the head of the enclosing query. */
+  private val dCcCtes =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
+      |         FROM reach GROUP BY src)""".stripMargin
+
+  private val q30Sql =
+    s"""WITH ${dLshCtes("documents")}
+      |$dLshPairsSelect
       |ORDER BY id_a, id_b""".stripMargin
-  }
 
   // ---------------------------------------------------------------
   // q31 — SimHash sketch per doc + cluster size on the exact sketch.
@@ -266,17 +295,9 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
   private val q59Sql =
-    s"""WITH RECURSIVE pairs AS (
-      |$q30Sql
-      |),
-      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-      |          UNION SELECT id_b, id_a FROM pairs),
-      |reach AS (
-      |  SELECT src, dst FROM edges
-      |  UNION
-      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      |comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component
-      |         FROM reach GROUP BY src)
+    s"""WITH RECURSIVE ${dLshCtes("documents")},
+      |pairs AS ($dLshPairsSelect),
+      |$dCcCtes
       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
@@ -321,13 +342,16 @@ object TextQueries {
   private def q61(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
+  // null-symmetric with the Spark fold: NULL text -> NULL (Spark's
+  // aggregate over a null array), empty token list -> 0 (the fold's
+  // initial best). A bare COALESCE would one-sidedly map NULL to 0.
+  // Shared by q61 and the q63 curation pipeline.
+  private val dTopTokenCount =
+    "CASE WHEN toks IS NULL THEN NULL ELSE " +
+      "COALESCE(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))), 0) END"
+
   private val q61Sql = {
-    // null-symmetric with the Spark fold: NULL text -> NULL (Spark's
-    // aggregate over a null array), empty token list -> 0 (the fold's
-    // initial best). A bare COALESCE would one-sidedly map NULL to 0.
-    val topCnt =
-      "CASE WHEN toks IS NULL THEN NULL ELSE " +
-        "COALESCE(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))), 0) END"
+    val topCnt = dTopTokenCount
     s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents)
       |SELECT doc_id,
       | CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -338,11 +362,107 @@ object TextQueries {
       |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q63 — the curation pipeline END-TO-END, composing the operators a
+  // training-data run chains: exact dedup (keep min-id survivor) →
+  // near-dup cluster dedup (LSH pairs → connected components, keep the
+  // component's canonical doc) → benchmark decontamination → quality
+  // gate (fixed-weight score + repetition). Stages run SEQUENTIALLY on
+  // survivors — each doc is attributed to the FIRST stage that drops
+  // it, so the per-language accounting is unambiguous and the five
+  // counts partition n_train exactly. The oracle rebuilds the same
+  // pipeline from the shared SQL fragments (LSH chain, recursive
+  // closure, quality expression) over the same survivor CTEs.
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalSet = docs.filter(col("doc_id") % 97 === 3)
+    val train = docs.filter(col("doc_id") % 97 =!= 3)
+
+    val exactDups = Dedup.exactGroups(train, "doc_id", "text")
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id"), lit(true).as("f_exact"))
+    val surv1 = train.join(exactDups, Seq("doc_id"), "left_anti")
+
+    val pairs = Dedup.minhashLshPairs(surv1, "doc_id", "text",
+      k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+    val nearDups = Dedup.connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"), lit(true).as("f_near"))
+    val surv2 = surv1.join(nearDups, Seq("doc_id"), "left_anti")
+
+    val contaminated = Decontaminate
+      .flagContaminated(surv2, evalSet, "doc_id", "text", n = 3)
+      .filter(col("is_contaminated"))
+      .select(col("doc_id"), lit(true).as("f_cont"))
+    val surv3 = surv2.join(contaminated, Seq("doc_id"), "left_anti")
+
+    val lowQuality = surv3
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .join(TextAnalysis.repetitionStats(surv3, "doc_id", "text")
+        .select(col("doc_id"), col("top_token_frac")), Seq("doc_id"))
+      .filter(col("quality") < 0.55 ||
+        coalesce(col("top_token_frac") > 0.2, lit(false)))
+      .select(col("doc_id"), lit(true).as("f_lowq"))
+
+    train.select(col("doc_id"), col("lang"))
+      .join(exactDups, Seq("doc_id"), "left")
+      .join(nearDups, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(lowQuality, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(when(col("f_exact"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("f_near"), 1L).otherwise(0L)).as("n_near_dup"),
+        sum(when(col("f_cont"), 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when(col("f_lowq"), 1L).otherwise(0L)).as("n_low_quality"),
+        sum(when(col("f_exact").isNull && col("f_near").isNull &&
+          col("f_cont").isNull && col("f_lowq").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+  private val q63Sql =
+    s"""WITH RECURSIVE tr AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 97 <> 3),
+      |eh AS (SELECT doc_id, md5(text) AS h FROM tr),
+      |ek AS (SELECT h, MIN(doc_id) AS keeper FROM eh GROUP BY h),
+      |ed AS (SELECT eh.doc_id FROM eh JOIN ek USING (h) WHERE eh.doc_id <> ek.keeper),
+      |s1 AS (SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM ed)),
+      |${dLshCtes("s1")},
+      |pairs AS ($dLshPairsSelect),
+      |$dCcCtes,
+      |nd AS (SELECT doc_id FROM comp WHERE doc_id <> component),
+      |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+      |eg AS (SELECT DISTINCT unnest(hs) AS g FROM (
+      |  SELECT list_distinct(list_transform(range(1, len(eth) - 1),
+      |    i -> ((((eth[i] * 65599 + eth[i+1]) % 4294967311) * 65599 + eth[i+2]) % 4294967311) % 4294967296)) AS hs
+      |  FROM (SELECT list_transform($dTokens, x -> ${dHash("x")} % 4294967296) AS eth
+      |        FROM documents WHERE doc_id % 97 = 3))),
+      |tg AS (SELECT hb.doc_id, unnest(hb.hs) AS g FROM hb
+      |       WHERE hb.doc_id IN (SELECT doc_id FROM s2)),
+      |contids AS (SELECT DISTINCT doc_id FROM tg JOIN eg USING (g)),
+      |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM contids)),
+      |qr AS (SELECT doc_id, text, $dTokens AS toks FROM s3),
+      |lowq AS (SELECT doc_id FROM qr
+      |  WHERE $dQuality < 0.55
+      |     OR COALESCE(CAST($dTopTokenCount AS DOUBLE) / NULLIF(len(toks), 0) > 0.2, FALSE))
+      |SELECT tr.lang,
+      |  COUNT(*) AS n_train,
+      |  CAST(SUM(CASE WHEN tr.doc_id IN (SELECT doc_id FROM ed) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |  CAST(SUM(CASE WHEN tr.doc_id IN (SELECT doc_id FROM nd) THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+      |  CAST(SUM(CASE WHEN tr.doc_id IN (SELECT doc_id FROM contids) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(SUM(CASE WHEN tr.doc_id IN (SELECT doc_id FROM lowq) THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+      |  CAST(SUM(CASE WHEN tr.doc_id NOT IN (SELECT doc_id FROM ed)
+      |             AND tr.doc_id NOT IN (SELECT doc_id FROM nd)
+      |             AND tr.doc_id NOT IN (SELECT doc_id FROM contids)
+      |             AND tr.doc_id NOT IN (SELECT doc_id FROM lowq) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM tr GROUP BY tr.lang ORDER BY tr.lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q25_text_stats", q25, Some(q25Sql)),
     QueryDef("q59_dedup_clusters", q59, Some(q59Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
+    QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),
     QueryDef("q26_quality_score", q26, Some(q26Sql)),
     QueryDef("q27_lang_id", q27, Some(q27Sql)),
     QueryDef("q28_fingerprint", q28, Some(q28Sql)),

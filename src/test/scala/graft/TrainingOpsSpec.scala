@@ -206,6 +206,17 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(wSmall > 0.1 && wBig < 0.9 && wBig > wSmall)
   }
 
+  test("q63: the five stage counts partition n_train exactly") {
+    val rows = SparkEntry.queries("q63_curation_pipeline")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val parts = Seq("n_exact_dup", "n_near_dup", "n_contaminated",
+        "n_low_quality", "n_kept").map(r.getAs[Long](_)).sum
+      assert(parts == r.getAs[Long]("n_train"),
+        s"${r.getAs[String]("lang")}: $parts != ${r.getAs[Long]("n_train")}")
+    }
+  }
+
   test("fingerprint is invariant to case and punctuation") {
     val df = Seq(
       (1L, "Hello, World! This is Spark."),
