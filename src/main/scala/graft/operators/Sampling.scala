@@ -64,6 +64,39 @@ object Sampling {
         (sqrt(col("p")) / col("denom")).as("weight"))
   }
 
+  /** Annotate each row with its group's exact `[lo, hi]` percentile
+    * bounds of `valueCol` (linear interpolation — Spark `percentile`,
+    * DuckDB `quantile_cont`; the two are hash-identical, pinned by
+    * q39/q65). The bounds frame is one row per GROUP, so the join back
+    * is a broadcast — the corpus side never shuffles.
+    *
+    * Scale note (100 TB): exact percentile sorts each group's values on
+    * a single reducer, which is fine for the value DOMAIN here (token
+    * counts per language — the agg buffer holds counts per distinct
+    * value, not per row). For unbounded domains swap the agg for
+    * `approx_percentile`; the operator shape is unchanged. */
+  def withPercentileBounds(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, lo: Double, hi: Double,
+      loName: String, hiName: String): DataFrame = {
+    require(0 <= lo && lo <= hi && hi <= 1, s"need 0 <= lo=$lo <= hi=$hi <= 1")
+    require(!df.columns.contains(loName) && !df.columns.contains(hiName),
+      s"input already defines $loName/$hiName")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(valueCol, lit(lo)).as(loName),
+        percentile(valueCol, lit(hi)).as(hiName))
+    df.join(broadcast(bounds), groupCols)
+  }
+
+  /** Drop per-group outliers: keep rows whose `valueCol` lies within
+    * the group's `[lo, hi]` percentile band (length trimming for a
+    * training corpus — truncated docs and boilerplate giants out). */
+  def trimByPercentile(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, lo: Double, hi: Double): DataFrame =
+    withPercentileBounds(df, groupCols, valueCol, lo, hi,
+        "__graft_lo", "__graft_hi")
+      .filter(valueCol >= col("__graft_lo") && valueCol <= col("__graft_hi"))
+      .drop("__graft_lo", "__graft_hi")
+
   /** Cap each group at `n` rows, selected in deterministic hash order
     * of `keyCol` (ties broken by the key itself). The per-group
     * selection is uniform-without-replacement in expectation but fully

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Sampling, Skew, SurrogateKeys}
+import graft.operators.{Packing, Sampling, Skew, SurrogateKeys}
 
 /** Corpus-curation + skew-mitigation queries (q47–q50): the operators
   * the round-1 verdict noted as unit-tested-but-not-oracle-gated
@@ -18,6 +18,9 @@ object CurationQueries {
   /** DuckDB fragment: 60-bit md5 hash, value-identical to
     * [[graft.operators.TextFunctions.hash60]]. */
   private def dHash(x: String) = s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+  /** DuckDB fragment: whitespace tokens of `text`. */
+  private val dTokens =
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
 
   // ---------------------------------------------------------------
   // q47 — salted two-phase aggregation equals the direct aggregation
@@ -169,6 +172,73 @@ object CurationQueries {
       |SELECT source, n_rows, p, sqrt(p) / denom AS weight
       |FROM p, d ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q64 — sequence packing (concat-and-chunk): each doc lands in a
+  // shard, a fixed-budget training sequence within the shard, and a
+  // token offset inside that sequence; boundary-crossing docs are
+  // flagged. The whole packing is a prefix sum in deterministic hash
+  // order — one shuffle on the shard key, no global sort (see
+  // [[graft.operators.Packing]] scale notes).
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(Tables.documents(s, dir), "doc_id", "text",
+        shards = 8, budgetTokens = 512)
+      .orderBy(col("doc_id"))
+  private val q64Sql = {
+    val h = dHash("CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id, $h AS h,
+       |  CAST(len($dTokens) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, h % 8 AS shard, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY h % 8 ORDER BY h, CAST(doc_id AS VARCHAR)
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens,
+       |  cum_before // 512 AS seq_id,
+       |  cum_before % 512 AS seq_offset,
+       |  n_tokens > 0 AND (cum_before + n_tokens - 1) // 512 > cum_before // 512 AS straddles
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q65 — per-language length-outlier trim: exact [p05, p95] token
+  // bounds per language (Spark `percentile` ≡ DuckDB `quantile_cont`,
+  // same linear interpolation — the q39 precedent), then one
+  // conditional-aggregation pass classifying every doc as short /
+  // long / kept. The bounds frame is one row per language and
+  // broadcast back, so the corpus side never shuffles before the
+  // final per-language rollup.
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextFunctions.tokenCount
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.withPercentileBounds(tok, Seq("lang"), col("n_tokens"),
+        0.05, 0.95, "p05", "p95")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("n_tokens") < col("p05"), 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("n_tokens") > col("p95"), 1L).otherwise(0L)).as("n_long"),
+        sum(when(col("n_tokens").between(col("p05"), col("p95")), 1L)
+          .otherwise(0L)).as("n_kept"),
+        max(col("p05")).as("p05"),
+        max(col("p95")).as("p95"))
+      .orderBy(col("lang"))
+  }
+  private val q65Sql =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  CAST(len($dTokens) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT lang, quantile_cont(n_tokens, 0.05) AS p05,
+       |             quantile_cont(n_tokens, 0.95) AS p95
+       |      FROM t GROUP BY lang)
+       |SELECT t.lang, COUNT(*) AS n_total,
+       |  CAST(SUM(CASE WHEN n_tokens < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       |  CAST(SUM(CASE WHEN n_tokens > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+       |  CAST(SUM(CASE WHEN n_tokens BETWEEN p05 AND p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  MAX(p05) AS p05, MAX(p95) AS p95
+       |FROM t JOIN c USING (lang)
+       |GROUP BY t.lang ORDER BY t.lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
     QueryDef("q48_hash_sample", q48, Some(q48Sql)),
@@ -178,5 +248,7 @@ object CurationQueries {
     QueryDef("q57_approx_distinct", q57, Some(q57Sql)),
     QueryDef("q58_salted_distinct", q58, Some(q58Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
+    QueryDef("q64_sequence_packing", q64, Some(q64Sql)),
+    QueryDef("q65_length_trim", q65, Some(q65Sql)),
   )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Packing, Sampling}
+
+/** Unit semantics for sequence packing and percentile trimming. */
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+  import spark.implicits._
+
+  private val sf001 = "/root/testdata/sf0.001"
+  private def packed =
+    Packing.packSequences(Tables.documents(spark, sf001), "doc_id", "text",
+      shards = 4, budgetTokens = 256)
+
+  test("packing is gapless: offsets are the running token sum mod budget") {
+    val rows = packed.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getAs[Long]("seq_offset")
+      assert(off >= 0 && off < 256, s"offset $off outside [0, 256)")
+    }
+    // reconstruct each shard's stream: sorted by (seq_id, seq_offset),
+    // global token position seq_id*budget + seq_offset must equal the
+    // running sum of the previous docs' tokens (no gap, no overlap)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(r =>
+        (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset")))
+      var cum = 0L
+      ordered.foreach { r =>
+        val pos = r.getAs[Long]("seq_id") * 256 + r.getAs[Long]("seq_offset")
+        assert(pos == cum, s"doc at $pos but stream is at $cum")
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("straddles iff the doc crosses a budget boundary") {
+    packed.collect().foreach { r =>
+      val expected = r.getAs[Long]("n_tokens") > 0 &&
+        r.getAs[Long]("seq_offset") + r.getAs[Long]("n_tokens") > 256
+      assert(r.getAs[Boolean]("straddles") == expected, r.toString)
+    }
+  }
+
+  test("packing is invariant to the input partitioning") {
+    val base = packed.collect().map(_.toString).sorted
+    val re = Packing.packSequences(
+      Tables.documents(spark, sf001).repartition(7), "doc_id", "text",
+      shards = 4, budgetTokens = 256).collect().map(_.toString).sorted
+    assert(base.toSeq == re.toSeq)
+  }
+
+  test("trimByPercentile keeps exactly the inner percentile band") {
+    // 1..100 in one group: p05 = 5.95, p95 = 95.05 -> kept = 6..95
+    val df = (1 to 100).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val kept = Sampling.trimByPercentile(df, Seq("grp"), col("v"), 0.05, 0.95)
+      .select("v").as[Long].collect().sorted
+    assert(kept.toSeq == (6L to 95L).toSeq, kept.mkString(","))
+  }
+
+  test("trimByPercentile trims within each group independently") {
+    val df = ((1 to 100).map(v => ("a", v.toLong)) ++
+      (1001 to 1010).map(v => ("b", v.toLong))).toDF("grp", "v")
+    val kept = Sampling.trimByPercentile(df, Seq("grp"), col("v"), 0.05, 0.95)
+    val byGrp = kept.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("a") == 90)
+    // 10 values: p05 = 1001.45, p95 = 1009.55 -> kept = 1002..1009
+    assert(byGrp("b") == 8)
+  }
+}

@@ -134,6 +134,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("q64: packing windows on the shard key — never a single-partition sort") {
+    val p = planOf("q64_sequence_packing")
+    // the prefix sum must run per shard (hash exchange on the shard
+    // column); a SinglePartition window would serialize the corpus
+    assert(p.contains("Exchange hashpartitioning(shard"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q65: percentile bounds broadcast back — the corpus side never shuffles to join") {
+    val p = planOf("q65_length_trim")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q02: grouped aggregation is partial (map-side combine before shuffle)") {
     val df = SparkEntry.queries("q02_groupby_agg")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
