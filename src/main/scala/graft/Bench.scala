@@ -37,9 +37,14 @@ object Bench {
   private val spreadLimit = 3.0
   private val maxExtraRuns = 2
 
+  /** True median: the spread gate grows the run list to even lengths
+    * (3+1=4), where the upper-middle element alone would be an
+    * upward-biased "median" precisely for the contended queries the
+    * gate targets — so even lengths average the two middle elements. */
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.length / 2)
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
   private def loadAvg(): Seq[Double] =
@@ -147,8 +152,9 @@ object Bench {
       rawRuns += name -> times
       // All-or-nothing: a query that failed ANY of its runs reports the
       // -1 failure marker (plus its errors entry), never a timing — a
-      // partial median over 2 runs is s(1) = the max, and a row in both
-      // queries{} and errors{} would be ambiguous to the driver.
+      // partial median over fewer runs answers a different question,
+      // and a row in both queries{} and errors{} would be ambiguous to
+      // the driver.
       if (failed) name -> -1.0 else name -> median(times)
     }
     val loadAfter = loadAvg()

@@ -37,6 +37,16 @@ object Decontaminate {
     * preserved 1:1 (docs too short to shingle flag false). */
   def flagContaminated(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int, flagCol: String = "is_contaminated"): DataFrame = {
+    // Fail fast instead of emitting duplicate/ambiguous columns: a
+    // frame that already carries flagCol (e.g. re-running the flagger
+    // on its own output) would get a second one from the left join,
+    // and an idCol named like the internal gram columns would collide
+    // inside the probe plan.
+    require(!train.columns.contains(flagCol),
+      s"train already has a '$flagCol' column — drop or rename it before flagging")
+    val internal = Seq("g", "__grams")
+    require(!internal.contains(idCol) && idCol != flagCol,
+      s"idCol '$idCol' collides with an internal/output column (${(internal :+ flagCol).mkString("/")})")
     val evalGrams = grams(eval, Seq.empty, textCol, n)
       .select(explode(col("__grams")).as("g")).distinct()
     val contaminated = grams(train, Seq(idCol), textCol, n)

@@ -223,9 +223,13 @@ object Dedup {
     *
     * Each round localCheckpoints the label frame: it truncates the
     * otherwise exponentially growing lineage AND pins the only state
-    * the next round needs (see the lifecycle contract on
-    * [[materialize]]). The convergence probe doubles as the
-    * materializing action.
+    * the next round needs. Superseded rounds are unpersisted as soon
+    * as the convergence probe (the materializing action for the next
+    * round) completes, and the edge frame is released on return — a
+    * call pins O(1) block sets while running and exactly ONE (the
+    * returned labels) after it returns, not O(rounds). That final
+    * checkpoint follows the lifecycle contract on [[materialize]]:
+    * the caller releases it (e.g. [[graft.Bench.releaseBlocks]]).
     *
     * Returns (node, component): every id that appears in `pairs`,
     * labeled with the min id of its component. Singletons (ids never
@@ -243,24 +247,41 @@ object Dedup {
       .localCheckpoint()
     var rounds = 0
     var converged = false
-    while (!converged && rounds < maxRounds) {
-      val neighborLabels = edges
-        .join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("label"))
-      val next = neighborLabels.union(labels.select(col("node"), col("label")))
-        .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") < col("prev")).count()
-      labels = next
-      converged = changed == 0
-      rounds += 1
-    }
+    try {
+      while (!converged && rounds < maxRounds) {
+        val neighborLabels = edges
+          .join(labels, edges("dst") === labels("node"))
+          .select(edges("src").as("node"), col("label"))
+        val next = neighborLabels.union(labels.select(col("node"), col("label")))
+          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        val changed = next
+          .join(labels.withColumnRenamed("label", "prev"), "node")
+          .filter(col("label") < col("prev")).count()
+        // `next` is fully materialized (eager checkpoint) and `changed`
+        // no longer needs the previous round — release its blocks NOW,
+        // not at caller cleanup: near maxRounds the superseded rounds
+        // would otherwise pin ~30 copies of the node set simultaneously.
+        releasePinned(labels)
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+    } finally releasePinned(edges)
     require(converged,
       s"connectedComponents: no fixpoint after $maxRounds rounds — graph diameter exceeds the bound; raise maxRounds or use a star-contraction variant")
     labels.select(col("node"), col("label").as("component"))
   }
+
+  /** Unpersist the RDD blocks pinned by a localCheckpoint'd frame.
+    * Only safe once nothing will read the frame again (its lineage is
+    * truncated — the blocks ARE the data). */
+  private def releasePinned(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Per-doc SimHash over token hashes: bit b of the sketch is set
     * when the b-th bit is set in more token hashes than not.

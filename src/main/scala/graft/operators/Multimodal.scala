@@ -44,20 +44,52 @@ object Multimodal {
         (col(idCol) % 3 + 1).cast("int")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** Executor-side image decode via the JDK's ImageIO (PNG/BMP/GIF/
-    * JPEG): actual (width, height), or None when no installed reader
-    * accepts the bytes. ImageIO.read is thread-safe per call; the
-    * ByteArrayInputStream wraps the payload without copying it.
+  /** Largest per-side pixel dimension accepted from an image header.
+    * A header is attacker-controlled: a few hundred payload bytes can
+    * DECLARE 60000×60000. We never allocate pixel buffers (see below),
+    * but downstream consumers trust width*height for batch sizing, so
+    * implausible declarations take the stub path instead. */
+  private val MaxImageDim = 16384
+
+  /** Executor-side image dimension probe via the JDK's ImageIO
+    * (PNG/BMP/GIF/JPEG): actual (width, height) from the HEADER ONLY,
+    * or None when no installed reader accepts the bytes.
+    *
+    * Header-only matters for untrusted payloads: `ImageIO.read` would
+    * allocate the full W*H pixel buffer just to report dimensions, and
+    * a crafted header declaring huge dimensions turns that into an
+    * OutOfMemoryError — which NonFatal does NOT catch, killing the
+    * Spark task. `reader.getWidth/getHeight(0)` parse only header
+    * fields; a dimension cap rejects implausible declarations on top.
+    * MemoryCacheImageInputStream keeps the probe fully in-memory —
+    * ImageIO's default stream otherwise spills a disk-cache temp file
+    * per payload on executors.
     *
     * NonFatal (not just IOException): JDK readers CLAIM formats from a
     * short magic ("BM"…) and then parse garbage as header fields,
     * throwing ArrayIndexOutOfBounds / NegativeArraySize and friends on
     * malformed input. Any such payload must fall back to the stub, not
     * fail the Spark task. */
-  private def tryDecodeImage(bytes: Array[Byte]): Option[(Int, Int)] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      .map(img => (img.getWidth, img.getHeight))
-    catch { case scala.util.control.NonFatal(_) => None }
+  private def tryDecodeImage(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(in, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w > 0 && h > 0 && w <= MaxImageDim && h <= MaxImageDim)
+            Some((w, h))
+          else None
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
 
   /** Feature extraction over a media table. Images decode for real
     * (see [[tryDecodeImage]]); audio/video — and undecodable image

@@ -42,7 +42,10 @@ object Packing {
       shards: Int, budgetTokens: Long): DataFrame = {
     require(shards > 0, s"need shards > 0, got $shards")
     require(budgetTokens > 0, s"need budgetTokens > 0, got $budgetTokens")
-    val reserved = Seq("__graft_id", "shard", "n_tokens", "cum_before")
+    // Internal AND output names: idCol="seq_id" would otherwise emit
+    // two seq_id columns silently.
+    val reserved = Seq("__graft_id", "shard", "n_tokens", "cum_before",
+      "seq_id", "seq_offset", "straddles")
     require(!reserved.contains(idCol) && !reserved.contains(textCol),
       s"idCol/textCol must not be one of ${reserved.mkString("/")}")
     val idStr = col(idCol).cast("string")

@@ -44,6 +44,22 @@ class CheckpointLifecycleSpec extends AnyFunSuite {
     assert(counts.forall(_._2 == 0), s"blocks leaked past release: $counts")
   }
 
+  test("connectedComponents releases edges and superseded rounds itself") {
+    import spark.implicits._
+    Bench.releaseBlocks(spark)
+    // a 12-node chain needs several propagation rounds: without the
+    // in-loop release this would pin edges + one label set per round
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = operators.Dedup.connectedComponents(chain)
+    assert(out.count() == 12)
+    // only the FINAL labels checkpoint may remain pinned (the caller
+    // releases that one per the materialize contract)
+    assert(persistentCount == 1,
+      s"expected only the final labels frame pinned, got $persistentCount")
+    Bench.releaseBlocks(spark)
+    assert(persistentCount == 0)
+  }
+
   // Deliberately NOT tested: "without release the count grows". Whether
   // dead checkpoints linger depends on when driver GC feeds the
   // ContextCleaner's reference queue — a correct implementation can

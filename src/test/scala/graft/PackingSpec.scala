@@ -53,6 +53,18 @@ class PackingSpec extends AnyFunSuite {
     assert(base.toSeq == re.toSeq)
   }
 
+  test("packing rejects id/text columns named like its own outputs") {
+    // seq_id as idCol would silently emit two seq_id columns
+    val df = Seq((1L, "a b c")).toDF("seq_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(df, "seq_id", "text", shards = 2, budgetTokens = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(df.withColumnRenamed("seq_id", "straddles"),
+        "straddles", "text", shards = 2, budgetTokens = 8)
+    }
+  }
+
   test("trimByPercentile keeps exactly the inner percentile band") {
     // 1..100 in one group: p05 = 5.95, p95 = 95.05 -> kept = 6..95
     val df = (1 to 100).map(v => ("g", v.toLong)).toDF("grp", "v")

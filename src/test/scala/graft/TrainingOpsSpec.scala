@@ -177,6 +177,17 @@ class TrainingOpsSpec extends AnyFunSuite {
     val got = operators.Decontaminate.flagContaminated(train, eval, "doc_id", "text", n = 3)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_contaminated")).toMap
     assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+    // re-flagging an already-flagged frame fails fast instead of
+    // emitting a duplicate/ambiguous is_contaminated column
+    val flagged = operators.Decontaminate.flagContaminated(train, eval, "doc_id", "text", n = 3)
+    intercept[IllegalArgumentException] {
+      operators.Decontaminate.flagContaminated(flagged, eval, "doc_id", "text", n = 3)
+    }
+    // idCol colliding with the internal gram columns fails fast too
+    intercept[IllegalArgumentException] {
+      operators.Decontaminate.flagContaminated(
+        train.withColumnRenamed("doc_id", "g"), eval, "g", "text", n = 3)
+    }
   }
 
   test("repetitionStats catches degenerate repetition") {
@@ -292,5 +303,19 @@ class TrainingOpsSpec extends AnyFunSuite {
     // audio kind never decodes, even when the bytes ARE a valid png
     val n4 = feats(4L).n_bytes
     assert(feats(4L).width == (n4 % 640).toInt)
+  }
+
+  test("image dimensions beyond the cap take the stub path (header-only probe)") {
+    // A real PNG whose header declares a dimension past MaxImageDim
+    // (16384): the probe must read the header only — never allocate
+    // the 20000-wide pixel buffer ImageIO.read would — and, because
+    // headers are attacker-controlled, refuse the implausible claim.
+    val img = new java.awt.image.BufferedImage(
+      20000, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val media = Seq((1L, "image", out.toByteArray)).toDF("media_id", "kind", "payload")
+    val f = Multimodal.decodeStub(spark, media).collect().head
+    assert(f.width == (f.n_bytes % 640).toInt && f.height == (f.n_bytes % 480).toInt)
   }
 }
