@@ -183,6 +183,76 @@ object Similarity {
     rankTopK(scored, k, col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** One Lloyd iteration of k-means: assign every corpus vector to its
+    * nearest centroid ([[ivfAssign]] — zero-shuffle broadcast argmax),
+    * then recompute each centroid as the elementwise mean of its
+    * members. Chain the output back in as the next `centroids` frame
+    * to train the IVF coarse quantizer ([[kmeans]] does the looping).
+    *
+    * The mean is accumulated in FIXED-POINT: each component is scaled
+    * by 2^`fracBits`, floored to a long, and summed as DECIMAL(38,0) —
+    * exact, overflow-free into the billions of members per cluster,
+    * and ORDER-INDEPENDENT, unlike a double sum, whose value shifts
+    * with partitioning and merge order. On a 1000-executor cluster
+    * that buys bit-reproducible centroids run-over-run (and against
+    * any other engine) while keeping the sum a plain mergeable partial
+    * aggregate — no sorted collect, no single reducer. Quantization
+    * error is at most 2^-fracBits per component per member (~1e-13 at
+    * the default 43 — far below float input precision).
+    *
+    * Returns one row per (centroid_id, dim): `n_members` and the new
+    * component `mean` (sum / 2^fracBits / n, doubles). Unassignable
+    * vectors (zero norm → centroid_id -1) are excluded. Reassemble to
+    * vectors with [[assembleCentroids]]. */
+  def kmeansStep(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, fracBits: Int = 43): DataFrame = {
+    require(fracBits > 0 && fracBits < 63, s"need 0 < fracBits < 63, got $fracBits")
+    val scale = math.pow(2.0, fracBits) // exact power of two
+    ivfAssign(corpus, centroids, idCol, vecCol)
+      .filter(col("centroid_id") >= 0)
+      .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(floor(col("v").cast("double") * scale).cast("decimal(38,0)")).as("__q"))
+      .select(col("centroid_id"), col("dim").cast("long").as("dim"),
+        col("n_members"),
+        (col("__q").cast("double") / scale / col("n_members")).as("mean"))
+  }
+
+  /** (centroid_id, dim, mean) rows → (centroid_id, n_members, vector)
+    * with components in dim order — the frame [[kmeansStep]] feeds
+    * back into [[ivfAssign]]. */
+  def assembleCentroids(step: DataFrame): DataFrame =
+    step.groupBy(col("centroid_id"))
+      .agg(
+        max(col("n_members")).as("n_members"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          s => s.getField("mean")).as("vector"))
+
+  /** Lloyd's algorithm: `iters` rounds of [[kmeansStep]] from the given
+    * seed centroids (deterministic — seed selection is the caller's
+    * policy, e.g. the k lowest ids). Clusters that lose all members
+    * keep their previous centroid. Each round materializes one K×dim
+    * centroid frame on the driver side of a broadcast — K·dim doubles,
+    * trivially small next to the corpus, which is scanned once per
+    * round with no shuffle beyond the (centroid, dim) partial agg. */
+  def kmeans(corpus: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, iters: Int, fracBits: Int = 43): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    (1 to iters).foldLeft(seeds.select(col(idCol).cast("long").as("centroid_id"),
+        col(vecCol).as("__vec"))) { (cents, _) =>
+      val next = assembleCentroids(kmeansStep(
+          corpus, cents.select(col("centroid_id").as(idCol), col("__vec").as(vecCol)),
+          idCol, vecCol, fracBits))
+        .select(col("centroid_id"), col("vector").as("__next"))
+      // empty clusters keep their previous centroid
+      cents.join(next, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("__next"), col("__vec")).as("__vec"))
+        .localCheckpoint() // bound the per-round plan growth
+    }.select(col("centroid_id"), col("__vec").as(vecCol))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a bucket (the
     * embedding analog of [[Dedup.ngramJaccardPairs]]). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -125,4 +125,46 @@ object TextAnalysis {
     val normalized = regexp_replace(lower(textCol), "[^a-z0-9 ]", " ")
     rollingFingerprint(tokens(normalized))
   }
+
+  /** Top-`k` characteristic keywords per document by tf·idf-style
+    * weight. The score is the exact rational `tf * n_docs / df`
+    * (linear inverse document frequency — no logarithm: a transcendental
+    * would cost cross-engine bit-equality and changes only the scale,
+    * not the per-document RANKING, of keywords). Ties break by token
+    * text ascending, so the selection is fully deterministic.
+    *
+    * Scale design (100 TB):
+    *  - term frequencies: one explode + groupBy(doc, token) with
+    *    map-side partial aggregation;
+    *  - document frequencies: a second aggregation over the tf frame
+    *    (already one row per (doc, token) — no re-tokenization, and
+    *    `count(*)` per token ≡ count-distinct docs);
+    *  - the per-doc top-k rank filter plans as a map-side
+    *    `WindowGroupLimit(Partial)` below the exchange, like every
+    *    other top-k in this engine;
+    *  - df lives in one broadcast-sized frame per distinct token. For
+    *    web-scale vocabularies swap the broadcast for a shuffle join
+    *    on token — the operator shape is unchanged.
+    *
+    * Returns (idCol, rank, token, tf, df, score). Docs with no tokens
+    * emit no rows. */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(docFreq, "token").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("long").as("rank"), col("token"),
+        col("tf"), col("df"), col("score"))
+  }
 }

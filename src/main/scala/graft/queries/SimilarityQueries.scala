@@ -139,11 +139,42 @@ object SimilarityQueries {
       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // q67 — one Lloyd iteration of k-means (seeds = vectors 0..7): the
+  // q51 argmax assignment, then per-(cluster, dim) member means.
+  // The means accumulate in FIXED-POINT (floor(v·2^43) summed as
+  // exact integers) — order-independent, so the unordered distributed
+  // sum is bit-reproducible and hash-matches DuckDB's HUGEINT sum of
+  // the same quantities. See [[graft.operators.Similarity.kmeansStep]].
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.kmeansStep(e, e.filter(col("vec_id") < 8), "vec_id", "embedding")
+      .orderBy(col("centroid_id"), col("dim"))
+  }
+  private val q67Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_inner_product(e.v, cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cv, cv))) AS cos
+      |  FROM e CROSS JOIN c),
+      |best AS (SELECT vec_id, cid FROM (
+      |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |  FROM scored) WHERE rn = 1),
+      |ex AS (SELECT b.cid AS centroid_id,
+      |    generate_subscripts(e.v, 1) - 1 AS dim,
+      |    CAST(FLOOR(unnest(e.v) * 8796093022208.0) AS BIGINT) AS q
+      |  FROM best b JOIN e ON e.vec_id = b.vec_id)
+      |SELECT centroid_id, CAST(dim AS BIGINT) AS dim,
+      |  COUNT(*) AS n_members,
+      |  CAST(SUM(q) AS DOUBLE) / 8796093022208.0 / COUNT(*) AS mean
+      |FROM ex GROUP BY centroid_id, dim ORDER BY centroid_id, dim""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q34_ann_brute_force", q34, Some(q34Sql)),
     QueryDef("q35_ann_bucketed", q35, Some(q35Sql)),
     QueryDef("q36_embedding_neardup", q36, Some(q36Sql)),
     QueryDef("q51_ivf_assign", q51, Some(q51Sql)),
     QueryDef("q52_ivf_multiprobe", q52, Some(q52Sql)),
+    QueryDef("q67_kmeans_step", q67, Some(q67Sql)),
   )
 }

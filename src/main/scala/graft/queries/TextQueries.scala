@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Decontaminate, Dedup, Multimodal, TextAnalysis, TextFunctions}
+import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Pii, TextAnalysis, TextFunctions}
 
 /** Training-data text operators over the `documents` table: per-doc
   * stats, quality scoring, language id, fingerprinting, exact dedup,
@@ -457,8 +457,98 @@ object TextQueries {
       |             AND tr.doc_id NOT IN (SELECT doc_id FROM lowq) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM tr GROUP BY tr.lang ORDER BY tr.lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q66 — PII scrubbing: synthesize deterministic PII (email, IPv4,
+  // SSN, phone — derived from doc_id, identically on both sides) into
+  // each document, then run the ordered redaction. Counts come from
+  // the same staged rewrite the redaction applies; the redacted text
+  // is checked via its md5 signature. Pure map-side regexp work —
+  // one corpus pass, no shuffle (see [[graft.operators.Pii]]).
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val seeded = Tables.documents(s, dir)
+      .withColumn("text", concat(
+        col("text"),
+        lit(" reach user"), id, lit("@mail.example.com or 10.1."),
+        (col("doc_id") % 200).cast("string"), lit(".7 ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" call 415-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+    Pii.scrub(seeded, "text")
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_ssn"),
+        col("n_phone"), length(col("redacted")).cast("long").as("redacted_len"),
+        substring(md5(col("redacted")), 1, 16).as("redacted_sig"))
+      .orderBy(col("doc_id"))
+  }
+  private val q66Sql = {
+    val Seq(email, ipv4, ssn, phone) = Pii.rules.map(_._2)
+    s"""WITH d AS (SELECT doc_id,
+      |  text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 10.1.'
+      |    || CAST(doc_id % 200 AS VARCHAR) || '.7 ssn 123-45-'
+      |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    || ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t0
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, t0, regexp_replace(t0, '$email', '<EMAIL>', 'g') AS t1 FROM d),
+      |s2 AS (SELECT *, regexp_replace(t1, '$ipv4', '<IP>', 'g') AS t2 FROM s1),
+      |s3 AS (SELECT *, regexp_replace(t2, '$ssn', '<SSN>', 'g') AS t3 FROM s2),
+      |s4 AS (SELECT *, regexp_replace(t3, '$phone', '<PHONE>', 'g') AS t4 FROM s3)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t0, '$email')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(t1, '$ipv4')) AS BIGINT) AS n_ipv4,
+      |  CAST(len(regexp_extract_all(t2, '$ssn')) AS BIGINT) AS n_ssn,
+      |  CAST(len(regexp_extract_all(t3, '$phone')) AS BIGINT) AS n_phone,
+      |  CAST(length(t4) AS BIGINT) AS redacted_len,
+      |  substr(md5(t4), 1, 16) AS redacted_sig
+      |FROM s4 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q68 — context-window chunking: 64-token windows every 48 tokens
+  // (16-token overlap). One map-side pass — tokenize, sequence the
+  // window starts, slice, posexplode; no shuffle, no state (see
+  // [[graft.operators.Chunking]]).
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Chunking.chunkByTokens(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, strideTokens = 48)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  private val q68Sql =
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |w AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start
+      |      FROM t WHERE len(toks) > 0)
+      |SELECT doc_id,
+      |  CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+      |  CAST(start - 1 AS BIGINT) AS chunk_start,
+      |  CAST(len(toks[start:start+63]) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(toks[start:start+63], ' ') AS chunk_text
+      |FROM w ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q69 — top-3 characteristic keywords per doc by the exact rational
+  // tf * n_docs / df (no logarithm — cross-engine bit-equality; see
+  // [[graft.operators.TextAnalysis.topKeywords]]). The per-doc top-k
+  // keeps the map-side WindowGroupLimit(Partial) shape.
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topKeywords(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+  private val q69Sql =
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, tf.token, tf.tf, dfreq.df,
+      |    CAST(tf.tf AS DOUBLE) * n_docs / dfreq.df AS score
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+      |ranked AS (SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, token) AS rank FROM scored)
+      |SELECT doc_id, rank, token, tf, df, score FROM ranked
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q25_text_stats", q25, Some(q25Sql)),
+    QueryDef("q66_pii_redaction", q66, Some(q66Sql)),
+    QueryDef("q68_chunking", q68, Some(q68Sql)),
+    QueryDef("q69_keywords", q69, Some(q69Sql)),
     QueryDef("q59_dedup_clusters", q59, Some(q59Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),

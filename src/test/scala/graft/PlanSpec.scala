@@ -142,6 +142,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("q66: PII scrubbing is pure map-side — no hash exchange, one scan") {
+    val p = planOf("q66_pii_redaction")
+    // four redaction rules + four counts must stay one fused projection
+    // over one corpus scan (the only exchange is the output orderBy)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q67: k-means step shuffles once — the (cluster, dim) partial agg") {
+    val p = planOf("q67_kmeans_step")
+    // assignment is the q51 zero-shuffle broadcast argmax; the update
+    // step's mean is a mergeable partial aggregate, so exactly one
+    // corpus-proportional hash exchange and no Window anywhere
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Window"), p)
+    // map-side combine before that exchange
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q68: chunking is pure map-side — explode, no hash exchange") {
+    val p = planOf("q68_chunking")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Generate"), p) // the posexplode
+  }
+
+  test("q69: per-doc keyword top-k keeps the partial group-limit shape") {
+    assertPartialGroupLimit("q69_keywords")
+  }
+
   test("q65: percentile bounds broadcast back — the corpus side never shuffles to join") {
     val p = planOf("q65_length_trim")
     assert(p.contains("BroadcastHashJoin"), p)
