@@ -29,7 +29,9 @@ object Bench {
     "q20_scd2_incremental", "q22_sessionize",
     "q29_dedup_exact", "q30_minhash_lsh", "q31_simhash",
     "q34_ann_brute_force", "q35_ann_bucketed", "q43_asof_attribution",
-    "q44_rank_suite", "q51_ivf_assign", "q52_ivf_multiprobe")
+    "q44_rank_suite", "q51_ivf_assign", "q52_ivf_multiprobe",
+    "q63_curation_pipeline", "q66_pii_redaction", "q67_kmeans_step",
+    "q68_chunking", "q69_keywords")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -113,6 +113,47 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a", "b"))
   }
 
+  // ------------------------------------------- streaming SCD2 upsert
+
+  test("ScdUpsert: streamed micro-batch merges equal the batch SCD2 chain") {
+    import java.time.LocalDate
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.ScdUpsert
+
+    val dimRoot = java.nio.file.Files.createTempDirectory("graft_scd_up").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_scd_ck").toString
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+
+    val b1 = Seq(("p1", "addr one", "Ng"), ("p2", "addr two", "Li"))
+    val b2 = Seq(("p1", "addr MOVED", "Ng"), ("p3", "addr three", "Ok"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, String)]
+    val snaps = mem.toDF.toDF("pid", "address", "last_name")
+    val q = ScdUpsert.start(spark, snaps, dimRoot, ckpt, "pid",
+      Seq("address", "last_name"), Seq("address", "last_name"), "sk",
+      bid => LocalDate.of(2026, 1, 1 + bid.toInt))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = ScdUpsert.currentDim(spark, dimRoot).get
+      .collect().map(_.toString).sorted.toSeq
+    // batch twin: the same two snapshots applied sequentially
+    val d1 = operators.ScdType2(b1.toDF("pid", "address", "last_name"), None,
+      "pid", Seq("address", "last_name"), Seq("address", "last_name"), "sk",
+      LocalDate.of(2026, 1, 1))
+    val d2 = operators.ScdType2(b2.toDF("pid", "address", "last_name"), Some(d1),
+      "pid", Seq("address", "last_name"), Seq("address", "last_name"), "sk",
+      LocalDate.of(2026, 1, 2))
+    assert(streamed == d2.collect().map(_.toString).sorted.toSeq)
+    // p1 has two versions (address changed), p2/p3 one each
+    assert(streamed.length == 4)
+    // the per-batch release kept stream storage flat
+    Bench.releaseBlocks(spark)
+    assert(spark.sparkContext.getPersistentRDDs.size <= pinnedBefore)
+  }
+
   // ------------------------------------------------------- k-means
 
   private def vecs(rows: (Long, Seq[Float])*) =
