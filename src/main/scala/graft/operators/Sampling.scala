@@ -118,4 +118,51 @@ object Sampling {
       .filter(col("__graft_rn") <= n)
       .drop("__graft_rn")
   }
+
+  /** Rank rows within each group in deterministic hash order of
+    * `keyCol` and keep those with rank <= the group's `quota` — the
+    * shared kernel of [[stratifiedSample]] and [[applyMixture]]. The
+    * quota frame is one row per GROUP (broadcast back); the corpus
+    * pays one hash shuffle for the per-group window sort. Unlike
+    * [[capPerGroup]]'s literal cap, a per-group quota can't use the
+    * map-side group-limit rewrite — the window sort is the price of
+    * exact quotas. `keyCol` uniqueness contract as in capPerGroup. */
+  private def keepByQuota(df: DataFrame, groupCols: Seq[String],
+      keyCol: Column, quotas: DataFrame, quotaCol: String): DataFrame = {
+    require(!df.columns.contains("__graft_rn") && !df.columns.contains(quotaCol),
+      s"input already defines __graft_rn/$quotaCol")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(hash60(keyCol), keyCol)
+    df.join(broadcast(quotas), groupCols)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= col(quotaCol))
+      .drop("__graft_rn", quotaCol)
+  }
+
+  /** Proportional stratified sample: keep exactly
+    * `ceil(frac * n_g)` rows of each group (never zero for a non-empty
+    * group), selected in deterministic hash order — every stratum is
+    * represented at the same rate, unlike [[hashSample]], whose
+    * per-group realized rate fluctuates around `num/denom`. */
+  def stratifiedSample(df: DataFrame, groupCols: Seq[String], keyCol: Column,
+      frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"need 0 < frac <= 1, got $frac")
+    val quotas = df.groupBy(groupCols.map(col): _*)
+      .agg(ceil(count(lit(1)) * frac).as("__graft_quota"))
+    keepByQuota(df, groupCols, keyCol, quotas, "__graft_quota")
+  }
+
+  /** Apply a [[mixtureWeights]] mix to a row budget: group `g` keeps
+    * `floor(weight_g * budget)` rows (capped by its size), selected in
+    * deterministic hash order — turning the √p-smoothed target
+    * distribution into an actual exported subset. Returns the kept
+    * rows. The weight arithmetic is the bit-exact q62 path, so the
+    * realized quotas are engine-reproducible. */
+  def applyMixture(df: DataFrame, keyCol: String, rowKey: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"need budget > 0, got $budget")
+    val quotas = mixtureWeights(df, keyCol)
+      .select(col(keyCol), floor(col("weight") * budget).as("__graft_quota"))
+    keepByQuota(df, Seq(keyCol), rowKey, quotas, "__graft_quota")
+  }
 }

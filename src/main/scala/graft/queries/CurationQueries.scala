@@ -239,8 +239,60 @@ object CurationQueries {
        |FROM t JOIN c USING (lang)
        |GROUP BY t.lang ORDER BY t.lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q70 — proportional stratified sample: exactly ceil(10% of n_g)
+  // docs per language, selected in deterministic hash order. The
+  // SELECTED SET must match across engines, not just its size —
+  // unlike q48's global hash sample, every stratum is represented at
+  // the same rate (see [[Sampling.stratifiedSample]]).
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, dir), Seq("lang"),
+        col("doc_id").cast("string"), frac = 0.1)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("lang"), col("doc_id"))
+  private val q70Sql = {
+    val h = dHash("CAST(doc_id AS VARCHAR)")
+    s"""WITH q AS (SELECT lang, CAST(ceil(COUNT(*) * 0.1) AS BIGINT) AS quota
+       |           FROM documents GROUP BY lang),
+       |r AS (SELECT doc_id, lang, row_number() OVER (
+       |        PARTITION BY lang ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn
+       |      FROM documents)
+       |SELECT doc_id, lang FROM r JOIN q USING (lang)
+       |WHERE rn <= quota ORDER BY lang, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q71 — mixture APPLICATION: the q62 √p-smoothed weights turned
+  // into an actual 200-row export — group g keeps floor(w_g · 200)
+  // docs in deterministic hash order. The q62 weight arithmetic is
+  // bit-exact cross-engine, so the realized quotas (and therefore the
+  // exact selected set) hash-match (see [[Sampling.applyMixture]]).
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    Sampling.applyMixture(Tables.documents(s, dir), "source",
+        col("doc_id").cast("string"), budget = 200)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("source"), col("doc_id"))
+  private val q71Sql = {
+    val h = dHash("CAST(doc_id AS VARCHAR)")
+    s"""WITH c AS (SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source),
+       |t AS (SELECT SUM(n_rows) AS total FROM c),
+       |p AS (SELECT source, CAST(n_rows AS DOUBLE) / total AS p FROM c, t),
+       |d AS (SELECT list_reduce(
+       |        list_prepend(0.0, list(p ORDER BY source)),
+       |        (acc, x) -> acc + sqrt(x)) AS denom FROM p),
+       |q AS (SELECT source, CAST(floor(sqrt(p) / denom * 200) AS BIGINT) AS quota
+       |      FROM p, d),
+       |r AS (SELECT doc_id, source, row_number() OVER (
+       |        PARTITION BY source ORDER BY $h, CAST(doc_id AS VARCHAR)) AS rn
+       |      FROM documents)
+       |SELECT doc_id, source FROM r JOIN q USING (source)
+       |WHERE rn <= quota ORDER BY source, doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
+    QueryDef("q70_stratified_sample", q70, Some(q70Sql)),
+    QueryDef("q71_apply_mixture", q71, Some(q71Sql)),
     QueryDef("q48_hash_sample", q48, Some(q48Sql)),
     QueryDef("q49_cap_per_group", q49, Some(q49Sql)),
     QueryDef("q50_stable_hash_sk", q50, Some(q50Sql)),

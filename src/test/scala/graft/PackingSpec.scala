@@ -65,6 +65,35 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample keeps exactly ceil(frac * n_g) per group, deterministically") {
+    val docs = Tables.documents(spark, sf001)
+    val expected = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.ceil(r.getLong(1) * 0.1).toLong).toMap
+    val got = Sampling.stratifiedSample(docs, Seq("lang"), col("doc_id").cast("string"), 0.1)
+    val kept = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == expected, s"$kept vs $expected")
+    // same selection under a different input partitioning
+    val again = Sampling.stratifiedSample(docs.repartition(7), Seq("lang"),
+      col("doc_id").cast("string"), 0.1)
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("applyMixture: floor(w*B) per group, capped by group size") {
+    val df = ((1 to 95).map(i => (i.toLong, "big")) ++
+      (96 to 100).map(i => (i.toLong, "tiny"))).toDF("id", "src")
+    // p = .95/.05 -> w = sqrt(p)/denom ≈ .813/.187; B=80 asks tiny for
+    // floor(.187*80) ≈ 14 rows — more than its 5: it keeps all 5,
+    // while big keeps exactly its floor(w*B) quota
+    val kept = Sampling.applyMixture(df, "src", col("id").cast("string"), budget = 80)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wBig = math.sqrt(0.95) / (math.sqrt(0.95) + math.sqrt(0.05))
+    assert(kept("big") == math.floor(wBig * 80).toLong)
+    assert(kept("tiny") == 5)
+  }
+
   test("trimByPercentile keeps exactly the inner percentile band") {
     // 1..100 in one group: p05 = 5.95, p95 = 95.05 -> kept = 6..95
     val df = (1 to 100).map(v => ("g", v.toLong)).toDF("grp", "v")

@@ -29,6 +29,32 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("ORC sink/source round-trip preserves schema, values, and pushes filters") {
+    val dir = Files.createTempDirectory("lineitem_orc").toString
+    val l = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    l.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == l.schema) // ORC stores types — no re-declare
+    val a = l.agg(sum("l_orderkey"), sum("l_quantity")).collect().head
+    val b = back.agg(sum("l_orderkey"), sum("l_quantity")).collect().head
+    assert(a == b)
+    // ORC scans take pushed filters like parquet
+    val plan = back.filter(col("l_returnflag") === "R")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), plan)
+  }
+
+  test("CSV sink/source round-trip under the declared schema (header mode)") {
+    val dir = Files.createTempDirectory("nation_csv").toString
+    val n = Tables.nation(spark, sf)
+    n.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(n.schema).csv(dir)
+    assert(back.schema == n.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      n.orderBy("n_nationkey").collect().toSeq)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = Files.createTempDirectory("events_part").toString
     Tables.events(spark, sf)
