@@ -273,15 +273,8 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
-  /** Unpersist the RDD blocks pinned by a localCheckpoint'd frame.
-    * Only safe once nothing will read the frame again (its lineage is
-    * truncated — the blocks ARE the data). */
   private def releasePinned(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    Checkpoints.releasePinned(df)
 
   /** Per-doc SimHash over token hashes: bit b of the sketch is set
     * when the b-th bit is set in more token hashes than not.

@@ -133,10 +133,16 @@ object Sampling {
       s"input already defines __graft_rn/$quotaCol")
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(hash60(keyCol), keyCol)
-    df.join(broadcast(quotas), groupCols)
+    // null-SAFE group equality: groupBy emits a quota row for a NULL
+    // group, and window partitioning groups NULL keys too — a plain
+    // equi-join would silently drop the whole NULL stratum between them
+    val aliased = quotas.select(groupCols.map(c => col(c).as(s"__graft_g_$c")) :+
+      col(quotaCol): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__graft_g_$c")).reduce(_ && _)
+    df.join(broadcast(aliased), cond)
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") <= col(quotaCol))
-      .drop("__graft_rn", quotaCol)
+      .drop(groupCols.map(c => s"__graft_g_$c") :+ "__graft_rn" :+ quotaCol: _*)
   }
 
   /** Proportional stratified sample: keep exactly

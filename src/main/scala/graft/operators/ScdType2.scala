@@ -110,11 +110,21 @@ object ScdType2 {
     // operator repeatedly should release consumed checkpoint blocks
     // between calls (graft.Bench.releaseBlocks documents the pattern;
     // CheckpointLifecycleSpec pins stability under it).
-    val nonEmptyExisting = existing.map(_.localCheckpoint()).filter(!_.isEmpty)
+    val ckExisting = existing.map(_.localCheckpoint())
+    val nonEmptyExisting = ckExisting.filter(!_.isEmpty)
+    // Release intermediates the result plan no longer reaches: when the
+    // re-key takes the checkpointing path its output is a fresh
+    // LogicalRDD, stranding these consumed frames beyond any release
+    // the caller could express (see Checkpoints.releaseConsumed).
+    def releasing(intermediates: Seq[DataFrame])(result: DataFrame): DataFrame = {
+      Checkpoints.releaseConsumed(result, intermediates)
+      result
+    }
     nonEmptyExisting match {
       case None =>
         // First run (`scd_implementation.py:21-30`).
-        rekey(stamped(snap.select((idCol +: attrCols).map(col): _*), lit(1)))
+        releasing(ckExisting.toSeq)(
+          rekey(stamped(snap.select((idCol +: attrCols).map(col): _*), lit(1))))
 
       case Some(existingDim) =>
         val cur = existingDim.filter(col("is_current"))
@@ -174,7 +184,7 @@ object ScdType2 {
           .unionByName(expiredOld)
           .unionByName(newVersion)
           .unionByName(brandNew)
-        rekey(assembled)
+        releasing(ckExisting.toSeq :+ joined)(rekey(assembled))
     }
   }
 }

@@ -247,9 +247,17 @@ object Similarity {
           idCol, vecCol, fracBits))
         .select(col("centroid_id"), col("vector").as("__next"))
       // empty clusters keep their previous centroid
-      cents.join(next, Seq("centroid_id"), "left")
+      val updated = cents.join(next, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("__next"), col("__vec")).as("__vec"))
         .localCheckpoint() // bound the per-round plan growth
+      // the eager checkpoint materialized `updated` — the superseded
+      // round's blocks are dead now; release them so a long training
+      // run pins O(1) centroid frames, not O(iters). (The seed frame
+      // has no checkpoint — round 1's release is a no-op.) The FINAL
+      // round's checkpoint ships with the returned frame; the caller
+      // releases it per the materialize contract.
+      Checkpoints.releasePinned(cents)
+      updated
     }.select(col("centroid_id"), col("__vec").as(vecCol))
   }
 

@@ -92,7 +92,18 @@ object SurrogateKeys {
       .localCheckpoint()
     val schema = StructType(sorted.schema.fields :+ StructField(skName, LongType, nullable = false))
     val indexed = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(indexed, schema)
+    // Checkpoint the RESULT too, then release `sorted`: zipWithIndex's
+    // output is a fresh LogicalRDD whose dependency on the sorted
+    // checkpoint is RDD-level — invisible to plan traversal — so
+    // without this, `sorted`'s blocks outlive every release the caller
+    // can express short of a session-wide sweep. The extra
+    // materialization is one cheap map pass over the already-pinned
+    // sorted blocks (never a recompute), and the returned frame
+    // becomes self-contained: one plan-visible checkpoint, released by
+    // the caller per the lifecycle contract above.
+    val result = spark.createDataFrame(indexed, schema).localCheckpoint()
+    Checkpoints.releasePinned(sorted)
+    result
   }
 
   /** Distinct natural keys → dense sequential sk starting at 0,

@@ -156,7 +156,7 @@ object TextAnalysis {
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
     val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = df.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(docFreq, "token").crossJoin(broadcast(nDocs))
+    val scored = tf.join(broadcast(docFreq), "token").crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs") / col("df"))
     scored

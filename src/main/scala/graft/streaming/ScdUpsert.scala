@@ -36,7 +36,14 @@ import graft.operators.ScdType2
   */
 object ScdUpsert {
 
-  /** Newest committed version directory strictly below `belowBatch`. */
+  /** Newest COMMITTED version directory strictly below `belowBatch`.
+    * Committed = the writer's `_SUCCESS` marker exists: a version
+    * directory appears on the filesystem before its write job commits,
+    * so bare existence would let an external reader (or a reader racing
+    * the in-flight batch) pick a partial version — and a mid-write
+    * crash would leave that partial version looking newest until the
+    * stream restarts. Overwrite-mode retries clear the marker first,
+    * so a retried batch's partial output is never committed-visible. */
   def latestVersion(spark: SparkSession, dimRoot: String,
       belowBatch: Long = Long.MaxValue): Option[String] = {
     val root = new Path(dimRoot)
@@ -44,9 +51,10 @@ object ScdUpsert {
     if (!fs.exists(root)) None
     else fs.listStatus(root).toSeq
       .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.matches("v\\d+"))
-      .map(_.drop(1).toLong)
+      .map(_.getPath)
+      .filter(p => p.getName.matches("v\\d+") &&
+        fs.exists(new Path(p, "_SUCCESS")))
+      .map(_.getName.drop(1).toLong)
       .filter(_ < belowBatch)
       .reduceOption(_ max _)
       .map(v => s"$dimRoot/v$v")
@@ -67,18 +75,17 @@ object ScdUpsert {
     snapshots.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sc = spark.sparkContext
-        val pinnedBefore = sc.getPersistentRDDs.keySet
         val existing = latestVersion(spark, dimRoot, belowBatch = batchId)
           .map(spark.read.parquet(_))
-        ScdType2(batch, existing, idCol, attrCols, tracked, skCol,
-            asOfForBatch(batchId))
-          .write.mode("overwrite").parquet(s"$dimRoot/v$batchId")
+        val next = ScdType2(batch, existing, idCol, attrCols, tracked, skCol,
+          asOfForBatch(batchId))
+        next.write.mode("overwrite").parquet(s"$dimRoot/v$batchId")
         // the write consumed every frame ScdType2 checkpointed this
-        // batch — release them so stream storage stays O(1)
-        (sc.getPersistentRDDs.keySet -- pinnedBefore)
-          .foreach(id => sc.getPersistentRDDs.get(id)
-            .foreach(_.unpersist(blocking = false)))
+        // batch; release exactly THOSE (plan-reachable) blocks so
+        // stream storage stays O(1). Never a session-wide sweep — that
+        // would unpersist frames a concurrent job on the shared
+        // session still needs.
+        graft.operators.Checkpoints.releasePinned(next)
         ()
       }
       .start()

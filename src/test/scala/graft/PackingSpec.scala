@@ -80,6 +80,16 @@ class PackingSpec extends AnyFunSuite {
       again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("stratifiedSample keeps the NULL stratum (null-safe quota join)") {
+    val df = Seq((1L, "en"), (2L, "en"), (3L, null), (4L, null), (5L, null))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, Seq("lang"), col("id").cast("string"), 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // en: ceil(0.5*2) = 1; NULL stratum: ceil(0.5*3) = 2, not silently dropped
+    assert(kept == Map(Some("en") -> 1L, None -> 2L), kept.toString)
+  }
+
   test("applyMixture: floor(w*B) per group, capped by group size") {
     val df = ((1 to 95).map(i => (i.toLong, "big")) ++
       (96 to 100).map(i => (i.toLong, "tiny"))).toDF("id", "src")

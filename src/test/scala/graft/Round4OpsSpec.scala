@@ -139,6 +139,11 @@ class Round4OpsSpec extends AnyFunSuite {
 
     val streamed = ScdUpsert.currentDim(spark, dimRoot).get
       .collect().map(_.toString).sorted.toSeq
+    // the per-batch TARGETED release kept stream storage flat on its
+    // own — no session-wide sweep ran (assert BEFORE the batch twin
+    // below checkpoints its own frames)
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
+      s"stream leaked blocks: $pinnedBefore -> ${spark.sparkContext.getPersistentRDDs.size}")
     // batch twin: the same two snapshots applied sequentially
     val d1 = operators.ScdType2(b1.toDF("pid", "address", "last_name"), None,
       "pid", Seq("address", "last_name"), Seq("address", "last_name"), "sk",
@@ -149,9 +154,10 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(streamed == d2.collect().map(_.toString).sorted.toSeq)
     // p1 has two versions (address changed), p2/p3 one each
     assert(streamed.length == 4)
-    // the per-batch release kept stream storage flat
-    Bench.releaseBlocks(spark)
-    assert(spark.sparkContext.getPersistentRDDs.size <= pinnedBefore)
+    // release the batch twin's own checkpoints (d2's plan reaches both)
+    operators.Checkpoints.releasePinned(d2)
+    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
+      s"twin release incomplete: ${spark.sparkContext.getPersistentRDDs}")
   }
 
   // ------------------------------------------------------- k-means
@@ -194,7 +200,12 @@ class Round4OpsSpec extends AnyFunSuite {
       (0 until 20).map(i => (200L + i, Seq((i % 5) * 0.1f, 10f + i % 3)))
     val corpus = pts.toDF("vec_id", "embedding")
     val seeds = vecs(0L -> Seq(3f, 1f), 1L -> Seq(1f, 3f), 2L -> Seq(-1f, -1f))
+    Bench.releaseBlocks(spark)
     val trained = Similarity.kmeans(corpus, seeds, "vec_id", "embedding", iters = 5)
+    // superseded rounds were released in-loop: only the final round's
+    // checkpoint stays pinned (the caller's to release)
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      s"kmeans pinned ${spark.sparkContext.getPersistentRDDs.size} frames")
     val cents = trained.collect()
       .map(r => r.getAs[Long]("centroid_id") -> r.getSeq[Double](1)).toMap
     assert(cents.size == 3)
