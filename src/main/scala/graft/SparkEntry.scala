@@ -25,7 +25,7 @@ object SparkEntry {
   val registry: Seq[QueryDef] =
     RelationalQueries.all ++ LifecycleQueries.all ++ WindowQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ ExtendedQueries.all ++
-      SqlQueries.all ++ CurationQueries.all
+      SqlQueries.all ++ CurationQueries.all ++ VocabQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions.tokens
+
+/** Tokenizer-training statistics over a document corpus — the corpus
+  * passes a BPE/vocabulary trainer runs before any model sees a byte:
+  * adjacent-pair counts (the statistic each BPE merge maximizes),
+  * frequency-ranked vocabulary with OOV coverage, and within-document
+  * co-occurrence lift.
+  *
+  * Scale design (100 TB corpus):
+  *  - Pair/token extraction is pure map-side array arithmetic —
+  *    constant allocations per document (shifted-slice `zip_with`, the
+  *    [[TextFunctions.hashedShingles]] trick applied to strings), no
+  *    per-pair UDF, no explode-before-filter.
+  *  - Every groupBy keys on the token/pair VALUE — uniform by
+  *    construction (Zipf head keys are hot but partial aggregation
+  *    absorbs them map-side; the reduce side sees one partial row per
+  *    (partition, key)).
+  *  - Top-k selections are `orderBy(...).limit(k)` —
+  *    TakeOrderedAndProject, a per-partition heap + single k-row merge
+  *    on the driver, never a global sort.
+  *  - The vocabulary (k rows) broadcasts back for the coverage join;
+  *    the corpus side stays a single map-side pass.
+  */
+object Tokenizer {
+
+  /** Adjacent whitespace-token pairs as "left right" strings, one
+    * array per document; `[]` for docs with < 2 tokens. */
+  def adjacentPairs(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val m = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Corpus-wide adjacent-pair frequencies: `(pair, n_pairs)`. The
+    * statistic a BPE trainer maximizes for its next merge rule. */
+  def pairCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(adjacentPairs(col(textCol))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_pairs"))
+
+  /** The top-k merge candidates, deterministically tie-broken by the
+    * pair string — rank 1 is the merge a BPE trainer would apply. */
+  def topPairs(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    pairCounts(docs, textCol)
+      .orderBy(col("n_pairs").desc, col("pair"))
+      .limit(k)
+
+  /** Frequency-ranked vocabulary: the `vocabSize` most frequent
+    * tokens (ties broken by token string), with occurrence counts. */
+  def vocabulary(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(vocabSize)
+
+  /** Per-group OOV coverage of a frequency-capped vocabulary:
+    * `(group..., n_tokens, n_oov, oov_rate)` where `n_oov` counts
+    * token OCCURRENCES outside the top-`vocabSize` vocabulary.
+    *
+    * The vocabulary is k rows and broadcast; the corpus pass is one
+    * map-side explode + broadcast left join (no corpus shuffle before
+    * the final per-group rollup).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, groupCols: Seq[String],
+      vocabSize: Int): DataFrame = {
+    val vocab = vocabulary(docs, textCol, vocabSize)
+      .select(col("token"), lit(true).as("in_vocab"))
+    val occurrences = docs.select(
+      groupCols.map(col) :+ explode(tokens(col(textCol))).as("token"): _*)
+    occurrences
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
+  /** Document-level co-occurrence lift between the `vocabSize` tokens
+    * with the highest document frequency:
+    * `(token_a, token_b, n_both, df_a, df_b, lift)` for every pair
+    * (a < b) co-occurring in at least one document, where
+    * `lift = n_both * n_docs / (df_a * df_b)` — the PMI ratio WITHOUT
+    * the logarithm, so the score is one exact integer product per pair
+    * followed by a single double division (bit-identical across
+    * engines; the log is monotone, so ranking is unchanged).
+    *
+    * Shape: two heavy corpus passes (rank the vocabulary; extract the
+    * kept tokens) plus a doc_id-column count. The ≤ `vocabSize`-row
+    * vocabulary is localCheckpoint'd so its three plan references cost
+    * one aggregation, then broadcast into every join; pair generation
+    * is array arithmetic over each document's ≤ `vocabSize` retained
+    * tokens — never an exploded self-join of the corpus. Lifecycle:
+    * the pinned vocab blocks are k rows; long-lived callers release
+    * via [[Checkpoints.releasePinned]] once done (the bench sweeps
+    * between runs).
+    */
+  def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val tokd = docs.select(col(idCol),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val vocab = tokd
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(vocabSize)
+      .localCheckpoint(true)
+
+    // Corpus pass 2: keep only vocabulary tokens (broadcast hash
+    // join, map-side), re-assemble the ≤ vocabSize survivors per doc,
+    // then emit all (i < j) pairs from the sorted array. The groupBy
+    // shuffles only the kept rows — ≤ vocabSize per document.
+    val kept = tokd.join(broadcast(vocab.select(col("token"))), Seq("token"))
+    val byDoc = kept.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("token"))).as("vt"))
+    val vt = col("vt")
+    val pairsOfDoc = when(size(vt) >= 2,
+      flatten(transform(sequence(lit(1), size(vt) - 1), i =>
+        transform(sequence(i + 1, size(vt)), j =>
+          struct(element_at(vt, i).as("token_a"),
+            element_at(vt, j).as("token_b"))))))
+      .otherwise(array().cast("array<struct<token_a:string,token_b:string>>"))
+    val pairs = byDoc.select(explode(pairsOfDoc).as("p"))
+      .select(col("p.token_a"), col("p.token_b"))
+
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    pairs
+      .groupBy(col("token_a"), col("token_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(vocab.select(col("token").as("token_a"), col("df").as("df_a"))), Seq("token_a"))
+      .join(broadcast(vocab.select(col("token").as("token_b"), col("df").as("df_b"))), Seq("token_b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("token_a"), col("token_b"), col("n_both"), col("df_a"), col("df_b"),
+        ((col("n_both") * col("n_docs")).cast("double") / (col("df_a") * col("df_b")))
+          .as("lift"))
+  }
+}

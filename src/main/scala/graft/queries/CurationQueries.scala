@@ -289,8 +289,26 @@ object CurationQueries {
        |WHERE rn <= quota ORDER BY source, doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q76 — top-10 heavy hitters with a count-min-sketch error
+  // envelope: the q57 pattern applied to frequency estimation. The
+  // CMS estimate feeds only the `within_eps` boolean (exact ≤ est ≤
+  // exact + ε·N), so every output column is DuckDB-comparable and the
+  // gate fails if the sketch leaves its envelope. At scale the sketch
+  // replaces the exact key-domain shuffle; the exact twin grounds the
+  // bound at test scale (see [[graft.operators.Sketches]]).
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.heavyHittersChecked(
+      graft.Tables.events(s, dir), "user_id", k = 10,
+      eps = 0.001, confidence = 0.999, seed = 42)
+  private val q76Sql =
+    """SELECT user_id, COUNT(*) AS n_rows, TRUE AS within_eps
+      |FROM events GROUP BY user_id
+      |ORDER BY n_rows DESC, user_id LIMIT 10""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
+    QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),
     QueryDef("q70_stratified_sample", q70, Some(q70Sql)),
     QueryDef("q71_apply_mixture", q71, Some(q71Sql)),
     QueryDef("q48_hash_sample", q48, Some(q48Sql)),

@@ -169,8 +169,36 @@ object SimilarityQueries {
       |  CAST(SUM(q) AS DOUBLE) / 8796093022208.0 / COUNT(*) AS mean
       |FROM ex GROUP BY centroid_id, dim ORDER BY centroid_id, dim""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q75 — int8 absmax quantization digest per vector: dim, scale, and
+  // the exact element sum / min / max / saturation count of the
+  // quantized array. floor-of-double arithmetic is bit-identical
+  // cross-engine, so the digest hash-matches without tolerance (see
+  // [[graft.operators.Quantize]]; the full q arrays are pinned in
+  // QuantizeSpec). Pure map-side — no shuffle but the output orderBy.
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantize.int8Summary(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+  private val q75Sql =
+    """WITH e AS (SELECT vec_id, embedding, len(embedding) AS dim,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, dim, scale,
+      |  CASE WHEN scale > 0
+      |    THEN list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT))
+      |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS ql
+      |  FROM e)
+      |SELECT vec_id, CAST(dim AS BIGINT) AS dim, scale,
+      |  CAST(list_sum(ql) AS BIGINT) AS q_sum,
+      |  CAST(list_min(ql) AS INTEGER) AS q_min,
+      |  CAST(list_max(ql) AS INTEGER) AS q_max,
+      |  CAST(len(list_filter(ql, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q34_ann_brute_force", q34, Some(q34Sql)),
+    QueryDef("q75_quantize_int8", q75, Some(q75Sql)),
     QueryDef("q35_ann_bucketed", q35, Some(q35Sql)),
     QueryDef("q36_embedding_neardup", q36, Some(q36Sql)),
     QueryDef("q51_ivf_assign", q51, Some(q51Sql)),

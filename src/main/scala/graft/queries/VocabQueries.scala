@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Tokenizer
+
+/** Tokenizer-training queries over the `documents` corpus (q72–q74):
+  * the corpus statistics a BPE/vocabulary trainer computes before any
+  * model training — adjacent-pair merge candidates, vocabulary OOV
+  * coverage, and within-document co-occurrence lift
+  * (see [[graft.operators.Tokenizer]] for the 100 TB shapes).
+  *
+  * Cross-engine determinism: counts are integers, every ranking is
+  * tie-broken on the token/pair string, and the two double outputs
+  * (oov_rate, lift) are a single division of exactly-represented
+  * integers — bit-identical in any IEEE engine.
+  */
+object VocabQueries {
+
+  /** DuckDB fragment: whitespace tokens of `text`. */
+  private val dTokens =
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+
+  // ---------------------------------------------------------------
+  // q72 — the top-20 BPE merge candidates: corpus-wide adjacent-pair
+  // frequencies, rank 1 being the merge a BPE trainer would apply
+  // first. Pair extraction is shifted-slice zip_with (constant
+  // allocations per doc); the groupBy keys on the pair value (uniform;
+  // map-side partial aggregation absorbs the Zipf head) and the top-20
+  // is TakeOrderedAndProject — never a global sort.
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    Tokenizer.topPairs(Tables.documents(s, dir), "text", k = 20)
+  private val q72Sql =
+    s"""WITH t AS (SELECT $dTokens AS toks FROM documents),
+       |p AS (SELECT unnest(list_transform(range(1, len(toks)),
+       |        i -> toks[i] || ' ' || toks[i + 1])) AS pair FROM t)
+       |SELECT pair, COUNT(*) AS n_pairs FROM p
+       |GROUP BY pair ORDER BY n_pairs DESC, pair LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q73 — OOV coverage of a 50-token vocabulary, per language: what
+  // fraction of token OCCURRENCES a frequency-capped vocab fails to
+  // cover (the statistic that sizes a tokenizer's vocab). The vocab is
+  // 50 rows and broadcast; the corpus side is one map-side pass.
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Tokenizer.vocabCoverage(Tables.documents(s, dir), "text", Seq("lang"),
+        vocabSize = 50)
+      .orderBy(col("lang"))
+  private val q73Sql =
+    s"""WITH tok AS (SELECT lang, unnest($dTokens) AS token FROM documents),
+       |v AS (SELECT token FROM (
+       |    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+       |    ORDER BY n DESC, token LIMIT 50)),
+       |j AS (SELECT lang, tok.token, v.token AS vtoken
+       |      FROM tok LEFT JOIN v ON tok.token = v.token)
+       |SELECT lang, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN vtoken IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(SUM(CASE WHEN vtoken IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS oov_rate
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q74 — co-occurrence lift between the 12 highest-document-frequency
+  // tokens: lift = n_both·n_docs / (df_a·df_b), the PMI ratio without
+  // the monotone logarithm so the score is exact integer arithmetic +
+  // one double division. Pairs come from per-doc sorted arrays (≤ 12
+  // elements), never an exploded corpus self-join.
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    Tokenizer.cooccurrenceLift(Tables.documents(s, dir), "doc_id", "text",
+        vocabSize = 12)
+      .orderBy(col("token_a"), col("token_b"))
+  private val q74Sql =
+    s"""WITH tokd AS (SELECT DISTINCT doc_id, unnest($dTokens) AS token
+       |              FROM documents),
+       |v AS (SELECT token, df FROM (
+       |    SELECT token, COUNT(*) AS df FROM tokd GROUP BY token
+       |    ORDER BY df DESC, token LIMIT 12)),
+       |keep AS (SELECT doc_id, token FROM tokd
+       |         WHERE token IN (SELECT token FROM v)),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |p AS (SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS n_both
+       |      FROM keep a JOIN keep b
+       |        ON a.doc_id = b.doc_id AND a.token < b.token
+       |      GROUP BY 1, 2)
+       |SELECT token_a, token_b, n_both, va.df AS df_a, vb.df AS df_b,
+       |  CAST(n_both * n_docs AS DOUBLE) / (va.df * vb.df) AS lift
+       |FROM p
+       |JOIN v va ON va.token = token_a
+       |JOIN v vb ON vb.token = token_b
+       |CROSS JOIN n
+       |ORDER BY token_a, token_b""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q72_bpe_pairs", q72, Some(q72Sql)),
+    QueryDef("q73_vocab_coverage", q73, Some(q73Sql)),
+    QueryDef("q74_cooccurrence", q74, Some(q74Sql)),
+  )
+}

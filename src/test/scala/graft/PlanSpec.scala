@@ -183,6 +183,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q72: BPE pair top-k is TakeOrdered over a partial aggregation") {
+    val p = planOf("q72_bpe_pairs")
+    // pair counts combine map-side; the top-20 is a per-partition heap
+    // merge, never a global sort of the pair domain
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q73: the vocabulary broadcasts back — the corpus never shuffles to join it") {
+    val p = planOf("q73_vocab_coverage")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q02: grouped aggregation is partial (map-side combine before shuffle)") {
     val df = SparkEntry.queries("q02_groupby_agg")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
