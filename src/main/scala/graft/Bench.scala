@@ -31,7 +31,8 @@ object Bench {
     "q34_ann_brute_force", "q35_ann_bucketed", "q43_asof_attribution",
     "q44_rank_suite", "q51_ivf_assign", "q52_ivf_multiprobe",
     "q63_curation_pipeline", "q66_pii_redaction", "q67_kmeans_step",
-    "q68_chunking", "q69_keywords")
+    "q68_chunking", "q69_keywords", "q72_bpe_pairs", "q75_quantize_int8",
+    "q79_snapshot_diff")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering — the
+  * at-rest file organization that makes BOTH `WHERE dim_a BETWEEN …`
+  * and `WHERE dim_b BETWEEN …` prune files, where a plain sort serves
+  * only its leading column.
+  *
+  * At 100 TB the mechanism is: compute the interleaved Morton value,
+  * range-partition and sort the write by it, and let parquet per-file
+  * column min/max statistics do the pruning — every file covers a
+  * small aligned square of the (a, b) domain instead of a thin full-
+  * width stripe. No reader cooperation needed; scan pruning falls out
+  * of ordinary parquet stats (LayoutSpec measures the bounding-box
+  * shrinkage on real files).
+  *
+  * The interleave is plain integer arithmetic (shift/mask/sum of
+  * disjoint bits), so it is reproducible in any engine — q78 gates the
+  * bucketing cross-engine against DuckDB.
+  */
+object Layout {
+
+  /** Morton/Z-order interleave of two already-quantized non-negative
+    * dimensions (`a`, `b` in `[0, 2^bits)`): bit `i` of `a` lands at
+    * even position `2i`, bit `i` of `b` at odd position `2i+1`.
+    * Disjoint bits sum without carries — the composition stays inside
+    * whole-stage codegen. */
+  def morton2(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB mirror of [[morton2]] for oracle SQL. */
+  def morton2Sql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a) >> $i) & 1) * ${1L << (2 * i)} + ((($b) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("(", " + ", ")")
+
+  /** Write `df` Z-ordered on two quantized dimensions: range-partition
+    * on the Morton value (balanced output files even when the domain
+    * is skewed — the partitioner samples actual z values), sort within
+    * each partition, drop the helper column. Readers filter on the
+    * ORIGINAL columns; parquet row-group stats prune. */
+  def zorderWrite(df: DataFrame, a: Column, b: Column, bits: Int,
+      numFiles: Int, path: String): Unit = {
+    require(!df.columns.contains("__z"), "column __z already exists")
+    df.withColumn("__z", morton2(a, b, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -27,6 +27,33 @@ object Sketches {
     * build. The estimate lookup runs on k rows only, after the
     * TakeOrdered — a broadcast sketch probe, not a hot-path UDF.
     */
+  /** Per-group approximate median with its rank-error envelope: the
+    * Greenwald–Khanna sketch behind `percentile_approx` guarantees the
+    * returned element's rank is within `n/accuracy` of `n/2`. The
+    * approx VALUE never leaves the query (engine-specific); it feeds
+    * only `within_rank_bound` — the exact count of values ≤ it, which
+    * must land inside the envelope (±1 slack for duplicate runs).
+    *
+    * One sketch pass + one rank-audit pass. At 100 TB the audit pass
+    * is a test-time device (the q80 gate); production keeps only the
+    * single-pass mergeable sketch — the point over an exact median,
+    * which needs a full sort or two-phase selection of the value
+    * domain. */
+  def approxMedianChecked(df: DataFrame, groupCol: String, valueCol: String,
+      accuracy: Int): DataFrame = {
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_rows"),
+      percentile_approx(col(valueCol), lit(0.5), lit(accuracy)).as("approx"))
+    val ranks = df.join(broadcast(agg.select(col(groupCol), col("approx"))), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(sum(when(col(valueCol) <= col("approx"), 1L).otherwise(0L)).as("rank_le"))
+    val n = col("n_rows").cast("double")
+    agg.join(ranks, Seq(groupCol))
+      .select(col(groupCol), col("n_rows"),
+        (col("rank_le") >= n * 0.5 - n / accuracy - 1 &&
+          col("rank_le") <= n * 0.5 + n / accuracy + 1).as("within_rank_bound"))
+  }
+
   def heavyHittersChecked(df: DataFrame, keyCol: String, k: Int,
       eps: Double, confidence: Double, seed: Int): DataFrame = {
     val spark = df.sparkSession

@@ -306,9 +306,24 @@ object CurationQueries {
       |FROM events GROUP BY user_id
       |ORDER BY n_rows DESC, user_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q80 — approximate median with its GK rank-error envelope: the
+  // third sketch surface (HLL q57 distinct counts, CMS q76
+  // frequencies, GK quantiles here), all gated the same way — the
+  // engine-specific estimate feeds only a boolean the oracle asserts
+  // TRUE, while counts stay exactly comparable.
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.approxMedianChecked(
+      graft.Tables.events(s, dir), "event_type", "value", accuracy = 1000)
+      .orderBy(col("event_type"))
+  private val q80Sql =
+    """SELECT event_type, COUNT(*) AS n_rows, TRUE AS within_rank_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),
+    QueryDef("q80_approx_median", q80, Some(q80Sql)),
     QueryDef("q70_stratified_sample", q70, Some(q70Sql)),
     QueryDef("q71_apply_mixture", q71, Some(q71Sql)),
     QueryDef("q48_hash_sample", q48, Some(q48Sql)),

@@ -254,7 +254,69 @@ object ExtendedQueries {
       |WHERE levenshtein(a.p_name, b.p_name) <= 10
       |GROUP BY a.p_brand ORDER BY a.p_brand""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q78 — Z-order layout buckets: orders gridded on (custkey mod 256,
+  // order-day mod 256), Morton-interleaved, bucketed by the top z
+  // bits. Each bucket's min/max on BOTH dimensions stays a small
+  // aligned square — the property that makes parquet row-group stats
+  // prune two-dimensional predicates after a z-ordered write (see
+  // [[graft.operators.Layout]]; file-level shrinkage pinned in
+  // LayoutSpec). The interleave is shift/mask integer arithmetic,
+  // bit-identical cross-engine.
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val o = Tables.orders(s, dir)
+      .select(
+        pmod(col("o_custkey"), lit(256L)).as("cust_mod"),
+        pmod(datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"), lit(256L))
+          .as("day_mod"))
+    o.withColumn("z", Layout.morton2(col("cust_mod"), col("day_mod"), bits = 8))
+      .groupBy(shiftright(col("z"), 10).as("z_bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("cust_mod")).as("min_cust"), max(col("cust_mod")).as("max_cust"),
+        min(col("day_mod")).as("min_day"), max(col("day_mod")).as("max_day"))
+      .orderBy(col("z_bucket"))
+  }
+  private val q78Sql = {
+    val z = graft.operators.Layout.morton2Sql("cust_mod", "day_mod", bits = 8)
+    """WITH d AS (SELECT o_custkey % 256 AS cust_mod,
+      |  date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) % 256 AS day_mod
+      |  FROM orders),
+      |zt AS (SELECT cust_mod, day_mod, ZEXPR AS z FROM d)
+      |SELECT z >> 10 AS z_bucket, COUNT(*) AS n_orders,
+      |  MIN(cust_mod) AS min_cust, MAX(cust_mod) AS max_cust,
+      |  MIN(day_mod) AS min_day, MAX(day_mod) AS max_day
+      |FROM zt GROUP BY 1 ORDER BY 1""".stripMargin.replace("ZEXPR", z)
+  }
+
+  // ---------------------------------------------------------------
+  // q81 — bloom-pruned semi join: lineitems of high-value orders. The
+  // bloom prefilter drops non-matching lineitem rows map-side BEFORE
+  // the join shuffle; the exact semi join scrubs false positives, so
+  // the oracle is the plain IN-subquery — the sketch changes cost,
+  // never the answer (see [[graft.operators.BloomPrune]]).
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BloomPrune
+    val keys = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"))
+    BloomPrune.semiJoin(Tables.lineitem(s, dir), col("l_orderkey"),
+        keys, "o_orderkey", expectedKeys = 20000L, fpp = 0.01)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val q81Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q78_zorder_buckets", q78, Some(q78Sql)),
+    QueryDef("q81_bloom_semi_join", q81, Some(q81Sql)),
     QueryDef("q55_set_ops", q55, Some(q55Sql)),
     QueryDef("q56_fuzzy_match", q56, Some(q56Sql)),
     QueryDef("q37_rollup", q37, Some(q37Sql)),

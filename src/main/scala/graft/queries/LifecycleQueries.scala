@@ -130,7 +130,55 @@ object LifecycleQueries {
       |       effective_date, expiry_date, is_current
       |FROM assembled ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q79 — snapshot diff (the CDC primitive SCD2 consumes, standalone):
+  // "yesterday" = orders through 1996, "today" = orders through 1997
+  // with a deterministic hash-selected 1/37 of keys deleted and 1/11
+  // mutated. One full-outer key join classifies every key as added /
+  // removed / changed / unchanged; the gate compares per-class counts
+  // and key checksums (see [[graft.operators.SnapshotDiff]]).
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SnapshotDiff
+    import graft.operators.TextFunctions.hash60
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        year(col("o_orderdate")).as("y"),
+        hash60(col("o_orderkey").cast("string")).as("h"))
+    val prev = o.filter(col("y") <= 1996)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val next = o.filter(col("y") <= 1997 && col("h") % 37 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("h") % 11 === 3, lit("X")).otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"),
+        col("o_totalprice"))
+    SnapshotDiff.diff(prev, next, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("change_type"))
+  }
+  private val q79Sql = {
+    val h = "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)"
+    s"""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+       |    EXTRACT(YEAR FROM o_orderdate) AS y, $h AS h FROM orders),
+       |prev AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM o WHERE y <= 1996),
+       |nxt AS (SELECT o_orderkey,
+       |    CASE WHEN h % 11 = 3 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       |    o_totalprice
+       |  FROM o WHERE y <= 1997 AND h % 37 <> 0),
+       |j AS (SELECT COALESCE(p.o_orderkey, n.o_orderkey) AS k,
+       |    CASE WHEN p.o_orderkey IS NULL THEN 'added'
+       |         WHEN n.o_orderkey IS NULL THEN 'removed'
+       |         WHEN p.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       |           OR p.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+       |         ELSE 'unchanged' END AS change_type
+       |  FROM prev p FULL OUTER JOIN nxt n ON p.o_orderkey = n.o_orderkey)
+       |SELECT change_type, COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q79_snapshot_diff", q79, Some(q79Sql)),
     QueryDef("q18_surrogate_keys", q18, Some(q18Sql)),
     QueryDef("q19_scd2_first_run", q19, Some(q19Sql)),
     QueryDef("q20_scd2_incremental", q20, Some(q20Sql)),

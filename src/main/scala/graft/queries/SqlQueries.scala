@@ -49,7 +49,30 @@ object SqlQueries {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q77 — the native kernels through the SQL front door: the
+  // SparkSessionExtensions-injected `graft_hash60` / `graft_dot`
+  // functions ([[graft.plans.GraftExtensions]]) called from plain
+  // `spark.sql`, oracle-gated. Deterministic hash sharding + the
+  // squared norm of every embedding — one map-side pass; the analysis-
+  // time function resolution yields the exact plan the DSL builds
+  // (pinned in ExtensionsSpec).
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, "embeddings")
+    s.sql("""SELECT vec_id,
+            |  pmod(graft_hash60(CAST(vec_id AS STRING)), 8) AS shard,
+            |  graft_dot(embedding, embedding) AS norm_sq
+            |FROM embeddings ORDER BY vec_id""".stripMargin)
+  }
+  private val q77Sql =
+    """SELECT vec_id,
+      |  CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard,
+      |  list_inner_product(CAST(embedding AS DOUBLE[]),
+      |                     CAST(embedding AS DOUBLE[])) AS norm_sq
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q46_sql_surface", q46, Some(q46Sql)),
+    QueryDef("q77_sql_native_fns", q77, Some(q77Sql)),
   )
 }

@@ -198,6 +198,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q77: SQL-injected native kernels stay map-side — no hash exchange, one scan") {
+    val p = planOf("q77_sql_native_fns")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    // the injected functions resolved to the native expressions
+    assert(p.contains("hash60") && p.contains("dot_f64"), p)
+  }
+
+  test("q78: the Morton interleave aggregates partially below one exchange") {
+    val p = planOf("q78_zorder_buckets")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("q81: the bloom prefilter sits below the semi join") {
+    val p = planOf("q81_bloom_semi_join")
+    assert(p.contains("LeftSemi"), p)
+    // the mightContain probe is a plain Filter on the big side, not a
+    // post-join residual
+    val filterIdx = p.indexOf("UDF")
+    val joinIdx = p.indexOf("Join")
+    assert(filterIdx > 0 && joinIdx > 0 && filterIdx > joinIdx, p)
+  }
+
   test("q02: grouped aggregation is partial (map-side combine before shuffle)") {
     val df = SparkEntry.queries("q02_groupby_agg")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
