@@ -19,13 +19,17 @@ import graft.queries._
   *  - [[SqlQueries]]         q46: the `spark.sql` front door
   *  - [[CurationQueries]]    q47–q50: skew-safe aggs, deterministic
   *    sampling/caps, stable hash surrogate keys
+  *  - [[EventQueries]]       q83–q84: ordered funnel, gap-filled series
+  *  - [[ScaleQueries]]       q82, q85, q87–q88: salted join,
+  *    histogram+CDF, CUBE, weighted deterministic sample
   */
 object SparkEntry {
 
   val registry: Seq[QueryDef] =
     RelationalQueries.all ++ LifecycleQueries.all ++ WindowQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ ExtendedQueries.all ++
-      SqlQueries.all ++ CurationQueries.all ++ VocabQueries.all
+      SqlQueries.all ++ CurationQueries.all ++ VocabQueries.all ++
+      EventQueries.all ++ ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -34,6 +34,30 @@ object Sampling {
     df.filter(pmod(hash60(keyCol), lit(denom.toLong)) < num)
   }
 
+  /** Probability-proportional-to-size sample: keep each row with
+    * probability `weight/max(weight)` (the max-weight row is always
+    * kept), decided by a content-derived hash instead of an RNG — the
+    * selected SET is a pure function of the data, stable across runs,
+    * engines, partitionings, and stage retries, so an oracle can gate
+    * it and a re-run exports the identical corpus.
+    *
+    * The acceptance test is pure 64-bit integer arithmetic
+    * (`(hash % resolution) · max_w < weight · resolution`), exact in
+    * any engine; weights must be non-negative integers with
+    * `weight · resolution < 2^63` (caller's contract — at the default
+    * resolution that allows weights up to ~9.2e12). One broadcast
+    * 1-row max joins onto what is otherwise a map-side filter. */
+  def weightedHashSample(df: DataFrame, keyCol: Column, weightCol: Column,
+      resolution: Long = 1000000L): DataFrame = {
+    require(resolution > 0, s"resolution must be positive, got $resolution")
+    require(!df.columns.contains("__max_w"), "column __max_w is reserved")
+    val maxW = df.agg(max(weightCol).cast("long").as("__max_w"))
+    df.crossJoin(broadcast(maxW))
+      .filter(pmod(hash60(keyCol), lit(resolution)) * col("__max_w")
+        < weightCol.cast("long") * lit(resolution))
+      .drop("__max_w")
+  }
+
   /** Temperature-smoothed mixture weights per group — the sampling
     * weights a multi-source/multi-lingual training mix uses to
     * up-weight small sources: `w_g ∝ p_g^alpha` with `alpha = 0.5`

@@ -51,6 +51,39 @@ object Skew {
         sum(col("_pcnt")).cast("long").as("n_rows"))
   }
 
+  /** Inner equi-join that spreads a fact-side heavy-hitter key across
+    * `buckets` reducers: every dim row is replicated once per salt
+    * value (one `explode(sequence(...))` — dim grows ×`buckets`), each
+    * fact row picks a DETERMINISTIC content-derived salt
+    * (`xxhash64(saltBy) % buckets` — a partition-id or random salt
+    * would re-salt rows differently on stage retry, duplicating or
+    * dropping matches), and the join key becomes `(key, salt)`. A key
+    * that owns 30% of the fact rows then lands on `buckets` reducers
+    * instead of one.
+    *
+    * Use when the hot keys are known a priori and the dim side is too
+    * big to broadcast but small enough to replicate ×`buckets`;
+    * otherwise prefer AQE's runtime skew-join split
+    * (`spark.sql.adaptive.skewJoin`, on in [[graft.Sessions]]), which
+    * costs nothing when there is no skew. The `shuffle_hash` hint
+    * keeps the replicated dim on the ShuffledHashJoin path: sort-merge
+    * would re-sort the exploded side, and a broadcast would make the
+    * salt pointless (PlanSpec pins the salted shuffle shape).
+    *
+    * `saltBy` should be fact columns that spread the hot key's rows —
+    * a fine-grained row identity (e.g. order key + line number). */
+  def saltedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, saltBy: Seq[Column], buckets: Int): DataFrame = {
+    requireFree(fact); requireFree(dim)
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(saltBy.nonEmpty, "saltBy must name at least one fact column")
+    val sf = fact.withColumn(SaltCol, pmod(xxhash64(saltBy: _*), lit(buckets.toLong)))
+    val sd = dim.withColumn(SaltCol, explode(sequence(lit(0L), lit(buckets - 1L))))
+    sf.join(sd.hint("shuffle_hash"),
+        sf(factKey) === sd(dimKey) && sf(SaltCol) === sd(SaltCol))
+      .drop(sf(SaltCol)).drop(sd(SaltCol))
+  }
+
   /** Two-phase exact count-distinct: phase 1 dedupes (key, value)
     * WITH a salt derived from the value (uniform by construction, no
     * hot reducer even when one key holds most rows), phase 2 counts

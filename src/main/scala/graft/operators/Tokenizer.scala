@@ -84,6 +84,42 @@ object Tokenizer {
         col("n_oov").cast("double") / col("n_tokens"))
   }
 
+  /** Top-k most similar document pairs by raw term-frequency dot
+    * product — the SPARSE counterpart of [[Similarity]]'s dense ANN,
+    * via an inverted-index self-join: `(token → postings)` joined with
+    * itself on the token, never a dense all-pairs product.
+    *
+    * Tokens with document frequency above `maxDf` are pruned BEFORE
+    * pair generation — the classic stopword guard: a token appearing
+    * in half the corpus contributes O(n²) pairs; with the cap each
+    * token contributes ≤ maxDf² and the join is bounded by
+    * Σ_token df². Integer arithmetic end-to-end (tf counts, integer
+    * products), so the scores are oracle-exact; the final top-k is
+    * TakeOrderedAndProject with ties broken on the (a, b) pair.
+    *
+    * Shape (100 TB): tf and df aggregate on the token key (Zipf-hot
+    * heads absorbed by map-side partial aggregation); the df filter
+    * joins on the same token partitioning (exchange reuse — no extra
+    * corpus shuffle); the pair aggregation keys on (doc_a, doc_b). */
+  def tokenDotTopK(docs: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("doc")).agg(count(lit(1)).as("tf"))
+    val keep = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("token"))
+    val kept = tf.join(keep, Seq("token"))
+    val a = kept.select(col("token"), col("doc").as("doc_a"), col("tf").as("tf_a"))
+    val b = kept.select(col("token"), col("doc").as("doc_b"), col("tf").as("tf_b"))
+    a.join(b, Seq("token"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+      .orderBy(col("dot").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
   /** Document-level co-occurrence lift between the `vocabSize` tokens
     * with the highest document frequency:
     * `(token_a, token_b, n_both, df_a, df_b, lift)` for every pair

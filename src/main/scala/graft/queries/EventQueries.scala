@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Funnel, Resample}
+
+/** Event-log analytics (q83–q84): ordered funnel conversion and
+  * gap-filled daily series over the `events` table — the
+  * product-analytics surface of the engine (the reference's claim
+  * lifecycle — submitted → adjudicated → paid — is the same ordered
+  * funnel; its monthly-trend SQL is the same series, minus the zeros).
+  *
+  * Cross-engine determinism: timestamps compare as epoch MICROseconds
+  * on both sides (Tables.events truncates parquet nanos exactly like
+  * DuckDB's `epoch_us`), counts are integers, and the one double
+  * output per query is a single division of two exact integers.
+  */
+object EventQueries {
+
+  // ---------------------------------------------------------------
+  // q83 — view → click → purchase funnel: per-stage entity counts
+  // where stage k must happen at-or-after the first in-order reach of
+  // stage k-1. One shuffle on user_id (see [[Funnel]] for the
+  // per-entity array shape); the oracle spells the same semantics as
+  // three chained min-after-min CTEs.
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    Funnel.stageCounts(Tables.events(s, dir), "user_id",
+      unix_micros(col("ts")), col("event_type"),
+      Seq("view", "click", "purchase"))
+  private val q83Sql =
+    """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS mv FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS mc FROM events e
+      |      JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.mv GROUP BY 1),
+      |p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS mp FROM events e
+      |      JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.mc GROUP BY 1),
+      |n AS (SELECT (SELECT count(*) FROM v) AS n1,
+      |             (SELECT count(*) FROM c) AS n2,
+      |             (SELECT count(*) FROM p) AS n3)
+      |SELECT * FROM (
+      |  SELECT 1 AS stage_ord, 'view' AS stage, n1 AS n_entities,
+      |         CAST(n1 AS DOUBLE) / n1 AS pct_of_first FROM n
+      |  UNION ALL SELECT 2, 'click', n2, CAST(n2 AS DOUBLE) / n1 FROM n
+      |  UNION ALL SELECT 3, 'purchase', n3, CAST(n3 AS DOUBLE) / n1 FROM n)
+      |ORDER BY stage_ord""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q84 — gap-filled daily series: high-value events (value > 200 —
+  // sparse enough that real zero-days exist at every SF) counted per
+  // (day, event_type) over the FULL table's calendar span and type
+  // domain, zeros explicit. The corpus is scanned once; the grid is
+  // post-aggregation-sized (see [[Resample]]).
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    Resample.gapFillDailyCounts(Tables.events(s, dir), col("ts"),
+      Seq("event_type"), col("value") > 200)
+  private val q84Sql =
+    """WITH obs AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      |             FROM events WHERE value > 200 GROUP BY 1, 2),
+      |span AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      |         FROM events),
+      |cal AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |          CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |        FROM span),
+      |dims AS (SELECT DISTINCT event_type FROM events)
+      |SELECT cal.day, dims.event_type, COALESCE(obs.n, 0) AS n_events
+      |FROM cal CROSS JOIN dims
+      |LEFT JOIN obs ON obs.day = cal.day AND obs.event_type = dims.event_type
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q89 — per-type 3-sigma outlier counts with NO floating-point
+  // statistics: values quantized to integer micros, the sigma test
+  // evaluated as (n·x − S1)² > 9·(n·S2 − S1²) in DECIMAL(38,0) /
+  // HUGEINT (see [[graft.operators.DataQuality.sigmaOutlierCounts]]).
+  // Two corpus passes, stats broadcast back.
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DataQuality
+    DataQuality.sigmaOutlierCounts(Tables.events(s, dir), Seq("event_type"),
+        round(col("value") * 1000000).cast("long"), sigmas = 3)
+      .orderBy(col("event_type"))
+  }
+  private val q89Sql =
+    """WITH x AS (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS xi
+      |           FROM events),
+      |st AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(xi AS HUGEINT)) AS s1,
+      |       SUM(CAST(xi AS HUGEINT) * CAST(xi AS HUGEINT)) AS s2
+      |       FROM x GROUP BY 1)
+      |SELECT x.event_type, CAST(max(st.n) AS BIGINT) AS n_rows,
+      |  COUNT(CASE WHEN (st.n * x.xi - st.s1) * (st.n * x.xi - st.s1)
+      |                  > 9 * (st.n * st.s2 - st.s1 * st.s1) THEN 1 END)
+      |    AS n_outliers
+      |FROM x JOIN st USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q83_funnel", q83, Some(q83Sql)),
+    QueryDef("q84_gap_fill", q84, Some(q84Sql)),
+    QueryDef("q89_sigma_outliers", q89, Some(q89Sql)),
+  )
+}

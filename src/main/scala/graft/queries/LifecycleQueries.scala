@@ -177,8 +177,48 @@ object LifecycleQueries {
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q86 — MERGE round-trip on q79's exact scenario: extract the
+  // change-proportional feed (changeSet — only moved keys carry
+  // payload), apply it to the prev snapshot (anti-join the touched
+  // keys, union the upserts), and the result must BE the next
+  // snapshot, row for row — which is precisely what the oracle
+  // recomputes directly. The lakehouse incremental-maintenance
+  // primitive: ship 0.1% of keys, not the table.
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SnapshotDiff
+    import graft.operators.TextFunctions.hash60
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        year(col("o_orderdate")).as("y"),
+        hash60(col("o_orderkey").cast("string")).as("h"))
+    val prev = o.filter(col("y") <= 1996)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val next = o.filter(col("y") <= 1997 && col("h") % 37 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("h") % 11 === 3, lit("X")).otherwise(col("o_orderstatus"))
+          .as("o_orderstatus"),
+        col("o_totalprice"))
+    val keys = Seq("o_orderkey")
+    val tracked = Seq("o_orderstatus", "o_totalprice")
+    val feed = SnapshotDiff.changeSet(prev, next, keys, tracked)
+    SnapshotDiff.applyChanges(prev, feed, keys, tracked)
+      .orderBy(col("o_orderkey"))
+  }
+  private val q86Sql = {
+    val h = "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)"
+    s"""WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+       |    EXTRACT(YEAR FROM o_orderdate) AS y, $h AS h FROM orders)
+       |SELECT o_orderkey,
+       |  CASE WHEN h % 11 = 3 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+       |  o_totalprice
+       |FROM o WHERE y <= 1997 AND h % 37 <> 0
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q79_snapshot_diff", q79, Some(q79Sql)),
+    QueryDef("q86_apply_changes", q86, Some(q86Sql)),
     QueryDef("q18_surrogate_keys", q18, Some(q18Sql)),
     QueryDef("q19_scd2_first_run", q19, Some(q19Sql)),
     QueryDef("q20_scd2_incremental", q20, Some(q20Sql)),

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Sampling, Skew}
+
+/** Scale-technique queries (q82, q85, q87–q88): the shapes that exist
+  * for the 100 TB case — manual key-salting of a skewed join, one-pass
+  * histogram + CDF profiling, CUBE rollups, and weighted deterministic
+  * sampling. Each is oracle-gated like any other query; the scale
+  * property (salt spread, single corpus pass) is pinned in PlanSpec.
+  *
+  * Cross-engine determinism: sums aggregate in DECIMAL then cast to
+  * double (exact in both engines); the sampling predicate is pure
+  * 64-bit integer arithmetic on an md5-derived hash.
+  */
+object ScaleQueries {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(s"decimal($p,$s)")
+
+  // ---------------------------------------------------------------
+  // q82 — revenue per brand through a SALTED fact×dim join: lineitem's
+  // l_partkey salted across 8 buckets, part replicated ×8 (see
+  // [[Skew.saltedJoin]]). The oracle is the plain join — salting must
+  // be result-invisible. PlanSpec pins the ShuffledHashJoin on
+  // (key, salt) and the dim-side Generate.
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    Skew.saltedJoin(li, "l_partkey", p, "p_partkey",
+        Seq(col("l_orderkey"), col("l_linenumber")), buckets = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(dec(col("l_extendedprice"), 12, 2) * (lit(1) - dec(col("l_discount"), 4, 2)))
+          .cast("double").as("salted_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+  private val q82Sql =
+    """SELECT p_brand,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |   AS salted_revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q85 — fixed-width histogram of order value with a cumulative CDF:
+  // one corpus pass bins and aggregates; the running sum is a window
+  // over the POST-AGGREGATION frame (tens of bins — the single
+  // partition it runs on is the point, not a bottleneck).
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val width = 25000.0
+    val binned = Tables.orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"), 12, 2)).cast("double").as("bin_billed"))
+    binned
+      .select(col("bin"), (col("bin").cast("double") * width).as("lo_edge"),
+        col("n_orders"), col("bin_billed"),
+        sum(col("n_orders")).over(Window.orderBy(col("bin"))).as("cum_orders"))
+      .orderBy(col("bin"))
+  }
+  private val q85Sql =
+    """WITH b AS (SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+      |    COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bin_billed
+      |  FROM orders GROUP BY 1)
+      |SELECT bin, CAST(bin AS DOUBLE) * 25000.0 AS lo_edge, n_orders, bin_billed,
+      |  CAST(SUM(n_orders) OVER (ORDER BY bin) AS BIGINT) AS cum_orders
+      |FROM b ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q87 — CUBE over (returnflag, linestatus): all four grouping-set
+  // combinations in ONE pass (Spark expands the sets map-side; no
+  // per-set rescan). Labels are coalesced so no null keys reach the
+  // output, and each dimension's GROUPING bit is emitted explicitly —
+  // bit-order of the combined grouping_id differs across engines.
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      // grouping() only resolves inside the cube's own aggregate list
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        sum(dec(col("l_quantity"), 12, 2)).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("sum_qty"), col("n_rows"))
+      .orderBy(col("g_flag"), col("g_status"), col("returnflag"), col("linestatus"))
+  private val q87Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      | COALESCE(l_linestatus, 'ALL') AS linestatus,
+      | CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      | CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY 3, 4, 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q88 — weighted deterministic sample: keep each document with
+  // probability n_chars/max(n_chars) — probability-proportional-to-
+  // size curation (longer docs kept more often), reproducible across
+  // runs/engines/retries because the coin is a content hash, not RNG
+  // (see [[Sampling.weightedHashSample]]). Like q48, no ORDER BY:
+  // the selected SET is the result, and the plan stays a map-side
+  // filter plus one broadcast 1-row max.
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedHashSample(Tables.documents(s, dir),
+        col("doc_id").cast("string"), col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  private val q88Sql =
+    """WITH m AS (SELECT max(n_chars) AS max_w FROM documents)
+      |SELECT doc_id, lang, n_chars FROM documents, m
+      |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      |       % 1000000) * max_w < n_chars * 1000000""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q82_salted_join", q82, Some(q82Sql)),
+    QueryDef("q85_histogram", q85, Some(q85Sql)),
+    QueryDef("q87_cube", q87, Some(q87Sql)),
+    QueryDef("q88_weighted_sample", q88, Some(q88Sql)),
+  )
+}

@@ -92,9 +92,31 @@ object VocabQueries {
        |CROSS JOIN n
        |ORDER BY token_a, token_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q90 — top-15 most similar document pairs by term-frequency dot
+  // product: sparse inverted-index self-join with the df > 350
+  // stopword prune (the corpus's hottest tokens are dropped BEFORE
+  // pair generation — the bound that keeps the join from going
+  // quadratic; see [[Tokenizer.tokenDotTopK]]). Integer scores,
+  // (a, b)-tie-broken top-k.
+  private def q90(s: SparkSession, dir: String): DataFrame =
+    Tokenizer.tokenDotTopK(Tables.documents(s, dir), "doc_id", "text",
+      maxDf = 350, k = 15)
+  private val q90Sql =
+    s"""WITH tok AS (SELECT doc_id, unnest($dTokens) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |keep AS (SELECT token FROM (
+       |    SELECT token, COUNT(*) AS df FROM tf GROUP BY 1) WHERE df <= 350),
+       |t AS (SELECT tf.* FROM tf JOIN keep USING (token))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+       |FROM t a JOIN t b ON a.token = b.token AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 ORDER BY dot DESC, doc_a, doc_b LIMIT 15""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_bpe_pairs", q72, Some(q72Sql)),
     QueryDef("q73_vocab_coverage", q73, Some(q73Sql)),
     QueryDef("q74_cooccurrence", q74, Some(q74Sql)),
+    QueryDef("q90_token_dot", q90, Some(q90Sql)),
   )
 }

@@ -228,4 +228,36 @@ class PlanSpec extends AnyFunSuite {
     // partial_sum markers appear below the exchange → map-side combine
     assert(p.contains("partial_sum"), p)
   }
+
+  test("q82: the salted join is a ShuffledHashJoin on (key, salt) with the dim exploded") {
+    val p = planOf("q82_salted_join")
+    // hint honored: never a broadcast (that would make the salt moot)
+    // and never a sort-merge (that would re-sort the exploded dim)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("__graft_salt"), p)
+    assert(p.contains("Generate"), p) // the dim-side explode
+  }
+
+  test("q84: gap fill scans the corpus once — grid/span/join read the materialized counts") {
+    val df = SparkEntry.queries("q84_gap_fill")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the checkpoint barrier replaces all corpus subtrees: the final
+    // plan reads the (days × dims) LocalCheckpoint, never the parquet
+    assert(!p.contains("events.parquet"), p)
+  }
+
+  test("q87: CUBE expands in one pass — a single Expand, no per-grouping-set rescan") {
+    val p = planOf("q87_cube")
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q88: weighted sampling stays a corpus-side filter under a broadcast 1-row max") {
+    val p = planOf("q88_weighted_sample")
+    // the corpus side never hash-shuffles: the only exchanges are the
+    // 1-row max aggregation's and its broadcast
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -98,4 +98,31 @@ class TokenizerSpec extends AnyFunSuite {
     assert(got.head.getAs[Long]("df_a") == 1L && got.head.getAs[Long]("df_b") == 1L)
     assert(got.head.getAs[Double]("lift") == 1.0)
   }
+
+  // ------------------------------------------------------- sparse dot
+
+  test("tokenDotTopK: tf-weighted dots via the inverted index, ordered desc then by pair") {
+    val df = Seq(
+      (1L, "a a b"), // shares a(tf2·1) + b(1·1) with doc 2 → dot 3
+      (2L, "a b c"), // shares c(1·3) with doc 3 → dot 3
+      (3L, "c c c")  // no tokens shared with doc 1
+    ).toDF("doc_id", "text")
+    val got = Tokenizer.tokenDotTopK(df, "doc_id", "text", maxDf = 3, k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dot"))).toSeq
+    // dot ties (3, 3) break on the (a, b) pair
+    assert(got == Seq((1L, 2L, 3L), (2L, 3L, 3L)))
+  }
+
+  test("tokenDotTopK: the df prune drops hot tokens before pair generation") {
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a")).toDF("doc_id", "text")
+    // a has df 3, b has df 2: maxDf = 2 keeps only b → single pair
+    val got = Tokenizer.tokenDotTopK(df, "doc_id", "text", maxDf = 2, k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dot"))).toSeq
+    assert(got == Seq((1L, 2L, 1L)))
+    // and pruning everything yields an empty (not failing) result
+    assert(Tokenizer.tokenDotTopK(df, "doc_id", "text", maxDf = 1, k = 10)
+      .count() == 0L)
+  }
 }
