@@ -32,7 +32,8 @@ object Bench {
     "q44_rank_suite", "q51_ivf_assign", "q52_ivf_multiprobe",
     "q63_curation_pipeline", "q66_pii_redaction", "q67_kmeans_step",
     "q68_chunking", "q69_keywords", "q72_bpe_pairs", "q75_quantize_int8",
-    "q79_snapshot_diff")
+    "q79_snapshot_diff", "q82_salted_join", "q90_token_dot",
+    "q91_rp_lsh_neardup", "q92_trailing_window")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -19,9 +19,12 @@ import graft.queries._
   *  - [[SqlQueries]]         q46: the `spark.sql` front door
   *  - [[CurationQueries]]    q47–q50: skew-safe aggs, deterministic
   *    sampling/caps, stable hash surrogate keys
-  *  - [[EventQueries]]       q83–q84: ordered funnel, gap-filled series
-  *  - [[ScaleQueries]]       q82, q85, q87–q88: salted join,
-  *    histogram+CDF, CUBE, weighted deterministic sample
+  *  - [[EventQueries]]       q83–q84, q89, q92–q93: ordered funnel,
+  *    gap-filled series, sigma outliers, trailing RANGE-frame windows,
+  *    exact trend slopes
+  *  - [[ScaleQueries]]       q82, q85, q87–q88, q94–q95: salted join,
+  *    histogram+CDF, CUBE, weighted deterministic sample, incremental
+  *    partial-aggregate rollup, quantile binning
   */
 object SparkEntry {
 

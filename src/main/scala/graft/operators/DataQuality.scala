@@ -66,6 +66,41 @@ object DataQuality {
         count(when(dev * dev > bound, 1)).as("n_outliers"))
   }
 
+  /** Per-group least-squares trend slope with NO floating-point
+    * accumulation — the q89 discipline applied to regression:
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` with every sum
+    * carried in DECIMAL(38,0) (exact, order-independent, mergeable
+    * map-side partials), so the only floating point is the two final
+    * casts and one division — bit-identical in any IEEE engine.
+    * Unordered double SUMs would differ in the last ulp between
+    * engines and partitionings; exact integer sums cannot.
+    *
+    * `xInt`/`yInt` must be integer-valued columns (e.g. epoch days and
+    * micro-units); the caller bounds their magnitude so the decimal
+    * products stay under 10^38 (epoch-day x and micro y hold to
+    * ~10^15 rows per group). One shuffle — the groupBy.
+    *
+    * Returns (groups..., n_rows, slope, mean_y); slope is NULL for a
+    * degenerate group (all x equal — zero denominator). */
+  def trendSlopes(df: DataFrame, groupCols: Seq[String],
+      xInt: Column, yInt: Column): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val d38 = "decimal(38,0)"
+    val x = xInt.cast("decimal(19,0)")
+    val y = yInt.cast("decimal(19,0)")
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(x.cast(d38)).as("__sx"), sum(y.cast(d38)).as("__sy"),
+        sum((x * y).cast(d38)).as("__sxy"),
+        sum((x * x).cast(d38)).as("__sxx"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast(d38)
+    val den = (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast(d38)
+    agg.select(groupCols.map(col) ++ Seq(
+      col("__n").cast("long").as("n_rows"),
+      when(den =!= 0, num.cast("double") / den.cast("double")).as("slope"),
+      (col("__sy").cast("double") / col("__n").cast("double")).as("mean_y")): _*)
+  }
+
   /** Duplicate statistics on a key set: one row —
     * (n_rows, n_distinct_keys, n_duplicate_rows). */
   def duplicateStats(df: DataFrame, keys: Seq[String]): DataFrame = {

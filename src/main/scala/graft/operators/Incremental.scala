@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable partial-aggregate state — the incremental-maintenance
+  * pattern a 100 TB warehouse lives on: instead of re-scanning the
+  * whole fact table for every monthly/weekly rollup, keep one tiny
+  * PARTIAL row per (dims, day) and rebuild any coarser period by
+  * merging partials. A new day of data touches only that day's
+  * partials; history is never re-read.
+  *
+  * The state is (count, sum) — both associative and commutative, so
+  * partials merge in any order and any grouping (the same algebra
+  * Spark's own partial aggregation uses map-side, lifted to a
+  * persisted, cross-run artifact). Sums are carried in DECIMAL(38,0)
+  * so merge order can't change a bit.
+  *
+  * Scale notes: `dailyPartials` is one shuffle of the corpus down to
+  * dims × days rows (tiny — write it `partitionBy(day)` and a daily
+  * run overwrites one partition); `mergeToPeriod` aggregates ONLY the
+  * partials, never the corpus. `IncrementalSpec` pins partials from
+  * disjoint day ranges merging to exactly the full recompute.
+  */
+object Incremental {
+
+  /** One partial row per (dims..., day): `(n_rows, sum_value)` with
+    * the sum in DECIMAL(38,0). `valueInt` must be integer-valued
+    * (e.g. money micros) so the state is exact and order-free. */
+  def dailyPartials(df: DataFrame, dims: Seq[String], dayCol: Column,
+      valueInt: Column): DataFrame =
+    df.groupBy((dims.map(col) :+ dayCol.as("day")): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(valueInt.cast("decimal(38,0)")).as("sum_value"))
+
+  /** Merge daily partials up to a coarser period (`periodOfDay` maps
+    * the `day` column, e.g. `trunc(_, "month")`). Reads partials only. */
+  def mergeToPeriod(partials: DataFrame, dims: Seq[String],
+      periodOfDay: Column => Column): DataFrame =
+    partials
+      .groupBy((dims.map(col) :+ periodOfDay(col("day")).as("period")): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("sum_value")).as("sum_value"))
+}

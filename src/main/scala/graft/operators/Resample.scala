@@ -55,4 +55,34 @@ object Resample {
         :+ coalesce(col("__n"), lit(0L)).as("n_events"): _*)
       .orderBy((col("day") +: dims.map(col)): _*)
   }
+
+  /** Trailing `windowDays`-day totals over a (possibly gapped) daily
+    * series: per dims × day, the count/total of that day plus the sum
+    * over the trailing window — computed with a RANGE frame on the
+    * epoch day, which is what makes calendar gaps correct: a missing
+    * day shrinks the row count inside the frame but never its day
+    * SPAN, exactly where a ROWS frame silently drifts.
+    *
+    * Shape (100 TB): one aggregation shuffles the corpus down to
+    * dims × days, then one window shuffle on dims sorts each
+    * partition's days once — frame state is O(windowDays) per
+    * partition. `valueInt` must be integer-typed so the running sums
+    * are exact in any engine. */
+  def trailingDaily(df: DataFrame, tsCol: Column, dims: Seq[String],
+      valueInt: Column, windowDays: Int): DataFrame = {
+    require(dims.nonEmpty, "dims must be non-empty")
+    require(windowDays >= 1, s"windowDays must be positive, got $windowDays")
+    val daily = df
+      .groupBy((dims.map(col) :+ to_date(tsCol).as("day")): _*)
+      .agg(count(lit(1)).as("n_events"), sum(valueInt).as("day_total"))
+      .withColumn("__epoch_day", unix_date(col("day")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dims.map(col): _*).orderBy(col("__epoch_day"))
+      .rangeBetween(-(windowDays - 1).toLong,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily
+      .withColumn("trailing_total", sum(col("day_total")).over(w))
+      .withColumn("trailing_days", count(lit(1)).over(w))
+      .drop("__epoch_day")
+  }
 }

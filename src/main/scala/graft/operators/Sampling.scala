@@ -195,4 +195,27 @@ object Sampling {
       .select(col(keyCol), floor(col("weight") * budget).as("__graft_quota"))
     keepByQuota(df, Seq(keyCol), rowKey, quotas, "__graft_quota")
   }
+
+  /** Irregular (quantile) binning WITHOUT a range join: `bin(v)` = the
+    * number of boundaries ≤ v, computed as an ordered fold over a
+    * broadcast boundary array — so assigning every row to its
+    * data-driven decile/percentile band is a pure map-side pass
+    * (filter-friendly, codegen'd), never a BroadcastNestedLoopJoin
+    * against a bands table. Boundaries are exact interpolating
+    * percentiles (the q39-proven cross-engine `percentile` ≡
+    * `quantile_cont`), computed in one aggregation over the same
+    * frame. Adds column `bin` (LongType, 0 .. qs.size). */
+  def quantileBins(df: DataFrame, valueCol: Column,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs == qs.sorted && qs.forall(q => q > 0 && q < 1),
+      s"qs must be sorted fractions in (0,1), got $qs")
+    require(!df.columns.contains("__graft_bounds") && !df.columns.contains("bin"),
+      "input already defines __graft_bounds/bin")
+    val bounds = df.agg(
+      array(qs.map(q => percentile(valueCol, lit(q))): _*).as("__graft_bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bin", aggregate(col("__graft_bounds"), lit(0L),
+        (acc, b) => acc + when(valueCol >= b, 1L).otherwise(0L)))
+      .drop("__graft_bounds")
+  }
 }

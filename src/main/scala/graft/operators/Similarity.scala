@@ -274,4 +274,85 @@ object Similarity {
       .filter(col("cosine") > threshold)
       .select(col(bucketCol), col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // ---- random-hyperplane (sign-projection) LSH ---------------------
+
+  /** Driver-side twin of [[graft.operators.TextFunctions.hash60]] for
+    * PLAN-TIME constants: first 15 hex chars of md5(s) as a long. The
+    * hyperplane coefficients below derive from it, so any engine can
+    * regenerate the exact same planes from its own `md5` (the oracle
+    * does, in SQL) — the "randomness" is a pure function of the plane
+    * and dimension indices, never an RNG state. */
+  private[graft] def hash60Const(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** ±1 coefficients of hyperplane `p` over `dim` dimensions:
+    * +1 iff hash60("rp:p:i") is even. Rademacher planes are as good as
+    * Gaussian ones for sign-LSH and keep the projection exact-integer
+    * friendly and trivially reproducible cross-engine. */
+  private def planeCoefs(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(i => if (hash60Const(s"rp:$p:$i") % 2 == 0) 1.0 else -1.0)
+
+  /** Sign-random-projection (SimHash-for-vectors) signatures: explodes
+    * each row into `tables` rows carrying (`rp_table`, `rp_bucket`),
+    * where the bucket is a `bits`-bit signature — bit j set iff the
+    * dot with plane `table·bits + j` is positive.
+    *
+    * Scale notes: the planes are plan-time LITERALS (broadcast with
+    * the task binary, ~tables·bits·dim doubles); the `tables·bits`
+    * dots per row run in the native [[graft.plans.DotProduct]] kernel,
+    * so signatures are one codegen'd map-side pass — no shuffle until
+    * a caller groups on the bucket. Cosine-similar vectors collide
+    * per-bit with probability 1 − θ/π (Goemans–Williamson), so recall
+    * is tuned by (bits, tables) without ever forming all pairs. */
+  def rpSignatures(df: DataFrame, vecCol: String, dim: Int, bits: Int,
+      tables: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+    require(tables >= 1, s"tables must be positive, got $tables")
+    require(!df.columns.contains("rp_table") && !df.columns.contains("rp_bucket"),
+      "input already defines rp_table/rp_bucket")
+    val sigs = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { j =>
+        val p = t * bits + j
+        when(dot(col(vecCol), lit(planeCoefs(p, dim))) > 0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("rp_table"), bucket.as("rp_bucket"))
+    }
+    df.withColumn("__rp", explode(array(sigs: _*)))
+      .withColumn("rp_table", col("__rp.rp_table"))
+      .withColumn("rp_bucket", col("__rp.rp_bucket"))
+      .drop("__rp")
+  }
+
+  /** Near-duplicate pairs by sign-projection LSH: candidates are pairs
+    * sharing ANY table's bucket (banding, like the MinHash LSH in
+    * [[Dedup]] but for cosine space); each candidate is verified by
+    * exact cosine and kept above `threshold`. The multi-table dedup is
+    * a `distinct()` AFTER verification — the cosine of a duplicate
+    * candidate is computed from the same columns, so the row is
+    * byte-identical and collapses exactly.
+    *
+    * At 100 TB: signatures are map-side (see [[rpSignatures]]); the
+    * bucket self-join shuffles on (table, bucket) — never all pairs;
+    * norms are computed once per vector before the join. */
+  def rpLshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, bits: Int, tables: Int, threshold: Double): DataFrame = {
+    val base = df.select(col(idCol), col(vecCol),
+      l2Norm(col(vecCol)).as("__n"))
+    val sig = rpSignatures(base, vecCol, dim, bits, tables)
+    val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      col("__n").as("na"), col("rp_table"), col("rp_bucket"))
+    val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("__n").as("nb"), col("rp_table"), col("rp_bucket"))
+    a.join(b, Seq("rp_table", "rp_bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", pairCosine(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") > threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
+  }
 }

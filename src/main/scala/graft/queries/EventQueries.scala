@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Funnel, Resample}
+import graft.operators.{DataQuality, Funnel, Resample}
 
-/** Event-log analytics (q83–q84): ordered funnel conversion and
-  * gap-filled daily series over the `events` table — the
+/** Event-log analytics (q83–q84, q89, q92–q93): ordered funnel
+  * conversion, gap-filled daily series, trailing range-frame windows,
+  * and exact-arithmetic trend slopes over the `events` table — the
   * product-analytics surface of the engine (the reference's claim
   * lifecycle — submitted → adjudicated → paid — is the same ordered
   * funnel; its monthly-trend SQL is the same series, minus the zeros).
@@ -96,9 +97,63 @@ object EventQueries {
       |FROM x JOIN st USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q92 — trailing 7-day totals per event type: the RANGE frame on
+  // the epoch day, which handles calendar gaps correctly (a missing
+  // day shrinks the frame's row count, never its day span — where a
+  // ROWS frame silently drifts). Integer-micro sums stay exact; see
+  // [[graft.operators.Resample.trailingDaily]].
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    Resample.trailingDaily(Tables.events(s, dir), col("ts"),
+        Seq("event_type"), round(col("value") * 1000000).cast("long"),
+        windowDays = 7)
+      .orderBy(col("event_type"), col("day"))
+  private val q92Sql =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |             COUNT(*) AS n_events,
+      |             CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+      |               AS day_total
+      |           FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n_events, day_total,
+      |  CAST(SUM(day_total) OVER w AS BIGINT) AS trailing_total,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS trailing_days
+      |FROM d
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q93 — per-type least-squares value trend: slope of micro-value
+  // against the epoch day, all sums exact in DECIMAL(38,0)/HUGEINT —
+  // the only floating point is the final casts and divisions, so the
+  // slope is bit-identical cross-engine with no tolerance (see
+  // [[graft.operators.DataQuality.trendSlopes]]). One shuffle.
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    DataQuality.trendSlopes(Tables.events(s, dir), Seq("event_type"),
+        unix_date(to_date(col("ts"))),
+        round(col("value") * 1000000).cast("long"))
+      .orderBy(col("event_type"))
+  private val q93Sql =
+    """WITH x AS (SELECT event_type,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS HUGEINT) AS xd,
+      |    CAST(CAST(round(value * 1000000) AS BIGINT) AS HUGEINT) AS yd
+      |  FROM events),
+      |s AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+      |        SUM(xd) AS sx, SUM(yd) AS sy,
+      |        SUM(xd * yd) AS sxy, SUM(xd * xd) AS sxx
+      |      FROM x GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+      |  CASE WHEN n * sxx - sx * sx <> 0
+      |       THEN CAST(n * sxy - sx * sy AS DOUBLE)
+      |            / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+      |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y
+      |FROM s ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q83_funnel", q83, Some(q83Sql)),
     QueryDef("q84_gap_fill", q84, Some(q84Sql)),
     QueryDef("q89_sigma_outliers", q89, Some(q89Sql)),
+    QueryDef("q92_trailing_window", q92, Some(q92Sql)),
+    QueryDef("q93_trend_slope", q93, Some(q93Sql)),
   )
 }

@@ -314,9 +314,42 @@ object ExtendedQueries {
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q96 — top spender per event type as an AGGREGATE argmax: one
+  // `max(struct(total, user))` over the per-user totals — partial
+  // aggregation map-side, no window, no second sort (the plan a
+  // rank-then-filter would cost a full per-group sort for). The
+  // struct's field order IS the tie rule (highest total, then highest
+  // user id), spelled explicitly in the oracle's ORDER BY. PlanSpec
+  // pins the window-free shape.
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val totals = Tables.events(s, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(round(col("value") * 1000000).cast("long")).as("total_micros"))
+    totals.groupBy(col("event_type"))
+      .agg(max(struct(col("total_micros"), col("user_id"))).as("__m"),
+        count(lit(1)).as("n_users"))
+      .select(col("event_type"), col("__m.user_id").as("top_user"),
+        col("__m.total_micros").as("top_total_micros"), col("n_users"))
+      .orderBy(col("event_type"))
+  }
+  private val q96Sql =
+    """WITH t AS (SELECT event_type, user_id,
+      |    CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS total
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, user_id, total,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY total DESC, user_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nu
+      |  FROM t)
+      |SELECT event_type, user_id AS top_user, total AS top_total_micros,
+      |  CAST(nu AS BIGINT) AS n_users
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q78_zorder_buckets", q78, Some(q78Sql)),
     QueryDef("q81_bloom_semi_join", q81, Some(q81Sql)),
+    QueryDef("q96_argmax_agg", q96, Some(q96Sql)),
     QueryDef("q55_set_ops", q55, Some(q55Sql)),
     QueryDef("q56_fuzzy_match", q56, Some(q56Sql)),
     QueryDef("q37_rollup", q37, Some(q37Sql)),

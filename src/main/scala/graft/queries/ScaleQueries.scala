@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Sampling, Skew}
+import graft.operators.{Incremental, Sampling, Skew}
 
 /** Scale-technique queries (q82, q85, q87–q88): the shapes that exist
   * for the 100 TB case — manual key-salting of a skewed join, one-pass
@@ -121,10 +121,68 @@ object ScaleQueries {
       |WHERE (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
       |       % 1000000) * max_w < n_chars * 1000000""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q94 — monthly revenue per status REBUILT FROM DAILY PARTIALS: the
+  // incremental-maintenance pattern (persisted mergeable (count, sum)
+  // state per dims × day; a new day touches one partial, never the
+  // fact history). The oracle recomputes the rollup directly from the
+  // corpus — partials-then-merge must be indistinguishable from the
+  // full scan (see [[graft.operators.Incremental]]).
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val partials = Incremental.dailyPartials(Tables.orders(s, dir),
+      Seq("o_orderstatus"), to_date(col("o_orderdate")),
+      round(col("o_totalprice") * 1000000).cast("long"))
+    Incremental.mergeToPeriod(partials, Seq("o_orderstatus"),
+        d => trunc(d, "month"))
+      .select(col("o_orderstatus"), col("period").as("month"),
+        col("n_rows").as("n_orders"),
+        col("sum_value").cast("long").as("revenue_micros"))
+      .orderBy(col("o_orderstatus"), col("month"))
+  }
+  private val q94Sql =
+    """SELECT o_orderstatus,
+      |  date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+      |    AS revenue_micros
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q95 — decile band profile of order value: data-driven IRREGULAR
+  // binning as a map-side fold over a broadcast boundary array (never
+  // a range join — see [[Sampling.quantileBins]]); boundaries are the
+  // q39-proven exact percentiles, so the bin assignment is
+  // bit-identical cross-engine. Complements q85's fixed-width bins.
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    Sampling.quantileBins(Tables.orders(s, dir), col("o_totalprice"),
+        qs = (1 to 9).map(_ / 10.0))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        sum(round(col("o_totalprice") * 1000000).cast("long")).as("sum_micros"))
+      .orderBy(col("bin"))
+  private val q95Sql =
+    """WITH b AS (SELECT [quantile_cont(o_totalprice, 0.1), quantile_cont(o_totalprice, 0.2),
+      |  quantile_cont(o_totalprice, 0.3), quantile_cont(o_totalprice, 0.4),
+      |  quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.6),
+      |  quantile_cont(o_totalprice, 0.7), quantile_cont(o_totalprice, 0.8),
+      |  quantile_cont(o_totalprice, 0.9)] AS bounds FROM orders),
+      |x AS (SELECT o_totalprice AS v,
+      |        CAST(round(o_totalprice * 1000000) AS BIGINT) AS vm,
+      |        CAST(list_sum(list_transform(bounds,
+      |          t -> CASE WHEN o_totalprice >= t THEN 1 ELSE 0 END)) AS BIGINT) AS bin
+      |      FROM orders CROSS JOIN b)
+      |SELECT bin, COUNT(*) AS n_orders, min(v) AS lo, max(v) AS hi,
+      |  CAST(SUM(vm) AS BIGINT) AS sum_micros
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q82_salted_join", q82, Some(q82Sql)),
     QueryDef("q85_histogram", q85, Some(q85Sql)),
     QueryDef("q87_cube", q87, Some(q87Sql)),
     QueryDef("q88_weighted_sample", q88, Some(q88Sql)),
+    QueryDef("q94_incremental_rollup", q94, Some(q94Sql)),
+    QueryDef("q95_quantile_bins", q95, Some(q95Sql)),
   )
 }

@@ -196,9 +196,48 @@ object SimilarityQueries {
       |  CAST(len(list_filter(ql, x -> abs(x) = 127)) AS BIGINT) AS n_sat
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q91 — near-dup pairs via sign-random-projection LSH (the cosine
+  // analog of q30's MinHash banding): 6 tables × 6-bit signatures
+  // from md5-derived ±1 hyperplanes, bucket-join candidates, exact
+  // cosine verification at 0.30 — the same threshold as q36, whose
+  // all-pairs-within-label answer this approximates WITHOUT ever
+  // forming all pairs. The oracle regenerates the identical planes
+  // from md5 in SQL, so the gate checks the LSH semantics exactly
+  // (see [[graft.operators.Similarity.rpSignatures]]).
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    Similarity.rpLshNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dim = 64, bits = 6, tables = 6, threshold = 0.30)
+      .orderBy(col("id_a"), col("id_b"))
+  private val q91Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |planes AS (
+      |  SELECT p, list_transform(range(0, 64), i ->
+      |    CASE WHEN CAST('0x' || substr(md5('rp:' || p || ':' || i), 1, 15) AS BIGINT) % 2 = 0
+      |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS coefs
+      |  FROM range(0, 36) t(p)),
+      |sig AS (
+      |  SELECT e.vec_id, p // 6 AS rp_table,
+      |    SUM(CASE WHEN list_inner_product(e.v, pl.coefs) > 0
+      |             THEN 1 << (p % 6) ELSE 0 END) AS rp_bucket
+      |  FROM e CROSS JOIN planes pl GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM sig a JOIN sig b
+      |    ON a.rp_table = b.rp_table AND a.rp_bucket = b.rp_bucket
+      |   AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b,
+      |  list_inner_product(ea.v, eb.v)
+      |    / (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) AS cosine
+      |FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+      |WHERE list_inner_product(ea.v, eb.v)
+      |    / (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) > 0.30
+      |ORDER BY id_a, id_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q34_ann_brute_force", q34, Some(q34Sql)),
     QueryDef("q75_quantize_int8", q75, Some(q75Sql)),
+    QueryDef("q91_rp_lsh_neardup", q91, Some(q91Sql)),
     QueryDef("q35_ann_bucketed", q35, Some(q35Sql)),
     QueryDef("q36_embedding_neardup", q36, Some(q36Sql)),
     QueryDef("q51_ivf_assign", q51, Some(q51Sql)),

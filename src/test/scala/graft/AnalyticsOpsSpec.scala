@@ -1,0 +1,167 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DataQuality, Incremental, Resample, Sampling, Similarity}
+
+/** Unit semantics for the round-4 analytics additions: trailing
+  * range-frame windows, exact trend slopes, incremental partials,
+  * quantile binning, sign-projection LSH, and the aggregate argmax.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+  // ------------------------------------------- trailing range frame
+
+  test("trailingDaily: a calendar gap shrinks the frame's row count, never its span") {
+    val df = Seq(
+      ("a", ts(1), 1L), ("a", ts(2), 2L), ("a", ts(10), 4L))
+      .toDF("k", "t", "v")
+    val got = Resample.trailingDaily(df, col("t"), Seq("k"), col("v"), 7)
+      .orderBy(col("day"))
+      .select(col("trailing_total"), col("trailing_days"))
+      .as[(Long, Long)].collect()
+    // day 10 is > 7 days after days 1–2: its window holds ONLY day 10.
+    // A ROWS-frame implementation would report 7 (1+2+4) instead of 4.
+    assert(got.toSeq == Seq((1L, 1L), (3L, 2L), (4L, 1L)))
+  }
+
+  test("trailingDaily: same-day rows aggregate before the frame applies") {
+    val df = Seq(("a", ts(3), 5L), ("a", ts(3), 7L), ("a", ts(4), 1L))
+      .toDF("k", "t", "v")
+    val got = Resample.trailingDaily(df, col("t"), Seq("k"), col("v"), 2)
+      .orderBy(col("day"))
+      .select(col("n_events"), col("day_total"), col("trailing_total"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((2L, 12L, 12L), (1L, 1L, 13L)))
+  }
+
+  // ------------------------------------------------- trend slopes
+
+  test("trendSlopes: exact least squares on a hand-computed line") {
+    // (0,0) (1,2) (2,4): slope 2, mean 2 — both exactly representable
+    val df = Seq(("g", 0L, 0L), ("g", 1L, 2L), ("g", 2L, 4L))
+      .toDF("k", "x", "y")
+    val r = DataQuality.trendSlopes(df, Seq("k"), col("x"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 3L)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("mean_y") == 2.0)
+  }
+
+  test("trendSlopes: a single-x group has no slope (NULL, not NaN/crash)") {
+    val df = Seq(("g", 5L, 1L), ("g", 5L, 9L)).toDF("k", "x", "y")
+    val r = DataQuality.trendSlopes(df, Seq("k"), col("x"), col("y"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("slope")))
+    assert(r.getAs[Double]("mean_y") == 5.0)
+  }
+
+  // ------------------------------------------- incremental partials
+
+  test("Incremental: partials from disjoint day ranges merge to the full recompute") {
+    val df = Seq(
+      ("O", ts(1), 100L), ("O", ts(15), 10L), ("O", ts(20), 1L),
+      ("F", ts(2), 7L), ("F", ts(28), 3L))
+      .toDF("status", "t", "v")
+      .withColumn("day", to_date(col("t")))
+    val split = java.sql.Date.valueOf("2024-01-16")
+    val p1 = Incremental.dailyPartials(
+      df.filter(col("day") < split), Seq("status"), col("day"), col("v"))
+    val p2 = Incremental.dailyPartials(
+      df.filter(col("day") >= split), Seq("status"), col("day"), col("v"))
+    val merged = Incremental.mergeToPeriod(
+      p1.unionByName(p2), Seq("status"), d => trunc(d, "month"))
+    val direct = df.groupBy(col("status"), trunc(col("day"), "month").as("period"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("v").cast("decimal(38,0)")).as("sum_value"))
+    assert(merged.orderBy("status").collect().toSeq ==
+      direct.orderBy("status").collect().toSeq)
+  }
+
+  // ----------------------------------------------- quantile binning
+
+  test("quantileBins: quartiles of 1..100 split into four bins of 25") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val got = Sampling.quantileBins(df, col("v"), Seq(0.25, 0.5, 0.75))
+      .groupBy("bin").count().orderBy("bin")
+      .as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 25L), (1L, 25L), (2L, 25L), (3L, 25L)))
+  }
+
+  test("quantileBins: a value equal to a boundary lands in the upper bin") {
+    // p50 of 1..3 is exactly 2; bin(2) must be 1 (v >= bound)
+    val df = Seq(1.0, 2.0, 3.0).toDF("v")
+    val got = Sampling.quantileBins(df, col("v"), Seq(0.5))
+      .orderBy("v").select("bin").as[Long].collect()
+    assert(got.toSeq == Seq(0L, 1L, 1L))
+  }
+
+  test("quantileBins rejects unsorted fractions and reserved columns") {
+    val df = Seq(1.0).toDF("v")
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBins(df, col("v"), Seq(0.75, 0.25))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.quantileBins(df.withColumn("bin", lit(1)), col("v"), Seq(0.5))
+    }
+  }
+
+  // -------------------------------------- sign-projection (RP) LSH
+
+  test("rpLshNearDupPairs: a sound, deterministic subset of the all-pairs answer") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val lsh = Similarity.rpLshNearDupPairs(e, "vec_id", "embedding",
+      dim = 64, bits = 6, tables = 6, threshold = 0.30)
+    val got = lsh.orderBy("id_a", "id_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty, "LSH found no pairs — bits/tables too selective")
+    assert(got.forall { case (a, b, c) => a < b && c > 0.30 })
+    // soundness: every LSH pair is in the brute-force all-pairs set
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val all = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("va"), col("vb")).as("c"))
+      .filter(col("c") > 0.30)
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, c) => (x, y) -> c }.toMap
+    got.foreach { case (x, y, c) =>
+      assert(all.get((x, y)).contains(c), s"($x,$y) not an all-pairs near-dup")
+    }
+    // determinism: the planes are hash-derived, not RNG-seeded
+    val again = Similarity.rpLshNearDupPairs(e, "vec_id", "embedding",
+      dim = 64, bits = 6, tables = 6, threshold = 0.30)
+      .orderBy("id_a", "id_b").as[(Long, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("rpSignatures: one row per (vector, table), buckets within bit range") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(10)
+    val sig = Similarity.rpSignatures(e, "embedding", dim = 64, bits = 6,
+      tables = 4)
+    assert(sig.count() == 40)
+    val buckets = sig.select("rp_bucket").as[Long].collect()
+    assert(buckets.forall(v => v >= 0 && v < 64))
+    assert(sig.select("rp_table").distinct().count() == 4)
+  }
+
+  // ------------------------------------------------ aggregate argmax
+
+  test("max(struct) argmax breaks total ties on the higher user id") {
+    val df = Seq(("t", 1L, 10L), ("t", 2L, 10L), ("t", 3L, 5L))
+      .toDF("event_type", "user_id", "total")
+    val r = df.groupBy("event_type")
+      .agg(max(struct(col("total"), col("user_id"))).as("m"))
+      .select(col("m.user_id"), col("m.total"))
+      .as[(Long, Long)].collect().head
+    assert(r == ((2L, 10L)))
+  }
+}

@@ -260,4 +260,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q91: RP-LSH candidates come from the bucket join — never all pairs") {
+    val p = planOf("q91_rp_lsh_neardup")
+    // the pair generator is an equi join on (rp_table, rp_bucket);
+    // a cartesian/BNLJ product here is the all-pairs blowup LSH exists
+    // to avoid
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("rp_bucket"), p)
+  }
+
+  test("q92: the trailing window is a RANGE frame over one window shuffle") {
+    val p = planOf("q92_trailing_window")
+    assert(p.contains("RangeFrame"), p)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q93: trend sums aggregate partially map-side; no window anywhere") {
+    val p = planOf("q93_trend_slope")
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q94: the partials-then-merge rollup still scans the corpus once") {
+    val p = planOf("q94_incremental_rollup")
+    assert(p.contains("partial_sum"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q95: quantile binning is a fold under a broadcast bounds row — no range join") {
+    val p = planOf("q95_quantile_bins")
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row bounds
+    assert(p.contains("partial_sum"), p)             // map-side bin combine
+  }
+
+  test("q96: the aggregate argmax plans with NO window — partial max(struct)") {
+    val p = planOf("q96_argmax_agg")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max"), p)
+  }
 }
