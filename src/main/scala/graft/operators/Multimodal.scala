@@ -91,6 +91,43 @@ object Multimodal {
     finally in.close()
   }
 
+  /** Strided frame sampling over video payloads: pick (up to) `k`
+    * frame indices evenly across each video — `idx_j = ⌊j·frames/k⌋`,
+    * de-duplicated for short videos — and emit each sampled frame as a
+    * zero-copy binary slice with its (offset, length) provenance and a
+    * content md5.
+    *
+    * The CODEC boundary is the honest stub (`???`-equivalent, as in
+    * [[decodeStub]]): a real container parser would read the frame
+    * count and per-frame byte ranges from the header; here the stub
+    * models fixed-size frames — `frames = n % 30 + 1`,
+    * `frame_len = n / frames` (matching [[decodeStub]]'s video path) —
+    * so the oracle can recompute every output column. Everything else
+    * is the real scale design: the `kind` filter prunes on columnar
+    * metadata BEFORE any payload is touched, the index set explodes
+    * per row (`explode` over a ≤k-element array — no join, no
+    * shuffle), and the slice is `substring` on the binary column
+    * (codegen'd, executor-side; payload bytes never reach the driver).
+    * At 100 TB this is the exact shape of "sample 4 frames from every
+    * video for a vision encoder": one map-side pass, output ~k/frames
+    * of the input bytes. */
+  def frameSample(media: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val n = octet_length(col("payload")).cast("long")
+    media.filter(col("kind") === "video")
+      .withColumn("__frames", n % 30 + 1)
+      .withColumn("__flen", (n / col("__frames")).cast("long"))
+      .withColumn("frame_idx", explode(array_distinct(
+        transform(sequence(lit(0L), lit((k - 1).toLong)),
+          j => floor(j * col("__frames") / k)))))
+      .withColumn("frame_offset", col("frame_idx") * col("__flen"))
+      .withColumn("frame_len", col("__flen"))
+      .withColumn("frame_md5",
+        md5(expr("substring(payload, frame_offset + 1, frame_len)")))
+      .select(col("media_id"), col("frame_idx"), col("frame_offset"),
+        col("frame_len"), col("frame_md5"))
+  }
+
   /** Feature extraction over a media table. Images decode for real
     * (see [[tryDecodeImage]]); audio/video — and undecodable image
     * bytes — take the stub path: dimensions are a deterministic

@@ -71,8 +71,40 @@ object SqlQueries {
       |                     CAST(embedding AS DOUBLE[])) AS norm_sq
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q98 — arbitrary GROUPING SETS through the SQL front door: the
+  // per-flag, per-status, and grand-total aggregates of lineitem in
+  // ONE pass (Spark's Expand, like q87's CUBE, but with an explicit
+  // irregular set list CUBE/ROLLUP can't express — (flag) and (status)
+  // without (flag, status)). Labels coalesce so no null keys reach the
+  // output; the GROUPING bits are emitted per dimension because the
+  // combined grouping_id's bit order differs across engines.
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, "lineitem")
+    s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS return_flag,
+            |  COALESCE(l_linestatus, 'ALL') AS line_status,
+            |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+            |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+            |  COUNT(*) AS n_items,
+            |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY g_flag, g_status, return_flag, line_status""".stripMargin)
+  }
+  private val q98Sql =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS return_flag,
+      |  COALESCE(l_linestatus, 'ALL') AS line_status,
+      |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_flag, g_status, return_flag, line_status""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q46_sql_surface", q46, Some(q46Sql)),
     QueryDef("q77_sql_native_fns", q77, Some(q77Sql)),
+    QueryDef("q98_grouping_sets", q98, Some(q98Sql)),
   )
 }

@@ -254,6 +254,38 @@ object TextQueries {
       | CAST(SUM(frames) AS BIGINT) AS total_frames
       |FROM f GROUP BY kind ORDER BY kind""".stripMargin
 
+  // q97 — video frame sampling: up to 4 evenly-strided frames per
+  // video as binary slices with provenance + content md5 (see
+  // [[Multimodal.frameSample]] — the codec is the honest stub, the
+  // slicing/explode plumbing is real and map-side). Both sides filter
+  // to ASCII payloads so DuckDB's VARCHAR substring is byte-exact
+  // against Spark's binary slice.
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(octet_length(encode(col("text"), "UTF-8")) === length(col("text")))
+    Multimodal.frameSample(
+        Multimodal.mediaFromDocuments(docs, "doc_id", "text"), k = 4)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+  private val q97Sql =
+    """WITH v AS (SELECT doc_id AS media_id, text,
+      |    CAST(length(text) AS BIGINT) AS n
+      |  FROM documents
+      |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) = length(text)),
+      |f AS (SELECT media_id, text, n % 30 + 1 AS frames,
+      |        n // (n % 30 + 1) AS flen
+      |      FROM v),
+      |i AS (SELECT media_id, text, flen,
+      |        unnest(list_distinct(list_transform(range(0, 4),
+      |          j -> j * frames // 4))) AS frame_idx
+      |      FROM f)
+      |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(frame_idx * flen AS BIGINT) AS frame_offset,
+      |  CAST(flen AS BIGINT) AS frame_len,
+      |  md5(substring(text, CAST(frame_idx * flen + 1 AS BIGINT),
+      |      CAST(flen AS BIGINT))) AS frame_md5
+      |FROM i ORDER BY media_id, frame_idx""".stripMargin
+
   // q45 — BPE-ish subword token counting next to whitespace tokens:
   // alpha runs, digit runs, and single punctuation marks (the
   // pre-tokenization shape BPE vocabularies train over). The pattern
@@ -546,6 +578,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q25_text_stats", q25, Some(q25Sql)),
+    QueryDef("q97_frame_sample", q97, Some(q97Sql)),
     QueryDef("q66_pii_redaction", q66, Some(q66Sql)),
     QueryDef("q68_chunking", q68, Some(q68Sql)),
     QueryDef("q69_keywords", q69, Some(q69Sql)),

@@ -143,11 +143,56 @@ object WindowQueries {
       | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
       |ORDER BY a_id, b_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q99 — ratio-to-report: each nation's share of its REGION's revenue
+  // (the percent-of-total analytic every BI layer needs). Revenue
+  // aggregates to integer micros first (exact), so the window total is
+  // a long sum over ≤ |nations| rows per region and the share is one
+  // double division — bit-identical cross-engine. Star joins broadcast
+  // (customer/nation/region are dims); the window runs on the
+  // POST-aggregation frame (25 nations), never the fact table.
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+    val rev = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(round(col("o_totalprice") * 1000000).cast("long"))
+        .as("revenue_micros"))
+    val w = Window.partitionBy(col("r_name"))
+    rev
+      .withColumn("region_micros", sum(col("revenue_micros")).over(w))
+      .withColumn("region_share", col("revenue_micros").cast("double")
+        / col("region_micros").cast("double"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+  private val q99Sql =
+    """WITH rev AS (
+      |  SELECT r_name, n_name,
+      |    CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+      |      AS revenue_micros
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, revenue_micros,
+      |  CAST(SUM(revenue_micros) OVER (PARTITION BY r_name) AS BIGINT)
+      |    AS region_micros,
+      |  CAST(revenue_micros AS DOUBLE)
+      |    / CAST(SUM(revenue_micros) OVER (PARTITION BY r_name) AS DOUBLE)
+      |    AS region_share
+      |FROM rev ORDER BY r_name, n_name""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_window_funcs", q21, Some(q21Sql)),
     QueryDef("q22_sessionize", q22, Some(q22Sql)),
     QueryDef("q23_windowed_agg", q23, Some(q23Sql)),
     QueryDef("q24_json_extract", q24, Some(q24Sql)),
     QueryDef("q54_interval_join", q54, Some(q54Sql)),
+    QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }

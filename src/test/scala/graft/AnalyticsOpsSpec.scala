@@ -153,6 +153,41 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(sig.select("rp_table").distinct().count() == 4)
   }
 
+  // --------------------------------------------- video frame slices
+
+  test("frameSample: slices are the exact payload bytes at the stub frame grid") {
+    import graft.operators.Multimodal
+    // 62 bytes → frames = 62 % 30 + 1 = 3, frame_len = 20
+    val payload = ("abcdefghij" * 6 ++ "XY").getBytes("UTF-8")
+    assert(payload.length == 62)
+    val media = Seq((1L, "video", payload), (2L, "image", payload))
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.frameSample(media, k = 4)
+      .orderBy("frame_idx").collect()
+    // only the video row samples; k=4 over 3 frames dedups to ⌊j·3/4⌋ ∈ {0,1,2}
+    assert(got.map(_.getAs[Long]("media_id")).toSet == Set(1L))
+    assert(got.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 1L, 2L))
+    got.foreach { r =>
+      val off = r.getAs[Long]("frame_offset").toInt
+      val len = r.getAs[Long]("frame_len").toInt
+      assert(len == 20 && off == r.getAs[Long]("frame_idx").toInt * 20)
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload.slice(off, off + len))
+        .map(b => f"$b%02x").mkString
+      assert(r.getAs[String]("frame_md5") == expected)
+    }
+  }
+
+  test("frameSample: a long video yields k distinct strided frames") {
+    import graft.operators.Multimodal
+    // 89 bytes → frames = 89 % 30 + 1 = 30, frame_len = 2 (floor)
+    val payload = Array.tabulate[Byte](89)(i => (i % 97).toByte)
+    val media = Seq((7L, "video", payload)).toDF("media_id", "kind", "payload")
+    val got = Multimodal.frameSample(media, k = 4)
+      .select("frame_idx").as[Long].collect().toSeq
+    assert(got == Seq(0L, 7L, 15L, 22L)) // ⌊j·30/4⌋
+  }
+
   // ------------------------------------------------ aggregate argmax
 
   test("max(struct) argmax breaks total ties on the higher user id") {

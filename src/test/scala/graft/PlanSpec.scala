@@ -301,4 +301,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
     assert(p.contains("partial_max"), p)
   }
+
+  test("q97: frame sampling is map-side — metadata filter, explode, no hash exchange") {
+    val p = planOf("q97_frame_sample")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.contains("Generate"), p) // the per-video index explode
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q98: GROUPING SETS expands once — a single Expand, one scan") {
+    val p = planOf("q98_grouping_sets")
+    assert("Expand".r.findAllIn(p).length == 1, p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q99: ratio-to-report windows the post-aggregation frame over broadcast star joins") {
+    val p = planOf("q99_ratio_to_report")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3, p)
+    assert(p.contains("partial_sum"), p)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+  }
 }
