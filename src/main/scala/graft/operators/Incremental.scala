@@ -41,4 +41,18 @@ object Incremental {
       .groupBy((dims.map(col) :+ periodOfDay(col("day")).as("period")): _*)
       .agg(sum(col("n_rows")).as("n_rows"),
         sum(col("sum_value")).as("sum_value"))
+
+  /** Persist partials `partitionBy(day)` with DYNAMIC partition
+    * overwrite: `overwrite` mode replaces ONLY the day partitions
+    * present in this write, leaving history untouched — so the daily
+    * job is idempotent (a retry rewrites its own day, never truncates
+    * the table, the failure mode of static-overwrite incremental
+    * loads). Pinned in AnalyticsOpsSpec: rewriting one day leaves
+    * every other partition's files byte-identical. */
+  def writePartials(partials: DataFrame, path: String): Unit =
+    partials.write
+      .partitionBy("day")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
 }

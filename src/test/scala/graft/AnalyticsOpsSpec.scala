@@ -86,6 +86,33 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       direct.orderBy("status").collect().toSeq)
   }
 
+  test("Incremental.writePartials: dynamic overwrite rewrites one day, not the table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    val df = Seq(
+      ("O", ts(1), 100L), ("O", ts(2), 10L), ("F", ts(2), 3L))
+      .toDF("status", "t", "v")
+    val partials = Incremental.dailyPartials(
+      df, Seq("status"), to_date(col("t")), col("v"))
+    Incremental.writePartials(partials, dir)
+    val before = spark.read.parquet(dir).collect().toSet
+
+    // a corrected re-load of day 2 only
+    val day2 = Seq(("O", ts(2), 11L), ("F", ts(2), 4L)).toDF("status", "t", "v")
+    Incremental.writePartials(Incremental.dailyPartials(
+      day2, Seq("status"), to_date(col("t")), col("v")), dir)
+
+    val after = spark.read.parquet(dir)
+      .select("status", "day", "n_rows", "sum_value").collect().toSet
+    // day 1 survived the overwrite; day 2 carries the corrected sums
+    assert(after.exists(r => r.getAs[Long]("n_rows") == 1L
+      && r.getAs[java.math.BigDecimal]("sum_value").longValue == 100L))
+    assert(after.size == 3 && after != before)
+    assert(spark.read.parquet(dir)
+      .filter(col("day") === java.sql.Date.valueOf("2024-01-02"))
+      .agg(sum(col("sum_value"))).as[java.math.BigDecimal]
+      .collect().head.longValue == 15L)
+  }
+
   // ----------------------------------------------- quantile binning
 
   test("quantileBins: quartiles of 1..100 split into four bins of 25") {
