@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   * cross-copy near-duplicates: without it, every doc would gain 9 LSH
   * twins and the near-dup pair count would grow quadratically in copies
   * — a data-distribution change, not a plan-scale measurement.
+  * `embeddings.embedding` gets the vector-space analog for the same
+  * reason (a verbatim copy gives every vector copies−1 cos=1.0 clones):
+  * a per-copy ORTHOGONAL transform — circular dimension shift by i·7
+  * plus (i,j)-derived Rademacher sign flips — preserves every
+  * intra-copy inner product and norm exactly (intra-copy structure
+  * replicates) while same-vector cross-copy cosines drop to noise.
+  * Note the testdata embeddings contain NO planted near-dup clusters
+  * (max pairwise cosine ≈ 0.60), so q91's above-threshold pair count
+  * is continuum noise and still grows with the PAIR population (~N²)
+  * after decorrelation — 4,010 pairs at sf0.1 → ~414k at 10× — which
+  * is a property of this synthetic distribution, not of the plan;
+  * SCALE.md reads the time-vs-output ratio instead for that query.
   *
   * Usage: runMain graft.ScaleGen <srcDir> <destDir> <copies>
   */
@@ -44,6 +56,22 @@ object ScaleGen {
         translate(col("text"), rotAlphabet,
           rotAlphabet.drop(i % rotAlphabet.length) +
             rotAlphabet.take(i % rotAlphabet.length)))
+    else if (table == "embeddings" && i > 0) {
+      // orthogonal decorrelation: out[j] = ±emb[(j + 7i) mod d] with
+      // (i,j)-derived signs — same transform for every row of copy i,
+      // so intra-copy inner products/norms are EXACTLY preserved while
+      // cross-copy cosines drop to noise
+      val elemT = df.schema("embedding").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      val d = size(col("embedding"))
+      shifted.withColumn("embedding",
+        transform(sequence(lit(0), d - 1), j => {
+          val src = element_at(col("embedding"), pmod(j + lit(i * 7), d) + 1)
+          val sign = when(pmod(hash(j, lit(i)), lit(2)) === 0, lit(1.0))
+            .otherwise(lit(-1.0))
+          (src * sign).cast(elemT)
+        }))
+    }
     else shifted
   }
 
