@@ -11,7 +11,9 @@ import graft.queries._
   *  - [[RelationalQueries]]  q01–q17: the reference's 11 analysis
   *    queries + projection/filter/join/union/scalar-function inventory
   *  - [[LifecycleQueries]]   q18–q20: surrogate keys + SCD Type 2
-  *  - [[WindowQueries]]      q21–q24: per-user windows, sessionization, JSON
+  *  - [[WindowQueries]]      q21–q24, q54, q99–q100: per-user windows,
+  *    sessionization (explicit + native session_window), JSON,
+  *    interval join, ratio-to-report
   *  - [[TextQueries]]        q25–q33: text stats/dedup/multimodal
   *  - [[SimilarityQueries]]  q34–q36: ANN + embedding near-dup
   *  - [[ExtendedQueries]]    q37–q44: rollup/semi/percentile/pivot/

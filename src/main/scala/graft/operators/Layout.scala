@@ -55,4 +55,39 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction — the table-maintenance pass every
+    * incremental sink eventually needs: streaming/daily writers leave
+    * hundreds of KB-scale files per partition, and at 100 TB the scan
+    * cost becomes dominated by per-file open/footer overhead and the
+    * driver's file-listing, not by bytes. Rewrites `srcPath` into
+    * `ceil(bytes / targetBytes)` output files (size measured from the
+    * source files themselves), optionally sorted by `clusterBy` so the
+    * rewrite doubles as a clustering pass (per-file min/max stats
+    * tighten — the cheap half of [[zorderWrite]]).
+    *
+    * Returns (filesBefore, filesAfter). The rewrite is one
+    * `repartition`/`repartitionByRange` shuffle of the partition being
+    * compacted — compact partition-by-partition, not the whole table
+    * at once. Not atomic on its own: production wraps it in a
+    * staging-dir-then-rename (or a table format's commit protocol);
+    * the overwrite here is the local-filesystem simplification. */
+  def compact(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+      destPath: String, targetBytes: Long,
+      clusterBy: Seq[Column] = Nil): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(srcPath != destPath,
+      "in-place compaction would read and clobber the same files; stage to a new dir")
+    val df = spark.read.parquet(srcPath)
+    val files = df.inputFiles
+    val totalBytes = files.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val out =
+      if (clusterBy.isEmpty) df.repartition(n)
+      else df.repartitionByRange(n, clusterBy: _*)
+        .sortWithinPartitions(clusterBy: _*)
+    out.write.mode("overwrite").parquet(destPath)
+    (files.length, spark.read.parquet(destPath).inputFiles.length)
+  }
 }

@@ -187,7 +187,42 @@ object WindowQueries {
       |    AS region_share
       |FROM rev ORDER BY r_name, n_name""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q100 — sessionization through the NATIVE session_window
+  // aggregation (q22 computes the same thing with explicit lag/cumsum
+  // windows; here Spark's own session-merge operator does it, the form
+  // that also runs on a stream — streamed ≡ batch pinned in
+  // EventStreamSpec). Boundary semantics differ from q22 by design:
+  // a gap of exactly 30 minutes starts a NEW session (half-open
+  // [start, last+gap) windows), and the session end is the horizon
+  // last_ts + gap; the oracle spells both out.
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.sessionWindowAgg(
+        Tables.events(s, dir), gap = "30 minutes", watermark = None)
+      .orderBy(col("user_id"), col("session_start_us"))
+  private val q100Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(is_new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  MIN(ts_us) AS session_start_us,
+      |  MAX(ts_us) + 1800000000 AS session_end_us,
+      |  COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q100_session_window", q100, Some(q100Sql)),
     QueryDef("q21_window_funcs", q21, Some(q21Sql)),
     QueryDef("q22_sessionize", q22, Some(q22Sql)),
     QueryDef("q23_windowed_agg", q23, Some(q23Sql)),

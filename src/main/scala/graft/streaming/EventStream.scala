@@ -45,6 +45,34 @@ object EventStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Gap-based sessionization via the NATIVE `session_window`
+    * aggregation — the declarative twin of [[sessionize]]'s
+    * `flatMapGroupsWithState`: Spark owns the session-merge state
+    * machine (UpdatingSessions / MergingSessions physical operators)
+    * instead of user code. Works on batch and streaming inputs
+    * identically (streaming requires the watermark so closed sessions
+    * finalize and state drops).
+    *
+    * Boundary semantics (and the q100 oracle's): a session extends
+    * while the next event arrives strictly inside `last_ts + gap`;
+    * a gap of EXACTLY `gap` starts a new session (session windows are
+    * half-open `[start, last+gap)`), and `session_end_us` is
+    * `last_ts + gap` — the horizon, not the last event. Note this
+    * differs from q22's `>` rule at the exact-gap boundary.
+    *
+    * Scale: one shuffle on the grouping key; per-task state is the
+    * open sessions of its users — bounded by the watermark. */
+  def sessionWindowAgg(events: DataFrame, gap: String,
+      watermark: Option[String]): DataFrame = {
+    val in = watermark.fold(events)(w => events.withWatermark("ts", w))
+    in.groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+  }
+
   /** Stream-stream interval join: pair each `typeA` event with the
     * same user's `typeB` events that follow within `withinSeconds`.
     * On streaming inputs both sides are watermarked, so Spark bounds

@@ -179,4 +179,32 @@ class EventStreamSpec extends AnyFunSuite {
       assert(batch.size - streamedSet.size == expectedOpen)
     } finally q.stop()
   }
+
+  test("native session_window stream agrees with the batch q100") {
+    val dir = eventsDir
+    val batchDf = spark.read.parquet(dir)
+    val streamDf = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val q = EventStream.sessionWindowAgg(streamDf, "30 minutes", Some("0 seconds"))
+      .writeStream.outputMode("append").format("memory").queryName("sw_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sw_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+          r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events")))
+      val batch = SparkEntry.queries("q100_session_window")(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+          r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).toSet
+      val streamedSet = streamed.toSet
+      // every finalized session matches the batch result exactly —
+      // same boundaries, same counts, no splits, no duplicates
+      assert(streamed.length == streamedSet.size)
+      assert(streamedSet.subsetOf(batch))
+      assert(streamedSet.nonEmpty)
+      // append mode holds back only sessions whose window end is not
+      // yet past the final watermark (max event time)
+      val maxTsUs = batchDf.select(max(unix_micros(col("ts")))).collect().head.getLong(0)
+      val expectedOpen = batch.count { case (_, _, endUs, _) => endUs > maxTsUs }
+      assert(batch.size - streamedSet.size == expectedOpen)
+    } finally q.stop()
+  }
 }

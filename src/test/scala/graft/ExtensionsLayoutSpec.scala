@@ -83,4 +83,34 @@ class ExtensionsLayoutSpec extends AnyFunSuite {
     assert(zB * 2 < plainB, s"zB=$zB plainB=$plainB")   // b prunes under z-order
     assert(zA < 192, s"zA=$zA")                          // a still bounded too
   }
+
+  test("compact rewrites a many-small-file table into few sized files, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // simulate an incremental writer: 40 tiny files
+    val df = spark.range(0, 20000).select(
+      col("id"), (col("id") % 97).as("k"), rand(7).as("v"))
+    df.repartition(40).write.mode("overwrite").parquet(s"$dir/small")
+    val smallBytes = spark.read.parquet(s"$dir/small").inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length).sum
+
+    val (before, after) = Layout.compact(spark, s"$dir/small", s"$dir/big",
+      targetBytes = smallBytes / 4 + 1, clusterBy = Seq(col("k")))
+    assert(before == 40)
+    assert(after <= 4, s"expected <=4 files, got $after")
+    // nothing lost, nothing duplicated
+    val a = spark.read.parquet(s"$dir/small").collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(s"$dir/big").collect().map(_.toSeq).toSet
+    assert(a == b && b.size == 20000)
+    // the clustering pass tightened per-file k ranges: each output
+    // file covers a narrow k band, not the full 0..96 domain
+    val spans = spark.read.parquet(s"$dir/big").inputFiles.map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k")).collect().head
+      r.getLong(1) - r.getLong(0)
+    }
+    assert(spans.forall(_ < 97 / 2), spans.mkString(","))
+    // in-place compaction is refused, not silently destructive
+    intercept[IllegalArgumentException] {
+      Layout.compact(spark, s"$dir/big", s"$dir/big", 1L << 20)
+    }
+  }
 }
