@@ -139,6 +139,42 @@ object CurationQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // q101 — RE-AGGREGATABLE distinct counts: one DataSketches HLL
+  // sketch per (event_type, day), then monthly uniques from
+  // `hll_union_agg` over the daily sketches — the property exact
+  // COUNT(DISTINCT) fundamentally lacks (day counts don't sum) and the
+  // reason a 100 TB warehouse stores sketch columns in its daily
+  // partials (see [[graft.operators.Incremental]] — this is that
+  // pattern with a mergeable distinct). The estimate feeds only the
+  // q57-style envelope boolean (default lgK=12 → rsd ≈ 1.6%, bound at
+  // 3·rsd ≈ 5%); the exact month-level twin grounds it at test scale.
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val monthly = daily
+      .groupBy(col("event_type"), trunc(col("day"), "month").as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+    val exact = e
+      .groupBy(col("event_type"), trunc(col("day"), "month").as("month"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    monthly.join(exact, Seq("event_type", "month"))
+      .select(col("event_type"), col("month"), col("n_days"),
+        col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_bound"))
+      .orderBy(col("event_type"), col("month"))
+  }
+  private val q101Sql =
+    """SELECT event_type,
+      |  date_trunc('month', CAST(ts AS DATE)) AS month,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_bound
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
   // q58 — salted two-phase count-distinct equals the direct
   // COUNT(DISTINCT): the skew-mitigation path the salting exists for
   // (distinct-value state, not row count, is what hot-spots a
@@ -331,6 +367,7 @@ object CurationQueries {
     QueryDef("q50_stable_hash_sk", q50, Some(q50Sql)),
     QueryDef("q53_shard_budgets", q53, Some(q53Sql)),
     QueryDef("q57_approx_distinct", q57, Some(q57Sql)),
+    QueryDef("q101_sketch_rollup", q101, Some(q101Sql)),
     QueryDef("q58_salted_distinct", q58, Some(q58Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q64_sequence_packing", q64, Some(q64Sql)),

@@ -215,6 +215,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == Seq(0L, 7L, 15L, 22L)) // ⌊j·30/4⌋
   }
 
+  // ------------------------------------------- sketch re-aggregation
+
+  test("HLL sketches merge losslessly: union of disjoint partials == one-pass sketch") {
+    val df = (1L to 5000L).map(i => (i % 3, i % 1700)).toDF("g", "u")
+    val onePass = df.groupBy("g")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u"))).as("est"))
+      .orderBy("g").as[(Long, Long)].collect().toSeq
+    val partials = df.filter(col("u") % 2 === 0).groupBy("g")
+      .agg(hll_sketch_agg(col("u")).as("sk"))
+      .unionByName(df.filter(col("u") % 2 === 1).groupBy("g")
+        .agg(hll_sketch_agg(col("u")).as("sk")))
+    val merged = partials.groupBy("g")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .orderBy("g").as[(Long, Long)].collect().toSeq
+    // the merge is exact at the SKETCH level (same registers), so the
+    // estimates are identical — not merely within the error bound
+    assert(merged == onePass)
+  }
+
   // ------------------------------------------------ aggregate argmax
 
   test("max(struct) argmax breaks total ties on the higher user id") {
