@@ -104,7 +104,8 @@ object Dedup {
     * mirrors the same hashing). */
   private[operators] def withShingleSignatures(df: DataFrame, idCol: String,
       textCol: String, k: Int, shingleN: Int,
-      stagingDir: Option[String] = None): DataFrame = {
+      stagingDir: Option[String] = None,
+      carry: Seq[String] = Nil): DataFrame = {
     // The materialize() below is a MATERIALIZATION BARRIER, not just
     // a reuse cache: without it, CollapseProject inlines the
     // shingle+hash arrays into every one of the k minhash projections
@@ -112,15 +113,15 @@ object Dedup {
     // (measured 10×+ slowdown). Local checkpoint by default; pass
     // `stagingDir` to stage through parquet at production scale.
     val withBase = materialize(
-      df.select(col(idCol),
-        hashedShingles(tokens(col(textCol)), shingleN).as("hs")),
+      df.select(col(idCol) +: carry.map(col) :+
+        hashedShingles(tokens(col(textCol)), shingleN).as("hs"): _*),
       stagingDir)
     withBase.select(
-      col(idCol) +: col("hs") +:
+      (col(idCol) +: carry.map(col)) ++ (col("hs") +:
         (0 until k).map(j =>
           array_min(transform(col("hs"),
             h => (lit(minhashPermA(j)) * h + minhashPermB(j)) % MinhashPrime))
-            .as(s"mh$j")): _*)
+            .as(s"mh$j"))): _*)
       .filter(col("mh0").isNotNull)
   }
 
@@ -289,5 +290,80 @@ object Dedup {
     val sketch = (0 until bits).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L)).reduce(_ + _)
     bitSums.select(col(idCol), sketch.as("simhash"))
+  }
+
+  /** Elementwise-min union of MinHash signatures — a typed
+    * [[org.apache.spark.sql.expressions.Aggregator]], the UDAF
+    * extension point (the engine's first: everything else composes
+    * built-ins or scalar Expressions). The MinHash of a UNION of
+    * shingle sets is the elementwise min of the members' signatures,
+    * so group/segment-level signatures are MERGEABLE state: reduce and
+    * merge are both elementwise min (associative, commutative,
+    * idempotent), Spark plans it with map-side partials, and persisted
+    * group signatures can be rolled up later exactly like the q94/q101
+    * partials — compare segments WITHOUT re-reading their documents. */
+  final class SignatureMin(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+    override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      require(a.length == k, s"signature length ${a.length} != k=$k")
+      var i = 0; while (i < k) { if (a(i) < b(i)) b(i) = a(i); i += 1 }; b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0; while (i < k) { if (y(i) < x(i)) x(i) = y(i); i += 1 }; x
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** Group-level similarity WITHOUT a document-pair product: per-group
+    * MinHash signatures via [[SignatureMin]] plus the exact per-group
+    * shingle-set Jaccard to ground the estimate. Returns one row per
+    * group pair (groupA < groupB):
+    * `(ga, gb, sig_matches, est_jaccard, exact_jaccard)`.
+    *
+    * Scale: the signature side aggregates |groups| rows of k longs
+    * (mergeable — at 100 TB the signatures live in the daily partials
+    * and only the tiny group×k frame is ever paired); the exact twin
+    * joins distinct (group, shingle) rows on the shingle hash —
+    * corpus-linear, and only needed where an exact ground truth is
+    * wanted at all. */
+  def groupMinhashJaccard(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, k: Int, shingleN: Int): DataFrame = {
+    val s = withShingleSignatures(df, idCol, textCol, k, shingleN,
+      stagingDir = None, carry = Seq(groupCol))
+    val sigArr = array((0 until k).map(j => col(s"mh$j")): _*)
+    val minAgg = udaf(new SignatureMin(k))
+    val groupSigs = s.groupBy(col(groupCol))
+      .agg(minAgg(sigArr).as("gsig"))
+
+    val sets = s.select(col(groupCol), explode(col("hs")).as("h")).distinct()
+    val sizes = sets.groupBy(col(groupCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = sets.as("ia").join(sets.as("ib"),
+        col("ia.h") === col("ib.h") &&
+          col(s"ia.$groupCol") < col(s"ib.$groupCol"))
+      .groupBy(col(s"ia.$groupCol").as("ga"), col(s"ib.$groupCol").as("gb"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    val matches = (0 until k).map(j =>
+      when(element_at(col("sa"), j + 1) === element_at(col("sb"), j + 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    groupSigs.as("x").join(groupSigs.as("y"),
+        col(s"x.$groupCol") < col(s"y.$groupCol"))
+      .select(col(s"x.$groupCol").as("ga"), col(s"y.$groupCol").as("gb"),
+        col("x.gsig").as("sa"), col("y.gsig").as("sb"))
+      .withColumn("sig_matches", matches)
+      .join(broadcast(sizes.as("na")), col("ga") === col(s"na.$groupCol"))
+      .join(broadcast(sizes.as("nb")), col("gb") === col(s"nb.$groupCol"))
+      .join(broadcast(inter), Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), col("sig_matches"),
+        (col("sig_matches").cast("double") / k).as("est_jaccard"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("na.n_sh") + col("nb.n_sh")
+            - coalesce(col("n_inter"), lit(0L)))).as("exact_jaccard"))
   }
 }

@@ -286,6 +286,49 @@ object TextQueries {
       |      CAST(flen AS BIGINT))) AS frame_md5
       |FROM i ORDER BY media_id, frame_idx""".stripMargin
 
+  // q102 — corpus-segment similarity from MERGED MinHash signatures:
+  // per-language group signatures via the SignatureMin typed
+  // Aggregator (elementwise min — the MinHash of a shingle-set UNION),
+  // then pairwise signature agreement next to the exact set Jaccard
+  // that grounds it. The oracle computes the group signature the
+  // mathematically-equivalent way (permuted min over the group's
+  // distinct shingle union), so the gate checks the Aggregator's merge
+  // semantics exactly — integers and two exact divisions, no envelope.
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.groupMinhashJaccard(Tables.documents(s, dir),
+        groupCol = "lang", idCol = "doc_id", textCol = "text",
+        k = 16, shingleN = 3)
+      .orderBy(col("ga"), col("gb"))
+  private val q102Sql = {
+    import graft.operators.Dedup.{minhashPermA, minhashPermB, MinhashPrime}
+    val mh = (0 until 16).map(j =>
+      s"min((${minhashPermA(j)} * h + ${minhashPermB(j)}) % $MinhashPrime) AS mh$j")
+      .mkString(",\n  ")
+    val matchTerms = (0 until 16).map(j =>
+      s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, lang, $dTokens AS toks FROM documents),
+      |th AS (SELECT doc_id, lang,
+      |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM t),
+      |hb AS (SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(1, len(th) - 1),
+      |    i -> ((((th[i] * 65599 + th[i+1]) % 4294967311) * 65599 + th[i+2]) % 4294967311) % 4294967296)) AS hs
+      |  FROM th),
+      |s AS (SELECT DISTINCT lang, unnest(hs) AS h FROM hb WHERE len(hs) > 0),
+      |sig AS (SELECT lang, $mh FROM s GROUP BY lang),
+      |n AS (SELECT lang, COUNT(*) AS n_sh FROM s GROUP BY lang),
+      |i AS (SELECT a.lang AS ga, b.lang AS gb, COUNT(*) AS ni
+      |      FROM s a JOIN s b ON a.h = b.h AND a.lang < b.lang GROUP BY 1, 2)
+      |SELECT a.lang AS ga, b.lang AS gb,
+      |  CAST($matchTerms AS BIGINT) AS sig_matches,
+      |  CAST($matchTerms AS DOUBLE) / 16 AS est_jaccard,
+      |  CAST(COALESCE(i.ni, 0) AS DOUBLE)
+      |    / (na.n_sh + nb.n_sh - COALESCE(i.ni, 0)) AS exact_jaccard
+      |FROM sig a JOIN sig b ON a.lang < b.lang
+      |JOIN n na ON na.lang = a.lang JOIN n nb ON nb.lang = b.lang
+      |LEFT JOIN i ON i.ga = a.lang AND i.gb = b.lang
+      |ORDER BY ga, gb""".stripMargin
+  }
+
   // q45 — BPE-ish subword token counting next to whitespace tokens:
   // alpha runs, digit runs, and single punctuation marks (the
   // pre-tokenization shape BPE vocabularies train over). The pattern
@@ -579,6 +622,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q25_text_stats", q25, Some(q25Sql)),
     QueryDef("q97_frame_sample", q97, Some(q97Sql)),
+    QueryDef("q102_group_signature", q102, Some(q102Sql)),
     QueryDef("q66_pii_redaction", q66, Some(q66Sql)),
     QueryDef("q68_chunking", q68, Some(q68Sql)),
     QueryDef("q69_keywords", q69, Some(q69Sql)),

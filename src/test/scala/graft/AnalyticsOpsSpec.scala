@@ -215,6 +215,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == Seq(0L, 7L, 15L, 22L)) // ⌊j·30/4⌋
   }
 
+  // ------------------------------------- typed-Aggregator signatures
+
+  test("SignatureMin: group signature == elementwise min, stable under repartitioning") {
+    import graft.operators.Dedup
+    val df = Seq(
+      ("g1", Seq(5L, 9L, 2L)), ("g1", Seq(3L, 11L, 7L)), ("g1", Seq(4L, 8L, 8L)),
+      ("g2", Seq(1L, 1L, 1L)))
+      .toDF("g", "sig")
+    val agg = udaf(new Dedup.SignatureMin(3))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("g").agg(agg(col("sig")).as("gsig"))
+        .orderBy("g").as[(String, Seq[Long])].collect().toSeq
+    val expected = Seq("g1" -> Seq(3L, 8L, 2L), "g2" -> Seq(1L, 1L, 1L))
+    assert(run(df) == expected)
+    // merge path: many partitions → partial buffers must combine to
+    // the same result as the single-partition reduce path
+    assert(run(df.repartition(8)) == expected)
+    assert(run(df.coalesce(1)) == expected)
+  }
+
+  test("SignatureMin rejects signatures of the wrong width") {
+    import graft.operators.Dedup
+    val df = Seq(("g", Seq(1L, 2L))).toDF("g", "sig")
+    val agg = udaf(new Dedup.SignatureMin(3))
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(agg(col("sig"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   // ------------------------------------------- sketch re-aggregation
 
   test("HLL sketches merge losslessly: union of disjoint partials == one-pass sketch") {

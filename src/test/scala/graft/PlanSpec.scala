@@ -321,4 +321,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
     assert("Window \\[".r.findAllIn(p).length == 1, p)
   }
+
+  test("q102: the typed Aggregator aggregates partially; signatures pair, documents never do") {
+    val p = planOf("q102_group_signature")
+    // the UDAF plans as ObjectHashAggregate with a map-side partial
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.toLowerCase.contains("partial_signaturemin"), p)
+    // the only inequality join runs on the |groups|-row signature
+    // frame — a doc×doc product would appear as a join keyed on doc_id
+    assert(!p.contains("doc_id#") || !p.contains("CartesianProduct"), p)
+  }
 }
