@@ -102,9 +102,55 @@ object SqlQueries {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY g_flag, g_status, return_flag, line_status""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q103 — correlated subqueries through the SQL front door: a
+  // correlated SCALAR subquery (each order against its customer's own
+  // average, spelled as exact-decimal sum x count so the comparison is
+  // ulp-proof cross-engine — Catalyst's RewriteCorrelatedScalarSubquery
+  // turns each into an aggregate + join, never per-row re-execution),
+  // and a
+  // correlated NOT EXISTS (planned as the same broadcast anti join
+  // q13 builds in the DSL). Exercises the analyzer's decorrelation
+  // path, which no DSL query reaches.
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, "orders", "customer")
+    s.sql("""SELECT c_mktsegment,
+            |  COUNT(*) AS n_above_own_avg,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS above_avg_revenue
+            |FROM orders JOIN customer ON o_custkey = c_custkey
+            |WHERE CAST(o_totalprice AS DECIMAL(12,2))
+            |        * (SELECT COUNT(*) FROM orders o2
+            |           WHERE o2.o_custkey = orders.o_custkey)
+            |      > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+            |         FROM orders o2 WHERE o2.o_custkey = orders.o_custkey)
+            |  AND NOT EXISTS (SELECT 1 FROM orders o3
+            |                  WHERE o3.o_custkey = orders.o_custkey
+            |                    AND o3.o_orderstatus = 'F'
+            |                    AND o3.o_totalprice > 450000)
+            |GROUP BY c_mktsegment
+            |ORDER BY c_mktsegment""".stripMargin)
+  }
+  private val q103Sql =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_above_own_avg,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS above_avg_revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2))
+      |        * (SELECT COUNT(*) FROM orders o2
+      |           WHERE o2.o_custkey = orders.o_custkey)
+      |      > (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(12,2)))
+      |         FROM orders o2 WHERE o2.o_custkey = orders.o_custkey)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o3
+      |                  WHERE o3.o_custkey = orders.o_custkey
+      |                    AND o3.o_orderstatus = 'F'
+      |                    AND o3.o_totalprice > 450000)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q46_sql_surface", q46, Some(q46Sql)),
     QueryDef("q77_sql_native_fns", q77, Some(q77Sql)),
     QueryDef("q98_grouping_sets", q98, Some(q98Sql)),
+    QueryDef("q103_correlated_subqueries", q103, Some(q103Sql)),
   )
 }

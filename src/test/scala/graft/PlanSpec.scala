@@ -322,6 +322,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Window \\[".r.findAllIn(p).length == 1, p)
   }
 
+  test("q103: correlated subqueries decorrelate — anti join + agg-join, no per-row re-execution") {
+    val p = planOf("q103_correlated_subqueries")
+    assert(p.contains("LeftAnti"), p)          // NOT EXISTS → anti join
+    assert(p.contains("partial_sum"), p)       // scalar subquery → aggregate
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q102: the typed Aggregator aggregates partially; signatures pair, documents never do") {
     val p = planOf("q102_group_signature")
     // the UDAF plans as ObjectHashAggregate with a map-side partial

@@ -23,6 +23,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(stale.isEmpty, s"allowlist names unknown queries: $stale")
   }
 
+  test("registry names are unique — a duplicate would silently shadow a query") {
+    // SparkEntry.queries/oracleSql are Maps built from the registry;
+    // two QueryDefs sharing a name would drop one without any error
+    // and the driver's gate would never see it
+    val names = SparkEntry.registry.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: $dups")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
