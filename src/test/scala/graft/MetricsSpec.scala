@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Measured-execution backing for the plan-shape claims: PlanSpec
+  * asserts what the plan says; these tests assert what an execution
+  * actually shuffled. Also pins the AQE skew-join split — the runtime
+  * complement to the manual salting of q82.
+  */
+class MetricsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.01"
+
+  test("q48 hash sampling measures ZERO shuffle bytes — not just a shuffle-free plan") {
+    val (_, m) = Metrics.capture(spark) {
+      SparkEntry.queries("q48_hash_sample")(spark, sf).collect()
+    }
+    assert(m.shuffleWriteBytes == 0 && m.shuffleReadBytes == 0, m)
+    assert(m.inputRecords > 0, m)
+  }
+
+  test("Pii.scrub measures zero shuffle bytes (q66 adds only a presentation sort)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (_, m) = Metrics.capture(spark) {
+      graft.operators.Pii.scrub(docs, "text").collect()
+    }
+    assert(m.shuffleWriteBytes == 0 && m.shuffleReadBytes == 0, m)
+  }
+
+  test("q02's map-side combine shuffles orders of magnitude less than its input") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val inputBytes = li.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length).sum
+    val (_, m) = Metrics.capture(spark) {
+      SparkEntry.queries("q02_groupby_agg")(spark, sf).collect()
+    }
+    // 6 groups × a few columns: the partial aggregation reduces the
+    // shuffle to KBs against MBs of scan — measured, not asserted from
+    // the plan string
+    assert(m.shuffleWriteBytes > 0, m)
+    assert(m.shuffleWriteBytes * 100 < inputBytes,
+      s"shuffle ${m.shuffleWriteBytes} vs input $inputBytes")
+  }
+
+  test("AQE splits a skewed join partition at runtime (the q82 salting's runtime twin)") {
+    val s = spark
+    import s.implicits._
+    // one hot key owning ~all rows, forced through a sort-merge join
+    val hot = spark.range(0, 200000).select(
+      lit(7L).as("k"), col("id").as("payload"))
+      .unionByName(spark.range(0, 50).select((col("id") % 17).as("k"), col("id").as("payload")))
+    val dim = spark.range(0, 20).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.enabled"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> spark.conf.getOption("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> spark.conf.getOption("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val joined = hot.join(dim, "k")
+      // execute THIS frame so AQE finalizes its adaptive plan (count()
+      // would build and finalize a separate execution)
+      assert(joined.collect().length == 200050)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+}
