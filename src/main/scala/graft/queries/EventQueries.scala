@@ -149,7 +149,86 @@ object EventQueries {
       |  CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y
       |FROM s ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q104 — event-type transition matrix: counts of (this event → the
+  // same user's NEXT event) over per-user timelines, with the exit
+  // probability per source state. One lead() window per user (the
+  // q22 shuffle), then a tiny groupBy; the probability is one double
+  // division of exact integers. The Markov-chain input every
+  // journey/abandonment analysis starts from.
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    steps
+      .withColumn("p_transition", col("n_transitions").cast("double")
+        / sum(col("n_transitions")).over(totals).cast("double"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+  private val q104Sql =
+    """WITH steps AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |t AS (SELECT event_type, next_type, COUNT(*) AS n_transitions
+      |      FROM steps WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n_transitions,
+      |  CAST(n_transitions AS DOUBLE)
+      |    / CAST(SUM(n_transitions) OVER (PARTITION BY event_type) AS DOUBLE)
+      |    AS p_transition
+      |FROM t ORDER BY event_type, next_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q105 — weekly cohort retention: users bucketed by first-activity
+  // week, distinct actives per (cohort, weeks-since-start). Two
+  // shuffles (first-seen per user, then the cohort grid) and a double
+  // division of exact integers for the retention rate — the matrix
+  // behind every retention curve. Weeks are epoch-weeks
+  // (⌊epoch_day/7⌋): no ISO week-year boundary ambiguity in either
+  // engine.
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"),
+        (unix_date(to_date(col("ts"))) / lit(7)).cast("long").as("abs_wk"))
+    val first = e.groupBy(col("user_id"))
+      .agg(min(col("abs_wk")).as("cohort_wk"))
+    val active = e.select(col("user_id"), col("abs_wk")).distinct()
+    val cohortSizes = first.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active.join(first, "user_id")
+      .groupBy(col("cohort_wk"),
+        (col("abs_wk") - col("cohort_wk")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(cohortSizes), "cohort_wk")
+      .withColumn("retention",
+        col("n_active").cast("double") / col("n_cohort").cast("double"))
+      .orderBy(col("cohort_wk"), col("weeks_since"))
+  }
+  private val q105Sql =
+    """WITH e AS (SELECT user_id,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS abs_wk
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(abs_wk) AS cohort_wk FROM e GROUP BY 1),
+      |sz AS (SELECT cohort_wk, COUNT(*) AS n_cohort FROM f GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, abs_wk FROM e)
+      |SELECT f.cohort_wk, a.abs_wk - f.cohort_wk AS weeks_since,
+      |  COUNT(DISTINCT a.user_id) AS n_active,
+      |  CAST(max(sz.n_cohort) AS BIGINT) AS n_cohort,
+      |  CAST(COUNT(DISTINCT a.user_id) AS DOUBLE)
+      |    / CAST(max(sz.n_cohort) AS DOUBLE) AS retention
+      |FROM a JOIN f USING (user_id) JOIN sz ON sz.cohort_wk = f.cohort_wk
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q104_transition_matrix", q104, Some(q104Sql)),
+    QueryDef("q105_cohort_retention", q105, Some(q105Sql)),
     QueryDef("q83_funnel", q83, Some(q83Sql)),
     QueryDef("q84_gap_fill", q84, Some(q84Sql)),
     QueryDef("q89_sigma_outliers", q89, Some(q89Sql)),
