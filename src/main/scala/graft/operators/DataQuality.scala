@@ -66,6 +66,26 @@ object DataQuality {
         count(when(dev * dev > bound, 1)).as("n_outliers"))
   }
 
+  /** Zero-extra-pass validation counts — the reference's per-stage
+    * row-count logging (SURVEY.md §2 A10, `extraction.py:37,46,108`)
+    * done Spark-natively: `Dataset.observe` attaches a CollectMetrics
+    * node, so the row count and per-column null counts accumulate
+    * DURING whatever action consumes the frame (typically the write) —
+    * no second scan, no extra job. Read the results from the
+    * `Observation` after the action:
+    * {{{
+    * val obs = Observation("stage")
+    * DataQuality.observeValidation(df, obs, Seq("k")).write.parquet(p)
+    * obs.get("n_rows")  // counted during the write itself
+    * }}}
+    * At 100 TB this is the difference between free validation and a
+    * second full read of the stage output. */
+  def observeValidation(df: DataFrame, obs: org.apache.spark.sql.Observation,
+      nullCheckCols: Seq[String]): DataFrame =
+    df.observe(obs, count(lit(1)).as("n_rows"),
+      nullCheckCols.map(c =>
+        count(when(col(c).isNull, 1)).as(s"n_null_$c")): _*)
+
   /** Per-group least-squares trend slope with NO floating-point
     * accumulation — the q89 discipline applied to regression:
     * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` with every sum

@@ -44,6 +44,22 @@ class MetricsSpec extends AnyFunSuite {
       s"shuffle ${m.shuffleWriteBytes} vs input $inputBytes")
   }
 
+  test("observeValidation counts rows and nulls during the write — no second scan") {
+    import graft.operators.DataQuality
+    val dir = java.nio.file.Files.createTempDirectory("graft_obs").toString
+    val df = Seq((1L, "a"), (2L, null), (3L, "c"), (4L, null))
+      .toDF("id", "s")
+    val obs = new org.apache.spark.sql.Observation("stage")
+    val ((), m) = Metrics.capture(spark) {
+      DataQuality.observeValidation(df, obs, Seq("s"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    assert(obs.get("n_rows") == 4L)
+    assert(obs.get("n_null_s") == 2L)
+    // one job: the write itself — validation added no stages beyond it
+    assert(m.stages == 1, m)
+  }
+
   test("AQE splits a skewed join partition at runtime (the q82 salting's runtime twin)") {
     val s = spark
     import s.implicits._
