@@ -121,6 +121,39 @@ object DataQuality {
       (col("__sy").cast("double") / col("__n").cast("double")).as("mean_y")): _*)
   }
 
+  /** Per-group MEDIAN/MAD outlier counts — the robust complement to
+    * [[sigmaOutlierCounts]]: mean/variance move with the outliers they
+    * hunt (masking), while the median and the median absolute
+    * deviation have a 50% breakdown point. Flags
+    * `|x − median| > k·MAD`.
+    *
+    * Cross-engine exactness without integer tricks: every statistic
+    * here is an ORDER STATISTIC or a single interpolation
+    * (`percentile` ≡ DuckDB `quantile_cont`, the q39-proven pair), and
+    * the comparison arithmetic is one subtraction/abs/multiply per
+    * row — no accumulation order anywhere, so doubles match bit-exact.
+    *
+    * Cost: two grouped percentile aggregations plus one counting pass
+    * (exact two-level medians need them); the tiny median/MAD frames
+    * broadcast back, the corpus never shuffles to join them. */
+  def madOutlierCounts(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, k: Double): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val med = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(valueCol, lit(0.5)).as("med"))
+    val dev = df.join(broadcast(med), groupCols)
+      .withColumn("__absdev", abs(valueCol - col("med")))
+    val mad = dev.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col("__absdev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(when(col("__absdev") > lit(k) * col("mad"), 1))
+          .as("n_outliers"))
+  }
+
   /** Duplicate statistics on a key set: one row —
     * (n_rows, n_distinct_keys, n_duplicate_rows). */
   def duplicateStats(df: DataFrame, keys: Seq[String]): DataFrame = {

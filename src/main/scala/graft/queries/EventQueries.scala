@@ -226,8 +226,34 @@ object EventQueries {
       |FROM a JOIN f USING (user_id) JOIN sz ON sz.cohort_wk = f.cohort_wk
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q106 — robust (median/MAD) outlier counts per event type: the
+  // 50%-breakdown complement to q89's moment-based sigma test (a mean
+  // and variance move with the very outliers they hunt; the median
+  // doesn't). All statistics are order statistics / single
+  // interpolations — the q39-proven exact-percentile pair — so the
+  // doubles hash-match with no integer quantization at all (see
+  // [[graft.operators.DataQuality.madOutlierCounts]]).
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    DataQuality.madOutlierCounts(Tables.events(s, dir), Seq("event_type"),
+        col("value"), k = 3.0)
+      .orderBy(col("event_type"))
+  private val q106Sql =
+    """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+      |             FROM events GROUP BY 1),
+      |dev AS (SELECT e.event_type, abs(e.value - med.med) AS absdev, med.med
+      |        FROM events e JOIN med USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      |        FROM dev GROUP BY 1)
+      |SELECT dev.event_type, COUNT(*) AS n_rows,
+      |  max(dev.med) AS med, max(mad.mad) AS mad,
+      |  COUNT(CASE WHEN dev.absdev > 3.0 * mad.mad THEN 1 END) AS n_outliers
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q104_transition_matrix", q104, Some(q104Sql)),
+    QueryDef("q106_mad_outliers", q106, Some(q106Sql)),
     QueryDef("q105_cohort_retention", q105, Some(q105Sql)),
     QueryDef("q83_funnel", q83, Some(q83Sql)),
     QueryDef("q84_gap_fill", q84, Some(q84Sql)),
