@@ -14,16 +14,23 @@ import graft.queries._
   *  - [[WindowQueries]]      q21–q24, q54, q99–q100: per-user windows,
   *    sessionization (explicit + native session_window), JSON,
   *    interval join, ratio-to-report
-  *  - [[TextQueries]]        q25–q33: text stats/dedup/multimodal
-  *  - [[SimilarityQueries]]  q34–q36: ANN + embedding near-dup
-  *  - [[ExtendedQueries]]    q37–q44: rollup/semi/percentile/pivot/
-  *    DQ-profile/as-of/ranking
-  *  - [[SqlQueries]]         q46: the `spark.sql` front door
-  *  - [[CurationQueries]]    q47–q50: skew-safe aggs, deterministic
-  *    sampling/caps, stable hash surrogate keys
-  *  - [[EventQueries]]       q83–q84, q89, q92–q93: ordered funnel,
-  *    gap-filled series, sigma outliers, trailing RANGE-frame windows,
-  *    exact trend slopes
+  *  - [[TextQueries]]        q25–q33, q45, q59–q63, q66–q69, q97,
+  *    q102: text stats/dedup/curation/multimodal + group signatures
+  *  - [[SimilarityQueries]]  q34–q36, q51–q52, q67, q75, q91: ANN,
+  *    IVF, k-means, quantization, RP-LSH near-dup
+  *  - [[ExtendedQueries]]    q37–q44, q55–q56, q78, q81, q96: rollup/
+  *    semi/percentile/pivot/DQ-profile/as-of/ranking/Z-order/bloom/
+  *    argmax
+  *  - [[SqlQueries]]         q46, q77, q98, q103: the `spark.sql`
+  *    front door (native fns, GROUPING SETS, correlated subqueries)
+  *  - [[CurationQueries]]    q47–q50, q53, q57–q58, q64–q65, q70–q71,
+  *    q76, q80, q101: skew-safe aggs, sampling/caps/mixtures, packing,
+  *    sketches + the mergeable sketch rollup
+  *  - [[VocabQueries]]       q72–q74, q90: tokenizer-training stats
+  *  - [[LifecycleQueries]]   also q79, q86: CDC diff + MERGE
+  *  - [[EventQueries]]       q83–q84, q89, q92–q93, q104–q106: funnel,
+  *    gap fill, sigma/MAD outliers, trailing RANGE windows, trend
+  *    slopes, transitions, cohort retention
   *  - [[ScaleQueries]]       q82, q85, q87–q88, q94–q95: salted join,
   *    histogram+CDF, CUBE, weighted deterministic sample, incremental
   *    partial-aggregate rollup, quantile binning
