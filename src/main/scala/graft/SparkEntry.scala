@@ -14,8 +14,8 @@ import graft.queries._
   *  - [[WindowQueries]]      q21–q24, q54, q99–q100: per-user windows,
   *    sessionization (explicit + native session_window), JSON,
   *    interval join, ratio-to-report
-  *  - [[TextQueries]]        q25–q33, q45, q59–q63, q66–q69, q97,
-  *    q102: text stats/dedup/curation/multimodal + group signatures
+  *  - [[TextQueries]]        q25–q33, q45, q59–q63, q66, q68–q69,
+  *    q97, q102: text stats/dedup/curation/multimodal + signatures
   *  - [[SimilarityQueries]]  q34–q36, q51–q52, q67, q75, q91: ANN,
   *    IVF, k-means, quantization, RP-LSH near-dup
   *  - [[ExtendedQueries]]    q37–q44, q55–q56, q78, q81, q96: rollup/

@@ -307,6 +307,7 @@ object Dedup {
         Seq[Long], Array[Long], Seq[Long]] {
     override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
     override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+      require(a != null, "null signature row — filter nulls before aggregating")
       require(a.length == k, s"signature length ${a.length} != k=$k")
       var i = 0; while (i < k) { if (a(i) < b(i)) b(i) = a(i); i += 1 }; b
     }

@@ -76,12 +76,25 @@ object Layout {
       destPath: String, targetBytes: Long,
       clusterBy: Seq[Column] = Nil): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    require(srcPath != destPath,
+    // normalize through the Hadoop FileSystem before comparing: raw
+    // string equality lets "/t" vs "/t/" (or relative vs absolute
+    // spellings) bypass the guard and clobber the source mid-scan
+    val conf = spark.sessionState.newHadoopConf()
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp)
+    }
+    require(qualified(srcPath) != qualified(destPath),
       "in-place compaction would read and clobber the same files; stage to a new dir")
     val df = spark.read.parquet(srcPath)
     val files = df.inputFiles
-    val totalBytes = files.map(f =>
-      new java.io.File(new java.net.URI(f).getPath).length).sum
+    // size through the Hadoop FS, not java.io.File: File.length is a
+    // silent 0 for hdfs://s3a:// URIs and would collapse the rewrite
+    // to a single giant file
+    val totalBytes = files.map { f =>
+      val hp = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      hp.getFileSystem(conf).getFileStatus(hp).getLen
+    }.sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val out =
       if (clusterBy.isEmpty) df.repartition(n)

@@ -213,9 +213,13 @@ object Sampling {
       "input already defines __graft_bounds/bin")
     val bounds = df.agg(
       array(qs.map(q => percentile(valueCol, lit(q))): _*).as("__graft_bounds"))
+    // null values get a NULL bin, not bin 0: percentile ignored them
+    // when computing the boundaries, so assigning them to the lowest
+    // band would silently corrupt any profile built on `bin`
     df.crossJoin(broadcast(bounds))
-      .withColumn("bin", aggregate(col("__graft_bounds"), lit(0L),
-        (acc, b) => acc + when(valueCol >= b, 1L).otherwise(0L)))
+      .withColumn("bin", when(valueCol.isNotNull,
+        aggregate(col("__graft_bounds"), lit(0L),
+          (acc, b) => acc + when(valueCol >= b, 1L).otherwise(0L))))
       .drop("__graft_bounds")
   }
 }

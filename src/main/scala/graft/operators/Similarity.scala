@@ -278,17 +278,17 @@ object Similarity {
   // ---- random-hyperplane (sign-projection) LSH ---------------------
 
   /** Driver-side twin of [[graft.operators.TextFunctions.hash60]] for
-    * PLAN-TIME constants: first 15 hex chars of md5(s) as a long. The
-    * hyperplane coefficients below derive from it, so any engine can
-    * regenerate the exact same planes from its own `md5` (the oracle
-    * does, in SQL) — the "randomness" is a pure function of the plane
-    * and dimension indices, never an RNG state. */
-  private[graft] def hash60Const(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.lang.Long.parseLong(
-      d.take(8).map(b => f"$b%02x").mkString.substring(0, 15), 16)
-  }
+    * PLAN-TIME constants — delegates to the native kernel's static
+    * function ([[graft.plans.Md5Hash60.hash]], pinned value-identical
+    * to the hex-string form by Md5Hash60Spec) so the 60-bit slicing
+    * rule exists in exactly one place. The hyperplane coefficients
+    * below derive from it, so any engine can regenerate the exact same
+    * planes from its own `md5` (the oracle does, in SQL) — the
+    * "randomness" is a pure function of the plane and dimension
+    * indices, never an RNG state. */
+  private[graft] def hash60Const(s: String): Long =
+    graft.plans.Md5Hash60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
   /** ±1 coefficients of hyperplane `p` over `dim` dimensions:
     * +1 iff hash60("rp:p:i") is even. Rademacher planes are as good as

@@ -196,7 +196,9 @@ object EventQueries {
   private def q105(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("user_id"),
-        (unix_date(to_date(col("ts"))) / lit(7)).cast("long").as("abs_wk"))
+        // floor (not cast-truncation): matches DuckDB's `// 7` for
+        // pre-1970 negative epoch days too
+        floor(unix_date(to_date(col("ts"))) / lit(7)).as("abs_wk"))
     val first = e.groupBy(col("user_id"))
       .agg(min(col("abs_wk")).as("cohort_wk"))
     val active = e.select(col("user_id"), col("abs_wk")).distinct()

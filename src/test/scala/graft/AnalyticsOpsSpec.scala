@@ -131,6 +131,14 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0L, 1L, 1L))
   }
 
+  test("quantileBins: NULL values get a NULL bin, never bin 0") {
+    val df = Seq(Some(1.0), None, Some(3.0), Some(2.0)).toDF("v")
+    val got = Sampling.quantileBins(df, col("v"), Seq(0.5)).collect()
+    val nullRow = got.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(nullRow.fieldIndex("bin")))
+    assert(got.count(r => !r.isNullAt(0) && r.getAs[Long]("bin") == 0L) == 1)
+  }
+
   test("quantileBins rejects unsorted fractions and reserved columns") {
     val df = Seq(1.0).toDF("v")
     intercept[IllegalArgumentException] {

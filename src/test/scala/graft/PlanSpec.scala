@@ -334,8 +334,13 @@ class PlanSpec extends AnyFunSuite {
     // the UDAF plans as ObjectHashAggregate with a map-side partial
     assert(p.contains("ObjectHashAggregate"), p)
     assert(p.toLowerCase.contains("partial_signaturemin"), p)
-    // the only inequality join runs on the |groups|-row signature
-    // frame — a doc×doc product would appear as a join keyed on doc_id
-    assert(!p.contains("doc_id#") || !p.contains("CartesianProduct"), p)
+    // the only non-equi join is the |groups|-row signature pairing —
+    // a doc×doc product would surface as a cartesian/BNLJ over the
+    // corpus-sized frames
+    assert(!p.contains("CartesianProduct"), p)
+    val bnljs = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    // signature pairing (ga < gb) is the one legitimate BNLJ: both
+    // sides are the |groups|-row aggregate, never the documents
+    assert(bnljs <= 1, p)
   }
 }

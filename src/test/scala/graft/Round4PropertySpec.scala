@@ -34,7 +34,11 @@ class Round4PropertySpec extends AnyFunSuite {
         .as[(String, java.sql.Date, Long, Long, Long, Long)]
         .collect().toSet
 
-      val daily = rows.groupBy(r => (r._1, r._2.toLocalDateTime.toLocalDate))
+      // brute-force day in UTC (the pinned Spark session timezone) —
+      // toLocalDateTime would use the JVM default TZ and diverge on
+      // non-UTC machines for late-evening timestamps
+      val daily = rows.groupBy(r => (r._1,
+        r._2.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate))
         .map { case ((k, d), rs) => (k, d, rs.size.toLong, rs.map(_._3).sum) }
       val expected = daily.map { case (k, d, n, tot) =>
         val inWin = daily.filter(o => o._1 == k &&
