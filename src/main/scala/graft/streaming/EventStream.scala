@@ -45,6 +45,26 @@ object EventStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  final case class UserRunning(user_id: Long, n_events: Long, total_micros: Long)
+
+  /** Running per-user totals via Spark 4's ARBITRARY-STATE API
+    * (`transformWithState` + [[RunningTotalsProcessor]]) — the
+    * successor to `flatMapGroupsWithState` used by [[sessionize]]:
+    * typed named state handles (`ValueState`/`ListState`/`MapState`),
+    * explicit `TimeMode`, per-state TTL, and a RocksDB-backed store
+    * (the session sets the provider; HDFS-backed stores don't support
+    * this operator). Emits each user's updated cumulative
+    * (n_events, total_micros) once per micro-batch in which the user
+    * appears; state is one 2-long record per user, partitioned by the
+    * grouping key like every stateful operator here. */
+  def runningTotals(spark: SparkSession, events: Dataset[Event]): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Gap-based sessionization via the NATIVE `session_window`
     * aggregation — the declarative twin of [[sessionize]]'s
     * `flatMapGroupsWithState`: Spark owns the session-merge state
@@ -191,5 +211,39 @@ object EventStream {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
+
+/** The [[EventStream.runningTotals]] state machine: one named
+  * `ValueState` holding the user's cumulative (count, micro-sum).
+  * Values quantize to micros (the q89 discipline) so the running sum
+  * is exact however the batches split. Top-level class — Spark
+  * serializes the processor to every task. */
+final class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, EventStream.Event, EventStream.UserRunning] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[EventStream.Event],
+      timerValues: TimerValues): Iterator[EventStream.UserRunning] = {
+    val (n0, s0) = if (totals.exists()) totals.get() else (0L, 0L)
+    var n = n0
+    var s = s0
+    rows.foreach { e =>
+      n += 1
+      s += math.round(e.value * 1000000d)
+    }
+    totals.update((n, s))
+    Iterator.single(EventStream.UserRunning(key, n, s))
   }
 }

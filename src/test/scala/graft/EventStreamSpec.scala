@@ -180,6 +180,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate across micro-batches to the batch sums") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // the arbitrary-state operator requires the RocksDB-backed store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.runningTotals(spark, mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("twr_out").start()
+    try {
+      def ev(id: Long, user: Long, v: Double) = EventStream.Event(
+        id, new java.sql.Timestamp(1700000000000L + id * 1000L), user, "view", v)
+      mem.addData(ev(1, 1, 1.5), ev(2, 1, 2.25), ev(3, 2, 10.0))
+      q.processAllAvailable()
+      mem.addData(ev(4, 1, 0.25), ev(5, 2, 1.0), ev(6, 3, 7.0))
+      q.processAllAvailable()
+      // the cumulative row with the highest n_events per user is final
+      val fin = spark.table("twr_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("total_micros"))).as("m"))
+        .select(col("user_id"), col("m.n_events"), col("m.total_micros"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fin == Set((1L, 3L, 4000000L), (2L, 2L, 11000000L), (3L, 1L, 7000000L)))
+      // state genuinely crossed the batch boundary: user 1's second
+      // emission reports 3 cumulative events, not 1
+      val user1 = spark.table("twr_out").filter(col("user_id") === 1)
+        .select("n_events").as[Long].collect().toSet
+      assert(user1 == Set(2L, 3L))
+    } finally {
+      q.stop()
+      prevProvider.fold(spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
   test("native session_window stream agrees with the batch q100") {
     val dir = eventsDir
     val batchDf = spark.read.parquet(dir)
