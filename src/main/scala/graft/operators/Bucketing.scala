@@ -16,14 +16,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed managed table on `key`. */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed managed table on `key`. Idempotent
+    * across SESSIONS, not just runs: the in-memory catalog of a fresh
+    * JVM has forgotten last session's table while its warehouse
+    * directory survives, and `saveAsTable` refuses the orphaned
+    * location — so drop the table AND clear a leftover location
+    * first. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key: no exchange.
     * The zero-shuffle contract is enforced, not assumed: both tables

@@ -177,8 +177,43 @@ object ScaleQueries {
       |  CAST(SUM(vm) AS BIGINT) AS sum_micros
       |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q107 — the bucketed CO-LOCATED join, oracle-gated end-to-end:
+  // both fact tables written `bucketBy(8, orderkey)` (the sink analog
+  // of the reference's BigQuery clustering, one step further), then
+  // joined bucket-to-bucket — the ONLY exchange in the whole plan is
+  // the final 5-group aggregate's (PlanSpec pins the count). At 100 TB
+  // this is the difference between shuffling both fact tables on every
+  // join and never shuffling either. Rewritten per run into the
+  // session warehouse (tiny at gate scale; idempotent overwrite).
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bucketing
+    Bucketing.writeBucketed(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_q107_orders", "o_orderkey", buckets = 8)
+    Bucketing.writeBucketed(Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount")),
+      "graft_q107_lineitem", "o_orderkey", buckets = 8)
+    Bucketing.colocatedJoin(s, "graft_q107_orders", "graft_q107_lineitem",
+        "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"), 12, 2)
+          * (lit(1) - dec(col("l_discount"), 4, 2)))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+  private val q107Sql =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q82_salted_join", q82, Some(q82Sql)),
+    QueryDef("q107_bucketed_join", q107, Some(q107Sql)),
     QueryDef("q85_histogram", q85, Some(q85Sql)),
     QueryDef("q87_cube", q87, Some(q87Sql)),
     QueryDef("q88_weighted_sample", q88, Some(q88Sql)),

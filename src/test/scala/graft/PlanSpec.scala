@@ -322,6 +322,29 @@ class PlanSpec extends AnyFunSuite {
     assert("Window \\[".r.findAllIn(p).length == 1, p)
   }
 
+  test("q107: the co-located join never shuffles on the join key") {
+    // at gate scale the optimizer would (correctly) broadcast the
+    // small side; disable broadcast to see the shape the bucketing
+    // exists for — two FACT-scale sides joined bucket-to-bucket
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = planOf("q107_bucketed_join")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // no exchange keyed on the join key anywhere — the only
+      // exchanges are the 5-group aggregate's and the final sort's
+      assert(!p.contains("hashpartitioning(o_orderkey"), p)
+      assert("Exchange".r.findAllIn(p).length == 2, p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevA.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("q103: correlated subqueries decorrelate — anti join + agg-join, no per-row re-execution") {
     val p = planOf("q103_correlated_subqueries")
     assert(p.contains("LeftAnti"), p)          // NOT EXISTS → anti join
