@@ -101,6 +101,21 @@ object Tokenizer {
     * heads absorbed by map-side partial aggregation); the df filter
     * joins on the same token partitioning (exchange reuse — no extra
     * corpus shuffle); the pair aggregation keys on (doc_a, doc_b). */
+  /** [[tokenDotTopK]] with the df cap RELATIVE to corpus size
+    * (`df ≤ maxDfFraction · n_docs`) — the form a growing corpus
+    * needs: an absolute cap silently loosens as the corpus scales
+    * (SCALE.md measured the super-linear drift at 10×), while a
+    * fractional cap keeps the pruned-list population, and so the
+    * pair-generation cost, proportional to the data. */
+  def tokenDotTopKRelative(docs: DataFrame, idCol: String, textCol: String,
+      maxDfFraction: Double, k: Int): DataFrame = {
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"maxDfFraction must be in (0,1], got $maxDfFraction")
+    val n = docs.count()
+    tokenDotTopK(docs, idCol, textCol,
+      math.max(1, math.floor(maxDfFraction * n).toInt), k)
+  }
+
   def tokenDotTopK(docs: DataFrame, idCol: String, textCol: String,
       maxDf: Int, k: Int): DataFrame = {
     val tf = docs

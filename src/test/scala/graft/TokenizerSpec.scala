@@ -125,4 +125,18 @@ class TokenizerSpec extends AnyFunSuite {
     assert(Tokenizer.tokenDotTopK(df, "doc_id", "text", maxDf = 1, k = 10)
       .count() == 0L)
   }
+
+  test("tokenDotTopKRelative: fractional df cap equals the absolute form at the same corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val n = docs.count()
+    val frac = 0.7
+    val abs = Tokenizer.tokenDotTopK(docs, "doc_id", "text",
+      maxDf = math.floor(frac * n).toInt, k = 10).collect().toSeq
+    val rel = Tokenizer.tokenDotTopKRelative(docs, "doc_id", "text",
+      maxDfFraction = frac, k = 10).collect().toSeq
+    assert(rel == abs && rel.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Tokenizer.tokenDotTopKRelative(docs, "doc_id", "text", 1.5, 10)
+    }
+  }
 }
