@@ -21,13 +21,33 @@ object Bucketing {
     * JVM has forgotten last session's table while its warehouse
     * directory survives, and `saveAsTable` refuses the orphaned
     * location — so drop the table AND clear a leftover location
-    * first. */
+    * first. When the table exists the location comes from the catalog
+    * (authoritative under any database/case); only for a
+    * catalog-unknown orphan is it derived, mirroring `saveAsTable`'s
+    * own rules (current database's location + lowercased table name).
+    * Refuses a self-referential write (`writeBucketed(spark.table(t),
+    * t, …)`): the eager drop+delete would destroy the lazy write's
+    * own input. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc =
+      if (catalog.tableExists(ident))
+        new org.apache.hadoop.fs.Path(catalog.getTableMetadata(ident).location)
+      else {
+        val db = ident.database.getOrElse(catalog.getCurrentDatabase)
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(catalog.getDatabaseMetadata(db).locationUri),
+          ident.table.toLowerCase)
+      }
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val target = fs.makeQualified(loc).toString
+    val reads = df.inputFiles.map(f =>
+      new org.apache.hadoop.fs.Path(new java.net.URI(f)).toString)
+    require(!reads.exists(f => f == target || f.startsWith(target + "/")),
+      s"bucketed write reads its own target location $target; stage the input first")
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(buckets, key)

@@ -329,12 +329,15 @@ object Dedup {
     *
     * Scale: the signature side aggregates |groups| rows of k longs
     * (mergeable — at 100 TB the signatures live in the daily partials
-    * and only the tiny group×k frame is ever paired); the exact twin
-    * joins distinct (group, shingle) rows on the shingle hash —
-    * corpus-linear, and only needed where an exact ground truth is
-    * wanted at all. */
+    * and only the tiny group×k frame is ever paired). The exact twin
+    * (`exact = true`) joins distinct (group, shingle) rows on the
+    * shingle hash — corpus-linear but the most expensive shape here,
+    * so it is OPT-IN: at 100 TB run estimate-only (default) and ground
+    * the estimator on a sample, never the full corpus. With
+    * `exact = false` the `exact_jaccard` column is null. */
   def groupMinhashJaccard(df: DataFrame, groupCol: String, idCol: String,
-      textCol: String, k: Int, shingleN: Int): DataFrame = {
+      textCol: String, k: Int, shingleN: Int,
+      exact: Boolean = false): DataFrame = {
     val s = withShingleSignatures(df, idCol, textCol, k, shingleN,
       stagingDir = None, carry = Seq(groupCol))
     val sigArr = array((0 until k).map(j => col(s"mh$j")): _*)
@@ -342,29 +345,36 @@ object Dedup {
     val groupSigs = s.groupBy(col(groupCol))
       .agg(minAgg(sigArr).as("gsig"))
 
-    val sets = s.select(col(groupCol), explode(col("hs")).as("h")).distinct()
-    val sizes = sets.groupBy(col(groupCol)).agg(count(lit(1)).as("n_sh"))
-    val inter = sets.as("ia").join(sets.as("ib"),
-        col("ia.h") === col("ib.h") &&
-          col(s"ia.$groupCol") < col(s"ib.$groupCol"))
-      .groupBy(col(s"ia.$groupCol").as("ga"), col(s"ib.$groupCol").as("gb"))
-      .agg(count(lit(1)).as("n_inter"))
-
     val matches = (0 until k).map(j =>
       when(element_at(col("sa"), j + 1) === element_at(col("sb"), j + 1), 1L)
         .otherwise(0L)).reduce(_ + _)
-    groupSigs.as("x").join(groupSigs.as("y"),
+    val estimated = groupSigs.as("x").join(groupSigs.as("y"),
         col(s"x.$groupCol") < col(s"y.$groupCol"))
       .select(col(s"x.$groupCol").as("ga"), col(s"y.$groupCol").as("gb"),
         col("x.gsig").as("sa"), col("y.gsig").as("sb"))
       .withColumn("sig_matches", matches)
-      .join(broadcast(sizes.as("na")), col("ga") === col(s"na.$groupCol"))
-      .join(broadcast(sizes.as("nb")), col("gb") === col(s"nb.$groupCol"))
-      .join(broadcast(inter), Seq("ga", "gb"), "left")
-      .select(col("ga"), col("gb"), col("sig_matches"),
+
+    if (!exact) {
+      estimated.select(col("ga"), col("gb"), col("sig_matches"),
         (col("sig_matches").cast("double") / k).as("est_jaccard"),
-        (coalesce(col("n_inter"), lit(0L)).cast("double")
-          / (col("na.n_sh") + col("nb.n_sh")
-            - coalesce(col("n_inter"), lit(0L)))).as("exact_jaccard"))
+        lit(null).cast("double").as("exact_jaccard"))
+    } else {
+      val sets = s.select(col(groupCol), explode(col("hs")).as("h")).distinct()
+      val sizes = sets.groupBy(col(groupCol)).agg(count(lit(1)).as("n_sh"))
+      val inter = sets.as("ia").join(sets.as("ib"),
+          col("ia.h") === col("ib.h") &&
+            col(s"ia.$groupCol") < col(s"ib.$groupCol"))
+        .groupBy(col(s"ia.$groupCol").as("ga"), col(s"ib.$groupCol").as("gb"))
+        .agg(count(lit(1)).as("n_inter"))
+      estimated
+        .join(broadcast(sizes.as("na")), col("ga") === col(s"na.$groupCol"))
+        .join(broadcast(sizes.as("nb")), col("gb") === col(s"nb.$groupCol"))
+        .join(broadcast(inter), Seq("ga", "gb"), "left")
+        .select(col("ga"), col("gb"), col("sig_matches"),
+          (col("sig_matches").cast("double") / k).as("est_jaccard"),
+          (coalesce(col("n_inter"), lit(0L)).cast("double")
+            / (col("na.n_sh") + col("nb.n_sh")
+              - coalesce(col("n_inter"), lit(0L)))).as("exact_jaccard"))
+    }
   }
 }

@@ -84,8 +84,16 @@ object Layout {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).makeQualified(hp)
     }
-    require(qualified(srcPath) != qualified(destPath),
-      "in-place compaction would read and clobber the same files; stage to a new dir")
+    val (qs, qd) = (qualified(srcPath), qualified(destPath))
+    // nesting is as destructive as equality: dest under src means later
+    // reads of src double-count the compacted rows; src under dest
+    // means the overwrite deletes its own input
+    def within(child: org.apache.hadoop.fs.Path,
+        parent: org.apache.hadoop.fs.Path): Boolean =
+      Iterator.iterate(child)(_.getParent).takeWhile(_ != null).contains(parent)
+    require(qs != qd && !within(qd, qs) && !within(qs, qd),
+      "in-place or nested compaction would read and clobber (or double-count) " +
+        s"the same files; stage to a disjoint dir (src=$qs dest=$qd)")
     val df = spark.read.parquet(srcPath)
     val files = df.inputFiles
     // size through the Hadoop FS, not java.io.File: File.length is a

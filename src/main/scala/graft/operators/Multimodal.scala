@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE decode path is real: the JDK ships PNG/BMP/GIF/JPEG codecs
   * (`javax.imageio`), so `kind = "image"` payloads that parse as one of
-  * those formats report their actual pixel dimensions. Audio/video
-  * decode remains a clearly marked STUB (no such codecs in the JDK or
-  * this container) — as is any image payload that no installed reader
-  * accepts: both fall back to deterministic fake dimensions derived
-  * from the payload length, so tests and the SQL oracle can verify the
-  * plumbing end-to-end. Everything around the kernel is the real scale
-  * design:
+  * those formats report their actual pixel dimensions. AUDIO and VIDEO
+  * container metadata is also real: WAV/RIFF headers
+  * ([[tryDecodeWav]] — sample rate, channels, bits, duration from the
+  * fmt/data chunk walk) and MP4 `moov` boxes ([[tryDecodeMp4]] —
+  * timescale/duration from `mvhd`, frame count from the
+  * `trak/mdia/minf/stbl/stsz` sample table). Both are header-only
+  * walks of public, dependency-free formats (RIFF 1991, ISO 14496-12)
+  * in pure JVM — no sample data is ever decoded. Only a payload that
+  * matches NO known container falls back to the clearly-marked stub:
+  * deterministic fake metadata derived from the payload length, so
+  * tests and the SQL oracle can still verify the plumbing end-to-end.
+  * Everything around the kernel is the real scale design:
   *  - payloads stay in executor memory as byte arrays, never in driver
   *    memory, never stringified;
   *  - `mapPartitions` gives the decode library one JVM-local batch per
@@ -89,6 +94,245 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
     finally in.close()
+  }
+
+  // ----------------------------------------------------------------
+  // Audio/video container parsing — header-only, pure JVM, untrusted-
+  // input discipline throughout: every multi-byte read is bounds-
+  // checked, declared sizes are clamped to the actual payload, and any
+  // structural violation returns None (stub fallback) rather than
+  // throwing into the Spark task.
+
+  /** Parsed WAV metadata: all fields straight from the fmt chunk; the
+    * duration is arithmetic over header fields + the data-chunk SIZE
+    * (`frames = data_bytes / block_align`, `ms = frames·1000 / rate`) —
+    * no sample ever read. */
+  final case class WavMeta(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, durationMs: Long)
+
+  /** Parsed MP4 metadata: movie timescale/duration from `moov/mvhd`
+    * (version 0 and 1 layouts), sample (frame) count from the first
+    * `moov/trak/mdia/minf/stbl/stsz` box when present (0 otherwise). */
+  final case class Mp4Meta(timescale: Long, durationMs: Long, frames: Int)
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL)) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def u32be(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def u64be(b: Array[Byte], i: Int): Long =
+    (u32be(b, i) << 32) | u32be(b, i + 4)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** WAV/RIFF header probe: `RIFF….WAVE` then a chunk walk collecting
+    * `fmt ` (audio format fields) and `data` (payload size). Chunks are
+    * word-aligned (odd sizes carry a pad byte). Returns None unless
+    * both chunks are present with plausible fields — sample rate in
+    * [1, 10⁷], 1–64 channels, positive block align. A declared data
+    * size past the actual payload is clamped (truncated files report
+    * the duration of the bytes that exist). */
+  def tryDecodeWav(bytes: Array[Byte]): Option[WavMeta] =
+    try {
+      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+        None
+      else {
+        var i = 12
+        var fmt: Option[(Int, Int, Int, Int)] = None // (rate, ch, bits, align)
+        var dataBytes = -1L
+        while (i + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
+          val id = tag(bytes, i)
+          val size = u32le(bytes, i + 4)
+          val body = i + 8
+          if (id == "fmt " && size >= 16 && body + 16 <= bytes.length) {
+            val channels = u16le(bytes, body + 2)
+            val rate = u32le(bytes, body + 4)
+            val align = u16le(bytes, body + 12)
+            val bits = u16le(bytes, body + 14)
+            if (channels >= 1 && channels <= 64 &&
+                rate >= 1 && rate <= 10000000 && align >= 1)
+              fmt = Some((rate.toInt, channels, bits, align))
+          } else if (id == "data") {
+            dataBytes = math.min(size, (bytes.length - body).toLong)
+          }
+          i = body + size.toInt + (size.toInt & 1) // word-aligned chunks
+          if (size > Int.MaxValue - 16) i = bytes.length // malformed size: stop
+        }
+        fmt.collect { case (rate, ch, bits, align) if dataBytes >= 0 =>
+          WavMeta(rate, ch, bits, (dataBytes / align) * 1000L / rate)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Find an ISO-BMFF box by path (e.g. `moov/mvhd`) inside
+    * `bytes[from, until)`: returns the BODY range of the first match.
+    * Handles 64-bit (`size == 1`) and to-end-of-enclosure
+    * (`size == 0`) box sizes; stops on any size that violates the
+    * enclosing range. */
+  private def findBox(bytes: Array[Byte], from: Int, until: Int,
+      path: List[String]): Option[(Int, Int)] = path match {
+    case Nil => Some((from, until))
+    case name :: rest =>
+      var i = from
+      while (i + 8 <= until) {
+        val declared = u32be(bytes, i)
+        val boxType = tag(bytes, i + 4)
+        val (headerLen, size): (Int, Long) =
+          if (declared == 1 && i + 16 <= until) (16, u64be(bytes, i + 8))
+          else if (declared == 0) (8, (until - i).toLong)
+          else (8, declared)
+        if (size < headerLen || i + size > until) return None // malformed
+        if (boxType == name)
+          return findBox(bytes, i + headerLen, i + size.toInt, rest)
+        i += size.toInt
+      }
+      None
+  }
+
+  /** MP4 (ISO base media) probe: walks top-level boxes for
+    * `moov/mvhd`, reading movie timescale + duration (version-0 32-bit
+    * and version-1 64-bit layouts), then `trak/mdia/minf/stbl/stsz`
+    * inside the same `moov` for the sample count (0 when absent —
+    * frame tables are per-track and optional in fragmented files).
+    * Requires a positive timescale; returns None otherwise. */
+  def tryDecodeMp4(bytes: Array[Byte]): Option[Mp4Meta] =
+    try {
+      findBox(bytes, 0, bytes.length, List("moov")).flatMap {
+        case (moovFrom, moovUntil) =>
+          findBox(bytes, moovFrom, moovUntil, List("mvhd")).flatMap {
+            case (from, until) =>
+              if (until - from < 20) None
+              else {
+                val version = bytes(from) & 0xff
+                val (timescale, duration) =
+                  if (version == 1 && until - from >= 32)
+                    (u32be(bytes, from + 20), u64be(bytes, from + 24))
+                  else if (version == 0)
+                    (u32be(bytes, from + 12), u32be(bytes, from + 16))
+                  else (0L, 0L)
+                if (timescale <= 0 || duration < 0) None
+                else {
+                  val frames = findBox(bytes, moovFrom, moovUntil,
+                      List("trak", "mdia", "minf", "stbl", "stsz"))
+                    .collect { case (f, u) if u - f >= 12 => u32be(bytes, f + 8) }
+                    .filter(n => n >= 0 && n <= Int.MaxValue)
+                    .map(_.toInt).getOrElse(0)
+                  Some(Mp4Meta(timescale, duration * 1000L / timescale, frames))
+                }
+              }
+          }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  // ----------------------------------------------------------------
+  // Deterministic fixture builders — the spec and the q108 oracle gate
+  // construct REAL container bytes from integer parameters, so the
+  // parse above is verified against ground truth an SQL engine can
+  // recompute (parse(build(p)) must reproduce p's derived fields).
+
+  /** Minimal valid PCM WAV: 44-byte canonical header + `frames` sample
+    * frames of deterministic bytes (`(i % 251)`). */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      frames: Int): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && frames >= 0)
+    require(bitsPerSample % 8 == 0 && bitsPerSample > 0)
+    val align = channels * bitsPerSample / 8
+    val dataLen = frames * align
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes); out.putInt(36 + dataLen); out.put("WAVE".getBytes)
+    out.put("fmt ".getBytes); out.putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(channels.toShort); out.putInt(sampleRate)
+    out.putInt(sampleRate * align) // byte rate
+    out.putShort(align.toShort); out.putShort(bitsPerSample.toShort)
+    out.put("data".getBytes); out.putInt(dataLen)
+    var i = 0; while (i < dataLen) { out.put((i % 251).toByte); i += 1 }
+    out.array()
+  }
+
+  /** Minimal valid MP4: `ftyp` + `moov{mvhd, trak/mdia/minf/stbl/stsz}`
+    * + a short `mdat`. `mvhdVersion` selects the 32-bit (0) or 64-bit
+    * (1) mvhd layout — both appear in the wild and both must parse. */
+  def mp4Bytes(timescale: Int, duration: Long, frames: Int,
+      mvhdVersion: Int = 0): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && frames >= 0)
+    require(mvhdVersion == 0 || mvhdVersion == 1)
+    def box(boxType: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      out.putInt(8 + body.length); out.put(boxType.getBytes); out.put(body)
+      out.array()
+    }
+    val mvhdBody = {
+      val fixed = 80 // rate+volume+reserved+matrix+predefined+next_track
+      val out = java.nio.ByteBuffer.allocate(
+        if (mvhdVersion == 0) 20 + fixed else 32 + fixed)
+      out.putInt(mvhdVersion << 24) // version byte + zero flags
+      if (mvhdVersion == 0) {
+        out.putInt(0); out.putInt(0) // creation/modification
+        out.putInt(timescale); out.putInt(duration.toInt)
+      } else {
+        out.putLong(0L); out.putLong(0L)
+        out.putInt(timescale); out.putLong(duration)
+      }
+      out.putInt(0x00010000); out.putShort(0x0100.toShort) // rate 1.0, volume 1.0
+      out.array()
+    }
+    val stszBody = java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(0).putInt(frames).array() // uniform size 0, count
+    val stbl = box("stbl", box("stsz", stszBody))
+    val trak = box("trak", box("mdia", box("minf",
+      // a free sibling ahead of stbl: the walk must skip non-matching boxes
+      box("free", Array.fill(4)(0: Byte)) ++ stbl)))
+    val ftyp = box("ftyp", "isom".getBytes ++ Array.fill(4)(0: Byte) ++ "isom".getBytes)
+    val moov = box("moov", box("mvhd", mvhdBody) ++ trak)
+    val mdat = box("mdat", Array.tabulate(8)(i => (i * 7).toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** One probed row per media payload: the union of every container's
+    * metadata, null-free (fields a codec doesn't have are 0), plus
+    * `codec` naming which parser claimed the payload — `image`, `wav`,
+    * `mp4`, or `stub` for the deterministic fallback. */
+  final case class MediaProbe(
+      media_id: Long, kind: String, n_bytes: Long, codec: String,
+      width: Int, height: Int, sample_rate: Int, channels: Int,
+      duration_ms: Long, frames: Int)
+
+  /** Full-featured media probe — supersedes [[decodeStub]] (kept for
+    * its dimensions-only schema): tries the REAL header parse for each
+    * payload — ImageIO for `image`, [[tryDecodeWav]] for `audio`,
+    * [[tryDecodeMp4]] for `video` — and only a payload no parser
+    * accepts takes the stub path with length-derived fake metadata.
+    * Same execution shape as [[decodeStub]]: one `mapPartitions` pass,
+    * payloads stay executor-side, metadata lands columnar. */
+  def probeMedia(spark: SparkSession, media: DataFrame): Dataset[MediaProbe] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { m =>
+        val n = m.payload.length.toLong
+        val probed: Option[MediaProbe] = m.kind match {
+          case "image" => tryDecodeImage(m.payload).map { case (w, h) =>
+            MediaProbe(m.media_id, m.kind, n, "image", w, h, 0, 0, 0L, 1) }
+          case "audio" => tryDecodeWav(m.payload).map { w =>
+            MediaProbe(m.media_id, m.kind, n, "wav", 0, 0,
+              w.sampleRate, w.channels, w.durationMs, 0) }
+          case "video" => tryDecodeMp4(m.payload).map { v =>
+            MediaProbe(m.media_id, m.kind, n, "mp4", 0, 0, 0, 0,
+              v.durationMs, v.frames) }
+          case _ => None
+        }
+        probed.getOrElse( // stub fallback: deterministic in n (cf. decodeStub)
+          MediaProbe(m.media_id, m.kind, n, "stub",
+            width = (n % 640).toInt, height = (n % 480).toInt,
+            sample_rate = (n % 48000).toInt, channels = (n % 8).toInt,
+            duration_ms = n,
+            frames = if (m.kind == "video") (n % 30 + 1).toInt else 1))
+      }
+    }
   }
 
   /** Strided frame sampling over video payloads: pick (up to) `k`

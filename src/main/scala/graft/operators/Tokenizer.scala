@@ -101,23 +101,8 @@ object Tokenizer {
     * heads absorbed by map-side partial aggregation); the df filter
     * joins on the same token partitioning (exchange reuse — no extra
     * corpus shuffle); the pair aggregation keys on (doc_a, doc_b). */
-  /** [[tokenDotTopK]] with the df cap RELATIVE to corpus size
-    * (`df ≤ maxDfFraction · n_docs`) — the form a growing corpus
-    * needs: an absolute cap silently loosens as the corpus scales
-    * (SCALE.md measured the super-linear drift at 10×), while a
-    * fractional cap keeps the pruned-list population, and so the
-    * pair-generation cost, proportional to the data. */
-  def tokenDotTopKRelative(docs: DataFrame, idCol: String, textCol: String,
-      maxDfFraction: Double, k: Int): DataFrame = {
-    require(maxDfFraction > 0 && maxDfFraction <= 1,
-      s"maxDfFraction must be in (0,1], got $maxDfFraction")
-    val n = docs.count()
-    tokenDotTopK(docs, idCol, textCol,
-      math.max(1, math.floor(maxDfFraction * n).toInt), k)
-  }
-
   def tokenDotTopK(docs: DataFrame, idCol: String, textCol: String,
-      maxDf: Int, k: Int): DataFrame = {
+      maxDf: Long, k: Int): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col("doc")).agg(count(lit(1)).as("tf"))
@@ -133,6 +118,23 @@ object Tokenizer {
       .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
       .orderBy(col("dot").desc, col("doc_a"), col("doc_b"))
       .limit(k)
+  }
+
+  /** [[tokenDotTopK]] with the df cap RELATIVE to corpus size
+    * (`df ≤ maxDfFraction · n_docs`) — the form a growing corpus
+    * needs: an absolute cap silently loosens as the corpus scales
+    * (SCALE.md measured the super-linear drift at 10×), while a
+    * fractional cap keeps the pruned-list population, and so the
+    * pair-generation cost, proportional to the data. The cap stays a
+    * `Long` end-to-end: at the trillion-doc scale this variant exists
+    * for, an `Int` cap would saturate and silently disable the prune. */
+  def tokenDotTopKRelative(docs: DataFrame, idCol: String, textCol: String,
+      maxDfFraction: Double, k: Int): DataFrame = {
+    require(maxDfFraction > 0 && maxDfFraction <= 1,
+      s"maxDfFraction must be in (0,1], got $maxDfFraction")
+    val n = docs.count()
+    tokenDotTopK(docs, idCol, textCol,
+      math.max(1L, math.floor(maxDfFraction * n).toLong), k)
   }
 
   /** Document-level co-occurrence lift between the `vocabSize` tokens

@@ -196,8 +196,9 @@ object EventQueries {
   private def q105(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("user_id"),
-        // floor (not cast-truncation): matches DuckDB's `// 7` for
-        // pre-1970 negative epoch days too
+        // floor on BOTH sides: DuckDB's `//` truncates toward zero, so
+        // the oracle spells floor(d / 7.0) explicitly — otherwise
+        // pre-1970 negative epoch days would land in different weeks
         floor(unix_date(to_date(col("ts"))) / lit(7)).as("abs_wk"))
     val first = e.groupBy(col("user_id"))
       .agg(min(col("abs_wk")).as("cohort_wk"))
@@ -215,7 +216,7 @@ object EventQueries {
   }
   private val q105Sql =
     """WITH e AS (SELECT user_id,
-      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS abs_wk
+      |    CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS abs_wk
       |  FROM events),
       |f AS (SELECT user_id, MIN(abs_wk) AS cohort_wk FROM e GROUP BY 1),
       |sz AS (SELECT cohort_wk, COUNT(*) AS n_cohort FROM f GROUP BY 1),

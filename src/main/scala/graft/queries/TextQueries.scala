@@ -297,7 +297,7 @@ object TextQueries {
   private def q102(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.groupMinhashJaccard(Tables.documents(s, dir),
         groupCol = "lang", idCol = "doc_id", textCol = "text",
-        k = 16, shingleN = 3)
+        k = 16, shingleN = 3, exact = true)
       .orderBy(col("ga"), col("gb"))
   private val q102Sql = {
     import graft.operators.Dedup.{minhashPermA, minhashPermB, MinhashPrime}
@@ -619,7 +619,71 @@ object TextQueries {
       |SELECT doc_id, rank, token, tf, df, score FROM ranked
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q108 — REAL audio/video container parsing ([[Multimodal
+  // .tryDecodeWav]] / [[Multimodal.tryDecodeMp4]]): fixture WAV and
+  // MP4 payloads are BUILT in-query from integer parameters derived
+  // from each document (sample rate, channels, frame counts, mvhd
+  // version 0/1 …), then probed by the real header parsers — so the
+  // gate checks parse(build(p)) reproduces p's derived fields, which
+  // the oracle recomputes arithmetically. Every 5th doc carries a
+  // non-container payload and must take the stub path.
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("tlen"))
+    val media = params.as[(Long, Long)].map { case (id, tlen) =>
+      if (id % 5 == 0)
+        Multimodal.MediaRecord(id, "audio", s"xx-$id".getBytes("UTF-8"))
+      else if (id % 2 == 0)
+        Multimodal.MediaRecord(id, "audio", Multimodal.wavBytes(
+          sampleRate = (8000 * (1 + id % 3)).toInt,
+          channels = (1 + (id / 2) % 2).toInt,
+          bitsPerSample = 16, frames = (100 + tlen % 400).toInt))
+      else
+        Multimodal.MediaRecord(id, "video", Multimodal.mp4Bytes(
+          timescale = (600 + (id % 5) * 100).toInt,
+          duration = 1000 + tlen % 9000,
+          frames = (24 * (1 + id % 7)).toInt,
+          mvhdVersion = ((id / 2) % 2).toInt))
+    }.toDF()
+    Multimodal.probeMedia(s, media)
+      .select(col("media_id"), col("kind"), col("codec"), col("n_bytes"),
+        col("sample_rate"), col("channels"), col("duration_ms"), col("frames"))
+      .orderBy(col("media_id"))
+  }
+  private val q108Sql =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS tlen FROM documents),
+      |w AS (SELECT id, 8000 * (1 + id % 3) AS rate, 1 + (id // 2) % 2 AS ch,
+      |    100 + tlen % 400 AS fw FROM d WHERE id % 5 <> 0 AND id % 2 = 0),
+      |v AS (SELECT id, 600 + (id % 5) * 100 AS ts, 1000 + tlen % 9000 AS dur,
+      |    24 * (1 + id % 7) AS fr, (id // 2) % 2 AS ver
+      |  FROM d WHERE id % 5 <> 0 AND id % 2 = 1),
+      |st AS (SELECT id,
+      |    CAST(octet_length(encode('xx-' || CAST(id AS VARCHAR))) AS BIGINT) AS n
+      |  FROM d WHERE id % 5 = 0)
+      |SELECT id AS media_id, 'audio' AS kind, 'wav' AS codec,
+      |  CAST(44 + fw * ch * 2 AS BIGINT) AS n_bytes,
+      |  CAST(rate AS INTEGER) AS sample_rate, CAST(ch AS INTEGER) AS channels,
+      |  CAST(fw * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST(0 AS INTEGER) AS frames
+      |FROM w
+      |UNION ALL
+      |SELECT id, 'video', 'mp4', CAST(216 + 12 * ver AS BIGINT),
+      |  CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+      |  CAST(dur * 1000 // ts AS BIGINT), CAST(fr AS INTEGER)
+      |FROM v
+      |UNION ALL
+      |SELECT id, 'audio', 'stub', n,
+      |  CAST(n % 48000 AS INTEGER), CAST(n % 8 AS INTEGER),
+      |  n, CAST(1 AS INTEGER)
+      |FROM st
+      |ORDER BY media_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q108_av_containers", q108, Some(q108Sql)),
     QueryDef("q25_text_stats", q25, Some(q25Sql)),
     QueryDef("q97_frame_sample", q97, Some(q97Sql)),
     QueryDef("q102_group_signature", q102, Some(q102Sql)),
