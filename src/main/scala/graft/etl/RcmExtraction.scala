@@ -45,13 +45,67 @@ object RcmExtraction {
     }
   }
 
-  /** Production path (S1 proper): `spark.read.format("jdbc")`. Kept
-    * behind the same interface; not exercised in the offline harness. */
-  final case class JdbcSource(url: String, dbName: String, props: Map[String, String])
+  /** Range partitioning for a parallel JDBC scan: Spark issues
+    * `numPartitions` concurrent queries, each bounded by
+    * `WHERE column >= lo AND column < hi` over equal-width strides of
+    * `[lowerBound, upperBound)` — the first thing a real fact-table
+    * scan needs (a single-stream read caps at one connection's
+    * throughput regardless of cluster size). The column should be
+    * indexed and roughly uniform; rows OUTSIDE the bounds still land
+    * in the first/last stride (Spark's semantics — bounds shape the
+    * strides, they do not filter). */
+  final case class JdbcPartitioning(
+      column: String, lowerBound: Long, upperBound: Long, numPartitions: Int) {
+    require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
+    require(lowerBound < upperBound,
+      s"lowerBound $lowerBound must be < upperBound $upperBound")
+  }
+
+  object JdbcPartitioning {
+    /** Discover bounds server-side (`SELECT MIN/MAX`) — one cheap
+      * pushed-down aggregate, the usual prelude when bounds aren't
+      * known a priori. Returns None for an empty or all-null column
+      * (fall back to a single-stream read). The column is quoted
+      * ANSI-style (`"c"`) in the probe SQL — case-preserving on
+      * Derby/Postgres; MySQL needs `ANSI_QUOTES` or a lowercase
+      * column. */
+    def probe(spark: SparkSession, url: String, props: Map[String, String],
+        qualifiedTable: String, column: String,
+        numPartitions: Int): Option[JdbcPartitioning] = {
+      val q = "\"" + column + "\""
+      val r = spark.read.format("jdbc").option("url", url)
+        .option("dbtable",
+          s"(SELECT MIN($q) AS lo, MAX($q) AS hi FROM $qualifiedTable) b")
+      val row = props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+        .load().collect().head
+      if (row.isNullAt(0) || row.isNullAt(1)) None
+      else {
+        val (lo, hi) = (row.getAs[Number](0).longValue, row.getAs[Number](1).longValue)
+        // upperBound is exclusive in Spark's stride math; +1 keeps the
+        // max row out of a degenerate final stride
+        Some(JdbcPartitioning(column, lo, math.max(hi + 1, lo + 1), numPartitions))
+      }
+    }
+  }
+
+  /** Production path (S1 proper): `spark.read.format("jdbc")`, kept
+    * behind the same interface. `partitioning` opts tables into the
+    * parallel range scan ([[JdbcPartitioning]]) per table name; tables
+    * without an entry read single-stream (dimension-sized tables don't
+    * need N connections). */
+  final case class JdbcSource(url: String, dbName: String,
+      props: Map[String, String],
+      partitioning: Map[String, JdbcPartitioning] = Map.empty)
       extends Source {
     def read(spark: SparkSession, table: String): DataFrame = {
-      val r = spark.read.format("jdbc")
+      val base = spark.read.format("jdbc")
         .option("url", url).option("dbtable", s"$dbName.$table")
+      val r = partitioning.get(table).fold(base) { p =>
+        base.option("partitionColumn", p.column)
+          .option("lowerBound", p.lowerBound)
+          .option("upperBound", p.upperBound)
+          .option("numPartitions", p.numPartitions)
+      }
       props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
     }
   }

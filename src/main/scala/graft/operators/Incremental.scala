@@ -55,4 +55,28 @@ object Incremental {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite")
       .parquet(path)
+
+  /** ATOMIC alternative to [[writePartials]]: merge the incoming days
+    * into the latest committed partials snapshot and publish the
+    * result via [[SnapshotCommit]] (write-once data dir + manifest
+    * rename). [[writePartials]]'s dynamic partition overwrite commits
+    * per-partition — a crash mid-commit can leave SOME days replaced
+    * and others stale, and a reader racing the commit sees the mix;
+    * here a crash at any point leaves the previous snapshot intact and
+    * the new one invisible. The full rewrite this costs is of the
+    * PARTIALS only (dims × days rows — noise next to the fact scan
+    * that produced them); incoming days replace their previous rows,
+    * so a retried daily run is idempotent. */
+  def writePartialsCommitted(partials: DataFrame, root: String,
+      version: Long): Unit = {
+    val spark = partials.sparkSession
+    val merged = SnapshotCommit.latestBelow(spark, root, version) match {
+      case None => partials
+      case Some(prev) =>
+        SnapshotCommit.read(spark, root, prev)
+          .join(partials.select(col("day")).distinct(), Seq("day"), "left_anti")
+          .unionByName(partials)
+    }
+    SnapshotCommit.write(merged, root, version)
+  }
 }

@@ -60,10 +60,27 @@ object ScdType2 {
     *                  exchange on the id is the same distribution the
     *                  diff join needs and is reused. A violation
     *                  surfaces as a SparkException at execution time.
+    * @param changedOnly incremental-batch mode: semi-join-prune the
+    *                  existing CURRENT rows to ids present in
+    *                  `newSnap` BEFORE the full-outer diff, so the
+    *                  diff join is batch-sized on both sides instead
+    *                  of dimension-sized. Semantically a no-op — the
+    *                  diff's left-only rows (dimension ids absent from
+    *                  the batch) were never consumed by any output
+    *                  class; they flow through the unchanged branch
+    *                  either way (equality property-pinned in
+    *                  ScdType2Spec, oracle-gated as q109). Use when
+    *                  upstream delivers only changed/new rows (CDC);
+    *                  the reference's whole-snapshot reruns
+    *                  (`scd_implementation.py:102-132`) keep the
+    *                  default. The whole-dimension re-key below is
+    *                  unchanged (reference key semantics), so cost is
+    *                  sub-linear in batch size, not in dimension size.
     */
   def apply(newSnap: DataFrame, existing: Option[DataFrame], idCol: String,
       attrCols: Seq[String], tracked: Seq[String], skCol: String,
-      asOf: LocalDate, checkUniqueIds: Boolean = true): DataFrame = {
+      asOf: LocalDate, checkUniqueIds: Boolean = true,
+      changedOnly: Boolean = false): DataFrame = {
 
     val snap = if (!checkUniqueIds) newSnap else {
       require(!newSnap.columns.contains("__graft_nid"),
@@ -127,7 +144,9 @@ object ScdType2 {
           rekey(stamped(snap.select((idCol +: attrCols).map(col): _*), lit(1))))
 
       case Some(existingDim) =>
-        val cur = existingDim.filter(col("is_current"))
+        val cur0 = existingDim.filter(col("is_current"))
+        val cur = (if (!changedOnly) cur0
+          else cur0.join(snap.select(col(idCol)).distinct(), Seq(idCol), "left_semi"))
           .withColumn("_old_present", lit(true))
         val newP = snap.select(
           col(idCol) +: attrCols.map(c => col(c).as(s"_new_$c")): _*)

@@ -131,6 +131,31 @@ object LifecycleQueries {
       |FROM assembled ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // q109 — SCD2 with `changedOnly = true` over a CDC-shaped batch:
+  // the incoming snapshot carries ONLY the changed and brand-new rows
+  // (what a change-data-capture feed delivers), and the operator
+  // semi-join-prunes the diff join to batch-sized inputs. The output
+  // must equal q20's whole-snapshot rerun EXACTLY — disappeared-from-
+  // batch ids are retained unchanged either way — so the oracle is
+  // q20's verbatim. This is the sub-linear path: the diff join costs
+  // O(batch), not O(dimension).
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val existing = ScdType2(snapshot(s, dir), None, "c_custkey", scdAttrs,
+      scdTracked, "customer_sk", LocalDate.parse("2024-06-01"))
+    val snap = snapshot(s, dir)
+    val changed = snap
+      .filter(col("c_custkey") % 13 =!= 5 && col("c_custkey") % 7 === 0)
+      .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("-V2")))
+    val brandNew = snap.filter(col("c_custkey") % 11 === 3)
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      .withColumn("c_acctbal", col("c_acctbal") + 1)
+    ScdType2(changed.unionByName(brandNew), Some(existing), "c_custkey",
+        scdAttrs, scdTracked, "customer_sk", LocalDate.parse("2024-07-01"),
+        changedOnly = true)
+      .orderBy(col("customer_sk"))
+  }
+
+  // ---------------------------------------------------------------
   // q79 — snapshot diff (the CDC primitive SCD2 consumes, standalone):
   // "yesterday" = orders through 1996, "today" = orders through 1997
   // with a deterministic hash-selected 1/37 of keys deleted and 1/11
@@ -222,5 +247,6 @@ object LifecycleQueries {
     QueryDef("q18_surrogate_keys", q18, Some(q18Sql)),
     QueryDef("q19_scd2_first_run", q19, Some(q19Sql)),
     QueryDef("q20_scd2_incremental", q20, Some(q20Sql)),
+    QueryDef("q109_scd2_changed_only", q109, Some(q20Sql)),
   )
 }

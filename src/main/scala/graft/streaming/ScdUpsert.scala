@@ -2,11 +2,10 @@ package graft.streaming
 
 import java.time.LocalDate
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.ScdType2
+import graft.operators.{ScdType2, SnapshotCommit}
 
 /** Streaming SCD Type 2 maintenance: dimension snapshots arrive as a
   * stream and each micro-batch merges into the versioned dimension via
@@ -14,16 +13,19 @@ import graft.operators.ScdType2
   * reference's batch rebuild (`python/scd_implementation.py:102-132`;
   * its README lists incremental loading as future work).
   *
-  * State layout: the dimension lives as immutable parquet versions
-  * `<dimRoot>/v<batchId>`; each batch reads the LATEST COMMITTED
-  * version strictly below its own batch id, applies the same
-  * [[graft.operators.ScdType2]] the batch pipeline uses, and writes a
-  * new version. That gives exactly-once semantics without a
-  * transactional table format: a retried batch re-reads the same
-  * predecessor (its own partial output is above the cutoff, never
-  * visible to itself) and idempotently overwrites its own version.
-  * This is classic Delta/Iceberg MERGE territory — the versioned
-  * directory is the dependency-free stand-in, with the same
+  * State layout: the dimension lives as immutable snapshot versions
+  * under the [[graft.operators.SnapshotCommit]] protocol (write-once
+  * data dirs published by atomic manifest rename); each batch reads
+  * the LATEST COMMITTED version strictly below its own batch id,
+  * applies the same [[graft.operators.ScdType2]] the batch pipeline
+  * uses, and commits a new version. That gives exactly-once semantics
+  * without a transactional table format: a retried batch re-reads the
+  * same predecessor (its own partial output is uncommitted or above
+  * the cutoff, never visible to itself) and republishes its version
+  * atomically — a crash at any point, including mid-directory, leaves
+  * the previous snapshot fully readable and the partial one invisible.
+  * This is classic Delta/Iceberg MERGE territory — the manifest
+  * protocol is the dependency-free stand-in, with the same
   * read-committed contract.
   *
   * Scale notes: each merge is the batch SCD2 plan (one id-keyed
@@ -36,29 +38,14 @@ import graft.operators.ScdType2
   */
 object ScdUpsert {
 
-  /** Newest COMMITTED version directory strictly below `belowBatch`.
-    * Committed = the writer's `_SUCCESS` marker exists: a version
-    * directory appears on the filesystem before its write job commits,
-    * so bare existence would let an external reader (or a reader racing
-    * the in-flight batch) pick a partial version — and a mid-write
-    * crash would leave that partial version looking newest until the
-    * stream restarts. Overwrite-mode retries clear the marker first,
-    * so a retried batch's partial output is never committed-visible. */
+  /** Data directory of the newest COMMITTED version strictly below
+    * `belowBatch` — resolved through [[SnapshotCommit]]'s manifests
+    * only, never by listing data dirs: a crashed or in-flight writer's
+    * partial directory has no manifest and is invisible here. */
   def latestVersion(spark: SparkSession, dimRoot: String,
-      belowBatch: Long = Long.MaxValue): Option[String] = {
-    val root = new Path(dimRoot)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(p => p.getName.matches("v\\d+") &&
-        fs.exists(new Path(p, "_SUCCESS")))
-      .map(_.getName.drop(1).toLong)
-      .filter(_ < belowBatch)
-      .reduceOption(_ max _)
-      .map(v => s"$dimRoot/v$v")
-  }
+      belowBatch: Long = Long.MaxValue): Option[String] =
+    SnapshotCommit.latestBelow(spark, dimRoot, belowBatch)
+      .map(v => SnapshotCommit.dataPath(spark, dimRoot, v))
 
   /** Current dimension state (None before the first committed batch). */
   def currentDim(spark: SparkSession, dimRoot: String): Option[DataFrame] =
@@ -79,7 +66,7 @@ object ScdUpsert {
           .map(spark.read.parquet(_))
         val next = ScdType2(batch, existing, idCol, attrCols, tracked, skCol,
           asOfForBatch(batchId))
-        next.write.mode("overwrite").parquet(s"$dimRoot/v$batchId")
+        SnapshotCommit.write(next, dimRoot, batchId)
         // the write consumed every frame ScdType2 checkpointed this
         // batch; release exactly THOSE (plan-reachable) blocks so
         // stream storage stays O(1). Never a session-wide sweep — that

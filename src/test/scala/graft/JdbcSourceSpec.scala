@@ -7,7 +7,7 @@ import java.time.LocalDate
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.etl.{RcmExtraction, RcmPipeline}
-import graft.etl.RcmExtraction.{CsvSource, JdbcSource}
+import graft.etl.RcmExtraction.{CsvSource, JdbcPartitioning, JdbcSource}
 
 /** Exercises the production JDBC extraction path (S1 proper,
   * `extraction.py:20-41`) end-to-end against an embedded Apache Derby
@@ -67,6 +67,44 @@ class JdbcSourceSpec extends AnyFunSuite {
       val c = viaCsv.tables(t).collect().map(_.toString).sorted.toSeq
       assert(j == c, s"$t rows differ between JDBC and CSV extraction")
     }
+  }
+
+  test("partitioned JDBC scan: N input tasks, exact row parity with single-stream") {
+    val single = JdbcSource(url, "hospital_a", Map("driver" -> driver))
+      .read(spark, "transactions")
+    val part = JdbcSource(url, "hospital_a", Map("driver" -> driver),
+        partitioning = Map("transactions" ->
+          JdbcPartitioning("ProcedureCode", 99200, 99600, 4)))
+      .read(spark, "transactions")
+
+    assert(single.rdd.getNumPartitions == 1)
+    assert(part.rdd.getNumPartitions == 4, "range scan must issue 4 partitions")
+    // parity must be exact multiset equality, not just a count: stride
+    // boundary bugs drop or duplicate boundary rows while preserving
+    // plausible-looking totals
+    val s = single.collect().map(_.toString).sorted.toSeq
+    val p = part.collect().map(_.toString).sorted.toSeq
+    assert(p == s, "partitioned read must return exactly the single-stream rows")
+  }
+
+  test("JdbcPartitioning.probe discovers MIN/MAX bounds server-side") {
+    val probed = JdbcPartitioning.probe(spark, url, Map("driver" -> driver),
+      "hospital_a.transactions", "ProcedureCode", numPartitions = 8)
+    assert(probed.isDefined)
+    val p = probed.get
+    assert(p.numPartitions == 8)
+    // bounds must bracket the actual domain (strides cover every row)
+    val mm = JdbcSource(url, "hospital_a", Map("driver" -> driver))
+      .read(spark, "transactions")
+      .agg(org.apache.spark.sql.functions.min("ProcedureCode"),
+        org.apache.spark.sql.functions.max("ProcedureCode")).collect().head
+    assert(p.lowerBound == mm.getInt(0).toLong)
+    assert(p.upperBound == mm.getInt(1).toLong + 1)
+
+    val df = JdbcSource(url, "hospital_a", Map("driver" -> driver),
+        partitioning = Map("transactions" -> p)).read(spark, "transactions")
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == 10000L)
   }
 
   test("full pipeline over JDBC extraction reproduces RcmPipelineSpec counts") {

@@ -63,6 +63,27 @@ class ScdType2Spec extends AnyFunSuite {
     assert(a(1).getAs[java.sql.Date]("effective_date").toString == "2024-07-01")
   }
 
+  test("changedOnly prune is output-identical to the full diff") {
+    // a batch exercising every class: changed (a), unchanged-but-
+    // present (b), brand-new (d); c disappears and must be retained
+    val first = ScdType2(
+      snap(("a", "Ann", "2 Oak"), ("b", "Bob", "1 Main"), ("c", "Cal", "5 Pine")),
+      None, "id", attrs, tracked, "sk", d1)
+    val batch = snap(("a", "Ann", "9 New"), ("b", "Bob", "1 Main"),
+      ("d", "Dee", "7 Ash"))
+    def run(pruned: Boolean) =
+      ScdType2(batch, Some(first), "id", attrs, tracked, "sk", d2,
+        changedOnly = pruned).collect().map(_.toString).sorted.toSeq
+    assert(run(pruned = true) == run(pruned = false))
+
+    // and the CDC shape: feeding ONLY changed+new rows equals the full
+    // whole-snapshot rerun (absent ids are retained unchanged)
+    val cdcBatch = snap(("a", "Ann", "9 New"), ("d", "Dee", "7 Ash"))
+    val viaCdc = ScdType2(cdcBatch, Some(first), "id", attrs, tracked, "sk",
+      d2, changedOnly = true).collect().map(_.toString).sorted.toSeq
+    assert(viaCdc == run(pruned = false))
+  }
+
   test("untracked change (name only) does not version") {
     val out = secondRun(snap(("a", "Annie", "2 Oak"), ("b", "Bob", "1 Main"))).collect()
     assert(out.length == 2)

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Incremental, SnapshotCommit}
+import org.apache.spark.sql.functions._
+
+/** Crash-injection coverage for the atomic snapshot commit protocol:
+  * readers must never see a partial snapshot, no matter where the
+  * writer dies — mid-data-file, between files, or before the manifest
+  * rename.
+  */
+class SnapshotCommitSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+  import spark.implicits._
+
+  private def newRoot(): String =
+    Files.createTempDirectory("snapcommit").toString
+
+  private def fs(p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("commit publishes atomically; versions/latest resolve manifests only") {
+    val root = newRoot()
+    assert(SnapshotCommit.versions(spark, root).isEmpty)
+    assert(SnapshotCommit.latest(spark, root).isEmpty)
+
+    SnapshotCommit.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, 0L)
+    assert(SnapshotCommit.versions(spark, root) == Seq(0L))
+    val (v, df) = SnapshotCommit.latest(spark, root).get
+    assert(v == 0L && df.count() == 2)
+  }
+
+  test("crash between data files: partial dir without manifest is invisible") {
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+
+    // simulate a writer killed mid-directory for v1: a data dir with
+    // real parquet files but SOME missing, and no manifest
+    val partial = s"$root/data/v1-deadbeef"
+    Seq((10L, "x"), (11L, "y")).toDF("id", "v")
+      .repartition(2).write.parquet(partial)
+    val f = fs(root)
+    val parts = f.listStatus(new Path(partial)).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.length >= 2)
+    f.delete(parts.head, false) // the "between files" kill
+    f.delete(new Path(partial, "_SUCCESS"), false)
+
+    assert(SnapshotCommit.versions(spark, root) == Seq(0L),
+      "a manifest-less data dir must not surface as a version")
+    assert(SnapshotCommit.latest(spark, root).get._2
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("crash before manifest rename: staged .tmp manifest is invisible") {
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    Seq((10L, "x")).toDF("id", "v").write.parquet(s"$root/data/v1-0abc1234")
+    val f = fs(root)
+    val tmp = new Path(s"$root/_commits/.tmp-1-0abc1234")
+    val out = f.create(tmp, true)
+    try out.write("v1-0abc1234".getBytes("UTF-8")) finally out.close()
+
+    assert(SnapshotCommit.versions(spark, root) == Seq(0L))
+    // completing the protocol afterwards makes v1 visible
+    SnapshotCommit.write(Seq((10L, "x")).toDF("id", "v"), root, 1L)
+    assert(SnapshotCommit.versions(spark, root) == Seq(0L, 1L))
+  }
+
+  test("retried version republishes atomically; last writer wins") {
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "first")).toDF("id", "v"), root, 0L)
+    SnapshotCommit.write(Seq((1L, "retry")).toDF("id", "v"), root, 0L)
+    assert(SnapshotCommit.versions(spark, root) == Seq(0L))
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "retry")))
+    // both attempts' data dirs exist until vacuum; readers only see the
+    // manifest-referenced one
+    assert(fs(root).listStatus(new Path(root, "data")).length == 2)
+  }
+
+  test("vacuum keeps the newest versions readable, sweeps the rest") {
+    val root = newRoot()
+    (0L to 3L).foreach(v =>
+      SnapshotCommit.write(Seq((v, s"v$v")).toDF("id", "v"), root, v))
+    // an orphan from a crashed writer, old enough to sweep
+    Seq((99L, "junk")).toDF("id", "v").write.parquet(s"$root/data/v9-feedbeef")
+
+    SnapshotCommit.vacuum(spark, root, keepLast = 2, orphanGraceMs = 0L)
+    assert(SnapshotCommit.versions(spark, root) == Seq(2L, 3L))
+    assert(SnapshotCommit.read(spark, root, 3L)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "v3")))
+    val dirs = fs(root).listStatus(new Path(root, "data")).map(_.getPath.getName)
+    assert(dirs.length == 2 && dirs.forall(d => d.startsWith("v2-") || d.startsWith("v3-")))
+  }
+
+  test("vacuum grace period protects an in-flight writer's dir") {
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    Seq((2L, "inflight")).toDF("id", "v").write.parquet(s"$root/data/v1-12ab34cd")
+    SnapshotCommit.vacuum(spark, root, keepLast = 1) // default 1h grace
+    val dirs = fs(root).listStatus(new Path(root, "data")).map(_.getPath.getName)
+    assert(dirs.exists(_ == "v1-12ab34cd"), "fresh orphan must survive vacuum")
+  }
+
+  test("writePartialsCommitted: incremental days accumulate; retry is idempotent") {
+    val root = newRoot()
+    def partials(day: String, k: String, n: Long) =
+      Seq((k, java.sql.Date.valueOf(day), n, BigDecimal(n * 10)))
+        .toDF("k", "day", "n_rows", "sum_value")
+
+    Incremental.writePartialsCommitted(partials("2024-01-01", "a", 5L), root, 0L)
+    Incremental.writePartialsCommitted(partials("2024-01-02", "a", 7L), root, 1L)
+    val got = SnapshotCommit.latest(spark, root).get._2
+      .orderBy(col("day")).select(col("day").cast("string"), col("n_rows"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("2024-01-01", 5L), ("2024-01-02", 7L)))
+
+    // a retried day-2 run REPLACES day 2, never duplicates it
+    Incremental.writePartialsCommitted(partials("2024-01-02", "a", 8L), root, 2L)
+    val after = SnapshotCommit.latest(spark, root).get._2
+      .orderBy(col("day")).select(col("day").cast("string"), col("n_rows"))
+      .as[(String, Long)].collect().toSeq
+    assert(after == Seq(("2024-01-01", 5L), ("2024-01-02", 8L)))
+    // previous snapshots remain readable (time travel until vacuum)
+    assert(SnapshotCommit.read(spark, root, 1L).count() == 2)
+  }
+}
