@@ -33,7 +33,19 @@ object Bench {
     "q63_curation_pipeline", "q66_pii_redaction", "q67_kmeans_step",
     "q68_chunking", "q69_keywords", "q72_bpe_pairs", "q75_quantize_int8",
     "q79_snapshot_diff", "q82_salted_join", "q90_token_dot",
-    "q91_rp_lsh_neardup", "q92_trailing_window")
+    "q91_rp_lsh_neardup", "q92_trailing_window",
+    // round-4/5 tail: exact slopes, rollup-of-partials, binning,
+    // argmax, frame sampling, grouping sets, ratio-to-report, native
+    // session_window, sketch rollup, group signatures, correlated
+    // subqueries, transitions, cohorts, MAD outliers, bucketed sink +
+    // co-located join, AV container probe, CDC-pruned SCD2, IVF recall
+    "q93_trend_slope", "q94_incremental_rollup", "q95_quantile_bins",
+    "q96_argmax_agg", "q97_frame_sample", "q98_grouping_sets",
+    "q99_ratio_to_report", "q100_session_window", "q101_sketch_rollup",
+    "q102_group_signature", "q103_correlated_subqueries",
+    "q104_transition_matrix", "q105_cohort_retention", "q106_mad_outliers",
+    "q107_bucketed_join", "q108_av_containers", "q109_scd2_changed_only",
+    "q110_ivf_recall")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -81,6 +93,65 @@ object Bench {
       .foreach(_.unpersist(blocking = false))
   }
 
+  /** Stronger isolation for a TIMED run's start line: releaseBlocks
+    * with BLOCKING unpersist (async release lets the previous query's
+    * checkpoint blocks still occupy storage memory while this query
+    * runs — eviction pressure billed to the wrong query; the round-4
+    * q22 drift pattern) plus an explicit GC so heap pressure from a
+    * checkpoint-heavy neighbor (q20/q30/q63) is paid BEFORE t0, not
+    * during the measured run. */
+  private def isolate(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
+  }
+
+  /** Prior-round per-query medians for the delta gate: the newest
+    * BENCH_r{N}.json next to the repo (or SPARK_GRAFT_PRIOR_BENCH).
+    * The driver's artifact wraps a TRUNCATED tail of this program's
+    * own output line — the queries{} medians are usually cut off, but
+    * the runs{} arrays survive, so medians are recomputed from raw
+    * runs. Only honored when the prior artifact benchmarked the same
+    * scale factor — cross-sf medians would trip the gate on every
+    * query. Absent/corrupt/mismatched → empty map, gate disabled. */
+  private def priorMedians(sfDir: String): Map[String, Double] = {
+    val sfOfDir = new java.io.File(sfDir).getName.stripPrefix("sf").toDoubleOption
+    val candidates =
+      sys.env.get("SPARK_GRAFT_PRIOR_BENCH").map(new java.io.File(_)).toSeq ++ {
+        Option(new java.io.File("/root/repo").listFiles()).toSeq.flatten
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName.replaceAll("\\D", "").toInt).reverse
+      }
+    candidates.find(_.isFile).flatMap { f =>
+      try {
+        import org.json4s._
+        val json = org.json4s.jackson.JsonMethods.parse(
+          scala.io.Source.fromFile(f).mkString)
+        val priorSf = json \ "sf" match {
+          case JDouble(v) => Some(v)
+          case JInt(v) => Some(v.toDouble)
+          case JDecimal(v) => Some(v.toDouble)
+          case JString(s) =>
+            new java.io.File(s).getName.stripPrefix("sf").toDoubleOption
+          case _ => None
+        }
+        val tail = json \ "tail" match {
+          case JString(s) => s
+          case _ => ""
+        }
+        if (priorSf.isEmpty || sfOfDir.isEmpty || priorSf != sfOfDir) None
+        else {
+          val runsRe = """"(q\w+)":\[([0-9.,eE+-]+)\]""".r
+          val m = runsRe.findAllMatchIn(tail).map { mm =>
+            mm.group(1) -> median(mm.group(2).split(",").toSeq.map(_.toDouble))
+          }.toMap
+          if (m.isEmpty) None else Some(m)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(Map.empty)
+  }
+
   /** The reference workload end-to-end: extract the reference CSVs,
     * build the star schema with SCD2, write-verify all tables, compute
     * the Q1 revenue KPI. Mirrors `graft.etl.RcmRun` minus the prints. */
@@ -125,11 +196,13 @@ object Bench {
 
     val loadBefore = loadAvg()
     val gcBefore = gcMs()
+    val prior = priorMedians(sfDir)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val rawRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val deltaGate = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     val results = items.map { case (name, fn) =>
       def timedRun(): Option[Double] = {
-        releaseBlocks(spark) // isolate per-query timings + free checkpoint blocks
+        isolate(spark) // blocking release + GC before the start line
         val t0 = System.nanoTime()
         try { fn(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>
@@ -153,13 +226,35 @@ object Bench {
         }
         extra += 1
       }
+      // Delta gate: a query whose median regressed >1.5× vs the prior
+      // round's artifact gets ONE extra fully-isolated re-run (after a
+      // settle pause), recorded in the artifact next to the prior and
+      // current medians — so a harness-state regression (storage
+      // pressure, GC debt from a neighbor) is distinguishable from a
+      // real plan regression without a second bench session. The
+      // median itself is NOT replaced: the gate is evidence, not a
+      // retry-until-fast loop.
+      val medianVal = if (failed) -1.0 else median(times)
+      if (!failed) {
+        prior.get(name).filter(p => p > 0 && medianVal > p * 1.5).foreach { p =>
+          Thread.sleep(500)
+          timedRun() match {
+            // recorded in runs{} and delta_gate{}, NOT folded into the
+            // median — the gate is evidence, never a retry-until-fast
+            case Some(iso) =>
+              times = times :+ iso
+              deltaGate += name -> (p, medianVal, iso)
+            case None => failed = true
+          }
+        }
+      }
       rawRuns += name -> times
       // All-or-nothing: a query that failed ANY of its runs reports the
       // -1 failure marker (plus its errors entry), never a timing — a
       // partial median over fewer runs answers a different question,
       // and a row in both queries{} and errors{} would be ambiguous to
       // the driver.
-      if (failed) name -> -1.0 else name -> median(times)
+      if (failed) name -> -1.0 else name -> medianVal
     }
     val loadAfter = loadAvg()
     val gcDelta = gcMs() - gcBefore
@@ -179,7 +274,10 @@ object Bench {
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_excludes":["rcm_pipeline"],"queries":$qJson,"errors":$errJson,"runs":$runsJson,"runs_per_query":$runsPerQuery,"stat":"median","loadavg_before":${numArr(loadBefore)},"loadavg_after":${numArr(loadAfter)},"gc_ms":$gcDelta,"sf":"$sfDir"}""")
+    val deltaJson = deltaGate.map { case (k, (p, m, iso)) =>
+      "\"" + k + "\":{\"prior\":" + p + ",\"median\":" + m + ",\"isolated\":" + iso + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_excludes":["rcm_pipeline"],"queries":$qJson,"errors":$errJson,"runs":$runsJson,"runs_per_query":$runsPerQuery,"stat":"median","delta_gate":$deltaJson,"loadavg_before":${numArr(loadBefore)},"loadavg_after":${numArr(loadAfter)},"gc_ms":$gcDelta,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -139,6 +139,70 @@ object SimilarityQueries {
       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  // q110 — IVF retrieval-quality gate: recall@3 of the q52 multiprobe
+  // against the q34-style exact brute force, computed IN-QUERY per
+  // query vector. q52 verifies the multiprobe's mechanics; this gates
+  // its QUALITY — if the probe count, centroid assignment, or
+  // candidate ranking regresses, the recall values change and the
+  // oracle hash breaks, and recall below the measured floor fails the
+  // run in-plan (`assert_true`, zero extra jobs). Floor = 1/3:
+  // the sf-independent lower bound observed across testdata scales
+  // (mean recall is far higher; per-query minimum is the honest gate).
+  private val RecallFloor = 1.0 / 3.0
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    val brute = Similarity
+      .bruteForceTopK(e, queries, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity
+      .ivfTopK(e, queries, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(3.0))
+      .filter(assert_true(col("recall") >= RecallFloor,
+        concat(lit(s"IVF recall@3 below floor $RecallFloor for query "),
+          col("query_id").cast("string"))).isNull)
+      .orderBy(col("query_id"))
+  }
+  private val q110Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |brute AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY $dCos DESC, e.vec_id) AS rank
+      |  FROM q CROSS JOIN (SELECT vec_id, v AS cv FROM e) e
+      |  WHERE query_id <> e.vec_id) WHERE rank <= 3),
+      |assign AS (SELECT vec_id, cid FROM (
+      |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_inner_product(e.v, cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cv, cv))) DESC,
+      |    c.cid) AS rn
+      |  FROM e CROSS JOIN c) WHERE rn = 1),
+      |qs AS (SELECT query_id, qv, cid, row_number() OVER (PARTITION BY query_id ORDER BY
+      |    list_inner_product(qv, cv) / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) DESC,
+      |    cid) AS pr
+      |  FROM q CROSS JOIN c),
+      |ivf AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM (SELECT p.query_id, a.vec_id AS neighbor_id,
+      |      list_inner_product(p.qv, e2.v)
+      |        / (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(e2.v, e2.v))) AS cosine
+      |    FROM (SELECT query_id, qv, cid FROM qs WHERE pr <= 2) p
+      |    JOIN assign a ON a.cid = p.cid
+      |    JOIN e e2 ON e2.vec_id = a.vec_id
+      |    WHERE a.vec_id <> p.query_id)) WHERE rank <= 3)
+      |SELECT b.query_id,
+      |  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 3.0 AS recall
+      |FROM brute b LEFT JOIN ivf i
+      |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
   // q67 — one Lloyd iteration of k-means (seeds = vectors 0..7): the
   // q51 argmax assignment, then per-(cluster, dim) member means.
   // The means accumulate in FIXED-POINT (floor(v·2^43) summed as
@@ -242,6 +306,7 @@ object SimilarityQueries {
     QueryDef("q36_embedding_neardup", q36, Some(q36Sql)),
     QueryDef("q51_ivf_assign", q51, Some(q51Sql)),
     QueryDef("q52_ivf_multiprobe", q52, Some(q52Sql)),
+    QueryDef("q110_ivf_recall", q110, Some(q110Sql)),
     QueryDef("q67_kmeans_step", q67, Some(q67Sql)),
   )
 }
