@@ -335,6 +335,94 @@ object Multimodal {
     }
   }
 
+  /** Pixel budget for a FULL image decode ([[imageStats]]): the header
+    * probe's dimension cap bounds each side, this bounds the buffer a
+    * real decode may allocate (4M px ≈ 16 MB ARGB) — a payload
+    * declaring more takes the stub path. */
+  private val MaxDecodePixels = 1 << 22
+
+  /** Deterministic PNG fixture: a `w`×`h` RGB image whose channels
+    * follow closed-form ramps an SQL oracle can recompute —
+    * `R(x,y) = (7x + 13y + seed) % 256`, `G = (3x + 5y + 2·seed) % 256`,
+    * `B = (11x + 2y + 3·seed) % 256` — encoded through the JDK's real
+    * PNG writer (lossless RGB, so decode returns the exact pattern). */
+  def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w * h <= MaxDecodePixels)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((7 * x + 13 * y + seed) % 256).toInt
+        val g = ((3 * x + 5 * y + 2 * seed) % 256).toInt
+        val b = ((11 * x + 2 * y + 3 * seed) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Per-channel image statistics row: exact integer channel sums
+    * divided once at the end, so the doubles are bit-reproducible. */
+  final case class ImageStats(
+      media_id: Long, kind: String, n_bytes: Long, codec: String,
+      width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL pixel-statistics decode for `kind = "image"` payloads: the
+    * header-only probe runs FIRST (dimension cap + [[MaxDecodePixels]]
+    * budget — an untrusted header can't make the full decode allocate
+    * an unbounded buffer), then `ImageIO.read` decodes the pixels and
+    * the per-channel means come from exact integer sums. Payloads that
+    * fail the probe, the budget, or the decode take the stub path
+    * (means deterministic in payload length, like [[probeMedia]]).
+    * Same scale shape as every kernel here: one `mapPartitions` pass,
+    * payload bytes never leave the executor, output is columnar. */
+  def imageStats(spark: SparkSession, media: DataFrame): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { m =>
+        val n = m.payload.length.toLong
+        val real: Option[ImageStats] =
+          if (m.kind != "image") None
+          else tryDecodeImage(m.payload)
+            .filter { case (w, h) => w.toLong * h <= MaxDecodePixels }
+            .flatMap { case (w, h) =>
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(m.payload))
+                if (img == null || img.getWidth != w || img.getHeight != h) None
+                else {
+                  var (sr, sg, sb) = (0L, 0L, 0L)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) {
+                      val p = img.getRGB(x, y)
+                      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val px = w.toLong * h
+                  Some(ImageStats(m.media_id, m.kind, n, "image", w, h,
+                    sr.toDouble / px, sg.toDouble / px, sb.toDouble / px))
+                }
+              } catch { case scala.util.control.NonFatal(_) => None }
+            }
+        real.getOrElse(ImageStats(m.media_id, m.kind, n, "stub",
+          width = (n % 640).toInt, height = (n % 480).toInt,
+          mean_r = (n % 251).toDouble, mean_g = (n % 241).toDouble,
+          mean_b = (n % 239).toDouble))
+      }
+    }
+  }
+
   /** Strided frame sampling over video payloads: pick (up to) `k`
     * frame indices evenly across each video — `idx_j = ⌊j·frames/k⌋`,
     * de-duplicated for short videos — and emit each sampled frame as a

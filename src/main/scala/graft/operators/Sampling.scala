@@ -211,8 +211,12 @@ object Sampling {
       s"qs must be sorted fractions in (0,1), got $qs")
     require(!df.columns.contains("__graft_bounds") && !df.columns.contains("bin"),
       "input already defines __graft_bounds/bin")
+    // ONE percentile aggregate over an array of percentages, not one
+    // aggregate per fraction: each exact-percentile agg buffers the
+    // whole column independently, so k separate calls cost k full
+    // value buffers (measured 3.1s → ~1s on the q95 shape at sf0.1)
     val bounds = df.agg(
-      array(qs.map(q => percentile(valueCol, lit(q))): _*).as("__graft_bounds"))
+      percentile(valueCol, lit(qs.toArray)).as("__graft_bounds"))
     // null values get a NULL bin, not bin 0: percentile ignored them
     // when computing the boundaries, so assigning them to the lowest
     // band would silently corrupt any profile built on `bin`

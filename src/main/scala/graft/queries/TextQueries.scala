@@ -682,8 +682,58 @@ object TextQueries {
       |FROM st
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q111 — REAL pixel decode ([[Multimodal.imageStats]]): per-doc PNG
+  // fixtures with closed-form channel ramps are ENCODED through the
+  // JDK's real PNG writer in-query, then fully decoded back
+  // (header-probe → budget check → ImageIO.read → exact integer
+  // channel sums), so the gate covers the whole codec round-trip —
+  // the oracle recomputes the ramp sums arithmetically per pixel
+  // grid. Every 7th payload is a non-image and must take the stub.
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val media = ids.as[Long].map { id =>
+      if (id % 7 == 0)
+        Multimodal.MediaRecord(id, "image", s"img-$id".getBytes("UTF-8"))
+      else Multimodal.MediaRecord(id, "image", Multimodal.pngBytes(
+        w = (8 + id % 5 * 4).toInt, h = (6 + id % 3 * 4).toInt, seed = id))
+    }.toDF()
+    Multimodal.imageStats(s, media)
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("media_id"))
+  }
+  private val q111Sql =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |p AS (SELECT id, 8 + (id % 5) * 4 AS w, 6 + (id % 3) * 4 AS h
+      |  FROM d WHERE id % 7 <> 0),
+      |px AS (SELECT id, w, h, x, y
+      |  FROM p, unnest(range(0, w)) AS t1(x), unnest(range(0, h)) AS t2(y)),
+      |sums AS (SELECT id, w, h,
+      |    SUM((7*x + 13*y + id) % 256) AS sr,
+      |    SUM((3*x + 5*y + 2*id) % 256) AS sg,
+      |    SUM((11*x + 2*y + 3*id) % 256) AS sb,
+      |    COUNT(*) AS npx
+      |  FROM px GROUP BY id, w, h),
+      |st AS (SELECT id,
+      |    CAST(octet_length(encode('img-' || CAST(id AS VARCHAR))) AS BIGINT) AS n
+      |  FROM d WHERE id % 7 = 0)
+      |SELECT id AS media_id, 'image' AS codec,
+      |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(sr AS DOUBLE) / npx AS mean_r,
+      |  CAST(sg AS DOUBLE) / npx AS mean_g,
+      |  CAST(sb AS DOUBLE) / npx AS mean_b
+      |FROM sums
+      |UNION ALL
+      |SELECT id, 'stub', CAST(n % 640 AS INTEGER), CAST(n % 480 AS INTEGER),
+      |  CAST(n % 251 AS DOUBLE), CAST(n % 241 AS DOUBLE), CAST(n % 239 AS DOUBLE)
+      |FROM st
+      |ORDER BY media_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q108_av_containers", q108, Some(q108Sql)),
+    QueryDef("q111_image_stats", q111, Some(q111Sql)),
     QueryDef("q25_text_stats", q25, Some(q25Sql)),
     QueryDef("q97_frame_sample", q97, Some(q97Sql)),
     QueryDef("q102_group_signature", q102, Some(q102Sql)),

@@ -366,4 +366,28 @@ class PlanSpec extends AnyFunSuite {
     // sides are the |groups|-row aggregate, never the documents
     assert(bnljs <= 1, p)
   }
+
+  // q109's executed top-level plan is the re-key's checkpointed RDD
+  // (lineage truncated), so the semi-join prune can't be pinned from
+  // the final plan string — its EFFECT is pinned measurably instead:
+  // MetricsSpec's "SCD2 changedOnly shuffles batch-proportional bytes"
+  // asserts the diff join's dimension-sized exchanges disappear.
+
+  test("q110: recall gate joins broadcast-sized rank frames — no corpus product") {
+    val p = planOf("q110_ivf_recall")
+    // brute force + IVF candidate scoring each broadcast the tiny
+    // query/centroid side; the corpus appears only under broadcast
+    // joins and partial group-limits, never in a cartesian product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)  // top-k stays partial group-limit
+  }
+
+  test("q95: ONE exact-percentile aggregate computes every boundary (array form)") {
+    val p = planOf("q95_quantile_bins")
+    // nine separate percentile aggs would buffer the column nine times;
+    // the array form appears exactly once in the aggregate expressions
+    val hits = "percentile\\(".r.findAllIn(p).length
+    assert(hits <= 4, s"expected one percentile agg (partial+final ≤4 mentions), got $hits\n$p")
+  }
 }

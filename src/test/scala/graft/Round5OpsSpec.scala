@@ -106,6 +106,46 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(Multimodal.tryDecodeMp4(overrun).isEmpty)
   }
 
+  // ----------------------------------------------------- imageStats
+
+  test("imageStats: exact channel means through the real PNG round-trip") {
+    import spark.implicits._
+    // 2×2, seed 0: R = (7x+13y)%256 → {0,7,13,20} mean 10.0
+    //              G = (3x+5y)%256  → {0,3,5,8}   mean 4.0
+    //              B = (11x+2y)%256 → {0,11,2,13} mean 6.5
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.pngBytes(2, 2, 0L)),
+      Multimodal.MediaRecord(2L, "image", "not a png".getBytes),
+      Multimodal.MediaRecord(3L, "audio", Multimodal.wavBytes(8000, 1, 16, 8))
+    ).toDF()
+    val got = Multimodal.imageStats(spark, media).collect()
+      .map(s => s.media_id -> s).toMap
+    val r1 = got(1L)
+    assert(r1.codec == "image" && r1.width == 2 && r1.height == 2)
+    assert(r1.mean_r == 10.0 && r1.mean_g == 4.0 && r1.mean_b == 6.5)
+    // undecodable image and non-image kinds both stub, deterministic in n
+    val n2 = "not a png".length
+    assert(got(2L).codec == "stub" && got(2L).mean_r == (n2 % 251).toDouble)
+    assert(got(3L).codec == "stub", "audio kind must not hit the pixel decoder")
+  }
+
+  test("imageStats: a header declaring more than the pixel budget stubs out") {
+    import spark.implicits._
+    // hand-build a PNG IHDR declaring 8192×8192 (64M px > 4M budget)
+    // over a real 2×2 payload body: header-only probe accepts the
+    // dims (≤16384 side cap) but the budget must refuse the decode
+    val real = Multimodal.pngBytes(2, 2, 0L)
+    val forged = real.clone()
+    def put32(at: Int, v: Int): Unit = {
+      forged(at) = (v >> 24).toByte; forged(at + 1) = (v >> 16).toByte
+      forged(at + 2) = (v >> 8).toByte; forged(at + 3) = v.toByte
+    }
+    put32(16, 8192); put32(20, 8192) // IHDR width/height fields
+    val got = Multimodal.imageStats(spark,
+      Seq(Multimodal.MediaRecord(1L, "image", forged)).toDF()).collect().head
+    assert(got.codec == "stub", s"forged-dimension payload must stub, got $got")
+  }
+
   // ----------------------------------------------------- probeMedia
 
   test("probeMedia routes real containers to real parsers, rest to stub") {
