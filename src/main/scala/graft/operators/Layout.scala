@@ -111,4 +111,35 @@ object Layout {
     out.write.mode("overwrite").parquet(destPath)
     (files.length, spark.read.parquet(destPath).inputFiles.length)
   }
+
+  /** ATOMIC compaction for a [[SnapshotCommit]]-managed table: rewrite
+    * the latest committed snapshot into `ceil(bytes/targetBytes)`
+    * files and publish the result as the NEXT version through the
+    * manifest protocol — the "production wraps it in a commit
+    * protocol" form [[compact]]'s scaladoc promises. Readers keep the
+    * old version until the manifest rename; a crash mid-rewrite is
+    * invisible; the superseded files leave at the next
+    * `SnapshotCommit.vacuum`. Returns (filesBefore, filesAfter,
+    * newVersion), or None when the table has no committed snapshot. */
+  def compactCommitted(spark: org.apache.spark.sql.SparkSession, root: String,
+      targetBytes: Long,
+      clusterBy: Seq[Column] = Nil): Option[(Int, Int, Long)] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    SnapshotCommit.latest(spark, root).map { case (version, df) =>
+      val files = df.inputFiles
+      val conf = spark.sessionState.newHadoopConf()
+      val totalBytes = files.map { f =>
+        val hp = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        hp.getFileSystem(conf).getFileStatus(hp).getLen
+      }.sum
+      val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      val out =
+        if (clusterBy.isEmpty) df.repartition(n)
+        else df.repartitionByRange(n, clusterBy: _*)
+          .sortWithinPartitions(clusterBy: _*)
+      SnapshotCommit.write(out, root, version + 1)
+      val after = SnapshotCommit.read(spark, root, version + 1).inputFiles.length
+      (files.length, after, version + 1)
+    }
+  }
 }

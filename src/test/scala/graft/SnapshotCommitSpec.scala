@@ -107,6 +107,27 @@ class SnapshotCommitSpec extends AnyFunSuite {
     assert(dirs.exists(_ == "v1-12ab34cd"), "fresh orphan must survive vacuum")
   }
 
+  test("compactCommitted rewrites the snapshot atomically as the next version") {
+    import graft.operators.Layout
+    val root = newRoot()
+    assert(Layout.compactCommitted(spark, root, 1L << 20).isEmpty)
+
+    // a fragmented first version: 8 small files
+    SnapshotCommit.write(
+      spark.range(10000L).toDF("id").repartition(8), root, 0L)
+    val before = SnapshotCommit.read(spark, root, 0L).inputFiles.length
+    assert(before == 8)
+
+    val Some((b, a, v)) = Layout.compactCommitted(spark, root, 1L << 20)
+    assert(b == 8 && a < b && v == 1L)
+    // same rows, old version still readable until vacuum
+    assert(SnapshotCommit.read(spark, root, 1L).count() == 10000L)
+    assert(SnapshotCommit.read(spark, root, 0L).count() == 10000L)
+    SnapshotCommit.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(SnapshotCommit.versions(spark, root) == Seq(1L))
+    assert(SnapshotCommit.read(spark, root, 1L).count() == 10000L)
+  }
+
   test("writePartialsCommitted: incremental days accumulate; retry is idempotent") {
     val root = newRoot()
     def partials(day: String, k: String, n: Long) =
