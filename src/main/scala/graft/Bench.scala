@@ -117,12 +117,13 @@ object Bench {
     * query. Absent/corrupt/mismatched → empty map, gate disabled. */
   private def priorMedians(sfDir: String): Map[String, Double] = {
     val sfOfDir = new java.io.File(sfDir).getName.stripPrefix("sf").toDoubleOption
+    def artifactsIn(dir: String) =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName.replaceAll("\\D", "").toInt).reverse
     val candidates =
-      sys.env.get("SPARK_GRAFT_PRIOR_BENCH").map(new java.io.File(_)).toSeq ++ {
-        Option(new java.io.File("/root/repo").listFiles()).toSeq.flatten
-          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-          .sortBy(_.getName.replaceAll("\\D", "").toInt).reverse
-      }
+      sys.env.get("SPARK_GRAFT_PRIOR_BENCH").map(new java.io.File(_)).toSeq ++
+        artifactsIn(".") ++ artifactsIn("/root/repo")
     candidates.find(_.isFile).flatMap { f =>
       try {
         import org.json4s._
@@ -239,12 +240,19 @@ object Bench {
         prior.get(name).filter(p => p > 0 && medianVal > p * 1.5).foreach { p =>
           Thread.sleep(500)
           timedRun() match {
-            // recorded in runs{} and delta_gate{}, NOT folded into the
-            // median — the gate is evidence, never a retry-until-fast
-            case Some(iso) =>
-              times = times :+ iso
-              deltaGate += name -> (p, medianVal, iso)
-            case None => failed = true
+            // recorded ONLY in delta_gate{} — never folded into the
+            // median, and kept OUT of runs{} so a later round's
+            // prior-median recompute from runs{} matches what this
+            // round reported. The gate is evidence, never a
+            // retry-until-fast, and a failed diagnostic run must not
+            // invalidate the three valid timings it annotates — the
+            // failure is recorded as isolated = -1 (plus its errors{}
+            // entry is withdrawn so queries{} and errors{} stay
+            // mutually exclusive).
+            case Some(iso) => deltaGate += name -> (p, medianVal, iso)
+            case None =>
+              errors.remove(name)
+              deltaGate += name -> (p, medianVal, -1.0)
           }
         }
       }

@@ -43,8 +43,10 @@ object Bucketing {
       }
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     val target = fs.makeQualified(loc).toString
+    // Path(String), not Path(new URI(f)): inputFiles strings are not
+    // percent-encoded — a space in the path would make URI throw
     val reads = df.inputFiles.map(f =>
-      new org.apache.hadoop.fs.Path(new java.net.URI(f)).toString)
+      new org.apache.hadoop.fs.Path(f).toString)
     require(!reads.exists(f => f == target || f.startsWith(target + "/")),
       s"bucketed write reads its own target location $target; stage the input first")
     spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")

@@ -70,13 +70,19 @@ object Incremental {
   def writePartialsCommitted(partials: DataFrame, root: String,
       version: Long): Unit = {
     val spark = partials.sparkSession
-    val merged = SnapshotCommit.latestBelow(spark, root, version) match {
-      case None => partials
+    SnapshotCommit.latestBelow(spark, root, version) match {
+      case None => SnapshotCommit.write(partials, root, version)
       case Some(prev) =>
-        SnapshotCommit.read(spark, root, prev)
-          .join(partials.select(col("day")).distinct(), Seq("day"), "left_anti")
-          .unionByName(partials)
+        // the incoming plan is referenced twice (day-distinct probe +
+        // union); materialize it once so the upstream fact scan that
+        // produced the partials doesn't execute twice per commit
+        val p = partials.localCheckpoint()
+        try {
+          val merged = SnapshotCommit.read(spark, root, prev)
+            .join(p.select(col("day")).distinct(), Seq("day"), "left_anti")
+            .unionByName(p)
+          SnapshotCommit.write(merged, root, version)
+        } finally Checkpoints.releasePinned(p)
     }
-    SnapshotCommit.write(merged, root, version)
   }
 }

@@ -99,8 +99,10 @@ object Layout {
     // size through the Hadoop FS, not java.io.File: File.length is a
     // silent 0 for hdfs://s3a:// URIs and would collapse the rewrite
     // to a single giant file
+    // Path(String), not Path(new URI(f)): inputFiles strings are NOT
+    // percent-encoded, so a path with a space would make URI throw
     val totalBytes = files.map { f =>
-      val hp = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      val hp = new org.apache.hadoop.fs.Path(f)
       hp.getFileSystem(conf).getFileStatus(hp).getLen
     }.sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -119,8 +121,13 @@ object Layout {
     * protocol" form [[compact]]'s scaladoc promises. Readers keep the
     * old version until the manifest rename; a crash mid-rewrite is
     * invisible; the superseded files leave at the next
-    * `SnapshotCommit.vacuum`. Returns (filesBefore, filesAfter,
-    * newVersion), or None when the table has no committed snapshot. */
+    * `SnapshotCommit.vacuum`. The publish is COMPARE-AND-SWAP
+    * (`replaceExisting = false`): if a concurrent writer committed
+    * `version + 1` between our `latest()` read and the publish, this
+    * throws ConcurrentModificationException instead of silently
+    * clobbering that snapshot — rerun the compaction. Returns
+    * (filesBefore, filesAfter, newVersion), or None when the table has
+    * no committed snapshot. */
   def compactCommitted(spark: org.apache.spark.sql.SparkSession, root: String,
       targetBytes: Long,
       clusterBy: Seq[Column] = Nil): Option[(Int, Int, Long)] = {
@@ -129,7 +136,7 @@ object Layout {
       val files = df.inputFiles
       val conf = spark.sessionState.newHadoopConf()
       val totalBytes = files.map { f =>
-        val hp = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        val hp = new org.apache.hadoop.fs.Path(f) // not URI: spaces (see compact)
         hp.getFileSystem(conf).getFileStatus(hp).getLen
       }.sum
       val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -137,7 +144,7 @@ object Layout {
         if (clusterBy.isEmpty) df.repartition(n)
         else df.repartitionByRange(n, clusterBy: _*)
           .sortWithinPartitions(clusterBy: _*)
-      SnapshotCommit.write(out, root, version + 1)
+      SnapshotCommit.write(out, root, version + 1, replaceExisting = false)
       val after = SnapshotCommit.read(spark, root, version + 1).inputFiles.length
       (files.length, after, version + 1)
     }

@@ -192,12 +192,40 @@ object Multimodal {
       None
   }
 
+  /** All sibling boxes named `name` in `bytes[from, until)` as body
+    * ranges — the multi-match complement of [[findBox]] (real MP4s
+    * carry several `trak` siblings; the first is often audio). */
+  private def findBoxes(bytes: Array[Byte], from: Int, until: Int,
+      name: String): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = from
+    var ok = true
+    while (ok && i + 8 <= until) {
+      val declared = u32be(bytes, i)
+      val boxType = tag(bytes, i + 4)
+      val (headerLen, size): (Int, Long) =
+        if (declared == 1 && i + 16 <= until) (16, u64be(bytes, i + 8))
+        else if (declared == 0) (8, (until - i).toLong)
+        else (8, declared)
+      if (size < headerLen || i + size > until) ok = false // malformed
+      else {
+        if (boxType == name) out += ((i + headerLen, i + size.toInt))
+        i += size.toInt
+      }
+    }
+    out.result()
+  }
+
   /** MP4 (ISO base media) probe: walks top-level boxes for
     * `moov/mvhd`, reading movie timescale + duration (version-0 32-bit
-    * and version-1 64-bit layouts), then `trak/mdia/minf/stbl/stsz`
-    * inside the same `moov` for the sample count (0 when absent —
-    * frame tables are per-track and optional in fragmented files).
-    * Requires a positive timescale; returns None otherwise. */
+    * and version-1 64-bit layouts), then the VIDEO track's
+    * `mdia/minf/stbl/stsz` sample count: every `trak` sibling is
+    * examined and the first whose `mdia/hdlr` handler is `vide` wins —
+    * a leading audio/chapter track must not donate its sample count.
+    * Falls back to the first trak carrying an stsz when no handler
+    * says `vide` (the fixture/minimal-file case); 0 when none does.
+    * Requires a positive timescale and a duration that cannot
+    * overflow the millisecond conversion; returns None otherwise. */
   def tryDecodeMp4(bytes: Array[Byte]): Option[Mp4Meta] =
     try {
       findBox(bytes, 0, bytes.length, List("moov")).flatMap {
@@ -213,13 +241,23 @@ object Multimodal {
                   else if (version == 0)
                     (u32be(bytes, from + 12), u32be(bytes, from + 16))
                   else (0L, 0L)
-                if (timescale <= 0 || duration < 0) None
+                if (timescale <= 0 || duration < 0 ||
+                    duration > Long.MaxValue / 1000L) None
                 else {
-                  val frames = findBox(bytes, moovFrom, moovUntil,
-                      List("trak", "mdia", "minf", "stbl", "stsz"))
-                    .collect { case (f, u) if u - f >= 12 => u32be(bytes, f + 8) }
-                    .filter(n => n >= 0 && n <= Int.MaxValue)
-                    .map(_.toInt).getOrElse(0)
+                  val traks = findBoxes(bytes, moovFrom, moovUntil, "trak")
+                  def handler(trak: (Int, Int)): Option[String] =
+                    findBox(bytes, trak._1, trak._2, List("mdia", "hdlr"))
+                      .collect { case (f, u) if u - f >= 12 => tag(bytes, f + 8) }
+                  def stszCount(trak: (Int, Int)): Option[Int] =
+                    findBox(bytes, trak._1, trak._2,
+                        List("mdia", "minf", "stbl", "stsz"))
+                      .collect { case (f, u) if u - f >= 12 => u32be(bytes, f + 8) }
+                      .filter(n => n >= 0 && n <= Int.MaxValue)
+                      .map(_.toInt)
+                  val frames = traks.find(handler(_).contains("vide"))
+                    .flatMap(stszCount)
+                    .orElse(traks.flatMap(stszCount(_)).headOption)
+                    .getOrElse(0)
                   Some(Mp4Meta(timescale, duration * 1000L / timescale, frames))
                 }
               }
@@ -254,18 +292,36 @@ object Multimodal {
     out.array()
   }
 
-  /** Minimal valid MP4: `ftyp` + `moov{mvhd, trak/mdia/minf/stbl/stsz}`
-    * + a short `mdat`. `mvhdVersion` selects the 32-bit (0) or 64-bit
-    * (1) mvhd layout — both appear in the wild and both must parse. */
+  /** ISO-BMFF box with header, for fixture assembly. */
+  private def isoBox(boxType: String, body: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+    out.putInt(8 + body.length); out.put(boxType.getBytes); out.put(body)
+    out.array()
+  }
+
+  /** A fixture track: `trak{mdia{hdlr(handlerType), minf/stbl/stsz}}`
+    * with a `free` sibling ahead of stbl (the walk must skip
+    * non-matching boxes). 33-byte hdlr + 89-byte mdia shell. */
+  private def trakBytes(handlerType: String, frames: Int): Array[Byte] = {
+    val hdlrBody = java.nio.ByteBuffer.allocate(25)
+      .putInt(0).putInt(0).put(handlerType.getBytes).array() // +12 reserved +1 name
+    val stszBody = java.nio.ByteBuffer.allocate(12)
+      .putInt(0).putInt(0).putInt(frames).array() // uniform size 0, count
+    val stbl = isoBox("stbl", isoBox("stsz", stszBody))
+    isoBox("trak", isoBox("mdia", isoBox("hdlr", hdlrBody) ++ isoBox("minf",
+      isoBox("free", Array.fill(4)(0: Byte)) ++ stbl)))
+  }
+
+  /** Minimal valid MP4: `ftyp` + `moov{mvhd, trak('vide'){mdia{hdlr,
+    * minf/stbl/stsz}}}` + a short `mdat`. `mvhdVersion` selects the
+    * 32-bit (0) or 64-bit (1) mvhd layout — both appear in the wild
+    * and both must parse. `audioFramesFirst` prepends a full `soun`
+    * track BEFORE the video track — the common real-file layout the
+    * frame-count walk must not be fooled by. */
   def mp4Bytes(timescale: Int, duration: Long, frames: Int,
-      mvhdVersion: Int = 0): Array[Byte] = {
+      mvhdVersion: Int = 0, audioFramesFirst: Option[Int] = None): Array[Byte] = {
     require(timescale > 0 && duration >= 0 && frames >= 0)
     require(mvhdVersion == 0 || mvhdVersion == 1)
-    def box(boxType: String, body: Array[Byte]): Array[Byte] = {
-      val out = java.nio.ByteBuffer.allocate(8 + body.length)
-      out.putInt(8 + body.length); out.put(boxType.getBytes); out.put(body)
-      out.array()
-    }
     val mvhdBody = {
       val fixed = 80 // rate+volume+reserved+matrix+predefined+next_track
       val out = java.nio.ByteBuffer.allocate(
@@ -281,15 +337,12 @@ object Multimodal {
       out.putInt(0x00010000); out.putShort(0x0100.toShort) // rate 1.0, volume 1.0
       out.array()
     }
-    val stszBody = java.nio.ByteBuffer.allocate(12)
-      .putInt(0).putInt(0).putInt(frames).array() // uniform size 0, count
-    val stbl = box("stbl", box("stsz", stszBody))
-    val trak = box("trak", box("mdia", box("minf",
-      // a free sibling ahead of stbl: the walk must skip non-matching boxes
-      box("free", Array.fill(4)(0: Byte)) ++ stbl)))
-    val ftyp = box("ftyp", "isom".getBytes ++ Array.fill(4)(0: Byte) ++ "isom".getBytes)
-    val moov = box("moov", box("mvhd", mvhdBody) ++ trak)
-    val mdat = box("mdat", Array.tabulate(8)(i => (i * 7).toByte))
+    val traks = audioFramesFirst.map(trakBytes("soun", _))
+      .getOrElse(Array.emptyByteArray) ++ trakBytes("vide", frames)
+    val ftyp = isoBox("ftyp",
+      "isom".getBytes ++ Array.fill(4)(0: Byte) ++ "isom".getBytes)
+    val moov = isoBox("moov", isoBox("mvhd", mvhdBody) ++ traks)
+    val mdat = isoBox("mdat", Array.tabulate(8)(i => (i * 7).toByte))
     ftyp ++ moov ++ mdat
   }
 

@@ -37,10 +37,16 @@ object SnapshotCommit {
 
   private def commitsDir(root: String) = new Path(root, "_commits")
 
-  /** Publish `df` as snapshot `version` under `root`. Safe to call
-    * again for the same version (retry semantics: last writer wins,
-    * atomically). */
-  def write(df: DataFrame, root: String, version: Long): Unit = {
+  /** Publish `df` as snapshot `version` under `root`. With the default
+    * `replaceExisting = true`, safe to call again for the same version
+    * (retry semantics: last writer wins, atomically). Pass
+    * `replaceExisting = false` for compare-and-swap publication — the
+    * write REFUSES (ConcurrentModificationException) if `version` is
+    * already committed, instead of silently clobbering a concurrent
+    * writer's snapshot; maintenance jobs that picked their version
+    * from `latest()` (e.g. [[Layout.compactCommitted]]) need this. */
+  def write(df: DataFrame, root: String, version: Long,
+      replaceExisting: Boolean = true): Unit = {
     require(version >= 0, s"version must be >= 0, got $version")
     val spark = df.sparkSession
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -56,12 +62,24 @@ object SnapshotCommit {
     val out = fs.create(tmp, true)
     try out.write(dataName.getBytes("UTF-8")) finally out.close()
     val target = new Path(commits, version.toString)
-    // HDFS rename won't replace an existing target: clear a prior
-    // attempt's manifest first. The gap only affects retried versions —
-    // readers fall back to the previous committed version meanwhile.
-    if (fs.exists(target)) fs.delete(target, false)
-    if (!fs.rename(tmp, target))
+    if (fs.exists(target)) {
+      if (!replaceExisting)
+        throw new java.util.ConcurrentModificationException(
+          s"version $version already committed under $root; a concurrent " +
+            "writer advanced the table — re-resolve latest() and retry")
+      // HDFS rename won't replace an existing target: clear a prior
+      // attempt's manifest first. The gap only affects retried versions —
+      // readers fall back to the previous committed version meanwhile.
+      fs.delete(target, false)
+    }
+    if (!fs.rename(tmp, target)) {
+      // rename-to-existing fails on HDFS/POSIX: for CAS writers this IS
+      // the lost race (a competitor renamed first); surface it as such
+      if (!replaceExisting && fs.exists(target))
+        throw new java.util.ConcurrentModificationException(
+          s"lost the publish race for version $version under $root")
       throw new java.io.IOException(s"manifest rename failed for $target")
+    }
   }
 
   /** All committed versions under `root`, ascending. */
@@ -122,10 +140,25 @@ object SnapshotCommit {
     val dataRoot = new Path(root, "data")
     if (fs.exists(dataRoot)) {
       val now = System.currentTimeMillis()
+      val versionOf = "v(\\d+)-.*".r
       fs.listStatus(dataRoot).toSeq
         .filter(_.isDirectory)
         .filterNot(st => keptDirs.contains(st.getPath.getName))
         .filter(st => now - st.getModificationTime >= orphanGraceMs)
+        // re-check the manifest IMMEDIATELY before each delete: a
+        // writer that was stalled past the grace window when versions()
+        // was listed may have committed since — the dir its manifest
+        // now references must survive (narrows the TOCTOU to the
+        // check→delete gap; the grace window remains the primary
+        // guard). Only the REFERENCED dir is protected — a retried
+        // version's superseded attempts still sweep.
+        .filterNot(st => st.getPath.getName match {
+          case versionOf(v) if fs.exists(new Path(commits, v)) =>
+            try new Path(dataPath(spark, root, v.toLong)).getName ==
+              st.getPath.getName
+            catch { case scala.util.control.NonFatal(_) => true } // keep on doubt
+          case _ => false
+        })
         .foreach(st => fs.delete(st.getPath, true))
     }
   }

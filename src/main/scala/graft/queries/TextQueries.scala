@@ -671,7 +671,7 @@ object TextQueries {
       |  CAST(0 AS INTEGER) AS frames
       |FROM w
       |UNION ALL
-      |SELECT id, 'video', 'mp4', CAST(216 + 12 * ver AS BIGINT),
+      |SELECT id, 'video', 'mp4', CAST(249 + 12 * ver AS BIGINT),
       |  CAST(0 AS INTEGER), CAST(0 AS INTEGER),
       |  CAST(dur * 1000 // ts AS BIGINT), CAST(fr AS INTEGER)
       |FROM v

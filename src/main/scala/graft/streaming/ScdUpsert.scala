@@ -41,11 +41,66 @@ object ScdUpsert {
   /** Data directory of the newest COMMITTED version strictly below
     * `belowBatch` — resolved through [[SnapshotCommit]]'s manifests
     * only, never by listing data dirs: a crashed or in-flight writer's
-    * partial directory has no manifest and is invisible here. */
+    * partial directory has no manifest and is invisible here.
+    *
+    * A dimension written by the PREVIOUS layout (`<dimRoot>/v<N>` with
+    * `_SUCCESS` markers, no manifests) fails loudly instead of being
+    * silently treated as empty — resuming a stream over unmigrated
+    * state would rebuild the dimension from one batch and discard all
+    * accumulated SCD2 history. Run [[migrateLegacy]] once first. */
   def latestVersion(spark: SparkSession, dimRoot: String,
-      belowBatch: Long = Long.MaxValue): Option[String] =
-    SnapshotCommit.latestBelow(spark, dimRoot, belowBatch)
-      .map(v => SnapshotCommit.dataPath(spark, dimRoot, v))
+      belowBatch: Long = Long.MaxValue): Option[String] = {
+    val resolved = SnapshotCommit.latestBelow(spark, dimRoot, belowBatch)
+    if (resolved.isEmpty && legacyVersionDirs(spark, dimRoot).nonEmpty)
+      throw new IllegalStateException(
+        s"$dimRoot holds pre-manifest dimension state (v<N>/_SUCCESS layout) " +
+          "but no commit manifests; run ScdUpsert.migrateLegacy(spark, dimRoot) " +
+          "before resuming the stream — continuing would silently restart " +
+          "the dimension from scratch")
+    resolved.map(v => SnapshotCommit.dataPath(spark, dimRoot, v))
+  }
+
+  private def legacyVersionDirs(spark: SparkSession,
+      dimRoot: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(dimRoot)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.matches("v\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+  }
+
+  /** One-time migration from the pre-manifest layout: each committed
+    * legacy `<dimRoot>/v<N>` directory is RENAMED (no data copy) into
+    * the [[SnapshotCommit]] data area and published with a manifest,
+    * preserving its version number. Idempotent — already-migrated or
+    * manifest-present roots are left alone. Returns migrated count. */
+  def migrateLegacy(spark: SparkSession, dimRoot: String): Int = {
+    val legacy = legacyVersionDirs(spark, dimRoot)
+    if (legacy.isEmpty) 0
+    else {
+      val fs = new org.apache.hadoop.fs.Path(dimRoot)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      legacy.sortBy(_.getName.drop(1).toLong).foreach { p =>
+        val v = p.getName.drop(1).toLong
+        val dataName = f"v$v-ae9a0000" // fixed migration token (hex)
+        val dest = new org.apache.hadoop.fs.Path(s"$dimRoot/data/$dataName")
+        fs.mkdirs(dest.getParent)
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"migration rename failed: $p -> $dest")
+        val commits = new org.apache.hadoop.fs.Path(dimRoot, "_commits")
+        fs.mkdirs(commits)
+        val tmp = new org.apache.hadoop.fs.Path(commits, s".tmp-migrate-$v")
+        val out = fs.create(tmp, true)
+        try out.write(dataName.getBytes("UTF-8")) finally out.close()
+        if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(commits, v.toString)))
+          throw new java.io.IOException(s"migration manifest failed for v$v")
+      }
+      legacy.length
+    }
+  }
 
   /** Current dimension state (None before the first committed batch). */
   def currentDim(spark: SparkSession, dimRoot: String): Option[DataFrame] =

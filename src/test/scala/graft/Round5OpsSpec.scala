@@ -66,13 +66,30 @@ class Round5OpsSpec extends AnyFunSuite {
   test("tryDecodeMp4 round-trips both mvhd versions and reads stsz frames") {
     val v0 = Multimodal.mp4Bytes(timescale = 1000, duration = 2500,
       frames = 60, mvhdVersion = 0)
-    assert(v0.length == 216) // oracle n_bytes arithmetic
+    assert(v0.length == 249) // oracle n_bytes arithmetic
     assert(Multimodal.tryDecodeMp4(v0).contains(Mp4Meta(1000, 2500, 60)))
 
     val v1 = Multimodal.mp4Bytes(timescale = 90000, duration = 450000,
       frames = 120, mvhdVersion = 1)
-    assert(v1.length == 228)
+    assert(v1.length == 261)
     assert(Multimodal.tryDecodeMp4(v1).contains(Mp4Meta(90000, 5000, 120)))
+  }
+
+  test("tryDecodeMp4 takes the VIDEO track's frames, not a leading audio track's") {
+    val b = Multimodal.mp4Bytes(timescale = 1000, duration = 4000,
+      frames = 96, mvhdVersion = 0, audioFramesFirst = Some(171875))
+    assert(Multimodal.tryDecodeMp4(b).contains(Mp4Meta(1000, 4000, 96)),
+      "a leading 'soun' trak must not donate its stsz count")
+  }
+
+  test("tryDecodeMp4 rejects a duration that would overflow the ms conversion") {
+    val b = Multimodal.mp4Bytes(1000, (1L << 31) - 1, 1, mvhdVersion = 1).clone()
+    // patch the v1 duration field (mvhd body offset 24) to 2^62
+    val durAt = 20 + 8 + 8 + 24 // ftyp + moov hdr + mvhd hdr + body offset
+    val big = java.nio.ByteBuffer.allocate(8).putLong(1L << 62).array()
+    System.arraycopy(big, 0, b, durAt, 8)
+    assert(Multimodal.tryDecodeMp4(b).isEmpty,
+      "2^62 ticks * 1000 overflows Long — must stub, not go negative")
   }
 
   test("tryDecodeMp4 handles a 64-bit (largesize) moov box") {

@@ -128,6 +128,41 @@ class SnapshotCommitSpec extends AnyFunSuite {
     assert(SnapshotCommit.read(spark, root, 1L).count() == 10000L)
   }
 
+  test("CAS publish refuses to clobber a concurrently committed version") {
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    // a concurrent writer lands version 1 first
+    SnapshotCommit.write(Seq((2L, "stream")).toDF("id", "v"), root, 1L)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotCommit.write(Seq((3L, "compactor")).toDF("id", "v"), root, 1L,
+        replaceExisting = false)
+    }
+    // the concurrent writer's snapshot survives untouched
+    assert(SnapshotCommit.read(spark, root, 1L)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "stream")))
+  }
+
+  test("ScdUpsert refuses unmigrated legacy state, migrateLegacy converts it") {
+    import graft.streaming.ScdUpsert
+    val root = newRoot()
+    // fabricate the pre-manifest layout: <root>/v3 with _SUCCESS
+    Seq((1L, "legacy")).toDF("id", "v").write.parquet(s"$root/v3")
+    assert(fs(root).exists(new Path(s"$root/v3/_SUCCESS")))
+
+    val ex = intercept[IllegalStateException] {
+      ScdUpsert.latestVersion(spark, root)
+    }
+    assert(ex.getMessage.contains("migrateLegacy"))
+
+    assert(ScdUpsert.migrateLegacy(spark, root) == 1)
+    assert(ScdUpsert.migrateLegacy(spark, root) == 0) // idempotent
+    val resolved = ScdUpsert.latestVersion(spark, root)
+    assert(resolved.isDefined)
+    assert(spark.read.parquet(resolved.get)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "legacy")))
+    assert(SnapshotCommit.versions(spark, root) == Seq(3L))
+  }
+
   test("writePartialsCommitted: incremental days accumulate; retry is idempotent") {
     val root = newRoot()
     def partials(day: String, k: String, n: Long) =
