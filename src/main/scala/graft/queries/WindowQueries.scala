@@ -144,6 +144,26 @@ object WindowQueries {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q112 — LEFT OUTER interval correlation: q54 plus the clicks that
+  // never converted (null purchase, null gap) — the funnel-drop shape
+  // an inner join silently discards. Batch twin of the watermark-
+  // bounded stream-stream outer join (EventStream.correlateOuter;
+  // EventStreamSpec pins the streamed null-emission discipline).
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.correlateOuter(
+        Tables.events(s, dir), "click", "purchase", 1800, "0 seconds")
+      .orderBy(col("a_id"), col("b_id"))
+  private val q112Sql =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q99 — ratio-to-report: each nation's share of its REGION's revenue
   // (the percent-of-total analytic every BI layer needs). Revenue
   // aggregates to integer micros first (exact), so the window total is
@@ -228,6 +248,7 @@ object WindowQueries {
     QueryDef("q23_windowed_agg", q23, Some(q23Sql)),
     QueryDef("q24_json_extract", q24, Some(q24Sql)),
     QueryDef("q54_interval_join", q54, Some(q54Sql)),
+    QueryDef("q112_interval_left_join", q112, Some(q112Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }

@@ -103,7 +103,25 @@ object EventStream {
     * oracle. One shuffle on user_id for each side; state per user is
     * bounded by event rate × horizon. */
   def correlate(events: DataFrame, typeA: String, typeB: String,
-      withinSeconds: Long, watermark: String): DataFrame = {
+      withinSeconds: Long, watermark: String): DataFrame =
+    correlateImpl(events, typeA, typeB, withinSeconds, watermark, "inner")
+
+  /** LEFT OUTER stream-stream interval join: like [[correlate]], but a
+    * `typeA` event with NO `typeB` match in its window still emits —
+    * `b_id`/`gap_us` null — the "clicks that never converted" shape an
+    * inner join silently drops. On a stream the null row for a given
+    * click is emitted only once the WATERMARK passes the end of its
+    * match window (before that, a matching purchase could still
+    * arrive) — so rows inside the current horizon are pending, not
+    * lost; EventStreamSpec pins exactly which rows a stopped stream
+    * has emitted vs still owes. State stays bounded exactly as in the
+    * inner case: interval + watermark horizon per side. */
+  def correlateOuter(events: DataFrame, typeA: String, typeB: String,
+      withinSeconds: Long, watermark: String): DataFrame =
+    correlateImpl(events, typeA, typeB, withinSeconds, watermark, "leftOuter")
+
+  private def correlateImpl(events: DataFrame, typeA: String, typeB: String,
+      withinSeconds: Long, watermark: String, joinType: String): DataFrame = {
     val a = events.filter(col("event_type") === typeA)
       .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
       .withWatermark("a_ts", watermark)
@@ -114,7 +132,7 @@ object EventStream {
         col("user_id") === col("b_user") &&
           col("b_ts") >= col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
-        "inner")
+        joinType)
       .select(col("user_id"), col("a_id"), col("b_id"),
         (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
   }

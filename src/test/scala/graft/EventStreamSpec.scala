@@ -135,6 +135,54 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("correlateOuter streams null rows once the watermark closes the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = EventStream.correlateOuter(mem.toDF(), "click", "purchase",
+      withinSeconds = 1800, watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("corr_outer").start()
+    try {
+      def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      // c1 converts (p1 within 30 min); c2 never converts; p3 is a
+      // purchase with no click (left outer: must NOT emit)
+      mem.addData(
+        Event(1, ts(0), 1, "click", 0), Event(2, ts(10), 1, "purchase", 5),
+        Event(3, ts(0), 2, "click", 0),
+        Event(4, ts(0), 3, "purchase", 7))
+      q.processAllAvailable()
+      // sentinel pair a day later: advances the watermark far past
+      // c2's window, forcing its null row out in this or the next batch
+      mem.addData(
+        Event(90, ts(1440), 9, "click", 0), Event(91, ts(1441), 9, "purchase", 1))
+      q.processAllAvailable()
+      // c8 two days later: pending inside the live horizon at stop —
+      // its null row is OWED, not emitted
+      mem.addData(Event(80, ts(2880), 8, "click", 0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("corr_outer")
+        .select(col("user_id"), col("a_id"), col("b_id"), col("gap_us"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed.contains(Seq(1L, 1L, 2L, 600000000L)), streamed)   // match
+      assert(streamed.contains(Seq(2L, 3L, null, null)), streamed)       // null row
+      assert(streamed.contains(Seq(9L, 90L, 91L, 60000000L)), streamed)  // sentinel
+      assert(!streamed.exists(_(1) == 80L), "c8 is inside the horizon — owed, not emitted")
+      assert(!streamed.exists(r => r(2) == 4L), "purchase without click must not emit")
+
+      // the batch twin on the same events equals streamed + the owed row
+      val batchDf = Seq(
+        Event(1, ts(0), 1, "click", 0), Event(2, ts(10), 1, "purchase", 5),
+        Event(3, ts(0), 2, "click", 0), Event(4, ts(0), 3, "purchase", 7),
+        Event(90, ts(1440), 9, "click", 0), Event(91, ts(1441), 9, "purchase", 1),
+        Event(80, ts(2880), 8, "click", 0)).toDF()
+      val batch = EventStream.correlateOuter(batchDf, "click", "purchase", 1800, "0 seconds")
+        .collect().map(_.toSeq).toSet
+      assert(batch == streamed + Seq(8L, 80L, null, null))
+    } finally q.stop()
+  }
+
   test("dedupedStream collapses duplicate event ids to the batch distinct") {
     val dir = Files.createTempDirectory("events_dup").toString
     val base = Tables.events(spark, "/root/testdata/sf0.001")
