@@ -453,6 +453,14 @@ object TextQueries {
     val evalSet = docs.filter(col("doc_id") % 97 === 3)
     val train = docs.filter(col("doc_id") % 97 =!= 3)
 
+    // NOTE (measured, do not "optimize"): the flag frames below are
+    // each referenced by two downstream plans, but checkpointing them
+    // makes q63 2× SLOWER (3.2 s → 6.5 s at sf0.1): the single lazy
+    // job already deduplicates the repeated subtrees via
+    // ReusedExchange, while eager checkpoints split the pipeline into
+    // independent jobs that rebuild their upstreams without cross-job
+    // reuse. The one checkpoint that pays is the signature
+    // materialization barrier INSIDE minhashLshPairs.
     val exactDups = Dedup.exactGroups(train, "doc_id", "text")
       .filter(col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id"), lit(true).as("f_exact"))
