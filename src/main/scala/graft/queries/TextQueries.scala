@@ -654,7 +654,11 @@ object TextQueries {
           timescale = (600 + (id % 5) * 100).toInt,
           duration = 1000 + tlen % 9000,
           frames = (24 * (1 + id % 7)).toInt,
-          mvhdVersion = ((id / 2) % 2).toInt))
+          mvhdVersion = ((id / 2) % 2).toInt,
+          // every 3rd video carries a LEADING audio track — the walk
+          // must still report the video track's frame count
+          audioFramesFirst =
+            if (id % 3 == 1) Some((50 + tlen % 100).toInt) else None))
     }.toDF()
     Multimodal.probeMedia(s, media)
       .select(col("media_id"), col("kind"), col("codec"), col("n_bytes"),
@@ -667,7 +671,8 @@ object TextQueries {
       |w AS (SELECT id, 8000 * (1 + id % 3) AS rate, 1 + (id // 2) % 2 AS ch,
       |    100 + tlen % 400 AS fw FROM d WHERE id % 5 <> 0 AND id % 2 = 0),
       |v AS (SELECT id, 600 + (id % 5) * 100 AS ts, 1000 + tlen % 9000 AS dur,
-      |    24 * (1 + id % 7) AS fr, (id // 2) % 2 AS ver
+      |    24 * (1 + id % 7) AS fr, (id // 2) % 2 AS ver,
+      |    CASE WHEN id % 3 = 1 THEN 97 ELSE 0 END AS audio_trak
       |  FROM d WHERE id % 5 <> 0 AND id % 2 = 1),
       |st AS (SELECT id,
       |    CAST(octet_length(encode('xx-' || CAST(id AS VARCHAR))) AS BIGINT) AS n
@@ -679,7 +684,7 @@ object TextQueries {
       |  CAST(0 AS INTEGER) AS frames
       |FROM w
       |UNION ALL
-      |SELECT id, 'video', 'mp4', CAST(249 + 12 * ver AS BIGINT),
+      |SELECT id, 'video', 'mp4', CAST(249 + 12 * ver + audio_trak AS BIGINT),
       |  CAST(0 AS INTEGER), CAST(0 AS INTEGER),
       |  CAST(dur * 1000 // ts AS BIGINT), CAST(fr AS INTEGER)
       |FROM v
