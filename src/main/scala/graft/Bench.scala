@@ -45,7 +45,8 @@ object Bench {
     "q102_group_signature", "q103_correlated_subqueries",
     "q104_transition_matrix", "q105_cohort_retention", "q106_mad_outliers",
     "q107_bucketed_join", "q108_av_containers", "q109_scd2_changed_only",
-    "q110_ivf_recall", "q111_image_stats", "q112_interval_left_join")
+    "q110_ivf_recall", "q111_image_stats", "q112_interval_left_join",
+    "q113_interval_full_join")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

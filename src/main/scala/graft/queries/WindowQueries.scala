@@ -164,6 +164,26 @@ object WindowQueries {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q113 — FULL OUTER interval correlation: q112 plus the purchases no
+  // click window covers (null click side) — unattributed conversions
+  // and unconverted clicks from ONE pass. Batch twin of
+  // EventStream.correlateFull.
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStream.correlateFull(
+        Tables.events(s, dir), "click", "purchase", 1800, "0 seconds")
+      .orderBy(col("a_id"), col("b_id"))
+  private val q113Sql =
+    """SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+      |  a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') a
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q99 — ratio-to-report: each nation's share of its REGION's revenue
   // (the percent-of-total analytic every BI layer needs). Revenue
   // aggregates to integer micros first (exact), so the window total is
@@ -249,6 +269,7 @@ object WindowQueries {
     QueryDef("q24_json_extract", q24, Some(q24Sql)),
     QueryDef("q54_interval_join", q54, Some(q54Sql)),
     QueryDef("q112_interval_left_join", q112, Some(q112Sql)),
+    QueryDef("q113_interval_full_join", q113, Some(q113Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }

@@ -120,20 +120,31 @@ object EventStream {
       withinSeconds: Long, watermark: String): DataFrame =
     correlateImpl(events, typeA, typeB, withinSeconds, watermark, "leftOuter")
 
+  /** FULL OUTER stream-stream interval join: [[correlateOuter]] plus
+    * the `typeB` events no `typeA` window covers (`a_id`/`gap_us`
+    * null) — purchases with no attributable click in one pass with
+    * clicks that never converted. Same watermark-closed-window
+    * emission discipline on both null sides. */
+  def correlateFull(events: DataFrame, typeA: String, typeB: String,
+      withinSeconds: Long, watermark: String): DataFrame =
+    correlateImpl(events, typeA, typeB, withinSeconds, watermark, "fullOuter")
+
   private def correlateImpl(events: DataFrame, typeA: String, typeB: String,
       withinSeconds: Long, watermark: String, joinType: String): DataFrame = {
     val a = events.filter(col("event_type") === typeA)
-      .select(col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"))
+      .select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ts").as("a_ts"))
       .withWatermark("a_ts", watermark)
     val b = events.filter(col("event_type") === typeB)
       .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
       .withWatermark("b_ts", watermark)
     a.join(b,
-        col("user_id") === col("b_user") &&
+        col("a_user") === col("b_user") &&
           col("b_ts") >= col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL $withinSeconds SECONDS"),
         joinType)
-      .select(col("user_id"), col("a_id"), col("b_id"),
+      // b-only rows of a full outer carry a null a_user
+      .select(coalesce(col("a_user"), col("b_user")).as("user_id"),
+        col("a_id"), col("b_id"),
         (unix_micros(col("b_ts")) - unix_micros(col("a_ts"))).as("gap_us"))
   }
 

@@ -183,6 +183,33 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("correlateFull also streams the unmatched purchase once its window closes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.correlateFull(mem.toDF(), "click", "purchase", 1800, "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("corr_full").start()
+    try {
+      def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData(
+        Event(1, ts(0), 1, "click", 0), Event(2, ts(10), 1, "purchase", 5),
+        Event(3, ts(0), 2, "click", 0),          // never converts
+        Event(4, ts(0), 3, "purchase", 7))       // no click anywhere
+      q.processAllAvailable()
+      mem.addData(Event(90, ts(1440), 9, "click", 0)) // watermark push
+      q.processAllAvailable()
+      mem.addData(Event(91, ts(2880), 9, "purchase", 0)) // second push
+      q.processAllAvailable()
+
+      val streamed = spark.table("corr_full")
+        .select(col("user_id"), col("a_id"), col("b_id"), col("gap_us"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed.contains(Seq(1L, 1L, 2L, 600000000L)), streamed)
+      assert(streamed.contains(Seq(2L, 3L, null, null)), streamed) // left null
+      assert(streamed.contains(Seq(3L, null, 4L, null)), streamed) // RIGHT null
+    } finally q.stop()
+  }
+
   test("dedupedStream collapses duplicate event ids to the batch distinct") {
     val dir = Files.createTempDirectory("events_dup").toString
     val base = Tables.events(spark, "/root/testdata/sf0.001")
