@@ -163,6 +163,52 @@ class SnapshotCommitSpec extends AnyFunSuite {
     assert(SnapshotCommit.versions(spark, root) == Seq(3L))
   }
 
+  test("randomized crash points: readers only ever see complete committed snapshots") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val root = newRoot()
+      SnapshotCommit.write(Seq((0L, s"base$trial")).toDF("id", "v"), root, 0L)
+      val f = fs(root)
+
+      // a would-be v1 writer crashes at a RANDOM point in the protocol:
+      // 0 = before any data file, 1 = mid-directory (a part file gone),
+      // 2 = all data written but no manifest, 3 = manifest staged (.tmp)
+      val crashAt = rnd.nextInt(4)
+      val dataDir = s"$root/data/v1-0bad${trial}0"
+      if (crashAt >= 1) {
+        Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+          .repartition(2).write.parquet(dataDir)
+        if (crashAt == 1) {
+          val parts = f.listStatus(new Path(dataDir)).map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+          f.delete(parts(rnd.nextInt(parts.length)), false)
+        }
+        if (crashAt == 3) {
+          val tmp = new Path(s"$root/_commits/.tmp-1-0bad${trial}0")
+          val out = f.create(tmp, true)
+          try out.write(s"v1-0bad${trial}0".getBytes("UTF-8")) finally out.close()
+        }
+      }
+
+      // invariant: the crash is invisible — v0 is the only version and
+      // reads back complete, regardless of where the writer died
+      assert(SnapshotCommit.versions(spark, root) == Seq(0L),
+        s"trial $trial crashAt $crashAt leaked a partial version")
+      assert(SnapshotCommit.latest(spark, root).get._2
+        .as[(Long, String)].collect().toSeq == Seq((0L, s"base$trial")))
+
+      // recovery: a retry commits cleanly over the debris, and vacuum
+      // sweeps the debris without touching the committed snapshots
+      SnapshotCommit.write(Seq((1L, "retry")).toDF("id", "v"), root, 1L)
+      assert(SnapshotCommit.versions(spark, root) == Seq(0L, 1L))
+      SnapshotCommit.vacuum(spark, root, keepLast = 2, orphanGraceMs = 0L)
+      assert(SnapshotCommit.read(spark, root, 1L)
+        .as[(Long, String)].collect().toSeq == Seq((1L, "retry")))
+      val dirs = f.listStatus(new Path(root, "data")).map(_.getPath.getName)
+      assert(dirs.length == 2, s"debris survived vacuum: ${dirs.mkString(",")}")
+    }
+  }
+
   test("writePartialsCommitted: incremental days accumulate; retry is idempotent") {
     val root = newRoot()
     def partials(day: String, k: String, n: Long) =
