@@ -107,6 +107,20 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(df.count() == 10000L)
   }
 
+  test("filters push down to the JDBC source (server-side WHERE, not a full scan)") {
+    val src = JdbcSource(url, "hospital_a", Map("driver" -> driver))
+    val code = src.read(spark, "transactions")
+      .select(org.apache.spark.sql.functions.min("ProcedureCode"))
+      .collect().head.getInt(0)
+    val df = src.read(spark, "transactions")
+      .filter(org.apache.spark.sql.functions.col("ProcedureCode") === code)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains(s"EqualTo(ProcedureCode,$code)"),
+      s"ProcedureCode filter must reach the JDBC scan, got:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("full pipeline over JDBC extraction reproduces RcmPipelineSpec counts") {
     val result = RcmPipeline.runRaw(jdbcRaw, LocalDate.parse("2024-12-01"))
     assert(result.star.dimensions("dim_patients").count() == 10000L)
