@@ -513,6 +513,43 @@ object Multimodal {
         col("frame_len"), col("frame_md5"))
   }
 
+  /** [[frameSample]] with the frame COUNT read from the REAL container
+    * when the payload parses as MP4 ([[tryDecodeMp4]] — the video
+    * track's stsz sample count); only unparseable payloads fall back
+    * to the stub model. Frame byte-ranges remain the uniform
+    * `n / frames` model — real per-sample ranges need the stsz SIZE
+    * table + stco chunk offsets, the documented next step at this
+    * codec boundary. Same scale shape as [[frameSample]]: the parse is
+    * one map-side pass (the payload is already executor-local), the
+    * index set explodes per row, the slice is codegen'd substring. */
+  def frameSampleProbed(spark: SparkSession, media: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be positive, got $k")
+    val withFrames = media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { m =>
+        if (m.kind != "video") Iterator.empty
+        else {
+          val n = m.payload.length.toLong
+          val frames = tryDecodeMp4(m.payload).map(_.frames.toLong)
+            .filter(_ > 0).getOrElse(n % 30 + 1)
+          Iterator.single((m.media_id, m.payload, frames))
+        }
+      }
+    }.toDF("media_id", "payload", "__frames")
+    withFrames
+      .withColumn("__flen",
+        (octet_length(col("payload")).cast("long") / col("__frames")).cast("long"))
+      .withColumn("frame_idx", explode(array_distinct(
+        transform(sequence(lit(0L), lit((k - 1).toLong)),
+          j => floor(j * col("__frames") / k)))))
+      .withColumn("frame_offset", col("frame_idx") * col("__flen"))
+      .withColumn("frame_len", col("__flen"))
+      .withColumn("frame_md5",
+        md5(expr("substring(payload, frame_offset + 1, frame_len)")))
+      .select(col("media_id"), col("frame_idx"), col("frame_offset"),
+        col("frame_len"), col("frame_md5"))
+  }
+
   /** Feature extraction over a media table. Images decode for real
     * (see [[tryDecodeImage]]); audio/video — and undecodable image
     * bytes — take the stub path: dimensions are a deterministic

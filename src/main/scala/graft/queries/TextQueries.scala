@@ -744,8 +744,61 @@ object TextQueries {
       |FROM st
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q114 — frame sampling driven by the REAL container frame count:
+  // [[Multimodal.frameSampleProbed]] reads each fixture MP4's video-
+  // track stsz (q108's builders, incl. multi-track files) and strides
+  // k=4 sample indices over THAT count; every 5th payload is a
+  // non-container and must fall back to the stub frame model. The
+  // oracle recomputes the whole index/offset grid arithmetically.
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("tlen"))
+    val media = params.as[(Long, Long)].flatMap { case (id, tlen) =>
+      if (id % 5 == 0)
+        Some(Multimodal.MediaRecord(id, "video", s"xx-$id".getBytes("UTF-8")))
+      else if (id % 2 == 1)
+        Some(Multimodal.MediaRecord(id, "video", Multimodal.mp4Bytes(
+          timescale = (600 + (id % 5) * 100).toInt,
+          duration = 1000 + tlen % 9000,
+          frames = (24 * (1 + id % 7)).toInt,
+          mvhdVersion = ((id / 2) % 2).toInt,
+          audioFramesFirst =
+            if (id % 3 == 1) Some((50 + tlen % 100).toInt) else None)))
+      else None
+    }.toDF()
+    Multimodal.frameSampleProbed(s, media, k = 4)
+      .select(col("media_id"), col("frame_idx"), col("frame_offset"),
+        col("frame_len"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+  private val q114Sql =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS tlen FROM documents),
+      |v AS (SELECT id,
+      |    CAST(249 + 12 * ((id // 2) % 2)
+      |      + CASE WHEN id % 3 = 1 THEN 97 ELSE 0 END AS BIGINT) AS n,
+      |    CAST(24 * (1 + id % 7) AS BIGINT) AS fr
+      |  FROM d WHERE id % 5 <> 0 AND id % 2 = 1
+      |  UNION ALL
+      |  SELECT id,
+      |    CAST(octet_length(encode('xx-' || CAST(id AS VARCHAR))) AS BIGINT),
+      |    CAST(octet_length(encode('xx-' || CAST(id AS VARCHAR))) % 30 + 1 AS BIGINT)
+      |  FROM d WHERE id % 5 = 0),
+      |f AS (SELECT id, n // fr AS flen, fr FROM v),
+      |i AS (SELECT id, flen,
+      |    unnest(list_distinct(list_transform(range(0, 4), j -> j * fr // 4))) AS frame_idx
+      |  FROM f)
+      |SELECT id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(frame_idx * flen AS BIGINT) AS frame_offset,
+      |  CAST(flen AS BIGINT) AS frame_len
+      |FROM i ORDER BY media_id, frame_idx""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q108_av_containers", q108, Some(q108Sql)),
+    QueryDef("q114_frame_sample_probed", q114, Some(q114Sql)),
     QueryDef("q111_image_stats", q111, Some(q111Sql)),
     QueryDef("q25_text_stats", q25, Some(q25Sql)),
     QueryDef("q97_frame_sample", q97, Some(q97Sql)),

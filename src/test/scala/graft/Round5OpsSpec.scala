@@ -123,6 +123,29 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(Multimodal.tryDecodeMp4(overrun).isEmpty)
   }
 
+  // ---------------------------------------------- frameSampleProbed
+
+  test("frameSampleProbed strides over the REAL stsz count; stub only unparseable") {
+    import spark.implicits._
+    val mp4 = Multimodal.mp4Bytes(1000, 5000, frames = 8, mvhdVersion = 0)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", mp4),
+      Multimodal.MediaRecord(2L, "video", "0123456789".getBytes), // stub: n=10 → 11 frames
+      Multimodal.MediaRecord(3L, "audio", mp4)                    // non-video: excluded
+    ).toDF()
+    val got = Multimodal.frameSampleProbed(spark, media, k = 4)
+      .collect().groupBy(_.getAs[Long]("media_id"))
+    // real container: 8 frames → strided indices 0,2,4,6; flen = len/8
+    val r1 = got(1L).map(r => (r.getAs[Long]("frame_idx"), r.getAs[Long]("frame_len")))
+      .sortBy(_._1).toSeq
+    assert(r1.map(_._1) == Seq(0L, 2L, 4L, 6L))
+    assert(r1.forall(_._2 == mp4.length / 8))
+    // stub fallback: n % 30 + 1 = 11 frames → indices floor(j*11/4)
+    val r2 = got(2L).map(_.getAs[Long]("frame_idx")).sorted.toSeq
+    assert(r2 == Seq(0L, 2L, 5L, 8L))
+    assert(!got.contains(3L))
+  }
+
   // ----------------------------------------------------- imageStats
 
   test("imageStats: exact channel means through the real PNG round-trip") {
