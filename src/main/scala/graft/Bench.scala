@@ -46,7 +46,9 @@ object Bench {
     "q104_transition_matrix", "q105_cohort_retention", "q106_mad_outliers",
     "q107_bucketed_join", "q108_av_containers", "q109_scd2_changed_only",
     "q110_ivf_recall", "q111_image_stats", "q112_interval_left_join",
-    "q113_interval_full_join", "q114_frame_sample_probed")
+    "q113_interval_full_join", "q114_frame_sample_probed",
+    "q115_frame_sample_exact", "q116_compressed_audio",
+    "q117_interval_join_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -167,6 +167,144 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Parsed MP3 metadata: fields of the FIRST frame header plus a
+    * whole-file frame walk — `frames` complete frames found,
+    * `durationMs` from the accumulated per-frame sample counts
+    * (1152 samples/frame for MPEG1 Layer III, 576 for MPEG2/2.5).
+    * Header-only: frame PAYLOADS are skipped via the computed frame
+    * length, never decoded. */
+  final case class Mp3Meta(
+      sampleRate: Int, channels: Int, bitrateKbps: Int, frames: Int,
+      durationMs: Long)
+
+  /** Parsed FLAC STREAMINFO (exact, not estimated): the 34-byte
+    * mandatory first metadata block carries sample rate (20 bits),
+    * channels (3), bits/sample (5), and total samples (36) — duration
+    * is exact arithmetic, no estimate needed. */
+  final case class FlacMeta(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, durationMs: Long)
+
+  // MPEG1 / MPEG2(&2.5) Layer III bitrate tables (kbps, index 1–14;
+  // 0 = free, 15 = bad) and sample-rate tables per version — public
+  // constants from ISO 11172-3 / 13818-3.
+  private val Mp3BitrateV1 = Array(
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3BitrateV2 = Array(
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val Mp3RateV1 = Array(44100, 48000, 32000)
+  private val Mp3RateV2 = Array(22050, 24000, 16000)
+  private val Mp3RateV25 = Array(11025, 12000, 8000)
+
+  /** Decode one 4-byte MP3 (Layer III) frame header at `i`:
+    * (sampleRate, channels, bitrateKbps, samplesPerFrame, frameLen).
+    * None unless the sync bits, version, layer, bitrate index, and
+    * sample-rate index are all valid. */
+  private def mp3FrameHeader(b: Array[Byte], i: Int): Option[(Int, Int, Int, Int, Int)] = {
+    if (i + 4 > b.length) return None
+    val b0 = b(i) & 0xff; val b1 = b(i + 1) & 0xff
+    val b2 = b(i + 2) & 0xff; val b3 = b(i + 3) & 0xff
+    if (b0 != 0xff || (b1 & 0xe0) != 0xe0) return None
+    val version = (b1 >> 3) & 3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    val layer = (b1 >> 1) & 3   // 1=Layer III
+    if (version == 1 || layer != 1) return None
+    val bitrateIdx = (b2 >> 4) & 15
+    val rateIdx = (b2 >> 2) & 3
+    val padding = (b2 >> 1) & 1
+    if (bitrateIdx < 1 || bitrateIdx > 14 || rateIdx == 3) return None
+    val kbps =
+      if (version == 3) Mp3BitrateV1(bitrateIdx) else Mp3BitrateV2(bitrateIdx)
+    val rate = version match {
+      case 3 => Mp3RateV1(rateIdx)
+      case 2 => Mp3RateV2(rateIdx)
+      case _ => Mp3RateV25(rateIdx)
+    }
+    val samplesPerFrame = if (version == 3) 1152 else 576
+    // Layer III frame length: spf/8 · bitrate / rate + padding
+    val frameLen = samplesPerFrame / 8 * (kbps * 1000) / rate + padding
+    val channels = if (((b3 >> 6) & 3) == 3) 1 else 2 // mode 11 = mono
+    if (frameLen < 4) None
+    else Some((rate, channels, kbps, samplesPerFrame, frameLen))
+  }
+
+  /** MP3 probe: skip an optional leading ID3v2 tag (synchsafe size),
+    * then walk Layer III frame headers — each frame's length is
+    * computed from its own header (so VBR walks correctly) and the
+    * payload is skipped, never decoded. Counts COMPLETE frames only
+    * (a truncated trailing frame stops the walk — same clamp
+    * discipline as [[tryDecodeWav]]) and requires every frame to
+    * agree on the sample rate. Duration is the accumulated
+    * samples-per-frame over the first frame's rate. */
+  def tryDecodeMp3(bytes: Array[Byte]): Option[Mp3Meta] =
+    try {
+      var i = 0
+      // ID3v2: "ID3" + version(2) + flags(1) + synchsafe size(4)
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+          bytes(2) == '3' && (4 to 9).forall(j => (bytes(j) & 0x80) == 0)) {
+        val sz = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+          ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+        i = math.min(10L + sz, bytes.length.toLong).toInt
+      }
+      mp3FrameHeader(bytes, i).flatMap {
+        case (rate, channels, kbps, _, _) =>
+          var frames = 0
+          var samples = 0L
+          var ok = true
+          while (ok) {
+            mp3FrameHeader(bytes, i) match {
+              case Some((r, _, _, spf, flen))
+                  if r == rate && i + flen <= bytes.length =>
+                frames += 1; samples += spf; i += flen
+              case _ => ok = false
+            }
+          }
+          if (frames < 1) None
+          else Some(Mp3Meta(rate, channels, kbps, frames,
+            samples * 1000L / rate))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** FLAC probe: `fLaC` magic, then the metadata-block walk — 1-byte
+    * header (last-flag + type) and 24-bit length per block — reading
+    * the mandatory STREAMINFO (type 0, ≥34 bytes): sample rate
+    * (20 bits), channels−1 (3), bits−1 (5), total samples (36),
+    * unpacked exactly. No frame is ever decoded; duration is exact
+    * arithmetic over header fields. */
+  def tryDecodeFlac(bytes: Array[Byte]): Option[FlacMeta] =
+    try {
+      if (bytes.length < 8 || tag(bytes, 0) != "fLaC") None
+      else {
+        var i = 4
+        var out: Option[FlacMeta] = None
+        var last = false
+        while (!last && out.isEmpty && i + 4 <= bytes.length) {
+          val hdr = bytes(i) & 0xff
+          last = (hdr & 0x80) != 0
+          val blockType = hdr & 0x7f
+          val len = ((bytes(i + 1) & 0xff) << 16) |
+            ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+          val body = i + 4
+          if (body + len > bytes.length) last = true // truncated: stop
+          else if (blockType == 0 && len >= 34) {
+            val b10 = bytes(body + 10) & 0xff; val b11 = bytes(body + 11) & 0xff
+            val b12 = bytes(body + 12) & 0xff; val b13 = bytes(body + 13) & 0xff
+            val rate = (b10 << 12) | (b11 << 4) | (b12 >> 4)
+            val channels = ((b12 >> 1) & 7) + 1
+            val bps = (((b12 & 1) << 4) | (b13 >> 4)) + 1
+            val totalSamples = ((b13 & 0x0fL) << 32) |
+              ((bytes(body + 14) & 0xffL) << 24) |
+              ((bytes(body + 15) & 0xffL) << 16) |
+              ((bytes(body + 16) & 0xffL) << 8) | (bytes(body + 17) & 0xffL)
+            if (rate > 0)
+              out = Some(FlacMeta(rate, channels, bps, totalSamples,
+                totalSamples * 1000L / rate))
+          }
+          i = body + len
+        }
+        out
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Find an ISO-BMFF box by path (e.g. `moov/mvhd`) inside
     * `bytes[from, until)`: returns the BODY range of the first match.
     * Handles 64-bit (`size == 1`) and to-end-of-enclosure
@@ -215,6 +353,123 @@ object Multimodal {
     }
     out.result()
   }
+
+  /** One sample's TRUE byte range inside the container file, from the
+    * MP4 sample tables: `offset` is file-absolute (stco/co64 chunk
+    * offset + intra-chunk prefix of sizes), `size` from the stsz
+    * table. */
+  final case class SampleRange(offset: Long, size: Long)
+
+  /** Allocation bound for untrusted sample tables: a 12-byte stsz can
+    * DECLARE 2³¹ uniform-size samples; the table we materialize from
+    * it must not be attacker-sized. 1M samples ≈ 16 MB of ranges. */
+  private val MaxSamples = 1 << 20
+
+  /** stsz body → per-sample sizes. Uniform layout (`sample_size > 0`)
+    * expands to a constant array; table layout requires the declared
+    * count's 4-byte entries to actually fit in the box body. */
+  private def parseStsz(bytes: Array[Byte], from: Int, until: Int): Option[Array[Long]] = {
+    if (until - from < 12) return None
+    val uniform = u32be(bytes, from + 4)
+    val count = u32be(bytes, from + 8)
+    if (count < 0 || count > MaxSamples) None
+    else if (uniform > 0) Some(Array.fill(count.toInt)(uniform))
+    else if (from + 12 + 4L * count <= until)
+      Some(Array.tabulate(count.toInt)(i => u32be(bytes, from + 12 + 4 * i)))
+    else None
+  }
+
+  /** stsc body → (first_chunk, samples_per_chunk) runs; entries must
+    * fit the body, start at chunk 1, and be strictly increasing in
+    * first_chunk (ISO 14496-12 §8.7.4). */
+  private def parseStsc(bytes: Array[Byte], from: Int, until: Int): Option[Array[(Long, Long)]] = {
+    if (until - from < 8) return None
+    val n = u32be(bytes, from + 4)
+    if (n <= 0 || n > MaxSamples || from + 8 + 12L * n > until) return None
+    val runs = Array.tabulate(n.toInt) { i =>
+      (u32be(bytes, from + 8 + 12 * i), u32be(bytes, from + 8 + 12 * i + 4))
+    }
+    if (runs.head._1 != 1L) None
+    else if ((1 until runs.length).exists(i => runs(i)._1 <= runs(i - 1)._1)) None
+    else Some(runs)
+  }
+
+  /** stco (32-bit) or co64 (64-bit) body → file-absolute chunk
+    * offsets. */
+  private def parseChunkOffsets(bytes: Array[Byte], from: Int, until: Int,
+      wide: Boolean): Option[Array[Long]] = {
+    if (until - from < 8) return None
+    val n = u32be(bytes, from + 4)
+    val entry = if (wide) 8L else 4L
+    if (n < 0 || n > MaxSamples || from + 8 + entry * n > until) None
+    else Some(Array.tabulate(n.toInt) { i =>
+      if (wide) u64be(bytes, from + 8 + 8 * i) else u32be(bytes, from + 8 + 4 * i)
+    })
+  }
+
+  /** Assign consecutive samples to chunks per the stsc runs and lay
+    * each chunk's samples end-to-end from its stco offset — the
+    * standard ISO-BMFF sample-location algorithm. Every resulting
+    * (offset, size) must fall inside the actual payload (chunk
+    * offsets and sizes are attacker-controlled); chunks running out
+    * before all samples are placed is malformed. */
+  private def expandSamples(sizes: Array[Long], runs: Array[(Long, Long)],
+      chunks: Array[Long], fileLen: Long): Option[Array[SampleRange]] = {
+    if (sizes.isEmpty || chunks.isEmpty) return None
+    val out = new Array[SampleRange](sizes.length)
+    var s = 0; var r = 0; var c = 0
+    while (s < sizes.length && c < chunks.length) {
+      while (r + 1 < runs.length && runs(r + 1)._1 <= c + 1) r += 1
+      val spc = runs(r)._2
+      if (spc <= 0) return None
+      var off = chunks(c)
+      var k = 0L
+      while (k < spc && s < sizes.length) {
+        val sz = sizes(s)
+        if (sz < 0 || off < 0 || off + sz > fileLen) return None
+        out(s) = SampleRange(off, sz)
+        off += sz; k += 1; s += 1
+      }
+      c += 1
+    }
+    if (s == sizes.length) Some(out) else None
+  }
+
+  /** TRUE per-sample byte ranges for the VIDEO track: the full
+    * `stsz` (sizes) + `stsc` (samples-per-chunk runs) + `stco`/`co64`
+    * (chunk offsets) walk, composed into one file-absolute
+    * `(offset, length)` per sample. Track selection mirrors
+    * [[tryDecodeMp4]]: the first `trak` whose `mdia/hdlr` is `vide`,
+    * falling back to the first trak with a complete sample table.
+    * Returns None when any table is missing, malformed, or places a
+    * sample outside the payload — callers stub, never throw. */
+  def mp4SampleRanges(bytes: Array[Byte]): Option[Array[SampleRange]] =
+    try {
+      findBox(bytes, 0, bytes.length, List("moov")).flatMap {
+        case (moovFrom, moovUntil) =>
+          val traks = findBoxes(bytes, moovFrom, moovUntil, "trak")
+          def handler(trak: (Int, Int)): Option[String] =
+            findBox(bytes, trak._1, trak._2, List("mdia", "hdlr"))
+              .collect { case (f, u) if u - f >= 12 => tag(bytes, f + 8) }
+          def tableOf(trak: (Int, Int)): Option[Array[SampleRange]] =
+            findBox(bytes, trak._1, trak._2, List("mdia", "minf", "stbl"))
+              .flatMap { case (sf, su) =>
+                for {
+                  (zf, zu) <- findBox(bytes, sf, su, List("stsz"))
+                  sizes <- parseStsz(bytes, zf, zu)
+                  (cf, cu) <- findBox(bytes, sf, su, List("stsc"))
+                  runs <- parseStsc(bytes, cf, cu)
+                  offsets <- findBox(bytes, sf, su, List("stco"))
+                    .flatMap { case (of, ou) => parseChunkOffsets(bytes, of, ou, wide = false) }
+                    .orElse(findBox(bytes, sf, su, List("co64"))
+                      .flatMap { case (of, ou) => parseChunkOffsets(bytes, of, ou, wide = true) })
+                  table <- expandSamples(sizes, runs, offsets, bytes.length.toLong)
+                } yield table
+              }
+          traks.find(handler(_).contains("vide")).flatMap(tableOf)
+            .orElse(traks.iterator.flatMap(tableOf(_)).nextOption())
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** MP4 (ISO base media) probe: walks top-level boxes for
     * `moov/mvhd`, reading movie timescale + duration (version-0 32-bit
@@ -292,6 +547,71 @@ object Multimodal {
     out.array()
   }
 
+  /** Minimal valid MPEG1/2 Layer III stream: an optional ID3v2 tag
+    * (synchsafe size, zero-filled body) followed by `frames` CBR
+    * frames — each a real 4-byte header (version/bitrate-index/
+    * rate-index/mono flags) plus deterministic filler to the computed
+    * frame length. `bitrateIdx` ∈ [1,14] and `rateIdx` ∈ [0,2] index
+    * the public tables; frame length arithmetic matches the parser
+    * (`spf/8 · kbps·1000 / rate`, no padding bit). */
+  def mp3Bytes(mpeg1: Boolean, bitrateIdx: Int, rateIdx: Int, frames: Int,
+      mono: Boolean = false, id3Size: Int = 0): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && rateIdx >= 0 && rateIdx <= 2)
+    require(frames >= 1 && id3Size >= 0 && id3Size < (1 << 21))
+    val kbps = if (mpeg1) Mp3BitrateV1(bitrateIdx) else Mp3BitrateV2(bitrateIdx)
+    val rate = if (mpeg1) Mp3RateV1(rateIdx) else Mp3RateV2(rateIdx)
+    val spf = if (mpeg1) 1152 else 576
+    val frameLen = spf / 8 * (kbps * 1000) / rate
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0) // version 2.4, no flags
+      out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
+      out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
+      (0 until id3Size).foreach(_ => out.write(0))
+    }
+    val b1 = 0xe0 | ((if (mpeg1) 3 else 2) << 3) | (1 << 1) | 1 // ver, LIII, no CRC
+    val b2 = (bitrateIdx << 4) | (rateIdx << 2) // no padding
+    val b3 = if (mono) 0xc0 else 0x00
+    (0 until frames).foreach { f =>
+      out.write(0xff); out.write(b1); out.write(b2); out.write(b3)
+      (4 until frameLen).foreach(j => out.write((f * 7 + j) % 251))
+    }
+    out.toByteArray
+  }
+
+  /** Minimal valid FLAC: `fLaC` magic + mandatory STREAMINFO (exact
+    * 34-byte layout with the 20/3/5/36-bit packed fields) + an
+    * optional PADDING block (exercising the last-flag walk) +
+    * `dataLen` deterministic filler standing in for the frames. */
+  def flacBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, dataLen: Int = 0, withPadding: Boolean = false): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    require(channels >= 1 && channels <= 8)
+    require(bitsPerSample >= 4 && bitsPerSample <= 32)
+    require(totalSamples >= 0 && totalSamples < (1L << 36) && dataLen >= 0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO header: type 0, last unless a padding block follows
+    out.write(if (withPadding) 0x00 else 0x80)
+    out.write(0); out.write(0); out.write(34)
+    val si = java.nio.ByteBuffer.allocate(34)
+    si.putShort(4096.toShort); si.putShort(4096.toShort) // min/max block
+    si.put(Array[Byte](0, 0, 0)); si.put(Array[Byte](0, 0, 0)) // min/max frame
+    // 64-bit packed: rate(20) | channels-1(3) | bps-1(5) | samples(36)
+    val packed = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bitsPerSample - 1).toLong << 36) | totalSamples
+    si.putLong(packed)
+    si.put(Array.fill(16)(0: Byte)) // md5 of the unencoded audio
+    out.write(si.array())
+    if (withPadding) {
+      out.write(0x81); out.write(0); out.write(0); out.write(6) // last PADDING
+      (0 until 6).foreach(_ => out.write(0))
+    }
+    (0 until dataLen).foreach(j => out.write(j % 251))
+    out.toByteArray
+  }
+
   /** ISO-BMFF box with header, for fixture assembly. */
   private def isoBox(boxType: String, body: Array[Byte]): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(8 + body.length)
@@ -318,32 +638,122 @@ object Multimodal {
     * and both must parse. `audioFramesFirst` prepends a full `soun`
     * track BEFORE the video track — the common real-file layout the
     * frame-count walk must not be fooled by. */
+  private def mvhdBody(timescale: Int, duration: Long, mvhdVersion: Int): Array[Byte] = {
+    val fixed = 80 // rate+volume+reserved+matrix+predefined+next_track
+    val out = java.nio.ByteBuffer.allocate(
+      if (mvhdVersion == 0) 20 + fixed else 32 + fixed)
+    out.putInt(mvhdVersion << 24) // version byte + zero flags
+    if (mvhdVersion == 0) {
+      out.putInt(0); out.putInt(0) // creation/modification
+      out.putInt(timescale); out.putInt(duration.toInt)
+    } else {
+      out.putLong(0L); out.putLong(0L)
+      out.putInt(timescale); out.putLong(duration)
+    }
+    out.putInt(0x00010000); out.putShort(0x0100.toShort) // rate 1.0, volume 1.0
+    out.array()
+  }
+
   def mp4Bytes(timescale: Int, duration: Long, frames: Int,
       mvhdVersion: Int = 0, audioFramesFirst: Option[Int] = None): Array[Byte] = {
     require(timescale > 0 && duration >= 0 && frames >= 0)
     require(mvhdVersion == 0 || mvhdVersion == 1)
-    val mvhdBody = {
-      val fixed = 80 // rate+volume+reserved+matrix+predefined+next_track
-      val out = java.nio.ByteBuffer.allocate(
-        if (mvhdVersion == 0) 20 + fixed else 32 + fixed)
-      out.putInt(mvhdVersion << 24) // version byte + zero flags
-      if (mvhdVersion == 0) {
-        out.putInt(0); out.putInt(0) // creation/modification
-        out.putInt(timescale); out.putInt(duration.toInt)
-      } else {
-        out.putLong(0L); out.putLong(0L)
-        out.putInt(timescale); out.putLong(duration)
-      }
-      out.putInt(0x00010000); out.putShort(0x0100.toShort) // rate 1.0, volume 1.0
-      out.array()
-    }
     val traks = audioFramesFirst.map(trakBytes("soun", _))
       .getOrElse(Array.emptyByteArray) ++ trakBytes("vide", frames)
     val ftyp = isoBox("ftyp",
       "isom".getBytes ++ Array.fill(4)(0: Byte) ++ "isom".getBytes)
-    val moov = isoBox("moov", isoBox("mvhd", mvhdBody) ++ traks)
+    val moov = isoBox("moov",
+      isoBox("mvhd", mvhdBody(timescale, duration, mvhdVersion)) ++ traks)
     val mdat = isoBox("mdat", Array.tabulate(8)(i => (i * 7).toByte))
     ftyp ++ moov ++ mdat
+  }
+
+  /** Fixture MP4 with a FULL sample table — per-sample sizes (stsz
+    * table layout), samples-per-chunk runs (stsc; a trailing partial
+    * chunk gets its own run, so multi-entry expansion is exercised),
+    * and real chunk offsets (stco, or co64 when `useCo64`). The file
+    * is laid out `ftyp ++ mdat ++ moov` — mdat BEFORE moov, the
+    * common streaming-unfriendly layout — so every chunk offset is
+    * `28 + Σ preceding sizes + chunkGap·chunkIdx`, independent of the
+    * moov size and recomputable by a SQL oracle. Sample `i`'s bytes
+    * are the closed-form ramp `byte_j = 32 + (seed + 7i + 11j) mod 95`
+    * (printable ASCII, so a SQL oracle can rebuild the exact bytes
+    * and their md5). `chunkGap` pad bytes separate chunks, making
+    * chunk offsets ≠ a global prefix sum — a parser that ignores
+    * stco cannot round-trip this fixture. */
+  def mp4BytesChunked(timescale: Int, duration: Long, sampleSizes: Seq[Int],
+      seed: Long, samplesPerChunk: Int = 5, chunkGap: Int = 3,
+      mvhdVersion: Int = 0, audioFramesFirst: Option[Int] = None,
+      useCo64: Boolean = false, uniformStsz: Boolean = false): Array[Byte] = {
+    require(timescale > 0 && duration >= 0 && sampleSizes.nonEmpty)
+    require(sampleSizes.forall(_ >= 0) && samplesPerChunk >= 1 && chunkGap >= 0)
+    require(mvhdVersion == 0 || mvhdVersion == 1)
+    require(!uniformStsz || sampleSizes.distinct.length == 1,
+      "uniform stsz layout requires all sample sizes equal")
+    val fr = sampleSizes.length
+    val chunkSizes = sampleSizes.grouped(samplesPerChunk).toArray
+    val ftyp = isoBox("ftyp",
+      "isom".getBytes ++ Array.fill(4)(0: Byte) ++ "isom".getBytes)
+    val bodyStart = ftyp.length + 8 // == 28: mdat body right after ftyp
+    val body = new java.io.ByteArrayOutputStream()
+    val chunkOffsets = Array.newBuilder[Long]
+    var sampleIdx = 0
+    chunkSizes.zipWithIndex.foreach { case (chunk, ci) =>
+      if (ci > 0) (0 until chunkGap).foreach(_ => body.write(0xAA))
+      chunkOffsets += (bodyStart + body.size()).toLong
+      chunk.foreach { sz =>
+        var j = 0
+        while (j < sz) {
+          body.write(32 + ((seed + 7L * sampleIdx + 11L * j) % 95).toInt)
+          j += 1
+        }
+        sampleIdx += 1
+      }
+    }
+    val offsets = chunkOffsets.result()
+    val stszBody =
+      if (uniformStsz) // constant-size layout: no table, just the size
+        java.nio.ByteBuffer.allocate(12)
+          .putInt(0).putInt(sampleSizes.head).putInt(fr).array()
+      else {
+        val out = java.nio.ByteBuffer.allocate(12 + 4 * fr)
+        out.putInt(0).putInt(0).putInt(fr) // flags, size 0 → table follows
+        sampleSizes.foreach(out.putInt)
+        out.array()
+      }
+    val stscRuns: Seq[(Int, Int)] = {
+      val rem = fr % samplesPerChunk
+      if (chunkSizes.length > 1 && rem != 0)
+        Seq((1, samplesPerChunk), (chunkSizes.length, rem))
+      else Seq((1, math.min(fr, samplesPerChunk)))
+    }
+    val stscBody = {
+      val out = java.nio.ByteBuffer.allocate(8 + 12 * stscRuns.length)
+      out.putInt(0).putInt(stscRuns.length)
+      stscRuns.foreach { case (first, spc) =>
+        out.putInt(first).putInt(spc).putInt(1) }
+      out.array()
+    }
+    val coBody = {
+      val w = if (useCo64) 8 else 4
+      val out = java.nio.ByteBuffer.allocate(8 + w * offsets.length)
+      out.putInt(0).putInt(offsets.length)
+      offsets.foreach(o => if (useCo64) out.putLong(o) else out.putInt(o.toInt))
+      out.array()
+    }
+    val stbl = isoBox("stbl",
+      isoBox("stsz", stszBody) ++ isoBox("stsc", stscBody) ++
+        isoBox(if (useCo64) "co64" else "stco", coBody))
+    val hdlrBody = java.nio.ByteBuffer.allocate(25)
+      .putInt(0).putInt(0).put("vide".getBytes).array()
+    val videTrak = isoBox("trak", isoBox("mdia",
+      isoBox("hdlr", hdlrBody) ++ isoBox("minf",
+        isoBox("free", Array.fill(4)(0: Byte)) ++ stbl)))
+    val traks = audioFramesFirst.map(trakBytes("soun", _))
+      .getOrElse(Array.emptyByteArray) ++ videTrak
+    val moov = isoBox("moov",
+      isoBox("mvhd", mvhdBody(timescale, duration, mvhdVersion)) ++ traks)
+    ftyp ++ isoBox("mdat", body.toByteArray) ++ moov
   }
 
   /** One probed row per media payload: the union of every container's
@@ -373,6 +783,12 @@ object Multimodal {
           case "audio" => tryDecodeWav(m.payload).map { w =>
             MediaProbe(m.media_id, m.kind, n, "wav", 0, 0,
               w.sampleRate, w.channels, w.durationMs, 0) }
+            .orElse(tryDecodeFlac(m.payload).map { f =>
+              MediaProbe(m.media_id, m.kind, n, "flac", 0, 0,
+                f.sampleRate, f.channels, f.durationMs, 0) })
+            .orElse(tryDecodeMp3(m.payload).map { p =>
+              MediaProbe(m.media_id, m.kind, n, "mp3", 0, 0,
+                p.sampleRate, p.channels, p.durationMs, p.frames) })
           case "video" => tryDecodeMp4(m.payload).map { v =>
             MediaProbe(m.media_id, m.kind, n, "mp4", 0, 0, 0, 0,
               v.durationMs, v.frames) }
@@ -516,10 +932,10 @@ object Multimodal {
   /** [[frameSample]] with the frame COUNT read from the REAL container
     * when the payload parses as MP4 ([[tryDecodeMp4]] — the video
     * track's stsz sample count); only unparseable payloads fall back
-    * to the stub model. Frame byte-ranges remain the uniform
-    * `n / frames` model — real per-sample ranges need the stsz SIZE
-    * table + stco chunk offsets, the documented next step at this
-    * codec boundary. Same scale shape as [[frameSample]]: the parse is
+    * to the stub model. Frame byte-ranges here remain the uniform
+    * `n / frames` model — [[frameSampleExact]] supersedes this with
+    * TRUE per-sample ranges from the stsz SIZE table + stco/co64
+    * chunk offsets. Same scale shape as [[frameSample]]: the parse is
     * one map-side pass (the payload is already executor-local), the
     * index set explodes per row, the slice is codegen'd substring. */
   def frameSampleProbed(spark: SparkSession, media: DataFrame, k: Int): DataFrame = {
@@ -548,6 +964,65 @@ object Multimodal {
         md5(expr("substring(payload, frame_offset + 1, frame_len)")))
       .select(col("media_id"), col("frame_idx"), col("frame_offset"),
         col("frame_len"), col("frame_md5"))
+  }
+
+  /** One sampled frame's provenance: its stride index, TRUE byte
+    * range, and which path produced it (`mp4` = real sample table,
+    * `stub` = uniform model fallback). */
+  final case class FrameSlice(
+      frame_idx: Long, frame_offset: Long, frame_len: Long, codec: String)
+
+  /** [[frameSampleProbed]] completed: both the frame COUNT and each
+    * sampled frame's byte RANGE come from the REAL container tables
+    * ([[mp4SampleRanges]] — stsz sizes + stsc runs + stco/co64 chunk
+    * offsets), so `frame_offset`/`frame_len` are the sample's true
+    * location and `frame_md5` hashes the actual frame bytes. Only a
+    * payload whose sample tables are missing, malformed, or
+    * out-of-bounds falls back to the uniform `n / frames` stub model
+    * (`codec = "stub"`).
+    *
+    * Scale shape: the table parse and stride selection are one
+    * map-side pass (payloads already executor-local, never driver-
+    * side), the ≤k slices per video explode from an array column (no
+    * join, no shuffle), and the byte slice + md5 stay codegen'd
+    * (`substring`/`md5` builtins on the binary column). At 100 TB
+    * this reads each video's header once and emits ~k frames of
+    * bytes — the "sample 4 frames per video for a vision encoder"
+    * shape with exact provenance. */
+  def frameSampleExact(spark: SparkSession, media: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be positive, got $k")
+    def stride(frames: Long): Seq[Long] =
+      (0L until k.toLong).map(j => j * frames / k).distinct
+    val sliced = media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { m =>
+        if (m.kind != "video") Iterator.empty
+        else {
+          val slices = mp4SampleRanges(m.payload).filter(_.nonEmpty) match {
+            case Some(table) =>
+              stride(table.length.toLong).map { i =>
+                val r = table(i.toInt)
+                FrameSlice(i, r.offset, r.size, "mp4")
+              }
+            case None =>
+              val n = m.payload.length.toLong
+              val frames = n % 30 + 1
+              val flen = n / frames
+              stride(frames).map(i => FrameSlice(i, i * flen, flen, "stub"))
+          }
+          Iterator.single((m.media_id, m.payload, slices))
+        }
+      }
+    }.toDF("media_id", "payload", "slices")
+    sliced
+      .select(col("media_id"), col("payload"), explode(col("slices")).as("s"))
+      .select(col("media_id"),
+        col("s.frame_idx").as("frame_idx"),
+        col("s.frame_offset").as("frame_offset"),
+        col("s.frame_len").as("frame_len"),
+        md5(expr("substring(payload, s.frame_offset + 1, s.frame_len)"))
+          .as("frame_md5"),
+        col("s.codec").as("codec"))
   }
 
   /** Feature extraction over a media table. Images decode for real

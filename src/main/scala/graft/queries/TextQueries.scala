@@ -796,9 +796,160 @@ object TextQueries {
       |  CAST(flen AS BIGINT) AS frame_len
       |FROM i ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q115 — frame sampling with TRUE per-sample byte ranges:
+  // [[Multimodal.frameSampleExact]] reads each fixture MP4's full
+  // sample table (stsz per-sample SIZE table + stsc runs + stco chunk
+  // offsets; [[Multimodal.mp4BytesChunked]] builds non-uniform sizes,
+  // multi-entry stsc, and inter-chunk gaps so offsets ≠ any uniform
+  // model) and emits each sampled frame's real (offset, length) plus
+  // the md5 of the ACTUAL frame bytes. The oracle recomputes offsets
+  // from the declared size table (28 + prefix-sum + gap·chunkIdx) and
+  // the md5 from the closed-form byte ramp. Every 5th payload is a
+  // non-container and must take the uniform stub model.
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("tlen"))
+    val media = params.as[(Long, Long)].flatMap { case (id, tlen) =>
+      if (id % 5 == 0)
+        Some(Multimodal.MediaRecord(id, "video", s"xx-$id".getBytes("UTF-8")))
+      else if (id % 2 == 1) {
+        val fr = (3 + id % 12).toInt
+        val sizes = Seq.tabulate(fr)(i => (20 + (id + 13L * i) % 40).toInt)
+        Some(Multimodal.MediaRecord(id, "video", Multimodal.mp4BytesChunked(
+          timescale = (600 + (id % 5) * 100).toInt,
+          duration = 1000 + tlen % 9000,
+          sampleSizes = sizes, seed = id,
+          mvhdVersion = ((id / 2) % 2).toInt,
+          audioFramesFirst =
+            if (id % 3 == 1) Some((50 + tlen % 100).toInt) else None)))
+      } else None
+    }.toDF()
+    Multimodal.frameSampleExact(s, media, k = 4)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+  private val q115Sql =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |v AS (SELECT id, CAST(3 + id % 12 AS BIGINT) AS fr
+      |  FROM d WHERE id % 5 <> 0 AND id % 2 = 1),
+      |sz AS (SELECT id, fr, i, CAST(20 + (id + 13*i) % 40 AS BIGINT) AS s
+      |  FROM v, unnest(range(0, fr)) AS t(i)),
+      |off AS (SELECT id, i, s,
+      |    28 + COALESCE(SUM(s) OVER (PARTITION BY id ORDER BY i
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + 3 * (i // 5) AS o
+      |  FROM sz),
+      |samp AS (SELECT id, unnest(list_distinct(
+      |    list_transform(range(0, 4), j -> j * fr // 4))) AS frame_idx FROM v),
+      |real AS (SELECT s.id AS media_id, CAST(s.frame_idx AS BIGINT) AS frame_idx,
+      |    CAST(o.o AS BIGINT) AS frame_offset, CAST(o.s AS BIGINT) AS frame_len,
+      |    md5(array_to_string(list_transform(range(0, o.s),
+      |      j -> chr(CAST(32 + (s.id + 7*o.i + 11*j) % 95 AS INTEGER))), ''))
+      |      AS frame_md5,
+      |    'mp4' AS codec
+      |  FROM samp s JOIN off o ON o.id = s.id AND o.i = s.frame_idx),
+      |st AS (SELECT id,
+      |    CAST(octet_length(encode('xx-' || CAST(id AS VARCHAR))) AS BIGINT) AS n
+      |  FROM d WHERE id % 5 = 0),
+      |stf AS (SELECT id, n, n % 30 + 1 AS fr, n // (n % 30 + 1) AS flen FROM st),
+      |sts AS (SELECT id, n, fr, flen, unnest(list_distinct(
+      |    list_transform(range(0, 4), j -> j * fr // 4))) AS frame_idx FROM stf),
+      |stub AS (SELECT id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |    CAST(frame_idx * flen AS BIGINT) AS frame_offset,
+      |    CAST(flen AS BIGINT) AS frame_len,
+      |    md5(substring('xx-' || CAST(id AS VARCHAR),
+      |      CAST(frame_idx * flen + 1 AS INTEGER), CAST(flen AS INTEGER)))
+      |      AS frame_md5,
+      |    'stub' AS codec
+      |  FROM sts)
+      |SELECT * FROM (SELECT * FROM real UNION ALL SELECT * FROM stub)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q116 — compressed-audio container parsing ([[Multimodal
+  // .tryDecodeMp3]] / [[Multimodal.tryDecodeFlac]]): fixture MP3
+  // streams (MPEG1/MPEG2 Layer III, CBR frame walks, optional ID3v2
+  // tag to skip, mono/stereo mode bits) and FLAC files (exact
+  // STREAMINFO bit-unpack, optional PADDING block) are built in-query
+  // from per-doc integer parameters, then probed by the real header
+  // walks — the oracle recomputes byte sizes, durations, and frame
+  // counts from the public bitrate/samplerate tables. Every 5th doc
+  // carries a non-container payload and must take the stub path.
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("tlen"))
+    val media = params.as[(Long, Long)].map { case (id, tlen) =>
+      if (id % 5 == 0)
+        Multimodal.MediaRecord(id, "audio", s"au-$id".getBytes("UTF-8"))
+      else if (id % 2 == 0)
+        Multimodal.MediaRecord(id, "audio", Multimodal.mp3Bytes(
+          mpeg1 = (id / 2) % 2 == 0,
+          bitrateIdx = (9 + id % 3).toInt,
+          rateIdx = ((id / 3) % 3).toInt,
+          frames = (3 + id % 20).toInt,
+          mono = id % 4 == 0,
+          id3Size = if (id % 3 == 1) 17 else 0))
+      else
+        Multimodal.MediaRecord(id, "audio", Multimodal.flacBytes(
+          sampleRate = (8000 * (1 + id % 5)).toInt,
+          channels = (1 + id % 2).toInt,
+          bitsPerSample = (16 + 8 * (id % 2)).toInt,
+          totalSamples = 1000 + tlen % 50000,
+          dataLen = (tlen % 300).toInt,
+          withPadding = id % 3 == 0))
+    }.toDF()
+    Multimodal.probeMedia(s, media)
+      .select(col("media_id"), col("codec"), col("n_bytes"),
+        col("sample_rate"), col("channels"), col("duration_ms"), col("frames"))
+      .orderBy(col("media_id"))
+  }
+  private val q116Sql =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS tlen FROM documents),
+      |m AS (SELECT id, (id // 2) % 2 = 0 AS m1, id % 3 AS bi, (id // 3) % 3 AS ri,
+      |    3 + id % 20 AS fr, CASE WHEN id % 3 = 1 THEN 27 ELSE 0 END AS id3,
+      |    CASE WHEN id % 4 = 0 THEN 1 ELSE 2 END AS ch
+      |  FROM d WHERE id % 5 <> 0 AND id % 2 = 0),
+      |m2 AS (SELECT id, fr, id3, ch,
+      |    CASE WHEN m1 THEN [128,160,192][CAST(bi+1 AS INTEGER)]
+      |         ELSE [80,96,112][CAST(bi+1 AS INTEGER)] END AS kbps,
+      |    CASE WHEN m1 THEN [44100,48000,32000][CAST(ri+1 AS INTEGER)]
+      |         ELSE [22050,24000,16000][CAST(ri+1 AS INTEGER)] END AS rate,
+      |    CASE WHEN m1 THEN 1152 ELSE 576 END AS spf
+      |  FROM m),
+      |f AS (SELECT id, 8000 * (1 + id % 5) AS rate, 1 + id % 2 AS ch,
+      |    1000 + tlen % 50000 AS ts,
+      |    42 + CASE WHEN id % 3 = 0 THEN 10 ELSE 0 END + tlen % 300 AS nb
+      |  FROM d WHERE id % 5 <> 0 AND id % 2 = 1),
+      |st AS (SELECT id,
+      |    CAST(octet_length(encode('au-' || CAST(id AS VARCHAR))) AS BIGINT) AS n
+      |  FROM d WHERE id % 5 = 0)
+      |SELECT id AS media_id, 'mp3' AS codec,
+      |  CAST(id3 + fr * ((spf // 8) * (kbps * 1000) // rate) AS BIGINT) AS n_bytes,
+      |  CAST(rate AS INTEGER) AS sample_rate, CAST(ch AS INTEGER) AS channels,
+      |  CAST(fr * spf * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST(fr AS INTEGER) AS frames
+      |FROM m2
+      |UNION ALL
+      |SELECT id, 'flac', CAST(nb AS BIGINT),
+      |  CAST(rate AS INTEGER), CAST(ch AS INTEGER),
+      |  CAST(ts * 1000 // rate AS BIGINT), CAST(0 AS INTEGER)
+      |FROM f
+      |UNION ALL
+      |SELECT id, 'stub', n, CAST(n % 48000 AS INTEGER), CAST(n % 8 AS INTEGER),
+      |  n, CAST(1 AS INTEGER)
+      |FROM st
+      |ORDER BY media_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q108_av_containers", q108, Some(q108Sql)),
+    QueryDef("q116_compressed_audio", q116, Some(q116Sql)),
     QueryDef("q114_frame_sample_probed", q114, Some(q114Sql)),
+    QueryDef("q115_frame_sample_exact", q115, Some(q115Sql)),
     QueryDef("q111_image_stats", q111, Some(q111Sql)),
     QueryDef("q25_text_stats", q25, Some(q25Sql)),
     QueryDef("q97_frame_sample", q97, Some(q97Sql)),

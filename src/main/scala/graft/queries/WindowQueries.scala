@@ -184,6 +184,80 @@ object WindowQueries {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q117 — the interval join's STREAMING discipline under the gate:
+  // the same correlateFull plan as q113, but ACTUALLY EXECUTED as a
+  // rate-limited Structured Streaming query (file source,
+  // maxFilesPerTrigger = 1 → four micro-batches in mtime order), not
+  // the batch twin. A bounded slice (user_id < 40) is staged as three
+  // DISJOINT time-range files — cut by a 2-value min/max bounds probe,
+  // the JdbcPartitioning discipline — so micro-batches arrive in
+  // event-time order and no real row is ever late against the
+  // watermark; a fourth file carries a sentinel click+purchase pair 90
+  // days out (user −1, excluded from the result) that advances BOTH
+  // sides' watermarks past every real match window, so the stream owes
+  // no pending null-side rows when it stops and streamed == batch
+  // exactly — which is what the DuckDB oracle (the q113 full-outer SQL
+  // restricted to the slice) then checks. The memory sink holds the
+  // result; staging is deleted before returning.
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.events(s, dir).filter(col("user_id") < 40)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val bounds = slice.agg(
+      unix_micros(min(col("ts"))).as("lo"),
+      unix_micros(max(col("ts"))).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val stage = java.nio.file.Files.createTempDirectory("graft_q117").toString
+    val inDir = new java.io.File(stage, "in"); inDir.mkdirs()
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val sentinelTs = new java.sql.Timestamp(hi / 1000 + 90L * 86400 * 1000)
+    val chunks: Seq[DataFrame] = Seq(
+      slice.filter(unix_micros(col("ts")) < cuts(0)),
+      slice.filter(unix_micros(col("ts")) >= cuts(0) &&
+        unix_micros(col("ts")) < cuts(1)),
+      slice.filter(unix_micros(col("ts")) >= cuts(1)),
+      Seq((-1L, sentinelTs, -1L, "click", 0.0),
+          (-2L, sentinelTs, -1L, "purchase", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+    chunks.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$stage/c$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(inDir, s"c$i.parquet")
+      fs.rename(part, new org.apache.hadoop.fs.Path(dest.toString))
+      dest.setLastModified(1700000000000L + i * 60000L) // strict mtime order
+    }
+    val stream = s.readStream.schema(slice.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val joined = graft.streaming.EventStream.correlateFull(
+      stream, "click", "purchase", 1800, "1 hour")
+    val sink = "q117_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", s"$stage/ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    s.table(sink).filter(col("user_id") >= 0)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val q117Sql =
+    """SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+      |  a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM (SELECT * FROM events
+      |      WHERE event_type = 'click' AND user_id < 40) a
+      |FULL JOIN (SELECT * FROM events
+      |      WHERE event_type = 'purchase' AND user_id < 40) b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q99 — ratio-to-report: each nation's share of its REGION's revenue
   // (the percent-of-total analytic every BI layer needs). Revenue
   // aggregates to integer micros first (exact), so the window total is
@@ -270,6 +344,7 @@ object WindowQueries {
     QueryDef("q54_interval_join", q54, Some(q54Sql)),
     QueryDef("q112_interval_left_join", q112, Some(q112Sql)),
     QueryDef("q113_interval_full_join", q113, Some(q113Sql)),
+    QueryDef("q117_interval_join_streamed", q117, Some(q117Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }

@@ -75,10 +75,18 @@ object ScdUpsert {
   /** One-time migration from the pre-manifest layout: each committed
     * legacy `<dimRoot>/v<N>` directory is RENAMED (no data copy) into
     * the [[SnapshotCommit]] data area and published with a manifest,
-    * preserving its version number. Idempotent — already-migrated or
-    * manifest-present roots are left alone. Returns migrated count. */
+    * preserving its version number. Idempotent — already-migrated
+    * versions are left alone: on a MIXED root (legacy dirs alongside
+    * existing manifests) a legacy `v<N>` whose version is already
+    * committed is skipped entirely, never renamed — renaming it would
+    * orphan the legacy history under `data/` (the manifest
+    * rename-to-existing would fail after the data move) and vacuum
+    * would eventually sweep it. Returns the migrated count (skipped
+    * versions excluded). */
   def migrateLegacy(spark: SparkSession, dimRoot: String): Int = {
+    val committed = SnapshotCommit.versions(spark, dimRoot).toSet
     val legacy = legacyVersionDirs(spark, dimRoot)
+      .filterNot(p => committed.contains(p.getName.drop(1).toLong))
     if (legacy.isEmpty) 0
     else {
       val fs = new org.apache.hadoop.fs.Path(dimRoot)

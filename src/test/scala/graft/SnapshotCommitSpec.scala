@@ -209,6 +209,139 @@ class SnapshotCommitSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------- put-if-absent
+
+  import graft.operators.SnapshotCommit.PutIfAbsentCommit
+
+  test("put-mode commit publishes via immutable entries; interops with rename mode") {
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "a")).toDF("id", "v"), root, 0L) // rename mode
+    SnapshotCommit.write(Seq((2L, "b")).toDF("id", "v"), root, 1L,
+      mode = PutIfAbsentCommit)
+    assert(SnapshotCommit.versions(spark, root) == Seq(0L, 1L))
+    assert(SnapshotCommit.read(spark, root, 1L)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    // the put-mode manifest is a numbered entry, not a plain file
+    val names = fs(root).listStatus(new Path(root, "_commits"))
+      .map(_.getPath.getName).toSeq
+    assert(names.contains("0") && names.exists(_.matches("1\\.0-[0-9a-f]+")))
+  }
+
+  test("put-mode retry appends the next seq; the latest valid entry wins") {
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "first")).toDF("id", "v"), root, 0L,
+      mode = PutIfAbsentCommit)
+    SnapshotCommit.write(Seq((1L, "retry")).toDF("id", "v"), root, 0L,
+      mode = PutIfAbsentCommit)
+    val names = fs(root).listStatus(new Path(root, "_commits"))
+      .map(_.getPath.getName).toSeq.sorted
+    assert(names.exists(_.startsWith("0.0-")) && names.exists(_.startsWith("0.1-")),
+      s"retry must supersede, never delete: $names")
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "retry")))
+  }
+
+  test("put-mode crash: a half-written manifest entry is skipped, never served") {
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "good")).toDF("id", "v"), root, 0L,
+      mode = PutIfAbsentCommit)
+    val f = fs(root)
+    // crash simulation (local FS create is not content-atomic): a
+    // writer died after creating its seq-1 entry but before the
+    // content landed — the entry exists but is EMPTY
+    val half = new Path(s"$root/_commits/0.1-deadbeef")
+    f.create(half, true).close()
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "good")),
+      "reader must fall back to the highest VALID entry")
+
+    // a version whose ONLY entry is half-written is not committed at all
+    val half2 = new Path(s"$root/_commits/1.0-deadbeef")
+    f.create(half2, true).close()
+    assert(SnapshotCommit.versions(spark, root) == Seq(0L),
+      "an invalid entry must not surface as a committed version")
+    assert(SnapshotCommit.latest(spark, root).get._1 == 0L)
+
+    // recovery: completing the protocol supersedes the debris
+    SnapshotCommit.write(Seq((9L, "v1")).toDF("id", "v"), root, 1L,
+      mode = PutIfAbsentCommit)
+    assert(SnapshotCommit.versions(spark, root) == Seq(0L, 1L))
+    assert(SnapshotCommit.read(spark, root, 1L)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "v1")))
+  }
+
+  test("put-mode CAS refuses an already-committed version") {
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "a")).toDF("id", "v"), root, 0L,
+      mode = PutIfAbsentCommit)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotCommit.write(Seq((2L, "b")).toDF("id", "v"), root, 0L,
+        replaceExisting = false, mode = PutIfAbsentCommit)
+    }
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("vacuum sweeps put-mode entries of dropped versions and stale .tmp files") {
+    val root = newRoot()
+    (0L to 2L).foreach(v => SnapshotCommit.write(
+      Seq((v, s"v$v")).toDF("id", "v"), root, v, mode = PutIfAbsentCommit))
+    val f = fs(root)
+    // a crashed rename-mode writer's staged manifest, old enough to sweep
+    val tmp = new Path(s"$root/_commits/.tmp-9-0abc1234")
+    val out = f.create(tmp, true)
+    try out.write("v9-0abc1234".getBytes("UTF-8")) finally out.close()
+
+    SnapshotCommit.vacuum(spark, root, keepLast = 2, orphanGraceMs = 0L)
+    assert(SnapshotCommit.versions(spark, root) == Seq(1L, 2L))
+    val names = f.listStatus(new Path(root, "_commits")).map(_.getPath.getName)
+    assert(!names.exists(_.startsWith("0.")), "dropped version's entries remain")
+    assert(!names.exists(_.startsWith(".tmp-")), "stale .tmp manifest remains")
+    // put-committed survivors keep their data dirs (orphan re-check
+    // resolves put-mode manifests too)
+    assert(SnapshotCommit.read(spark, root, 2L)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "v2")))
+  }
+
+  test("RenameCommit refuses a copy+delete object-store scheme; put mode works there") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.s3a.impl", classOf[FakeS3FileSystem].getName)
+    val root = s"s3a:${newRoot()}"
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotCommit.write(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    }
+    assert(ex.getMessage.contains("PutIfAbsentCommit"))
+    // the refusal fires BEFORE any data lands
+    assert(!fs(root).exists(new Path(root, "data")))
+
+    SnapshotCommit.write(Seq((1L, "a")).toDF("id", "v"), root, 0L,
+      mode = PutIfAbsentCommit)
+    assert(SnapshotCommit.versions(spark, root) == Seq(0L))
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("migrateLegacy on a mixed root skips already-committed versions") {
+    import graft.streaming.ScdUpsert
+    val root = newRoot()
+    // v3 already committed under the manifest protocol…
+    SnapshotCommit.write(Seq((1L, "committed")).toDF("id", "v"), root, 3L)
+    // …while a stale legacy v3 dir AND an unmigrated legacy v4 remain
+    Seq((1L, "stale-legacy")).toDF("id", "v").write.parquet(s"$root/v3")
+    Seq((2L, "legacy4")).toDF("id", "v").write.parquet(s"$root/v4")
+
+    assert(ScdUpsert.migrateLegacy(spark, root) == 1, "only v4 must migrate")
+    assert(SnapshotCommit.versions(spark, root) == Seq(3L, 4L))
+    // committed v3 untouched; the stale legacy dir was NOT renamed into
+    // data/ (it would become unmanifested vacuum bait)
+    assert(SnapshotCommit.read(spark, root, 3L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "committed")))
+    assert(fs(root).exists(new Path(s"$root/v3")),
+      "stale legacy dir must be left in place for the operator to inspect")
+    assert(SnapshotCommit.read(spark, root, 4L)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "legacy4")))
+  }
+
   test("writePartialsCommitted: incremental days accumulate; retry is idempotent") {
     val root = newRoot()
     def partials(day: String, k: String, n: Long) =
