@@ -26,15 +26,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (s3/s3a/gs/…) this mode REFUSES to publish instead of silently
   *    losing its crash guarantee.
   *  - [[PutIfAbsentCommit]]: manifests are IMMUTABLE numbered entries
-  *    `<version>.<seq>-<token>` created with create-if-absent — the
+  *    `<version>.<seq>` created with create-if-absent — the
   *    conditional-PUT primitive object stores provide natively (PUT
-  *    If-None-Match; an object becomes visible all-or-nothing).
+  *    If-None-Match; an object becomes visible all-or-nothing). The
+  *    entry NAME is deterministic per slot — the writer's random
+  *    token lives only in the CONTENT (the data dir name) — so two
+  *    racing writers that compute the same seq collide on the SAME
+  *    path and exactly one create wins; the loser observes the
+  *    failure and either retries at the next seq (replace semantics)
+  *    or surfaces ConcurrentModificationException (CAS semantics).
   *    Readers resolve a version to its highest seq whose content
   *    VALIDATES, so a half-written entry (possible only on
   *    filesystems where create isn't content-atomic — exactly the
   *    local-FS crash simulation the spec runs) is skipped, never
-  *    served. A retry appends the next seq; a lost create race in
-  *    CAS mode surfaces as ConcurrentModificationException.
+  *    served. A retry appends the next seq.
+  *
+  *    S3 caveat: stock Hadoop S3A `create(path, overwrite = false)`
+  *    is a CLIENT-SIDE existence check — the object only
+  *    materializes at `close()`, with no If-None-Match unless
+  *    conditional create is enabled. On `s3/s3a/s3n` this mode
+  *    therefore REQUIRES `fs.s3a.create.conditional = true`
+  *    (Hadoop 3.4.1+, maps the create to a conditional PUT) and
+  *    refuses to publish without it — check-then-act dressed up as
+  *    CAS would be the same silent-atomicity-loss RenameCommit
+  *    refuses. GCS/ABFS connectors implement create-if-absent with
+  *    generation/etag preconditions natively.
   *
   * Readers resolve snapshots ONLY through `_commits`: a writer crash
   * at ANY point — mid-data-file, between files, after data but before
@@ -49,11 +65,21 @@ object SnapshotCommit {
 
   /** How the manifest — the single atomic publication step — lands. */
   sealed trait CommitMode
+  /** Default: pick the right primitive for the root's scheme —
+    * [[PutIfAbsentCommit]] on copy+delete object stores
+    * ([[NonAtomicRenameSchemes]]), [[RenameCommit]] everywhere
+    * rename is atomic. Removes the caller-must-know-their-scheme
+    * foot-gun: an `s3a:` root publishes atomically with no explicit
+    * mode argument, and every operator that threads the default
+    * ([[graft.streaming.ScdUpsert]], [[Incremental]], [[Layout]])
+    * inherits the same dispatch. */
+  case object AutoCommit extends CommitMode
   /** Stage + same-directory rename; requires rename-atomic storage
     * (HDFS, POSIX, abfs). Refuses on copy+delete object stores. */
   case object RenameCommit extends CommitMode
-  /** Immutable `<version>.<seq>-<token>` entries via create-if-absent
-    * — the object-store-safe mode (conditional PUT). */
+  /** Immutable `<version>.<seq>` entries via create-if-absent — the
+    * object-store-safe mode (conditional PUT; on s3 schemes requires
+    * `fs.s3a.create.conditional = true`, see class doc). */
   case object PutIfAbsentCommit extends CommitMode
 
   /** Schemes whose FileSystem `rename` is a non-atomic copy+delete
@@ -69,8 +95,10 @@ object SnapshotCommit {
 
   private def commitsDir(root: String) = new Path(root, "_commits")
 
-  /** Put-mode manifest entry name: `<version>.<seq>-<token>`. */
-  private val EntryName = """(\d+)\.(\d+)-[0-9a-f]+""".r
+  /** Put-mode manifest entry name: `<version>.<seq>`. The optional
+    * `-token` suffix admits LEGACY entries written before names were
+    * deterministic (the token now lives only in the content). */
+  private val EntryName = """(\d+)\.(\d+)(?:-[0-9a-f]+)?""".r
 
   /** Manifest content validated (None = absent/corrupt/half-written —
     * the put-mode reader skips it; see class doc). */
@@ -82,16 +110,26 @@ object SnapshotCommit {
       Some(s).filter(_.matches("v\\d+-[0-9a-f]+"))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Put-mode entries for `version`, ascending by seq. */
+  /** Put-mode entries grouped from ONE directory listing, per version
+    * ascending by (seq, name) — the name tie-break makes equal-seq
+    * LEGACY token'd entries resolve deterministically regardless of
+    * listStatus order (deterministic names can't collide at all). */
+  private def entriesByVersion(paths: Seq[Path]): Map[Long, Seq[(Long, Path)]] =
+    paths.flatMap { p =>
+      p.getName match {
+        case EntryName(v, s) => Some((v.toLong, s.toLong, p))
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (v, xs) =>
+      v -> xs.map(t => (t._2, t._3)).sortBy { case (s, p) => (s, p.getName) }
+    }
+
+  /** Put-mode entries for `version`, ascending by (seq, name). */
   private def entriesOf(fs: FileSystem, commits: Path,
       version: Long): Seq[(Long, Path)] =
     if (!fs.exists(commits)) Seq.empty
-    else fs.listStatus(commits).toSeq.map(_.getPath).flatMap { p =>
-      p.getName match {
-        case EntryName(v, s) if v.toLong == version => Some((s.toLong, p))
-        case _ => None
-      }
-    }.sortBy(_._1)
+    else entriesByVersion(fs.listStatus(commits).toSeq.map(_.getPath))
+      .getOrElse(version, Seq.empty)
 
   /** Publish `df` as snapshot `version` under `root`. With the default
     * `replaceExisting = true`, safe to call again for the same version
@@ -102,35 +140,65 @@ object SnapshotCommit {
     * writer's snapshot; maintenance jobs that picked their version
     * from `latest()` (e.g. [[Layout.compactCommitted]]) need this.
     *
-    * `mode` picks the atomic publication primitive (class doc):
-    * [[RenameCommit]] refuses on object-store schemes where rename
-    * is not atomic; [[PutIfAbsentCommit]] publishes an immutable
-    * numbered entry via create-if-absent and is safe there. Both
-    * modes interoperate on the same root: readers check the plain
-    * (rename-mode) manifest first, then the highest valid entry. */
+    * `mode` picks the atomic publication primitive (class doc): the
+    * [[AutoCommit]] default dispatches on the root's scheme —
+    * [[PutIfAbsentCommit]] where rename is copy+delete,
+    * [[RenameCommit]] elsewhere. An EXPLICIT [[RenameCommit]] on an
+    * object-store scheme still refuses (the caller asked for a
+    * guarantee the store can't give). Both modes interoperate on the
+    * same root: readers check the plain (rename-mode) manifest
+    * first, then the highest valid entry. */
   def write(df: DataFrame, root: String, version: Long,
       replaceExisting: Boolean = true,
-      mode: CommitMode = RenameCommit): Unit = {
+      mode: CommitMode = AutoCommit): Unit = {
     require(version >= 0, s"version must be >= 0, got $version")
     val spark = df.sparkSession
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dataName = s"v$version-$token"
     val commits = commitsDir(root)
-    val fs = fsOf(spark, commits)
-    if (mode == RenameCommit) {
-      val scheme = Option(fs.getUri.getScheme).map(_.toLowerCase).getOrElse("")
-      if (NonAtomicRenameSchemes.contains(scheme))
-        throw new IllegalArgumentException(
-          s"RenameCommit on '$scheme' would publish WITHOUT atomicity " +
-            "(rename there is copy+delete) — pass mode = PutIfAbsentCommit, " +
-            "whose create-if-absent entries map to the store's conditional PUT")
+    val hconf = spark.sessionState.newHadoopConf()
+    val fs = commits.getFileSystem(hconf)
+    val scheme = Option(fs.getUri.getScheme).map(_.toLowerCase).getOrElse("")
+    val effectiveMode = mode match {
+      case AutoCommit =>
+        if (NonAtomicRenameSchemes.contains(scheme)) PutIfAbsentCommit
+        else RenameCommit
+      case m => m
+    }
+    effectiveMode match {
+      case AutoCommit =>
+        throw new IllegalStateException("unreachable: AutoCommit resolved above")
+      case RenameCommit =>
+        if (NonAtomicRenameSchemes.contains(scheme))
+          throw new IllegalArgumentException(
+            s"RenameCommit on '$scheme' would publish WITHOUT atomicity " +
+              "(rename there is copy+delete) — pass mode = PutIfAbsentCommit, " +
+              "whose create-if-absent entries map to the store's conditional PUT")
+      case PutIfAbsentCommit =>
+        // Stock S3A create(overwrite = false) is a client-side
+        // existence check with the object materializing only at
+        // close() — NOT an If-None-Match PUT. Without conditional
+        // create enabled, this mode would be check-then-act dressed
+        // up as CAS; refuse up front, exactly like RenameCommit's
+        // scheme refusal. (Conf read at write time, not fs.getConf:
+        // Hadoop's FileSystem cache pins the conf of FIRST
+        // instantiation, which would mask a later enablement.)
+        if (Set("s3", "s3a", "s3n").contains(scheme) &&
+            !hconf.getBoolean("fs.s3a.create.conditional", false))
+          throw new IllegalArgumentException(
+            s"PutIfAbsentCommit on '$scheme' requires conditional create: " +
+              "set fs.s3a.create.conditional=true (Hadoop 3.4.1+) so " +
+              "create-if-absent maps to the store's conditional PUT — " +
+              "without it the publish is a non-atomic existence check")
     }
     // mode("error"): the token makes the dir fresh; overwriting would
     // mean two writers chose the same token — fail loudly, not silently
     df.write.mode("error").parquet(s"$root/data/$dataName")
     fs.mkdirs(commits)
 
-    mode match {
+    effectiveMode match {
+      case AutoCommit =>
+        throw new IllegalStateException("unreachable: AutoCommit resolved above")
       case RenameCommit =>
         val tmp = new Path(commits, s".tmp-$version-$token")
         val out = fs.create(tmp, true)
@@ -156,20 +224,24 @@ object SnapshotCommit {
         }
 
       case PutIfAbsentCommit =>
+        val plain = new Path(commits, version.toString)
         var attempts = 0
         var done = false
         while (!done) {
           val existingSeqs = entriesOf(fs, commits, version)
-          val plainExists = fs.exists(new Path(commits, version.toString))
-          if (!replaceExisting && (plainExists || existingSeqs.nonEmpty))
+          if (!replaceExisting && (fs.exists(plain) || existingSeqs.nonEmpty))
             throw new java.util.ConcurrentModificationException(
               s"version $version already committed under $root; a concurrent " +
                 "writer advanced the table — re-resolve latest() and retry")
           val seq = existingSeqs.lastOption.map(_._1 + 1).getOrElse(0L)
-          val entry = new Path(commits, s"$version.$seq-$token")
+          // Deterministic per-slot name: create-if-absent on the EXACT
+          // path is the mutual exclusion. Two racing writers that
+          // computed the same seq collide on the same entry — one
+          // create wins, the loser lands in the catch below. (The
+          // token is only in the CONTENT; a token'd name would give
+          // each racer a private path and both would "win".)
+          val entry = new Path(commits, s"$version.$seq")
           try {
-            // overwrite = false: create-if-absent IS the atomic step —
-            // on a real object store this maps to conditional PUT
             val out = fs.create(entry, false)
             try out.write(dataName.getBytes("UTF-8")) finally out.close()
             done = true
@@ -184,6 +256,16 @@ object SnapshotCommit {
                 s"could not claim a manifest entry seq for v$version", e)
           }
         }
+        // Supersede a rename-mode plain manifest: dataPath prefers the
+        // plain file, so leaving it in place after a put-mode retry
+        // would silently unpublish this commit (readers resolve the
+        // old dir; vacuum eventually sweeps the new one). Deleting it
+        // AFTER the entry lands flips resolution to the highest entry.
+        // Crash window (entry landed, plain not yet deleted): readers
+        // keep serving the plain version — stale but complete — and
+        // vacuum protects BOTH referenced dirs (see referencedDirs),
+        // so the next retry completes the supersede without data loss.
+        if (replaceExisting && fs.exists(plain)) fs.delete(plain, false)
     }
   }
 
@@ -196,14 +278,14 @@ object SnapshotCommit {
     val fs = fsOf(spark, commits)
     if (!fs.exists(commits)) Seq.empty
     else {
+      // ONE listing, grouped — per-version re-listing was O(V·N)
+      // directory LISTs, painful on object stores as versions grow
       val names = fs.listStatus(commits).toSeq.map(_.getPath)
       val plain = names.map(_.getName).filter(_.matches("\\d+")).map(_.toLong)
-      val entryVersions = names
-        .collect { case p => p.getName match {
-          case EntryName(v, _) => Some(v.toLong); case _ => None } }
-        .flatten.distinct
+      val grouped = entriesByVersion(names)
+      val entryVersions = grouped.keys.toSeq
         .filterNot(plain.contains)
-        .filter(v => entriesOf(fs, commits, v).reverseIterator
+        .filter(v => grouped(v).reverseIterator
           .exists { case (_, p) => readManifest(fs, p).isDefined })
       (plain ++ entryVersions).distinct.sorted
     }
@@ -228,7 +310,10 @@ object SnapshotCommit {
     * (they re-resolve to the previous committed version).
     * Time-travel readers that must never hit that window should
     * publish with [[PutIfAbsentCommit]], whose entries are
-    * append-only — a retry supersedes, never deletes. */
+    * append-only — a retry supersedes, never deletes (the one
+    * deletion a put-mode retry performs — the cross-mode supersede
+    * of a rename-mode plain manifest — happens only AFTER its own
+    * entry landed, so resolution flips, never gaps). */
   def dataPath(spark: SparkSession, root: String, version: Long): String = {
     val commits = commitsDir(root)
     val fs = fsOf(spark, commits)
@@ -250,6 +335,22 @@ object SnapshotCommit {
 
   def read(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(dataPath(spark, root, version))
+
+  /** Data-dir names a reader could EVER resolve for `version`: the
+    * plain manifest's target (if valid) plus the highest valid
+    * put-mode entry's. Normally these coincide in one name; they
+    * differ only in the put-mode supersede crash window (entry
+    * landed, plain manifest not yet deleted) — [[vacuum]] must
+    * protect BOTH or the superseding commit's data dir would sweep
+    * as an "orphan" while its entry still references it. Empty set
+    * = uncommitted. */
+  private def referencedDirs(fs: FileSystem, commits: Path,
+      version: Long): Set[String] = {
+    val fromPlain = readManifest(fs, new Path(commits, version.toString))
+    val fromEntry = entriesOf(fs, commits, version).reverseIterator
+      .flatMap { case (_, p) => readManifest(fs, p) }.nextOption()
+    fromPlain.toSet ++ fromEntry.toSet
+  }
 
   /** Latest committed snapshot, or None before the first commit. */
   def latest(spark: SparkSession, root: String): Option[(Long, DataFrame)] =
@@ -294,22 +395,21 @@ object SnapshotCommit {
         .filter(_.isDirectory)
         .filterNot(st => keptDirs.contains(st.getPath.getName))
         .filter(st => now - st.getModificationTime >= orphanGraceMs)
-        // re-check the manifest IMMEDIATELY before each delete: a
+        // re-check the manifests IMMEDIATELY before each delete: a
         // writer that was stalled past the grace window when versions()
         // was listed may have committed since — the dir its manifest
         // now references must survive (narrows the TOCTOU to the
         // check→delete gap; the grace window remains the primary
-        // guard). Only the REFERENCED dir is protected — a retried
-        // version's superseded attempts still sweep. dataPath resolves
-        // BOTH manifest styles (plain rename-mode file and put-mode
-        // entries), so put-committed dirs are protected too.
+        // guard). referencedDirs covers BOTH manifest styles AND the
+        // put-mode supersede crash window where the plain manifest and
+        // the highest entry briefly reference different dirs — a
+        // retried version's OTHER superseded attempts still sweep.
         .filterNot(st => st.getPath.getName match {
           case versionOf(v) =>
-            try new Path(dataPath(spark, root, v.toLong)).getName ==
-              st.getPath.getName
+            try referencedDirs(fs, commits, v.toLong)
+              .contains(st.getPath.getName)
             catch {
-              case _: java.io.FileNotFoundException => false // uncommitted
-              case scala.util.control.NonFatal(_) => true    // keep on doubt
+              case scala.util.control.NonFatal(_) => true // keep on doubt
             }
           case _ => false
         })

@@ -221,10 +221,12 @@ class SnapshotCommitSpec extends AnyFunSuite {
     assert(SnapshotCommit.versions(spark, root) == Seq(0L, 1L))
     assert(SnapshotCommit.read(spark, root, 1L)
       .as[(Long, String)].collect().toSeq == Seq((2L, "b")))
-    // the put-mode manifest is a numbered entry, not a plain file
+    // the put-mode manifest is a DETERMINISTIC numbered entry (the
+    // writer token lives only in the content): create-if-absent on
+    // the exact slot path is what makes racing writers collide
     val names = fs(root).listStatus(new Path(root, "_commits"))
       .map(_.getPath.getName).toSeq
-    assert(names.contains("0") && names.exists(_.matches("1\\.0-[0-9a-f]+")))
+    assert(names.contains("0") && names.contains("1.0"))
   }
 
   test("put-mode retry appends the next seq; the latest valid entry wins") {
@@ -235,7 +237,7 @@ class SnapshotCommitSpec extends AnyFunSuite {
       mode = PutIfAbsentCommit)
     val names = fs(root).listStatus(new Path(root, "_commits"))
       .map(_.getPath.getName).toSeq.sorted
-    assert(names.exists(_.startsWith("0.0-")) && names.exists(_.startsWith("0.1-")),
+    assert(names.contains("0.0") && names.contains("0.1"),
       s"retry must supersede, never delete: $names")
     assert(SnapshotCommit.read(spark, root, 0L)
       .as[(Long, String)].collect().toSeq == Seq((1L, "retry")))
@@ -306,6 +308,7 @@ class SnapshotCommitSpec extends AnyFunSuite {
   test("RenameCommit refuses a copy+delete object-store scheme; put mode works there") {
     val hconf = spark.sparkContext.hadoopConfiguration
     hconf.set("fs.s3a.impl", classOf[FakeS3FileSystem].getName)
+    hconf.unset("fs.s3a.create.conditional")
     val root = s"s3a:${newRoot()}"
     val ex = intercept[IllegalArgumentException] {
       SnapshotCommit.write(Seq((1L, "a")).toDF("id", "v"), root, 0L)
@@ -314,11 +317,134 @@ class SnapshotCommitSpec extends AnyFunSuite {
     // the refusal fires BEFORE any data lands
     assert(!fs(root).exists(new Path(root, "data")))
 
+    // stock S3A create(overwrite=false) is a client-side existence
+    // check, not If-None-Match: put mode must REFUSE until the store's
+    // conditional create is enabled (same contract as the rename
+    // refusal — never publish without the claimed atomicity)
+    val ex2 = intercept[IllegalArgumentException] {
+      SnapshotCommit.write(Seq((1L, "a")).toDF("id", "v"), root, 0L,
+        mode = PutIfAbsentCommit)
+    }
+    assert(ex2.getMessage.contains("fs.s3a.create.conditional"))
+    assert(!fs(root).exists(new Path(root, "data")))
+
+    hconf.setBoolean("fs.s3a.create.conditional", true)
     SnapshotCommit.write(Seq((1L, "a")).toDF("id", "v"), root, 0L,
       mode = PutIfAbsentCommit)
     assert(SnapshotCommit.versions(spark, root) == Seq(0L))
     assert(SnapshotCommit.read(spark, root, 0L)
       .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("AutoCommit default: an s3a root publishes atomically with no explicit mode") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.s3a.impl", classOf[FakeS3FileSystem].getName)
+    hconf.setBoolean("fs.s3a.create.conditional", true)
+    val root = s"s3a:${newRoot()}"
+    SnapshotCommit.write(Seq((1L, "auto")).toDF("id", "v"), root, 0L) // no mode
+    // dispatched to put-mode entries, not a plain (rename) manifest
+    val names = fs(root).listStatus(new Path(root, "_commits"))
+      .map(_.getPath.getName).toSeq
+    assert(names.contains("0.0") && !names.contains("0"), names.mkString(","))
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "auto")))
+
+    // the same default picks rename mode on a rename-atomic scheme
+    val local = newRoot()
+    SnapshotCommit.write(Seq((2L, "local")).toDF("id", "v"), local, 0L)
+    val localNames = fs(local).listStatus(new Path(local, "_commits"))
+      .map(_.getPath.getName).toSeq
+    assert(localNames.contains("0") && !localNames.contains("0.0"))
+
+    // operators inherit the dispatch (no mode argument anywhere in the
+    // call chain): Incremental's committed partials on an s3a root
+    val incRoot = s"s3a:${newRoot()}"
+    Incremental.writePartialsCommitted(
+      Seq(("a", java.sql.Date.valueOf("2024-01-01"), 1L, BigDecimal(10)))
+        .toDF("k", "day", "n_rows", "sum_value"), incRoot, 0L)
+    assert(SnapshotCommit.versions(spark, incRoot) == Seq(0L))
+    assert(fs(incRoot).listStatus(new Path(incRoot, "_commits"))
+      .map(_.getPath.getName).toSeq.contains("0.0"))
+  }
+
+  test("put-mode CAS: two writers racing the same seq slot — exactly one wins") {
+    // The round-6 advisory: token'd entry names gave each racer a
+    // PRIVATE path, so both creates succeeded and both writers
+    // believed they committed. Deterministic slot names make the
+    // collision real. Simulate the loser's schedule: it computed
+    // seq=0, then the competitor's entry landed first.
+    val root = newRoot()
+    val f = fs(root)
+    f.mkdirs(new Path(root, "_commits"))
+    // competitor claims slot 0.0 with valid content
+    Seq((1L, "winner")).toDF("id", "v").write.parquet(s"$root/data/v0-aaaa1111")
+    val out = f.create(new Path(s"$root/_commits/0.0"), false)
+    try out.write("v0-aaaa1111".getBytes("UTF-8")) finally out.close()
+
+    // CAS writer (replaceExisting=false) must now observe the commit
+    // and refuse — not land beside it
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotCommit.write(Seq((2L, "loser")).toDF("id", "v"), root, 0L,
+        replaceExisting = false, mode = PutIfAbsentCommit)
+    }
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "winner")),
+      "the slot winner's snapshot must be the one served")
+    // and the slot is still the deterministic single entry
+    val names = f.listStatus(new Path(root, "_commits")).map(_.getPath.getName)
+    assert(names.count(_.startsWith("0.")) == 1, names.mkString(","))
+  }
+
+  test("put-mode retry over a rename-committed version supersedes the plain manifest") {
+    // Round-6 advisory (medium): dataPath prefers the plain manifest,
+    // so without the supersede a put-mode retry would be silently
+    // unpublished — writer told success, readers serve the old data,
+    // vacuum eventually sweeps the new dir.
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "rename")).toDF("id", "v"), root, 0L)
+    SnapshotCommit.write(Seq((2L, "put-retry")).toDF("id", "v"), root, 0L,
+      mode = PutIfAbsentCommit)
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "put-retry")),
+      "the put-mode retry must actually publish")
+    val names = fs(root).listStatus(new Path(root, "_commits"))
+      .map(_.getPath.getName).toSeq
+    assert(!names.contains("0") && names.contains("0.0"),
+      s"plain manifest must be superseded: $names")
+    // and vacuum keeps the served dir
+    SnapshotCommit.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((2L, "put-retry")))
+  }
+
+  test("supersede crash window: vacuum protects BOTH referenced dirs") {
+    // Crash between entry-create and plain-manifest-delete: readers
+    // still serve the plain version (stale but complete), and the
+    // entry's dir must NOT sweep as an orphan — the next retry
+    // completes the supersede and readers flip to it.
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "rename")).toDF("id", "v"), root, 0L)
+    val f = fs(root)
+    // fabricate the crashed put-retry: data dir + valid entry, plain
+    // manifest still in place
+    Seq((2L, "crashed-retry")).toDF("id", "v")
+      .write.parquet(s"$root/data/v0-bbbb2222")
+    val out = f.create(new Path(s"$root/_commits/0.0"), false)
+    try out.write("v0-bbbb2222".getBytes("UTF-8")) finally out.close()
+
+    // readers: plain still wins (stale but complete)
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "rename")))
+    SnapshotCommit.vacuum(spark, root, keepLast = 1, orphanGraceMs = 0L)
+    val dirs = f.listStatus(new Path(root, "data")).map(_.getPath.getName).toSet
+    assert(dirs.contains("v0-bbbb2222"),
+      "entry-referenced dir must survive vacuum during the crash window")
+
+    // recovery: the next put-mode retry completes the supersede
+    SnapshotCommit.write(Seq((3L, "retry2")).toDF("id", "v"), root, 0L,
+      mode = PutIfAbsentCommit)
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((3L, "retry2")))
   }
 
   test("migrateLegacy on a mixed root skips already-committed versions") {
