@@ -227,14 +227,75 @@ object Multimodal {
     else Some((rate, channels, kbps, samplesPerFrame, frameLen))
   }
 
+  /** Declared (frames, bytes) totals from a Xing/"Info" or VBRI
+    * header inside the FIRST frame, or None when neither is present.
+    *
+    *  - Xing/Info sits right after the side info (MPEG1: 32 bytes
+    *    stereo / 17 mono; MPEG2/2.5: 17 / 9): tag(4) + flags(4),
+    *    then optional frames(4) and bytes(4) gated by flag bits 0/1.
+    *    A Xing header without the frame-count flag declares nothing
+    *    useful here → None (fall back to the walk).
+    *  - VBRI (Fraunhofer) sits at a FIXED 32 bytes past the 4-byte
+    *    frame header: tag(4) + version(2) + delay(2) + quality(2) +
+    *    bytes(4) + frames(4).
+    *
+    * Every read is bounds-checked against BOTH the payload and the
+    * first frame's extent — the same discipline as the box walks; a
+    * declared count outside (0, MaxSamples] is rejected. The frame
+    * count is taken as the duration-bearing audio-frame total (the
+    * convention players apply when seeking). */
+  private def mp3VbrHeader(b: Array[Byte], start: Int, mpeg1: Boolean,
+      mono: Boolean, frameLen: Int): Option[(Int, Option[Long])] = {
+    val end = math.min(start.toLong + frameLen, b.length.toLong).toInt
+    def tagAt(i: Int, t: String): Boolean =
+      i >= 0 && i + 4 <= end &&
+        (0 until 4).forall(j => b(i + j) == t.charAt(j).toByte)
+    def u32(i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    val sideInfo =
+      if (mpeg1) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
+    val xi = start + 4 + sideInfo
+    val vi = start + 36
+    if (tagAt(xi, "Xing") || tagAt(xi, "Info")) {
+      if (xi + 8 > end) None
+      else {
+        val flags = u32(xi + 4)
+        if ((flags & 1) == 0 || xi + 12 > end) None
+        else {
+          val frames = u32(xi + 8)
+          val bytesF =
+            if ((flags & 2) != 0 && xi + 16 <= end) Some(u32(xi + 12)) else None
+          if (frames >= 1 && frames <= MaxSamples)
+            Some((frames.toInt, bytesF.filter(_ > 0)))
+          else None
+        }
+      }
+    } else if (tagAt(vi, "VBRI")) {
+      if (vi + 18 > end) None
+      else {
+        val frames = u32(vi + 14)
+        if (frames >= 1 && frames <= MaxSamples)
+          Some((frames.toInt, Some(u32(vi + 10)).filter(_ > 0)))
+        else None
+      }
+    } else None
+  }
+
   /** MP3 probe: skip an optional leading ID3v2 tag (synchsafe size),
-    * then walk Layer III frame headers — each frame's length is
-    * computed from its own header (so VBR walks correctly) and the
-    * payload is skipped, never decoded. Counts COMPLETE frames only
-    * (a truncated trailing frame stops the walk — same clamp
-    * discipline as [[tryDecodeWav]]) and requires every frame to
-    * agree on the sample rate. Duration is the accumulated
-    * samples-per-frame over the first frame's rate. */
+    * then read the first Layer III frame header. A Xing/Info or VBRI
+    * header in that first frame ([[mp3VbrHeader]]) short-circuits the
+    * probe to O(1): the DECLARED frame count gives frames and
+    * duration, and the declared byte total gives the average bitrate
+    * — no walk, which at corpus scale means only the stream head is
+    * ever fetched, and on VBR streams the average bitrate replaces
+    * the misleading first-frame bitrate. Otherwise the whole stream
+    * is walked — each frame's length computed from its own header
+    * (so un-headered VBR still walks correctly), payloads skipped,
+    * never decoded. The walk counts COMPLETE frames only (a
+    * truncated trailing frame stops it — same clamp discipline as
+    * [[tryDecodeWav]]) and requires every frame to agree on the
+    * sample rate. */
   def tryDecodeMp3(bytes: Array[Byte]): Option[Mp3Meta] =
     try {
       var i = 0
@@ -246,21 +307,33 @@ object Multimodal {
         i = math.min(10L + sz, bytes.length.toLong).toInt
       }
       mp3FrameHeader(bytes, i).flatMap {
-        case (rate, channels, kbps, _, _) =>
-          var frames = 0
-          var samples = 0L
-          var ok = true
-          while (ok) {
-            mp3FrameHeader(bytes, i) match {
-              case Some((r, _, _, spf, flen))
-                  if r == rate && i + flen <= bytes.length =>
-                frames += 1; samples += spf; i += flen
-              case _ => ok = false
-            }
+        case (rate, channels, kbps, spf0, flen0) =>
+          mp3VbrHeader(bytes, i, mpeg1 = spf0 == 1152,
+              mono = channels == 1, frameLen = flen0) match {
+            case Some((declared, declaredBytes)) =>
+              val durationMs = declared.toLong * spf0 * 1000L / rate
+              val avgKbps = declaredBytes
+                .filter(_ => durationMs > 0)
+                .map(by => ((by * 8) / durationMs).toInt)
+                .filter(_ > 0)
+                .getOrElse(kbps)
+              Some(Mp3Meta(rate, channels, avgKbps, declared, durationMs))
+            case None =>
+              var frames = 0
+              var samples = 0L
+              var ok = true
+              while (ok) {
+                mp3FrameHeader(bytes, i) match {
+                  case Some((r, _, _, spf, flen))
+                      if r == rate && i + flen <= bytes.length =>
+                    frames += 1; samples += spf; i += flen
+                  case _ => ok = false
+                }
+              }
+              if (frames < 1) None
+              else Some(Mp3Meta(rate, channels, kbps, frames,
+                samples * 1000L / rate))
           }
-          if (frames < 1) None
-          else Some(Mp3Meta(rate, channels, kbps, frames,
-            samples * 1000L / rate))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -426,7 +499,13 @@ object Multimodal {
       var k = 0L
       while (k < spc && s < sizes.length) {
         val sz = sizes(s)
-        if (sz < 0 || off < 0 || off + sz > fileLen) return None
+        // overflow-safe: a hostile co64 offset near Long.MaxValue plus
+        // a positive size wraps `off + sz` negative, which would slip
+        // past a naive `off + sz > fileLen` and emit an out-of-payload
+        // range — compare in subtracted form instead (sz <= fileLen
+        // is guaranteed by the preceding bounds, so fileLen - sz
+        // cannot underflow)
+        if (sz < 0 || off < 0 || sz > fileLen || off > fileLen - sz) return None
         out(s) = SampleRange(off, sz)
         off += sz; k += 1; s += 1
       }
@@ -576,6 +655,77 @@ object Multimodal {
     (0 until frames).foreach { f =>
       out.write(0xff); out.write(b1); out.write(b2); out.write(b3)
       (4 until frameLen).foreach(j => out.write((f * 7 + j) % 251))
+    }
+    out.toByteArray
+  }
+
+  /** VBR MP3 fixture: optional ID3v2 tag, then a HEADER frame
+    * carrying a Xing (`"xing"`), Info (`"info"`) or VBRI (`"vbri"`)
+    * tag with DECLARED frame/byte totals at the spec offsets
+    * ([[mp3VbrHeader]] doc), then `audioFrames` real Layer III
+    * frames ALTERNATING `bitrateIdxA`/`bitrateIdxB` — true VBR,
+    * each frame's length follows its own header. `kind = "none"`
+    * writes the same layout with no tag (a silent lead frame), for
+    * exercising the walk on alternating-bitrate streams. */
+  def mp3BytesVbr(mpeg1: Boolean, rateIdx: Int, audioFrames: Int,
+      declaredFrames: Int, declaredBytes: Long, kind: String,
+      bitrateIdxA: Int = 9, bitrateIdxB: Int = 11,
+      headerBitrateIdx: Int = 9, mono: Boolean = false,
+      id3Size: Int = 0): Array[Byte] = {
+    require(Set("xing", "info", "vbri", "none").contains(kind), s"kind=$kind")
+    require(rateIdx >= 0 && rateIdx <= 2 && audioFrames >= 0)
+    require(declaredFrames >= 1 && declaredBytes >= 1)
+    require(id3Size >= 0 && id3Size < (1 << 21))
+    val rate = if (mpeg1) Mp3RateV1(rateIdx) else Mp3RateV2(rateIdx)
+    val spf = if (mpeg1) 1152 else 576
+    def kbpsOf(idx: Int) = if (mpeg1) Mp3BitrateV1(idx) else Mp3BitrateV2(idx)
+    def frameLenOf(idx: Int) = spf / 8 * (kbpsOf(idx) * 1000) / rate
+    def put32(arr: Array[Byte], i: Int, v: Long): Unit = {
+      arr(i) = ((v >> 24) & 0xff).toByte; arr(i + 1) = ((v >> 16) & 0xff).toByte
+      arr(i + 2) = ((v >> 8) & 0xff).toByte; arr(i + 3) = (v & 0xff).toByte
+    }
+    def headerBytes(idx: Int): Array[Byte] = Array(
+      0xff.toByte,
+      (0xe0 | ((if (mpeg1) 3 else 2) << 3) | (1 << 1) | 1).toByte,
+      ((idx << 4) | (rateIdx << 2)).toByte,
+      (if (mono) 0xc0 else 0x00).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0)
+      out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
+      out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
+      (0 until id3Size).foreach(_ => out.write(0))
+    }
+    val hLen = frameLenOf(headerBitrateIdx)
+    val frame = new Array[Byte](hLen) // zero side info + payload
+    System.arraycopy(headerBytes(headerBitrateIdx), 0, frame, 0, 4)
+    kind match {
+      case "vbri" =>
+        require(hLen >= 54, s"header frame too small for VBRI: $hLen")
+        System.arraycopy("VBRI".getBytes("US-ASCII"), 0, frame, 36, 4)
+        // version(2) + delay(2) + quality(2) stay zero
+        put32(frame, 46, declaredBytes)
+        put32(frame, 50, declaredFrames.toLong)
+      case "xing" | "info" =>
+        val side = if (mpeg1) { if (mono) 17 else 32 }
+          else { if (mono) 9 else 17 }
+        val xi = 4 + side
+        require(xi + 16 <= hLen, s"header frame too small for Xing: $hLen")
+        System.arraycopy(
+          (if (kind == "xing") "Xing" else "Info").getBytes("US-ASCII"),
+          0, frame, xi, 4)
+        put32(frame, xi + 4, 3L) // flags: frames | bytes
+        put32(frame, xi + 8, declaredFrames.toLong)
+        put32(frame, xi + 12, declaredBytes)
+      case _ => () // "none": a silent lead frame, no tag
+    }
+    out.write(frame)
+    (0 until audioFrames).foreach { f =>
+      val idx = if (f % 2 == 0) bitrateIdxA else bitrateIdxB
+      val fl = frameLenOf(idx)
+      out.write(headerBytes(idx))
+      (4 until fl).foreach(j => out.write((f * 7 + j) % 251))
     }
     out.toByteArray
   }

@@ -128,6 +128,23 @@ class Round6OpsSpec extends AnyFunSuite {
     assert(Multimodal.mp4SampleRanges(patchStscFirstChunk(ok, 2)).isEmpty)
   }
 
+  test("mp4SampleRanges: hostile co64 offset near Long.MaxValue must not overflow") {
+    val sizes = Seq(5, 6, 7, 8, 9, 10)
+    val ok = Multimodal.mp4BytesChunked(600, 100, sizes, seed = 8L,
+      samplesPerChunk = 3, chunkGap = 4, useCo64 = true)
+    assert(Multimodal.mp4SampleRanges(ok).isDefined)
+    val out = ok.clone()
+    val i = indexOfTag(out, "co64")
+    // box: [4 size][4 tag][4 version/flags][4 count] → first 64-bit
+    // offset at +16. Long.MaxValue - 3 plus a positive sample size
+    // wraps `off + sz` NEGATIVE, which a naive `off + sz > fileLen`
+    // bound waves through — the table must instead be rejected.
+    val bb = java.nio.ByteBuffer.allocate(8).putLong(Long.MaxValue - 3).array()
+    System.arraycopy(bb, 0, out, i + 16, 8)
+    assert(Multimodal.mp4SampleRanges(out).isEmpty,
+      "wrapped offset+size must invalidate the table, not emit a bogus range")
+  }
+
   private def indexOfTag(bytes: Array[Byte], tag: String): Int = {
     val t = tag.getBytes
     val i = bytes.indices.indexWhere(i => i + 4 <= bytes.length &&
