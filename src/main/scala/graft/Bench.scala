@@ -48,7 +48,9 @@ object Bench {
     "q110_ivf_recall", "q111_image_stats", "q112_interval_left_join",
     "q113_interval_full_join", "q114_frame_sample_probed",
     "q115_frame_sample_exact", "q116_compressed_audio",
-    "q117_interval_join_streamed")
+    "q117_interval_join_streamed",
+    // round-7 tail: VBR-header audio probe, streamed left-outer twin
+    "q119_vbr_audio", "q118_interval_left_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -945,9 +945,118 @@ object TextQueries {
       |FROM st
       |ORDER BY media_id""".stripMargin
 
+  /** q119: VBR-aware compressed-audio probing — the q116 successor.
+    * Xing- and VBRI-headed streams must report their DECLARED totals
+    * (the O(1) head-probe path — at corpus scale only the stream head
+    * is ever fetched), a headerless alternating-bitrate stream must
+    * fall back to the frame walk, and unknown payloads keep the stub.
+    * Fixture parameters are pure arithmetic in doc_id so the DuckDB
+    * oracle reproduces every expected row exactly. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id").cast("long").as("id"))
+    val media = ids.as[Long].map { id =>
+      (id % 4).toInt match {
+        case 0 =>
+          Multimodal.MediaRecord(id, "audio", s"vau-$id".getBytes("UTF-8"))
+        case 1 => Multimodal.MediaRecord(id, "audio", Multimodal.mp3BytesVbr(
+          mpeg1 = (id / 2) % 2 == 0, rateIdx = ((id / 3) % 3).toInt,
+          audioFrames = (2 + id % 5).toInt,
+          declaredFrames = (50 + id % 1000).toInt,
+          declaredBytes = 100000L + id * 37, kind = "xing",
+          mono = id % 8 == 1, id3Size = if (id % 3 == 1) 17 else 0))
+        case 2 => Multimodal.MediaRecord(id, "audio", Multimodal.mp3BytesVbr(
+          mpeg1 = (id / 4) % 2 == 0, rateIdx = ((id / 5) % 3).toInt,
+          audioFrames = (1 + id % 4).toInt,
+          declaredFrames = (80 + id % 500).toInt,
+          declaredBytes = 50000L + id * 21, kind = "vbri"))
+        case _ => Multimodal.MediaRecord(id, "audio", Multimodal.mp3BytesVbr(
+          mpeg1 = (id / 2) % 2 == 0, rateIdx = ((id / 7) % 3).toInt,
+          audioFrames = (2 + id % 6).toInt,
+          declaredFrames = 1, declaredBytes = 1L, kind = "none"))
+      }
+    }.toDF()
+    Multimodal.probeMedia(s, media)
+      .select(col("media_id"), col("codec"), col("n_bytes"),
+        col("sample_rate"), col("channels"), col("duration_ms"), col("frames"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Oracle twin of [[q119]]: n_bytes is the exact stream layout
+    * (optional ID3 + header frame at bitrate idx 9 + audio frames
+    * alternating idx 9/11), durations integer-divide exactly as the
+    * probe does. */
+  private val q119Sql =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |x AS (SELECT id, (id // 2) % 2 = 0 AS m1, (id // 3) % 3 AS ri,
+      |    2 + id % 5 AS af, 50 + id % 1000 AS dfr,
+      |    CASE WHEN id % 8 = 1 THEN 1 ELSE 2 END AS ch,
+      |    CASE WHEN id % 3 = 1 THEN 27 ELSE 0 END AS id3
+      |  FROM d WHERE id % 4 = 1),
+      |v AS (SELECT id, (id // 4) % 2 = 0 AS m1, (id // 5) % 3 AS ri,
+      |    1 + id % 4 AS af, 80 + id % 500 AS dfr, 2 AS ch, 0 AS id3
+      |  FROM d WHERE id % 4 = 2),
+      |w AS (SELECT id, (id // 2) % 2 = 0 AS m1, (id // 7) % 3 AS ri,
+      |    2 + id % 6 AS af, 2 AS ch, 0 AS id3
+      |  FROM d WHERE id % 4 = 3),
+      |x2 AS (SELECT id, dfr, ch, af, id3,
+      |    CASE WHEN m1 THEN [44100,48000,32000][CAST(ri+1 AS INTEGER)]
+      |         ELSE [22050,24000,16000][CAST(ri+1 AS INTEGER)] END AS rate,
+      |    CASE WHEN m1 THEN 1152 ELSE 576 END AS spf,
+      |    CASE WHEN m1 THEN 144 ELSE 72 END AS spf8,
+      |    CASE WHEN m1 THEN 128000 ELSE 80000 END AS k9,
+      |    CASE WHEN m1 THEN 192000 ELSE 112000 END AS k11
+      |  FROM x),
+      |v2 AS (SELECT id, dfr, ch, af, id3,
+      |    CASE WHEN m1 THEN [44100,48000,32000][CAST(ri+1 AS INTEGER)]
+      |         ELSE [22050,24000,16000][CAST(ri+1 AS INTEGER)] END AS rate,
+      |    CASE WHEN m1 THEN 1152 ELSE 576 END AS spf,
+      |    CASE WHEN m1 THEN 144 ELSE 72 END AS spf8,
+      |    CASE WHEN m1 THEN 128000 ELSE 80000 END AS k9,
+      |    CASE WHEN m1 THEN 192000 ELSE 112000 END AS k11
+      |  FROM v),
+      |w2 AS (SELECT id, ch, af, id3,
+      |    CASE WHEN m1 THEN [44100,48000,32000][CAST(ri+1 AS INTEGER)]
+      |         ELSE [22050,24000,16000][CAST(ri+1 AS INTEGER)] END AS rate,
+      |    CASE WHEN m1 THEN 1152 ELSE 576 END AS spf,
+      |    CASE WHEN m1 THEN 144 ELSE 72 END AS spf8,
+      |    CASE WHEN m1 THEN 128000 ELSE 80000 END AS k9,
+      |    CASE WHEN m1 THEN 192000 ELSE 112000 END AS k11
+      |  FROM w),
+      |st AS (SELECT id,
+      |    CAST(octet_length(encode('vau-' || CAST(id AS VARCHAR))) AS BIGINT) AS n
+      |  FROM d WHERE id % 4 = 0)
+      |SELECT id AS media_id, 'mp3' AS codec,
+      |  CAST(id3 + (1 + (af+1)//2) * (spf8*k9//rate)
+      |    + (af//2) * (spf8*k11//rate) AS BIGINT) AS n_bytes,
+      |  CAST(rate AS INTEGER) AS sample_rate, CAST(ch AS INTEGER) AS channels,
+      |  CAST(dfr * spf * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST(dfr AS INTEGER) AS frames
+      |FROM x2
+      |UNION ALL
+      |SELECT id, 'mp3',
+      |  CAST(id3 + (1 + (af+1)//2) * (spf8*k9//rate)
+      |    + (af//2) * (spf8*k11//rate) AS BIGINT),
+      |  CAST(rate AS INTEGER), CAST(ch AS INTEGER),
+      |  CAST(dfr * spf * 1000 // rate AS BIGINT), CAST(dfr AS INTEGER)
+      |FROM v2
+      |UNION ALL
+      |SELECT id, 'mp3',
+      |  CAST(id3 + (1 + (af+1)//2) * (spf8*k9//rate)
+      |    + (af//2) * (spf8*k11//rate) AS BIGINT),
+      |  CAST(rate AS INTEGER), CAST(ch AS INTEGER),
+      |  CAST((af+1) * spf * 1000 // rate AS BIGINT), CAST(af+1 AS INTEGER)
+      |FROM w2
+      |UNION ALL
+      |SELECT id, 'stub', n, CAST(n % 48000 AS INTEGER), CAST(n % 8 AS INTEGER),
+      |  n, CAST(1 AS INTEGER)
+      |FROM st
+      |ORDER BY media_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q108_av_containers", q108, Some(q108Sql)),
     QueryDef("q116_compressed_audio", q116, Some(q116Sql)),
+    QueryDef("q119_vbr_audio", q119, Some(q119Sql)),
     QueryDef("q114_frame_sample_probed", q114, Some(q114Sql)),
     QueryDef("q115_frame_sample_exact", q115, Some(q115Sql)),
     QueryDef("q111_image_stats", q111, Some(q111Sql)),
