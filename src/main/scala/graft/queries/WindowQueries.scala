@@ -199,7 +199,18 @@ object WindowQueries {
   // exactly — which is what the DuckDB oracle (the q113 full-outer SQL
   // restricted to the slice) then checks. The memory sink holds the
   // result; staging is deleted before returning.
-  private def q117(s: SparkSession, dir: String): DataFrame = {
+  /** Shared staging harness for the streamed interval-join gates
+    * (q117/q118): stage the bounded `user_id < 40` slice of events as
+    * three DISJOINT time-range parquet files (cut by a 2-value
+    * min/max bounds probe — the JdbcPartitioning discipline) in
+    * strict mtime order, append a sentinel click+purchase pair 90
+    * days out (user −1) that advances BOTH sides' watermarks past
+    * every real match window, execute `join` over the file-source
+    * stream (`maxFilesPerTrigger = 1` → four micro-batches), drain
+    * into a memory sink, delete the staging, and return the real
+    * (sentinel-free) rows ordered for the oracle. */
+  private def streamedIntervalGate(s: SparkSession, dir: String,
+      tag: String)(join: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     val slice = Tables.events(s, dir).filter(col("user_id") < 40)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -208,7 +219,7 @@ object WindowQueries {
       unix_micros(min(col("ts"))).as("lo"),
       unix_micros(max(col("ts"))).as("hi")).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val stage = java.nio.file.Files.createTempDirectory("graft_q117").toString
+    val stage = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
     val inDir = new java.io.File(stage, "in"); inDir.mkdirs()
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(s.sessionState.newHadoopConf())
@@ -233,9 +244,8 @@ object WindowQueries {
     }
     val stream = s.readStream.schema(slice.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-    val joined = graft.streaming.EventStream.correlateFull(
-      stream, "click", "purchase", 1800, "1 hour")
-    val sink = "q117_" + java.util.UUID.randomUUID().toString.take(8)
+    val joined = join(stream)
+    val sink = tag + "_" + java.util.UUID.randomUUID().toString.take(8)
     val q = joined.writeStream.format("memory").queryName(sink)
       .option("checkpointLocation", s"$stage/ckpt")
       .outputMode("append").start()
@@ -244,6 +254,11 @@ object WindowQueries {
     s.table(sink).filter(col("user_id") >= 0)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    streamedIntervalGate(s, dir, "q117")(stream =>
+      graft.streaming.EventStream.correlateFull(
+        stream, "click", "purchase", 1800, "1 hour"))
   private val q117Sql =
     """SELECT COALESCE(a.user_id, b.user_id) AS user_id,
       |  a.event_id AS a_id, b.event_id AS b_id,
@@ -251,6 +266,30 @@ object WindowQueries {
       |FROM (SELECT * FROM events
       |      WHERE event_type = 'click' AND user_id < 40) a
       |FULL JOIN (SELECT * FROM events
+      |      WHERE event_type = 'purchase' AND user_id < 40) b
+      |  ON a.user_id = b.user_id
+      | AND epoch_us(b.ts) >= epoch_us(a.ts)
+      | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q118 — the LEFT-outer interval join's streaming discipline under
+  // the gate: q112's correlateOuter plan (previously stream-pinned
+  // only in EventStreamSpec) executed as a real rate-limited stream
+  // through the same staging harness as q117. The sentinel advances
+  // the purchase-side watermark so every unconverted click's null row
+  // is emitted before the stream stops; streamed == batch is checked
+  // by the q112 oracle restricted to the slice.
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    streamedIntervalGate(s, dir, "q118")(stream =>
+      graft.streaming.EventStream.correlateOuter(
+        stream, "click", "purchase", 1800, "1 hour"))
+  private val q118Sql =
+    """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+      |FROM (SELECT * FROM events
+      |      WHERE event_type = 'click' AND user_id < 40) a
+      |LEFT JOIN (SELECT * FROM events
       |      WHERE event_type = 'purchase' AND user_id < 40) b
       |  ON a.user_id = b.user_id
       | AND epoch_us(b.ts) >= epoch_us(a.ts)
@@ -345,6 +384,7 @@ object WindowQueries {
     QueryDef("q112_interval_left_join", q112, Some(q112Sql)),
     QueryDef("q113_interval_full_join", q113, Some(q113Sql)),
     QueryDef("q117_interval_join_streamed", q117, Some(q117Sql)),
+    QueryDef("q118_interval_left_streamed", q118, Some(q118Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }
