@@ -49,8 +49,10 @@ object Bench {
     "q113_interval_full_join", "q114_frame_sample_probed",
     "q115_frame_sample_exact", "q116_compressed_audio",
     "q117_interval_join_streamed",
-    // round-7 tail: VBR-header audio probe, streamed left-outer twin
-    "q119_vbr_audio", "q118_interval_left_streamed")
+    // round-7 tail: VBR-header audio probe, sampled signature
+    // grounding, streamed left-outer twin
+    "q119_vbr_audio", "q120_sampled_grounding",
+    "q118_interval_left_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -321,23 +321,44 @@ object Dedup {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** How [[groupMinhashJaccard]] grounds its signature estimate. */
+  sealed trait Grounding
+  /** Estimate only: `exact_jaccard` is null. The 100 TB default. */
+  case object NoGrounding extends Grounding
+  /** Full corpus-linear shingle join — the most expensive shape here;
+    * use for gates and audits, never routinely at scale. */
+  case object ExactGrounding extends Grounding
+  /** Ground on a DETERMINISTIC hash-coin sample of the shingle space
+    * (the q48 discipline): a shingle is kept iff
+    * `hash60(h) mod denom < num`, so the SAME shingles are kept in
+    * every group — set Jaccard over the sampled universe is an
+    * unbiased estimate of the true Jaccard, and the whole grounding
+    * pipeline (distinct shuffle + self-join) shrinks by num/denom.
+    * At 100 TB a 1/1000 coin grounds the estimator for the cost of a
+    * 0.1% corpus pass. Deterministic → reproducible → oracle-gated. */
+  final case class SampledGrounding(num: Int, denom: Int) extends Grounding {
+    require(denom >= 1 && num >= 1 && num <= denom,
+      s"need 1 <= num <= denom, got $num/$denom")
+  }
+
   /** Group-level similarity WITHOUT a document-pair product: per-group
-    * MinHash signatures via [[SignatureMin]] plus the exact per-group
-    * shingle-set Jaccard to ground the estimate. Returns one row per
-    * group pair (groupA < groupB):
-    * `(ga, gb, sig_matches, est_jaccard, exact_jaccard)`.
+    * MinHash signatures via [[SignatureMin]] plus an optional
+    * per-group shingle-set Jaccard to ground the estimate. Returns one
+    * row per group pair (groupA < groupB):
+    * `(ga, gb, sig_matches, est_jaccard, exact_jaccard)` — the last
+    * column named `sampled_jaccard` under [[SampledGrounding]], and
+    * null under [[NoGrounding]].
     *
     * Scale: the signature side aggregates |groups| rows of k longs
     * (mergeable — at 100 TB the signatures live in the daily partials
-    * and only the tiny group×k frame is ever paired). The exact twin
-    * (`exact = true`) joins distinct (group, shingle) rows on the
-    * shingle hash — corpus-linear but the most expensive shape here,
-    * so it is OPT-IN: at 100 TB run estimate-only (default) and ground
-    * the estimator on a sample, never the full corpus. With
-    * `exact = false` the `exact_jaccard` column is null. */
+    * and only the tiny group×k frame is ever paired). Grounding joins
+    * distinct (group, shingle) rows on the shingle hash —
+    * corpus-linear under [[ExactGrounding]], so at scale ground with
+    * [[SampledGrounding]] (the coin filters BEFORE the distinct, so
+    * shuffle and join both shrink by num/denom) or not at all. */
   def groupMinhashJaccard(df: DataFrame, groupCol: String, idCol: String,
       textCol: String, k: Int, shingleN: Int,
-      exact: Boolean = false): DataFrame = {
+      grounding: Grounding = NoGrounding): DataFrame = {
     val s = withShingleSignatures(df, idCol, textCol, k, shingleN,
       stagingDir = None, carry = Seq(groupCol))
     val sigArr = array((0 until k).map(j => col(s"mh$j")): _*)
@@ -354,27 +375,41 @@ object Dedup {
         col("x.gsig").as("sa"), col("y.gsig").as("sb"))
       .withColumn("sig_matches", matches)
 
-    if (!exact) {
-      estimated.select(col("ga"), col("gb"), col("sig_matches"),
-        (col("sig_matches").cast("double") / k).as("est_jaccard"),
-        lit(null).cast("double").as("exact_jaccard"))
-    } else {
-      val sets = s.select(col(groupCol), explode(col("hs")).as("h")).distinct()
-      val sizes = sets.groupBy(col(groupCol)).agg(count(lit(1)).as("n_sh"))
-      val inter = sets.as("ia").join(sets.as("ib"),
-          col("ia.h") === col("ib.h") &&
-            col(s"ia.$groupCol") < col(s"ib.$groupCol"))
-        .groupBy(col(s"ia.$groupCol").as("ga"), col(s"ib.$groupCol").as("gb"))
-        .agg(count(lit(1)).as("n_inter"))
-      estimated
-        .join(broadcast(sizes.as("na")), col("ga") === col(s"na.$groupCol"))
-        .join(broadcast(sizes.as("nb")), col("gb") === col(s"nb.$groupCol"))
-        .join(broadcast(inter), Seq("ga", "gb"), "left")
-        .select(col("ga"), col("gb"), col("sig_matches"),
+    grounding match {
+      case NoGrounding =>
+        estimated.select(col("ga"), col("gb"), col("sig_matches"),
           (col("sig_matches").cast("double") / k).as("est_jaccard"),
-          (coalesce(col("n_inter"), lit(0L)).cast("double")
-            / (col("na.n_sh") + col("nb.n_sh")
-              - coalesce(col("n_inter"), lit(0L)))).as("exact_jaccard"))
+          lit(null).cast("double").as("exact_jaccard"))
+      case g =>
+        val exploded = s.select(col(groupCol), explode(col("hs")).as("h"))
+        val (universe, outCol) = g match {
+          case SampledGrounding(num, denom) =>
+            // map-side coin BEFORE the distinct: the grounding
+            // shuffle and self-join never see unsampled shingles
+            (exploded.filter(
+              pmod(TextFunctions.hash60(col("h").cast("string")),
+                lit(denom.toLong)) < num), "sampled_jaccard")
+          case _ => (exploded, "exact_jaccard")
+        }
+        val sets = universe.distinct()
+        val sizes = sets.groupBy(col(groupCol)).agg(count(lit(1)).as("n_sh"))
+        val inter = sets.as("ia").join(sets.as("ib"),
+            col("ia.h") === col("ib.h") &&
+              col(s"ia.$groupCol") < col(s"ib.$groupCol"))
+          .groupBy(col(s"ia.$groupCol").as("ga"), col(s"ib.$groupCol").as("gb"))
+          .agg(count(lit(1)).as("n_inter"))
+        val ni = coalesce(col("n_inter"), lit(0L))
+        val union = col("na.n_sh") + col("nb.n_sh") - ni
+        estimated
+          .join(broadcast(sizes.as("na")), col("ga") === col(s"na.$groupCol"))
+          .join(broadcast(sizes.as("nb")), col("gb") === col(s"nb.$groupCol"))
+          .join(broadcast(inter), Seq("ga", "gb"), "left")
+          .select(col("ga"), col("gb"), col("sig_matches"),
+            (col("sig_matches").cast("double") / k).as("est_jaccard"),
+            // a pair whose SAMPLED union is empty grounds nothing:
+            // null, not a 0/0 NaN the oracle can't reproduce
+            when(union === 0, lit(null).cast("double"))
+              .otherwise(ni.cast("double") / union).as(outCol))
     }
   }
 }

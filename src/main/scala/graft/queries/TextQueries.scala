@@ -297,7 +297,7 @@ object TextQueries {
   private def q102(s: SparkSession, dir: String): DataFrame =
     graft.operators.Dedup.groupMinhashJaccard(Tables.documents(s, dir),
         groupCol = "lang", idCol = "doc_id", textCol = "text",
-        k = 16, shingleN = 3, exact = true)
+        k = 16, shingleN = 3, grounding = graft.operators.Dedup.ExactGrounding)
       .orderBy(col("ga"), col("gb"))
   private val q102Sql = {
     import graft.operators.Dedup.{minhashPermA, minhashPermB, MinhashPrime}
@@ -1053,10 +1053,56 @@ object TextQueries {
       |FROM st
       |ORDER BY media_id""".stripMargin
 
+  // q120 — q102's group-signature estimate grounded on a DETERMINISTIC
+  // 1/4 hash-coin sample of the shingle space (Dedup.SampledGrounding):
+  // the grounding distinct+self-join touch only sampled shingles, so
+  // the corpus-linear cost of exact grounding shrinks by the coin rate
+  // (1/1000 at 100 TB), while the estimate stays unbiased — the SAME
+  // shingles are kept in every group. The oracle replays the coin
+  // (hash60 of the shingle's decimal string) exactly.
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.groupMinhashJaccard(Tables.documents(s, dir),
+        groupCol = "lang", idCol = "doc_id", textCol = "text",
+        k = 16, shingleN = 3,
+        grounding = graft.operators.Dedup.SampledGrounding(1, 4))
+      .orderBy(col("ga"), col("gb"))
+  private val q120Sql = {
+    import graft.operators.Dedup.{minhashPermA, minhashPermB, MinhashPrime}
+    val mh = (0 until 16).map(j =>
+      s"min((${minhashPermA(j)} * h + ${minhashPermB(j)}) % $MinhashPrime) AS mh$j")
+      .mkString(",\n  ")
+    val matchTerms = (0 until 16).map(j =>
+      s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, lang, $dTokens AS toks FROM documents),
+      |th AS (SELECT doc_id, lang,
+      |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM t),
+      |hb AS (SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(1, len(th) - 1),
+      |    i -> ((((th[i] * 65599 + th[i+1]) % 4294967311) * 65599 + th[i+2]) % 4294967311) % 4294967296)) AS hs
+      |  FROM th),
+      |s AS (SELECT DISTINCT lang, unnest(hs) AS h FROM hb WHERE len(hs) > 0),
+      |ss AS (SELECT lang, h FROM s
+      |       WHERE ${dHash("CAST(h AS VARCHAR)")} % 4 < 1),
+      |sig AS (SELECT lang, $mh FROM s GROUP BY lang),
+      |n AS (SELECT lang, COUNT(*) AS n_sh FROM ss GROUP BY lang),
+      |i AS (SELECT a.lang AS ga, b.lang AS gb, COUNT(*) AS ni
+      |      FROM ss a JOIN ss b ON a.h = b.h AND a.lang < b.lang GROUP BY 1, 2)
+      |SELECT a.lang AS ga, b.lang AS gb,
+      |  CAST($matchTerms AS BIGINT) AS sig_matches,
+      |  CAST($matchTerms AS DOUBLE) / 16 AS est_jaccard,
+      |  CAST(COALESCE(i.ni, 0) AS DOUBLE)
+      |    / (na.n_sh + nb.n_sh - COALESCE(i.ni, 0)) AS sampled_jaccard
+      |FROM sig a JOIN sig b ON a.lang < b.lang
+      |JOIN n na ON na.lang = a.lang JOIN n nb ON nb.lang = b.lang
+      |LEFT JOIN i ON i.ga = a.lang AND i.gb = b.lang
+      |ORDER BY ga, gb""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q108_av_containers", q108, Some(q108Sql)),
     QueryDef("q116_compressed_audio", q116, Some(q116Sql)),
     QueryDef("q119_vbr_audio", q119, Some(q119Sql)),
+    QueryDef("q120_sampled_grounding", q120, Some(q120Sql)),
     QueryDef("q114_frame_sample_probed", q114, Some(q114Sql)),
     QueryDef("q115_frame_sample_exact", q115, Some(q115Sql)),
     QueryDef("q111_image_stats", q111, Some(q111Sql)),

@@ -107,6 +107,30 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(Multimodal.tryDecodeMp3("not an mp3".getBytes).isEmpty)
   }
 
+  test("sampled grounding tracks exact group Jaccard at sf0.01, deterministically") {
+    import graft.operators.Dedup
+    val spark = Sessions.local(4)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def collectPairs(grounding: Dedup.Grounding, valueCol: String) =
+      Dedup.groupMinhashJaccard(docs, "lang", "doc_id", "text",
+          k = 16, shingleN = 3, grounding = grounding)
+        .select("ga", "gb", valueCol).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+
+    val exact = collectPairs(Dedup.ExactGrounding, "exact_jaccard")
+    val sampled = collectPairs(Dedup.SampledGrounding(1, 4), "sampled_jaccard")
+    assert(exact.keySet == sampled.keySet, "same group pairs in both modes")
+    assert(exact.nonEmpty)
+    exact.foreach { case (pair, ej) =>
+      val sj = sampled(pair)
+      assert(math.abs(sj - ej) <= 0.05,
+        s"$pair: sampled $sj strays from exact $ej beyond the 1/4-coin envelope")
+    }
+    // the coin is content-hashed: a re-run grounds to the SAME values
+    val again = collectPairs(Dedup.SampledGrounding(1, 4), "sampled_jaccard")
+    assert(again == sampled, "sampled grounding must be deterministic")
+  }
+
   private def indexOfAscii(bytes: Array[Byte], s: String): Int = {
     val t = s.getBytes("US-ASCII")
     val i = bytes.indices.indexWhere(i => i + t.length <= bytes.length &&
