@@ -107,7 +107,7 @@ object Bench {
     * q22 drift pattern) plus an explicit GC so heap pressure from a
     * checkpoint-heavy neighbor (q20/q30/q63) is paid BEFORE t0, not
     * during the measured run. */
-  private def isolate(spark: SparkSession): Unit = {
+  private[graft] def isolate(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))

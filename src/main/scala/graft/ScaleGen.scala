@@ -31,7 +31,10 @@ import org.apache.spark.sql.functions._
   * is a property of this synthetic distribution, not of the plan;
   * SCALE.md reads the time-vs-output ratio instead for that query.
   *
-  * Usage: runMain graft.ScaleGen <srcDir> <destDir> <copies>
+  * Usage: runMain graft.ScaleGen <srcDir> <destDir> <copies> [tables]
+  * `tables` (comma-separated, optional) restricts the copy to the
+  * named tables — a 100× documents-only corpus for a single-query
+  * spot-check doesn't need 100× lineitem written alongside it.
   */
 object ScaleGen {
 
@@ -46,16 +49,22 @@ object ScaleGen {
     "embeddings" -> Seq("vec_id"))
 
   private val rotAlphabet = "aeiousnrtl"
+  // second, DISJOINT rotation alphabet: copy i rotates rotAlphabet by
+  // i%10 and rotAlphabet2 by (i/10)%10 — 100 distinct composed
+  // mappings, so 100× runs keep the no-cross-copy-near-dup guarantee
+  // the single 10-char alphabet could only give 10 copies
+  private val rotAlphabet2 = "cdhmpgbfwy"
 
   private def mutate(table: String, df: DataFrame, i: Int): DataFrame = {
     val shifted = keyCols(table).foldLeft(df) { (d, k) =>
       d.withColumn(k, (col(k) + lit(i * 100000000L)).cast(d.schema(k).dataType))
     }
+    def rot(a: String, by: Int) = a.drop(by % a.length) + a.take(by % a.length)
     if (table == "documents" && i > 0)
       shifted.withColumn("text",
-        translate(col("text"), rotAlphabet,
-          rotAlphabet.drop(i % rotAlphabet.length) +
-            rotAlphabet.take(i % rotAlphabet.length)))
+        translate(
+          translate(col("text"), rotAlphabet, rot(rotAlphabet, i % 10)),
+          rotAlphabet2, rot(rotAlphabet2, (i / 10) % 10)))
     else if (table == "embeddings" && i > 0) {
       // orthogonal decorrelation: out[j] = ±emb[(j + 7i) mod d] with
       // (i,j)-derived signs — same transform for every row of copy i,
@@ -77,15 +86,16 @@ object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val (src, dest, copies) = (args(0), args(1), args(2).toInt)
-    // one distinct rotation per copy: past rotAlphabet.length the
-    // mapping repeats (i % len), copies i and i+len get byte-identical
-    // text, and the cross-copy near-dup explosion this generator exists
-    // to prevent comes back silently
-    require(copies >= 1 && copies <= rotAlphabet.length,
-      s"copies=$copies out of range 1..${rotAlphabet.length} (distinct text rotations)")
+    // one distinct composed rotation per copy: past 100 the mapping
+    // repeats, copies i and i+100 get byte-identical text, and the
+    // cross-copy near-dup explosion this generator exists to prevent
+    // comes back silently
+    require(copies >= 1 && copies <= 100,
+      s"copies=$copies out of range 1..100 (distinct text rotations)")
+    val only = args.lift(3).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = Sessions.local(cpus)
-    Tables.names.foreach { t =>
+    Tables.names.filter(t => only.forall(_.contains(t))).foreach { t =>
       val base = spark.read.parquet(s"$src/$t.parquet")
       val out =
         if (!keyCols.contains(t)) base
