@@ -131,6 +131,26 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(again == sampled, "sampled grounding must be deterministic")
   }
 
+  test("sampled grounding MEASURABLY shrinks the grounding shuffle vs exact") {
+    import graft.operators.Dedup
+    val spark = Sessions.local(4)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    def shuffled(g: Dedup.Grounding): Long = {
+      val (_, m) = Metrics.capture(spark) {
+        Dedup.groupMinhashJaccard(docs, "lang", "doc_id", "text",
+          k = 16, shingleN = 3, grounding = g).collect()
+      }
+      m.shuffleWriteBytes
+    }
+    val exact = shuffled(Dedup.ExactGrounding)
+    val sampled = shuffled(Dedup.SampledGrounding(1, 4))
+    // both runs share the signature aggregation; the delta is the
+    // grounding distinct+join, which the 1/4 coin must cut — measured
+    // bytes, not a plan-string promise
+    assert(sampled < exact * 7 / 10,
+      s"sampled grounding shuffled $sampled B vs exact $exact B")
+  }
+
   private def indexOfAscii(bytes: Array[Byte], s: String): Int = {
     val t = s.getBytes("US-ASCII")
     val i = bytes.indices.indexWhere(i => i + t.length <= bytes.length &&
