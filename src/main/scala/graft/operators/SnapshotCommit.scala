@@ -204,6 +204,17 @@ object SnapshotCommit {
         val out = fs.create(tmp, true)
         try out.write(dataName.getBytes("UTF-8")) finally out.close()
         val target = new Path(commits, version.toString)
+        // CAS must see PUT-mode commits too: without this check a
+        // rename-mode CAS writer racing a put-mode committer would
+        // publish a plain manifest that takes READ precedence over
+        // the existing entries — exactly the clobber CAS exists to
+        // refuse. (replaceExisting = true over entries is fine: the
+        // plain manifest supersedes by precedence, last writer wins.)
+        if (!replaceExisting && entriesOf(fs, commits, version).nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"version $version already committed (put-mode) under $root; " +
+              "a concurrent writer advanced the table — re-resolve latest() " +
+              "and retry")
         if (fs.exists(target)) {
           if (!replaceExisting)
             throw new java.util.ConcurrentModificationException(
@@ -372,9 +383,16 @@ object SnapshotCommit {
     val commits = commitsDir(root)
     val fs = fsOf(spark, commits)
     val keptDirs = keep.map(v => new Path(dataPath(spark, root, v)).getName).toSet
+    // one listing for every dropped version's entries (the same
+    // O(V·N) LIST concern versions() had)
+    val dropEntries =
+      if (drop.nonEmpty && fs.exists(commits))
+        entriesByVersion(fs.listStatus(commits).toSeq.map(_.getPath))
+      else Map.empty[Long, Seq[(Long, Path)]]
     drop.foreach { v =>
       fs.delete(new Path(commits, v.toString), false)
-      entriesOf(fs, commits, v).foreach { case (_, p) => fs.delete(p, false) }
+      dropEntries.getOrElse(v, Seq.empty).foreach {
+        case (_, p) => fs.delete(p, false) }
     }
     // crashed rename-mode writers leak staged `.tmp-*` manifests in
     // _commits forever (nothing else references them); sweep the ones

@@ -395,6 +395,21 @@ class SnapshotCommitSpec extends AnyFunSuite {
     assert(names.count(_.startsWith("0.")) == 1, names.mkString(","))
   }
 
+  test("rename-mode CAS sees put-mode commits (no cross-mode clobber)") {
+    // Without the cross-mode check, a rename-mode CAS writer racing a
+    // put-mode committer publishes a plain manifest that takes READ
+    // precedence over the entries — the exact clobber CAS refuses.
+    val root = newRoot()
+    SnapshotCommit.write(Seq((1L, "put")).toDF("id", "v"), root, 0L,
+      mode = PutIfAbsentCommit)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotCommit.write(Seq((2L, "rename-cas")).toDF("id", "v"), root, 0L,
+        replaceExisting = false, mode = SnapshotCommit.RenameCommit)
+    }
+    assert(SnapshotCommit.read(spark, root, 0L)
+      .as[(Long, String)].collect().toSeq == Seq((1L, "put")))
+  }
+
   test("put-mode retry over a rename-committed version supersedes the plain manifest") {
     // Round-6 advisory (medium): dataPath prefers the plain manifest,
     // so without the supersede a put-mode retry would be silently
