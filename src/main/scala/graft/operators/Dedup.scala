@@ -42,6 +42,77 @@ object Dedup {
         count(lit(1)).over(byHash).as("group_size"))
   }
 
+  /** Substring-level dedup: per-document duplicated-SPAN statistics at
+    * word-`gramN` granularity — the third dedup granularity after
+    * document-exact ([[exactGroups]]) and document-near
+    * ([[minhashLshPairs]]). A gram (n-token window) is *duplicated*
+    * when the same token sequence appears in MORE THAN ONE document;
+    * every position whose gram is duplicated covers its n tokens, and
+    * overlapping covered windows merge into spans. Returns one row per
+    * input document:
+    * `(id, n_tokens, n_dup_grams, covered_tokens, dup_fraction)` —
+    * `covered_tokens` is the length of the union of duplicated
+    * windows, `dup_fraction = covered_tokens / n_tokens`. Docs shorter
+    * than `gramN` tokens report zero dup stats (they have no grams).
+    *
+    * Grams are compared by the 32-bit rolling hash of
+    * [[TextFunctions.gramHashes]] (same fold the MinHash shingles
+    * use); collisions at 2^-32 per distinct-gram pair conflate
+    * unrelated grams — immaterial at these densities, and the oracle
+    * mirrors the same hash. Within-document repetition alone does NOT
+    * mark a gram duplicated (self-repetition is a fluency signal, not
+    * contamination); it does count once per occurrence in
+    * `n_dup_grams` when the gram also appears elsewhere.
+    *
+    * Scale (100 TB): three linear shuffles and no pair product —
+    * (1) posexplode to (id, pos, gramHash): corpus-linear, map-side;
+    * (2) the duplicated-gram set: groupBy gramHash with a distinct-id
+    *     count, partial-aggregated map-side, emitting only hashes seen
+    *     in >1 doc (a tiny fraction of the gram universe);
+    * (3) positions ⋈ duplicated-hashes on gramHash (both sides
+    *     hash-partitioned by the join key), then one shuffle by id for
+    *     the running-max interval merge. This is the suffix-array-free
+    *     formulation of exact-substring dedup: a duplicated span of
+    *     length L ≥ gramN is exactly a run of duplicated grams, so
+    *     span recall is complete above the gram size. */
+  def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
+      gramN: Int): DataFrame = {
+    require(gramN >= 1, s"gramN must be >= 1, got $gramN")
+    val base = df.select(col(idCol),
+      gramHashes(tokens(col(textCol)), gramN).as("gh_arr"))
+    val grams = base.select(col(idCol),
+      posexplode(col("gh_arr")).as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("gh"))
+    val dupPos = grams.join(dupGrams, "gh")
+    // Interval merge per doc: sorted by pos, a window's fresh
+    // contribution is its end minus the running max end of everything
+    // before it (clamped at the window's own start — disjoint
+    // predecessors contribute nothing to the overlap).
+    val before = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val endCol = col("pos") + lit(gramN - 1)
+    val perDoc = dupPos
+      .withColumn("prev_end", max(endCol).over(before))
+      .withColumn("contrib",
+        greatest(lit(0),
+          endCol - greatest(coalesce(col("prev_end"), lit(-1)), col("pos") - 1)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(col("contrib")).cast("long").as("covered_tokens"))
+    df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_fraction"))
+  }
+
   /** Materialization barrier for a frame that is re-read several times
     * and must NOT be re-derived (see [[withShingleSignatures]]).
     *  - `stagingDir = None` (default): `localCheckpoint` — blocks live

@@ -58,13 +58,22 @@ object TextFunctions {
     * 64-bit in both engines: acc < P < 2^33, acc*65599 < 2^50.
     * DuckDB mirror (n = 3):
     * `((((th[i]*65599 + th[i+1]) % P) * 65599 + th[i+2]) % P) % 4294967296`. */
-  def hashedShingles(toks: Column, n: Int): Column = {
+  def hashedShingles(toks: Column, n: Int): Column =
+    array_distinct(gramHashes(toks, n))
+
+  /** Positional variant of [[hashedShingles]]: the same rolling-fold
+    * gram hashes WITHOUT the distinct, in token order — element `i`
+    * (0-based) is the hash of the n-gram starting at token `i`.
+    * Substring-level dedup needs every OCCURRENCE (position), not the
+    * set: the set answers "do these documents share content", the
+    * positions answer "which spans of this document are duplicated". */
+  def gramHashes(toks: Column, n: Int): Column = {
     val th = transform(toks, t => hash60(t) % 4294967296L)
     val m = greatest(size(th) - (n - 1), lit(0))
     val shifted = (0 until n).map(j => slice(th, lit(j + 1), m))
     val combined = shifted.reduce((acc, nxt) =>
       zip_with(acc, nxt, (a, b) => pmod(a * 65599L + b, lit(4294967311L))))
-    array_distinct(transform(combined, h => h % 4294967296L))
+    transform(combined, h => h % 4294967296L)
   }
 
   /** Rolling polynomial fingerprint over token hashes:

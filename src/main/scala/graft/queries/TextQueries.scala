@@ -1098,7 +1098,49 @@ object TextQueries {
       |ORDER BY ga, gb""".stripMargin
   }
 
+  // q121 — substring-level dedup: per-doc duplicated 5-gram span
+  // coverage (Dedup.substringDupSpans). The third dedup granularity:
+  // q29 removes byte-identical documents, q30 near-identical ones —
+  // this one measures how much of each SURVIVING document is built
+  // from token spans that also appear in other documents (boilerplate,
+  // quoted blocks, templates), which is what span-level contamination
+  // filters act on. Three linear shuffles, no pair product; the
+  // DuckDB oracle replays the rolling 5-gram hash and the running-max
+  // interval merge exactly.
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.substringDupSpans(
+        Tables.documents(s, dir), "doc_id", "text", gramN = 5)
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+      .orderBy(col("doc_id"))
+  private val q121Sql = {
+    // rolling fold over 5 token hashes, mirroring gramHashes(_, 5)
+    val gh = (2 to 5).foldLeft("th[i]") { (acc, j) =>
+      s"(($acc * 65599 + th[i+${j - 1}]) % 4294967311)"
+    } + " % 4294967296"
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |th AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM t),
+      |g AS (SELECT doc_id, i AS pos, $gh AS gh
+      |      FROM th, UNNEST(generate_series(1, greatest(len(th) - 4, 0))) AS u(i)),
+      |d AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) > 1),
+      |p AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)),
+      |m AS (SELECT doc_id, pos,
+      |  max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM p),
+      |c AS (SELECT doc_id, COUNT(*) AS n_dup_grams,
+      |  SUM(greatest(0, pos + 4 - greatest(COALESCE(prev_end, -1), pos - 1))) AS covered_tokens
+      |  FROM m GROUP BY doc_id)
+      |SELECT th.doc_id, th.n_tokens,
+      |  COALESCE(c.n_dup_grams, 0) AS n_dup_grams,
+      |  CAST(COALESCE(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+      |  CASE WHEN th.n_tokens > 0
+      |    THEN CAST(COALESCE(c.covered_tokens, 0) AS DOUBLE) / th.n_tokens
+      |    ELSE 0.0 END AS dup_fraction
+      |FROM th LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q121_substring_dedup", q121, Some(q121Sql)),
     QueryDef("q108_av_containers", q108, Some(q108Sql)),
     QueryDef("q116_compressed_audio", q116, Some(q116Sql)),
     QueryDef("q119_vbr_audio", q119, Some(q119Sql)),
