@@ -210,7 +210,17 @@ object WindowQueries {
     * into a memory sink, delete the staging, and return the real
     * (sentinel-free) rows ordered for the oracle. */
   private def streamedIntervalGate(s: SparkSession, dir: String,
-      tag: String)(join: DataFrame => DataFrame): DataFrame = {
+      tag: String)(join: DataFrame => DataFrame): DataFrame =
+    streamedGate(s, dir, tag)(join)(
+      _.filter(col("user_id") >= 0).orderBy(col("a_id"), col("b_id")))
+
+  /** The staging machinery of [[streamedIntervalGate]] with the final
+    * projection/order left to the caller (`finish` — must also drop
+    * the sentinel's `user_id < 0` rows): shared by the interval-join
+    * gates (q117/q118) and the streamed-dedup gate (q122). */
+  private def streamedGate(s: SparkSession, dir: String,
+      tag: String)(xform: DataFrame => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     val slice = Tables.events(s, dir).filter(col("user_id") < 40)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -244,7 +254,7 @@ object WindowQueries {
     }
     val stream = s.readStream.schema(slice.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
-    val joined = join(stream)
+    val joined = xform(stream)
     val sink = tag + "_" + java.util.UUID.randomUUID().toString.take(8)
     // The stream's state-store count is pinned at start from
     // spark.sql.shuffle.partitions: at 32, every micro-batch pays 32
@@ -264,8 +274,7 @@ object WindowQueries {
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    s.table(sink).filter(col("user_id") >= 0)
-      .orderBy(col("a_id"), col("b_id"))
+    finish(s.table(sink))
   }
 
   private def q117(s: SparkSession, dir: String): DataFrame =
@@ -308,6 +317,40 @@ object WindowQueries {
       | AND epoch_us(b.ts) >= epoch_us(a.ts)
       | AND epoch_us(b.ts) <= epoch_us(a.ts) + 1800000000
       |ORDER BY a_id, b_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q122 — STREAMING exact dedup under the gate: ingest-side
+  // `dropDuplicatesWithinWatermark` — the stateful dedup a 100 TB
+  // pipeline runs at the front door, with state TTL'd by the
+  // watermark instead of growing with the corpus (plain
+  // `dropDuplicates` on a stream retains every key forever).
+  //
+  // Within-watermark dedup is only exact when no key can recur AFTER
+  // its state expired. Here that is provable: the dedup key includes
+  // the event's civil DAY, so two occurrences of one key are < 24 h
+  // apart in event time; state expires when the watermark passes
+  // first_seen_ts + delay, the watermark entering any batch is at
+  // most that batch's minimum staged timestamp (files are staged in
+  // strict time order) minus the delay, so with delay = 1 day the
+  // expiry needs a 48 h event-time gap — impossible within a day.
+  // Streamed output therefore equals batch DISTINCT (user, type, day)
+  // exactly, which is what the oracle checks. The sentinel's far-
+  // future keys advance the watermark to flush all state before stop
+  // and are dropped by `finish`.
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    streamedGate(s, dir, "q122")(stream =>
+      stream
+        .withColumn("day", to_date(col("ts")))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+        .select(col("user_id"), col("event_type"), col("day")))(
+      _.filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_type"), col("day")))
+  private val q122Sql =
+    """SELECT user_id, event_type, CAST(ts AS DATE) AS day
+      |FROM events WHERE user_id < 40
+      |GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, day""".stripMargin
 
   // ---------------------------------------------------------------
   // q99 — ratio-to-report: each nation's share of its REGION's revenue
@@ -398,6 +441,7 @@ object WindowQueries {
     QueryDef("q113_interval_full_join", q113, Some(q113Sql)),
     QueryDef("q117_interval_join_streamed", q117, Some(q117Sql)),
     QueryDef("q118_interval_left_streamed", q118, Some(q118Sql)),
+    QueryDef("q122_streamed_dedup", q122, Some(q122Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }
