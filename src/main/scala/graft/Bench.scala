@@ -50,9 +50,11 @@ object Bench {
     "q115_frame_sample_exact", "q116_compressed_audio",
     "q117_interval_join_streamed",
     // round-7 tail: VBR-header audio probe, sampled signature
-    // grounding, streamed left-outer twin
+    // grounding, streamed left-outer twin, substring-level dedup,
+    // streamed watermark-TTL'd dedup
     "q119_vbr_audio", "q120_sampled_grounding",
-    "q118_interval_left_streamed")
+    "q118_interval_left_streamed", "q121_substring_dedup",
+    "q122_streamed_dedup")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -361,7 +363,7 @@ object Bench {
     //    rcm_pipeline, same rationale.
     val totalExcludes = Seq(
       "rcm_pipeline", "q117_interval_join_streamed",
-      "q118_interval_left_streamed")
+      "q118_interval_left_streamed", "q122_streamed_dedup")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

@@ -319,9 +319,10 @@ object WindowQueries {
       |ORDER BY a_id, b_id""".stripMargin
 
   // ---------------------------------------------------------------
-  // q122 — STREAMING exact dedup under the gate: ingest-side
-  // `dropDuplicatesWithinWatermark` — the stateful dedup a 100 TB
-  // pipeline runs at the front door, with state TTL'd by the
+  // q122 — STREAMING exact dedup under the gate:
+  // `EventStream.dedupedStream` (previously exercised only in
+  // EventStreamSpec) run as a real stream — the stateful dedup a
+  // 100 TB pipeline runs at the front door, with state TTL'd by the
   // watermark instead of growing with the corpus (plain
   // `dropDuplicates` on a stream retains every key forever).
   //
@@ -339,10 +340,9 @@ object WindowQueries {
   // and are dropped by `finish`.
   private def q122(s: SparkSession, dir: String): DataFrame =
     streamedGate(s, dir, "q122")(stream =>
-      stream
-        .withColumn("day", to_date(col("ts")))
-        .withWatermark("ts", "1 day")
-        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      graft.streaming.EventStream.dedupedStream(
+          stream.withColumn("day", to_date(col("ts"))),
+          watermark = "1 day", idCols = Seq("user_id", "event_type", "day"))
         .select(col("user_id"), col("event_type"), col("day")))(
       _.filter(col("user_id") >= 0)
         .orderBy(col("user_id"), col("event_type"), col("day")))

@@ -383,6 +383,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)  // top-k stays partial group-limit
   }
 
+  test("q121: substring dedup is shuffle-linear — no pair product, partial-agg gram count") {
+    val p = planOf("q121_substring_dedup")
+    // the duplicated-gram set must come from a partial-aggregated
+    // groupBy on the gram hash, and positions join it on that same
+    // hash — never any document-pair product
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count(distinct"), p) // map-side combine on gh
+    assert(p.contains("Generate posexplode"), p)    // corpus-linear gram explode
+  }
+
   test("q95: ONE exact-percentile aggregate computes every boundary (array form)") {
     val p = planOf("q95_quantile_bins")
     // nine separate percentile aggs would buffer the column nine times;
