@@ -51,10 +51,10 @@ object Bench {
     "q117_interval_join_streamed",
     // round-7 tail: VBR-header audio probe, sampled signature
     // grounding, streamed left-outer twin, substring-level dedup,
-    // streamed watermark-TTL'd dedup
+    // streamed watermark-TTL'd dedup, semantic (SemDeDup) dedup
     "q119_vbr_audio", "q120_sampled_grounding",
     "q118_interval_left_streamed", "q121_substring_dedup",
-    "q122_streamed_dedup")
+    "q122_streamed_dedup", "q123_semantic_dedup")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

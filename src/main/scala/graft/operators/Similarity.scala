@@ -275,6 +275,40 @@ object Similarity {
       .select(col(bucketCol), col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Semantic dedup over embeddings (the SemDeDup recipe, Abbas et
+    * al. 2023, arXiv:2303.09540): cluster the corpus by nearest
+    * centroid, compare vectors ONLY within a cluster, and drop the
+    * larger id of every pair whose cosine exceeds `threshold`.
+    * Returns one row per corpus vector:
+    * `(id, centroid_id, dropped)` — survivors are `dropped = false`.
+    *
+    * Composition of two existing primitives: [[ivfAssign]] (zero-
+    * shuffle broadcast-argmax bucketing) feeds
+    * [[cosineNearDupPairs]] (bucket-bounded pair verification), so
+    * the only corpus-sized shuffles are the pair join's partition on
+    * `centroid_id` and the final survivor join on the id.
+    *
+    * Scale (100 TB): within-cluster pairing costs Σ|cluster|² — the
+    * SemDeDup design point is choosing k ∝ corpus size so the mean
+    * cluster stays constant-sized and the total stays linear. The
+    * failure mode is cluster-size skew (one hot cluster goes
+    * quadratic); monitor the largest cluster via [[ivfAssign]]'s
+    * inverted-list stats (q51) and split hot clusters with a finer
+    * centroid set before pairing — never raise the pair join onto an
+    * unbucketed corpus. */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    val dropped = cosineNearDupPairs(
+        assigned, idCol, vecCol, "centroid_id", threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        coalesce(col("__dropped"), lit(false)).as("dropped"))
+  }
+
   // ---- random-hyperplane (sign-projection) LSH ---------------------
 
   /** Driver-side twin of [[graft.operators.TextFunctions.hash60]] for

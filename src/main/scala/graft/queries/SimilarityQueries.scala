@@ -298,7 +298,39 @@ object SimilarityQueries {
       |    / (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) > 0.30
       |ORDER BY id_a, id_b""".stripMargin
 
+  // q123 — semantic dedup (SemDeDup): centroid-clustered cosine
+  // near-dup removal over embeddings — the learned-cluster sibling of
+  // q91's random-hyperplane bucketing (clusters adapt to the data;
+  // planes don't). Centroids = vectors 0..7 as in q51/q52, pairs
+  // compared only within a cluster, larger id of any pair with
+  // cosine > 0.35 dropped. Verdict per vector, so the oracle checks
+  // the full keep/drop partition, not just counts.
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.semanticDedup(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", threshold = 0.35)
+      .orderBy(col("vec_id"))
+  }
+  private val q123Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |assign AS (SELECT vec_id, cid FROM (
+      |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    list_inner_product(e.v, cv) / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cv, cv))) DESC,
+      |    c.cid) AS rn
+      |  FROM e CROSS JOIN c) WHERE rn = 1),
+      |drops AS (SELECT DISTINCT b.vec_id
+      |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+      |  WHERE list_inner_product(ea.v, eb.v)
+      |    / (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) > 0.35)
+      |SELECT assign.vec_id, assign.cid AS centroid_id,
+      |  (drops.vec_id IS NOT NULL) AS dropped
+      |FROM assign LEFT JOIN drops ON drops.vec_id = assign.vec_id
+      |ORDER BY assign.vec_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q123_semantic_dedup", q123, Some(q123Sql)),
     QueryDef("q34_ann_brute_force", q34, Some(q34Sql)),
     QueryDef("q75_quantize_int8", q75, Some(q75Sql)),
     QueryDef("q91_rp_lsh_neardup", q91, Some(q91Sql)),

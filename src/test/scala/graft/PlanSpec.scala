@@ -393,6 +393,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate posexplode"), p)    // corpus-linear gram explode
   }
 
+  test("q123: semantic dedup pairs only within clusters — a keyed join, no corpus product") {
+    val p = planOf("q123_semantic_dedup")
+    // the only nested-loop joins are the broadcast single-row centroid
+    // arrays (ivfAssign); the pair stage must key on centroid_id
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("centroid_id"), p)
+  }
+
   test("q95: ONE exact-percentile aggregate computes every boundary (array form)") {
     val p = planOf("q95_quantile_bins")
     // nine separate percentile aggs would buffer the column nine times;

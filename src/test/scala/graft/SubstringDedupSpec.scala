@@ -50,6 +50,39 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(m(2L) == ((5, 1L, 5L, 1.0)))
   }
 
+  test("matches a brute-force reference on seeded random corpora") {
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 3
+      val docs = (1L to 25L).map { id =>
+        val len = rnd.nextInt(13) // 0..12 tokens from a 6-word alphabet
+        id -> Seq.fill(len)(s"t${rnd.nextInt(6)}").mkString(" ")
+      }
+      // reference: gram STRING -> owning docs; then per-doc interval merge
+      val grams = docs.map { case (id, text) =>
+        id -> text.split("\\s+").filter(_.nonEmpty).sliding(n).toSeq
+          .filter(_.length == n).map(_.mkString(" "))
+      }.toMap
+      val owners = grams.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+        .groupMap(_._1)(_._2).view.mapValues(_.distinct.size).toMap
+      val expect = docs.map { case (id, text) =>
+        val gs = grams(id)
+        val dupPos = gs.zipWithIndex.collect {
+          case (g, p) if owners(g) > 1 => p }
+        val covered = dupPos.foldLeft((0L, -1)) { case ((acc, hi), p) =>
+          (acc + math.max(0, p + n - 1 - math.max(hi, p - 1)), math.max(hi, p + n - 1))
+        }._1
+        id -> ((text.split("\\s+").count(_.nonEmpty), dupPos.size.toLong, covered))
+      }.toMap
+      val got = run(docs, n)
+      expect.foreach { case (id, (nt, nd, cov)) =>
+        val (gnt, gnd, gcov, _) = got(id)
+        assert((gnt, gnd, gcov) == ((nt, nd, cov)),
+          s"seed=$seed doc=$id expect ($nt,$nd,$cov) got ($gnt,$gnd,$gcov)")
+      }
+    }
+  }
+
   test("corpus invariants: coverage bounded, zero-dup consistency") {
     val out = Dedup.substringDupSpans(
       Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", 5)
