@@ -76,12 +76,22 @@ object Dedup {
     *     length L ≥ gramN is exactly a run of duplicated grams, so
     *     span recall is complete above the gram size. */
   def substringDupSpans(df: DataFrame, idCol: String, textCol: String,
-      gramN: Int): DataFrame = {
+      gramN: Int, stagingDir: Option[String] = None): DataFrame = {
     require(gramN >= 1, s"gramN must be >= 1, got $gramN")
     val base = df.select(col(idCol),
       gramHashes(tokens(col(textCol)), gramN).as("gh_arr"))
-    val grams = base.select(col(idCol),
+    // The gram frame feeds BOTH the duplicated-gram aggregate and the
+    // position join. Default: re-derive it on each side — two corpus
+    // tokenize+explode passes, zero staging I/O (the right call while
+    // scans are cheap relative to writing the (id, pos, gh) frame,
+    // which is ~3× the text bytes). At production scale, when corpus
+    // passes dominate, pass `stagingDir` to tokenize ONCE and stage
+    // through parquet — the same barrier contract as
+    // [[minhashSignatures]] ([[materialize]]).
+    val grams0 = base.select(col(idCol),
       posexplode(col("gh_arr")).as(Seq("pos", "gh")))
+    val grams =
+      if (stagingDir.isDefined) materialize(grams0, stagingDir) else grams0
     val dupGrams = grams.groupBy(col("gh"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") > 1)
