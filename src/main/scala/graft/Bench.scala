@@ -54,7 +54,8 @@ object Bench {
     // streamed watermark-TTL'd dedup, semantic (SemDeDup) dedup
     "q119_vbr_audio", "q120_sampled_grounding",
     "q118_interval_left_streamed", "q121_substring_dedup",
-    "q122_streamed_dedup", "q123_semantic_dedup")
+    "q122_streamed_dedup", "q123_semantic_dedup",
+    "q124_sessionize_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -363,7 +364,8 @@ object Bench {
     //    rcm_pipeline, same rationale.
     val totalExcludes = Seq(
       "rcm_pipeline", "q117_interval_join_streamed",
-      "q118_interval_left_streamed", "q122_streamed_dedup")
+      "q118_interval_left_streamed", "q122_streamed_dedup",
+      "q124_sessionize_streamed")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

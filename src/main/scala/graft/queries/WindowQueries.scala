@@ -353,6 +353,58 @@ object WindowQueries {
       |ORDER BY user_id, event_type, day""".stripMargin
 
   // ---------------------------------------------------------------
+  // q124 — STREAMING sessionization under the gate: the
+  // `flatMapGroupsWithState` session machine (EventStream.sessionize,
+  // previously exercised only in EventStreamSpec) run as a real
+  // rate-limited stream, checked against the batch q22 semantics by
+  // the oracle.
+  //
+  // Why streamed == batch is PROVABLE here, not assumed: a session is
+  // closed early only if its gap-horizon timeout fires before its
+  // continuation arrives, i.e. only if a continuation event is late
+  // past the watermark. The harness stages files in strict time order,
+  // so every event of batch k is >= every event of batches < k, while
+  // the watermark entering batch k is (max event time of batches < k)
+  // minus the delay — strictly below any continuation in batch k.
+  // Hence no continuation is ever late, no session closes early, and
+  // the sentinel's far-future pair advances the watermark to time out
+  // every open session (Spark's no-data micro-batch fires the
+  // timeouts) before the stream stops. Session ids then count 1..k
+  // per user in time order, exactly like the batch cumulative sum.
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    streamedGate(s, dir, "q124")(stream => {
+      import s.implicits._
+      graft.streaming.EventStream.sessionize(
+        s, stream.as[graft.streaming.EventStream.Event],
+        gapSeconds = 1800, watermark = "1 hour").toDF()
+    })(
+      _.filter(col("user_id") >= 0)
+        .withColumn("session_seconds",
+          ((col("session_end_us") - col("session_start_us")) / 1000000L)
+            .cast("long"))
+        .orderBy(col("user_id"), col("session_id")))
+  private val q124Sql =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new_session
+      |  FROM events WHERE user_id < 40
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts_us,
+      |    SUM(is_new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |  COUNT(*) AS n_events,
+      |  MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+      |  CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS session_seconds
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q99 — ratio-to-report: each nation's share of its REGION's revenue
   // (the percent-of-total analytic every BI layer needs). Revenue
   // aggregates to integer micros first (exact), so the window total is
@@ -442,6 +494,7 @@ object WindowQueries {
     QueryDef("q117_interval_join_streamed", q117, Some(q117Sql)),
     QueryDef("q118_interval_left_streamed", q118, Some(q118Sql)),
     QueryDef("q122_streamed_dedup", q122, Some(q122Sql)),
+    QueryDef("q124_sessionize_streamed", q124, Some(q124Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }
