@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish testdata
   * (`/root/testdata/sf*`; see TESTDATA.md). One parquet file per table.
@@ -30,16 +30,27 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[Sessions]]) so
-    * it arrives as long nanos; we floor-divide to microseconds —
-    * exactly DuckDB's truncation of ns→µs, keeping oracles aligned.
-    * Integer `div` (not `/`): ns epochs exceed double's 2^53 mantissa. */
+  /** `events.ts` normalization — the generated parquet has shipped two
+    * physical types, and every downstream query expects TimestampType:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+    *    Sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    *    [[Sessions]]) so it arrives as long nanos and we floor-divide
+    *    to microseconds — exactly DuckDB's truncation of ns→µs,
+    *    keeping oracles aligned. Integer `div` (not `/`): ns epochs
+    *    exceed double's 2^53 mantissa.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+    *    TIMESTAMP_NTZ, which `unix_micros` rejects (DATATYPE_MISMATCH).
+    *    [[Sessions]] disables `inferTimestampNTZ` so the same file
+    *    reads as TimestampType directly (the raw micros ARE the UTC
+    *    instant, matching DuckDB's naive read); the cast case below
+    *    covers sessions built without that config — under the UTC
+    *    session timezone the NTZ→LTZ cast is micros-preserving. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _        => raw
     }
   }

@@ -81,4 +81,34 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(1), "unparseable double → null (pd.to_numeric coerce analog)")
     assert(rows(1).isNullAt(2), "invalid date → null (to_datetime coerce analog, S6/X4)")
   }
+
+  test("events.ts normalizes to TimestampType under BOTH parquet physical shapes") {
+    // The generated events.parquet has shipped as TIMESTAMP(NANOS) and as
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false); every unix_micros(ts)
+    // gate (q22/q43/q100/q112/q113/q117/q118/q122/q124) needs plain
+    // TimestampType either way. Round-7 regression: the NTZ shape fell
+    // through `case _ => raw` and all nine gates died with
+    // DATATYPE_MISMATCH at sf0.1.
+    val e = Tables.events(spark, sf)
+    assert(e.schema("ts").dataType == TimestampType, e.schema("ts").dataType)
+    val expected = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+      sum(unix_micros(col("ts")))).collect().head
+
+    // Path 2: a session that DIDN'T disable inferTimestampNTZ sees the
+    // micros file as TIMESTAMP_NTZ; Tables.events must cast it back, and
+    // under the UTC session timezone the cast must preserve every micro.
+    val key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "true")
+      val raw = spark.read.parquet(s"$sf/events.parquet")
+      if (raw.schema("ts").dataType == TimestampNTZType) { // micros shape on disk
+        val ntz = Tables.events(spark, sf)
+        assert(ntz.schema("ts").dataType == TimestampType, ntz.schema("ts").dataType)
+        val got = ntz.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
+          sum(unix_micros(col("ts")))).collect().head
+        assert(got == expected, s"NTZ cast drifted: $got vs $expected")
+      }
+    } finally spark.conf.set(key, prev)
+  }
 }
