@@ -375,9 +375,30 @@ object Bench {
       "\"" + k + "\":{\"prior\":" + p + ",\"median\":" + m + ",\"isolated\":" + iso + "}"
     }.mkString("{", ",", "}")
     val excludesJson = totalExcludes.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","total_excludes":$excludesJson,"queries":$qJson,"errors":$errJson,"runs":$runsJson,"runs_per_query":$runsPerQuery,"stat":"median","delta_gate":$deltaJson,"loadavg_before":${numArr(loadBefore)},"loadavg_after":${numArr(loadAfter)},"gc_ms":$gcDelta,"sf":"$sfDir"}"""
+    // A run with ANY failed query must not present a headline total that
+    // silently omits the failed queries' time (round 7: nine queries
+    // errored, value=31.16 looked like a speedup). value=-1 marks the
+    // artifact failed; the partial sum stays available, clearly named.
+    val failed = errors.nonEmpty
+    val headlineValue = if (failed) -1.0 else total
+    val line = s"""{"metric":"total","value":$headlineValue,"unit":"sec","failed":$failed,"partial_total":$total,"total_excludes":$excludesJson,"queries":$qJson,"errors":$errJson,"runs":$runsJson,"runs_per_query":$runsPerQuery,"stat":"median","delta_gate":$deltaJson,"loadavg_before":${numArr(loadBefore)},"loadavg_after":${numArr(loadAfter)},"gc_ms":$gcDelta,"sf":"$sfDir"}"""
     writeLocalArtifact(line)
     println(line)
+    // The driver keeps only the LAST 2000 chars of stdout and parses a
+    // JSON line out of that tail; the full line above is ~8 KB, so for
+    // seven rounds the wrapper recorded parsed=null. Emit a compact
+    // summary line LAST — small enough to survive the tail plus sbt's
+    // trailing "[success]" line — so the driver always gets a parseable
+    // record (headline value, failure flag, error map, and a pointer to
+    // the complete committed artifact). Error messages are truncated:
+    // nine verbose AnalysisExceptions would blow the budget.
+    val errCompact = errors.take(8).map { case (k, v) =>
+      "\"" + k + "\":\"" + esc(v.take(80)) + "\"" }.mkString("{", ",", "}")
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${if (failed) "-1.0" else fmt(total)},"unit":"sec","failed":$failed,"partial_total":${fmt(total)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"slowest":$slowest,"stat":"median","gc_ms":$gcDelta,"full_artifact":"bench/local_r$currentRound.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }
