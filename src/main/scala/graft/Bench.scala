@@ -55,7 +55,10 @@ object Bench {
     "q119_vbr_audio", "q120_sampled_grounding",
     "q118_interval_left_streamed", "q121_substring_dedup",
     "q122_streamed_dedup", "q123_semantic_dedup",
-    "q124_sessionize_streamed")
+    "q124_sessionize_streamed",
+    // round-8 tail: leakage-safe cluster split, distributed global
+    // prefix-sum sharding
+    "q125_cluster_split", "q126_contiguous_shards")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

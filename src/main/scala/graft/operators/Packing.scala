@@ -65,4 +65,72 @@ object Packing {
           expr(s"(cum_before + n_tokens - 1) DIV $budgetTokens") >
             expr(s"cum_before DIV $budgetTokens")).as("straddles"))
   }
+
+  /** Global ORDER-PRESERVING token-budget sharding: documents are laid
+    * out in `idCol` order and cut into shards of ~`budget` tokens, so
+    * shard s holds the contiguous id range whose exclusive token
+    * prefix-sum falls in [s·budget, (s+1)·budget). This is the export
+    * layout when id order MEANS something (time order for curriculum
+    * phases, crawl order for incremental refreshes) — [[packSequences]]
+    * is the hash-shuffled counterpart for training mixes.
+    *
+    * The naive Spark spelling — `sum(w).over(Window.orderBy(id))` — is
+    * the classic scale-killer: an empty-partition-key window collapses
+    * the WHOLE corpus into one task. This is instead the textbook
+    * distributed prefix sum, entirely in the DataFrame API:
+    *   1. a 2-value bounds probe (min/max id — the JdbcPartitioning
+    *      discipline) defines `buckets` contiguous, map-side-computable
+    *      id ranges;
+    *   2. one small aggregate (`buckets` rows) yields per-bucket token
+    *      totals, whose exclusive running sum — a window over a frame
+    *      BOUNDED BY THE BUCKET COUNT, never the corpus — gives each
+    *      bucket's global start offset;
+    *   3. the offsets broadcast-join back (no shuffle of the corpus)
+    *      and a per-BUCKET window adds the within-bucket prefix.
+    * Total cost at 100 TB: one corpus shuffle (the bucket window's
+    * sort), one tiny agg, one broadcast — and bucket count scales with
+    * the corpus, so each window partition stays bounded.
+    *
+    * Deterministic: bucket boundaries are pure id arithmetic, sums are
+    * exact longs, within-bucket order is the unique id — the shard of
+    * every document is a function of the data alone, so a DuckDB
+    * oracle's `SUM(w) OVER (ORDER BY id)` reproduces it exactly.
+    *
+    * Output: idCol, n_tokens (= weight), global_offset (exclusive
+    * prefix sum), shard. Ids must be unique; weights non-negative. */
+  def contiguousShards(df: DataFrame, idCol: String, weightCol: Column,
+      budget: Long, buckets: Int = 64): DataFrame = {
+    require(budget > 0, s"need budget > 0, got $budget")
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val reserved = Seq("__w", "__bucket", "__btotal", "__offset",
+      "global_offset", "n_tokens", "shard")
+    require(!reserved.contains(idCol),
+      s"idCol must not be one of ${reserved.mkString("/")}")
+    val out = Seq(col(idCol), col("__w").as("n_tokens"),
+      col("global_offset"), expr(s"global_offset DIV $budget").as("shard"))
+    val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (bounds.isNullAt(0))
+      return df.select(col(idCol)).limit(0)
+        .withColumn("__w", lit(0L)).withColumn("global_offset", lit(0L))
+        .select(out: _*)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = hi - lo + 1
+    val w = df.select(col(idCol), weightCol.cast("long").as("__w"))
+      .withColumn("__bucket",
+        expr(s"((CAST($idCol AS BIGINT) - ${lo}L) * ${buckets}L) DIV ${span}L"))
+    val bucketTotals = w.groupBy(col("__bucket")).agg(sum(col("__w")).as("__btotal"))
+    // `buckets` rows total: this empty-key window is bounded by the
+    // bucket count (a config constant), NOT the corpus — the whole
+    // point of the two-level structure.
+    val offsets = bucketTotals.withColumn("__offset",
+      coalesce(sum(col("__btotal")).over(Window.orderBy(col("__bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    val inBucket = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    w.join(broadcast(offsets), "__bucket")
+      .withColumn("global_offset",
+        col("__offset") + coalesce(sum(col("__w")).over(inBucket), lit(0L)))
+      .select(out: _*)
+  }
 }

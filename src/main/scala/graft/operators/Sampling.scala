@@ -226,4 +226,41 @@ object Sampling {
           (acc, b) => acc + when(valueCol >= b, 1L).otherwise(0L))))
       .drop("__graft_bounds")
   }
+
+  /** Leakage-safe dataset split: every row of a GROUP lands in the same
+    * split, decided by a deterministic hash of the group key — never a
+    * per-row coin. Splitting training corpora row-wise leaks: two
+    * near-duplicate documents (or two rows of one user/session/domain)
+    * straddle train and test, and the eval score measures memorization
+    * of the train twin. Hashing the group label (e.g. the near-dup
+    * cluster's canonical id from
+    * [[graft.operators.Dedup.connectedComponents]], or a user/domain
+    * key) moves the whole group together, so no correlated pair can
+    * straddle a cut BY CONSTRUCTION — the invariant needs no check
+    * join.
+    *
+    * `cuts` are (name, upperBoundPct) with ascending exclusive upper
+    * bounds over `buckets` hash buckets; the last bound must equal
+    * `buckets`. E.g. `Seq(("val",5),("test",10),("train",100))` →
+    * 5% / 5% / 90% of GROUPS (proportions are of groups, not rows —
+    * by design: the unit of independence is the group).
+    *
+    * Scale: a pure map-side projection (one hash, one when-chain) —
+    * no shuffle, no state; composes with any downstream filter. Adds
+    * column `split` (StringType). */
+  def groupSplit(df: DataFrame, groupCol: Column,
+      cuts: Seq[(String, Int)], buckets: Int = 100): DataFrame = {
+    require(cuts.nonEmpty, "need at least one cut")
+    require(cuts.last._2 == buckets,
+      s"last cut must close the range: ${cuts.last._2} != $buckets")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted && cuts.map(_._2).distinct == cuts.map(_._2),
+      s"cut bounds must be strictly ascending, got ${cuts.map(_._2)}")
+    require(cuts.head._2 > 0, "first cut bound must be positive")
+    require(!df.columns.contains("split"), "input already defines split")
+    val b = pmod(hash60(groupCol.cast("string")), lit(buckets.toLong))
+    val split = cuts.dropRight(1).foldRight(lit(cuts.last._1): Column) {
+      case ((name, ub), rest) => when(b < ub, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
 }

@@ -236,6 +236,33 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------
+  // q126 — global ORDER-PRESERVING token-budget sharding: documents in
+  // doc_id order, cut into ~2000-token contiguous shards (time/crawl-
+  // order export, curriculum phases). The oracle is the one-line
+  // `SUM(w) OVER (ORDER BY doc_id)` — which as a Spark plan would be a
+  // single-task global window; the operator computes the identical
+  // prefix sum distributed (bucketed two-level structure, see
+  // [[graft.operators.Packing.contiguousShards]] scale notes). No
+  // ORDER BY: the gate compares multisets, and a sort would bolt a
+  // global range exchange onto the plan being proven scalable.
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextFunctions.tokenCount
+    Packing.contiguousShards(Tables.documents(s, dir), "doc_id",
+      tokenCount(col("text")), budget = 2000L, buckets = 32)
+  }
+  private val q126Sql =
+    s"""WITH w AS (SELECT doc_id,
+       |  CAST(len($dTokens) AS BIGINT) AS n_tokens FROM documents),
+       |p AS (SELECT doc_id, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS BIGINT) AS global_offset
+       |  FROM w)
+       |SELECT doc_id, n_tokens, global_offset,
+       |  global_offset // 2000 AS shard
+       |FROM p""".stripMargin
+
+  // ---------------------------------------------------------------
   // q65 — per-language length-outlier trim: exact [p05, p95] token
   // bounds per language (Spark `percentile` ≡ DuckDB `quantile_cont`,
   // same linear interpolation — the q39 precedent), then one
@@ -371,6 +398,7 @@ object CurationQueries {
     QueryDef("q58_salted_distinct", q58, Some(q58Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q64_sequence_packing", q64, Some(q64Sql)),
+    QueryDef("q126_contiguous_shards", q126, Some(q126Sql)),
     QueryDef("q65_length_trim", q65, Some(q65Sql)),
   )
 }

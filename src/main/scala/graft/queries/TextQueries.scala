@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Pii, TextAnalysis, TextFunctions}
+import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Pii, Sampling, TextAnalysis, TextFunctions}
 
 /** Training-data text operators over the `documents` table: per-doc
   * stats, quality scoring, language id, fingerprinting, exact dedup,
@@ -374,6 +374,52 @@ object TextQueries {
       |pairs AS ($dLshPairsSelect),
       |$dCcCtes
       |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q125 — leakage-safe train/val/test split: the q59 near-dup
+  // CLUSTERS (not rows) are hashed into 5/5/90 val/test/train, so two
+  // near-duplicate documents can never straddle a cut — a row-wise
+  // split would let the eval set score memorization of a train twin.
+  // Singleton docs (no LSH pair) are their own cluster. The split
+  // itself is a map-side hash of the cluster label
+  // ([[graft.operators.Sampling.groupSplit]]); all the shuffle cost is
+  // the clustering the pipeline already ran.
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val labeled = docs.select(col("doc_id"), col("n_chars"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("component"), col("doc_id")))
+    Sampling.groupSplit(labeled, col("grp"),
+        Seq(("val", 5), ("test", 10), ("train", 100)))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_clusters"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+      .orderBy(col("split"))
+  }
+  private val q125Sql = {
+    val h = dHash("CAST(grp AS VARCHAR)")
+    s"""WITH RECURSIVE ${dLshCtes("documents")},
+      |pairs AS ($dLshPairsSelect),
+      |$dCcCtes,
+      |labeled AS (
+      |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS grp, d.n_chars
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+      |sp AS (
+      |  SELECT grp, n_chars,
+      |    CASE WHEN $h % 100 < 5 THEN 'val'
+      |         WHEN $h % 100 < 10 THEN 'test'
+      |         ELSE 'train' END AS split
+      |  FROM labeled)
+      |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT grp) AS n_clusters,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM sp GROUP BY split ORDER BY split""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // q60 — benchmark decontamination: training docs sharing any word
@@ -1155,6 +1201,7 @@ object TextQueries {
     QueryDef("q68_chunking", q68, Some(q68Sql)),
     QueryDef("q69_keywords", q69, Some(q69Sql)),
     QueryDef("q59_dedup_clusters", q59, Some(q59Sql)),
+    QueryDef("q125_cluster_split", q125, Some(q125Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),
