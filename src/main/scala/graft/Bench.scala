@@ -57,8 +57,9 @@ object Bench {
     "q122_streamed_dedup", "q123_semantic_dedup",
     "q124_sessionize_streamed",
     // round-8 tail: leakage-safe cluster split, distributed global
-    // prefix-sum sharding
-    "q125_cluster_split", "q126_contiguous_shards")
+    // prefix-sum sharding, streamed stream-static enrichment gate
+    "q125_cluster_split", "q126_contiguous_shards",
+    "q127_stream_static_enriched")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -368,7 +369,7 @@ object Bench {
     val totalExcludes = Seq(
       "rcm_pipeline", "q117_interval_join_streamed",
       "q118_interval_left_streamed", "q122_streamed_dedup",
-      "q124_sessionize_streamed")
+      "q124_sessionize_streamed", "q127_stream_static_enriched")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

@@ -405,6 +405,52 @@ object WindowQueries {
       |ORDER BY user_id, session_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q127 — STREAM-STATIC enrichment under the gate: the remaining
+  // streaming join shape after q117/q118's stream-stream joins — a
+  // stream joined to a STATIC broadcast dimension (the 100 TB front
+  // door: events enriched with a slowly-changing dim snapshot before
+  // any stateful work), feeding a watermarked tumbling-window
+  // aggregate in append mode. The static side re-broadcasts per
+  // micro-batch (customer is a dim; at cluster scale the broadcast is
+  // the point — no shuffle of the stream side, PlanSpec-pinnable
+  // BroadcastHashJoin in every batch plan).
+  //
+  // Exactness: the watermark is declared on the stream BEFORE the
+  // join, so the sentinel (user −1, absent from customer, dropped BY
+  // the inner join) still advances the watermark past every real
+  // hour window — every window is closed and emitted before the
+  // stream stops, and streamed == batch GROUP BY, which the oracle
+  // checks. Window starts are formatted as strings (the q23
+  // discipline) for cross-engine timestamp parity.
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    streamedGate(s, dir, "q127")(stream => {
+      val dim = broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      stream.withWatermark("ts", "1 hour")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(28, 9))).cast("double").as("total_value"))
+        .select(
+          col("c_mktsegment").as("segment"),
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_bucket"),
+          col("n_events"), col("total_value"))
+    })(
+      // sentinel rows never reach the sink: user −1 has no customer
+      // row, so the inner join drops them (watermark already advanced
+      // at the source node)
+      _.orderBy(col("segment"), col("hour_bucket")))
+  private val q127Sql =
+    """SELECT c.c_mktsegment AS segment,
+      |  strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:00') AS hour_bucket,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(28,9))) AS DOUBLE) AS total_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE e.user_id < 40
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
   // q99 — ratio-to-report: each nation's share of its REGION's revenue
   // (the percent-of-total analytic every BI layer needs). Revenue
   // aggregates to integer micros first (exact), so the window total is
@@ -495,6 +541,7 @@ object WindowQueries {
     QueryDef("q118_interval_left_streamed", q118, Some(q118Sql)),
     QueryDef("q122_streamed_dedup", q122, Some(q122Sql)),
     QueryDef("q124_sessionize_streamed", q124, Some(q124Sql)),
+    QueryDef("q127_stream_static_enriched", q127, Some(q127Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }
