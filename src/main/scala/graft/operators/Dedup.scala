@@ -241,6 +241,77 @@ object Dedup {
     verifyJaccard(candidates, sigs.select(col(idCol), col("hs").as("sh")), idCol, threshold)
   }
 
+  /** Incremental (cross-corpus) dedup: flag each NEW-batch document
+    * that duplicates the HISTORY — exact (content md5) or near
+    * (banded MinHash collision, Jaccard-verified) — the refresh shape
+    * every growing corpus runs daily: yesterday's 100 TB history vs
+    * today's delta. Returns one row per batch document:
+    * `(id, is_exact_dup, n_near_dups, best_jaccard)`.
+    *
+    * The asymmetry IS the design. A global re-dedup
+    * ([[minhashLshPairs]] over history ∪ batch) re-pays the history's
+    * self-join every day; here the history is NEVER SHUFFLED — every
+    * join broadcasts a batch-derived side:
+    *  - exact: history digests stream map-side against the broadcast
+    *    batch digest set (one corpus-linear pass, no exchange);
+    *  - candidates: history band keys (computed map-side from
+    *    signatures) stream against the broadcast batch band keys —
+    *    history×history collisions are never formed, only
+    *    history×batch;
+    *  - verification: history shingle sets stream against the
+    *    broadcast (candidate ids × batch shingle sets).
+    * Total history cost: tokenize+hash map-side, three streamed
+    * passes, zero shuffles of history rows. (At cluster scale the
+    * three passes share one scan stage each; the batch side must fit
+    * a broadcast — the caller's contract for a delta, ~per-executor
+    * memory / ~10 MB×shingles per 10k docs. A delta too big to
+    * broadcast is not an increment; run the global pass.)
+    *
+    * Same hash family end-to-end as [[minhashLshPairs]], so a DuckDB
+    * oracle reproduces every collision and Jaccard value exactly. */
+  def incrementalDedup(history: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleN: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    val bDig = batch.select(col(idCol).as("bid"), md5(col(textCol)).as("chash"))
+    val exact = history.select(md5(col(textCol)).as("chash"))
+      .join(broadcast(bDig), "chash")
+      .select(col("bid")).distinct()
+      .withColumn("is_exact_dup", lit(true))
+
+    val bSigs = withShingleSignatures(batch, idCol, textCol, k, shingleN)
+    val hSigs = withShingleSignatures(history, idCol, textCol, k, shingleN)
+    def bandKeys(sigs: DataFrame, outId: String): DataFrame = {
+      val arr = array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until rowsPerBand).map(r =>
+            col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
+      }: _*)
+      sigs.select(col(idCol).as(outId), explode(arr).as("bk"))
+        .select(col(outId), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+    val cand = bandKeys(hSigs, "hid")
+      .join(broadcast(bandKeys(bSigs, "bid")), Seq("band", "key"))
+      .select(col("bid"), col("hid")).distinct()
+    val inter = size(array_intersect(col("sh_b"), col("sh_h")))
+    val ver = hSigs.select(col(idCol).as("hid"), col("hs").as("sh_h"))
+      .join(broadcast(cand), "hid")
+      .join(broadcast(bSigs.select(col(idCol).as("bid"), col("hs").as("sh_b"))), "bid")
+      .withColumn("jaccard", inter.cast("double") /
+        (size(col("sh_b")) + size(col("sh_h")) - inter))
+      .filter(col("jaccard") >= threshold)
+    val near = ver.groupBy(col("bid")).agg(
+      count(lit(1)).as("n_near_dups"), max(col("jaccard")).as("best_jaccard"))
+    batch.select(col(idCol))
+      .join(broadcast(exact), col(idCol) === exact("bid"), "left").drop("bid")
+      .join(broadcast(near), col(idCol) === near("bid"), "left").drop("bid")
+      .select(col(idCol),
+        coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("best_jaccard"))
+  }
+
   /** Exact-Jaccard verification of candidate pairs against distinct
     * shingle sets: |A∩B| / (|A|+|B|-|A∩B|). */
   private def verifyJaccard(pairs: DataFrame, shingled: DataFrame,

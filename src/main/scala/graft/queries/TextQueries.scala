@@ -422,6 +422,68 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
+  // q128 — INCREMENTAL dedup: the daily-refresh shape — a new batch
+  // (hash-coin 10% of documents, the q48 discipline) deduped against
+  // the history (the other 90%) without ever shuffling the history:
+  // exact via md5 digests streamed against the broadcast batch set,
+  // near via history band keys streamed against the broadcast batch
+  // bands (history×history collisions are never formed), Jaccard
+  // verified. One row per batch doc with its exact/near verdicts —
+  // re-running a global q30 over history ∪ batch every day re-pays
+  // the history self-join; this is the operator that doesn't (see
+  // [[graft.operators.Dedup.incrementalDedup]] scale notes).
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isBatch =
+      pmod(TextFunctions.hash60(col("doc_id").cast("string")), lit(10L)) < 1
+    Dedup.incrementalDedup(docs.filter(!isBatch), docs.filter(isBatch),
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+      .orderBy(col("doc_id"))
+  }
+  // Mirrors dLshCtes with an `is_batch` carry flag (the shared chain
+  // can't thread extra columns without touching the q30/q59/q63
+  // oracles); the hashing is verbatim-identical.
+  private val q128Sql = {
+    import graft.operators.Dedup.{minhashPermA, minhashPermB, MinhashPrime}
+    val mh = (0 until 16).map(j =>
+      s"list_min(list_transform(hs, h -> (${minhashPermA(j)} * h + ${minhashPermB(j)}) % $MinhashPrime)) AS mh$j")
+      .mkString(",\n ")
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, is_batch, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sigs")
+      .mkString("\n UNION ALL ")
+    val jac = "CAST(len(list_intersect(sb.hs, sh.hs)) AS DOUBLE) / " +
+      "(len(sb.hs) + len(sh.hs) - len(list_intersect(sb.hs, sh.hs)))"
+    s"""WITH t AS (SELECT doc_id,
+      |  ${dHash("CAST(doc_id AS VARCHAR)")} % 10 < 1 AS is_batch,
+      |  md5(text) AS chash, $dTokens AS toks FROM documents),
+      |th AS (SELECT doc_id, is_batch,
+      |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM t),
+      |hb AS (SELECT doc_id, is_batch,
+      |  list_distinct(list_transform(range(1, len(th) - 1),
+      |    i -> ((((th[i] * 65599 + th[i+1]) % 4294967311) * 65599 + th[i+2]) % 4294967311) % 4294967296)) AS hs
+      |  FROM th),
+      |sigs AS (SELECT doc_id, is_batch, hs, $mh FROM hb WHERE len(hs) > 0),
+      |bk AS ($bandSelects),
+      |cand AS (SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+      |  FROM bk b JOIN bk h ON b.band = h.band AND b.key = h.key
+      |  AND b.is_batch AND NOT h.is_batch),
+      |ver AS (SELECT bid, $jac AS jaccard
+      |  FROM cand JOIN hb sb ON cand.bid = sb.doc_id
+      |            JOIN hb sh ON cand.hid = sh.doc_id
+      |  WHERE $jac >= 0.5),
+      |nears AS (SELECT bid, COUNT(*) AS n_near_dups, MAX(jaccard) AS best_jaccard
+      |  FROM ver GROUP BY bid),
+      |exacts AS (SELECT DISTINCT b.doc_id AS bid FROM t b
+      |  JOIN t h ON b.chash = h.chash AND b.is_batch AND NOT h.is_batch)
+      |SELECT t.doc_id, e.bid IS NOT NULL AS is_exact_dup,
+      |  CAST(COALESCE(n.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+      |  n.best_jaccard
+      |FROM t LEFT JOIN exacts e ON t.doc_id = e.bid
+      |       LEFT JOIN nears n ON t.doc_id = n.bid
+      |WHERE t.is_batch ORDER BY t.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q60 — benchmark decontamination: training docs sharing any word
   // trigram with the eval slice (doc_id % 97 == 3 stands in for a
   // benchmark set), counted per language. The eval gram set broadcasts;
@@ -1202,6 +1264,7 @@ object TextQueries {
     QueryDef("q69_keywords", q69, Some(q69Sql)),
     QueryDef("q59_dedup_clusters", q59, Some(q59Sql)),
     QueryDef("q125_cluster_split", q125, Some(q125Sql)),
+    QueryDef("q128_incremental_dedup", q128, Some(q128Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),

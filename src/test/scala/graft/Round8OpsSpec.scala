@@ -133,6 +133,50 @@ class Round8OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------- incrementalDedup
+
+  test("incrementalDedup verdicts: exact, near, and novel batch docs") {
+    import spark.implicits._
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated history content about spark plans"),
+      (3L, "another history document with its own distinct words here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact
+      (11L, "the quick brown fox jumps over the lazy dog today"),   // near
+      (12L, "nothing like anything the history corpus contains anywhere"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.incrementalDedup(history, batch,
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getBoolean(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(byId(10L)._1, "identical text must flag exact")
+    assert(byId(10L)._2 >= 1 && byId(10L)._3.contains(1.0),
+      "identical text is also a jaccard-1.0 near dup")
+    assert(!byId(11L)._1 && byId(11L)._2 >= 1, "one-word edit: near, not exact")
+    assert(byId(11L)._3.exists(j => j.asInstanceOf[Double] >= 0.5))
+    assert(byId(12L) == ((false, 0L, None)), "novel doc: clean verdicts")
+  }
+
+  test("incrementalDedup never shuffle-joins the history: broadcast-only joins") {
+    val docs = Tables.documents(spark, sf)
+    val isBatch = pmod(graft.operators.TextFunctions.hash60(
+      col("doc_id").cast("string")), lit(10L)) < 1
+    val p = graft.operators.Dedup.incrementalDedup(
+        docs.filter(!isBatch), docs.filter(isBatch),
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    // every history-touching join streams history against a broadcast
+    // batch-derived side; a SortMergeJoin would mean the history got
+    // shuffled on a join key — the exact cost this operator exists to
+    // avoid (the only exchanges left are over candidate/batch rows)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("contiguousShards on empty input returns an empty, well-typed frame") {
     import graft.operators.TextFunctions.tokenCount
     val empty = Tables.documents(spark, sf).filter(lit(false))
