@@ -59,7 +59,8 @@ object Bench {
     // round-8 tail: leakage-safe cluster split, distributed global
     // prefix-sum sharding, streamed stream-static enrichment gate
     "q125_cluster_split", "q126_contiguous_shards",
-    "q127_stream_static_enriched", "q128_incremental_dedup")
+    "q127_stream_static_enriched", "q128_incremental_dedup",
+    "q129_source_contribution")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

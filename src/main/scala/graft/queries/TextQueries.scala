@@ -422,6 +422,49 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
+  // q129 — per-SOURCE unique-content contribution: the curation
+  // dashboard behind mixture decisions — for each source, how many of
+  // its documents are canonical cluster survivors vs redundant copies
+  // of content that exists elsewhere. Reuses the q59 clusters;
+  // integer-only outputs (counts, not 1/|cluster| weights) so the
+  // oracle hash-matches without cross-engine division concerns:
+  //   n_docs            — source size
+  //   n_clusters        — distinct content clusters the source touches
+  //   n_canonical       — docs that ARE their cluster's keeper (min id)
+  //   n_redundant       — docs whose cluster keeper lives elsewhere
+  // A source with high n_docs but low n_canonical adds volume, not
+  // content — downweight it in the q62/q71 mixture.
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"), col("source"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("component"), col("doc_id")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_clusters"),
+        sum(when(col("doc_id") === col("grp"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("doc_id") =!= col("grp"), 1L).otherwise(0L)).as("n_redundant"))
+      .orderBy(col("source"))
+  }
+  private val q129Sql =
+    s"""WITH RECURSIVE ${dLshCtes("documents")},
+      |pairs AS ($dLshPairsSelect),
+      |$dCcCtes,
+      |labeled AS (
+      |  SELECT d.doc_id, d.source, COALESCE(c.component, d.doc_id) AS grp
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT grp) AS n_clusters,
+      |  CAST(SUM(CASE WHEN doc_id = grp THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+      |  CAST(SUM(CASE WHEN doc_id <> grp THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant
+      |FROM labeled GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
   // q128 — INCREMENTAL dedup: the daily-refresh shape — a new batch
   // (hash-coin 10% of documents, the q48 discipline) deduped against
   // the history (the other 90%) without ever shuffling the history:
@@ -1265,6 +1308,7 @@ object TextQueries {
     QueryDef("q59_dedup_clusters", q59, Some(q59Sql)),
     QueryDef("q125_cluster_split", q125, Some(q125Sql)),
     QueryDef("q128_incremental_dedup", q128, Some(q128Sql)),
+    QueryDef("q129_source_contribution", q129, Some(q129Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),
