@@ -128,4 +128,26 @@ class MetricsSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("q128 incremental dedup shuffles a small fraction of the corpus — history streams") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val inputBytes = docs.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f).getPath).length).sum
+    val isBatch = pmod(graft.operators.TextFunctions.hash60(
+      col("doc_id").cast("string")), lit(10L)) < 1
+    val (_, m) = Metrics.capture(spark) {
+      graft.operators.Dedup.incrementalDedup(
+        Tables.documents(spark, sf).filter(!isBatch),
+        Tables.documents(spark, sf).filter(isBatch),
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+        .collect()
+    }
+    // every history-touching join is a broadcast: the only exchanges
+    // carry batch digests/band-keys/candidates (a ~10% coin of the
+    // corpus and its collision set), so measured shuffle must stay a
+    // small fraction of the corpus bytes the operator read
+    assert(m.shuffleWriteBytes * 4 < inputBytes,
+      s"shuffle ${m.shuffleWriteBytes} vs corpus $inputBytes")
+    assert(m.inputRecords > 0, m)
+  }
 }
