@@ -48,11 +48,18 @@ object Tables {
     *    session timezone the NTZ→LTZ cast is micros-preserving. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = table(spark, sfDir, "events")
-    raw.schema("ts").dataType match {
+    val out = raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _        => raw
     }
+    // Regenerated testdata has already shipped surprise ts shapes twice
+    // (nanos-as-long, then NTZ micros). A third one must fail HERE with
+    // the actual type, not 9 queries later as DATATYPE_MISMATCH.
+    require(out.schema("ts").dataType == TimestampType,
+      s"events.ts normalized to ${out.schema("ts").dataType}, expected TimestampType — " +
+        "new parquet physical type? Add a case above (see round-7/8 history).")
+    out
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
