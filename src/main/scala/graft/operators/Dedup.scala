@@ -402,21 +402,29 @@ object Dedup {
     var converged = false
     try {
       while (!converged && rounds < maxRounds) {
+        // The previous label rides through the union as `prev` (null on
+        // neighbor rows; max() ignores nulls and each node contributes
+        // exactly one non-null prev via its self row), so convergence
+        // is read off the SAME aggregation that builds the round — the
+        // old separate next⋈labels probe join was a whole extra
+        // shuffle stage per round at any scale.
         val neighborLabels = edges
           .join(labels, edges("dst") === labels("node"))
-          .select(edges("src").as("node"), col("label"))
-        val next = neighborLabels.union(labels.select(col("node"), col("label")))
-          .groupBy(col("node")).agg(min(col("label")).as("label"))
+          .select(edges("src").as("node"), col("label"),
+            lit(null).cast("long").as("prev"))
+        val self = labels.select(col("node"), col("label"),
+          col("label").as("prev"))
+        val next = neighborLabels.union(self)
+          .groupBy(col("node")).agg(min(col("label")).as("label"),
+            max(col("prev")).as("prev"))
           .localCheckpoint()
-        val changed = next
-          .join(labels.withColumnRenamed("label", "prev"), "node")
-          .filter(col("label") < col("prev")).count()
+        val changed = next.filter(col("label") < col("prev")).count()
         // `next` is fully materialized (eager checkpoint) and `changed`
         // no longer needs the previous round — release its blocks NOW,
         // not at caller cleanup: near maxRounds the superseded rounds
         // would otherwise pin ~30 copies of the node set simultaneously.
         releasePinned(labels)
-        labels = next
+        labels = next.select(col("node"), col("label"))
         converged = changed == 0
         rounds += 1
       }
