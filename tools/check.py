@@ -60,6 +60,15 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify writes this sidecar when a query THREW (its output dir
+    # then holds a 1-row verify_error marker frame): surface the real
+    # exception up front instead of a bare column-mismatch FAIL below.
+    try:
+        ran_errs = json.load(open(f"{out_dir}/verify_errors.json"))
+        for name, msg in sorted(ran_errs.items()):
+            print(f"FAILED TO RUN {name}: {msg}")
+    except FileNotFoundError:
+        pass
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
