@@ -60,7 +60,7 @@ object Bench {
     // prefix-sum sharding, streamed stream-static enrichment gate
     "q125_cluster_split", "q126_contiguous_shards",
     "q127_stream_static_enriched", "q128_incremental_dedup",
-    "q129_source_contribution")
+    "q129_source_contribution", "q130_text_embed_neardup")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

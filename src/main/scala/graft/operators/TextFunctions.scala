@@ -35,6 +35,31 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => t =!= "")
 
+  /** Feature-hashed bag-of-words embedding — the deterministic STUB
+    * standing in for a model encoder (no model runtime in this
+    * container; the SPARK-SIDE PLUMBING is the real deliverable:
+    * array-column schema, strict fold order, cross-engine parity).
+    * Component d = Σ over tokens t with `hash60(t) mod dim == d` of
+    * `(hash60Seeded(t,1) mod 2001 − 1000)/1000` ∈ [−1,1]. Both sums
+    * are STRICT sequential folds in token order (Spark `aggregate`,
+    * DuckDB `list_reduce`), so the doubles are bit-identical across
+    * engines — an oracle can hash-compare downstream cosine math.
+    * Swapping in a real encoder changes ONLY this function: everything
+    * downstream (norms, cosine joins, LSH bucketing) is
+    * representation-agnostic. Cost: the md5s re-run per dim (the
+    * expression repeats per component) — irrelevant for a stub; a
+    * production encoder replaces the whole function. */
+  def hashEmbed(textCol: Column, dim: Int): Column = {
+    require(dim > 0 && dim <= 64, s"need 0 < dim <= 64, got $dim")
+    val toks = tokens(textCol)
+    array((0 until dim).map { d =>
+      aggregate(toks, lit(0.0), (acc, t) =>
+        acc + when(pmod(hash60(t), lit(dim.toLong)) === d,
+          (pmod(hash60Seeded(t, 1), lit(2001L)) - 1000L).cast("double") / 1000.0)
+          .otherwise(0.0))
+    }: _*)
+  }
+
   def tokenCount(c: Column): Column = size(tokens(c))
 
   /** Word n-gram shingles (space-joined), distinct. Guarded for short

@@ -422,6 +422,59 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
+  // q130 — text → embedding → similarity, end to end from raw text:
+  // embed every document with the deterministic stub encoder
+  // ([[graft.operators.TextFunctions.hashEmbed]] — feature-hashed
+  // bag-of-words; a real model swaps in for ONLY that function, the
+  // plumbing downstream is representation-agnostic), then exact
+  // cosine near-dup pairs within source buckets (the q32 bucketing
+  // trade: pairs bound by the bucket, cross-source near-dups are the
+  // accepted miss). Every double — components, norms, dot, cosine —
+  // is a strict same-order fold in both engines, so the oracle
+  // hash-matches the similarity values exactly.
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val dim = 8
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.hashEmbed(col("text"), dim).as("emb"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("emb"), x => x * x), lit(0.0), (a, v) => a + v)))
+      .filter(col("nrm") > 0)
+    val left = docs.select(col("doc_id").as("id_a"), col("source"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val right = docs.select(col("doc_id").as("id_b"), col("source"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    left.join(right, Seq("source")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+          lit(0.0), (a, v) => a + v) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.9)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val q130Sql = {
+    val w = s"(${dHash("'1:' || tk")} % 2001 - 1000) / 1000.0"
+    val emb = s"""list_transform(range(0, 8), d ->
+      |    list_reduce(list_prepend(0.0, list_transform(toks, tk ->
+      |      CASE WHEN ${dHash("tk")} % 8 = d THEN $w ELSE 0.0 END)),
+      |      (a, b) -> a + b))""".stripMargin
+    s"""WITH t AS (SELECT doc_id, source, $dTokens AS toks FROM documents),
+      |e AS (SELECT doc_id, source, $emb AS emb FROM t),
+      |n AS (SELECT doc_id, source, emb,
+      |  sqrt(list_reduce(list_prepend(0.0,
+      |    list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |  FROM e),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  list_reduce(list_prepend(0.0,
+      |    list_transform(range(1, 9), i -> a.emb[i] * b.emb[i])),
+      |    (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+      |  FROM n a JOIN n b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE a.nrm > 0 AND b.nrm > 0)
+      |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q129 — per-SOURCE unique-content contribution: the curation
   // dashboard behind mixture decisions — for each source, how many of
   // its documents are canonical cluster survivors vs redundant copies
@@ -1309,6 +1362,7 @@ object TextQueries {
     QueryDef("q125_cluster_split", q125, Some(q125Sql)),
     QueryDef("q128_incremental_dedup", q128, Some(q128Sql)),
     QueryDef("q129_source_contribution", q129, Some(q129Sql)),
+    QueryDef("q130_text_embed_neardup", q130, Some(q130Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),
