@@ -434,12 +434,19 @@ object TextQueries {
   // hash-matches the similarity values exactly.
   private def q130(s: SparkSession, dir: String): DataFrame = {
     val dim = 8
+    // MATERIALIZATION BARRIER before the self-join: without it
+    // CollapseProject inlines the embedding expression into the
+    // pair-level cosine, re-running the per-token md5s once per PAIR
+    // (measured 5.4 s → 0.7 s at sf0.1). Same hazard and fix as
+    // Dedup.withShingleSignatures; Bench.releaseBlocks frees the
+    // checkpoint between runs.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         TextFunctions.hashEmbed(col("text"), dim).as("emb"))
       .withColumn("nrm", sqrt(aggregate(
         transform(col("emb"), x => x * x), lit(0.0), (a, v) => a + v)))
       .filter(col("nrm") > 0)
+      .localCheckpoint()
     val left = docs.select(col("doc_id").as("id_a"), col("source"),
       col("emb").as("ea"), col("nrm").as("na"))
     val right = docs.select(col("doc_id").as("id_b"), col("source"),
