@@ -50,7 +50,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // When dev-filtered to named queries, dump only their oracles —
+    // tools/check.py without name filters otherwise compares the FULL
+    // registry against a partial dump and reports phantom failures.
+    // The driver always runs unfiltered, so its artifact is unchanged.
+    val oracles = if (only.isEmpty) SparkEntry.oracleSql
+      else SparkEntry.oracleSql.view.filterKeys(only).toMap
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Sidecar for auditors (the driver ignores unknown files): which

@@ -94,6 +94,16 @@ class SourcesSinksSpec extends AnyFunSuite {
     val expected = e.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))),
       sum(unix_micros(col("ts")))).collect().head
 
+    // Path 3: a THIRD surprise physical type must fail inside
+    // Tables.events with the actual type named, not nine queries later
+    // as DATATYPE_MISMATCH (the round-7 failure mode).
+    val dir = Files.createTempDirectory("events_badts").toString
+    Tables.events(spark, sf).limit(5)
+      .withColumn("ts", col("ts").cast("string"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val err = intercept[IllegalArgumentException] { Tables.events(spark, dir) }
+    assert(err.getMessage.contains("StringType"), err.getMessage)
+
     // Path 2: a session that DIDN'T disable inferTimestampNTZ sees the
     // micros file as TIMESTAMP_NTZ; Tables.events must cast it back, and
     // under the UTC session timezone the cast must preserve every micro.
