@@ -26,6 +26,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Peephole optimizer rule: the portable composed spelling of the
+    // 60-bit hash collapses to the native kernel (see
+    // [[NativeHash60Rewrite]]).
+    ext.injectOptimizerRule(_ => NativeHash60Rewrite())
     ext.injectFunction((
       FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Md5Hash60].getCanonicalName, "graft_hash60"),

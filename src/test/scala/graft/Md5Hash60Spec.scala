@@ -12,13 +12,45 @@ class Md5Hash60Spec extends AnyFunSuite {
   lazy val spark = Sessions.local(4)
 
   test("native hash60 == conv(substr(md5)) composition on real text") {
+    // NativeHash60Rewrite would silently turn the composed side into
+    // the native kernel and make this pin compare the kernel against
+    // itself — disable it so the built-in composition actually runs
+    val key = "spark.graft.nativeHashRewrite"
+    spark.conf.set(key, "false")
+    try {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      val withBoth = toks
+        .select(TextFunctions.hash60(col("t")).as("native"),
+          TextFunctions.hash60Composed(col("t")).as("composed"))
+      assert(withBoth.queryExecution.optimizedPlan.toString.contains("conv("),
+        "rewrite disabled: the composed form must survive into the plan")
+      assert(withBoth.filter(col("native") =!= col("composed")).count() == 0L)
+    } finally spark.conf.unset(key)
+  }
+
+  test("NativeHash60Rewrite collapses the portable spelling to the native kernel") {
+    // DSL form
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val toks = docs.select(explode(TextFunctions.tokens(col("text"))).as("t"))
-    val mismatches = toks
-      .select(TextFunctions.hash60(col("t")).as("native"),
-        TextFunctions.hash60Composed(col("t")).as("composed"))
-      .filter(col("native") =!= col("composed")).count()
-    assert(mismatches == 0L)
+    val dsl = docs.select(TextFunctions.hash60Composed(col("text")).as("h"))
+    val dslPlan = dsl.queryExecution.optimizedPlan.toString
+    assert(dslPlan.contains("hash60(") && !dslPlan.contains("conv("), dslPlan)
+    // SQL form, as an engine-agnostic user (or a pasted oracle twin)
+    // would write it
+    val sql = spark.sql(
+      "SELECT CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) AS h " +
+        "FROM parquet.`/root/testdata/sf0.001/documents.parquet`")
+    val sqlPlan = sql.queryExecution.optimizedPlan.toString
+    assert(sqlPlan.contains("hash60(") && !sqlPlan.contains("conv("), sqlPlan)
+    // values match the native kernel exactly
+    val native = docs.select(TextFunctions.hash60(col("text")).as("h"))
+    assert(dsl.collect().map(_.getLong(0)).sorted.toSeq ==
+      native.collect().map(_.getLong(0)).sorted.toSeq)
+    // a NON-matching conv stays untouched (base 8, not part of the idiom)
+    val other = docs.select(
+      conv(substring(md5(col("text")), 1, 15), 16, 8).cast("long").as("h"))
+    assert(other.queryExecution.optimizedPlan.toString.contains("conv("),
+      "only the exact 16->10 idiom may be rewritten")
   }
 
   test("handles empty string, unicode, null") {
