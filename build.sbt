@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked runMain's stdout through VERBATIM instead of routing
+// it via sbt's logger: the logger prefixes every line with "[info] ",
+// which corrupted the one-line JSON contract of graft.Bench /
+// graft.Verify — the driver's tail parser saw "[info] {...}" and
+// recorded parsed=null for eight straight rounds.
+run / connectInput := true
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
