@@ -40,17 +40,39 @@ object TextFunctions {
     * container; the SPARK-SIDE PLUMBING is the real deliverable:
     * array-column schema, strict fold order, cross-engine parity).
     * Component d = Σ over tokens t with `hash60(t) mod dim == d` of
-    * `(hash60Seeded(t,1) mod 2001 − 1000)/1000` ∈ [−1,1]. Both sums
-    * are STRICT sequential folds in token order (Spark `aggregate`,
-    * DuckDB `list_reduce`), so the doubles are bit-identical across
-    * engines — an oracle can hash-compare downstream cosine math.
-    * Swapping in a real encoder changes ONLY this function: everything
-    * downstream (norms, cosine joins, LSH bucketing) is
-    * representation-agnostic. Cost: the md5s re-run per dim (the
-    * expression repeats per component) — irrelevant for a stub; a
-    * production encoder replaces the whole function. */
+    * `(hash60Seeded(t,1) mod 2001 − 1000)/1000` ∈ [−1,1], summed as a
+    * STRICT sequential fold in token order, so the doubles are
+    * bit-identical across engines (DuckDB mirrors with per-component
+    * `list_reduce` — adding a non-matching token's 0.0 there is an
+    * exact IEEE no-op, so per-slot and per-component folds agree
+    * bit-for-bit; pinned in Round9OpsSpec against the per-dim
+    * spelling). Swapping in a real encoder changes ONLY this function:
+    * everything downstream (norms, cosine joins, LSH bucketing) is
+    * representation-agnostic.
+    *
+    * Cost: md5 runs exactly TWICE per token (slot hash + weight hash)
+    * — the `gramHashes` trick: per-token (slot, weight) structs are
+    * built in ONE `transform` pass, then a single array-accumulator
+    * fold adds each weight into its slot. The earlier per-dim spelling
+    * repeated both md5s inside every one of `dim` components (16
+    * md5s/token at dim=8) — this IS the hot path the moment anyone
+    * scales the stub. */
   def hashEmbed(textCol: Column, dim: Int): Column = {
     require(dim > 0 && dim <= 64, s"need 0 < dim <= 64, got $dim")
+    val slotted = transform(tokens(textCol), t => struct(
+      pmod(hash60(t), lit(dim.toLong)).cast("int").as("d"),
+      ((pmod(hash60Seeded(t, 1), lit(2001L)) - 1000L).cast("double") / 1000.0)
+        .as("w")))
+    aggregate(slotted, array_repeat(lit(0.0), dim),
+      (acc, p) => transform(acc, (x, i) =>
+        when(i === p.getField("d"), x + p.getField("w")).otherwise(x)))
+  }
+
+  /** The original per-dimension spelling of [[hashEmbed]] — kept ONLY
+    * as the independent reference implementation for the value-
+    * identity pin (Round9OpsSpec); it re-runs both md5s once per
+    * dimension, so never use it on a real corpus. */
+  private[graft] def hashEmbedPerDim(textCol: Column, dim: Int): Column = {
     val toks = tokens(textCol)
     array((0 until dim).map { d =>
       aggregate(toks, lit(0.0), (acc, t) =>
