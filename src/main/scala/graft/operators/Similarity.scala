@@ -291,17 +291,45 @@ object Similarity {
     * Scale (100 TB): within-cluster pairing costs Σ|cluster|² — the
     * SemDeDup design point is choosing k ∝ corpus size so the mean
     * cluster stays constant-sized and the total stays linear. The
-    * failure mode is cluster-size skew (one hot cluster goes
-    * quadratic); monitor the largest cluster via [[ivfAssign]]'s
-    * inverted-list stats (q51) and split hot clusters with a finer
-    * centroid set before pairing — never raise the pair join onto an
-    * unbucketed corpus. */
+    * failure mode is cluster-size skew — at corpus scale a single
+    * viral-content cluster is the rule, not the edge case — so
+    * `maxClusterSize` bounds it IN-PLAN: any cluster larger than the
+    * cap is deterministically re-split into ⌈size/cap⌉ hash
+    * sub-clusters (hash60 of the id — reproducible across runs and
+    * engines) and pairs are compared only within a (cluster, sub)
+    * cell, so no cell's pair count exceeds ~cap² in expectation
+    * however hot the cluster. The RECALL TRADE is explicit: a
+    * near-dup pair inside a hot cluster is compared only when both
+    * ends hash to the same sub-cluster — probability 1/subs — so a
+    * capped run drops a SUBSET of the uncapped run's verdicts
+    * (pinned in Round9OpsSpec); recover recall hierarchically by
+    * re-running on the capped survivors, whose hot clusters have
+    * already shrunk. The default (no cap) keeps the exact SemDeDup
+    * semantics for oracle-gated runs; at 100 TB always set a cap —
+    * a quadratic stage that fails loudly beats one that runs
+    * silently for a day. */
   def semanticDedup(corpus: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String, threshold: Double): DataFrame = {
+      vecCol: String, threshold: Double,
+      maxClusterSize: Int = Int.MaxValue): DataFrame = {
+    require(maxClusterSize > 0, s"need maxClusterSize > 0, got $maxClusterSize")
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("centroid_id"))
+    val (bucketed, bucketCol) =
+      if (maxClusterSize == Int.MaxValue) (assigned, "centroid_id")
+      else {
+        // One count per cluster via a window on the SAME key the pair
+        // join shuffles on; subs = ceil(size/cap) so an under-cap
+        // cluster keeps exactly one cell (sub 0 for everyone — the
+        // uncapped pairing, unchanged).
+        val csize = count(lit(1)).over(Window.partitionBy(col("centroid_id")))
+        val subs = ceil(csize.cast("double") / maxClusterSize).cast("long")
+        (assigned.withColumn("__semd_bucket", concat_ws("_",
+          col("centroid_id"),
+          pmod(TextFunctions.hash60(col(idCol).cast("string")), subs))),
+          "__semd_bucket")
+      }
     val dropped = cosineNearDupPairs(
-        assigned, idCol, vecCol, "centroid_id", threshold)
+        bucketed, idCol, vecCol, bucketCol, threshold)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("__dropped", lit(true))
     assigned.join(dropped, Seq(idCol), "left")
