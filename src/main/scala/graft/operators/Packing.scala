@@ -97,27 +97,54 @@ object Packing {
     * oracle's `SUM(w) OVER (ORDER BY id)` reproduces it exactly.
     *
     * Output: idCol, n_tokens (= weight), global_offset (exclusive
-    * prefix sum), shard. Ids must be unique; weights non-negative. */
+    * prefix sum), shard. Ids must be unique; weights non-negative.
+    *
+    * `buckets = 0` (the default) DERIVES the bucket count from the
+    * same probe that reads the bounds: ⌈rows / 2^20⌉ — each in-bucket
+    * window sorts at most ~1M rows however big the corpus, which is
+    * the invariant a constant default breaks at 100 TB (corpus/64
+    * rows per window partition). The result is bucket-count
+    * independent either way (pinned in Round8OpsSpec), so the knob
+    * only shapes the plan. Bucket assignment divides FIRST —
+    * `(id − lo) DIV ⌈span/buckets⌉` — the multiply-first spelling
+    * `((id − lo) · buckets) DIV span` overflows Long once
+    * span · buckets exceeds 2^63 (~2^57 span at 64 buckets),
+    * silently producing non-monotone buckets and wrong offsets. */
   def contiguousShards(df: DataFrame, idCol: String, weightCol: Column,
-      budget: Long, buckets: Int = 64): DataFrame = {
+      budget: Long, buckets: Int = 0): DataFrame = {
     require(budget > 0, s"need budget > 0, got $budget")
-    require(buckets > 0, s"need buckets > 0, got $buckets")
+    require(buckets >= 0, s"need buckets >= 0 (0 = derive from row count), got $buckets")
     val reserved = Seq("__w", "__bucket", "__btotal", "__offset",
       "global_offset", "n_tokens", "shard")
     require(!reserved.contains(idCol),
       s"idCol must not be one of ${reserved.mkString("/")}")
     val out = Seq(col(idCol), col("__w").as("n_tokens"),
       col("global_offset"), expr(s"global_offset DIV $budget").as("shard"))
-    val bounds = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
-    if (bounds.isNullAt(0))
+    val probe = df.agg(count(lit(1)),
+      min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    if (probe.getLong(0) == 0)
       return df.select(col(idCol)).limit(0)
         .withColumn("__w", lit(0L)).withColumn("global_offset", lit(0L))
         .select(out: _*)
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = hi - lo + 1
+    // An id column whose cast-to-long is all-null (e.g. a non-numeric
+    // string id) must fail loudly: with null bounds every bucket
+    // expression would be null and a NON-EMPTY input would silently
+    // shard to an empty frame.
+    require(!probe.isNullAt(1),
+      s"contiguousShards: $idCol casts to null long for a non-empty input — use a numeric id")
+    val (lo, hi) = (probe.getLong(1), probe.getLong(2))
+    val span =
+      try Math.addExact(Math.subtractExact(hi, lo), 1L)
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          s"contiguousShards: id span [$lo, $hi] does not fit a signed 64-bit range") }
+    val nBuckets =
+      if (buckets > 0) buckets.toLong
+      else math.max(1L, (probe.getLong(0) - 1) / (1L << 20) + 1)
+    val width = (span - 1) / nBuckets + 1 // ceil(span / buckets), driver-side
     val w = df.select(col(idCol), weightCol.cast("long").as("__w"))
       .withColumn("__bucket",
-        expr(s"((CAST($idCol AS BIGINT) - ${lo}L) * ${buckets}L) DIV ${span}L"))
+        expr(s"(CAST($idCol AS BIGINT) - ${lo}L) DIV ${width}L"))
     val bucketTotals = w.groupBy(col("__bucket")).agg(sum(col("__w")).as("__btotal"))
     // `buckets` rows total: this empty-key window is bounded by the
     // bucket count (a config constant), NOT the corpus — the whole
