@@ -245,6 +245,16 @@ object Sampling {
     * 5% / 5% / 90% of GROUPS (proportions are of groups, not rows —
     * by design: the unit of independence is the group).
     *
+    * NULL group keys: `hash60(null)` is null, every `when` comparison
+    * is null, and the `otherwise` fires — so ALL null-key rows land in
+    * the LAST cut (typically "train"), together. For a leakage-safety
+    * operator a null group key usually means an upstream join dropped
+    * the cluster label (a bug worth failing on), so either guarantee
+    * non-null keys (`coalesce(component, id)` — what every caller
+    * here does) or filter/inspect nulls before splitting; the
+    * behavior is deterministic but it is NOT a hash split, and the
+    * null rows' correlation structure is unknown by definition.
+    *
     * Scale: a pure map-side projection (one hash, one when-chain) —
     * no shuffle, no state; composes with any downstream filter. Adds
     * column `split` (StringType). */
