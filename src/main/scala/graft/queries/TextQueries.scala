@@ -422,16 +422,18 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
-  // q130 — text → embedding → similarity, end to end from raw text:
-  // embed every document with the deterministic stub encoder
-  // ([[graft.operators.TextFunctions.hashEmbed]] — feature-hashed
-  // bag-of-words; a real model swaps in for ONLY that function, the
-  // plumbing downstream is representation-agnostic), then exact
-  // cosine near-dup pairs within source buckets (the q32 bucketing
-  // trade: pairs bound by the bucket, cross-source near-dups are the
-  // accepted miss). Every double — components, norms, dot, cosine —
-  // is a strict same-order fold in both engines, so the oracle
-  // hash-matches the similarity values exactly.
+  // q130 — text → embedding → EXACT similarity within fixed source
+  // buckets: the BOUNDED-BUCKET tool, not the scale default. The pair
+  // join keys on the 20-value `source` column, so pairs grow as
+  // corpus²/20 (measured 5.0× wall-clock at 10× data — SCALE.md);
+  // use it when the bucket column genuinely bounds bucket size
+  // (per-day slices, per-shard audits) and 100% within-bucket recall
+  // is the point. The scale-safe default for the same question is
+  // q131 below: the identical encoder feeding sign-projection LSH,
+  // where bucket count grows with the bit budget instead of staying
+  // fixed at the column's cardinality. Every double — components,
+  // norms, dot, cosine — is a strict same-order fold in both engines,
+  // so the oracle hash-matches the similarity values exactly.
   private def q130(s: SparkSession, dir: String): DataFrame = {
     val dim = 8
     // MATERIALIZATION BARRIER before the self-join: without it
@@ -478,6 +480,88 @@ object TextQueries {
       |  FROM n a JOIN n b ON a.source = b.source AND a.doc_id < b.doc_id
       |  WHERE a.nrm > 0 AND b.nrm > 0)
       |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q131 — text → embedding → near-dup at CORPUS scale: the scale-safe
+  // default for embedding near-dup, composing the q130 encoder
+  // ([[graft.operators.TextFunctions.hashEmbed]]) with q91's
+  // sign-projection LSH engine
+  // ([[graft.operators.Similarity.rpLshNearDupPairs]]): encoder →
+  // ±1-hyperplane sign buckets (8 tables × 18 bits, plane coefs
+  // regenerated from md5 in ANY engine) → exact-cosine verify of
+  // COLLIDING pairs only. No fixed-cardinality bucket column anywhere:
+  // candidate volume is bounded by the bit budget, tuned with the
+  // corpus (bits ∝ log corpus), where q130's exact pair join is
+  // pinned to corpus²/|sources|.
+  //
+  // (dim, bits, threshold) are MEASURED choices, not defaults — text
+  // embeddings are adversarial for sign-LSH because bag-of-words
+  // vectors share a dominant stopword-mass direction, so hyperplanes
+  // through the origin barely cut the cloud:
+  //  - dim 8 / 10 bits put ~10% of the 10× corpus in ONE cell
+  //    (Σ|cell|² = 218M pairs for 50k docs, measured) and at a 0.9
+  //    threshold unrelated docs pass verification (7106 of 125k
+  //    possible pairs at sf0.01) — a quadratic RESULT, not just a
+  //    quadratic stage;
+  //  - dim 32 spreads the slots (effective rank up, random cosine
+  //    down) and 18 bits cut cells to true duplicate groups:
+  //    Σ|cell|² 847k → 8.4M for 10× data (near-linear), verified
+  //    output 23 → 213 → 2360 across sf0.01/sf0.1/10× (linear).
+  // Recall at the 0.98 threshold is 1−(1−0.936^18)^8 ≈ 0.94
+  // (per-bit collision 1 − θ/π), →1 as cosine→1 — the LSH trade,
+  // and the oracle runs the SAME LSH, so the gate checks the
+  // bucketing/verify semantics exactly rather than hiding the trade
+  // behind an exact baseline.
+  //
+  // The localCheckpoint is the same CollapseProject barrier as q130:
+  // the embed expression feeds the norm, 60 signature dots, and both
+  // pair sides — inlined, the per-token md5s would re-run per
+  // signature bit and per candidate pair.
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val dim = 32
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.hashEmbed(col("text"), dim).as("emb"))
+      .localCheckpoint() // barrier FIRST: a filter above an alias gets
+      // predicate-pushed below the project with the alias substituted,
+      // which would run the whole encoder twice per row
+      .filter(graft.operators.Similarity.l2Norm(col("emb")) > 0)
+    graft.operators.Similarity.rpLshNearDupPairs(docs, "doc_id", "emb",
+        dim = dim, bits = 18, tables = 8, threshold = 0.98)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val q131Sql = {
+    val w = s"(${dHash("'1:' || tk")} % 2001 - 1000) / 1000.0"
+    val emb = s"""list_transform(range(0, 32), d ->
+      |    list_reduce(list_prepend(0.0, list_transform(toks, tk ->
+      |      CASE WHEN ${dHash("tk")} % 32 = d THEN $w ELSE 0.0 END)),
+      |      (a, b) -> a + b))""".stripMargin
+    val cos = "list_inner_product(ea.emb, eb.emb) / " +
+      "(sqrt(list_inner_product(ea.emb, ea.emb)) * sqrt(list_inner_product(eb.emb, eb.emb)))"
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |e0 AS (SELECT doc_id, $emb AS emb FROM t),
+      |v AS (SELECT doc_id, emb FROM e0
+      |  WHERE sqrt(list_inner_product(emb, emb)) > 0),
+      |planes AS (
+      |  SELECT p, list_transform(range(0, 32), i ->
+      |    CASE WHEN CAST('0x' || substr(md5('rp:' || p || ':' || i), 1, 15) AS BIGINT) % 2 = 0
+      |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS coefs
+      |  FROM range(0, 144) t(p)),
+      |sig AS (
+      |  SELECT v.doc_id, p // 18 AS rp_table,
+      |    SUM(CASE WHEN list_inner_product(v.emb, pl.coefs) > 0
+      |             THEN 1 << (p % 18) ELSE 0 END) AS rp_bucket
+      |  FROM v CROSS JOIN planes pl GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b
+      |    ON a.rp_table = b.rp_table AND a.rp_bucket = b.rp_bucket
+      |   AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, $cos AS cosine
+      |FROM cand JOIN v ea ON ea.doc_id = id_a JOIN v eb ON eb.doc_id = id_b
+      |WHERE $cos > 0.98
       |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -1370,6 +1454,7 @@ object TextQueries {
     QueryDef("q128_incremental_dedup", q128, Some(q128Sql)),
     QueryDef("q129_source_contribution", q129, Some(q129Sql)),
     QueryDef("q130_text_embed_neardup", q130, Some(q130Sql)),
+    QueryDef("q131_embed_lsh_neardup", q131, Some(q131Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),

@@ -271,6 +271,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rp_bucket"), p)
   }
 
+  test("q131: embed→LSH near-dup — candidates from the bucket join, no corpus product") {
+    val p = planOf("q131_embed_lsh_neardup")
+    // same contract as q91, now with the encoder feeding the LSH: the
+    // pair generator is an equi join on (rp_table, rp_bucket) — a
+    // cartesian/BNLJ anywhere means the corpus product q130 is pinned
+    // to has leaked into the scale path
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("rp_bucket"), p)
+  }
+
   test("q92: the trailing window is a RANGE frame over one window shuffle") {
     val p = planOf("q92_trailing_window")
     assert(p.contains("RangeFrame"), p)

@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextFunctions
+
+/** Round-9 operators: the single-pass hashEmbed encoder and the
+  * scale-safe embedding near-dup composition.
+  */
+class Round9OpsSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------- hashEmbed
+
+  test("hashEmbed single-pass fold is value-identical to the per-dim spelling") {
+    // Bit-identity matters, not approximation: the q130/q131 oracles
+    // hash-compare downstream cosine doubles, so the rewrite must not
+    // move a single ULP. Equality is exact (===), on every component,
+    // over real corpus text plus adversarial edge shapes.
+    import spark.implicits._
+    val edge = Seq("", "   ", "one", "a b c d e f g h i j k l m",
+      "dup dup dup dup", "\ttabs\tand\nnewlines  mixed éü")
+      .toDF("text")
+    val corpus = Tables.documents(spark, sf).select(col("text")).limit(200)
+      .union(edge)
+    for (dim <- Seq(1, 8, 64)) {
+      val mismatch = corpus
+        .select(TextFunctions.hashEmbed(col("text"), dim).as("fast"),
+          TextFunctions.hashEmbedPerDim(col("text"), dim).as("ref"))
+        .filter(!(col("fast") === col("ref")))
+        .count()
+      assert(mismatch == 0, s"dim=$dim: fold differs from per-dim spelling")
+    }
+  }
+
+  test("hashEmbed components are the slot-sum of token weights (hand check)") {
+    import spark.implicits._
+    // Independent hand computation from the driver-side hash twin:
+    // slot = hash60(t) mod dim, weight = (hash60("1:"+t) mod 2001 -
+    // 1000)/1000, summed in token order.
+    val text = "alpha beta gamma alpha delta"
+    val dim = 4
+    val expected = Array.fill(dim)(0.0)
+    text.split("\\s+").foreach { t =>
+      val slot = java.lang.Math.floorMod(
+        graft.operators.Similarity.hash60Const(t), dim.toLong).toInt
+      val w = (java.lang.Math.floorMod(
+        graft.operators.Similarity.hash60Const(s"1:$t"), 2001L) - 1000L) / 1000.0
+      expected(slot) += w
+    }
+    val got = Seq(text).toDF("text")
+      .select(TextFunctions.hashEmbed(col("text"), dim).as("emb"))
+      .head().getSeq[Double](0)
+    assert(got == expected.toSeq, s"got $got expected ${expected.toSeq}")
+  }
+
+  // ------------------------------------- semanticDedup skew cap
+
+  test("semanticDedup cap: hot-cluster pair volume is bounded, verdicts are a subset") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    // Adversarial hot cluster: a single centroid, so EVERY vector lands
+    // in one cluster — the uncapped pair stage is exactly n(n-1)/2.
+    val hot = e.filter(col("vec_id") === 0)
+    val cap = 8
+    val uncapped = Similarity.semanticDedup(e, hot, "vec_id", "embedding", 0.2)
+    val capped = Similarity.semanticDedup(e, hot, "vec_id", "embedding", 0.2,
+      maxClusterSize = cap)
+
+    // verdict frame shape: one row per vector either way
+    assert(uncapped.count() == n && capped.count() == n)
+    // the recall trade goes ONE direction: capping can only MISS pairs,
+    // so every capped drop must also be an uncapped drop
+    val extra = capped.filter(col("dropped")).select("vec_id")
+      .join(uncapped.filter(col("dropped")).select("vec_id"),
+        Seq("vec_id"), "left_anti").count()
+    assert(extra == 0, s"capped run dropped $extra vectors the uncapped run kept")
+    // and the cap must actually bite on a hot cluster
+    assert(capped.filter(col("dropped")).count() <
+      uncapped.filter(col("dropped")).count())
+
+    // pair-volume bound, via the operator's own deterministic cell
+    // rule (subs = ceil(size/cap), sub = hash60(id) mod subs): no cell
+    // exceeds ~3× the cap (hash variance headroom), so Σ|cell|² is
+    // O(n·cap) instead of the uncapped n².
+    val subs = math.ceil(n.toDouble / cap).toLong
+    val cells = e.select(pmod(TextFunctions.hash60(col("vec_id").cast("string")),
+        lit(subs)).as("sub"))
+      .groupBy("sub").count()
+    val maxCell = cells.agg(max("count")).head().getLong(0)
+    assert(maxCell <= 3L * cap, s"hot-cluster cell of $maxCell rows under cap $cap")
+    val pairSum = cells.agg(sum(col("count") * col("count"))).head().getLong(0)
+    assert(pairSum < n * n / 4, s"Σ|cell|²=$pairSum not « n²=${n * n}")
+  }
+
+  test("semanticDedup cap leaves under-cap clusters exactly uncapped (q123 semantics)") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val cents = e.filter(col("vec_id") < 8)
+    val base = Similarity.semanticDedup(e, cents, "vec_id", "embedding", 0.35)
+    // cap far above any real cluster size: identical verdict frame
+    val wide = Similarity.semanticDedup(e, cents, "vec_id", "embedding", 0.35,
+      maxClusterSize = 1000000)
+    assert(base.exceptAll(wide).count() == 0 && wide.exceptAll(base).count() == 0)
+  }
+
+  // ------------------------------- persisted signature store (q128 path)
+
+  test("incremental dedup from the persisted signature store ≡ recompute-from-text") {
+    import graft.operators.{Dedup, TextFunctions}
+    val docs = Tables.documents(spark, sf)
+    val isBatch =
+      pmod(TextFunctions.hash60(col("doc_id").cast("string")), lit(10L)) < 1
+    val history = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    val root = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+
+    Dedup.writeSignatureStore(history, "doc_id", "text",
+      k = 16, shingleN = 3, root = root, batchId = 1L)
+    val store = Dedup.readSignatureStore(spark, root)
+    val fromStore = Dedup.incrementalDedupFromStore(store, batch,
+      "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+    val recompute = Dedup.incrementalDedup(history, batch,
+      "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+    assert(fromStore.exceptAll(recompute).count() == 0 &&
+      recompute.exceptAll(fromStore).count() == 0,
+      "store-based verdicts differ from recompute-from-text")
+
+    // daily append: the batch's own signatures extend the store, so
+    // tomorrow's run sees history ∪ batch without rewriting history
+    Dedup.writeSignatureStore(batch, "doc_id", "text",
+      k = 16, shingleN = 3, root = root, batchId = 2L)
+    assert(Dedup.readSignatureStore(spark, root).count() == docs.count())
+    // short docs keep their exact-dup digest in the store (mh null)
+    val storeAll = Dedup.readSignatureStore(spark, root)
+    assert(storeAll.filter(col("chash").isNull).count() == 0)
+
+    // a committed batch id cannot be silently re-appended
+    intercept[IllegalArgumentException] {
+      Dedup.writeSignatureStore(batch, "doc_id", "text",
+        k = 16, shingleN = 3, root = root, batchId = 2L)
+    }
+  }
+
+  test("incrementalDedupFromStore rejects a frame that is not a signature store") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupFromStore(docs.select(col("doc_id")), docs,
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+    }
+  }
+
+  // --------------------------- contiguousShards derived bucket count
+
+  test("contiguousShards: derived bucket count (buckets=0) matches explicit counts") {
+    import graft.operators.{Packing, TextFunctions}
+    val docs = Tables.documents(spark, sf)
+    val auto = Packing.contiguousShards(docs, "doc_id",
+      TextFunctions.tokenCount(col("text")), budget = 700L)
+    val explicit = Packing.contiguousShards(docs, "doc_id",
+      TextFunctions.tokenCount(col("text")), budget = 700L, buckets = 8)
+    assert(auto.exceptAll(explicit).count() == 0 &&
+      explicit.exceptAll(auto).count() == 0)
+  }
+
+  test("contiguousShards: huge id spans shard without Long overflow") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // ids spread over ~the full positive long range: the multiply-first
+    // bucket spelling ((id-lo)*buckets DIV span) overflows here and
+    // produced non-monotone buckets; division-first must stay exact
+    val ids = Seq(0L, (1L << 61), (1L << 62), (1L << 62) + (1L << 61),
+      Long.MaxValue - 1)
+    val df = ids.map(i => (i, 10L)).toDF("id", "w")
+    val out = Packing.contiguousShards(df, "id", col("w"),
+      budget = 25L, buckets = 64).orderBy(col("id")).collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 10L, 20L, 30L, 40L),
+      out.mkString(","))
+  }
+
+  test("contiguousShards: all-null id on non-empty input fails loudly") {
+    // (A non-numeric STRING id already fails loudly under ANSI cast —
+    // the silent case the guard exists for is an id column that is
+    // legitimately typed but all null: null bounds used to make every
+    // bucket expression null and return an EMPTY frame for non-empty
+    // input.)
+    import spark.implicits._
+    import graft.operators.Packing
+    val df = Seq((null.asInstanceOf[java.lang.Long], 1L),
+      (null.asInstanceOf[java.lang.Long], 2L)).toDF("id", "w")
+    val e = intercept[IllegalArgumentException] {
+      Packing.contiguousShards(df, "id", col("w"), budget = 10L)
+    }
+    assert(e.getMessage.contains("casts to null"), e.getMessage)
+  }
+}
