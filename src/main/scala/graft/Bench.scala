@@ -60,7 +60,11 @@ object Bench {
     // prefix-sum sharding, streamed stream-static enrichment gate
     "q125_cluster_split", "q126_contiguous_shards",
     "q127_stream_static_enriched", "q128_incremental_dedup",
-    "q129_source_contribution", "q130_text_embed_neardup")
+    "q129_source_contribution", "q130_text_embed_neardup",
+    // round-9 tail: encoder→RP-LSH corpus-scale near-dup, plus the
+    // checkpoint-recovery (kill + restart) streamed gates
+    "q131_embed_lsh_neardup", "q132_dedup_restarted",
+    "q133_sessionize_restarted")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -370,7 +374,8 @@ object Bench {
     val totalExcludes = Seq(
       "rcm_pipeline", "q117_interval_join_streamed",
       "q118_interval_left_streamed", "q122_streamed_dedup",
-      "q124_sessionize_streamed", "q127_stream_static_enriched")
+      "q124_sessionize_streamed", "q127_stream_static_enriched",
+      "q132_dedup_restarted", "q133_sessionize_restarted")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

@@ -214,13 +214,50 @@ object WindowQueries {
     streamedGate(s, dir, tag)(join)(
       _.filter(col("user_id") >= 0).orderBy(col("a_id"), col("b_id")))
 
-  /** The staging machinery of [[streamedIntervalGate]] with the final
-    * projection/order left to the caller (`finish` — must also drop
-    * the sentinel's `user_id < 0` rows): shared by the interval-join
-    * gates (q117/q118) and the streamed-dedup gate (q122). */
-  private def streamedGate(s: SparkSession, dir: String,
-      tag: String)(xform: DataFrame => DataFrame)(
-      finish: DataFrame => DataFrame): DataFrame = {
+  /** Staged chunk files shared by the one-shot and RESTARTED gates:
+    * the four time-cut parquet files land in `hold/` (strict mtime
+    * order), and a gate REVEALS them into `in/` — all at once
+    * ([[streamedGate]]) or in phases with a query restart between
+    * ([[streamedGateRestart]]). */
+  private final case class GateStage(stage: String, inDir: java.io.File,
+      hold: java.io.File, schema: org.apache.spark.sql.types.StructType,
+      fs: org.apache.hadoop.fs.FileSystem, nChunks: Int) {
+    def reveal(from: Int, n: Int): Unit =
+      (from until from + n).foreach { i =>
+        val src = new java.io.File(hold, s"c$i.parquet")
+        require(src.renameTo(new java.io.File(inDir, s"c$i.parquet")),
+          s"reveal of chunk $i failed")
+      }
+    def delete(): Unit =
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
+  /** A kill point that GUARANTEES live state spans a restart: the
+    * midpoint of the earliest same-(user, type, day) event pair that
+    * is also inside one session gap (≤ 30 min apart; ≥ 2 µs apart so
+    * the midpoint strictly separates the two). Cutting there puts an
+    * already-seen dedup key AND an open session on BOTH sides of the
+    * checkpoint kill — a recovery that lost either state is caught by
+    * the oracle, where a cut at the default time-third can fall in
+    * quiet air and pass vacuously (no key straddles the thirds at
+    * sf0.01 — measured, and pinned the other way in Round9OpsSpec).
+    * None when the slice has no such pair (degenerate corpus). */
+  private[graft] def stateStraddlingCut(s: SparkSession, dir: String): Option[Long] = {
+    val byKey = Window
+      .partitionBy(col("user_id"), col("event_type"), to_date(col("ts")))
+      .orderBy(col("ts"))
+    val m = Tables.events(s, dir).filter(col("user_id") < 40)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("pus", lag(col("us"), 1).over(byKey))
+      .filter(col("pus").isNotNull &&
+        col("us") - col("pus") <= 1800L * 1000000L &&
+        col("us") - col("pus") >= 2L)
+      .agg(min((col("pus") + col("us")) / 2).cast("long")).head()
+    if (m.isNullAt(0)) None else Some(m.getLong(0))
+  }
+
+  private def stageChunks(s: SparkSession, dir: String, tag: String,
+      cutOverride: Option[Long] = None): GateStage = {
     import s.implicits._
     val slice = Tables.events(s, dir).filter(col("user_id") < 40)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -231,9 +268,13 @@ object WindowQueries {
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val stage = java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
     val inDir = new java.io.File(stage, "in"); inDir.mkdirs()
+    val hold = new java.io.File(stage, "hold"); hold.mkdirs()
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(s.sessionState.newHadoopConf())
-    val cuts = Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val cuts = cutOverride match {
+      case Some(c) => Seq(c, math.max(c + 1, lo + 2 * (hi - lo) / 3))
+      case None => Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    }
     val sentinelTs = new java.sql.Timestamp(hi / 1000 + 90L * 86400 * 1000)
     val chunks: Seq[DataFrame] = Seq(
       slice.filter(unix_micros(col("ts")) < cuts(0)),
@@ -248,12 +289,24 @@ object WindowQueries {
       df.coalesce(1).write.parquet(tmp)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
         .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-      val dest = new java.io.File(inDir, s"c$i.parquet")
+      val dest = new java.io.File(hold, s"c$i.parquet")
       fs.rename(part, new org.apache.hadoop.fs.Path(dest.toString))
       dest.setLastModified(1700000000000L + i * 60000L) // strict mtime order
     }
-    val stream = s.readStream.schema(slice.schema)
-      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    GateStage(stage, inDir, hold, chunks.head.schema, fs, chunks.size)
+  }
+
+  /** The staging machinery of [[streamedIntervalGate]] with the final
+    * projection/order left to the caller (`finish` — must also drop
+    * the sentinel's `user_id < 0` rows): shared by the interval-join
+    * gates (q117/q118) and the streamed-dedup gate (q122). */
+  private def streamedGate(s: SparkSession, dir: String,
+      tag: String)(xform: DataFrame => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val gs = stageChunks(s, dir, tag)
+    gs.reveal(0, gs.nChunks)
+    val stream = s.readStream.schema(gs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(gs.inDir.toString)
     val joined = xform(stream)
     val sink = tag + "_" + java.util.UUID.randomUUID().toString.take(8)
     // The stream's state-store count is pinned at start from
@@ -269,12 +322,60 @@ object WindowQueries {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = joined.writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation", s"$stage/ckpt")
+        .option("checkpointLocation", s"${gs.stage}/ckpt")
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    gs.delete()
     finish(s.table(sink))
+  }
+
+  /** CHECKPOINT-RECOVERY gate: the production restart path a single
+    * start-to-finish stream never exercises. The staged chunks are
+    * revealed in `phases` groups; after each group the query drains
+    * (`processAllAvailable` — every in-flight batch commits) and is
+    * STOPPED, and the next phase starts a FRESH query from the same
+    * checkpoint — state store, watermark, and source offsets all
+    * reload from disk, exactly like a crashed driver coming back.
+    * Correctness is end-to-end: if recovery dropped or re-played
+    * state (dedup keys seen before the kill, sessions open across
+    * it), the final rows differ and the DuckDB batch oracle fails
+    * the gate.
+    *
+    * The sink is the PARQUET streaming sink, not memory: the memory
+    * sink refuses checkpoint recovery in append mode (it cannot
+    * rebuild pre-restart batches), while the file sink's
+    * `_spark_metadata` manifest gives exactly-once output across
+    * restarts — the same mechanism a production file-landing job
+    * relies on. The manifest-listed files are read back and
+    * localCheckpoint'd before the staging dir is deleted. */
+  private def streamedGateRestart(s: SparkSession, dir: String,
+      tag: String, phases: Seq[Int],
+      cutOverride: Option[Long] = None)(xform: DataFrame => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val gs = stageChunks(s, dir, tag, cutOverride)
+    require(phases.sum == gs.nChunks && phases.forall(_ > 0),
+      s"phases $phases must partition the ${gs.nChunks} staged chunks")
+    val outDir = s"${gs.stage}/out"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      var revealed = 0
+      phases.foreach { n =>
+        gs.reveal(revealed, n)
+        revealed += n
+        val stream = s.readStream.schema(gs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(gs.inDir.toString)
+        val q = xform(stream).writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", s"${gs.stage}/ckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val out = finish(s.read.parquet(outDir)).localCheckpoint()
+    gs.delete()
+    out
   }
 
   private def q117(s: SparkSession, dir: String): DataFrame =
@@ -403,6 +504,55 @@ object WindowQueries {
       |  CAST((MAX(ts_us) - MIN(ts_us)) // 1000000 AS BIGINT) AS session_seconds
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q132 — q122's streaming dedup KILLED AND RESTARTED mid-stream:
+  // the first chunk processes, the query stops cleanly, and a fresh
+  // query resumes from the checkpoint for the remaining three (incl.
+  // the sentinel). The kill point is DATA-DERIVED
+  // ([[stateStraddlingCut]]): it bisects a same-(user, type, day)
+  // event pair, so a key already in the dedup state at the kill
+  // RECURS after the restart — lost state would re-emit it and the
+  // oracle's batch DISTINCT would catch the duplicate; conversely a
+  // restart that replayed committed batches would double-emit
+  // phase-1 rows into the exactly-once file sink. Same oracle as
+  // q122 — restart must be INVISIBLE in the result.
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    streamedGateRestart(s, dir, "q132", phases = Seq(1, 3),
+        cutOverride = stateStraddlingCut(s, dir))(stream =>
+      graft.streaming.EventStream.dedupedStream(
+          stream.withColumn("day", to_date(col("ts"))),
+          watermark = "1 day", idCols = Seq("user_id", "event_type", "day"))
+        .select(col("user_id"), col("event_type"), col("day")))(
+      _.filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("event_type"), col("day")))
+  private val q132Sql = q122Sql
+
+  // ---------------------------------------------------------------
+  // q133 — q124's flatMapGroupsWithState sessionization KILLED AND
+  // RESTARTED: the hardest state to recover — sessions OPEN at the
+  // kill point (arbitrary user state + registered event-time
+  // timeouts, not a built-in operator's rows). The data-derived kill
+  // point ([[stateStraddlingCut]]) bisects an intra-session event
+  // pair, so a session is GUARANTEED open across the restart: its
+  // continuation must EXTEND the recovered state (a lost state would
+  // start a new session and renumber every later one for that user);
+  // the sentinel then times out all open sessions via the recovered
+  // watermark. Same oracle as q124.
+  private def q133(s: SparkSession, dir: String): DataFrame =
+    streamedGateRestart(s, dir, "q133", phases = Seq(1, 3),
+        cutOverride = stateStraddlingCut(s, dir))(stream => {
+      import s.implicits._
+      graft.streaming.EventStream.sessionize(
+        s, stream.as[graft.streaming.EventStream.Event],
+        gapSeconds = 1800, watermark = "1 hour").toDF()
+    })(
+      _.filter(col("user_id") >= 0)
+        .withColumn("session_seconds",
+          ((col("session_end_us") - col("session_start_us")) / 1000000L)
+            .cast("long"))
+        .orderBy(col("user_id"), col("session_id")))
+  private val q133Sql = q124Sql
 
   // ---------------------------------------------------------------
   // q127 — STREAM-STATIC enrichment under the gate: the remaining
@@ -541,6 +691,8 @@ object WindowQueries {
     QueryDef("q118_interval_left_streamed", q118, Some(q118Sql)),
     QueryDef("q122_streamed_dedup", q122, Some(q122Sql)),
     QueryDef("q124_sessionize_streamed", q124, Some(q124Sql)),
+    QueryDef("q132_dedup_restarted", q132, Some(q132Sql)),
+    QueryDef("q133_sessionize_restarted", q133, Some(q133Sql)),
     QueryDef("q127_stream_static_enriched", q127, Some(q127Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )

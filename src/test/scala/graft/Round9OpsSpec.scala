@@ -154,6 +154,58 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------- checkpoint-recovery gates (q132/q133)
+
+  test("q132/q133: kill + restart from checkpoint is invisible in the result") {
+    // The restarted gates must equal their one-shot streamed twins
+    // row-for-row: recovery that lost state would re-emit deduped keys
+    // / renumber sessions; recovery that replayed committed batches
+    // would double-emit into the exactly-once file sink.
+    val sf01 = "/root/testdata/sf0.01"
+    for ((restarted, oneShot) <- Seq(
+        "q132_dedup_restarted" -> "q122_streamed_dedup",
+        "q133_sessionize_restarted" -> "q124_sessionize_streamed")) {
+      val a = SparkEntry.queries(restarted)(spark, sf01)
+      val b = SparkEntry.queries(oneShot)(spark, sf01)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+        s"$restarted differs from $oneShot")
+    }
+  }
+
+  test("the restart kill point is load-bearing: state straddles the phase cut") {
+    // If no dedup key occurred on both sides of the cut and no session
+    // spanned it, q132/q133 would pass even with recovery broken. The
+    // default time-third cut DOES fall in quiet air at sf0.01 (zero
+    // straddling keys — measured), which is exactly why the gates use
+    // the data-derived stateStraddlingCut; pin that at THAT cut both
+    // state kinds genuinely span the kill.
+    import org.apache.spark.sql.expressions.Window
+    val sf01 = "/root/testdata/sf0.01"
+    val cutOpt = graft.queries.WindowQueries.stateStraddlingCut(spark, sf01)
+    assert(cutOpt.isDefined, "no intra-session same-key pair in the slice")
+    val cut = cutOpt.get
+    val ev = Tables.events(spark, sf01).filter(col("user_id") < 40)
+
+    val straddlingKeys = ev
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"),
+        (unix_micros(col("ts")) < cut).as("before"))
+      .groupBy("user_id", "event_type", "day")
+      .agg(countDistinct(col("before")).as("sides"))
+      .filter(col("sides") === 2).count()
+    assert(straddlingKeys > 0,
+      "no dedup key spans the kill point — q132 would pass without state recovery")
+
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val spanningSessions = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull &&
+        unix_micros(col("ts")) - col("prev_us") <= 1800L * 1000000L &&
+        col("prev_us") < cut && unix_micros(col("ts")) >= cut)
+      .count()
+    assert(spanningSessions > 0,
+      "no session spans the kill point — q133 would pass without state recovery")
+  }
+
   // --------------------------- contiguousShards derived bucket count
 
   test("contiguousShards: derived bucket count (buckets=0) matches explicit counts") {
