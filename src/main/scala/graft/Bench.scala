@@ -64,7 +64,7 @@ object Bench {
     // round-9 tail: encoder→RP-LSH corpus-scale near-dup, plus the
     // checkpoint-recovery (kill + restart) streamed gates
     "q131_embed_lsh_neardup", "q132_dedup_restarted",
-    "q133_sessionize_restarted")
+    "q133_sessionize_restarted", "q134_incremental_from_store")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -671,6 +671,36 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
+  // q134 — q128 THROUGH THE PERSISTED SIGNATURE STORE: the history's
+  // [[graft.operators.Dedup.dedupSignatures]] are committed to a
+  // parquet store (one batch) and the verdict runs
+  // `incrementalDedupFromStore` — the verdict plan reads the store's
+  // (digest, shingle-hash, minhash) columns and NEVER touches the
+  // history's text. Same oracle as q128: the store is an
+  // implementation detail the result must not see. This is the
+  // 100 TB daily shape — q128 prices the recompute path, q134 prices
+  // (and gates) the persisted path. The store is localCheckpoint-
+  // drained and deleted before returning, so each run is hermetic.
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isBatch =
+      pmod(TextFunctions.hash60(col("doc_id").cast("string")), lit(10L)) < 1
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q134_store").toString
+    Dedup.writeSignatureStore(docs.filter(!isBatch), "doc_id", "text",
+      k = 16, shingleN = 3, root = root, batchId = 1L)
+    val out = Dedup.incrementalDedupFromStore(
+        Dedup.readSignatureStore(s, root), docs.filter(isBatch),
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    out.orderBy(col("doc_id"))
+  }
+  private val q134Sql = q128Sql
+
+  // ---------------------------------------------------------------
   // q60 — benchmark decontamination: training docs sharing any word
   // trigram with the eval slice (doc_id % 97 == 3 stands in for a
   // benchmark set), counted per language. The eval gram set broadcasts;
@@ -1455,6 +1485,7 @@ object TextQueries {
     QueryDef("q129_source_contribution", q129, Some(q129Sql)),
     QueryDef("q130_text_embed_neardup", q130, Some(q130Sql)),
     QueryDef("q131_embed_lsh_neardup", q131, Some(q131Sql)),
+    QueryDef("q134_incremental_from_store", q134, Some(q134Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),
