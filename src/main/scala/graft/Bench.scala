@@ -64,7 +64,8 @@ object Bench {
     // round-9 tail: encoder→RP-LSH corpus-scale near-dup, plus the
     // checkpoint-recovery (kill + restart) streamed gates
     "q131_embed_lsh_neardup", "q132_dedup_restarted",
-    "q133_sessionize_restarted", "q134_incremental_from_store")
+    "q133_sessionize_restarted", "q134_incremental_from_store",
+    "q135_int8_topk", "q136_int8_recall", "q137_running_totals_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -375,7 +376,8 @@ object Bench {
       "rcm_pipeline", "q117_interval_join_streamed",
       "q118_interval_left_streamed", "q122_streamed_dedup",
       "q124_sessionize_streamed", "q127_stream_static_enriched",
-      "q132_dedup_restarted", "q133_sessionize_restarted")
+      "q132_dedup_restarted", "q133_sessionize_restarted",
+      "q137_running_totals_streamed")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

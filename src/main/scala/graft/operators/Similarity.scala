@@ -337,6 +337,39 @@ object Similarity {
         coalesce(col("__dropped"), lit(false)).as("dropped"))
   }
 
+  /** Brute-force top-k over SYMMETRICALLY int8-quantized vectors — the
+    * memory-bandwidth ANN lever ([[Quantize]]: a float32 store is 4×
+    * the bytes of int8 + one scale). Both sides quantize with the
+    * absmax rule and rank by the cosine of the QUANTIZED vectors;
+    * per-vector scales cancel in cosine, so the score needs no float
+    * reconstruction at all — the int8 arrays are the only corpus
+    * bytes the scan touches.
+    *
+    * Cross-engine exactness: quantized components are integers in
+    * [−127, 127]; their products and ≤4096-term sums stay well inside
+    * double's exact-integer range, and the [[dot]] kernel folds
+    * left-to-right like DuckDB's `list_inner_product` — so the
+    * approximate-cosine VALUES (not just ranks) hash-match an oracle.
+    * Ranking quality vs the float baseline is gated separately with
+    * an in-plan recall floor (q136), the q110 discipline.
+    *
+    * Scale shape = [[bruteForceTopK]]: queries broadcast, corpus
+    * never shuffles, map-side WindowGroupLimit below the exchange. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, outId: String, qCol: String, nCol: String) =
+      Quantize.int8AbsMax(df, vecCol).select(
+        col(idCol).as(outId),
+        transform(col("q"), x => x.cast("double")).as(qCol))
+        .withColumn(nCol, l2Norm(col(qCol)))
+    val q = prep(queries, "query_id", "qv", "qn")
+    val c = prep(corpus, "neighbor_id", "cv", "cn")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", pairCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    rankTopK(scored, k, col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   // ---- random-hyperplane (sign-projection) LSH ---------------------
 
   /** Driver-side twin of [[graft.operators.TextFunctions.hash60]] for

@@ -298,6 +298,96 @@ object SimilarityQueries {
       |    / (sqrt(list_inner_product(ea.v, ea.v)) * sqrt(list_inner_product(eb.v, eb.v))) > 0.30
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** DuckDB fragment: absmax-int8 quantized vectors of `embeddings`
+    * as DOUBLE lists (integer-valued — exactly the [[graft.operators
+    * .Quantize.int8AbsMax]] rule, q75's oracle spelling), shared by
+    * the q135/q136 oracles. */
+  private val dInt8 =
+    """qv AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale > 0
+      |      THEN list_transform(embedding,
+      |             x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale) AS DOUBLE))
+      |      ELSE list_transform(embedding, x -> CAST(0 AS DOUBLE)) END AS q
+      |  FROM (SELECT vec_id, embedding,
+      |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      |        FROM embeddings))""".stripMargin
+  private val dQcos =
+    "list_inner_product(p.qv, c.q) / (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(c.q, c.q)))"
+
+  // q135 — brute-force top-5 over SYMMETRICALLY int8-quantized
+  // vectors: the 4×-bandwidth ANN variant of q34 — both sides
+  // quantize with the q75 absmax rule and rank by the cosine of the
+  // quantized vectors (per-vector scales cancel, so scoring never
+  // reconstructs floats). All quantized components are integers in
+  // [−127,127], so the cosine VALUES hash-match the oracle exactly —
+  // the gate checks the quantized scoring math, q136 gates its
+  // retrieval quality against the float baseline.
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.int8TopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q135Sql =
+    s"""WITH $dInt8,
+      |p AS (SELECT vec_id AS query_id, q AS qv FROM qv WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT query_id, c.vec_id AS neighbor_id, $dQcos AS cosine
+      |  FROM p CROSS JOIN qv c WHERE query_id <> c.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // q136 — retrieval-quality gate for the int8 path (the q110
+  // discipline): recall@3 of quantized-cosine ranking against the
+  // exact float brute force, per query, with an in-plan floor —
+  // quantization that starts costing recall fails the run loudly
+  // instead of silently degrading retrieval. Floor = 2/3: the
+  // per-query minimum observed at sf0.001/sf0.01/sf0.1 (mean ≈ 0.97);
+  // any scheme change that costs a second neighbor anywhere fails.
+  private val Int8RecallFloor = 2.0 / 3.0
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") < 10)
+    val brute = Similarity
+      .bruteForceTopK(e, queries, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val int8 = Similarity
+      .int8TopK(e, queries, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    brute.join(int8, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(3.0))
+      .filter(assert_true(col("recall") >= Int8RecallFloor,
+        concat(lit(s"int8 recall@3 below floor $Int8RecallFloor for query "),
+          col("query_id").cast("string"))).isNull)
+      .orderBy(col("query_id"))
+  }
+  private val q136Sql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$dInt8,
+      |q AS (SELECT vec_id AS query_id, v AS fv FROM e WHERE vec_id < 10),
+      |brute AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY
+      |      list_inner_product(q.fv, e.v) / (sqrt(list_inner_product(q.fv, q.fv)) * sqrt(list_inner_product(e.v, e.v))) DESC,
+      |      e.vec_id) AS rank
+      |  FROM q CROSS JOIN e WHERE query_id <> e.vec_id) WHERE rank <= 3),
+      |p AS (SELECT vec_id AS query_id, q AS qv FROM qv WHERE vec_id < 10),
+      |i8 AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, c.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY $dQcos DESC, c.vec_id) AS rank
+      |  FROM p CROSS JOIN qv c WHERE query_id <> c.vec_id) WHERE rank <= 3)
+      |SELECT b.query_id,
+      |  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 3.0 AS recall
+      |FROM brute b LEFT JOIN i8 i
+      |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
+
   // q123 — semantic dedup (SemDeDup): centroid-clustered cosine
   // near-dup removal over embeddings — the learned-cluster sibling of
   // q91's random-hyperplane bucketing (clusters adapt to the data;
@@ -339,6 +429,8 @@ object SimilarityQueries {
     QueryDef("q51_ivf_assign", q51, Some(q51Sql)),
     QueryDef("q52_ivf_multiprobe", q52, Some(q52Sql)),
     QueryDef("q110_ivf_recall", q110, Some(q110Sql)),
+    QueryDef("q135_int8_topk", q135, Some(q135Sql)),
+    QueryDef("q136_int8_recall", q136, Some(q136Sql)),
     QueryDef("q67_kmeans_step", q67, Some(q67Sql)),
   )
 }

@@ -301,7 +301,8 @@ object WindowQueries {
     * the sentinel's `user_id < 0` rows): shared by the interval-join
     * gates (q117/q118) and the streamed-dedup gate (q122). */
   private def streamedGate(s: SparkSession, dir: String,
-      tag: String)(xform: DataFrame => DataFrame)(
+      tag: String, outputMode: String = "append")(
+      xform: DataFrame => DataFrame)(
       finish: DataFrame => DataFrame): DataFrame = {
     val gs = stageChunks(s, dir, tag)
     gs.reveal(0, gs.nChunks)
@@ -323,7 +324,7 @@ object WindowQueries {
     try {
       val q = joined.writeStream.format("memory").queryName(sink)
         .option("checkpointLocation", s"${gs.stage}/ckpt")
-        .outputMode("append").start()
+        .outputMode(outputMode).start()
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     gs.delete()
@@ -601,6 +602,46 @@ object WindowQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
+  // q137 — Spark 4's ARBITRARY-STATE API (`transformWithState` +
+  // StatefulProcessor) under the gate: EventStream.runningTotals
+  // (previously exercised only in EventStreamSpec) run as a real
+  // rate-limited stream in UPDATE mode over the RocksDB store the
+  // operator requires. Each micro-batch emits appearing users'
+  // updated cumulative (n_events, total_micros); emissions are
+  // strictly monotone in n_events per user, so the final cumulative
+  // row is the n_events-argmax and must equal the batch GROUP BY —
+  // which is what the oracle checks. Values quantize to micros with
+  // floor(v·1e6 + 0.5) (exactly JVM Math.round), mirrored in the
+  // oracle, so the running sum is an exact long however the batches
+  // split. The memory sink in update mode retains every emission;
+  // `finish` folds to the final row per user and drops the sentinel.
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      streamedGate(s, dir, "q137", outputMode = "update")(stream => {
+        import s.implicits._
+        graft.streaming.EventStream.runningTotals(
+          s, stream.as[graft.streaming.EventStream.Event]).toDF()
+      })(
+        _.filter(col("user_id") >= 0)
+          .groupBy(col("user_id"))
+          .agg(max(col("n_events")).as("n_events"),
+            max_by(col("total_micros"), col("n_events")).as("total_micros"))
+          .orderBy(col("user_id")))
+    } finally prevProvider.fold(
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+  private val q137Sql =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS total_micros
+      |FROM events WHERE user_id < 40
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q99 — ratio-to-report: each nation's share of its REGION's revenue
   // (the percent-of-total analytic every BI layer needs). Revenue
   // aggregates to integer micros first (exact), so the window total is
@@ -692,6 +733,7 @@ object WindowQueries {
     QueryDef("q122_streamed_dedup", q122, Some(q122Sql)),
     QueryDef("q124_sessionize_streamed", q124, Some(q124Sql)),
     QueryDef("q132_dedup_restarted", q132, Some(q132Sql)),
+    QueryDef("q137_running_totals_streamed", q137, Some(q137Sql)),
     QueryDef("q133_sessionize_restarted", q133, Some(q133Sql)),
     QueryDef("q127_stream_static_enriched", q127, Some(q127Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
