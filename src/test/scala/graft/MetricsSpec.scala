@@ -150,4 +150,23 @@ class MetricsSpec extends AnyFunSuite {
       s"shuffle ${m.shuffleWriteBytes} vs corpus $inputBytes")
     assert(m.inputRecords > 0, m)
   }
+
+  test("q131 LSH near-dup shuffle grows ~linearly with the corpus, never as pairs") {
+    // The bucket join shuffles `tables` signature rows per doc (each
+    // carrying the embedding) — corpus-LINEAR by design. A regression
+    // to a pair-product shape (q130's corpus²/buckets) would show as
+    // ~quadratic shuffle growth across a 10× corpus: 500 docs at
+    // sf0.001 vs 5000 at sf0.01 must shuffle well under 100× more.
+    def shuffled(dir: String): Long = {
+      val (_, m) = Metrics.capture(spark) {
+        SparkEntry.queries("q131_embed_lsh_neardup")(spark, dir).collect()
+      }
+      m.shuffleWriteBytes
+    }
+    val small = shuffled("/root/testdata/sf0.001")
+    val big = shuffled(sf)
+    assert(small > 0, "expected a real shuffle at sf0.001")
+    assert(big < 30L * small,
+      s"shuffle grew ${big.toDouble / small}× for 10× docs — pair-product regression")
+  }
 }

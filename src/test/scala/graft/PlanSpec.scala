@@ -75,6 +75,10 @@ class PlanSpec extends AnyFunSuite {
     assertPartialGroupLimit("q35_ann_bucketed")
   }
 
+  test("q135: int8 ANN keeps the map-side partial group-limit of the float path") {
+    assertPartialGroupLimit("q135_int8_topk")
+  }
+
   test("q29: exact dedup is one pass — a single scan and a single md5") {
     val p = planOf("q29_dedup_exact")
     // the groupBy-then-rejoin shape scanned documents twice and hashed
