@@ -65,7 +65,8 @@ object Bench {
     // checkpoint-recovery (kill + restart) streamed gates
     "q131_embed_lsh_neardup", "q132_dedup_restarted",
     "q133_sessionize_restarted", "q134_incremental_from_store",
-    "q135_int8_topk", "q136_int8_recall", "q137_running_totals_streamed")
+    "q135_int8_topk", "q136_int8_recall", "q137_running_totals_streamed",
+    "q138_inverted_index", "q139_term_search")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextFunctions.tokens
+
+/** Inverted-index construction and term search over the corpus — the
+  * retrieval foundation (BM25/df-idf style) a training-data stack
+  * needs for decontamination audits, targeted curation ("every doc
+  * mentioning X"), and eval-set leakage hunts.
+  *
+  * Scale design (100 TB):
+  *  - The tf frame (token, doc, tf) is one shuffle on (token, doc)
+  *    with map-side partial counts.
+  *  - Per-token stats (df, cf) are partial-aggregated; the final
+  *    aggregate rides the SAME token-hash exchange the posting-head
+  *    window creates — two corpus exchanges total, pinned in
+  *    PlanSpec.
+  *  - The SKEW hazard is the posting list itself: a stopword's
+  *    postings are corpus-sized, so the full list is never
+  *    materialized per token. The head is taken by a streaming
+  *    window rank (`row_number <= k` per token, evaluated
+  *    incrementally inside the sort — no per-token buffer), and only
+  *    those ≤ k survivors reach the aggregate. Full posting EXPORT at
+  *    scale shards by (token, bucket(doc)) so no single writer owns a
+  *    hot token's whole list.
+  *  - [[andSearch]] never touches the index: it is a fresh scan +
+  *    filtered aggregate + `TakeOrderedAndProject` top-k, the right
+  *    plan when the term set is small and ad hoc; a served index is
+  *    the [[Bucketing]] layout of the tf frame instead.
+  */
+object InvertedIndex {
+
+  /** One row per distinct token: `(token, df, cf, posting_head)` —
+    * document frequency, collection frequency, and the first `headK`
+    * doc ids in id order joined with '_' (a STRING so cross-engine
+    * compares need no list hashing). */
+  def build(df: DataFrame, idCol: String, textCol: String,
+      headK: Int): DataFrame = {
+    require(headK >= 1, s"need headK >= 1, got $headK")
+    val tf = df
+      .select(col(idCol).cast("long").as("__doc"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("__doc"))
+      .agg(count(lit(1)).as("tf"))
+    val byToken = Window.partitionBy(col("token")).orderBy(col("__doc"))
+    tf.withColumn("__rn", row_number().over(byToken))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).cast("long").as("cf"),
+        concat_ws("_", transform(
+          sort_array(collect_list(when(col("__rn") <= headK, col("__doc")))),
+          d => d.cast("string"))).as("posting_head"))
+  }
+
+  /** Documents containing ALL `terms`, ranked by total term frequency
+    * (exact integer score — no idf floats, so the ranking is
+    * bit-reproducible in any engine), doc id as the tiebreak, top
+    * `k`. Returns `(id, score)`. */
+  def andSearch(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    require(k >= 1, s"need k >= 1, got $k")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("token")).as("__n_terms"),
+        count(lit(1)).as("score"))
+      .filter(col("__n_terms") === terms.size)
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+}

@@ -701,6 +701,48 @@ object TextQueries {
   private val q134Sql = q128Sql
 
   // ---------------------------------------------------------------
+  // q138 — inverted-index construction: one row per vocabulary token
+  // with df / cf / the first-8 posting head (see
+  // [[graft.operators.InvertedIndex]] — the head is a streaming
+  // window rank, never a materialized per-token posting list, which
+  // is the stopword-skew hazard at corpus scale; the stats aggregate
+  // rides the window's own token-hash exchange, pinned in PlanSpec).
+  private def q138(s: SparkSession, dir: String): DataFrame =
+    graft.operators.InvertedIndex.build(
+        Tables.documents(s, dir), "doc_id", "text", headK = 8)
+      .orderBy(col("token"))
+  private val q138Sql =
+    s"""WITH t AS (SELECT doc_id, unnest($dTokens) AS token FROM documents),
+      |tf AS (SELECT token, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |h AS (SELECT token,
+      |    array_to_string(list_sort(list(doc_id)), '_') AS posting_head
+      |  FROM (SELECT token, doc_id,
+      |          row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      |        FROM tf)
+      |  WHERE rn <= 8 GROUP BY token)
+      |SELECT tf.token, COUNT(*) AS df, CAST(SUM(tf.tf) AS BIGINT) AS cf,
+      |  any_value(h.posting_head) AS posting_head
+      |FROM tf JOIN h ON tf.token = h.token
+      |GROUP BY tf.token ORDER BY tf.token""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q139 — multi-term AND search over the corpus: docs containing ALL
+  // of {spark, join, hash}, ranked by total term frequency — an EXACT
+  // INTEGER score, so the ranking needs no idf floats and is
+  // bit-reproducible in any engine; doc id tiebreak; top 20 via
+  // TakeOrderedAndProject (no global sort).
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    graft.operators.InvertedIndex.andSearch(
+      Tables.documents(s, dir), "doc_id", "text",
+      terms = Seq("spark", "join", "hash"), k = 20)
+  private val q139Sql =
+    s"""WITH t AS (SELECT doc_id, unnest($dTokens) AS token FROM documents)
+      |SELECT doc_id, COUNT(*) AS score
+      |FROM t WHERE token IN ('spark', 'join', 'hash')
+      |GROUP BY doc_id HAVING COUNT(DISTINCT token) = 3
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
   // q60 — benchmark decontamination: training docs sharing any word
   // trigram with the eval slice (doc_id % 97 == 3 stands in for a
   // benchmark set), counted per language. The eval gram set broadcasts;
@@ -1486,6 +1528,8 @@ object TextQueries {
     QueryDef("q130_text_embed_neardup", q130, Some(q130Sql)),
     QueryDef("q131_embed_lsh_neardup", q131, Some(q131Sql)),
     QueryDef("q134_incremental_from_store", q134, Some(q134Sql)),
+    QueryDef("q138_inverted_index", q138, Some(q138Sql)),
+    QueryDef("q139_term_search", q139, Some(q139Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),

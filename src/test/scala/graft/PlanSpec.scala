@@ -79,6 +79,19 @@ class PlanSpec extends AnyFunSuite {
     assertPartialGroupLimit("q135_int8_topk")
   }
 
+  test("q138: index stats ride the posting window's exchange — two corpus shuffles") {
+    val p = planOf("q138_inverted_index")
+    // (token, doc) tf aggregate + the token window; the final token
+    // aggregate must REUSE the window's hashpartitioning instead of
+    // adding a third corpus exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+  }
+
+  test("q139: AND search top-k is TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q139_term_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q29: exact dedup is one pass — a single scan and a single md5") {
     val p = planOf("q29_dedup_exact")
     // the groupBy-then-rejoin shape scanned documents twice and hashed

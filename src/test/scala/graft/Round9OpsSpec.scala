@@ -206,6 +206,41 @@ class Round9OpsSpec extends AnyFunSuite {
       "no session spans the kill point — q133 would pass without state recovery")
   }
 
+  // ------------------------------------ inverted index + term search
+
+  test("inverted index + AND search hand-check on a constructed corpus") {
+    import spark.implicits._
+    import graft.operators.InvertedIndex
+    val docs = Seq((1L, "a b a c"), (2L, "b b d"), (3L, "a d d b"))
+      .toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, "doc_id", "text", headK = 2)
+      .orderBy("token")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(idx.toSeq == Seq(
+      ("a", 2L, 3L, "1_3"),
+      ("b", 3L, 4L, "1_2"),
+      ("c", 1L, 1L, "1"),
+      ("d", 2L, 3L, "2_3")), idx.toSeq)
+
+    val hits = InvertedIndex.andSearch(docs, "doc_id", "text",
+      terms = Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // doc 2 has no 'a' and must not appear; scores are total matched
+    // occurrences (doc 1: a,b,a = 3; doc 3: a,b = 2)
+    assert(hits.toSeq == Seq((1L, 3L), (3L, 2L)), hits.toSeq)
+  }
+
+  test("posting heads stay capped however hot the token") {
+    import spark.implicits._
+    import graft.operators.InvertedIndex
+    // one stopword-like token in every doc: the head must cap at K ids
+    val docs = (1 to 500).map(i => (i.toLong, s"the w$i")).toDF("doc_id", "text")
+    val head = InvertedIndex.build(docs, "doc_id", "text", headK = 8)
+      .filter(col("token") === "the").head()
+    assert(head.getLong(1) == 500L && head.getLong(2) == 500L)
+    assert(head.getString(3) == (1 to 8).mkString("_"), head.getString(3))
+  }
+
   // --------------------------- contiguousShards derived bucket count
 
   test("contiguousShards: derived bucket count (buckets=0) matches explicit counts") {
