@@ -66,7 +66,7 @@ object Bench {
     "q131_embed_lsh_neardup", "q132_dedup_restarted",
     "q133_sessionize_restarted", "q134_incremental_from_store",
     "q135_int8_topk", "q136_int8_recall", "q137_running_totals_streamed",
-    "q138_inverted_index", "q139_term_search")
+    "q138_inverted_index", "q139_term_search", "q140_canonical_by_quality")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

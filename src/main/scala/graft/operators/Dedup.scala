@@ -298,6 +298,26 @@ object Dedup {
       root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** Delete leftover `.staging-*` dirs from CRASHED
+    * [[writeSignatureStore]] writes. Readers never see them (dot-dirs
+    * are invisible to the parquet source), so this is hygiene, not
+    * correctness — but a daily job that dies mid-write every so often
+    * would otherwise accrete dead bytes forever. Never touches
+    * committed `batch=` dirs; returns the number of dirs removed.
+    * Only run when no concurrent writer is staging (the
+    * [[graft.operators.Layout]] vacuum discipline). */
+  def vacuumSignatureStaging(spark: org.apache.spark.sql.SparkSession,
+      root: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val stale = st.isDirectory && st.getPath.getName.startsWith(".staging-")
+      if (stale) fs.delete(st.getPath, true)
+      stale
+    }
+  }
+
   /** Incremental (cross-corpus) dedup: flag each NEW-batch document
     * that duplicates the HISTORY — exact (content md5) or near
     * (banded MinHash collision, Jaccard-verified) — the refresh shape
@@ -518,6 +538,33 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Canonical survivor per cluster by QUALITY: the curation step
+    * after [[connectedComponents]] — min-id keepers (the q29/q59
+    * convention) are arbitrary, but a training corpus wants the BEST
+    * member of each duplicate cluster kept, not the first-crawled.
+    * `labeled` carries (idCol, groupCol, scoreCol); returns one row
+    * per group: `(groupCol, n_docs, canonical_id, canonical_score)` —
+    * the member with the highest score, id ascending as the
+    * deterministic tiebreak.
+    *
+    * Scale: ONE shuffle on the group key — size and rank come from
+    * the same window partition, and near-dup clusters are tiny (the
+    * q123/q125 bound), so per-group state is trivial. No join back to
+    * the corpus: callers that need the losers anti-join on
+    * canonical_id. */
+  def canonicalByScore(labeled: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val byGrp = Window.partitionBy(col(groupCol))
+    val ordered = Window.partitionBy(col(groupCol))
+      .orderBy(desc(scoreCol), col(idCol))
+    labeled.select(col(groupCol), col(idCol), col(scoreCol))
+      .withColumn("n_docs", count(lit(1)).over(byGrp))
+      .withColumn("__rn", row_number().over(ordered))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col("n_docs"),
+        col(idCol).as("canonical_id"), col(scoreCol).as("canonical_score"))
+  }
+
   private def releasePinned(df: DataFrame): Unit =
     Checkpoints.releasePinned(df)
 
@@ -602,9 +649,10 @@ object Dedup {
     * shuffle and join both shrink by num/denom) or not at all. */
   def groupMinhashJaccard(df: DataFrame, groupCol: String, idCol: String,
       textCol: String, k: Int, shingleN: Int,
-      grounding: Grounding = NoGrounding): DataFrame = {
+      grounding: Grounding = NoGrounding,
+      stagingDir: Option[String] = None): DataFrame = {
     val s = withShingleSignatures(df, idCol, textCol, k, shingleN,
-      stagingDir = None, carry = Seq(groupCol))
+      stagingDir, carry = Seq(groupCol))
     val sigArr = array((0 until k).map(j => col(s"mh$j")): _*)
     val minAgg = udaf(new SignatureMin(k))
     val groupSigs = s.groupBy(col(groupCol))

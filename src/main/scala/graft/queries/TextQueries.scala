@@ -701,6 +701,44 @@ object TextQueries {
   private val q134Sql = q128Sql
 
   // ---------------------------------------------------------------
+  // q140 — canonical cluster survivors by QUALITY: the q59 near-dup
+  // clusters re-adjudicated with the q26 quality score — each
+  // multi-doc cluster keeps its highest-quality member (id ascending
+  // as the deterministic tiebreak), not the arbitrary min-id keeper.
+  // One window shuffle on the cluster key beyond the clustering
+  // chain; quality doubles are the engine-mirrored q26 expression, so
+  // the canonical scores hash-match exactly.
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val labeled = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("component"), col("doc_id")))
+    Dedup.canonicalByScore(labeled, "doc_id", "grp", "quality")
+      .filter(col("n_docs") > 1)
+      .orderBy(col("grp"))
+  }
+  private val q140Sql =
+    s"""WITH RECURSIVE ${dLshCtes("documents")},
+      |pairs AS ($dLshPairsSelect),
+      |$dCcCtes,
+      |ql AS (SELECT d.doc_id, $dQuality AS quality
+      |  FROM documents d JOIN t ON d.doc_id = t.doc_id),
+      |labeled AS (
+      |  SELECT q.doc_id, q.quality, COALESCE(c.component, q.doc_id) AS grp
+      |  FROM ql q LEFT JOIN comp c ON q.doc_id = c.doc_id),
+      |r AS (SELECT grp, doc_id, quality,
+      |    COUNT(*) OVER (PARTITION BY grp) AS n_docs,
+      |    row_number() OVER (PARTITION BY grp ORDER BY quality DESC, doc_id) AS rn
+      |  FROM labeled)
+      |SELECT grp, n_docs, doc_id AS canonical_id, quality AS canonical_score
+      |FROM r WHERE rn = 1 AND n_docs > 1 ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------
   // q138 — inverted-index construction: one row per vocabulary token
   // with df / cf / the first-8 posting head (see
   // [[graft.operators.InvertedIndex]] — the head is a streaming
@@ -1529,6 +1567,7 @@ object TextQueries {
     QueryDef("q131_embed_lsh_neardup", q131, Some(q131Sql)),
     QueryDef("q134_incremental_from_store", q134, Some(q134Sql)),
     QueryDef("q138_inverted_index", q138, Some(q138Sql)),
+    QueryDef("q140_canonical_by_quality", q140, Some(q140Sql)),
     QueryDef("q139_term_search", q139, Some(q139Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),

@@ -145,6 +145,23 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vacuumSignatureStaging removes crashed stagings, never committed batches") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).limit(50)
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    Dedup.writeSignatureStore(docs, "doc_id", "text", 16, 3, root, 1L)
+    // simulate two crashed writes: orphaned staging dirs with content
+    for (i <- 1 to 2) {
+      val d = new java.io.File(root, s".staging-99-dead$i"); d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("part-0.parquet"), "x")
+    }
+    val before = Dedup.readSignatureStore(spark, root).count()
+    assert(Dedup.vacuumSignatureStaging(spark, root) == 2)
+    assert(Dedup.vacuumSignatureStaging(spark, root) == 0) // idempotent
+    assert(Dedup.readSignatureStore(spark, root).count() == before)
+    assert(new java.io.File(root, "batch=1").isDirectory)
+  }
+
   test("incrementalDedupFromStore rejects a frame that is not a signature store") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sf)
