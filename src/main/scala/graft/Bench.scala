@@ -66,7 +66,10 @@ object Bench {
     "q131_embed_lsh_neardup", "q132_dedup_restarted",
     "q133_sessionize_restarted", "q134_incremental_from_store",
     "q135_int8_topk", "q136_int8_recall", "q137_running_totals_streamed",
-    "q138_inverted_index", "q139_term_search", "q140_canonical_by_quality")
+    "q138_inverted_index", "q139_term_search", "q140_canonical_by_quality",
+    // round-9 tail (second pass): KMV cross-source overlap matrix,
+    // warm-started (initial-state) streaming dedup gate
+    "q141_source_overlap", "q142_bootstrap_dedup_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -378,7 +381,7 @@ object Bench {
       "q118_interval_left_streamed", "q122_streamed_dedup",
       "q124_sessionize_streamed", "q127_stream_static_enriched",
       "q132_dedup_restarted", "q133_sessionize_restarted",
-      "q137_running_totals_streamed")
+      "q137_running_totals_streamed", "q142_bootstrap_dedup_streamed")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

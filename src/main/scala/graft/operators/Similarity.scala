@@ -434,12 +434,52 @@ object Similarity {
     *
     * At 100 TB: signatures are map-side (see [[rpSignatures]]); the
     * bucket self-join shuffles on (table, bucket) — never all pairs;
-    * norms are computed once per vector before the join. */
+    * norms are computed once per vector before the join.
+    *
+    * Hot-cell guard: the named degenerate case (SCALE.md round 9) is
+    * an under-provisioned bit budget concentrating a fraction of the
+    * corpus in ONE cell — dim 8 / 10 bits put ~10% of a 50k corpus in
+    * a single bucket, 218M candidate pairs, and the quadratic stage
+    * runs SILENTLY. With `maxCellSize > 0` the cell population is
+    * counted on the same (table, bucket) key the join shuffles on,
+    * and an oversized cell either fails the job loudly with the cell
+    * coordinates in the message (default — the remedy is more bits:
+    * bits ∝ log corpus, recall recovered via more tables), or with
+    * `dropHotCells=true` is excluded from candidate generation — an
+    * explicit recall trade (a pair is lost only if NO other table
+    * catches it; hot cells are typically the stopword-cloud center
+    * where near-dup candidates are least likely to be genuine).
+    * `maxCellSize = 0` (default) is unguarded — the gated q131 shape,
+    * whose plan pins stay byte-stable. */
   def rpLshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, bits: Int, tables: Int, threshold: Double): DataFrame = {
+      dim: Int, bits: Int, tables: Int, threshold: Double,
+      maxCellSize: Int = 0, dropHotCells: Boolean = false): DataFrame = {
     val base = df.select(col(idCol), col(vecCol),
       l2Norm(col(vecCol)).as("__n"))
-    val sig = rpSignatures(base, vecCol, dim, bits, tables)
+    val sig0 = rpSignatures(base, vecCol, dim, bits, tables)
+    val sig =
+      if (maxCellSize <= 0) sig0
+      else {
+        val sizes = sig0.groupBy(col("rp_table"), col("rp_bucket"))
+          .agg(count(lit(1)).as("__cell_n"))
+        val guarded = sig0.join(sizes, Seq("rp_table", "rp_bucket"))
+        if (dropHotCells)
+          guarded.filter(col("__cell_n") <= maxCellSize).drop("__cell_n")
+        else
+          // The raise_error rides the FILTER condition, so it cannot
+          // be pruned as unused and fires during the join's own scan.
+          guarded.filter(
+            when(col("__cell_n") > maxCellSize,
+              raise_error(concat(
+                lit("rpLshNearDupPairs hot cell: table="),
+                col("rp_table").cast("string"),
+                lit(" bucket="), col("rp_bucket").cast("string"),
+                lit(" size="), col("__cell_n").cast("string"),
+                lit(s" > maxCellSize=$maxCellSize — raise bits " +
+                  "(bits ∝ log corpus) or set dropHotCells=true"))).isNotNull)
+              .otherwise(lit(true)))
+            .drop("__cell_n")
+      }
     val a = sig.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       col("__n").as("na"), col("rp_table"), col("rp_bucket"))
     val b = sig.select(col(idCol).as("id_b"), col(vecCol).as("vb"),

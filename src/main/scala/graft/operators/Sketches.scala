@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count–min-sketch surface: frequency estimation in fixed memory —
@@ -52,6 +53,41 @@ object Sketches {
       .select(col(groupCol), col("n_rows"),
         (col("rank_le") >= n * 0.5 - n / accuracy - 1 &&
           col("rank_le") <= n * 0.5 + n / accuracy + 1).as("within_rank_bound"))
+  }
+
+  /** K-minimum-values (KMV) sketch per group: the `k` smallest
+    * DISTINCT values of `valueCol` (a hashed domain — shingle hashes,
+    * content digests) for each `groupCol` — the classic mergeable set
+    * sketch behind distinct-count and set-overlap estimation
+    * (Bar-Yossef et al. 2002; Beyer et al., SIGMOD'07). The output is
+    * RELATIONAL — `(group, value)` rows, ≤ k per group — so any
+    * engine can intersect/union sketches with plain joins and the
+    * result is exact-integer comparable (no engine-private binary
+    * blobs, unlike HLL registers).
+    *
+    * Skew design (100 TB): a naive per-GROUP window rank puts each
+    * group's entire hashed domain in ONE task — with 20 sources that
+    * is 20 tasks total, each corpus/20 wide. The bottom-k here is
+    * two-level: first per `(group, value % fanout)` cell (fanout×
+    * the parallelism, every partition bounded by the cell's domain
+    * share), then a re-rank of the ≤ fanout·k survivors per group —
+    * the second window sees sketch-sized input only. Correct because
+    * the global bottom-k is a subset of the per-cell bottom-k's:
+    * any value among the k smallest overall is among the k smallest
+    * of its own cell. */
+  def kMinValues(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int, fanout: Int = 32): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(fanout >= 1, s"need fanout >= 1, got $fanout")
+    val distinctVals = df.select(col(groupCol), col(valueCol)).distinct()
+    val cell = Window
+      .partitionBy(col(groupCol), pmod(col(valueCol), lit(fanout.toLong)))
+      .orderBy(col(valueCol))
+    val group = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    distinctVals
+      .withColumn("__rn1", row_number().over(cell)).filter(col("__rn1") <= k)
+      .withColumn("__rn2", row_number().over(group)).filter(col("__rn2") <= k)
+      .drop("__rn1", "__rn2")
   }
 
   def heavyHittersChecked(df: DataFrame, keyCol: String, k: Int,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Pii, Sampling, TextAnalysis, TextFunctions}
+import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Pii, Sampling, Sketches, TextAnalysis, TextFunctions}
 
 /** Training-data text operators over the `documents` table: per-doc
   * stats, quality scoring, language id, fingerprinting, exact dedup,
@@ -737,6 +737,69 @@ object TextQueries {
       |  FROM labeled)
       |SELECT grp, n_docs, doc_id AS canonical_id, quality AS canonical_score
       |FROM r WHERE rn = 1 AND n_docs > 1 ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q141 — cross-SOURCE overlap matrix from K-minimum-values
+  // sketches: for every source pair, how much shingle-level content
+  // the two sources share — the mixture-design companion to q129
+  // (q129 says how redundant a source is with the WHOLE corpus; this
+  // says WITH WHOM). Each source is reduced to its 64 smallest
+  // distinct trigram-shingle hashes ([[graft.operators.Sketches
+  // .kMinValues]] — two-level bottom-k, never one task per source),
+  // and the matrix is a join of sketch rows: n_common = |KMV(a) ∩
+  // KMV(b)|, an EXACT INTEGER over the sketches (the estimator
+  // |∩|/k for containment is a downstream division; keeping the raw
+  // counts keeps the gate float-free). Zero-overlap pairs are kept
+  // (n_common = 0): an audit that silently omits "no overlap" rows
+  // can't distinguish them from "not measured". At 100 TB the
+  // sketches are ~sources·k rows — the pairwise stage is driver-
+  // trivial no matter the corpus size; all corpus-sized work is the
+  // distinct + bounded windows inside kMinValues.
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select(col("source"),
+      explode(TextFunctions.hashedShingles(
+        TextFunctions.tokens(col("text")), 3)).as("h"))
+    val sk = Sketches.kMinValues(grams, "source", "h", k = 64)
+    val sizes = sk.groupBy(col("source")).agg(count(lit(1)).as("sk_n"))
+    val pairs = sizes.select(col("source").as("source_a"), col("sk_n").as("n_a"))
+      .join(sizes.select(col("source").as("source_b"), col("sk_n").as("n_b")),
+        col("source_a") < col("source_b"))
+    val common = sk.select(col("source").as("source_a"), col("h"))
+      .join(sk.select(col("source").as("source_b"), col("h")), Seq("h"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(common, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+  private val q141Sql =
+    s"""WITH t0 AS (SELECT source, $dTokens AS toks FROM documents),
+      |th0 AS (SELECT source,
+      |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM t0),
+      |e0 AS (SELECT source, unnest(
+      |  list_transform(range(1, len(th) - 1),
+      |    i -> ((((th[i] * 65599 + th[i+1]) % 4294967311) * 65599 + th[i+2]) % 4294967311) % 4294967296)) AS h
+      |  FROM th0),
+      |e AS (SELECT DISTINCT source, h FROM e0),
+      |r AS (SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM e),
+      |sk AS (SELECT source, h FROM r WHERE rn <= 64),
+      |sz AS (SELECT source, COUNT(*) AS sk_n FROM sk GROUP BY source),
+      |p AS (SELECT a.source AS source_a, b.source AS source_b,
+      |    a.sk_n AS n_a, b.sk_n AS n_b
+      |  FROM sz a JOIN sz b ON a.source < b.source),
+      |c AS (SELECT x.source AS source_a, y.source AS source_b,
+      |    COUNT(*) AS n_common
+      |  FROM sk x JOIN sk y ON x.h = y.h AND x.source < y.source
+      |  GROUP BY 1, 2)
+      |SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+      |  CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common
+      |FROM p LEFT JOIN c
+      |  ON p.source_a = c.source_a AND p.source_b = c.source_b
+      |ORDER BY p.source_a, p.source_b""".stripMargin
 
   // ---------------------------------------------------------------
   // q138 — inverted-index construction: one row per vocabulary token
@@ -1568,6 +1631,7 @@ object TextQueries {
     QueryDef("q134_incremental_from_store", q134, Some(q134Sql)),
     QueryDef("q138_inverted_index", q138, Some(q138Sql)),
     QueryDef("q140_canonical_by_quality", q140, Some(q140Sql)),
+    QueryDef("q141_source_overlap", q141, Some(q141Sql)),
     QueryDef("q139_term_search", q139, Some(q139Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),

@@ -379,6 +379,118 @@ object WindowQueries {
     out
   }
 
+  /** The dedup-bootstrap cut: the midpoint of the earliest
+    * same-(user, type, day) consecutive event pair ≥ 2 µs apart,
+    * under the TOTAL order (us, event_id) — unlike
+    * [[stateStraddlingCut]] (whose ts-only ordering is fine when the
+    * cut is result-invisible), this cut IS part of q142's result
+    * contract (it defines history vs stream), so the oracle replays
+    * the identical derivation and every tie must break the same way
+    * in both engines. Splitting there guarantees ≥ 1 key occurs on
+    * BOTH sides: a bootstrap that failed to seed history keys would
+    * re-emit that key and the oracle catches it — a cut in quiet air
+    * would let a broken bootstrap pass vacuously. */
+  private[graft] def dedupBootstrapCut(s: SparkSession, dir: String): Option[Long] = {
+    val byKey = Window
+      .partitionBy(col("user_id"), col("event_type"), to_date(col("ts")))
+      .orderBy(col("us"), col("event_id"))
+    val m = Tables.events(s, dir).filter(col("user_id") < 40)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("pus", lag(col("us"), 1).over(byKey))
+      .filter(col("pus").isNotNull && col("us") - col("pus") >= 2L)
+      .agg(min(floor((col("pus") + col("us")) / 2)).cast("long")).head()
+    if (m.isNullAt(0)) None else Some(m.getLong(0))
+  }
+
+  /** The staging machinery of [[streamedGate]] with chunk 0 WITHHELD
+    * from the stream: it becomes the batch HISTORY frame handed to
+    * `xform` alongside the stream — the warm-start shape
+    * (`transformWithState` initial state seeded from a batch scan).
+    * The cut between history and stream is [[dedupBootstrapCut]]. */
+  private def bootstrapGate(s: SparkSession, dir: String, tag: String)(
+      xform: (DataFrame, DataFrame) => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val cut = dedupBootstrapCut(s, dir)
+    require(cut.isDefined,
+      s"$tag: no same-key event pair to straddle — corpus too degenerate")
+    val gs = stageChunks(s, dir, tag, cutOverride = cut)
+    val history = s.read.schema(gs.schema)
+      .parquet(new java.io.File(gs.hold, "c0.parquet").toString)
+    gs.reveal(1, gs.nChunks - 1)
+    val stream = s.readStream.schema(gs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(gs.inDir.toString)
+    val out = xform(history, stream)
+    val sink = tag + "_" + java.util.UUID.randomUUID().toString.take(8)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = out.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", s"${gs.stage}/ckpt")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    gs.delete()
+    finish(s.table(sink))
+  }
+
+  // ---------------------------------------------------------------
+  // q142 — WARM-STARTED streaming dedup under the gate: day 2 of a
+  // streaming ingestion job. The pre-cut slice is the "yesterday"
+  // history — its (user, type, day) keys seed the state store through
+  // `transformWithState`'s initial-state overload BEFORE the first
+  // micro-batch ([[graft.streaming.EventStream.bootstrapDedup]]);
+  // the post-cut slice streams. A key already in history never
+  // emits; a novel key emits its first event exactly once. The cut
+  // ([[dedupBootstrapCut]]) provably straddles a key, so a bootstrap
+  // that dropped the seeding is CAUGHT (the straddled key would
+  // re-emit and the oracle's global first-occurrence answer differs).
+  // This is the streaming twin of q134's signature-store warm start —
+  // same day-2 economics: history is one batch scan at query start,
+  // never rescanned per micro-batch.
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      bootstrapGate(s, dir, "q142")((history, stream) => {
+        import s.implicits._
+        val historyKeys = history
+          .select(col("user_id"), col("event_type"),
+            to_date(col("ts")).cast("string").as("day"))
+          .distinct()
+          .as[graft.streaming.EventStream.DedupKey]
+        graft.streaming.EventStream.bootstrapDedup(s, stream, historyKeys)
+          .toDF()
+      })(
+        _.filter(col("user_id") >= 0)
+          .orderBy(col("user_id"), col("event_type"), col("day")))
+    } finally prevProvider.fold(
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+  private val q142Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+      |  FROM events WHERE user_id < 40),
+      |p AS (
+      |  SELECT us, lag(us) OVER (
+      |      PARTITION BY user_id, event_type, day
+      |      ORDER BY us, event_id) AS pus
+      |  FROM e),
+      |cut AS (
+      |  SELECT CAST(MIN(floor((pus + us) / 2)) AS BIGINT) AS c
+      |  FROM p WHERE pus IS NOT NULL AND us - pus >= 2),
+      |r AS (
+      |  SELECT e.*, row_number() OVER (
+      |      PARTITION BY user_id, event_type, day
+      |      ORDER BY us, event_id) AS rn
+      |  FROM e)
+      |SELECT r.user_id, r.event_type, r.day, r.event_id, r.us
+      |FROM r, cut WHERE r.rn = 1 AND r.us >= cut.c
+      |ORDER BY user_id, event_type, day""".stripMargin
+
   private def q117(s: SparkSession, dir: String): DataFrame =
     streamedIntervalGate(s, dir, "q117")(stream =>
       graft.streaming.EventStream.correlateFull(
@@ -736,6 +848,7 @@ object WindowQueries {
     QueryDef("q137_running_totals_streamed", q137, Some(q137Sql)),
     QueryDef("q133_sessionize_restarted", q133, Some(q133Sql)),
     QueryDef("q127_stream_static_enriched", q127, Some(q127Sql)),
+    QueryDef("q142_bootstrap_dedup_streamed", q142, Some(q142Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }

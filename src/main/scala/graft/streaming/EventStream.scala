@@ -65,6 +65,46 @@ object EventStream {
         OutputMode.Update())
   }
 
+  final case class DedupKey(user_id: Long, event_type: String, day: String)
+
+  final case class KeyedEvent(event_id: Long, us: Long, user_id: Long,
+      event_type: String, day: String)
+
+  final case class FirstSeen(user_id: Long, event_type: String, day: String,
+      event_id: Long, us: Long)
+
+  /** Streaming first-occurrence dedup WARM-STARTED from history — the
+    * production day-2 shape a fresh stream cannot express: the job
+    * restarts (new checkpoint, new cluster, replayed source), but
+    * "already seen" must include every key the PREVIOUS runs emitted.
+    * `transformWithState`'s initial-state overload seeds the state
+    * store from a BATCH frame of historical keys before the first
+    * micro-batch: a key present in `historyKeys` never emits; a novel
+    * key emits exactly once — its first event by (us, event_id) — and
+    * is marked seen. The batch-side twin of the seeding frame is a
+    * signature-store scan ([[graft.operators.Dedup.readSignatureStore]]
+    * prices the same pattern for content digests).
+    *
+    * Scale notes: state is one boolean per distinct key, partitioned
+    * by the grouping key like every stateful operator; the initial
+    * state is shuffled once on the same key at query start (history
+    * is never rescanned after batch 0). TimeMode.None — dedup keys
+    * here include the civil day, so state is day-bounded by key
+    * design; a TTL config is the knob when it isn't. */
+  def bootstrapDedup(spark: SparkSession, stream: DataFrame,
+      historyKeys: Dataset[DedupKey]): Dataset[FirstSeen] = {
+    import spark.implicits._
+    val keyed = stream.select(
+        col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"),
+        col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .as[KeyedEvent]
+    keyed.groupByKey(e => DedupKey(e.user_id, e.event_type, e.day))
+      .transformWithState(new BootstrapDedupProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update(),
+        historyKeys.groupByKey(identity).mapValues(_ => true))
+  }
+
   /** Gap-based sessionization via the NATIVE `session_window`
     * aggregation — the declarative twin of [[sessionize]]'s
     * `flatMapGroupsWithState`: Spark owns the session-merge state
@@ -240,6 +280,43 @@ object EventStream {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
+
+/** The [[EventStream.bootstrapDedup]] state machine: one boolean
+  * `ValueState` per dedup key. `handleInitialState` runs BEFORE any
+  * input — every historical key is marked seen, so the stream's
+  * replay of pre-cut content cannot re-emit. Within one micro-batch
+  * the first occurrence is chosen by (us, event_id) — batch-split
+  * independent, because files are staged in strict time order so a
+  * key's global first occurrence is in the earliest batch where the
+  * key appears. Top-level class — Spark serializes the processor to
+  * every task. */
+final class BootstrapDedupProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+      EventStream.DedupKey, EventStream.KeyedEvent, EventStream.FirstSeen, Boolean] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var seen: ValueState[Boolean] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Boolean]("seen",
+      org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+
+  override def handleInitialState(key: EventStream.DedupKey,
+      initialState: Boolean, timerValues: TimerValues): Unit =
+    seen.update(true)
+
+  override def handleInputRows(key: EventStream.DedupKey,
+      rows: Iterator[EventStream.KeyedEvent],
+      timerValues: TimerValues): Iterator[EventStream.FirstSeen] = {
+    if (seen.exists()) Iterator.empty
+    else {
+      val first = rows.minBy(e => (e.us, e.event_id))
+      seen.update(true)
+      Iterator.single(EventStream.FirstSeen(
+        key.user_id, key.event_type, key.day, first.event_id, first.us))
+    }
   }
 }
 

@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, Sketches}
+import graft.streaming.EventStream
+
+/** Round-9 tail: the KMV set sketch, the RP-LSH hot-cell guard, and
+  * multi-day chaining of the persisted signature store.
+  */
+class Round9TailSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+
+  // ------------------------------------------------- kMinValues
+
+  test("kMinValues equals the naive per-group bottom-k, at any fanout") {
+    import spark.implicits._
+    // Values engineered so cell boundaries (v % fanout) interleave
+    // groups and duplicates must collapse before ranking.
+    val rows = for {
+      g <- Seq("a", "b", "c"); v <- 0L until 200L
+      rep <- 0 until (if (v % 7 == 0) 3 else 1) // dup rows
+      if (g != "c" || v < 5) // tiny group: fewer than k values
+    } yield (g, v * 13 % 977)
+    val df = rows.toDF("g", "v")
+    val naive = df.select($"g", $"v").distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v")))
+      .filter($"rn" <= 16).drop("rn")
+      .as[(String, Long)].collect().toSet
+    for (fanout <- Seq(1, 3, 32, 1000)) {
+      val got = Sketches.kMinValues(df, "g", "v", k = 16, fanout = fanout)
+        .as[(String, Long)].collect().toSet
+      assert(got == naive, s"fanout=$fanout diverges from naive bottom-k")
+    }
+    // tiny group keeps all of its (distinct) values
+    assert(naive.count(_._1 == "c") == 5)
+  }
+
+  test("kMinValues output is <= k distinct rows per group") {
+    import spark.implicits._
+    val df = (0L until 500L).map(v => ("g", v % 100)).toDF("g", "v")
+    val got = Sketches.kMinValues(df, "g", "v", k = 10).as[(String, Long)].collect()
+    assert(got.length == 10 && got.map(_._2).distinct.length == 10)
+    assert(got.map(_._2).sorted.toSeq == (0L until 10L))
+  }
+
+  // -------------------------------------- RP-LSH hot-cell guard
+
+  private def hotVecs = {
+    import spark.implicits._
+    // 12 identical vectors: every table's cell holds all 12 — a
+    // guaranteed hot cell at any cap < 12 — plus 3 spread vectors.
+    val hot = (0L until 12L).map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+    val cold = Seq(
+      (100L, Array(-1.0f, 5.0f, -3.0f, 0.5f)),
+      (101L, Array(4.0f, -2.0f, 1.0f, -6.0f)),
+      (102L, Array(-3.0f, -3.0f, 7.0f, 2.0f)))
+    (hot ++ cold).toDF("vec_id", "embedding")
+  }
+
+  test("hot-cell guard: strict mode fails loudly with the cell coordinates") {
+    val ex = intercept[Exception] {
+      Similarity.rpLshNearDupPairs(hotVecs, "vec_id", "embedding",
+        dim = 4, bits = 4, tables = 2, threshold = 0.9,
+        maxCellSize = 8).count()
+    }
+    // USER_RAISED_EXCEPTION surfaces as SparkRuntimeException (task) or
+    // wrapped in SparkException (driver) — walk the cause chain.
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("hot cell"), s"unexpected failure: $msgs")
+  }
+
+  test("hot-cell guard: dropHotCells excludes only the oversized cells") {
+    import spark.implicits._
+    val unguarded = Similarity.rpLshNearDupPairs(hotVecs, "vec_id", "embedding",
+      dim = 4, bits = 4, tables = 2, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    val dropped = Similarity.rpLshNearDupPairs(hotVecs, "vec_id", "embedding",
+      dim = 4, bits = 4, tables = 2, threshold = 0.9,
+      maxCellSize = 8, dropHotCells = true)
+      .as[(Long, Long, Double)].collect().toSet
+    // the hot identical-vector pairs are gone; what's left is a subset
+    assert(dropped.subsetOf(unguarded))
+    assert(!dropped.exists { case (a, b, _) => a < 12 && b < 12 },
+      "pairs from the hot cell survived dropHotCells")
+    // a generous cap changes nothing
+    val generous = Similarity.rpLshNearDupPairs(hotVecs, "vec_id", "embedding",
+      dim = 4, bits = 4, tables = 2, threshold = 0.9,
+      maxCellSize = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(generous == unguarded)
+  }
+
+  // ------------------------ warm-started streaming dedup (q142)
+
+  test("bootstrapDedup: history keys never emit; novel keys emit first event once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ev(id: Long, user: Long, tp: String, ms: Long) = EventStream.Event(
+      id, new java.sql.Timestamp(1700000000000L + ms), user, tp, 0.0)
+    // history: (user 1, view, day) — built exactly as q142 builds it
+    val historyKeys = Seq(ev(100, 1, "view", 0)).toDS().toDF()
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).cast("string").as("day"))
+      .distinct().as[EventStream.DedupKey]
+    val mem = MemoryStream[EventStream.Event]
+    val q = EventStream.bootstrapDedup(spark, mem.toDF(), historyKeys)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("bd_out").start()
+    try {
+      // batch 1: seeded key recurs (must stay silent); novel key
+      // arrives out of id order — first is by (us, event_id)
+      mem.addData(ev(1, 1, "view", 1000), ev(2, 1, "click", 3000),
+        ev(3, 1, "click", 2000))
+      q.processAllAvailable()
+      // batch 2: batch-1 key recurs across the boundary; new user
+      mem.addData(ev(4, 1, "click", 5000), ev(5, 2, "view", 1000))
+      q.processAllAvailable()
+      val got = spark.table("bd_out")
+        .select("user_id", "event_type", "event_id")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got.map(_._3) == Set(3L, 5L),
+        s"expected first-events {3, 5}, got $got")
+      assert(got == Set((1L, "click", 3L), (2L, "view", 5L)))
+    } finally {
+      q.stop()
+      prevProvider.fold(
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    }
+  }
+
+  test("dedupBootstrapCut provably straddles a dedup key at sf0.01") {
+    // q142's gate is only as strong as its cut: at least one
+    // (user, type, day) key must occur on BOTH sides, or a bootstrap
+    // that lost the seeding would pass vacuously.
+    val dir = "/root/testdata/sf0.01"
+    val cut = graft.queries.WindowQueries.dedupBootstrapCut(spark, dir)
+    assert(cut.isDefined, "no straddling pair found")
+    val c = cut.get
+    val keyed = Tables.events(spark, dir).filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        unix_micros(col("ts")).as("us"))
+    val straddling = keyed.groupBy("user_id", "event_type", "day")
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+      .filter(col("lo") < c && col("hi") >= c)
+      .count()
+    assert(straddling >= 1, s"cut $c bisects no key")
+  }
+
+  // -------------------------- signature store: multi-day chaining
+
+  test("signature store chains across days: day-2 dedups against day-1's batch") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_chain_store").toString
+    def doc(id: Long, text: String) = (id, text)
+    val history = Seq(
+      doc(1, "alpha beta gamma delta epsilon zeta"),
+      doc(2, "one two three four five six seven")).toDF("doc_id", "text")
+    val day1 = Seq(
+      doc(10, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      doc(11, "entirely novel content first appearing on day one here"))
+      .toDF("doc_id", "text")
+    val day2 = Seq(
+      doc(20, "entirely novel content first appearing on day one here"), // dup of 11
+      doc(21, "fresh day two material nothing matches this at all"))
+      .toDF("doc_id", "text")
+
+    Dedup.writeSignatureStore(history, "doc_id", "text",
+      k = 16, shingleN = 3, root = root, batchId = 1L)
+    val v1 = Dedup.incrementalDedupFromStore(
+        Dedup.readSignatureStore(spark, root), day1,
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+      .select("doc_id", "is_exact_dup").as[(Long, Boolean)].collect().toMap
+    assert(v1 == Map(10L -> true, 11L -> false))
+
+    // append day-1's own signatures, then day-2 must see doc 11
+    Dedup.writeSignatureStore(day1, "doc_id", "text",
+      k = 16, shingleN = 3, root = root, batchId = 2L)
+    val v2 = Dedup.incrementalDedupFromStore(
+        Dedup.readSignatureStore(spark, root), day2,
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+      .select("doc_id", "is_exact_dup").as[(Long, Boolean)].collect().toMap
+    assert(v2 == Map(20L -> true, 21L -> false),
+      "day-2 verdict must match against day-1's appended batch")
+
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+}
