@@ -69,7 +69,8 @@ object Bench {
     "q138_inverted_index", "q139_term_search", "q140_canonical_by_quality",
     // round-9 tail (second pass): KMV cross-source overlap matrix,
     // warm-started (initial-state) streaming dedup gate
-    "q141_source_overlap", "q142_bootstrap_dedup_streamed")
+    "q141_source_overlap", "q142_bootstrap_dedup_streamed",
+    "q143_bootstrap_dedup_restarted", "q144_phrase_search")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -381,7 +382,8 @@ object Bench {
       "q118_interval_left_streamed", "q122_streamed_dedup",
       "q124_sessionize_streamed", "q127_stream_static_enriched",
       "q132_dedup_restarted", "q133_sessionize_restarted",
-      "q137_running_totals_streamed", "q142_bootstrap_dedup_streamed")
+      "q137_running_totals_streamed", "q142_bootstrap_dedup_streamed",
+      "q143_bootstrap_dedup_restarted")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

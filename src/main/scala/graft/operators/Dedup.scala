@@ -318,6 +318,50 @@ object Dedup {
     }
   }
 
+  /** Compact the signature store: merge every committed `batch=` dir
+    * into ONE new batch and delete the originals — the maintenance a
+    * daily append-only store needs (365 batch dirs/year each add a
+    * file-listing + footer cost to every scan; small daily deltas
+    * make small files). Commit protocol is [[writeSignatureStore]]'s
+    * stage-and-rename; `newBatchId` must exceed every existing id so
+    * a half-finished compaction is distinguishable from the batches
+    * it replaces.
+    *
+    * Crash-safe WITHOUT reader coordination, by construction:
+    *  - before the rename: staging is a dot-dir, readers see the old
+    *    batches only;
+    *  - after the rename, before/amid the deletes: readers see every
+    *    history doc TWICE (old + compacted) — the verdict is
+    *    invariant under duplicate store rows
+    *    ([[incrementalDedupFromStore]] counts DISTINCT history ids;
+    *    exact/candidate stages are already set-semantics), pinned in
+    *    Round9TailSpec;
+    *  - re-running a crashed compaction first heals duplicates via
+    *    `dropDuplicates(idCol)` on the merged read.
+    * Returns the number of batch dirs replaced. */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String, newBatchId: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val batches = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    require(batches.nonEmpty, s"no committed batches under $root")
+    val ids = batches.map(_.getPath.getName.stripPrefix("batch=").toLong)
+    require(newBatchId > ids.max,
+      s"newBatchId=$newBatchId must exceed every existing batch id (max ${ids.max})")
+    val merged = spark.read
+      .parquet(batches.map(_.getPath.toString): _*)
+      .dropDuplicates(idCol)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".staging-$newBatchId-${java.util.UUID.randomUUID().toString.take(8)}")
+    merged.write.mode("error").parquet(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(root, s"batch=$newBatchId")
+    require(!fs.exists(dest), s"batch $newBatchId already committed at $dest")
+    require(fs.rename(tmp, dest), s"commit rename $tmp -> $dest failed")
+    batches.foreach(st => fs.delete(st.getPath, true))
+    batches.size
+  }
+
   /** Incremental (cross-corpus) dedup: flag each NEW-batch document
     * that duplicates the HISTORY — exact (content md5) or near
     * (banded MinHash collision, Jaccard-verified) — the refresh shape
@@ -405,8 +449,16 @@ object Dedup {
       .withColumn("jaccard", inter.cast("double") /
         (size(col("sh_b")) + size(col("sh_h")) - inter))
       .filter(col("jaccard") >= threshold)
+    // countDistinct, not count: a healthy store has one row per
+    // history doc (identical), but DUPLICATE store rows are a legal
+    // transient — a compaction that committed its merged batch and
+    // crashed before deleting the originals ([[compactSignatureStore]])
+    // leaves every history doc twice. Distinct-hid counting makes the
+    // verdict invariant under that window (and under idempotent
+    // re-appends), so compaction needs no reader coordination.
     val near = ver.groupBy(col("bid")).agg(
-      count(lit(1)).as("n_near_dups"), max(col("jaccard")).as("best_jaccard"))
+      countDistinct(col("hid")).as("n_near_dups"),
+      max(col("jaccard")).as("best_jaccard"))
     batch.select(col(idCol))
       .join(broadcast(exact), col(idCol) === exact("bid"), "left").drop("bid")
       .join(broadcast(near), col(idCol) === near("bid"), "left").drop("bid")

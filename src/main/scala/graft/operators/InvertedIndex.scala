@@ -56,6 +56,34 @@ object InvertedIndex {
           d => d.cast("string"))).as("posting_head"))
   }
 
+  /** Documents containing the exact token PHRASE, ranked by
+    * occurrence count (exact integer, id tiebreak, top `k`) — the
+    * decontamination-audit question "which documents contain this
+    * benchmark sentence" that token-level AND search ([[andSearch]])
+    * cannot answer. The phrase is reduced to ONE 32-bit rolling gram
+    * hash at PLAN TIME (driver-side, the same
+    * `(acc·65599 + th) mod P` chain as
+    * [[TextFunctions.gramHashes]]), and each document contributes a
+    * map-side count of matching positional gram hashes — a codegen'd
+    * scan + filter + `TakeOrderedAndProject`, no shuffle before the
+    * top-k's partial ranks. Matching is at HASH level (the q121 /
+    * decontamination discipline): a cross-phrase collision is
+    * possible at ~2⁻³² per gram and both engines hash identically,
+    * so results stay bit-reproducible. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.length >= 2, s"need a phrase of >= 2 tokens, got $phrase")
+    require(k >= 1, s"need k >= 1, got $k")
+    val target = TextFunctions.phraseHash(phrase)
+    df.select(col(idCol),
+        size(filter(TextFunctions.gramHashes(tokens(col(textCol)), phrase.length),
+          h => h === target)).as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .select(col(idCol), col("n_occurrences").cast("long").as("n_occurrences"))
+      .orderBy(desc("n_occurrences"), col(idCol))
+      .limit(k)
+  }
+
   /** Documents containing ALL `terms`, ranked by total term frequency
     * (exact integer score — no idf floats, so the ranking is
     * bit-reproducible in any engine), doc id as the tiebreak, top

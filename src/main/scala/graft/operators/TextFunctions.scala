@@ -123,6 +123,22 @@ object TextFunctions {
     transform(combined, h => h % 4294967296L)
   }
 
+  /** Driver-side twin of one [[gramHashes]] element for a LITERAL
+    * phrase: the 32-bit rolling gram hash the phrase's tokens produce
+    * in-plan — `th = hash60(tok) mod 2^32`, then the
+    * `(acc·65599 + th) mod 4294967311` left fold, reduced mod 2^32.
+    * Fold structure mirrors [[gramHashes]] exactly (first element
+    * enters un-modded; it is < 2^32 < P, so the chains agree), and
+    * the arithmetic stays in positive signed-64 range. Lets a phrase
+    * become a plan-time literal for map-side matching
+    * ([[graft.operators.InvertedIndex.phraseSearch]]). */
+  def phraseHash(phrase: Seq[String]): Long = {
+    require(phrase.nonEmpty, "empty phrase")
+    val th = phrase.map(t => graft.plans.Md5Hash60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)) % 4294967296L)
+    th.reduce((a, b) => Math.floorMod(a * 65599L + b, 4294967311L)) % 4294967296L
+  }
+
   /** Rolling polynomial fingerprint over token hashes:
     * `h := (h*31 + hash60(tok)) mod 1e9+7`, left fold from 0.
     * Stays overflow-free in signed 64-bit: h*31 < 3.2e10, +2^60 < 2^63.

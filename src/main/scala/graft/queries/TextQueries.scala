@@ -802,6 +802,39 @@ object TextQueries {
       |ORDER BY p.source_a, p.source_b""".stripMargin
 
   // ---------------------------------------------------------------
+  // q144 — exact PHRASE search: which documents contain this exact
+  // token sequence, ranked by occurrence count — the decontamination
+  // audit q139's token-level AND search cannot answer (terms present
+  // ≠ phrase present). The phrase compiles to ONE 32-bit rolling
+  // gram hash at plan time (q121's positional-gram chain), each doc
+  // contributes a map-side count of matching positions, and the
+  // top-k is TakeOrderedAndProject — no shuffle before the partial
+  // ranks. The oracle recomputes the target hash FROM THE TOKENS in
+  // SQL (engine independence, the q91 hyperplane discipline).
+  private val q144Phrase = Seq("slow", "hash", "batch")
+  private def q144(s: SparkSession, dir: String): DataFrame =
+    graft.operators.InvertedIndex.phraseSearch(
+      Tables.documents(s, dir), "doc_id", "text", q144Phrase, k = 20)
+  private val q144Sql = {
+    val gh = (2 to q144Phrase.length).foldLeft("th[i]") { (acc, j) =>
+      s"(($acc * 65599 + th[i+${j - 1}]) % 4294967311)"
+    } + " % 4294967296"
+    val tgt = q144Phrase.tail.foldLeft(
+      s"(${dHash(s"'${q144Phrase.head}'")} % 4294967296)") { (acc, tok) =>
+      s"(($acc * 65599 + ${dHash(s"'$tok'")} % 4294967296) % 4294967311)"
+    } + " % 4294967296"
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |th AS (SELECT doc_id,
+      |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM t),
+      |g AS (SELECT doc_id, $gh AS gh
+      |  FROM th, UNNEST(generate_series(1, greatest(len(th) - ${q144Phrase.length - 1}, 0))) AS u(i)),
+      |tgt AS (SELECT $tgt AS h)
+      |SELECT doc_id, COUNT(*) AS n_occurrences
+      |FROM g, tgt WHERE g.gh = tgt.h
+      |GROUP BY doc_id ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q138 — inverted-index construction: one row per vocabulary token
   // with df / cf / the first-8 posting head (see
   // [[graft.operators.InvertedIndex]] — the head is a streaming
@@ -1632,6 +1665,7 @@ object TextQueries {
     QueryDef("q138_inverted_index", q138, Some(q138Sql)),
     QueryDef("q140_canonical_by_quality", q140, Some(q140Sql)),
     QueryDef("q141_source_overlap", q141, Some(q141Sql)),
+    QueryDef("q144_phrase_search", q144, Some(q144Sql)),
     QueryDef("q139_term_search", q139, Some(q139Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),

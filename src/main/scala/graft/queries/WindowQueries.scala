@@ -257,7 +257,8 @@ object WindowQueries {
   }
 
   private def stageChunks(s: SparkSession, dir: String, tag: String,
-      cutOverride: Option[Long] = None): GateStage = {
+      cutOverride: Option[Long] = None,
+      cut2Override: Option[Long] = None): GateStage = {
     import s.implicits._
     val slice = Tables.events(s, dir).filter(col("user_id") < 40)
       .select(col("event_id"), col("ts"), col("user_id"),
@@ -272,9 +273,11 @@ object WindowQueries {
     val fs = new org.apache.hadoop.fs.Path(stage)
       .getFileSystem(s.sessionState.newHadoopConf())
     val cuts = cutOverride match {
-      case Some(c) => Seq(c, math.max(c + 1, lo + 2 * (hi - lo) / 3))
+      case Some(c) =>
+        Seq(c, cut2Override.getOrElse(math.max(c + 1, lo + 2 * (hi - lo) / 3)))
       case None => Seq(lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
     }
+    require(cuts(0) < cuts(1), s"cuts must ascend, got $cuts")
     val sentinelTs = new java.sql.Timestamp(hi / 1000 + 90L * 86400 * 1000)
     val chunks: Seq[DataFrame] = Seq(
       slice.filter(unix_micros(col("ts")) < cuts(0)),
@@ -402,6 +405,31 @@ object WindowQueries {
     if (m.isNullAt(0)) None else Some(m.getLong(0))
   }
 
+  /** The restart-recurrence cut for [[q143]]: the midpoint of the
+    * earliest consecutive same-key pair (total (us, event_id) order,
+    * ≥ 2 µs apart) whose KEY is novel relative to history — every
+    * event of the key is ≥ `c1`. The pair's first event then lands in
+    * the phase-1 chunk `[c1, c2)` (the key EMITS before the kill) and
+    * its recurrence lands ≥ c2 (after the restart) — so a recovery
+    * that lost the accumulated dedup state re-emits the key and the
+    * oracle catches it. Unlike [[dedupBootstrapCut]] this cut is
+    * result-INVISIBLE (it only places the kill), so it needs no
+    * oracle mirror — same status as q132/q133's kill point. */
+  private[graft] def restartRecurrenceCut(s: SparkSession, dir: String,
+      c1: Long): Option[Long] = {
+    val key = Seq(col("user_id"), col("event_type"), to_date(col("ts")))
+    val byKey = Window.partitionBy(key: _*).orderBy(col("us"), col("event_id"))
+    val overKey = Window.partitionBy(key: _*)
+    val m = Tables.events(s, dir).filter(col("user_id") < 40)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("pus", lag(col("us"), 1).over(byKey))
+      .withColumn("kmin", min(col("us")).over(overKey))
+      .filter(col("kmin") >= c1 && col("pus").isNotNull &&
+        col("us") - col("pus") >= 2L)
+      .agg(min(floor((col("pus") + col("us")) / 2)).cast("long")).head()
+    if (m.isNullAt(0)) None else Some(m.getLong(0))
+  }
+
   /** The staging machinery of [[streamedGate]] with chunk 0 WITHHELD
     * from the stream: it becomes the batch HISTORY frame handed to
     * `xform` alongside the stream — the warm-start shape
@@ -431,6 +459,51 @@ object WindowQueries {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     gs.delete()
     finish(s.table(sink))
+  }
+
+  /** [[bootstrapGate]] KILLED AND RESTARTED: phase 1 streams the
+    * `[c1, c2)` chunk under a fresh query seeded with the initial
+    * state; the query stops; phase 2 starts a NEW query from the
+    * same checkpoint (re-passing the same initial state, as a
+    * resubmitted production job would — Spark applies initial state
+    * only at batch 0, so recovery must come from the store, not the
+    * seed) for the remaining chunks. Writes through the exactly-once
+    * parquet sink ([[streamedGateRestart]]'s discipline — the memory
+    * sink refuses append-mode recovery). The kill point `c2`
+    * ([[restartRecurrenceCut]]) guarantees a key that EMITTED before
+    * the kill recurs after it. */
+  private def bootstrapGateRestart(s: SparkSession, dir: String, tag: String)(
+      xform: (DataFrame, DataFrame) => DataFrame)(
+      finish: DataFrame => DataFrame): DataFrame = {
+    val c1 = dedupBootstrapCut(s, dir)
+    require(c1.isDefined,
+      s"$tag: no same-key event pair to straddle — corpus too degenerate")
+    val c2 = restartRecurrenceCut(s, dir, c1.get)
+    require(c2.isDefined,
+      s"$tag: no novel-key recurrence after cut ${c1.get} to place the kill")
+    val gs = stageChunks(s, dir, tag, cutOverride = c1, cut2Override = c2)
+    val history = s.read.schema(gs.schema)
+      .parquet(new java.io.File(gs.hold, "c0.parquet").toString)
+    val outDir = s"${gs.stage}/out"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      var revealed = 1
+      Seq(1, 2).foreach { n =>
+        gs.reveal(revealed, n)
+        revealed += n
+        val stream = s.readStream.schema(gs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(gs.inDir.toString)
+        val q = xform(history, stream).writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", s"${gs.stage}/ckpt")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val out = finish(s.read.parquet(outDir)).localCheckpoint()
+    gs.delete()
+    out
   }
 
   // ---------------------------------------------------------------
@@ -490,6 +563,44 @@ object WindowQueries {
       |SELECT r.user_id, r.event_type, r.day, r.event_id, r.us
       |FROM r, cut WHERE r.rn = 1 AND r.us >= cut.c
       |ORDER BY user_id, event_type, day""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q143 — q142's warm-started dedup KILLED AND RESTARTED: the
+  // interaction no single-feature gate exercises — INITIAL STATE ×
+  // CHECKPOINT RECOVERY. Phase 1 seeds the store from history and
+  // streams one chunk; the query dies; phase 2 resubmits the same
+  // job (initial state re-passed, as production would) from the
+  // checkpoint. Spark applies initial state only at batch 0, so
+  // phase 2's correctness rests entirely on the recovered store: a
+  // recovery that lost the SEEDED keys re-emits history content, one
+  // that lost the ACCUMULATED keys re-emits the phase-1 key that
+  // provably recurs after the kill ([[restartRecurrenceCut]]), and a
+  // replayed batch double-writes into the exactly-once parquet sink
+  // — all three break the q142 oracle. Same oracle as q142: the
+  // restart must be invisible.
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      bootstrapGateRestart(s, dir, "q143")((history, stream) => {
+        import s.implicits._
+        val historyKeys = history
+          .select(col("user_id"), col("event_type"),
+            to_date(col("ts")).cast("string").as("day"))
+          .distinct()
+          .as[graft.streaming.EventStream.DedupKey]
+        graft.streaming.EventStream.bootstrapDedup(s, stream, historyKeys,
+          org.apache.spark.sql.streaming.OutputMode.Append()).toDF()
+      })(
+        _.filter(col("user_id") >= 0)
+          .orderBy(col("user_id"), col("event_type"), col("day")))
+    } finally prevProvider.fold(
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+  private val q143Sql = q142Sql
 
   private def q117(s: SparkSession, dir: String): DataFrame =
     streamedIntervalGate(s, dir, "q117")(stream =>
@@ -849,6 +960,7 @@ object WindowQueries {
     QueryDef("q133_sessionize_restarted", q133, Some(q133Sql)),
     QueryDef("q127_stream_static_enriched", q127, Some(q127Sql)),
     QueryDef("q142_bootstrap_dedup_streamed", q142, Some(q142Sql)),
+    QueryDef("q143_bootstrap_dedup_restarted", q143, Some(q143Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }

@@ -92,16 +92,21 @@ object EventStream {
     * here include the civil day, so state is day-bounded by key
     * design; a TTL config is the knob when it isn't. */
   def bootstrapDedup(spark: SparkSession, stream: DataFrame,
-      historyKeys: Dataset[DedupKey]): Dataset[FirstSeen] = {
+      historyKeys: Dataset[DedupKey],
+      outputMode: OutputMode = OutputMode.Update()): Dataset[FirstSeen] = {
     import spark.implicits._
     val keyed = stream.select(
         col("event_id"), unix_micros(col("ts")).as("us"), col("user_id"),
         col("event_type"), to_date(col("ts")).cast("string").as("day"))
       .as[KeyedEvent]
+    // Update and Append are both sound here: every emission is final
+    // (a key emits at most once ever), so the mode only needs to
+    // match the sink's (memory/update for the one-shot gate, the
+    // exactly-once parquet sink needs Append for the restart gate).
     keyed.groupByKey(e => DedupKey(e.user_id, e.event_type, e.day))
       .transformWithState(new BootstrapDedupProcessor(),
         org.apache.spark.sql.streaming.TimeMode.None(),
-        OutputMode.Update(),
+        outputMode,
         historyKeys.groupByKey(identity).mapValues(_ => true))
   }
 

@@ -96,6 +96,29 @@ class Round9TailSpec extends AnyFunSuite {
     assert(generous == unguarded)
   }
 
+  // ------------------------------------------- phrase search (q144)
+
+  test("phraseHash equals the in-plan positional gram hash; phraseSearch counts occurrences") {
+    import spark.implicits._
+    import graft.operators.{InvertedIndex, TextFunctions}
+    val phrase = Seq("slow", "hash", "batch")
+    val grams = Seq("pre slow hash batch post").toDF("text")
+      .select(TextFunctions.gramHashes(
+        TextFunctions.tokens(col("text")), 3).as("g"))
+      .as[Seq[Long]].head()
+    // the phrase starts at token 2 → gram index 1 (0-based)
+    assert(grams(1) == TextFunctions.phraseHash(phrase),
+      "driver-side chain diverges from the in-plan fold")
+    val docs = Seq(
+      (1L, "slow hash batch then slow hash batch again"), // 2 occurrences
+      (2L, "a slow hash batch only once here"),
+      (3L, "slow batch hash scrambled never matches"),
+      (4L, "hash batch slow also scrambled")).toDF("doc_id", "text")
+    val got = InvertedIndex.phraseSearch(docs, "doc_id", "text", phrase, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L)), s"got $got")
+  }
+
   // ------------------------ warm-started streaming dedup (q142)
 
   test("bootstrapDedup: history keys never emit; novel keys emit first event once") {
@@ -158,6 +181,30 @@ class Round9TailSpec extends AnyFunSuite {
     assert(straddling >= 1, s"cut $c bisects no key")
   }
 
+  test("restartRecurrenceCut: a phase-1-emitted key and a history key both recur after the kill") {
+    // q143's restart is only probative if live state spans it: (a) a
+    // key NOVEL to history that first occurs in [c1, c2) — it emits
+    // before the kill, so its recurrence >= c2 catches lost
+    // accumulated state; (b) a HISTORY key occurring >= c2 — catches
+    // lost seeded state.
+    val dir = "/root/testdata/sf0.01"
+    val c1 = graft.queries.WindowQueries.dedupBootstrapCut(spark, dir).get
+    val c2 = graft.queries.WindowQueries.restartRecurrenceCut(spark, dir, c1).get
+    assert(c1 < c2)
+    val keyed = Tables.events(spark, dir).filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_type"),
+        to_date(col("ts")).cast("string").as("day"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id", "event_type", "day")
+      .agg(min(col("us")).as("lo"), max(col("us")).as("hi"))
+    val novelStraddling = keyed
+      .filter(col("lo") >= c1 && col("lo") < c2 && col("hi") >= c2).count()
+    assert(novelStraddling >= 1, s"no novel key emits in [$c1,$c2) and recurs")
+    val historyRecurring = keyed
+      .filter(col("lo") < c1 && col("hi") >= c2).count()
+    assert(historyRecurring >= 1, s"no history key recurs after $c2")
+  }
+
   // -------------------------- signature store: multi-day chaining
 
   test("signature store chains across days: day-2 dedups against day-1's batch") {
@@ -198,5 +245,54 @@ class Round9TailSpec extends AnyFunSuite {
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
       .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("compactSignatureStore: one batch replaces many; verdict invariant through the crash window") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_store").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def batchDirs() = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    val h1 = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val h2 = Seq((3L, "lorem ipsum dolor sit amet consectetur adipiscing"))
+      .toDF("doc_id", "text")
+    val probe = Seq((10L, "alpha beta gamma delta epsilon zeta"), // dup of 1
+      (11L, "completely novel probe text nothing here matches"))
+      .toDF("doc_id", "text")
+    def verdict() = Dedup.incrementalDedupFromStore(
+        Dedup.readSignatureStore(spark, root), probe,
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    Dedup.writeSignatureStore(h1, "doc_id", "text", 16, 3, root, batchId = 1L)
+    Dedup.writeSignatureStore(h2, "doc_id", "text", 16, 3, root, batchId = 2L)
+    val v0 = verdict()
+    assert(v0.head(1) == true, "probe 10 must be an exact dup of doc 1")
+
+    // compaction: two dirs become one, verdict untouched
+    assert(Dedup.compactSignatureStore(spark, root, "doc_id", 5L) == 2)
+    assert(batchDirs() == Seq("batch=5"))
+    assert(verdict() == v0)
+
+    // the crash window: history docs visible TWICE (a committed
+    // compacted batch alongside a not-yet-deleted original) — the
+    // distinct-id verdict must not see it
+    Dedup.writeSignatureStore(h1, "doc_id", "text", 16, 3, root, batchId = 6L)
+    assert(verdict() == v0, "duplicate store rows changed the verdict")
+
+    // re-running the compaction heals the duplicates
+    assert(Dedup.compactSignatureStore(spark, root, "doc_id", 7L) == 2)
+    assert(verdict() == v0)
+    assert(Dedup.readSignatureStore(spark, root).count() == 3)
+
+    // a non-monotone id is refused (half-finished compactions must be
+    // distinguishable from what they replace)
+    intercept[IllegalArgumentException] {
+      Dedup.compactSignatureStore(spark, root, "doc_id", 3L)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
   }
 }
