@@ -760,7 +760,13 @@ object TextQueries {
     val grams = docs.select(col("source"),
       explode(TextFunctions.hashedShingles(
         TextFunctions.tokens(col("text")), 3)).as("h"))
+    // MATERIALIZATION BARRIER: the sketch feeds THREE consumers
+    // (sizes + both sides of the pairwise join); without it each
+    // consumer re-scans and re-hashes the whole corpus (measured 3
+    // parquet scans in the plan). The checkpointed frame is
+    // sketch-sized (≤ sources·k rows), so the barrier costs nothing.
     val sk = Sketches.kMinValues(grams, "source", "h", k = 64)
+      .localCheckpoint()
     val sizes = sk.groupBy(col("source")).agg(count(lit(1)).as("sk_n"))
     val pairs = sizes.select(col("source").as("source_a"), col("sk_n").as("n_a"))
       .join(sizes.select(col("source").as("source_b"), col("sk_n").as("n_b")),

@@ -92,6 +92,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q144: phrase search is scan → filter → TakeOrderedAndProject — zero exchanges") {
+    val p = planOf("q144_phrase_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q141: the pairwise matrix never re-scans the corpus; the sketch is rank-limited map-side") {
+    // final plan: everything past the localCheckpoint barrier is
+    // sketch-sized — a parquet scan here means a consumer re-derived
+    // the corpus-wide sketch (measured 3 scans before the barrier)
+    val p = planOf("q141_source_overlap")
+    assert(!p.contains("Scan parquet"), p)
+    // the sketch subplan itself: distinct + two bounded windows = 3
+    // corpus exchanges, each row_number filter pushed into a
+    // WindowGroupLimit (partial rank before the full sort)
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Sketches, TextFunctions}
+    val grams = Tables.documents(spark, sf).select(col("source"),
+      explode(TextFunctions.hashedShingles(
+        TextFunctions.tokens(col("text")), 3)).as("h"))
+    val sp = Sketches.kMinValues(grams, "source", "h", k = 64)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(sp).length == 3, sp)
+    assert(sp.contains("WindowGroupLimit"), sp)
+  }
+
   test("q29: exact dedup is one pass — a single scan and a single md5") {
     val p = planOf("q29_dedup_exact")
     // the groupBy-then-rejoin shape scanned documents twice and hashed
