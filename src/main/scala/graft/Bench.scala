@@ -70,7 +70,8 @@ object Bench {
     // round-9 tail (second pass): KMV cross-source overlap matrix,
     // warm-started (initial-state) streaming dedup gate
     "q141_source_overlap", "q142_bootstrap_dedup_streamed",
-    "q143_bootstrap_dedup_restarted", "q144_phrase_search")
+    "q143_bootstrap_dedup_restarted", "q144_phrase_search",
+    "q145_kmv_distinct")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -808,6 +808,62 @@ object TextQueries {
       |ORDER BY p.source_a, p.source_b""".stripMargin
 
   // ---------------------------------------------------------------
+  // q145 — the q141 KMV sketch pulling DOUBLE DUTY as a per-source
+  // distinct-shingle-count estimator, with its envelope audited in
+  // exact INTEGERS (the q57/q80 sketch-gate discipline): for a full
+  // sketch the classic KMV estimate is (k−1)·M / h_k (M = 2^32, h_k
+  // = the k-th minimum = the sketch max) — integer DIV in both
+  // engines, so the estimate itself is oracle-comparable, not just
+  // the boolean; an under-full sketch IS the exact count. The audit
+  // (exact distinct per source, a full (source, h) shuffle) is a
+  // test-time device — production keeps only the sketch, which is
+  // why the estimator matters at 100 TB. within_bound = the estimate
+  // lands within ±50% (k=64 ⇒ σ ≈ 1/√62 ≈ 12.7%; 50% ≈ 4σ) —
+  // all-integer comparison, no float drift.
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val grams = docs.select(col("source"),
+      explode(TextFunctions.hashedShingles(
+        TextFunctions.tokens(col("text")), 3)).as("h"))
+    val sk = Sketches.kMinValues(grams, "source", "h", k = 64)
+    val est = sk.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sk"), max(col("h")).as("h_max"))
+      .withColumn("kmv_est",
+        when(col("n_sk") < 64, col("n_sk"))
+          .otherwise(expr("270582939648 DIV h_max")).cast("long"))
+    val exact = grams.select(col("source"), col("h")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("source"))
+      .select(col("source"), col("n_exact"), col("kmv_est"),
+        (abs(col("kmv_est") - col("n_exact")) * 2 <= col("n_exact"))
+          .as("within_bound"))
+      .orderBy(col("source"))
+  }
+  private val q145Sql =
+    s"""WITH t0 AS (SELECT source, $dTokens AS toks FROM documents),
+      |th0 AS (SELECT source,
+      |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM t0),
+      |e0 AS (SELECT source, unnest(
+      |  list_transform(range(1, len(th) - 1),
+      |    i -> ((((th[i] * 65599 + th[i+1]) % 4294967311) * 65599 + th[i+2]) % 4294967311) % 4294967296)) AS h
+      |  FROM th0),
+      |e AS (SELECT DISTINCT source, h FROM e0),
+      |r AS (SELECT source, h,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM e),
+      |sk AS (SELECT source, h FROM r WHERE rn <= 64),
+      |agg AS (SELECT source, COUNT(*) AS n_sk, MAX(h) AS h_max
+      |  FROM sk GROUP BY source),
+      |ex AS (SELECT source, COUNT(*) AS n_exact FROM e GROUP BY source)
+      |SELECT a.source, ex.n_exact,
+      |  CAST(CASE WHEN a.n_sk < 64 THEN a.n_sk
+      |       ELSE 270582939648 // a.h_max END AS BIGINT) AS kmv_est,
+      |  ABS(CAST(CASE WHEN a.n_sk < 64 THEN a.n_sk
+      |       ELSE 270582939648 // a.h_max END AS BIGINT) - ex.n_exact) * 2
+      |    <= ex.n_exact AS within_bound
+      |FROM agg a JOIN ex ON a.source = ex.source
+      |ORDER BY a.source""".stripMargin
+
+  // ---------------------------------------------------------------
   // q144 — exact PHRASE search: which documents contain this exact
   // token sequence, ranked by occurrence count — the decontamination
   // audit q139's token-level AND search cannot answer (terms present
@@ -1672,6 +1728,7 @@ object TextQueries {
     QueryDef("q140_canonical_by_quality", q140, Some(q140Sql)),
     QueryDef("q141_source_overlap", q141, Some(q141Sql)),
     QueryDef("q144_phrase_search", q144, Some(q144Sql)),
+    QueryDef("q145_kmv_distinct", q145, Some(q145Sql)),
     QueryDef("q139_term_search", q139, Some(q139Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),

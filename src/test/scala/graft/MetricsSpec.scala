@@ -29,6 +29,14 @@ class MetricsSpec extends AnyFunSuite {
     assert(m.shuffleWriteBytes == 0 && m.shuffleReadBytes == 0, m)
   }
 
+  test("q144 phrase search measures ZERO shuffle bytes — the top-k is partial ranks only") {
+    val (_, m) = Metrics.capture(spark) {
+      SparkEntry.queries("q144_phrase_search")(spark, sf).collect()
+    }
+    assert(m.shuffleWriteBytes == 0 && m.shuffleReadBytes == 0, m)
+    assert(m.inputRecords > 0, m)
+  }
+
   test("q02's map-side combine shuffles orders of magnitude less than its input") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val inputBytes = li.inputFiles.map(f =>
