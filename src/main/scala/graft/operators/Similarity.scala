@@ -490,4 +490,86 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
       .distinct()
   }
+
+  // ------------------------------------------ product quantization
+
+  /** Per-subspace slices of `vecCol` as a long-format frame: one row
+    * per (row, sub) with the `dim/m`-wide subvector. Shared by the
+    * codebook, coding, and query-table builders below. */
+  private def subSlices(df: DataFrame, idCol: String, outId: String,
+      vecCol: String, dim: Int, m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val subs = array((0 until m).map(s0 => struct(lit(s0).as("sub"),
+      slice(col(vecCol), s0 * subDim + 1, subDim).as("sv"))): _*)
+    df.select(col(idCol).cast("long").as(outId), explode(subs).as("x"))
+      .select(col(outId), col("x.sub").as("sub"), col("x.sv").as("sv"))
+  }
+
+  /** Squared L2 distance via inner products — the three-dot form
+    * keeps every fold a sequential [[dot]] pass, the arrangement
+    * proven order-aligned with DuckDB's `list_inner_product` (q67). */
+  private def sqDist(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** PQ codebook from seed vectors: (sub, code, cv) — centroid `code`
+    * of subspace `sub` is the seed's subvector. Production trains the
+    * codebook by iterating [[kmeansStep]] per subspace; the seed
+    * codebook keeps the gate deterministic with the same downstream
+    * shapes (the coding/ADC cost is identical however the centroids
+    * were obtained). */
+  def pqCodebook(seeds: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int): DataFrame =
+    subSlices(seeds, idCol, "code", vecCol, dim, m)
+      .select(col("sub"), col("code"), col("sv").as("cv"))
+
+  /** PQ coding: each vector reduced to `m` small integers — its
+    * nearest centroid per subspace (squared-L2, centroid id as the
+    * tiebreak). Long format (id, sub, code); a production store
+    * pivots to one `m`-byte array per vector — the 4×-to-64×
+    * compression that makes billion-vector stores RAM-resident.
+    *
+    * Scale shape: the codebook broadcasts (m·centroids rows); coding
+    * is one map-side pass over m·|corpus| sliced rows; the argmin is
+    * a PARTIAL `min(struct(d2, code))` aggregate — no window, no
+    * per-vector state beyond one struct per (id, sub). */
+  def pqCodes(vectors: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int): DataFrame =
+    subSlices(vectors, idCol, "__vid", vecCol, dim, m)
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2", sqDist(col("sv"), col("cv")))
+      .groupBy(col("__vid"), col("sub"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("__vid").as(idCol), col("sub"), col("b.code").as("code"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes its (sub, code) → distance TABLE against the
+    * codebook (|queries|·m·centroids rows — broadcast); a coded
+    * vector's approximate distance is then `m` table lookups summed.
+    * Distances enter the sum as FIXED-POINT longs (`floor(d2·2³⁰)`),
+    * so the unordered distributed sum is exact and the ranking —
+    * (adc_fp asc, id) per query via partial window ranks — is
+    * bit-reproducible cross-engine (the q67/q89 discipline applied
+    * to ADC). Returns (query_id, rank, neighbor_id, adc_fp), k rows
+    * per query. */
+  def pqAdcTopK(vectors: DataFrame, queries: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val codes = pqCodes(vectors, codebook, idCol, vecCol, dim, m)
+    val dtable = subSlices(queries, idCol, "query_id", vecCol, dim, m)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        floor(sqDist(col("sv"), col("cv")) * lit(1073741824.0))
+          .cast("long").as("dfp"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_fp"), col(idCol))
+    codes.join(broadcast(dtable), Seq("sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("dfp")).as("adc_fp"))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol).as("neighbor_id"), col("adc_fp"))
+  }
 }

@@ -419,7 +419,98 @@ object SimilarityQueries {
       |FROM assign LEFT JOIN drops ON drops.vec_id = assign.vec_id
       |ORDER BY assign.vec_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q146 — PRODUCT-QUANTIZED ANN with an in-plan recall floor: the
+  // billion-vector compression the int8 path (q135) cannot reach —
+  // each 64-dim vector reduced to m = 4 sub-space codes (8 seed
+  // centroids per sub-space; production trains them by iterating
+  // q67's kmeansStep per sub-space — same downstream cost either
+  // way), retrieval via the ADC table (per query: 4×8 sub-distances
+  // precomputed once, each coded vector scored by 4 lookups). Every
+  // rankable number is FIXED-POINT (floor(d²·2³⁰) longs summed
+  // exactly), so codes, ADC scores, ranks, and the recall audit all
+  // hash-match the oracle. Recall@5 vs the exact squared-L2 brute
+  // force is audited per query; the floor (1/5, the per-query
+  // minimum observed across sf0.001/0.01/0.1 — mean ≈ 1.8/5, honest
+  // for 4×8-centroid seed codebooks over embeddings with NO planted
+  // neighbor structure; see SCALE.md's q91 note) fails the run
+  // in-plan if PQ coding or the ADC table regresses to zero overlap.
+  private val PqRecallFloorHits = 1L
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity.dot
+    val e = Tables.embeddings(s, dir)
+    val seeds = e.filter(col("vec_id") < 8)
+    val queries = e.filter(col("vec_id") < 10)
+    val cb = Similarity.pqCodebook(seeds, "vec_id", "embedding", dim = 64, m = 4)
+    val adc = Similarity.pqAdcTopK(e, queries, cb, "vec_id", "embedding",
+      dim = 64, m = 4, k = 5)
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("xv"))
+      .crossJoin(broadcast(qv))
+      .withColumn("dfp", floor(
+        (dot(col("xv"), col("xv")) - lit(2.0) * dot(col("xv"), col("qv"))
+          + dot(col("qv"), col("qv"))) * lit(1073741824.0)).cast("long"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("dfp"), col("neighbor_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val rec = adc.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    adc.join(rec, Seq("query_id"))
+      .filter(assert_true(col("n_hits") >= PqRecallFloorHits,
+        concat(lit(s"PQ ADC recall@5 below $PqRecallFloorHits/5 for query "),
+          col("query_id").cast("string"))).isNull)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_fp"), col("n_hits"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q146Sql = {
+    val subs = "(SELECT unnest(range(4)) AS sub) s"
+    def ip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def d2(a: String, b: String) =
+      s"(${ip(a, a)} - 2 * ${ip(a, b)} + ${ip(b, b)})"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |xs AS (SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
+      |  FROM e, $subs),
+      |cb AS (SELECT sub, vec_id AS code, sv AS cv FROM xs WHERE vec_id < 8),
+      |scored AS (SELECT xs.vec_id, xs.sub, cb.code,
+      |    ${d2("xs.sv", "cb.cv")} AS d2
+      |  FROM xs JOIN cb ON xs.sub = cb.sub),
+      |codes AS (SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |  FROM scored) WHERE rn = 1),
+      |dt AS (SELECT xs.vec_id AS query_id, cb.sub, cb.code,
+      |    CAST(floor(${d2("xs.sv", "cb.cv")} * 1073741824) AS BIGINT) AS dfp
+      |  FROM xs JOIN cb ON xs.sub = cb.sub WHERE xs.vec_id < 10),
+      |sc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+      |    CAST(SUM(dfp) AS BIGINT) AS adc_fp
+      |  FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+      |  GROUP BY 1, 2),
+      |topk AS (SELECT query_id, rank, neighbor_id, adc_fp FROM (
+      |  SELECT query_id, neighbor_id, adc_fp,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
+      |  FROM sc) WHERE rank <= 5),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY CAST(floor(${d2("e.v", "q.qv")} * 1073741824) AS BIGINT), e.vec_id) AS rn
+      |  FROM e CROSS JOIN q) WHERE rn <= 5),
+      |rec AS (SELECT t.query_id,
+      |    CAST(SUM(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM topk t LEFT JOIN ex
+      |    ON t.query_id = ex.query_id AND t.neighbor_id = ex.neighbor_id
+      |  GROUP BY t.query_id)
+      |SELECT t.query_id, t.rank, t.neighbor_id, t.adc_fp, rec.n_hits
+      |FROM topk t JOIN rec ON t.query_id = rec.query_id
+      |ORDER BY t.query_id, t.rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q146_pq_ann", q146, Some(q146Sql)),
     QueryDef("q123_semantic_dedup", q123, Some(q123Sql)),
     QueryDef("q34_ann_brute_force", q34, Some(q34Sql)),
     QueryDef("q75_quantize_int8", q75, Some(q75Sql)),

@@ -96,6 +96,35 @@ class Round9TailSpec extends AnyFunSuite {
     assert(generous == unguarded)
   }
 
+  // ------------------------------------- product quantization (q146)
+
+  test("pqCodes: a seed vector codes to itself (d2 = 0) in every subspace") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seeds = e.filter(col("vec_id") < 8)
+    val cb = Similarity.pqCodebook(seeds, "vec_id", "embedding", dim = 64, m = 4)
+    assert(cb.count() == 32) // 8 seeds × 4 subspaces
+    val selfCodes = Similarity
+      .pqCodes(seeds, cb, "vec_id", "embedding", dim = 64, m = 4)
+      .filter(col("vec_id") =!= col("code")).count()
+    assert(selfCodes == 0, "a seed's nearest centroid must be itself")
+  }
+
+  test("pqAdcTopK returns k ranked rows per query with exact fixed-point scores") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Similarity.pqCodebook(e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", dim = 64, m = 4)
+    val adc = Similarity.pqAdcTopK(e, e.filter(col("vec_id") < 3), cb,
+      "vec_id", "embedding", dim = 64, m = 4, k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(adc.length == 12) // 3 queries × k=4
+    adc.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+      // scores ascend with rank (fixed-point longs — exact compare)
+      assert(rows.sortBy(_._2).map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    }
+  }
+
   // ------------------------------------------- phrase search (q144)
 
   test("phraseHash equals the in-plan positional gram hash; phraseSearch counts occurrences") {
