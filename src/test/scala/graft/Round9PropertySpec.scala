@@ -130,4 +130,29 @@ class Round9PropertySpec extends AnyFunSuite {
       assert(moved == 0, s"seed=$seed: cap changed cluster assignment")
     }
   }
+
+  test("kMinValues == naive per-group bottom-k on arbitrary data, any fanout") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val k = 1 + rnd.nextInt(20)
+      val fanout = 1 + rnd.nextInt(100)
+      val groups = 1 + rnd.nextInt(6)
+      // skewed values with heavy duplication and negative-free domain
+      // (hash domains are non-negative, like the production callers)
+      val rows = Seq.fill(300 + rnd.nextInt(700))(
+        (s"g${rnd.nextInt(groups)}", rnd.nextInt(1 << rnd.nextInt(16)).toLong))
+      val df = rows.toDF("g", "v")
+      val naive = df.select($"g", $"v").distinct()
+        .withColumn("rn",
+          row_number().over(Window.partitionBy($"g").orderBy($"v")))
+        .filter($"rn" <= k).drop("rn")
+        .as[(String, Long)].collect().toSet
+      val got = graft.operators.Sketches
+        .kMinValues(df, "g", "v", k = k, fanout = fanout)
+        .as[(String, Long)].collect().toSet
+      assert(got == naive, s"seed=$seed k=$k fanout=$fanout")
+    }
+  }
 }
