@@ -227,6 +227,65 @@ object Sampling {
       .drop("__graft_bounds")
   }
 
+  /** Exact per-group ORDER-STATISTIC quantile (discrete, no
+    * interpolation) WITHOUT buffering any group: the value at rank
+    * `⌈q·n⌉` (ascending) of `valueCol` within each group. The exact
+    * `percentile` aggregate ([[quantileBins]]) buffers every value of
+    * a group in one task — the memory wall when a group is
+    * corpus-sized. Here the selection is two-level, the classic
+    * distributed histogram algorithm:
+    *  1. one 2-value global bounds probe defines `buckets` value
+    *     ranges;
+    *  2. one corpus pass counts (group, bucket) populations — a
+    *     partial-aggregated groupBy, ≤ groups·buckets rows out;
+    *  3. the cumulative-count window runs on THAT tiny frame
+    *     (≤ buckets rows per group) to find each group's target
+    *     bucket and within-bucket offset;
+    *  4. one filtered pass ranks ONLY the target bucket's rows
+    *     (expected group/buckets of the group) to read the value at
+    *     the offset.
+    * The returned quantile is bucketing-INDEPENDENT (the rank is
+    * global; buckets only bound how many rows stage 4 sorts) — pinned
+    * across bucket counts in Round9TailSpec. Returns one row per
+    * group: `(group, n_rows, quantile)`. NULL values are excluded
+    * from ranks (the [[quantileBins]] discipline). */
+  def groupQuantileDisc(df: DataFrame, groupCol: String, valueCol: String,
+      q: Double, buckets: Int = 256): DataFrame = {
+    require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val vals = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val bounds = vals.agg(min(col("__v")), max(col("__v"))).head()
+    if (bounds.isNullAt(0))
+      return vals.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_rows"), first(col("__v")).as("quantile"))
+        .limit(0)
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val span = hi - lo
+    val bucket =
+      if (span == 0) lit(0L)
+      else least(lit(buckets - 1L), greatest(lit(0L),
+        floor((col("__v") - lit(lo)) / lit(span) * buckets).cast("long")))
+    val counted = vals.withColumn("__b", bucket)
+      .groupBy(col(groupCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val byGrp = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+    val target = counted
+      .withColumn("__cum", sum(col("__c")).over(byGrp))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__r", ceil(lit(q) * col("__n")).cast("long"))
+      .filter(col("__cum") >= col("__r") &&
+        col("__cum") - col("__c") < col("__r"))
+      .select(col(groupCol), col("__b"), col("__n"),
+        (col("__r") - (col("__cum") - col("__c"))).as("__off"))
+    vals.withColumn("__b", bucket)
+      .join(broadcast(target), Seq(groupCol, "__b"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__v"))))
+      .filter(col("__rn") === col("__off"))
+      .select(col(groupCol), col("__n").as("n_rows"),
+        col("__v").as("quantile"))
+  }
+
   /** Leakage-safe dataset split: every row of a GROUP lands in the same
     * split, decided by a deterministic hash of the group key — never a
     * per-row coin. Splitting training corpora row-wise leaks: two

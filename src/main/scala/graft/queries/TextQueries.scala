@@ -864,6 +864,50 @@ object TextQueries {
       |ORDER BY a.source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q147 — per-SOURCE adaptive quality cutoffs: each source keeps its
+  // own top 75% by quality (cutoff = the exact p25 order statistic
+  // WITHIN the source), the curation shape that stops one low-quality
+  // source from being judged by another's distribution — a single
+  // global threshold either floods the corpus with the spammy
+  // source's best or deletes the clean source's normal. The cutoff
+  // comes from [[graft.operators.Sampling.groupQuantileDisc]] — the
+  // two-level histogram selection that never buffers a group (the
+  // exact `percentile` aggregate's memory wall when one source is
+  // corpus-sized); the oracle computes the same rank naively. Quality
+  // doubles are the engine-mirrored q26 expression, so cutoffs
+  // hash-match exactly.
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // barrier: the scored frame feeds the quantile's two passes AND
+    // the keep-count join — without it the quality regexes run 3×
+    val scored = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .localCheckpoint()
+    val cut = Sampling.groupQuantileDisc(scored, "source", "quality", q = 0.25)
+      .withColumnRenamed("quantile", "cutoff")
+    scored.join(broadcast(cut), Seq("source"))
+      .groupBy(col("source"), col("n_rows"), col("cutoff"))
+      .agg(sum(when(col("quality") >= col("cutoff"), 1L).otherwise(0L))
+        .as("n_kept"))
+      .select(col("source"), col("n_rows").as("n_docs"), col("cutoff"),
+        col("n_kept"))
+      .orderBy(col("source"))
+  }
+  private val q147Sql =
+    s"""WITH t AS (SELECT doc_id, source, text, $dTokens AS toks FROM documents),
+      |ql AS (SELECT doc_id, source, $dQuality AS quality FROM t),
+      |r AS (SELECT source, quality,
+      |    row_number() OVER (PARTITION BY source ORDER BY quality) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n FROM ql),
+      |cut AS (SELECT source, MAX(n) AS n_docs,
+      |    MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN quality END) AS cutoff
+      |  FROM r GROUP BY source)
+      |SELECT c.source, c.n_docs, c.cutoff,
+      |  CAST(SUM(CASE WHEN q.quality >= c.cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM ql q JOIN cut c ON q.source = c.source
+      |GROUP BY 1, 2, 3 ORDER BY c.source""".stripMargin
+
+  // ---------------------------------------------------------------
   // q144 — exact PHRASE search: which documents contain this exact
   // token sequence, ranked by occurrence count — the decontamination
   // audit q139's token-level AND search cannot answer (terms present
@@ -1729,6 +1773,7 @@ object TextQueries {
     QueryDef("q141_source_overlap", q141, Some(q141Sql)),
     QueryDef("q144_phrase_search", q144, Some(q144Sql)),
     QueryDef("q145_kmv_distinct", q145, Some(q145Sql)),
+    QueryDef("q147_adaptive_quality_cutoff", q147, Some(q147Sql)),
     QueryDef("q139_term_search", q139, Some(q139Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),

@@ -96,6 +96,45 @@ class Round9TailSpec extends AnyFunSuite {
     assert(generous == unguarded)
   }
 
+  // ------------------------- exact group order statistic (q147)
+
+  test("groupQuantileDisc == naive rank selection, at any bucket count") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(7)
+    // clumpy doubles with heavy ties and one widely-spread group
+    val rows = (1 to 900).map { i =>
+      val g = s"g${i % 4}"
+      val v = if (g == "g3") rnd.nextDouble() * 1e6
+        else math.floor(rnd.nextDouble() * 20) / 7.0
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    for (q <- Seq(0.25, 0.5, 0.9, 1.0)) {
+      val naive = rows.groupBy(_._1).map { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        (g, sorted.length.toLong, sorted(math.ceil(q * sorted.length).toInt - 1))
+      }.toSet
+      for (buckets <- Seq(1, 7, 256)) {
+        val got = Sampling.groupQuantileDisc(df, "g", "v", q, buckets)
+          .as[(String, Long, Double)].collect().toSet
+        assert(got == naive, s"q=$q buckets=$buckets")
+      }
+    }
+  }
+
+  test("groupQuantileDisc: empty and all-null inputs return empty, well-typed frames") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val empty = Seq.empty[(String, Double)].toDF("g", "v")
+    assert(Sampling.groupQuantileDisc(empty, "g", "v", 0.5).count() == 0)
+    val nulls = Seq(("a", null.asInstanceOf[java.lang.Double]))
+      .toDF("g", "v")
+    val out = Sampling.groupQuantileDisc(nulls, "g", "v", 0.5)
+    assert(out.columns.toSeq == Seq("g", "n_rows", "quantile"))
+    assert(out.count() == 0)
+  }
+
   // ------------------------------------- product quantization (q146)
 
   test("pqCodes: a seed vector codes to itself (d2 = 0) in every subspace") {
