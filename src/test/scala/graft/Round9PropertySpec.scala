@@ -155,4 +155,23 @@ class Round9PropertySpec extends AnyFunSuite {
       assert(got == naive, s"seed=$seed k=$k fanout=$fanout")
     }
   }
+
+  test("pqCodes and pqAdcTopK are partitioning-independent") {
+    // codes come from a partial min(struct) aggregate and scores from
+    // an exact fixed-point sum — neither may depend on how the input
+    // is split across tasks
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val cb = Similarity.pqCodebook(e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", dim = 64, m = 4)
+    def run(vectors: org.apache.spark.sql.DataFrame) = (
+      Similarity.pqCodes(vectors, cb, "vec_id", "embedding", 64, 4)
+        .collect().map(_.toSeq).toSet,
+      Similarity.pqAdcTopK(vectors, e.filter(col("vec_id") < 3), cb,
+          "vec_id", "embedding", 64, 4, k = 5)
+        .collect().map(_.toSeq).toSet)
+    val (c1, a1) = run(e)
+    val (c7, a7) = run(e.repartition(7))
+    assert(c1 == c7, "codes changed under repartition")
+    assert(a1 == a7, "ADC top-k changed under repartition")
+  }
 }
