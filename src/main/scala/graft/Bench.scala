@@ -71,7 +71,8 @@ object Bench {
     // warm-started (initial-state) streaming dedup gate
     "q141_source_overlap", "q142_bootstrap_dedup_streamed",
     "q143_bootstrap_dedup_restarted", "q144_phrase_search",
-    "q145_kmv_distinct", "q146_pq_ann", "q147_adaptive_quality_cutoff")
+    "q145_kmv_distinct", "q146_pq_ann", "q147_adaptive_quality_cutoff",
+    "q148_ivfpq_ann")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

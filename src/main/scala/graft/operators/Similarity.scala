@@ -542,6 +542,104 @@ object Similarity {
       .agg(min(struct(col("d2"), col("code"))).as("b"))
       .select(col("__vid").as(idCol), col("sub"), col("b.code").as("code"))
 
+  /** Coarse assignment + residuals for IVF-PQ: each vector assigned
+    * to its nearest (squared-L2) coarse centroid, returned with the
+    * residual `x − c` in DOUBLE arithmetic (float subtraction would
+    * diverge from any double-computing engine). One shuffle: the
+    * argmin is a partial `min(struct(d2, cid, cv))` aggregate with
+    * the vector riding as a `first()` payload — no re-join of the
+    * corpus against itself. Output: (id, list_id, rv). */
+  def ivfResiduals(vectors: DataFrame, coarse: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val x = vectors.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__x"))
+    val c = coarse.select(col(idCol).cast("long").as("__cid"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    x.crossJoin(broadcast(c))
+      .withColumn("d2", sqDist(col("__x"), col("__cv")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d2"), col("__cid"), col("__cv"))).as("b"),
+        first(col("__x")).as("__x"))
+      .select(col(idCol), col("b.__cid").as("list_id"),
+        zip_with(col("__x"), col("b.__cv"), (a, b) => a - b).as("rv"))
+  }
+
+  /** IVF-PQ retrieval — the production billion-vector index shape
+    * (coarse inverted lists + product-quantized RESIDUALS): vectors
+    * are assigned to coarse lists ([[ivfResiduals]]), their residuals
+    * PQ-coded against a residual codebook, and a query probes only
+    * its `nProbe` nearest lists — for each probed list the query's
+    * OWN residual (q − c_list) builds the ADC table, so scoring a
+    * coded vector is m lookups, exactly [[pqAdcTopK]]'s arithmetic
+    * on list-relative coordinates. Fixed-point longs keep every
+    * score and rank bit-reproducible.
+    *
+    * Scale shape: coarse centroids, residual codebook, and the
+    * per-(query, list) ADC tables all broadcast; the corpus-side
+    * cost is the coarse argmin + the PQ coding passes (both partial
+    * aggregates) and a scoring join that only touches vectors whose
+    * LIST IS PROBED — the nProbe/lists fraction of the corpus, the
+    * entire point of IVF. Returns (query_id, rank, neighbor_id,
+    * adc_fp), k rows per query. */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, coarse: DataFrame,
+      residualSeeds: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, nProbe: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && k >= 1, s"need nProbe/k >= 1, got $nProbe/$k")
+    // MATERIALIZATION BARRIER: the residual frame feeds THREE
+    // consumers (the codebook seeds, the coding pass, and the
+    // list-id join) — without it each re-runs the coarse argmin over
+    // the corpus. Production persists codes to a store instead.
+    val res = ivfResiduals(vectors, coarse, idCol, vecCol).localCheckpoint()
+    val seedIds = residualSeeds.select(col(idCol)).distinct()
+    val rcb = pqCodebook(
+      res.join(broadcast(seedIds), Seq(idCol)), idCol, "rv", dim, m)
+    val codes = pqCodes(res, rcb, idCol, "rv", dim, m)
+      .join(res.select(col(idCol), col("list_id")), Seq(idCol))
+    val qres = ivfProbeResiduals(queries, coarse, idCol, vecCol, nProbe)
+    // subSlices flattens per (query, sub) and would lose the probed
+    // list; build the per-(query, list) table from qres directly
+    val dt = qres.select(col("query_id"), col("list_id"),
+        explode(array((0 until m).map { s0 =>
+          val subDim = dim / m
+          struct(lit(s0).as("sub"),
+            slice(col("rv"), s0 * subDim + 1, subDim).as("sv"))
+        }: _*)).as("x"))
+      .select(col("query_id"), col("list_id"),
+        col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .join(broadcast(rcb), Seq("sub"))
+      .select(col("query_id"), col("list_id"), col("sub"), col("code"),
+        floor(sqDist(col("sv"), col("cv")) * lit(1073741824.0))
+          .cast("long").as("dfp"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_fp"), col(idCol))
+    codes.join(broadcast(dt), Seq("list_id", "sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("dfp")).as("adc_fp"))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol).as("neighbor_id"), col("adc_fp"))
+  }
+
+  /** Each query's `nProbe` nearest coarse lists with the query's
+    * residual against EACH probed list's centroid: (query_id,
+    * list_id, rv). Queries × centroids is broadcast-small. */
+  private def ivfProbeResiduals(queries: DataFrame, coarse: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("__q"))
+    val c = coarse.select(col(idCol).cast("long").as("list_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    q.crossJoin(broadcast(c))
+      .withColumn("d2", sqDist(col("__q"), col("__cv")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("list_id"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("list_id"),
+        zip_with(col("__q"), col("__cv"), (a, b) => a - b).as("rv"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query
     * precomputes its (sub, code) → distance TABLE against the
     * codebook (|queries|·m·centroids rows — broadcast); a coded

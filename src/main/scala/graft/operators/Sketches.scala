@@ -79,7 +79,10 @@ object Sketches {
       k: Int, fanout: Int = 32): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(fanout >= 1, s"need fanout >= 1, got $fanout")
-    val distinctVals = df.select(col(groupCol), col(valueCol)).distinct()
+    // NULLs are excluded, not ranked: NULLS FIRST ordering would let a
+    // single null value displace a real minimum from every sketch
+    val distinctVals = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull).distinct()
     val cell = Window
       .partitionBy(col(groupCol), pmod(col(valueCol), lit(fanout.toLong)))
       .orderBy(col(valueCol))

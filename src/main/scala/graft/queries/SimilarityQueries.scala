@@ -509,8 +509,121 @@ object SimilarityQueries {
       |ORDER BY t.query_id, t.rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q148 — IVF-PQ: the production billion-vector index (FAISS's
+  // IVFPQ shape) — coarse inverted lists (8 seed centroids,
+  // squared-L2 assignment) with PRODUCT-QUANTIZED RESIDUALS (m = 4
+  // sub-spaces, codebook from vectors 8..15's residuals — the coarse
+  // seeds' own residuals are zero and would degenerate). A query
+  // probes its nProbe = 2 nearest lists and scores ONLY their
+  // members — the corpus fraction touched is nProbe/lists, the IVF
+  // point — via a per-(query, list) ADC table built from the
+  // query's list-relative residual. Residual arithmetic is
+  // element-wise double subtraction (exact both engines); distances
+  // are the fixed-point longs of q146, so codes, scores, ranks, and
+  // the recall audit hash-match. Floor = per-query min across
+  // sf0.001/0.01/0.1, in-plan.
+  private val IvfPqRecallFloorHits = 1L
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity.dot
+    val e = Tables.embeddings(s, dir)
+    val coarse = e.filter(col("vec_id") < 8)
+    val resSeeds = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+    val queries = e.filter(col("vec_id") < 10)
+    val adc = Similarity.ivfPqTopK(e, queries, coarse, resSeeds,
+      "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, k = 5)
+    val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val exact = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("xv"))
+      .crossJoin(broadcast(qv))
+      .withColumn("dfp", floor(
+        (dot(col("xv"), col("xv")) - lit(2.0) * dot(col("xv"), col("qv"))
+          + dot(col("qv"), col("qv"))) * lit(1073741824.0)).cast("long"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("dfp"), col("neighbor_id"))))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val rec = adc.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    adc.join(rec, Seq("query_id"))
+      .filter(assert_true(col("n_hits") >= IvfPqRecallFloorHits,
+        concat(lit(s"IVF-PQ recall@5 below $IvfPqRecallFloorHits/5 for query "),
+          col("query_id").cast("string"))).isNull)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_fp"), col("n_hits"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q148Sql = {
+    val subs = "(SELECT unnest(range(4)) AS sub) s"
+    def ip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def d2(a: String, b: String) =
+      s"(${ip(a, a)} - 2 * ${ip(a, b)} + ${ip(b, b)})"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c8 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |asg0 AS (SELECT e.vec_id, c8.cid, c8.cv, ${d2("e.v", "c8.cv")} AS d2
+      |  FROM e CROSS JOIN c8),
+      |asg AS (SELECT vec_id, cid AS list_id, cv FROM (
+      |  SELECT vec_id, cid, cv,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM asg0) WHERE rn = 1),
+      |res AS (SELECT a.vec_id, a.list_id,
+      |    list_transform(generate_series(1, 64), i -> e.v[i] - a.cv[i]) AS rv
+      |  FROM asg a JOIN e ON e.vec_id = a.vec_id),
+      |rxs AS (SELECT vec_id, list_id, s.sub,
+      |    rv[s.sub*16+1 : s.sub*16+16] AS sv FROM res, $subs),
+      |rcb AS (SELECT sub, vec_id AS code, sv AS cv FROM rxs
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |sc0 AS (SELECT rxs.vec_id, rxs.list_id, rxs.sub, rcb.code,
+      |    ${d2("rxs.sv", "rcb.cv")} AS d2
+      |  FROM rxs JOIN rcb ON rxs.sub = rcb.sub),
+      |codes AS (SELECT vec_id, list_id, sub, code FROM (
+      |  SELECT vec_id, list_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |  FROM sc0) WHERE rn = 1),
+      |pr0 AS (SELECT q.vec_id AS query_id, c8.cid AS list_id, c8.cv,
+      |    ${d2("q.v", "c8.cv")} AS d2
+      |  FROM (SELECT * FROM e WHERE vec_id < 10) q CROSS JOIN c8),
+      |pr AS (SELECT query_id, list_id, cv FROM (
+      |  SELECT query_id, list_id, cv,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d2, list_id) AS rn
+      |  FROM pr0) WHERE rn <= 2),
+      |qres AS (SELECT p.query_id, p.list_id,
+      |    list_transform(generate_series(1, 64), i -> e.v[i] - p.cv[i]) AS rv
+      |  FROM pr p JOIN e ON e.vec_id = p.query_id),
+      |qxs AS (SELECT query_id, list_id, s.sub,
+      |    rv[s.sub*16+1 : s.sub*16+16] AS sv FROM qres, $subs),
+      |dt AS (SELECT qxs.query_id, qxs.list_id, qxs.sub, rcb.code,
+      |    CAST(floor(${d2("qxs.sv", "rcb.cv")} * 1073741824) AS BIGINT) AS dfp
+      |  FROM qxs JOIN rcb ON qxs.sub = rcb.sub),
+      |sc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+      |    CAST(SUM(dfp) AS BIGINT) AS adc_fp
+      |  FROM codes JOIN dt ON codes.list_id = dt.list_id
+      |    AND codes.sub = dt.sub AND codes.code = dt.code
+      |  GROUP BY 1, 2),
+      |topk AS (SELECT query_id, rank, neighbor_id, adc_fp FROM (
+      |  SELECT query_id, neighbor_id, adc_fp,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
+      |  FROM sc) WHERE rank <= 5),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |ex AS (SELECT query_id, neighbor_id FROM (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY CAST(floor(${d2("e.v", "q.qv")} * 1073741824) AS BIGINT), e.vec_id) AS rn
+      |  FROM e CROSS JOIN q) WHERE rn <= 5),
+      |rec AS (SELECT t.query_id,
+      |    CAST(SUM(CASE WHEN ex.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM topk t LEFT JOIN ex
+      |    ON t.query_id = ex.query_id AND t.neighbor_id = ex.neighbor_id
+      |  GROUP BY t.query_id)
+      |SELECT t.query_id, t.rank, t.neighbor_id, t.adc_fp, rec.n_hits
+      |FROM topk t JOIN rec ON t.query_id = rec.query_id
+      |ORDER BY t.query_id, t.rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q146_pq_ann", q146, Some(q146Sql)),
+    QueryDef("q148_ivfpq_ann", q148, Some(q148Sql)),
     QueryDef("q123_semantic_dedup", q123, Some(q123Sql)),
     QueryDef("q34_ann_brute_force", q34, Some(q34Sql)),
     QueryDef("q75_quantize_int8", q75, Some(q75Sql)),

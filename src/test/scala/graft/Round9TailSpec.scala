@@ -164,6 +164,33 @@ class Round9TailSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK honors the IVF contract: neighbors come only from probed lists") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val top = Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5),
+        e.filter(col("vec_id") < 8),
+        e.filter(col("vec_id") >= 8 && col("vec_id") < 16),
+        "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top.length == 25)
+    // independent driver-side recompute of assignments and probes
+    val vecs = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cents = (0L until 8L).map(c => c -> vecs(c))
+    def assign(v: Array[Double]): Long =
+      cents.minBy { case (cid, cv) => (d2(v, cv), cid) }._1
+    def probes(q: Array[Double]): Set[Long] =
+      cents.sortBy { case (cid, cv) => (d2(q, cv), cid) }.take(2)
+        .map(_._1).toSet
+    top.foreach { case (q, n) =>
+      assert(probes(vecs(q)).contains(assign(vecs(n))),
+        s"neighbor $n of query $q lives in an unprobed list")
+    }
+  }
+
   // ------------------------------------------- phrase search (q144)
 
   test("phraseHash equals the in-plan positional gram hash; phraseSearch counts occurrences") {
