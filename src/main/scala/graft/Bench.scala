@@ -72,7 +72,7 @@ object Bench {
     "q141_source_overlap", "q142_bootstrap_dedup_streamed",
     "q143_bootstrap_dedup_restarted", "q144_phrase_search",
     "q145_kmv_distinct", "q146_pq_ann", "q147_adaptive_quality_cutoff",
-    "q148_ivfpq_ann")
+    "q148_ivfpq_ann", "q149_kmv_sketch_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -385,7 +385,7 @@ object Bench {
       "q124_sessionize_streamed", "q127_stream_static_enriched",
       "q132_dedup_restarted", "q133_sessionize_restarted",
       "q137_running_totals_streamed", "q142_bootstrap_dedup_streamed",
-      "q143_bootstrap_dedup_restarted")
+      "q143_bootstrap_dedup_restarted", "q149_kmv_sketch_streamed")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

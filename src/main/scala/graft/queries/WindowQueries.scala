@@ -602,6 +602,52 @@ object WindowQueries {
   }
   private val q143Sql = q142Sql
 
+  // ---------------------------------------------------------------
+  // q149 — STREAMING sketch maintenance under the gate: the KMV
+  // bottom-k sketch (q141/q145's batch operator) kept as
+  // transformWithState stream state — per event type, the 32
+  // smallest distinct event-id hashes plus the running count,
+  // updated per micro-batch. Bottom-k-of-union is associative and
+  // commutative, so the final emission must equal the BATCH sketch
+  // exactly however the stream was chunked — the oracle checks it.
+  // The 100 TB story is the mergeable-sketch property itself: per-key
+  // stream state is O(k) longs regardless of corpus size — this gate
+  // proves every sketch family in the repo (HLL q57, CMS q76, GK
+  // q80, KMV here) has a bounded-state streaming twin. The sentinel
+  // rows are filtered BEFORE the processor (their hashes must not
+  // enter a real type's sketch); TimeMode.None needs no watermark.
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      streamedGate(s, dir, "q149", outputMode = "update")(stream =>
+        graft.streaming.EventStream.kmvSketchStream(
+          s, stream.filter(col("user_id") >= 0), k = 32).toDF())(
+        _.groupBy(col("event_type"))
+          .agg(max(col("n_seen")).as("n_seen"),
+            max_by(col("sketch"), col("n_seen")).as("sketch"))
+          .orderBy(col("event_type")))
+    } finally prevProvider.fold(
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+  private val q149Sql =
+    """WITH e AS (SELECT event_type,
+      |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      |  FROM events WHERE user_id < 40),
+      |cnt AS (SELECT event_type, COUNT(*) AS n_seen FROM e GROUP BY 1),
+      |d AS (SELECT DISTINCT event_type, h FROM e),
+      |r AS (SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM d),
+      |sk AS (SELECT event_type,
+      |    array_to_string(list_sort(list(h)), '_') AS sketch
+      |  FROM r WHERE rn <= 32 GROUP BY event_type)
+      |SELECT c.event_type, c.n_seen, sk.sketch
+      |FROM cnt c JOIN sk ON c.event_type = sk.event_type
+      |ORDER BY c.event_type""".stripMargin
+
   private def q117(s: SparkSession, dir: String): DataFrame =
     streamedIntervalGate(s, dir, "q117")(stream =>
       graft.streaming.EventStream.correlateFull(
@@ -961,6 +1007,7 @@ object WindowQueries {
     QueryDef("q127_stream_static_enriched", q127, Some(q127Sql)),
     QueryDef("q142_bootstrap_dedup_streamed", q142, Some(q142Sql)),
     QueryDef("q143_bootstrap_dedup_restarted", q143, Some(q143Sql)),
+    QueryDef("q149_kmv_sketch_streamed", q149, Some(q149Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }

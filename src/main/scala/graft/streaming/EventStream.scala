@@ -110,6 +110,37 @@ object EventStream {
         historyKeys.groupByKey(identity).mapValues(_ => true))
   }
 
+  final case class KmvEvent(event_type: String, h: Long)
+
+  final case class KmvState(n_seen: Long, mins: Array[Long])
+
+  final case class KmvSketch(event_type: String, n_seen: Long, sketch: String)
+
+  /** STREAMING maintenance of the K-minimum-values sketch
+    * ([[graft.operators.Sketches.kMinValues]]'s state-machine twin):
+    * per key, the k smallest distinct hashes seen so far plus the
+    * running row count, updated per micro-batch through
+    * `transformWithState`. Bottom-k-of-union is associative and
+    * commutative, so the final emission equals the batch sketch
+    * EXACTLY however the stream was chunked — which is what the q149
+    * oracle checks. State is O(k) longs per key (the mergeable-sketch
+    * property is precisely what makes per-key stream state bounded at
+    * 100 TB: the corpus grows, the state doesn't). Emits the updated
+    * sketch once per (batch, key); the final row per key is the
+    * n_seen-argmax. */
+  def kmvSketchStream(spark: SparkSession, stream: DataFrame,
+      k: Int): Dataset[KmvSketch] = {
+    import spark.implicits._
+    stream.select(col("event_type"),
+        graft.operators.TextFunctions.hash60(
+          col("event_id").cast("string")).as("h"))
+      .as[KmvEvent]
+      .groupByKey(_.event_type)
+      .transformWithState(new KmvSketchProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Gap-based sessionization via the NATIVE `session_window`
     * aggregation — the declarative twin of [[sessionize]]'s
     * `flatMapGroupsWithState`: Spark owns the session-merge state
@@ -285,6 +316,38 @@ object EventStream {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
+
+/** The [[EventStream.kmvSketchStream]] state machine: per key, the
+  * running (n_seen, k smallest distinct hashes). The merge —
+  * distinct-union then take-k-smallest — is order- and
+  * batching-independent, so the final state equals the batch
+  * bottom-k whatever the chunking. Top-level class — Spark
+  * serializes the processor to every task. */
+final class KmvSketchProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, EventStream.KmvEvent, EventStream.KmvSketch] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[EventStream.KmvState] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[EventStream.KmvState]("kmv",
+      org.apache.spark.sql.Encoders.product[EventStream.KmvState],
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[EventStream.KmvEvent],
+      timerValues: TimerValues): Iterator[EventStream.KmvSketch] = {
+    val prev = if (st.exists()) st.get()
+      else EventStream.KmvState(0L, Array.empty[Long])
+    val hs = rows.map(_.h).toArray
+    val next = EventStream.KmvState(prev.n_seen + hs.length,
+      (prev.mins ++ hs).distinct.sorted.take(k))
+    st.update(next)
+    Iterator.single(EventStream.KmvSketch(
+      key, next.n_seen, next.mins.mkString("_")))
   }
 }
 
