@@ -822,16 +822,21 @@ object TextQueries {
   // all-integer comparison, no float drift.
   private def q145(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // barrier on the DISTINCT (source, hash) set: both the sketch and
+    // the exact audit consume it — without it each re-scans and
+    // re-hashes the corpus (the q141 lesson; the distinct set is the
+    // smallest shared frame, so it is the right place to cut)
     val grams = docs.select(col("source"),
-      explode(TextFunctions.hashedShingles(
-        TextFunctions.tokens(col("text")), 3)).as("h"))
+        explode(TextFunctions.hashedShingles(
+          TextFunctions.tokens(col("text")), 3)).as("h"))
+      .distinct().localCheckpoint()
     val sk = Sketches.kMinValues(grams, "source", "h", k = 64)
     val est = sk.groupBy(col("source"))
       .agg(count(lit(1)).as("n_sk"), max(col("h")).as("h_max"))
       .withColumn("kmv_est",
         when(col("n_sk") < 64, col("n_sk"))
           .otherwise(expr("270582939648 DIV h_max")).cast("long"))
-    val exact = grams.select(col("source"), col("h")).distinct()
+    val exact = grams
       .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
     est.join(exact, Seq("source"))
       .select(col("source"), col("n_exact"), col("kmv_est"),
