@@ -72,7 +72,10 @@ object Bench {
     "q141_source_overlap", "q142_bootstrap_dedup_streamed",
     "q143_bootstrap_dedup_restarted", "q144_phrase_search",
     "q145_kmv_distinct", "q146_pq_ann", "q147_adaptive_quality_cutoff",
-    "q148_ivfpq_ann", "q149_kmv_sketch_streamed")
+    "q148_ivfpq_ann", "q149_kmv_sketch_streamed",
+    // round-10 tail: trained-PQ retrieval quality on the planted
+    // fixture, idf-weighted ranked retrieval
+    "q150_pq_trained_planted")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -175,21 +178,29 @@ object Bench {
   }
 
   /** Prior-round per-query medians for the delta gate. Candidate order:
-    * SPARK_GRAFT_PRIOR_BENCH, then the newest `bench/local_r*.json`
-    * (complete, written by this program last round — see
-    * [[writeLocalArtifact]]), then the newest driver `BENCH_r{N}.json`.
-    * Driver artifacts wrap a TRUNCATED tail of this program's output
-    * line — queries{} medians are usually cut off but trailing runs{}
-    * arrays survive, so medians are recomputed from raw runs (the
-    * name pattern admits `rcm_pipeline` as well as `q*`). Candidates
-    * are tried IN ORDER until one parses with a matching scale factor
-    * — cross-sf medians would trip the gate on every query. All
-    * absent/corrupt/mismatched → empty map, gate disabled. */
+    * SPARK_GRAFT_PRIOR_BENCH, then the newest PRIOR-round
+    * `bench/local_r*.json` (complete, written by this program last
+    * round — see [[writeLocalArtifact]]), then the newest driver
+    * `BENCH_r{N}.json`. Driver artifacts wrap a TRUNCATED tail of this
+    * program's output line — queries{} medians are usually cut off but
+    * trailing runs{} arrays survive, so medians are recomputed from
+    * raw runs (the name pattern admits `rcm_pipeline` as well as
+    * `q*`). Candidates are tried IN ORDER until one parses with a
+    * matching scale factor — cross-sf medians would trip the gate on
+    * every query. All absent/corrupt/mismatched → empty map, gate
+    * disabled.
+    *
+    * SAME-ROUND artifacts are excluded ([[isPriorRound]]): a bench
+    * re-run within a round overwrites `local_r{N}.json`, and a prior
+    * taken from it makes the gate compare a run against its sibling
+    * minutes earlier — cross-ROUND drift (the r8→r9 q90 1.56×) then
+    * never trips the isolated re-run the gate exists for. The prior
+    * must be the last COMMITTED round's record. */
   private def priorMedians(sfDir: String): Map[String, Double] = {
     val sfOfDir = new java.io.File(sfDir).getName.stripPrefix("sf").toDoubleOption
     def artifactsIn(dir: java.io.File, pat: String) =
       Option(dir.listFiles()).toSeq.flatten
-        .filter(_.getName.matches(pat))
+        .filter(f => f.getName.matches(pat) && isPriorRound(f.getName, currentRound))
         .sortBy(_.getName.replaceAll("\\D", "").toInt).reverse
     val candidates = (
       sys.env.get("SPARK_GRAFT_PRIOR_BENCH").map(new java.io.File(_)).toSeq ++
@@ -201,6 +212,15 @@ object Bench {
       try mediansFromArtifact(scala.io.Source.fromFile(f).mkString, sfOfDir)
       catch { case scala.util.control.NonFatal(_) => None }
     candidates.view.flatMap(parseOne).headOption.getOrElse(Map.empty)
+  }
+
+  /** True iff `name`'s round number is strictly BEFORE `round` — the
+    * delta-gate prior eligibility rule (a same-round rewrite is a
+    * sibling run, not a prior; see [[priorMedians]]). Names with no
+    * digits are ineligible. Package-private for BenchArtifactSpec. */
+  private[graft] def isPriorRound(name: String, round: Int): Boolean = {
+    val digits = name.replaceAll("\\D", "")
+    digits.nonEmpty && digits.toInt < round
   }
 
   /** Recover per-query medians from one bench artifact, either shape:
@@ -385,7 +405,10 @@ object Bench {
       "q124_sessionize_streamed", "q127_stream_static_enriched",
       "q132_dedup_restarted", "q133_sessionize_restarted",
       "q137_running_totals_streamed", "q142_bootstrap_dedup_streamed",
-      "q143_bootstrap_dedup_restarted", "q149_kmv_sketch_streamed")
+      "q143_bootstrap_dedup_restarted", "q149_kmv_sketch_streamed",
+      // q150 runs on its GENERATED 500-row planted fixture — fixed
+      // size regardless of SPARK_GRAFT_SF_DIR, same rationale
+      "q150_pq_trained_planted")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

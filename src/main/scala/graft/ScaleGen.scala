@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Scale-shape data generator: writes an N×-scaled copy of a testdata
@@ -37,6 +37,40 @@ import org.apache.spark.sql.functions._
   * spot-check doesn't need 100× lineitem written alongside it.
   */
 object ScaleGen {
+
+  /** Embedding fixture WITH planted near-neighbor structure: `clusters`
+    * cluster centers, `perCluster` members each, every member =
+    * center + `noise`·perturbation — so each vector has genuine
+    * high-cosine neighbors (its cluster mates) and recall floors
+    * actually BIND, unlike the driver testdata whose max pairwise
+    * cosine ≈ 0.60 makes every top-k a ranking of continuum noise
+    * (SCALE.md's q91 note). All "randomness" is the md5-derived
+    * uniform of [[graft.operators.Similarity.rpSignatures]]'s plane
+    * rule — a pure function of (cluster|row, dim), so the fixture is
+    * bit-reproducible on any engine with no RNG state, and generation
+    * is one map-side pass (scales to any size, no driver loop).
+    *
+    * Columns match the testdata `embeddings` table: (vec_id, label,
+    * embedding float array); `label` = the true cluster — the
+    * ground-truth a recall/clustering spec can score against. */
+  def plantedEmbeddings(spark: org.apache.spark.sql.SparkSession,
+      clusters: Int, perCluster: Int, dim: Int, noise: Double): DataFrame = {
+    require(clusters >= 1 && perCluster >= 1 && dim >= 1,
+      s"need positive clusters/perCluster/dim, got $clusters/$perCluster/$dim")
+    import graft.operators.TextFunctions.hash60
+    // md5-derived uniform in [-1, 1): hash60 is a 60-bit non-negative
+    // integer, exactly representable in double
+    def u(key: Column): Column =
+      hash60(key).cast("double") / lit((1L << 59).toDouble) - lit(1.0)
+    spark.range(clusters.toLong * perCluster).select(
+      col("id").as("vec_id"),
+      (col("id") % clusters).cast("int").as("label"),
+      transform(sequence(lit(0), lit(dim - 1)), j => {
+        val center = u(concat_ws(":", lit("pc"), col("id") % clusters, j))
+        val jitter = u(concat_ws(":", lit("pn"), col("id"), j))
+        (center + lit(noise) * jitter).cast("float")
+      }).as("embedding"))
+  }
 
   private val keyCols: Map[String, Seq[String]] = Map(
     "customer"   -> Seq("c_custkey"),
@@ -85,6 +119,21 @@ object ScaleGen {
   }
 
   def main(args: Array[String]): Unit = {
+    // planted-fixture mode: runMain graft.ScaleGen planted <dest>
+    //   <clusters> <perCluster> [dim=64] [noise=0.3]
+    if (args(0) == "planted") {
+      val dest = args(1)
+      val (clusters, per) = (args(2).toInt, args(3).toInt)
+      val dim = args.lift(4).map(_.toInt).getOrElse(64)
+      val noise = args.lift(5).map(_.toDouble).getOrElse(0.3)
+      val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+      plantedEmbeddings(spark, clusters, per, dim, noise)
+        .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+      println(s"[scalegen] planted embeddings: ${clusters.toLong * per} rows " +
+        s"($clusters clusters x $per, dim=$dim, noise=$noise)")
+      spark.stop()
+      return
+    }
     val (src, dest, copies) = (args(0), args(1), args(2).toInt)
     // one distinct composed rotation per copy: past 100 the mapping
     // repeats, copies i and i+100 get byte-identical text, and the

@@ -523,6 +523,87 @@ object Similarity {
     subSlices(seeds, idCol, "code", vecCol, dim, m)
       .select(col("sub"), col("code"), col("sv").as("cv"))
 
+  /** TRAINED PQ codebook: per-subspace Lloyd's k-means, seeded from
+    * [[pqCodebook]] and iterated `iters` rounds — the quality step the
+    * seed codebook skips (seed centroids are arbitrary corpus
+    * vectors; FAISS-style PQ trains each subspace independently to
+    * convergence). Assignment uses the EXACT argmin rule of
+    * [[pqCodes]] (squared-L2, centroid id tiebreak), so training and
+    * coding can never disagree about "nearest"; centroid updates use
+    * the [[kmeansStep]] fixed-point discipline (components scaled by
+    * 2^`fracBits`, floored, summed as DECIMAL(38,0)) — exact,
+    * order-independent, so trained centroids are bit-reproducible
+    * across partitionings, runs, and engines (a DuckDB oracle
+    * regenerates them from HUGEINT sums; q146/q148). Codes that lose
+    * every member keep their previous centroid, as in [[kmeans]].
+    *
+    * Scale shape per iteration: codebook broadcasts (m·codes rows);
+    * assignment is the [[pqCodes]] partial `min(struct)` aggregate
+    * over the (once-materialized) slice frame; the update is a
+    * (sub, code, dim) partial aggregate — m·codes·subDim rows out.
+    * No corpus shuffle grows with iterations; the slice frame is
+    * localCheckpoint'd once and released on return. */
+  def pqTrainedCodebook(vectors: DataFrame, seeds: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, iters: Int,
+      fracBits: Int = 43): DataFrame = {
+    require(iters >= 0, s"need iters >= 0, got $iters")
+    require(fracBits > 0 && fracBits < 63, s"need 0 < fracBits < 63, got $fracBits")
+    // double-typed seed codebook so every iteration (and the no-member
+    // fallback coalesce) carries one element type; dot() casts per
+    // element, so values are unchanged vs the float seed arrays
+    val seed = pqCodebook(seeds, idCol, vecCol, dim, m)
+      .select(col("sub"), col("code"), col("cv").cast("array<double>").as("cv"))
+    if (iters == 0) return seed
+    val scale = math.pow(2.0, fracBits) // exact power of two
+    val slices = subSlices(vectors, idCol, "__vid", vecCol, dim, m)
+      .localCheckpoint() // scanned once per iteration — never recompute
+    val trained = (1 to iters).foldLeft(seed) { case (cb, round) =>
+      val assigned = slices.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2", sqDist(col("sv"), col("cv")))
+        .groupBy(col("__vid"), col("sub"))
+        .agg(min(struct(col("d2"), col("code"))).as("b"),
+          first(col("sv")).as("sv"))
+        .select(col("sub"), col("b.code").as("code"), col("sv"))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg(count(lit(1)).as("__n"),
+          sum(floor(col("v").cast("double") * scale).cast("decimal(38,0)")).as("__q"))
+        .select(col("sub"), col("code"), col("dim"),
+          (col("__q").cast("double") / scale / col("__n")).as("mean"))
+      val tv = means.groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          s => s.getField("mean")).as("tv"))
+      val next = cb.join(tv, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"), coalesce(col("tv"), col("cv")).as("cv"))
+        .localCheckpoint() // bound per-round plan growth (kmeans discipline)
+      // release only checkpoints THIS loop created: the round-1 seed's
+      // plan may reach a CALLER-owned checkpoint (ivfPqTopK's residual
+      // frame feeds the seed codebook), and releasing it would kill
+      // blocks the caller still reads
+      if (round > 1) Checkpoints.releasePinned(cb)
+      next
+    }
+    Checkpoints.releasePinned(slices) // trained is materialized; slices are dead
+    trained
+  }
+
+  /** Mean PQ quantization distortion: the per-vector sum over
+    * subspaces of the assigned (nearest) centroid's squared-L2
+    * distance, averaged over the corpus — the objective Lloyd's
+    * algorithm minimizes, so [[pqTrainedCodebook]] must be monotone
+    * non-increasing in it (pinned in TrainedPqSpec). One partial
+    * aggregate over the slice frame; the codebook broadcasts. */
+  def pqDistortion(vectors: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int): Double =
+    subSlices(vectors, idCol, "__vid", vecCol, dim, m)
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2", sqDist(col("sv"), col("cv")))
+      .groupBy(col("__vid"), col("sub"))
+      .agg(min(col("d2")).as("d2"))
+      .groupBy(col("__vid")).agg(sum(col("d2")).as("d2"))
+      .agg(avg(col("d2"))).head().getDouble(0)
+
   /** PQ coding: each vector reduced to `m` small integers — its
     * nearest centroid per subspace (squared-L2, centroid id as the
     * tiebreak). Long format (id, sub, code); a production store
@@ -583,7 +664,7 @@ object Similarity {
     * adc_fp), k rows per query. */
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame, coarse: DataFrame,
       residualSeeds: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, nProbe: Int, k: Int): DataFrame = {
+      dim: Int, m: Int, nProbe: Int, k: Int, trainIters: Int = 0): DataFrame = {
     require(nProbe >= 1 && k >= 1, s"need nProbe/k >= 1, got $nProbe/$k")
     // MATERIALIZATION BARRIER: the residual frame feeds THREE
     // consumers (the codebook seeds, the coding pass, and the
@@ -591,8 +672,14 @@ object Similarity {
     // the corpus. Production persists codes to a store instead.
     val res = ivfResiduals(vectors, coarse, idCol, vecCol).localCheckpoint()
     val seedIds = residualSeeds.select(col(idCol)).distinct()
-    val rcb = pqCodebook(
-      res.join(broadcast(seedIds), Seq(idCol)), idCol, "rv", dim, m)
+    // trainIters > 0 trains the residual codebook per-subspace
+    // (k-means over ALL residuals, seeds from residualSeeds) — the
+    // quality step that turns ADC from floor-grade to usable retrieval
+    val rcb =
+      if (trainIters == 0) pqCodebook(
+        res.join(broadcast(seedIds), Seq(idCol)), idCol, "rv", dim, m)
+      else pqTrainedCodebook(res,
+        res.join(broadcast(seedIds), Seq(idCol)), idCol, "rv", dim, m, trainIters)
     val codes = pqCodes(res, rcb, idCol, "rv", dim, m)
       .join(res.select(col(idCol), col("list_id")), Seq(idCol))
     val qres = ivfProbeResiduals(queries, coarse, idCol, vecCol, nProbe)

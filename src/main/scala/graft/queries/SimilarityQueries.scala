@@ -419,29 +419,69 @@ object SimilarityQueries {
       |FROM assign LEFT JOIN drops ON drops.vec_id = assign.vec_id
       |ORDER BY assign.vec_id""".stripMargin
 
+  /** Unrolled DuckDB twin of one [[graft.operators.Similarity
+    * .pqTrainedCodebook]] training run: `iters` Lloyd rounds over the
+    * slice CTE `xs` (columns vec_id, sub, sv) seeded from `cb0`
+    * (columns sub, code, cv). Each round: argmin assignment (d2 asc,
+    * code tiebreak — the pqCodes rule), fixed-point per-(sub, code,
+    * dim) means (floor(v·2^43) summed as HUGEINT — the q67
+    * discipline, bit-identical to Spark's DECIMAL(38,0) sums), and a
+    * no-member fallback to the previous centroid. Returns the CTE
+    * fragments and the final codebook CTE's name. */
+  private def pqTrainSql(xs: String, cb0: String, iters: Int): (String, String) = {
+    def d2(a: String, b: String) =
+      s"(list_inner_product($a, $a) - 2 * list_inner_product($a, $b) + list_inner_product($b, $b))"
+    val frags = (1 to iters).map { i =>
+      val prev = if (i == 1) cb0 else s"cb_t${i - 1}"
+      s"""asg_t$i AS (SELECT x.vec_id, x.sub, c.code, ${d2("x.sv", "c.cv")} AS d2, x.sv
+        |  FROM $xs x JOIN $prev c ON x.sub = c.sub),
+        |codes_t$i AS (SELECT sub, code, sv FROM (
+        |  SELECT sub, code, sv,
+        |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        |  FROM asg_t$i) WHERE rn = 1),
+        |exq_t$i AS (SELECT sub, code, generate_subscripts(sv, 1) - 1 AS dim,
+        |    CAST(FLOOR(unnest(sv) * 8796093022208.0) AS BIGINT) AS qv
+        |  FROM codes_t$i),
+        |tv_t$i AS (SELECT sub, code, list(mean ORDER BY dim) AS tv FROM (
+        |  SELECT sub, code, dim,
+        |    CAST(SUM(qv) AS DOUBLE) / 8796093022208.0 / COUNT(*) AS mean
+        |  FROM exq_t$i GROUP BY sub, code, dim) GROUP BY sub, code),
+        |cb_t$i AS (SELECT p.sub, p.code, COALESCE(t.tv, p.cv) AS cv
+        |  FROM $prev p LEFT JOIN tv_t$i t ON p.sub = t.sub AND p.code = t.code)""".stripMargin
+    }
+    (frags.mkString(",\n"), s"cb_t$iters")
+  }
+  private val PqTrainIters = 2
+
   // ---------------------------------------------------------------
   // q146 — PRODUCT-QUANTIZED ANN with an in-plan recall floor: the
   // billion-vector compression the int8 path (q135) cannot reach —
-  // each 64-dim vector reduced to m = 4 sub-space codes (8 seed
-  // centroids per sub-space; production trains them by iterating
-  // q67's kmeansStep per sub-space — same downstream cost either
-  // way), retrieval via the ADC table (per query: 4×8 sub-distances
-  // precomputed once, each coded vector scored by 4 lookups). Every
-  // rankable number is FIXED-POINT (floor(d²·2³⁰) longs summed
-  // exactly), so codes, ADC scores, ranks, and the recall audit all
-  // hash-match the oracle. Recall@5 vs the exact squared-L2 brute
-  // force is audited per query; the floor (1/5, the per-query
-  // minimum observed across sf0.001/0.01/0.1 — mean ≈ 1.8/5, honest
-  // for 4×8-centroid seed codebooks over embeddings with NO planted
-  // neighbor structure; see SCALE.md's q91 note) fails the run
-  // in-plan if PQ coding or the ADC table regresses to zero overlap.
+  // each 64-dim vector reduced to m = 4 sub-space codes (8 centroids
+  // per sub-space, TRAINED by two per-subspace Lloyd rounds from the
+  // vec_id<8 seeds — [[Similarity.pqTrainedCodebook]], the q67
+  // fixed-point discipline, so the trained centroids themselves are
+  // bit-reproducible cross-engine), retrieval via the ADC table (per
+  // query: 4×8 sub-distances precomputed once, each coded vector
+  // scored by 4 lookups). Every rankable number is FIXED-POINT
+  // (floor(d²·2³⁰) longs summed exactly), so codes, ADC scores,
+  // ranks, and the recall audit all hash-match the oracle. Recall@5
+  // vs the exact squared-L2 brute force is audited per query; the
+  // floor (1/5 — the per-query minimum observed across
+  // sf0.001/0.01/0.1, trained or seed-based: on these embeddings
+  // with NO planted neighbor structure the exact top-5 is continuum
+  // noise, so recall-vs-exact is resolution-limited at m=4/8 codes
+  // and training moves distortion ~30%, not this metric; q150 runs
+  // the SAME trained pipeline on a planted-cluster fixture where its
+  // floor binds at 5/5) fails the run in-plan if training, PQ
+  // coding, or the ADC table regresses to zero overlap.
   private val PqRecallFloorHits = 1L
   private def q146(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity.dot
     val e = Tables.embeddings(s, dir)
     val seeds = e.filter(col("vec_id") < 8)
     val queries = e.filter(col("vec_id") < 10)
-    val cb = Similarity.pqCodebook(seeds, "vec_id", "embedding", dim = 64, m = 4)
+    val cb = Similarity.pqTrainedCodebook(e, seeds, "vec_id", "embedding",
+      dim = 64, m = 4, iters = PqTrainIters)
     val adc = Similarity.pqAdcTopK(e, queries, cb, "vec_id", "embedding",
       dim = 64, m = 4, k = 5)
     val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -471,20 +511,22 @@ object SimilarityQueries {
     def ip(a: String, b: String) = s"list_inner_product($a, $b)"
     def d2(a: String, b: String) =
       s"(${ip(a, a)} - 2 * ${ip(a, b)} + ${ip(b, b)})"
+    val (trainCtes, cbFinal) = pqTrainSql("xs", "cb0", PqTrainIters)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |xs AS (SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
       |  FROM e, $subs),
-      |cb AS (SELECT sub, vec_id AS code, sv AS cv FROM xs WHERE vec_id < 8),
+      |cb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM xs WHERE vec_id < 8),
+      |$trainCtes,
       |scored AS (SELECT xs.vec_id, xs.sub, cb.code,
       |    ${d2("xs.sv", "cb.cv")} AS d2
-      |  FROM xs JOIN cb ON xs.sub = cb.sub),
+      |  FROM xs JOIN $cbFinal cb ON xs.sub = cb.sub),
       |codes AS (SELECT vec_id, sub, code FROM (
       |  SELECT vec_id, sub, code,
       |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
       |  FROM scored) WHERE rn = 1),
       |dt AS (SELECT xs.vec_id AS query_id, cb.sub, cb.code,
       |    CAST(floor(${d2("xs.sv", "cb.cv")} * 1073741824) AS BIGINT) AS dfp
-      |  FROM xs JOIN cb ON xs.sub = cb.sub WHERE xs.vec_id < 10),
+      |  FROM xs JOIN $cbFinal cb ON xs.sub = cb.sub WHERE xs.vec_id < 10),
       |sc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
       |    CAST(SUM(dfp) AS BIGINT) AS adc_fp
       |  FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
@@ -513,16 +555,19 @@ object SimilarityQueries {
   // q148 — IVF-PQ: the production billion-vector index (FAISS's
   // IVFPQ shape) — coarse inverted lists (8 seed centroids,
   // squared-L2 assignment) with PRODUCT-QUANTIZED RESIDUALS (m = 4
-  // sub-spaces, codebook from vectors 8..15's residuals — the coarse
-  // seeds' own residuals are zero and would degenerate). A query
-  // probes its nProbe = 2 nearest lists and scores ONLY their
-  // members — the corpus fraction touched is nProbe/lists, the IVF
-  // point — via a per-(query, list) ADC table built from the
-  // query's list-relative residual. Residual arithmetic is
-  // element-wise double subtraction (exact both engines); distances
-  // are the fixed-point longs of q146, so codes, scores, ranks, and
-  // the recall audit hash-match. Floor = per-query min across
-  // sf0.001/0.01/0.1, in-plan.
+  // sub-spaces, codebook seeded from vectors 8..15's residuals — the
+  // coarse seeds' own residuals are zero and would degenerate — then
+  // TRAINED by two per-subspace Lloyd rounds over ALL residuals,
+  // [[Similarity.pqTrainedCodebook]]). A query probes its nProbe = 2
+  // nearest lists and scores ONLY their members — the corpus
+  // fraction touched is nProbe/lists, the IVF point — via a
+  // per-(query, list) ADC table built from the query's list-relative
+  // residual. Residual arithmetic is element-wise double subtraction
+  // (exact both engines); distances are the fixed-point longs of
+  // q146 and trained centroids are exact fixed-point means, so
+  // codes, scores, ranks, and the recall audit hash-match. Floor =
+  // per-query min across sf0.001/0.01/0.1 with trained codebooks,
+  // in-plan.
   private val IvfPqRecallFloorHits = 1L
   private def q148(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Similarity.dot
@@ -531,7 +576,8 @@ object SimilarityQueries {
     val resSeeds = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
     val queries = e.filter(col("vec_id") < 10)
     val adc = Similarity.ivfPqTopK(e, queries, coarse, resSeeds,
-      "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, k = 5)
+      "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, k = 5,
+      trainIters = PqTrainIters)
     val qv = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val exact = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("xv"))
       .crossJoin(broadcast(qv))
@@ -559,6 +605,7 @@ object SimilarityQueries {
     def ip(a: String, b: String) = s"list_inner_product($a, $b)"
     def d2(a: String, b: String) =
       s"(${ip(a, a)} - 2 * ${ip(a, b)} + ${ip(b, b)})"
+    val (trainCtes, cbFinal) = pqTrainSql("rxs", "cb0", PqTrainIters)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |c8 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
       |asg0 AS (SELECT e.vec_id, c8.cid, c8.cv, ${d2("e.v", "c8.cv")} AS d2
@@ -572,8 +619,10 @@ object SimilarityQueries {
       |  FROM asg a JOIN e ON e.vec_id = a.vec_id),
       |rxs AS (SELECT vec_id, list_id, s.sub,
       |    rv[s.sub*16+1 : s.sub*16+16] AS sv FROM res, $subs),
-      |rcb AS (SELECT sub, vec_id AS code, sv AS cv FROM rxs
+      |cb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM rxs
       |  WHERE vec_id >= 8 AND vec_id < 16),
+      |$trainCtes,
+      |rcb AS (SELECT sub, code, cv FROM $cbFinal),
       |sc0 AS (SELECT rxs.vec_id, rxs.list_id, rxs.sub, rcb.code,
       |    ${d2("rxs.sv", "rcb.cv")} AS d2
       |  FROM rxs JOIN rcb ON rxs.sub = rcb.sub),
@@ -621,7 +670,101 @@ object SimilarityQueries {
       |ORDER BY t.query_id, t.rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q150 — trained-PQ retrieval on a PLANTED-cluster fixture: the
+  // quality gate whose floor actually BINDS. The driver embeddings
+  // have no neighbor structure (max pairwise cosine ≈ 0.60), so
+  // q146/q148's recall-vs-exact floors sit at their degenerate
+  // minimum (1/5) however good the codebook; here the corpus is
+  // GENERATED IN-QUERY — 50 planted clusters × 10 members, member =
+  // center + jitter, both md5-derived ([[graft.ScaleGen
+  // .plantedEmbeddings]]) so DuckDB regenerates the identical floats
+  // from its own md5 — and quality is scored as CLUSTER-MATE
+  // precision@5 (how many of the 5 returned neighbors share the
+  // query's true cluster; exact-top-5 overlap would measure
+  // within-cluster ordering, which PQ erases by design — mates code
+  // identically and tie-rank by id). With a 32-code codebook TRAINED
+  // 2 rounds ([[Similarity.pqTrainedCodebook]]) every query scores
+  // 5/5 — the in-plan floor; the UNTRAINED seed codebook scores
+  // min 3 (TrainedPqSpec pins the gap), so removing training fails
+  // this gate loudly. Codes, ADC scores, ranks, and the mate audit
+  // all hash-match the oracle (fixed-point ADC + exact fixed-point
+  // trained centroids, the q146 discipline).
+  private val PlantedMateFloorHits = 5L
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    // fixture, not a table read: deterministic, engine-reproducible
+    val e = graft.ScaleGen.plantedEmbeddings(s, clusters = 50,
+      perCluster = 10, dim = 64, noise = 1.0).localCheckpoint()
+    val queries = e.filter(col("vec_id") < 10)
+    val seeds = e.filter(col("vec_id") < 32)
+    val cb = Similarity.pqTrainedCodebook(e, seeds, "vec_id", "embedding",
+      dim = 64, m = 4, iters = PqTrainIters)
+    val adc = Similarity.pqAdcTopK(e, queries, cb, "vec_id", "embedding",
+      dim = 64, m = 4, k = 5)
+    val lbl = e.select(col("vec_id"), col("label"))
+    val mates = adc
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("qlabel")), "query_id")
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")), "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("qlabel") === col("nlabel"), 1L).otherwise(0L)).as("n_mates"))
+    adc.join(mates, Seq("query_id"))
+      .filter(assert_true(col("n_mates") >= PlantedMateFloorHits,
+        concat(lit(s"trained-PQ mate precision below $PlantedMateFloorHits/5 for query "),
+          col("query_id").cast("string"))).isNull)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_fp"), col("n_mates"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q150Sql = {
+    val subs = "(SELECT unnest(range(4)) AS sub) s"
+    // md5-derived uniform in [-1,1): the hash60 rule of q91's planes
+    def u(key: String) =
+      s"(CAST('0x' || substr(md5($key), 1, 15) AS BIGINT) / 576460752303423488.0 - 1.0)"
+    def ip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def d2(a: String, b: String) =
+      s"(${ip(a, a)} - 2 * ${ip(a, b)} + ${ip(b, b)})"
+    val (trainCtes, cbFinal) = pqTrainSql("xs", "cb0", PqTrainIters)
+    s"""WITH gen AS (SELECT i AS vec_id, i % 50 AS label,
+      |    list_transform(range(0, 64), j -> CAST(
+      |      ${u("'pc:' || (i % 50) || ':' || j")}
+      |        + 1.0 * ${u("'pn:' || i || ':' || j")} AS FLOAT)) AS emb
+      |  FROM range(0, 500) t(i)),
+      |e AS (SELECT vec_id, label, CAST(emb AS DOUBLE[]) AS v FROM gen),
+      |xs AS (SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
+      |  FROM e, $subs),
+      |cb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM xs WHERE vec_id < 32),
+      |$trainCtes,
+      |scored AS (SELECT xs.vec_id, xs.sub, cb.code,
+      |    ${d2("xs.sv", "cb.cv")} AS d2
+      |  FROM xs JOIN $cbFinal cb ON xs.sub = cb.sub),
+      |codes AS (SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |  FROM scored) WHERE rn = 1),
+      |dt AS (SELECT xs.vec_id AS query_id, cb.sub, cb.code,
+      |    CAST(floor(${d2("xs.sv", "cb.cv")} * 1073741824) AS BIGINT) AS dfp
+      |  FROM xs JOIN $cbFinal cb ON xs.sub = cb.sub WHERE xs.vec_id < 10),
+      |sc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+      |    CAST(SUM(dfp) AS BIGINT) AS adc_fp
+      |  FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+      |  GROUP BY 1, 2),
+      |topk AS (SELECT query_id, rank, neighbor_id, adc_fp FROM (
+      |  SELECT query_id, neighbor_id, adc_fp,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
+      |  FROM sc) WHERE rank <= 5),
+      |mates AS (SELECT t.query_id,
+      |    CAST(SUM(CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END) AS BIGINT) AS n_mates
+      |  FROM topk t
+      |  JOIN e lq ON lq.vec_id = t.query_id
+      |  JOIN e ln ON ln.vec_id = t.neighbor_id
+      |  GROUP BY t.query_id)
+      |SELECT t.query_id, t.rank, t.neighbor_id, t.adc_fp, m.n_mates
+      |FROM topk t JOIN mates m ON t.query_id = m.query_id
+      |ORDER BY t.query_id, t.rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q150_pq_trained_planted", q150, Some(q150Sql)),
     QueryDef("q146_pq_ann", q146, Some(q146Sql)),
     QueryDef("q148_ivfpq_ann", q148, Some(q148Sql)),
     QueryDef("q123_semantic_dedup", q123, Some(q123Sql)),

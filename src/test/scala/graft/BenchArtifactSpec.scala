@@ -60,4 +60,18 @@ class BenchArtifactSpec extends AnyFunSuite {
     val m = Bench.mediansFromArtifact(both, Some(0.1)).get
     assert(m("q01_global_agg") === 0.11)
   }
+
+  test("same-round artifacts are ineligible as delta-gate priors") {
+    // Round-9 verdict: the bench ran three times within round 9, the
+    // later runs took their prior from the SAME round's rewrite of
+    // local_r9.json, and the cross-round q90 1.56× regression never
+    // tripped the gate. The prior must come from a strictly earlier
+    // round; a same-round rewrite is a sibling run, not a prior.
+    assert(!Bench.isPriorRound("local_r10.json", 10))
+    assert(Bench.isPriorRound("local_r9.json", 10))
+    assert(Bench.isPriorRound("BENCH_r9.json", 10))
+    assert(!Bench.isPriorRound("BENCH_r10.json", 10))
+    assert(!Bench.isPriorRound("BENCH_r11.json", 10)) // future: clock skew/manual copy
+    assert(!Bench.isPriorRound("local.json", 10))     // no round digits
+  }
 }
