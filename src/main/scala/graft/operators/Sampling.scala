@@ -232,25 +232,49 @@ object Sampling {
     * `⌈q·n⌉` (ascending) of `valueCol` within each group. The exact
     * `percentile` aggregate ([[quantileBins]]) buffers every value of
     * a group in one task — the memory wall when a group is
-    * corpus-sized. Here the selection is two-level, the classic
-    * distributed histogram algorithm:
+    * corpus-sized. Here the selection is the classic distributed
+    * histogram algorithm, made SKEW-PROOF by recursion:
     *  1. one 2-value global bounds probe defines `buckets` value
     *     ranges;
-    *  2. one corpus pass counts (group, bucket) populations — a
-    *     partial-aggregated groupBy, ≤ groups·buckets rows out;
+    *  2. one corpus pass counts (group, bucket) populations plus each
+    *     bucket's actual min/max — a partial-aggregated groupBy,
+    *     ≤ groups·buckets rows out;
     *  3. the cumulative-count window runs on THAT tiny frame
     *     (≤ buckets rows per group) to find each group's target
-    *     bucket and within-bucket offset;
-    *  4. one filtered pass ranks ONLY the target bucket's rows
-    *     (expected group/buckets of the group) to read the value at
-    *     the offset.
+    *     bucket, its within-bucket offset, and its VALUE interval
+    *     [bucket min, bucket max];
+    *  4. a target interval that is a single value (min == max — every
+    *     heavy-hitter distribution lands here immediately) IS the
+    *     quantile, no ranking; an interval still holding more than
+    *     `maxBucketRows` rows is RE-HISTOGRAMMED within its own value
+    *     range (one extra corpus pass per refinement level, all
+    *     oversized groups together, rank re-derived globally per
+    *     level so refinement needs no row-set bookkeeping); only
+    *     intervals at or under the cap are sort-ranked.
+    * Without the recursion a dominant repeated value puts a whole
+    * group in ONE bucket and stage 4 degenerates to the single-task
+    * full-group rank this operator exists to avoid. Each level
+    * shrinks the interval ~buckets-fold (the chosen bucket's OBSERVED
+    * min/max, so a level never repeats its predecessor), so levels
+    * are O(log_buckets(span/ulp)) worst-case, in practice ≤ 3; after
+    * `maxDepth` levels the remaining intervals are ranked regardless
+    * (correctness is never traded — the cap only bounds sort width).
+    * `maxBucketRows <= 0` disables refinement (the pre-round-10
+    * single-level behavior); `buckets = 1` cannot refine and implies
+    * the same.
+    *
     * The returned quantile is bucketing-INDEPENDENT (the rank is
-    * global; buckets only bound how many rows stage 4 sorts) — pinned
-    * across bucket counts in Round9TailSpec. Returns one row per
-    * group: `(group, n_rows, quantile)`. NULL values are excluded
+    * global; buckets only bound how many rows the final stage sorts)
+    * — pinned across bucket counts and caps in Round9TailSpec. The
+    * rank is computed in EXACT DECIMAL arithmetic on q's shortest
+    * decimal literal (⌈0.9·10⌉ = 9 — double arithmetic says 10;
+    * callers passing a q whose decimal literal is not the fraction
+    * they mean, e.g. 1/3, get the literal's rank). Returns one row
+    * per group: `(group, n_rows, quantile)`. NULL values are excluded
     * from ranks (the [[quantileBins]] discipline). */
   def groupQuantileDisc(df: DataFrame, groupCol: String, valueCol: String,
-      q: Double, buckets: Int = 256): DataFrame = {
+      q: Double, buckets: Int = 256, maxBucketRows: Long = 1L << 20,
+      maxDepth: Int = 64): DataFrame = {
     require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
     val vals = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
@@ -260,30 +284,91 @@ object Sampling {
       return vals.groupBy(col(groupCol))
         .agg(count(lit(1)).as("n_rows"), first(col("__v")).as("quantile"))
         .limit(0)
-    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
-    val span = hi - lo
-    val bucket =
-      if (span == 0) lit(0L)
+    // exact rank: decimal(q's shortest literal) × long, ceil'd — never
+    // a double product (0.9 * 10 = 9.000000000000002 → rank 10)
+    val decQ = BigDecimal(java.math.BigDecimal.valueOf(q))
+    def rankOf(n: Column): Column = ceil(lit(decQ) * n).cast("long")
+    // monotone bucket index over [lo, hi]: every IEEE rounding in the
+    // chain is monotone, so buckets are contiguous runs of the sorted
+    // values and equal values share a bucket — the property the
+    // cumulative-rank selection below relies on
+    def bucketIdx(lo: Double, hi: Double): Column =
+      if (hi - lo == 0) lit(0L)
       else least(lit(buckets - 1L), greatest(lit(0L),
-        floor((col("__v") - lit(lo)) / lit(span) * buckets).cast("long")))
-    val counted = vals.withColumn("__b", bucket)
-      .groupBy(col(groupCol), col("__b")).agg(count(lit(1)).as("__c"))
+        floor((col("__v") - lit(lo)) / lit(hi - lo) * buckets).cast("long")))
+
+    // Level 0: histogram over the global bounds; targets carry the
+    // chosen bucket's observed value interval, the group total, and
+    // the offset of the global rank within the interval.
+    val counted0 = vals.withColumn("__b", bucketIdx(bounds.getDouble(0), bounds.getDouble(1)))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmin"),
+        max(col("__v")).as("__bmax"))
     val byGrp = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
-    val target = counted
+    var targets = counted0
       .withColumn("__cum", sum(col("__c")).over(byGrp))
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(groupCol))))
-      .withColumn("__r", ceil(lit(q) * col("__n")).cast("long"))
+      .withColumn("__r", rankOf(col("__n")))
       .filter(col("__cum") >= col("__r") &&
         col("__cum") - col("__c") < col("__r"))
-      .select(col(groupCol), col("__b"), col("__n"),
+      .select(col(groupCol), col("__n"), col("__r"), col("__bmin"),
+        col("__bmax"), col("__c"),
         (col("__r") - (col("__cum") - col("__c"))).as("__off"))
-    vals.withColumn("__b", bucket)
-      .join(broadcast(target), Seq(groupCol, "__b"))
+      .localCheckpoint() // tiny (≤ groups rows); read 2-3× per level
+
+    // Refinement loop: re-histogram oversized targets within their own
+    // interval. The rank is GLOBAL (__r) and re-anchored per level by
+    // counting the group's rows below the interval in the same pass,
+    // so no bookkeeping crosses levels beyond (group, interval).
+    val refinable = maxBucketRows > 0 && buckets >= 2
+    var depth = 0
+    while (refinable && depth < maxDepth && !targets
+        .filter(col("__c") > maxBucketRows && col("__bmin") < col("__bmax"))
+        .isEmpty) {
+      val big = targets.filter(col("__c") > maxBucketRows && col("__bmin") < col("__bmax"))
+        .select(col(groupCol), col("__n"), col("__r"),
+          col("__bmin").as("__lo"), col("__bmax").as("__hi"))
+      val done = targets.filter(!(col("__c") > maxBucketRows && col("__bmin") < col("__bmax")))
+      // one pass over the oversized groups' rows: idx −1 = below the
+      // interval (re-anchors the global rank), `buckets` = above it
+      // (never chosen: the rank-__r value lies inside the interval)
+      val idx = when(col("__v") < col("__lo"), lit(-1L))
+        .when(col("__v") > col("__hi"), lit(buckets.toLong))
+        .otherwise(least(lit(buckets - 1L), greatest(lit(0L),
+          floor((col("__v") - col("__lo")) / (col("__hi") - col("__lo")) * buckets)
+            .cast("long"))))
+      val counted = vals.join(broadcast(big), Seq(groupCol))
+        .withColumn("__b", idx)
+        .groupBy(col(groupCol), col("__n"), col("__r"), col("__b"))
+        .agg(count(lit(1)).as("__c"), min(col("__v")).as("__bmin"),
+          max(col("__v")).as("__bmax"))
+      val byGrpR = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+      val refined = counted
+        .withColumn("__cum", sum(col("__c")).over(byGrpR))
+        .filter(col("__b") >= 0 && col("__cum") >= col("__r") &&
+          col("__cum") - col("__c") < col("__r"))
+        .select(col(groupCol), col("__n"), col("__r"), col("__bmin"),
+          col("__bmax"), col("__c"),
+          (col("__r") - (col("__cum") - col("__c"))).as("__off"))
+      targets = done.unionByName(refined).localCheckpoint()
+      depth += 1
+    }
+
+    // Single-value intervals ARE the answer; the rest sort-rank only
+    // the rows inside their (cap-bounded) interval.
+    val direct = targets.filter(col("__bmin") === col("__bmax"))
+      .select(col(groupCol), col("__n").as("n_rows"),
+        col("__bmin").as("quantile"))
+    val toRank = targets.filter(col("__bmin") < col("__bmax"))
+      .select(col(groupCol), col("__n"), col("__bmin"), col("__bmax"), col("__off"))
+    val ranked = vals.join(broadcast(toRank), Seq(groupCol))
+      .filter(col("__v") >= col("__bmin") && col("__v") <= col("__bmax"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("__v"))))
       .filter(col("__rn") === col("__off"))
       .select(col(groupCol), col("__n").as("n_rows"),
         col("__v").as("quantile"))
+    direct.unionByName(ranked)
   }
 
   /** Leakage-safe dataset split: every row of a GROUP lands in the same

@@ -98,7 +98,13 @@ class Round9TailSpec extends AnyFunSuite {
 
   // ------------------------- exact group order statistic (q147)
 
-  test("groupQuantileDisc == naive rank selection, at any bucket count") {
+  // exact-decimal ⌈q·n⌉ — the documented contract (double arithmetic
+  // says ceil(0.9 * 10) = 10; the decimal rank is 9)
+  private def exactRank(q: Double, n: Int): Int =
+    BigDecimal(java.math.BigDecimal.valueOf(q)).*(BigDecimal(n))
+      .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+
+  test("groupQuantileDisc == naive rank selection, at any bucket count and cap") {
     import spark.implicits._
     import graft.operators.Sampling
     val rnd = new scala.util.Random(7)
@@ -113,14 +119,55 @@ class Round9TailSpec extends AnyFunSuite {
     for (q <- Seq(0.25, 0.5, 0.9, 1.0)) {
       val naive = rows.groupBy(_._1).map { case (g, rs) =>
         val sorted = rs.map(_._2).sorted
-        (g, sorted.length.toLong, sorted(math.ceil(q * sorted.length).toInt - 1))
+        (g, sorted.length.toLong, sorted(exactRank(q, sorted.length) - 1))
       }.toSet
-      for (buckets <- Seq(1, 7, 256)) {
-        val got = Sampling.groupQuantileDisc(df, "g", "v", q, buckets)
+      // cap 40 < every group's 225 rows: forces refinement levels;
+      // cap 0 disables refinement (the single-level path)
+      for (buckets <- Seq(1, 7, 256); cap <- Seq(0L, 40L, 1L << 20)) {
+        val got = Sampling.groupQuantileDisc(df, "g", "v", q, buckets, cap)
           .as[(String, Long, Double)].collect().toSet
-        assert(got == naive, s"q=$q buckets=$buckets")
+        assert(got == naive, s"q=$q buckets=$buckets cap=$cap")
       }
     }
+  }
+
+  test("groupQuantileDisc rank is exact-decimal ⌈q·n⌉, not the double product") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 10 rows valued 1..10: p90 is the 9th value (⌈0.9·10⌉ = 9).
+    // Double arithmetic computes 0.9*10 = 9.000000000000002 → rank 10
+    // — the pre-round-10 off-by-one (ADVICE r9).
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val got = Sampling.groupQuantileDisc(df, "g", "v", 0.9)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("g", 10L, 9.0)), s"got $got")
+  }
+
+  test("groupQuantileDisc heavy-hitter skew: constant-dominated group resolves without a giant rank") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // 70% of the group is ONE repeated value: the old single-level
+    // selection put the whole group in one bucket and sort-ranked it
+    // in a single task. With the cap, the refinement's min==max early
+    // exit answers the hot bucket directly; with the quantile in the
+    // spread tail, refinement narrows until ≤ cap rows are ranked.
+    val heavy = (1 to 7000).map(_ => ("s", 42.0)) ++
+      (1 to 3000).map(i => ("s", 100.0 + i / 7.0))
+    val df = heavy.toDF("g", "v")
+    val sorted = heavy.map(_._2).sorted
+    for (q <- Seq(0.25, 0.5, 0.69, 0.71, 0.95); cap <- Seq(50L, 1000L)) {
+      val want = ("s", 10000L, sorted(exactRank(q, 10000) - 1))
+      val got = Sampling.groupQuantileDisc(df, "g", "v", q,
+          buckets = 16, maxBucketRows = cap)
+        .as[(String, Long, Double)].collect().toSeq
+      assert(got == Seq(want), s"q=$q cap=$cap: got $got want $want")
+    }
+    // cap=1 drives refinement to exhaustion (maxDepth fallback path):
+    // still exact
+    val got1 = Sampling.groupQuantileDisc(df, "g", "v", 0.5,
+        buckets = 4, maxBucketRows = 1)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got1 == Seq(("s", 10000L, sorted(exactRank(0.5, 10000) - 1))))
   }
 
   test("groupQuantileDisc: empty and all-null inputs return empty, well-typed frames") {
