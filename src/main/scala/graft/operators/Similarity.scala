@@ -440,42 +440,63 @@ object Similarity {
     * an under-provisioned bit budget concentrating a fraction of the
     * corpus in ONE cell — dim 8 / 10 bits put ~10% of a 50k corpus in
     * a single bucket, 218M candidate pairs, and the quadratic stage
-    * runs SILENTLY. With `maxCellSize > 0` the cell population is
-    * counted on the same (table, bucket) key the join shuffles on,
-    * and an oversized cell either fails the job loudly with the cell
-    * coordinates in the message (default — the remedy is more bits:
-    * bits ∝ log corpus, recall recovered via more tables), or with
-    * `dropHotCells=true` is excluded from candidate generation — an
-    * explicit recall trade (a pair is lost only if NO other table
-    * catches it; hot cells are typically the stopword-cloud center
-    * where near-dup candidates are least likely to be genuine).
-    * `maxCellSize = 0` (default) is unguarded — the gated q131 shape,
-    * whose plan pins stay byte-stable. */
+    * runs SILENTLY. The cell population is counted on the same
+    * (table, bucket) key the join shuffles on, and an oversized cell
+    * either fails the job loudly with the cell coordinates in the
+    * message (the remedy is more bits: bits ∝ log corpus, recall
+    * recovered via more tables), or with `dropHotCells=true` is
+    * excluded from candidate generation — an explicit recall trade
+    * (a pair is lost only if NO other table catches it; hot cells
+    * are typically the stopword-cloud center where near-dup
+    * candidates are least likely to be genuine).
+    *
+    * `maxCellSize` semantics — guarded BY DEFAULT (round-10 flip; a
+    * 100 TB operator's safe default is fail-loud, not run-silent):
+    *  - < 0 (default): the cap is DERIVED from the data —
+    *    max(4096, 64 × ⌈n/2^bits⌉), 64× the uniform expectation; a
+    *    cell that hot is under-bitting, not luck. Costs one count of
+    *    the (barriered) signature frame.
+    *  - > 0: explicit cap.
+    *  - = 0: the explicit UNGUARDED opt-out — no sizes aggregate, no
+    *    barrier; the gated q131 plan shape, whose parameters were
+    *    measured against the degenerate case.
+    * When guarded, the signature frame is localCheckpoint'd before
+    * the sizes aggregate: it feeds both the aggregate and the join,
+    * and without the barrier signatures + the corpus scan run twice
+    * per guarded call (the q141 multi-consumer re-scan). The caller
+    * owns the checkpoint's release once the result is consumed. */
   def rpLshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, bits: Int, tables: Int, threshold: Double,
-      maxCellSize: Int = 0, dropHotCells: Boolean = false): DataFrame = {
+      maxCellSize: Int = -1, dropHotCells: Boolean = false): DataFrame = {
     val base = df.select(col(idCol), col(vecCol),
       l2Norm(col(vecCol)).as("__n"))
     val sig0 = rpSignatures(base, vecCol, dim, bits, tables)
     val sig =
-      if (maxCellSize <= 0) sig0
+      if (maxCellSize == 0) sig0
       else {
-        val sizes = sig0.groupBy(col("rp_table"), col("rp_bucket"))
+        val pinned = sig0.localCheckpoint()
+        val cap =
+          if (maxCellSize > 0) maxCellSize.toLong
+          else {
+            val n = pinned.count() / tables // pinned rows = n·tables
+            math.max(4096L, 64L * ((n + (1L << bits) - 1) >> bits))
+          }
+        val sizes = pinned.groupBy(col("rp_table"), col("rp_bucket"))
           .agg(count(lit(1)).as("__cell_n"))
-        val guarded = sig0.join(sizes, Seq("rp_table", "rp_bucket"))
+        val guarded = pinned.join(sizes, Seq("rp_table", "rp_bucket"))
         if (dropHotCells)
-          guarded.filter(col("__cell_n") <= maxCellSize).drop("__cell_n")
+          guarded.filter(col("__cell_n") <= cap).drop("__cell_n")
         else
           // The raise_error rides the FILTER condition, so it cannot
           // be pruned as unused and fires during the join's own scan.
           guarded.filter(
-            when(col("__cell_n") > maxCellSize,
+            when(col("__cell_n") > cap,
               raise_error(concat(
                 lit("rpLshNearDupPairs hot cell: table="),
                 col("rp_table").cast("string"),
                 lit(" bucket="), col("rp_bucket").cast("string"),
                 lit(" size="), col("__cell_n").cast("string"),
-                lit(s" > maxCellSize=$maxCellSize — raise bits " +
+                lit(s" > maxCellSize=$cap — raise bits " +
                   "(bits ∝ log corpus) or set dropHotCells=true"))).isNotNull)
               .otherwise(lit(true)))
             .drop("__cell_n")

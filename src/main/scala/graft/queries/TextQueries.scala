@@ -528,8 +528,13 @@ object TextQueries {
       // predicate-pushed below the project with the alias substituted,
       // which would run the whole encoder twice per row
       .filter(graft.operators.Similarity.l2Norm(col("emb")) > 0)
+    // maxCellSize = 0: the explicit unguarded opt-out — THIS query's
+    // (dim, bits, tables) were measured against the degenerate case
+    // (SCALE.md r9) and its plan shape is pinned (PlanSpec/Metrics);
+    // the operator's DEFAULT is now a derived fail-loud cap
     graft.operators.Similarity.rpLshNearDupPairs(docs, "doc_id", "emb",
-        dim = dim, bits = 18, tables = 8, threshold = 0.98)
+        dim = dim, bits = 18, tables = 8, threshold = 0.98,
+        maxCellSize = 0)
       .orderBy(col("id_a"), col("id_b"))
   }
   private val q131Sql = {

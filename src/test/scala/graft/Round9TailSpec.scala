@@ -78,7 +78,7 @@ class Round9TailSpec extends AnyFunSuite {
   test("hot-cell guard: dropHotCells excludes only the oversized cells") {
     import spark.implicits._
     val unguarded = Similarity.rpLshNearDupPairs(hotVecs, "vec_id", "embedding",
-      dim = 4, bits = 4, tables = 2, threshold = 0.9)
+      dim = 4, bits = 4, tables = 2, threshold = 0.9, maxCellSize = 0)
       .as[(Long, Long, Double)].collect().toSet
     val dropped = Similarity.rpLshNearDupPairs(hotVecs, "vec_id", "embedding",
       dim = 4, bits = 4, tables = 2, threshold = 0.9,
@@ -94,6 +94,36 @@ class Round9TailSpec extends AnyFunSuite {
       maxCellSize = 1000)
       .as[(Long, Long, Double)].collect().toSet
     assert(generous == unguarded)
+  }
+
+  test("derived default guard: benign data passes value-identically, 64×-expectation cells fail loudly") {
+    import spark.implicits._
+    // benign: 15 vectors, derived cap = max(4096, ·) = 4096 — the
+    // default-guarded result must be VALUE-identical to the explicit
+    // unguarded opt-out (the guard is a pure pass-through until a
+    // cell crosses the cap)
+    val unguarded = Similarity.rpLshNearDupPairs(hotVecs, "vec_id", "embedding",
+      dim = 4, bits = 4, tables = 2, threshold = 0.9, maxCellSize = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    val defaulted = Similarity.rpLshNearDupPairs(hotVecs, "vec_id", "embedding",
+      dim = 4, bits = 4, tables = 2, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(defaulted == unguarded)
+    // degenerate: 4200 identical vectors at bits=8 — cap derives to
+    // max(4096, 64·⌈4200/256⌉ = 1088) = 4096 < 4200, so the default
+    // MUST fail loudly (the old default ran the 8.8M-pair product
+    // silently). threshold high enough that no pair survives doesn't
+    // matter: the guard fires during the join scan, before pairing.
+    val degenerate = (0L until 4200L)
+      .map(i => (i, Array(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.rpLshNearDupPairs(degenerate, "vec_id", "embedding",
+        dim = 4, bits = 8, tables = 1, threshold = 0.9).count()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("hot cell"), s"unexpected failure: $msgs")
   }
 
   // ------------------------- exact group order statistic (q147)
