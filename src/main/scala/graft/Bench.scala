@@ -72,7 +72,7 @@ object Bench {
     "q141_source_overlap", "q142_bootstrap_dedup_streamed",
     "q143_bootstrap_dedup_restarted", "q144_phrase_search",
     "q145_kmv_distinct", "q146_pq_ann", "q147_adaptive_quality_cutoff",
-    "q148_ivfpq_ann", "q149_kmv_sketch_streamed",
+    "q148_ivfpq_ann", "q149_kmv_sketch_streamed", "q151_ranked_search",
     // round-10 tail: trained-PQ retrieval quality on the planted
     // fixture, idf-weighted ranked retrieval
     "q150_pq_trained_planted")

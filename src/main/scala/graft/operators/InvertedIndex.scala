@@ -84,6 +84,63 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** Documents containing ALL `terms`, ranked by length-normalized
+    * tf·idf — the retrieval-quality step [[andSearch]]'s raw-tf score
+    * lacks: raw tf is dominated by LONG documents (more tokens, more
+    * matches) and weighs a stopword-frequency term equal to a rare
+    * one. Here each term's contribution is the exact rational
+    * `tf · n_docs / df` (linear idf, NO logarithm — a transcendental
+    * costs cross-engine bit-equality and changes only the scale, not
+    * the ranking, of a fixed term set: the q69 keyword discipline),
+    * and the sum is divided by the document's token count, so a
+    * 10 000-token page mentioning the terms in passing no longer
+    * outranks a 50-token match.
+    *
+    * Bit-reproducibility of the FLOAT score: per-term contributions
+    * are doubles computed as ((tf·n_docs)/df) — one rounding each —
+    * and summed LEFT-TO-RIGHT IN THE terms ORDER AT PLAN TIME (a
+    * fixed + chain, never a data-ordered aggregate), then one divide
+    * by doc_len; any engine mirroring the parenthesization matches
+    * exactly (oracle-gated in q151).
+    *
+    * Scale shape = [[andSearch]]: one corpus scan (explode + isin
+    * filter + partial-aggregated pivot per doc); df and n_docs are
+    * broadcast scalars; the top-k is `TakeOrderedAndProject`
+    * (PlanSpec-pinned) — no global sort, no index required. Returns
+    * `(id, doc_len, score)`, score descending, id tiebreak. */
+  def rankedSearch(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    require(k >= 1, s"need k >= 1, got $k")
+    val tf = df
+      .select(col(idCol), size(tokens(col(textCol))).as("doc_len"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("doc_len"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(nDocs))
+      .withColumn("__contrib",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+    // pivot to the FIXED terms order: each per-term cell aggregates at
+    // most one row, so max() is a pass-through, and the + chain below
+    // is the plan-time left-to-right sum
+    val cells = count(lit(1)).as("__n_terms") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("token") === t, col("__contrib"))).as(s"__c$i")
+      }
+    scored.groupBy(col(idCol), col("doc_len"))
+      .agg(cells.head, cells.tail: _*)
+      .filter(col("__n_terms") === terms.size)
+      .withColumn("score",
+        terms.indices.map(i => col(s"__c$i")).reduce(_ + _) / col("doc_len"))
+      .select(col(idCol), col("doc_len").cast("long").as("doc_len"), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Documents containing ALL `terms`, ranked by total term frequency
     * (exact integer score — no idf floats, so the ranking is
     * bit-reproducible in any engine), doc id as the tiebreak, top

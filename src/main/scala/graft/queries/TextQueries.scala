@@ -993,6 +993,44 @@ object TextQueries {
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------
+  // q151 — idf-weighted RANKED retrieval: q139's term set, re-ranked
+  // by length-normalized tf·idf ([[graft.operators.InvertedIndex
+  // .rankedSearch]]). q139's raw-tf score is dominated by long
+  // documents; here each term contributes the exact rational
+  // tf·n_docs/df (linear idf, no log — the q69 discipline) and the
+  // plan-time left-to-right sum divides by the doc's token count, so
+  // the float scores are bit-reproducible and the whole ranking
+  // hash-matches the oracle. Top 20 via TakeOrderedAndProject
+  // (PlanSpec-pinned).
+  private val q151Terms = Seq("spark", "join", "hash")
+  private def q151(s: SparkSession, dir: String): DataFrame =
+    graft.operators.InvertedIndex.rankedSearch(
+      Tables.documents(s, dir), "doc_id", "text", q151Terms, k = 20)
+  private val q151Sql = {
+    val inList = q151Terms.map(t => s"'$t'").mkString(", ")
+    val cells = q151Terms.zipWithIndex.map { case (t, i) =>
+      s"MAX(CASE WHEN token = '$t' THEN contrib END) AS c$i" }.mkString(",\n    ")
+    // left-to-right + chain, mirroring the Scala reduce
+    val sumExpr = q151Terms.indices.map(i => s"c$i").reduce((a, b) => s"($a + $b)")
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |base AS (SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS token FROM t),
+      |tf AS (SELECT doc_id, doc_len, token, COUNT(*) AS tf FROM base
+      |  WHERE token IN ($inList) GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |c AS (SELECT doc_id, doc_len, token,
+      |    CAST(tf AS DOUBLE) * n_docs / df AS contrib
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+      |p AS (SELECT doc_id, doc_len, COUNT(*) AS n_terms,
+      |    $cells
+      |  FROM c GROUP BY 1, 2)
+      |SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len,
+      |  $sumExpr / doc_len AS score
+      |FROM p WHERE n_terms = ${q151Terms.size}
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q60 — benchmark decontamination: training docs sharing any word
   // trigram with the eval slice (doc_id % 97 == 3 stands in for a
   // benchmark set), counted per language. The eval gram set broadcasts;
@@ -1785,6 +1823,7 @@ object TextQueries {
     QueryDef("q145_kmv_distinct", q145, Some(q145Sql)),
     QueryDef("q147_adaptive_quality_cutoff", q147, Some(q147Sql)),
     QueryDef("q139_term_search", q139, Some(q139Sql)),
+    QueryDef("q151_ranked_search", q151, Some(q151Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),

@@ -92,6 +92,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q151: idf-ranked search keeps the TakeOrderedAndProject top-k; corpus never cartesians") {
+    val p = planOf("q151_ranked_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // df / n_docs are 1-row broadcast scalars (BNLJ is their intended
+    // join shape); the corpus side must never product with itself
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q144: phrase search is scan → filter → TakeOrderedAndProject — zero exchanges") {
     val p = planOf("q144_phrase_search")
     assert(p.contains("TakeOrderedAndProject"), p)
