@@ -337,12 +337,47 @@ object Dedup {
     *    exact/candidate stages are already set-semantics), pinned in
     *    Round9TailSpec;
     *  - re-running a crashed compaction first heals duplicates via
-    *    `dropDuplicates(idCol)` on the merged read.
+    *    `dropDuplicates(idCol, "chash")` on the merged read.
+    *
+    * Conflicting content for one id FAILS the compaction: duplicate
+    * rows are legal only when byte-identical (idempotent re-appends,
+    * the crash window above). If a doc_id was ever re-appended with
+    * DIFFERENT text, the store legitimately matches either content
+    * hash pre-compaction, and an arbitrary-survivor merge would
+    * silently change later verdicts — so the merge dedups on
+    * `(id, chash)` and raises with sample offending ids when an id
+    * still carries more than one distinct chash. The remedy is an
+    * explicit upstream decision (delete the stale row, or re-key the
+    * revision), not a silent coin flip here.
+    *
+    * SINGLE MAINTAINER assumed: exactly one compaction at a time, and
+    * no [[writeSignatureStore]] append may commit a batch id ≥
+    * `newBatchId` while this runs. Concurrent APPENDS with smaller
+    * ids are tolerated-but-wasted (their dir is not in `batches`, so
+    * it survives the deletes and its docs stay visible); an append
+    * racing the id invariant is caught by a RE-LIST immediately
+    * before the commit rename — the compaction then fails loudly with
+    * its staging dir invisible to readers, instead of committing a
+    * batch that is not the maximum id (which a LATER compaction could
+    * mistake for history). The re-check narrows the race to the
+    * list→rename syscall window; closing it entirely needs a store
+    * lock, which a single-maintainer schedule makes unnecessary.
     * Returns the number of batch dirs replaced. */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
-      root: String, idCol: String, newBatchId: Long): Int = {
+      root: String, idCol: String, newBatchId: Long): Int =
+    compactSignatureStore(spark, root, idCol, newBatchId, () => ())
+
+  /** Test seam: `onBeforeCommit` runs after the merged batch is staged
+    * and before the id-invariant re-list — the window a racing append
+    * lands in (Round10Spec plants one there). */
+  private[graft] def compactSignatureStore(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      idCol: String, newBatchId: Long, onBeforeCommit: () => Unit): Int = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def listIds(): Seq[Long] = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
     val batches = fs.listStatus(p).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
     require(batches.nonEmpty, s"no committed batches under $root")
@@ -351,10 +386,29 @@ object Dedup {
       s"newBatchId=$newBatchId must exceed every existing batch id (max ${ids.max})")
     val merged = spark.read
       .parquet(batches.map(_.getPath.toString): _*)
-      .dropDuplicates(idCol)
+      .dropDuplicates(idCol, "chash")
+    val conflicts = merged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .orderBy(col(idCol)).limit(3).collect()
+    require(conflicts.isEmpty,
+      s"conflicting content in signature store: id(s) " +
+        conflicts.map(_.get(0)).mkString(", ") +
+        " carry more than one distinct chash — re-appends must be " +
+        "byte-identical; delete the stale row or re-key the revision " +
+        "before compacting")
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".staging-$newBatchId-${java.util.UUID.randomUUID().toString.take(8)}")
     merged.write.mode("error").parquet(tmp.toString)
+    onBeforeCommit()
+    // re-validate the id invariant against batches committed DURING the
+    // merge write: committing anything but the store's maximum id would
+    // let a later compaction mistake this batch for pre-compaction
+    // history. Fail loudly; the staging dot-dir was never visible.
+    val idsNow = listIds()
+    require(idsNow.max < newBatchId,
+      s"append raced the compaction: batch id ${idsNow.max} committed " +
+        s"during the merge is >= newBatchId=$newBatchId — aborting " +
+        "before the commit rename (single-maintainer contract violated)")
     val dest = new org.apache.hadoop.fs.Path(root, s"batch=$newBatchId")
     require(!fs.exists(dest), s"batch $newBatchId already committed at $dest")
     require(fs.rename(tmp, dest), s"commit rename $tmp -> $dest failed")

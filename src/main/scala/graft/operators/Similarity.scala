@@ -424,6 +424,22 @@ object Similarity {
       .drop("__rp")
   }
 
+  /** Derived RP-LSH bit budget for a corpus of `n` vectors: the
+    * scaladoc rule "bits ∝ log corpus" made concrete — enough bits
+    * that the UNIFORM expected cell holds ~2 vectors,
+    * `⌈log₂(n/2)⌉`, clamped to [8, 24]. Rationale: candidate volume
+    * is Σ|cell|² per table; at ~2/cell it is ~2n per table (linear),
+    * while each halving of bits doubles it. The constant q131
+    * measured against the degenerate 500k-doc case IS this rule's
+    * output at that scale (derivedRpBits(500000) = 18, pinned);
+    * recall lost to finer cells is recovered via `tables`, not
+    * coarser buckets. Pure — callers probe the count. */
+  def derivedRpBits(n: Long): Int = {
+    val target = math.max(n, 2L) / 2.0
+    val bits = math.ceil(math.log(target) / math.log(2.0)).toInt
+    math.min(24, math.max(8, bits))
+  }
+
   /** Near-duplicate pairs by sign-projection LSH: candidates are pairs
     * sharing ANY table's bucket (banding, like the MinHash LSH in
     * [[Dedup]] but for cosine space); each candidate is verified by
@@ -464,13 +480,28 @@ object Similarity {
     * the sizes aggregate: it feeds both the aggregate and the join,
     * and without the barrier signatures + the corpus scan run twice
     * per guarded call (the q141 multi-consumer re-scan). The caller
-    * owns the checkpoint's release once the result is consumed. */
+    * owns the checkpoint's release once the result is consumed.
+    *
+    * `bits = 0` DERIVES the bit budget from a count probe of the
+    * (barriered) input — [[derivedRpBits]], the
+    * `contiguousShards(buckets = 0)` discipline: the constant that is
+    * right at gate scale under-bits a 100 TB corpus into quadratic
+    * cells, so production passes 0 and lets the rule track the
+    * corpus. Value-identical to passing `derivedRpBits(n)` explicitly
+    * (pinned in Round10Spec). */
   def rpLshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, bits: Int, tables: Int, threshold: Double,
       maxCellSize: Int = -1, dropHotCells: Boolean = false): DataFrame = {
-    val base = df.select(col(idCol), col(vecCol),
+    require(bits >= 0, s"bits must be >= 0 (0 = derive from corpus count), got $bits")
+    val base0 = df.select(col(idCol), col(vecCol),
       l2Norm(col(vecCol)).as("__n"))
-    val sig0 = rpSignatures(base, vecCol, dim, bits, tables)
+    val (base, nBits) =
+      if (bits > 0) (base0, bits)
+      else {
+        val pinned = base0.localCheckpoint() // probe + signatures: one scan
+        (pinned, derivedRpBits(pinned.count()))
+      }
+    val sig0 = rpSignatures(base, vecCol, dim, nBits, tables)
     val sig =
       if (maxCellSize == 0) sig0
       else {
@@ -479,7 +510,7 @@ object Similarity {
           if (maxCellSize > 0) maxCellSize.toLong
           else {
             val n = pinned.count() / tables // pinned rows = n·tables
-            math.max(4096L, 64L * ((n + (1L << bits) - 1) >> bits))
+            math.max(4096L, 64L * ((n + (1L << nBits) - 1) >> nBits))
           }
         val sizes = pinned.groupBy(col("rp_table"), col("rp_bucket"))
           .agg(count(lit(1)).as("__cell_n"))
@@ -532,6 +563,39 @@ object Similarity {
     * proven order-aligned with DuckDB's `list_inner_product` (q67). */
   private def sqDist(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Derived PQ geometry for a `dim`-dimensional corpus of `n`
+    * vectors: `(m, centroids)` — the gate constants generalized into
+    * corpus-tracking rules (`contiguousShards(buckets = 0)`
+    * discipline):
+    *  - `m` targets 16-wide subspaces (the widest of 16/8/4/2/1 that
+    *    divides `dim`) — fewer, wider subspaces quantize coarser but
+    *    keep the ADC table and the per-vector code small; dim 64 → 4,
+    *    the q146/q148 constant;
+    *  - `centroids` follows the k-means training-density rule of
+    *    thumb (≥ ~39 training points per centroid, the FAISS
+    *    guidance): the largest power of two ≤ n/39, clamped to
+    *    [2, 256] (256 = one byte per code, the PQ storage contract).
+    *    n = 500 (gate scale) → 8, exactly the vec_id < 8 seed set
+    *    q146/q148 pass explicitly (pinned in Round10Spec).
+    * Pure — callers probe the count once and pass the result to
+    * [[pqSeeds]] / [[pqTrainedCodebook]]. */
+  def derivedPqParams(dim: Int, n: Long): (Int, Int) = {
+    require(dim >= 1, s"need dim >= 1, got $dim")
+    val subDim = Seq(16, 8, 4, 2, 1).find(dim % _ == 0).get
+    val c0 = java.lang.Long.highestOneBit(math.max(n / 39L, 2L))
+    (dim / subDim, math.min(256L, c0).toInt)
+  }
+
+  /** Deterministic training seeds: the `centroids` lowest-id vectors
+    * — the arbitrary-but-reproducible choice whose arbitrariness
+    * [[pqTrainedCodebook]]'s Lloyd rounds then wash out. A global
+    * top-k by id (TakeOrdered at `centroids` rows), never a sort of
+    * the corpus. */
+  def pqSeeds(vectors: DataFrame, idCol: String, centroids: Int): DataFrame = {
+    require(centroids >= 1, s"need centroids >= 1, got $centroids")
+    vectors.orderBy(col(idCol)).limit(centroids)
+  }
 
   /** PQ codebook from seed vectors: (sub, code, cv) — centroid `code`
     * of subspace `sub` is the seed's subvector. Production trains the

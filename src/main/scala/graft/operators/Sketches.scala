@@ -74,22 +74,61 @@ object Sketches {
     * the second window sees sketch-sized input only. Correct because
     * the global bottom-k is a subset of the per-cell bottom-k's:
     * any value among the k smallest overall is among the k smallest
-    * of its own cell. */
+    * of its own cell.
+    *
+    * `k = 0` derives the sketch size from `targetRelErr`
+    * ([[derivedKmvK]]); `fanout = 0` derives the cell count from a
+    * count probe ([[derivedFanout]]) — both spec-pinned equal to the
+    * explicit gate constants (64, 32) at gate scale. */
+  /** Derived KMV sketch size for a target relative standard error:
+    * the estimator's error is ~1/√k, so k = ⌈1/ε²⌉. The default
+    * ε = 1/8 gives k = 64 — the explicit constant every KMV gate
+    * (q141/q145/q149) passes (pinned in Round10Spec). k is an
+    * ACCURACY knob, not a scale knob — it does not grow with the
+    * corpus — so the derivation is from the caller's error budget,
+    * the one parameter that actually determines it. Pure. */
+  def derivedKmvK(targetRelErr: Double = 0.125): Int = {
+    require(targetRelErr > 0 && targetRelErr <= 1,
+      s"need 0 < targetRelErr <= 1, got $targetRelErr")
+    math.ceil(1.0 / (targetRelErr * targetRelErr)).toInt
+  }
+
+  /** Derived [[kMinValues]] fanout for `rows` distinct (group, value)
+    * pairs: `max(32, ⌈rows/2^20⌉)` — the `contiguousShards` rule;
+    * each per-cell window ranks at most ~1M rows even when ONE group
+    * owns the whole frame, which is the invariant the constant 32
+    * breaks at 100 TB (corpus/32 rows per cell). Pure — the
+    * `fanout = 0` path probes the count. */
+  def derivedFanout(rows: Long): Int =
+    math.max(32L, (rows + (1L << 20) - 1) >> 20).toInt
+
   def kMinValues(df: DataFrame, groupCol: String, valueCol: String,
-      k: Int, fanout: Int = 32): DataFrame = {
-    require(k >= 1, s"need k >= 1, got $k")
-    require(fanout >= 1, s"need fanout >= 1, got $fanout")
+      k: Int, fanout: Int = 32, targetRelErr: Double = 0.125): DataFrame = {
+    require(k >= 0, s"need k >= 0 (0 = derive from targetRelErr), got $k")
+    require(fanout >= 0, s"need fanout >= 0 (0 = derive from distinct count), got $fanout")
+    val kk = if (k > 0) k else derivedKmvK(targetRelErr)
     // NULLs are excluded, not ranked: NULLS FIRST ordering would let a
     // single null value displace a real minimum from every sketch
-    val distinctVals = df.select(col(groupCol), col(valueCol))
+    val distinctVals0 = df.select(col(groupCol), col(valueCol))
       .filter(col(valueCol).isNotNull).distinct()
+    // fanout = 0: count probe on a barriered distinct frame (the probe
+    // and the windows then share ONE materialization; caller owns the
+    // checkpoint's release). Output is fanout-independent either way
+    // (global bottom-k ⊆ per-cell bottom-k, Round9TailSpec) — the
+    // knob only bounds the cell windows.
+    val (distinctVals, fo) =
+      if (fanout > 0) (distinctVals0, fanout)
+      else {
+        val pinned = distinctVals0.localCheckpoint()
+        (pinned, derivedFanout(pinned.count()))
+      }
     val cell = Window
-      .partitionBy(col(groupCol), pmod(col(valueCol), lit(fanout.toLong)))
+      .partitionBy(col(groupCol), pmod(col(valueCol), lit(fo.toLong)))
       .orderBy(col(valueCol))
     val group = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     distinctVals
-      .withColumn("__rn1", row_number().over(cell)).filter(col("__rn1") <= k)
-      .withColumn("__rn2", row_number().over(group)).filter(col("__rn2") <= k)
+      .withColumn("__rn1", row_number().over(cell)).filter(col("__rn1") <= kk)
+      .withColumn("__rn2", row_number().over(group)).filter(col("__rn2") <= kk)
       .drop("__rn1", "__rn2")
   }
 

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, Sketches}
+
+/** Round-10: signature-store compaction hardening (conflicting content
+  * fails loudly; the id invariant is re-validated against appends that
+  * race the merge) and derived defaults for sketch/index constants.
+  */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+
+  // ------------------------------- compaction content conflicts
+
+  test("compactSignatureStore: byte-identical re-appends heal; conflicting content fails loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_conflict").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    val d1 = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    Dedup.writeSignatureStore(d1, "doc_id", "text", 16, 3, root, batchId = 1L)
+    // byte-identical re-append of doc 1: legal, compaction keeps ONE row
+    Dedup.writeSignatureStore(d1.filter(col("doc_id") === 1L),
+      "doc_id", "text", 16, 3, root, batchId = 2L)
+    assert(Dedup.compactSignatureStore(spark, root, "doc_id", 3L) == 2)
+    assert(Dedup.readSignatureStore(spark, root).count() == 2)
+
+    // doc 1 re-appended with DIFFERENT text: either chash previously
+    // matched the exact-dup stage; an arbitrary-survivor merge would
+    // silently change that, so compaction must refuse
+    val revised = Seq((1L, "revised text for doc one nothing like before"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureStore(revised, "doc_id", "text", 16, 3, root, batchId = 4L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactSignatureStore(spark, root, "doc_id", 5L)
+    }
+    assert(e.getMessage.contains("conflicting content"), e.getMessage)
+    assert(e.getMessage.contains("1"), "offending id must be named")
+    // the refused compaction left no visible batch and the store intact
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=3", "batch=4"))
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("compactSignatureStore: an append racing the merge with id >= newBatchId aborts before the rename") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_race").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val d1 = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureStore(d1, "doc_id", "text", 16, 3, root, batchId = 1L)
+    // simulate the race via the test seam: a batch dir with id >=
+    // newBatchId lands after the merge is staged but before the commit
+    // rename — the re-list must catch it and abort.
+    val e = intercept[IllegalArgumentException] {
+      Dedup.compactSignatureStore(spark, root, "doc_id", 5L,
+        () => fs.mkdirs(new org.apache.hadoop.fs.Path(root, "batch=9")))
+    }
+    assert(e.getMessage.contains("raced"), e.getMessage)
+    // nothing committed: batch=5 absent, original batch intact
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=1", "batch=9"))
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  // --------------------- derived sketch/index constants (VERDICT r9 #5)
+
+  test("derivedRpBits: ~2 expected per uniform cell, clamped [8, 24]") {
+    // 18 is the constant q131 measured against the degenerate 500k case
+    assert(Similarity.derivedRpBits(500000L) == 18)
+    assert(Similarity.derivedRpBits(500L) == 8) // ceil(log2 250) = 8
+    assert(Similarity.derivedRpBits(5000L) == 12)
+    assert(Similarity.derivedRpBits(1L) == 8) // lower clamp
+    assert(Similarity.derivedRpBits(Long.MaxValue >> 1) == 24) // upper clamp
+  }
+
+  test("rpLshNearDupPairs(bits = 0) is value-identical to the explicit derived budget") {
+    import spark.implicits._
+    // 40 spread vectors + 3 planted near-dup pairs
+    val vecs = ((0L until 40L).map { i =>
+      (i, Array((i % 7).toFloat + 1f, (i % 5).toFloat - 2f,
+        (i % 3).toFloat, (i % 11).toFloat - 5f))
+    } ++ Seq((100L, Array(1f, 2f, 3f, 4f)), (101L, Array(1f, 2f, 3f, 4.01f)),
+      (102L, Array(-3f, 1f, 2f, 0.5f)), (103L, Array(-3f, 1f, 2f, 0.51f))))
+      .toDF("vec_id", "embedding")
+    val n = vecs.count()
+    val explicitBits = Similarity
+      .rpLshNearDupPairs(vecs, "vec_id", "embedding", dim = 4,
+        bits = Similarity.derivedRpBits(n), tables = 4, threshold = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    val derived = Similarity
+      .rpLshNearDupPairs(vecs, "vec_id", "embedding", dim = 4,
+        bits = 0, tables = 4, threshold = 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(derived == explicitBits)
+    assert(derived.map { case (a, b, _) => (a, b) }
+      .contains((100L, 101L)), "planted near-dup pair must collide")
+  }
+
+  test("derivedKmvK / derivedFanout pin the gate constants at gate scale") {
+    assert(Sketches.derivedKmvK() == 64, "default 12.5% error = the q141/q145/q149 constant")
+    assert(Sketches.derivedKmvK(0.25) == 16)
+    assert(Sketches.derivedKmvK(0.1) == 100)
+    assert(Sketches.derivedFanout(1000L) == 32, "gate-scale distinct counts keep the constant 32")
+    assert(Sketches.derivedFanout(1L << 20) == 32)
+    assert(Sketches.derivedFanout((1L << 20) + 1) == 32) // still below 32 cells' worth
+    assert(Sketches.derivedFanout(1L << 26) == 64) // 64M rows: 64 cells of <=1M
+    assert(Sketches.derivedFanout(1L << 30) == 1024)
+  }
+
+  test("kMinValues(k = 0, fanout = 0) equals the explicit (64, 32) gate call") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (s"s${i % 3}", (i * 2654435761L) % 100000L))
+      .toDF("source", "h")
+    val explicitCall = Sketches.kMinValues(df, "source", "h", k = 64, fanout = 32)
+      .as[(String, Long)].collect().toSet
+    val derived = Sketches.kMinValues(df, "source", "h", k = 0, fanout = 0)
+      .as[(String, Long)].collect().toSet
+    assert(derived == explicitCall)
+  }
+
+  test("derivedPqParams: (dim 64, n 500) = the q146/q148 gate constants") {
+    assert(Similarity.derivedPqParams(64, 500L) == ((4, 8)),
+      "gate scale must derive m=4, 8 centroids — the explicit constants")
+    assert(Similarity.derivedPqParams(64, 2000L) == ((4, 32))) // sf0.1
+    assert(Similarity.derivedPqParams(32, 500L) == ((2, 8)))
+    assert(Similarity.derivedPqParams(24, 100000L) == ((3, 256))) // clamp at 1 byte/code
+    assert(Similarity.derivedPqParams(10, 10L) == ((5, 2))) // odd dim, tiny corpus
+  }
+
+  test("pqSeeds: the centroids lowest-id vectors, deterministically") {
+    import spark.implicits._
+    val vecs = Seq(5L, 3L, 9L, 1L, 7L).map(i => (i, Array(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.pqSeeds(vecs, "vec_id", 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(seeds == Seq(1L, 3L, 5L))
+  }
+}
