@@ -74,8 +74,8 @@ object Bench {
     "q145_kmv_distinct", "q146_pq_ann", "q147_adaptive_quality_cutoff",
     "q148_ivfpq_ann", "q149_kmv_sketch_streamed", "q151_ranked_search",
     // round-10 tail: trained-PQ retrieval quality on the planted
-    // fixture, idf-weighted ranked retrieval
-    "q150_pq_trained_planted")
+    // fixture, idf-weighted ranked retrieval, planted IVF-PQ
+    "q150_pq_trained_planted", "q152_ivfpq_planted")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -406,9 +406,9 @@ object Bench {
       "q132_dedup_restarted", "q133_sessionize_restarted",
       "q137_running_totals_streamed", "q142_bootstrap_dedup_streamed",
       "q143_bootstrap_dedup_restarted", "q149_kmv_sketch_streamed",
-      // q150 runs on its GENERATED 500-row planted fixture — fixed
-      // size regardless of SPARK_GRAFT_SF_DIR, same rationale
-      "q150_pq_trained_planted")
+      // q150/q152 run on their GENERATED 500-row planted fixture —
+      // fixed size regardless of SPARK_GRAFT_SF_DIR, same rationale
+      "q150_pq_trained_planted", "q152_ivfpq_planted")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

@@ -72,7 +72,8 @@ object RecallProbe {
     val queries = e.filter(col("vec_id") < 10)
     val seeds = e.filter(col("vec_id") < sys.env.getOrElse("PROBE_CODES", "8").toInt)
     val coarse = e.filter(col("vec_id") < 8)
-    val resSeeds = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+    val resCodes = sys.env.getOrElse("PROBE_RES_CODES", "8").toInt
+    val resSeeds = e.filter(col("vec_id") >= 8 && col("vec_id") < 8 + resCodes)
     (0 to maxIters).foreach { it =>
       val cb = Similarity.pqTrainedCodebook(e, seeds, "vec_id", "embedding",
         dim = 64, m = 4, iters = it)
@@ -85,10 +86,14 @@ object RecallProbe {
       report(f"pq m=4 iters=$it dist=$dist%.4f", hits(e, queries, adc))
       report(f"pq-mates m=4 iters=$it", mateHits(e, adc))
     }
+    val nProbe = sys.env.getOrElse("PROBE_NPROBE", "2").toInt
     (0 to maxIters).foreach { it =>
       val adc = Similarity.ivfPqTopK(e, queries, coarse, resSeeds,
-        "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, k = 5, trainIters = it)
-      report(s"ivfpq m=4 np=2 iters=$it", hits(e, queries, adc))
+        "vec_id", "embedding", dim = 64, m = 4, nProbe = nProbe, k = 5, trainIters = it)
+        .localCheckpoint()
+      report(s"ivfpq m=4 np=$nProbe iters=$it", hits(e, queries, adc))
+      if (e.columns.contains("label"))
+        report(s"ivfpq-mates np=$nProbe iters=$it", mateHits(e, adc))
     }
     spark.stop()
   }

@@ -763,7 +763,123 @@ object SimilarityQueries {
       |ORDER BY t.query_id, t.rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q152 — IVF-PQ on the PLANTED-cluster fixture: q148's production
+  // index (coarse lists + trained residual PQ + nProbe=2 probing)
+  // measured where its quality floor actually BINDS — the q150
+  // fixture (50 clusters × 10, md5-derived, regenerated identically
+  // by DuckDB) and the same CLUSTER-MATE precision@5 metric. This is
+  // the gate q148 cannot be: on the structure-free driver embeddings
+  // its recall floor is a degenerate minimum; here a probing or
+  // residual-coding regression (wrong list probed, residual computed
+  // against the wrong centroid, codebook untrained) surfaces as lost
+  // mates. The IVF trade is visible and pinned: unlike q150's
+  // exhaustive ADC (5/5), probing 3 of 8 coarse lists can miss a
+  // mate whose jitter crossed a coarse boundary — the measured floor
+  // is 3/5 (min over the 10 gate queries; mean 4.2) with the 32-code
+  // 2-round-trained residual codebook, vs 1/5 untrained (RecallProbe
+  // planted:50x10@1.0) — so training still carries the gate. All
+  // arithmetic is the q148 fixed-point discipline; codes, scores,
+  // ranks, and the mate audit hash-match the oracle.
+  private val PlantedIvfMateFloorHits = 3L
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    // fixture, not a table read: deterministic, engine-reproducible
+    val e = graft.ScaleGen.plantedEmbeddings(s, clusters = 50,
+      perCluster = 10, dim = 64, noise = 1.0).localCheckpoint()
+    val coarse = e.filter(col("vec_id") < 8)
+    val resSeeds = e.filter(col("vec_id") >= 8 && col("vec_id") < 40)
+    val queries = e.filter(col("vec_id") < 10)
+    val adc = Similarity.ivfPqTopK(e, queries, coarse, resSeeds,
+      "vec_id", "embedding", dim = 64, m = 4, nProbe = 3, k = 5,
+      trainIters = PqTrainIters)
+    val lbl = e.select(col("vec_id"), col("label"))
+    val mates = adc
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("qlabel")), "query_id")
+      .join(lbl.select(col("vec_id").as("neighbor_id"), col("label").as("nlabel")), "neighbor_id")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("qlabel") === col("nlabel"), 1L).otherwise(0L)).as("n_mates"))
+    adc.join(mates, Seq("query_id"))
+      .filter(assert_true(col("n_mates") >= PlantedIvfMateFloorHits,
+        concat(lit(s"IVF-PQ mate precision below $PlantedIvfMateFloorHits/5 for query "),
+          col("query_id").cast("string"))).isNull)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_fp"), col("n_mates"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q152Sql = {
+    val subs = "(SELECT unnest(range(4)) AS sub) s"
+    def u(key: String) =
+      s"(CAST('0x' || substr(md5($key), 1, 15) AS BIGINT) / 576460752303423488.0 - 1.0)"
+    def ip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def d2(a: String, b: String) =
+      s"(${ip(a, a)} - 2 * ${ip(a, b)} + ${ip(b, b)})"
+    val (trainCtes, cbFinal) = pqTrainSql("rxs", "cb0", PqTrainIters)
+    s"""WITH gen AS (SELECT i AS vec_id, i % 50 AS label,
+      |    list_transform(range(0, 64), j -> CAST(
+      |      ${u("'pc:' || (i % 50) || ':' || j")}
+      |        + 1.0 * ${u("'pn:' || i || ':' || j")} AS FLOAT)) AS emb
+      |  FROM range(0, 500) t(i)),
+      |e AS (SELECT vec_id, label, CAST(emb AS DOUBLE[]) AS v FROM gen),
+      |c8 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |asg0 AS (SELECT e.vec_id, c8.cid, c8.cv, ${d2("e.v", "c8.cv")} AS d2
+      |  FROM e CROSS JOIN c8),
+      |asg AS (SELECT vec_id, cid AS list_id, cv FROM (
+      |  SELECT vec_id, cid, cv,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM asg0) WHERE rn = 1),
+      |res AS (SELECT a.vec_id, a.list_id,
+      |    list_transform(generate_series(1, 64), i -> e.v[i] - a.cv[i]) AS rv
+      |  FROM asg a JOIN e ON e.vec_id = a.vec_id),
+      |rxs AS (SELECT vec_id, list_id, s.sub,
+      |    rv[s.sub*16+1 : s.sub*16+16] AS sv FROM res, $subs),
+      |cb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM rxs
+      |  WHERE vec_id >= 8 AND vec_id < 40),
+      |$trainCtes,
+      |rcb AS (SELECT sub, code, cv FROM $cbFinal),
+      |sc0 AS (SELECT rxs.vec_id, rxs.list_id, rxs.sub, rcb.code,
+      |    ${d2("rxs.sv", "rcb.cv")} AS d2
+      |  FROM rxs JOIN rcb ON rxs.sub = rcb.sub),
+      |codes AS (SELECT vec_id, list_id, sub, code FROM (
+      |  SELECT vec_id, list_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |  FROM sc0) WHERE rn = 1),
+      |pr0 AS (SELECT q.vec_id AS query_id, c8.cid AS list_id, c8.cv,
+      |    ${d2("q.v", "c8.cv")} AS d2
+      |  FROM (SELECT * FROM e WHERE vec_id < 10) q CROSS JOIN c8),
+      |pr AS (SELECT query_id, list_id, cv FROM (
+      |  SELECT query_id, list_id, cv,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d2, list_id) AS rn
+      |  FROM pr0) WHERE rn <= 3),
+      |qres AS (SELECT p.query_id, p.list_id,
+      |    list_transform(generate_series(1, 64), i -> e.v[i] - p.cv[i]) AS rv
+      |  FROM pr p JOIN e ON e.vec_id = p.query_id),
+      |qxs AS (SELECT query_id, list_id, s.sub,
+      |    rv[s.sub*16+1 : s.sub*16+16] AS sv FROM qres, $subs),
+      |dt AS (SELECT qxs.query_id, qxs.list_id, qxs.sub, rcb.code,
+      |    CAST(floor(${d2("qxs.sv", "rcb.cv")} * 1073741824) AS BIGINT) AS dfp
+      |  FROM qxs JOIN rcb ON qxs.sub = rcb.sub),
+      |sc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+      |    CAST(SUM(dfp) AS BIGINT) AS adc_fp
+      |  FROM codes JOIN dt ON codes.list_id = dt.list_id
+      |    AND codes.sub = dt.sub AND codes.code = dt.code
+      |  GROUP BY 1, 2),
+      |topk AS (SELECT query_id, rank, neighbor_id, adc_fp FROM (
+      |  SELECT query_id, neighbor_id, adc_fp,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
+      |  FROM sc) WHERE rank <= 5),
+      |mates AS (SELECT t.query_id,
+      |    CAST(SUM(CASE WHEN lq.label = ln.label THEN 1 ELSE 0 END) AS BIGINT) AS n_mates
+      |  FROM topk t
+      |  JOIN e lq ON lq.vec_id = t.query_id
+      |  JOIN e ln ON ln.vec_id = t.neighbor_id
+      |  GROUP BY t.query_id)
+      |SELECT t.query_id, t.rank, t.neighbor_id, t.adc_fp, m.n_mates
+      |FROM topk t JOIN mates m ON t.query_id = m.query_id
+      |ORDER BY t.query_id, t.rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q152_ivfpq_planted", q152, Some(q152Sql)),
     QueryDef("q150_pq_trained_planted", q150, Some(q150Sql)),
     QueryDef("q146_pq_ann", q146, Some(q146Sql)),
     QueryDef("q148_ivfpq_ann", q148, Some(q148Sql)),
