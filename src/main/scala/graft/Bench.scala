@@ -75,7 +75,8 @@ object Bench {
     "q148_ivfpq_ann", "q149_kmv_sketch_streamed", "q151_ranked_search",
     // round-10 tail: trained-PQ retrieval quality on the planted
     // fixture, idf-weighted ranked retrieval, planted IVF-PQ
-    "q150_pq_trained_planted", "q152_ivfpq_planted")
+    "q150_pq_trained_planted", "q152_ivfpq_planted",
+    "q153_bm25_search", "q154_ngram_repetition")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -408,7 +409,8 @@ object Bench {
       "q143_bootstrap_dedup_restarted", "q149_kmv_sketch_streamed",
       // q150/q152 run on their GENERATED 500-row planted fixture —
       // fixed size regardless of SPARK_GRAFT_SF_DIR, same rationale
-      "q150_pq_trained_planted", "q152_ivfpq_planted")
+      "q150_pq_trained_planted", "q152_ivfpq_planted",
+    "q153_bm25_search", "q154_ngram_repetition")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

@@ -141,6 +141,65 @@ object InvertedIndex {
       .limit(k)
   }
 
+  /** BM25-shaped ranked retrieval: [[rankedSearch]]'s AND semantics
+    * and plan shape, scored with the two refinements BM25 adds over
+    * tf·idf — TERM-FREQUENCY SATURATION (a term's 50th occurrence
+    * adds almost nothing: tf·(k1+1)/(tf + k1·norm) asymptotes at
+    * k1+1) and PIVOTED LENGTH NORMALIZATION (norm = 1−b + b·dl/avgdl
+    * penalizes only documents longer than the corpus average, unlike
+    * rankedSearch's flat 1/dl which overrewards snippets). This is
+    * the LOG-FREE variant: idf is the exact rational
+    * (N − df + 0.5)/(df + 0.5) — BM25's idf argument without the
+    * ln() — because a transcendental can differ in the last ulp
+    * across engines and break the oracle hash; per-term idf order is
+    * identical (x ↦ ln(1+x) is monotone), only the relative
+    * weighting between terms shifts. k1 = 1.25 and b = 0.75 are
+    * BINARY-EXACT doubles (5/4, 3/4), so every constant parses to
+    * the same bits in any engine.
+    *
+    * Bit-reproducibility: contributions are a fixed parenthesization
+    * of +,·,/ over exact integers (tf, df, N, dl, Σdl) and exact
+    * constants, summed left-to-right in the terms order at plan time
+    * (the [[rankedSearch]] pivot); an engine mirroring the
+    * parenthesization matches bitwise (oracle-gated in q153).
+    *
+    * Scale shape = [[rankedSearch]] plus ONE extra 1-row broadcast
+    * aggregate for (N, Σdl): the corpus-average doc length. Returns
+    * `(id, doc_len, score)`, score descending, id tiebreak. */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    require(k >= 1, s"need k >= 1, got $k")
+    val tf = df
+      .select(col(idCol), size(tokens(col(textCol))).as("doc_len"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("doc_len"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = df.select(count(lit(1)).as("n_docs"),
+      sum(size(tokens(col(textCol)))).as("total_len"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val dlRatio = col("doc_len").cast("double") /
+      (col("total_len").cast("double") / col("n_docs"))
+    val tfSat = (col("tf").cast("double") * lit(2.25)) /
+      (col("tf") + lit(1.25) * (lit(0.25) + lit(0.75) * dlRatio))
+    val scored = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(stats))
+      .withColumn("__contrib", idf * tfSat)
+    val cells = count(lit(1)).as("__n_terms") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("token") === t, col("__contrib"))).as(s"__c$i")
+      }
+    scored.groupBy(col(idCol), col("doc_len"))
+      .agg(cells.head, cells.tail: _*)
+      .filter(col("__n_terms") === terms.size)
+      .withColumn("score", terms.indices.map(i => col(s"__c$i")).reduce(_ + _))
+      .select(col(idCol), col("doc_len").cast("long").as("doc_len"), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Documents containing ALL `terms`, ranked by total term frequency
     * (exact integer score — no idf floats, so the ranking is
     * bit-reproducible in any engine), doc id as the tiebreak, top

@@ -118,6 +118,60 @@ object TextAnalysis {
       (best.cast("double") / nullif(size(toks), lit(0))).as("top_token_frac"))
   }
 
+  /** N-GRAM repetition signals — the boilerplate/loop detector
+    * [[repetitionStats]]'s token-level ratios cannot be: navigation
+    * chrome, templated paragraphs, and degenerate generation loops
+    * repeat PHRASES of ordinary tokens (each token individually
+    * common, the token-level distinct ratio healthy), and only the
+    * n-gram multiset exposes them. The Gopher-class quality filters
+    * cut on exactly these two numbers per document: the duplicate
+    * n-gram fraction (what share of the doc's n-grams are repeats of
+    * an earlier one) and the top n-gram fraction (what share the
+    * single most repeated phrase owns).
+    *
+    * Entirely MAP-SIDE, like [[repetitionStats]]: grams are a
+    * sliding `concat_ws` over the token array, the distinct count is
+    * `array_distinct`, and the max multiplicity is the sorted-array
+    * run fold (equal grams adjacent → longest run = highest count) —
+    * zero shuffles, the whole signal inside codegen, so at 100 TB
+    * this is a free rider on any existing corpus scan. Fractions are
+    * one double division of exact ints each (cross-engine
+    * bit-identical). Documents with fewer than `n` tokens emit 0
+    * grams and null fractions; NULL text stays NULL throughout (the
+    * q61 null-symmetry discipline).
+    *
+    * Columns: `n_grams`, `n_distinct_grams`, `top_gram_count`,
+    * `dup_gram_frac` = (n−distinct)/n, `top_gram_frac`. */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val toks = tokens(col(textCol))
+    val grams = when(toks.isNull, lit(null).cast("array<string>"))
+      .when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    val sorted = array_sort(grams)
+    val best = aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.select(
+      col(idCol),
+      size(grams).cast("long").as("n_grams"),
+      size(array_distinct(grams)).cast("long").as("n_distinct_grams"),
+      best.as("top_gram_count"),
+      ((size(grams) - size(array_distinct(grams))).cast("double") /
+        nullif(size(grams), lit(0))).as("dup_gram_frac"),
+      (best.cast("double") / nullif(size(grams), lit(0))).as("top_gram_frac"))
+  }
+
   /** Rolling-hash content fingerprint after normalization (lowercase,
     * strip non-alphanumerics-except-space, collapse whitespace) —
     * robust to case/punctuation edits, exact otherwise. */

@@ -1031,6 +1031,49 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
+  // q153 — BM25-shaped ranking ([[graft.operators.InvertedIndex
+  // .bm25Search]]): q151's term set and plan shape, scored with
+  // tf SATURATION (tf·2.25/(tf + 1.25·norm) — the 50th occurrence
+  // adds almost nothing, where q151's raw tf keeps counting) and
+  // PIVOTED length normalization (norm = 0.25 + 0.75·dl/avgdl —
+  // penalizes only longer-than-average docs, where q151's 1/dl
+  // overrewards snippets). Log-free idf (exact rational
+  // (N−df+0.5)/(df+0.5) — a transcendental ln() can differ in the
+  // last ulp across engines); k1 = 5/4 and b = 3/4 are binary-exact,
+  // so every float in the score is a fixed parenthesization of exact
+  // inputs and the ranking hash-matches. One extra 1-row broadcast
+  // aggregate (N, Σdl) over q151's plan.
+  private def q153(s: SparkSession, dir: String): DataFrame =
+    graft.operators.InvertedIndex.bm25Search(
+      Tables.documents(s, dir), "doc_id", "text", q151Terms, k = 20)
+  private val q153Sql = {
+    val inList = q151Terms.map(t => s"'$t'").mkString(", ")
+    val cells = q151Terms.zipWithIndex.map { case (t, i) =>
+      s"MAX(CASE WHEN token = '$t' THEN contrib END) AS c$i" }.mkString(",\n    ")
+    val sumExpr = q151Terms.indices.map(i => s"c$i").reduce((a, b) => s"($a + $b)")
+    // parenthesization mirrors the Column tree of bm25Search exactly
+    val contrib = "(((n_docs - df) + 0.5) / (df + 0.5)) * " +
+      "((CAST(tf AS DOUBLE) * 2.25) / (tf + 1.25 * (0.25 + 0.75 * " +
+      "(CAST(doc_len AS DOUBLE) / (CAST(total_len AS DOUBLE) / n_docs)))))"
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |base AS (SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS token FROM t),
+      |tf AS (SELECT doc_id, doc_len, token, COUNT(*) AS tf FROM base
+      |  WHERE token IN ($inList) GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM t),
+      |c AS (SELECT doc_id, doc_len, token,
+      |    $contrib AS contrib
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+      |p AS (SELECT doc_id, doc_len, COUNT(*) AS n_terms,
+      |    $cells
+      |  FROM c GROUP BY 1, 2)
+      |SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len,
+      |  $sumExpr AS score
+      |FROM p WHERE n_terms = ${q151Terms.size}
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q60 — benchmark decontamination: training docs sharing any word
   // trigram with the eval slice (doc_id % 97 == 3 stands in for a
   // benchmark set), counted per language. The eval gram set broadcasts;
@@ -1090,6 +1133,41 @@ object TextQueries {
       | CAST(len(list_distinct(toks)) AS DOUBLE) / NULLIF(len(toks), 0) AS distinct_ratio,
       | CAST($topCnt AS DOUBLE) / NULLIF(len(toks), 0) AS top_token_frac
       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q154 — N-GRAM repetition signals ([[graft.operators.TextAnalysis
+  // .ngramRepetition]], n = 3): the boilerplate/loop detector q61's
+  // token-level ratios cannot be — navigation chrome and degenerate
+  // generation loops repeat PHRASES of individually-common tokens,
+  // visible only in the 3-gram multiset (duplicate-gram fraction,
+  // top-gram fraction — the Gopher repetition-filter class). Fully
+  // map-side like q61 (sliding concat_ws grams, array_distinct, the
+  // sorted-run fold for max multiplicity — zero shuffles); the
+  // oracle computes the same numbers as per-distinct-gram counts
+  // (mode count == longest sorted run), with q61's null symmetry.
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramRepetition(Tables.documents(s, dir), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+  private val q154Sql = {
+    val topCnt = "CASE WHEN grams IS NULL THEN NULL ELSE " +
+      "COALESCE(list_max(list_transform(list_distinct(grams), " +
+      "d -> len(list_filter(grams, x -> x = d)))), 0) END"
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN toks IS NULL THEN NULL
+      |         WHEN len(toks) >= 3 THEN list_transform(range(0, len(toks) - 2),
+      |           i -> array_to_string(toks[i+1:i+3], ' '))
+      |         ELSE [] END AS grams
+      |  FROM t)
+      |SELECT doc_id,
+      | CAST(len(grams) AS BIGINT) AS n_grams,
+      | CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+      | CAST($topCnt AS BIGINT) AS top_gram_count,
+      | CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+      |   / NULLIF(len(grams), 0) AS dup_gram_frac,
+      | CAST($topCnt AS DOUBLE) / NULLIF(len(grams), 0) AS top_gram_frac
+      |FROM g ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -1824,6 +1902,8 @@ object TextQueries {
     QueryDef("q147_adaptive_quality_cutoff", q147, Some(q147Sql)),
     QueryDef("q139_term_search", q139, Some(q139Sql)),
     QueryDef("q151_ranked_search", q151, Some(q151Sql)),
+    QueryDef("q153_bm25_search", q153, Some(q153Sql)),
+    QueryDef("q154_ngram_repetition", q154, Some(q154Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),

@@ -137,6 +137,71 @@ class Round10Spec extends AnyFunSuite {
     assert(Similarity.derivedPqParams(10, 10L) == ((5, 2))) // odd dim, tiny corpus
   }
 
+  // ----------------------------- BM25 ranking / n-gram repetition
+
+  test("bm25Search: AND semantics, tf saturation, pivoted length normalization") {
+    import spark.implicits._
+    import graft.operators.InvertedIndex
+    val pad = (1 to 8).map(i => s"pad$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $pad"),                              // balanced, short
+      (2L, ("alpha " * 9).trim + " beta"),                   // alpha-stuffed, same length
+      (3L, s"alpha beta $pad $pad $pad " + ("filler " * 60).trim), // long
+      (4L, s"alpha only here $pad"),                         // missing beta
+      (5L, "unrelated text entirely")
+    ).toDF("doc_id", "text")
+    val out = InvertedIndex
+      .bm25Search(docs, "doc_id", "text", Seq("alpha", "beta"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // AND: docs 4 and 5 excluded
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // saturation: 9× the alpha tf buys well under 9× the score
+    assert(out(2L) < 3 * out(1L),
+      s"tf saturation failed: ${out(2L)} vs ${out(1L)}")
+    assert(out(2L) > out(1L), "more tf must still score higher")
+    // pivoted length norm: same tf in a much longer doc scores lower
+    assert(out(3L) < out(1L),
+      s"length normalization failed: ${out(3L)} vs ${out(1L)}")
+  }
+
+  test("ngramRepetition equals the naive per-doc computation; null symmetry") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "x y z x y z x y z"), // looped phrase: 7 3-grams, 3 distinct
+      (2L, "a b c d e f"),       // all distinct
+      (3L, "a b"),               // shorter than n
+      (4L, null.asInstanceOf[String]),
+      (5L, "w w w w w")          // one token repeated: all grams equal
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def naive(text: String): (Long, Long, Long) = {
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val grams = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      (grams.size.toLong, counts.size.toLong,
+        if (grams.isEmpty) 0L else counts.values.max)
+    }
+    Seq(1L, 2L, 3L, 5L).foreach { id =>
+      val r = out(id)
+      val text = Map(1L -> "x y z x y z x y z", 2L -> "a b c d e f",
+        3L -> "a b", 5L -> "w w w w w")(id)
+      val (ng, nd, top) = naive(text)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((ng, nd, top)),
+        s"doc $id: got ${r.toSeq}, want ($ng, $nd, $top)")
+    }
+    // the looped doc is flagged: 4/7 duplicate grams, top owns 3/7
+    assert(math.abs(out(1L).getDouble(4) - 4.0 / 7.0) < 1e-15)
+    assert(math.abs(out(1L).getDouble(5) - 3.0 / 7.0) < 1e-15)
+    // all-distinct doc: zero dup fraction
+    assert(out(2L).getDouble(4) == 0.0)
+    // shorter than n: 0 grams, null fractions
+    assert(out(3L).getLong(1) == 0L && out(3L).isNullAt(4))
+    // null text: null throughout
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(3) && out(4L).isNullAt(4))
+  }
+
   test("pqSeeds: the centroids lowest-id vectors, deterministically") {
     import spark.implicits._
     val vecs = Seq(5L, 3L, 9L, 1L, 7L).map(i => (i, Array(i.toFloat)))
