@@ -214,31 +214,82 @@ object Dedup {
       k: Int, shingleN: Int, bands: Int, threshold: Double,
       stagingDir: Option[String] = None): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val rowsPerBand = k / bands
     // The shingle+hash base frame inside withShingleSignatures is the
     // single materialization; signatures re-derive from it with cheap
     // arithmetic on each of the four references below (both self-join
     // sides, both verification sides). A second persist here would pin
     // the dominant payload (the shingle arrays) twice.
     val sigs = withShingleSignatures(df, idCol, textCol, k, shingleN, stagingDir)
+    val candidates = bandCandidates(sigs, idCol, k, bands)
+    verifyJaccard(candidates, sigs.select(col(idCol), col("hs").as("sh")), idCol, threshold)
+  }
 
-    // band key = the band's minhashes joined; explode to (band, key)
+  /** LSH band-collision candidates over a [[withShingleSignatures]]
+    * frame: band key = the band's minhashes joined; explode to
+    * (band, key); pairs sharing any band's key, `id_a < id_b`,
+    * deduped across bands. */
+  private def bandCandidates(sigs: DataFrame, idCol: String,
+      k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
     val bandKeys = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*).as("key"))
     }: _*)
     val exploded = sigs.select(col(idCol), explode(bandKeys).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-
     val a = exploded.as("a")
     val b = exploded.as("b")
-    val candidates = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+  }
 
-    verifyJaccard(candidates, sigs.select(col(idCol), col("hs").as("sh")), idCol, threshold)
+  /** DIRECTIONAL containment over the LSH candidates: for each
+    * colliding pair, `containment_a` = |A∩B|/|A| (the share of A's
+    * distinct shingles that also appear in B — how much of A is
+    * quoted/templated inside B) and symmetrically `containment_b`;
+    * pairs kept when EITHER direction reaches `threshold`. Jaccard
+    * ([[minhashLshPairs]]) misses exactly these: a 50-shingle quote
+    * inside a 5000-shingle page has Jaccard ≈ 0.01 but
+    * containment_a ≈ 1 — the quote-expansion / template-instance
+    * relation a training-data dedup wants to see even when the docs
+    * are not near-identical overall.
+    *
+    * Honest recall bound, stated up front: candidates come from the
+    * SYMMETRIC MinHash bands, whose collision probability tracks
+    * Jaccard, not containment — a pair with high containment but
+    * Jaccard far below the band operating point may never collide.
+    * (A containment-tuned candidate scheme hashes only the smaller
+    * side's shingles; the span-coverage operator `substringDupSpans`
+    * is this repo's complementary detector for that regime.) What
+    * the operator guarantees: every pair the Jaccard chain surfaces
+    * is ALSO scored directionally, so asymmetric relations among
+    * band-colliding docs are never silently collapsed into one
+    * Jaccard number.
+    *
+    * Scale shape = [[minhashLshPairs]] exactly (same single
+    * materialization, same band shuffles, same candidate-sized
+    * verify joins); only the verification arithmetic differs.
+    * Returns `(id_a, id_b, containment_a, containment_b)`. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int, bands: Int, threshold: Double,
+      stagingDir: Option[String] = None): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(threshold > 0 && threshold <= 1,
+      s"need 0 < threshold <= 1, got $threshold")
+    val sigs = withShingleSignatures(df, idCol, textCol, k, shingleN, stagingDir)
+    val candidates = bandCandidates(sigs, idCol, k, bands)
+    val sa = sigs.select(col(idCol).as("id_a"), col("hs").as("sh_a"))
+    val sb = sigs.select(col(idCol).as("id_b"), col("hs").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("containment_a", inter.cast("double") / size(col("sh_a")))
+      .withColumn("containment_b", inter.cast("double") / size(col("sh_b")))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("containment_a"), col("containment_b"))
   }
 
   /** The persisted-store row shape for incremental dedup: one row per

@@ -1171,6 +1171,33 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
+  // q155 — DIRECTIONAL containment over the LSH candidates
+  // ([[graft.operators.Dedup.containmentPairs]]): |A∩B|/|A| and
+  // |A∩B|/|B| per band-colliding pair, kept when either direction
+  // ≥ 0.6 — the quote-expansion / template-instance relation q30's
+  // symmetric Jaccard collapses (containment ≥ jaccard always, and
+  // the GAP between the two directions is the asymmetry signal).
+  // Candidate recall is band-limited, stated on the operator; same
+  // plan shape and materialization as q30, only the verify
+  // arithmetic differs. The oracle rides the shared dLshCtes chain.
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(Tables.documents(s, dir),
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.6)
+      .orderBy(col("id_a"), col("id_b"))
+  private val q155Sql = {
+    val ca = "CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / len(sa.hs)"
+    val cb = "CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / len(sb.hs)"
+    s"""WITH ${dLshCtes("documents")}
+      |SELECT id_a, id_b,
+      | $ca AS containment_a,
+      | $cb AS containment_b
+      |FROM cand JOIN hb sa ON cand.id_a = sa.doc_id
+      |          JOIN hb sb ON cand.id_b = sb.doc_id
+      |WHERE GREATEST($ca, $cb) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q63 — the curation pipeline END-TO-END, composing the operators a
   // training-data run chains: exact dedup (keep min-id survivor) →
   // near-dup cluster dedup (LSH pairs → connected components, keep the
@@ -1904,6 +1931,7 @@ object TextQueries {
     QueryDef("q151_ranked_search", q151, Some(q151Sql)),
     QueryDef("q153_bm25_search", q153, Some(q153Sql)),
     QueryDef("q154_ngram_repetition", q154, Some(q154Sql)),
+    QueryDef("q155_containment", q155, Some(q155Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),

@@ -137,6 +137,31 @@ class Round10Spec extends AnyFunSuite {
     assert(Similarity.derivedPqParams(10, 10L) == ((5, 2))) // odd dim, tiny corpus
   }
 
+  // ----------------------------- containment pairs
+
+  test("containmentPairs: full containment scores 1.0 exactly where Jaccard stays below threshold") {
+    import spark.implicits._
+    val core = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val extra = (31 to 45).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, core),                  // fully contained in 2
+      (2L, s"$core $extra"),       // superset
+      (3L, "x y z entirely disjoint words here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+        k = 16, shingleN = 3, bands = 8, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    val (_, _, ca, cb) = pairs.head
+    assert(ca == 1.0, s"every shingle of doc 1 is in doc 2, got $ca")
+    assert(cb < 0.9, s"doc 2 is NOT contained in doc 1, got $cb")
+    // the same pair is invisible to symmetric Jaccard at the same bar
+    val jac = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 16, shingleN = 3, bands = 8, threshold = 0.9).collect()
+    assert(jac.isEmpty,
+      "Jaccard 0.9 must reject the quote-expansion pair containment catches")
+  }
+
   // ----------------------------- BM25 ranking / n-gram repetition
 
   test("bm25Search: AND semantics, tf saturation, pivoted length normalization") {
