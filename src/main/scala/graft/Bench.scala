@@ -76,7 +76,8 @@ object Bench {
     // round-10 tail: trained-PQ retrieval quality on the planted
     // fixture, idf-weighted ranked retrieval, planted IVF-PQ
     "q150_pq_trained_planted", "q152_ivfpq_planted",
-    "q153_bm25_search", "q154_ngram_repetition", "q155_containment")
+    "q153_bm25_search", "q154_ngram_repetition", "q155_containment",
+    "q156_semantic_decontamination")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -410,7 +411,8 @@ object Bench {
       // q150/q152 run on their GENERATED 500-row planted fixture —
       // fixed size regardless of SPARK_GRAFT_SF_DIR, same rationale
       "q150_pq_trained_planted", "q152_ivfpq_planted",
-    "q153_bm25_search", "q154_ngram_repetition", "q155_containment")
+    "q153_bm25_search", "q154_ngram_repetition", "q155_containment",
+    "q156_semantic_decontamination")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

@@ -1198,6 +1198,78 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
+  // q156 — SEMANTIC decontamination: q60's eval slice (doc_id % 97 =
+  // 3) matched against training docs by EMBEDDING cosine instead of
+  // exact trigram overlap — the paraphrase-contamination detector
+  // (an eval question rephrased in a training doc shares meaning-
+  // space, not necessarily any exact 3-gram). Encoder = the q130/
+  // q131 hashEmbed stub (dim 32); per train doc the MAX cosine
+  // against any eval embedding, flagged at ≥ 0.9 (the q130 near-dup
+  // operating point), reported as per-language counts like q60 so
+  // the two detectors are directly comparable.
+  //
+  // Scale shape: the EVAL side is the broadcast side — benchmark
+  // suites are small constants however big the training corpus, the
+  // same asymmetry q60 exploits for its gram set — so the scoring
+  // pass is corpus-linear (|eval| dots per doc, map-side) and the
+  // per-doc max collapses in the partial aggregate before any
+  // shuffle; the only exchange carries one row per train doc. The
+  // localCheckpoint is the q130 CollapseProject barrier (encoder
+  // feeds norm + every pair cosine).
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val dim = 32
+    val emb = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % 97 === 3).as("is_eval"),
+        TextFunctions.hashEmbed(col("text"), dim).as("emb"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("emb"), x => x * x), lit(0.0), (a, v) => a + v)))
+      .localCheckpoint()
+    val evalSide = emb.filter(col("is_eval") && col("nrm") > 0)
+      .select(col("emb").as("ev"), col("nrm").as("en"))
+    val train = emb.filter(!col("is_eval"))
+    val flagged = train.filter(col("nrm") > 0)
+      .crossJoin(broadcast(evalSide))
+      .withColumn("cosine",
+        aggregate(zip_with(col("emb"), col("ev"), (x, y) => x * y),
+          lit(0.0), (a, v) => a + v) / (col("nrm") * col("en")))
+      .groupBy(col("doc_id")).agg(max(col("cosine")).as("max_cos"))
+      .filter(col("max_cos") >= 0.9)
+      .select(col("doc_id"), lit(1L).as("c"))
+    train.select(col("doc_id"), col("lang"))
+      .join(broadcast(flagged), Seq("doc_id"), "left")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("c"), lit(0L))).as("n_sem_contaminated"))
+      .orderBy(col("lang"))
+  }
+  private val q156Sql = {
+    val w = s"(${dHash("'1:' || tk")} % 2001 - 1000) / 1000.0"
+    val emb = s"""list_transform(range(0, 32), d ->
+      |    list_reduce(list_prepend(0.0, list_transform(toks, tk ->
+      |      CASE WHEN ${dHash("tk")} % 32 = d THEN $w ELSE 0.0 END)),
+      |      (a, b) -> a + b))""".stripMargin
+    s"""WITH t AS (SELECT doc_id, lang, $dTokens AS toks FROM documents),
+      |e0 AS (SELECT doc_id, lang, $emb AS emb FROM t),
+      |n AS (SELECT doc_id, lang, doc_id % 97 = 3 AS is_eval, emb,
+      |  sqrt(list_reduce(list_prepend(0.0,
+      |    list_transform(emb, x -> x * x)), (a, b) -> a + b)) AS nrm
+      |  FROM e0),
+      |ev AS (SELECT emb AS ev, nrm AS en FROM n WHERE is_eval AND nrm > 0),
+      |sc AS (SELECT tr.doc_id,
+      |    MAX(list_reduce(list_prepend(0.0,
+      |      list_transform(range(1, 33), i -> tr.emb[i] * ev.ev[i])),
+      |      (x, y) -> x + y) / (tr.nrm * ev.en)) AS max_cos
+      |  FROM n tr CROSS JOIN ev WHERE NOT tr.is_eval AND tr.nrm > 0
+      |  GROUP BY tr.doc_id),
+      |fl AS (SELECT doc_id FROM sc WHERE max_cos >= 0.9)
+      |SELECT tr.lang, COUNT(*) AS n_train,
+      |  CAST(SUM(CASE WHEN fl.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_contaminated
+      |FROM n tr LEFT JOIN fl ON tr.doc_id = fl.doc_id
+      |WHERE NOT tr.is_eval
+      |GROUP BY tr.lang ORDER BY tr.lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q63 — the curation pipeline END-TO-END, composing the operators a
   // training-data run chains: exact dedup (keep min-id survivor) →
   // near-dup cluster dedup (LSH pairs → connected components, keep the
@@ -1932,6 +2004,7 @@ object TextQueries {
     QueryDef("q153_bm25_search", q153, Some(q153Sql)),
     QueryDef("q154_ngram_repetition", q154, Some(q154Sql)),
     QueryDef("q155_containment", q155, Some(q155Sql)),
+    QueryDef("q156_semantic_decontamination", q156, Some(q156Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),

@@ -100,6 +100,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q153: BM25 keeps q151's top-k shape; the (N, Σdl) stats row broadcasts") {
+    val p = planOf("q153_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row corpus-stats side must broadcast:\n$p")
+  }
+
+  test("q154: n-gram repetition is entirely map-side — zero exchanges before the sort") {
+    // one Exchange is legal: the final orderBy. Nothing else may
+    // shuffle — grams, distinct counts, and the run fold are all
+    // array expressions inside the scan's projection.
+    val p = planOf("q154_ngram_repetition")
+    val exchanges = "(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most the orderBy exchange, got $exchanges:\n$p")
+    assert(!p.contains("HashAggregate"), s"per-doc signals must not aggregate:\n$p")
+  }
+
+  test("q155: containment candidates come from the band join — never all pairs") {
+    val p = planOf("q155_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"band equi-join expected:\n$p")
+  }
+
   test("q144: phrase search is scan → filter → TakeOrderedAndProject — zero exchanges") {
     val p = planOf("q144_phrase_search")
     assert(p.contains("TakeOrderedAndProject"), p)
