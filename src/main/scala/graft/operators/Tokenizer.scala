@@ -51,6 +51,86 @@ object Tokenizer {
       .orderBy(col("n_pairs").desc, col("pair"))
       .limit(k)
 
+  /** Separator for BPE symbol strings — U+001F (unit separator), a
+    * control char that never appears in natural-language tokens;
+    * words containing it are excluded up front (the operator's one
+    * input contract, enforced, not assumed). */
+  private val BpeSep = "\u001f"
+
+  /** ITERATED BPE merge training — the actual loop [[topPairs]] only
+    * scores the first step of: count adjacent CHARACTER-level symbol
+    * pairs weighted by word frequency, apply the argmax merge to
+    * every word, recount, `nMerges` times (Sennrich-style; pair
+    * counts include overlapping occurrences, merges apply greedily
+    * left-to-right non-overlapping). Returns the learned merge table
+    * `(merge_rank, s1, s2, pair_count)` — the artifact a tokenizer
+    * ships.
+    *
+    * The 100 TB design is the WORD-FREQUENCY COMPRESSION: the corpus
+    * is scanned ONCE (word → count), and every training iteration
+    * runs over that vocab-sized frame — training cost is independent
+    * of corpus size after the first pass, which is why BPE trainers
+    * scale at all. Per iteration: one partial-aggregated pair count
+    * over the vocab frame, a 1-row TakeOrdered argmax to the driver,
+    * and a map-side merge rewrite (localCheckpoint per round bounds
+    * the lineage, the kmeans discipline; each round releases the
+    * previous round's blocks).
+    *
+    * Cross-engine reproducibility: symbol sequences are SEPARATOR-
+    * DELIMITED STRINGS (`␟c₁␟c₂␟…␟`) and a merge is one literal
+    * `replace(str, ␟s1␟s2␟ → ␟s1s2␟)` — both engines' replace scans
+    * left-to-right non-overlapping and continues AFTER the
+    * replacement, which IS greedy BPE application, so the whole
+    * training trajectory (including tie-breaks: count desc, then
+    * (s1, s2) lexicographic) is bit-identical (oracle-gated, q157).
+    * The bounding separators make cross-symbol false matches
+    * impossible (`␟a␟b␟` cannot match inside `␟xa␟b…` — the char
+    * before `a` is `x`, not `␟`). */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val charArr = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    var vocab = docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(!col("word").contains(BpeSep))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        concat(lit(BpeSep), concat_ws(BpeSep, charArr), lit(BpeSep)).as("str"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    var round = 1
+    while (round <= nMerges && !exhausted) {
+      val syms = filter(split(col("str"),
+        java.util.regex.Pattern.quote(BpeSep)), s => s =!= "")
+      val m = greatest(size(syms) - 1, lit(0))
+      val best = vocab
+        .select(col("cnt"), explode(zip_with(
+          slice(syms, lit(1), m), slice(syms, lit(2), m),
+          (a, b) => struct(a.as("s1"), b.as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("s1"), col("s2"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (s1, s2, c) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((round, s1, s2, c))
+        val next = vocab.withColumn("str", call_function("replace",
+            col("str"), lit(BpeSep + s1 + BpeSep + s2 + BpeSep),
+            lit(BpeSep + s1 + s2 + BpeSep)))
+          .localCheckpoint()
+        Checkpoints.releasePinned(vocab)
+        vocab = next
+        round += 1
+      }
+    }
+    Checkpoints.releasePinned(vocab) // merges are driver-side; blocks are dead
+    merges.toSeq.toDF("merge_rank", "s1", "s2", "pair_count")
+  }
+
   /** Frequency-ranked vocabulary: the `vocabSize` most frequent
     * tokens (ties broken by token string), with occurrence counts. */
   def vocabulary(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame =

@@ -113,10 +113,59 @@ object VocabQueries {
        |FROM t a JOIN t b ON a.token = b.token AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 ORDER BY dot DESC, doc_a, doc_b LIMIT 15""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q157 — the ITERATED BPE training loop ([[Tokenizer.bpeTrain]],
+  // 8 merges): q72 scores only the FIRST merge; this runs the actual
+  // trainer — character-level symbol pairs weighted by word
+  // frequency, argmax merge applied greedily to every word, recount,
+  // 8 rounds — and returns the learned merge table. The corpus is
+  // scanned once (word → count); every round then runs on the
+  // vocab-sized frame — the compression that makes BPE training
+  // corpus-size-independent. The oracle replays all 8 rounds as
+  // unrolled CTEs over the same separator-delimited replace()
+  // mechanics (both engines' replace is left-to-right non-
+  // overlapping = greedy BPE), so the whole training trajectory
+  // including tie-breaks is bit-identical.
+  private val BpeMerges = 8
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    Tokenizer.bpeTrain(Tables.documents(s, dir), "text", nMerges = BpeMerges)
+      .orderBy(col("merge_rank"))
+  private val q157Sql = {
+    val sep = "chr(31)"
+    val levels = (1 to BpeMerges).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""p$i AS (SELECT cnt,
+        |    unnest(list_transform(range(1, len(syms)), j -> syms[j])) AS s1,
+        |    unnest(list_transform(range(1, len(syms)), j -> syms[j+1])) AS s2
+        |  FROM (SELECT cnt,
+        |      list_filter(string_split(str, $sep), x -> x <> '') AS syms
+        |    FROM $prev)),
+        |b$i AS (SELECT s1, s2, CAST(SUM(cnt) AS BIGINT) AS c
+        |  FROM p$i GROUP BY 1, 2 ORDER BY c DESC, s1, s2 LIMIT 1),
+        |v$i AS (SELECT word, cnt,
+        |    replace(str, $sep || b.s1 || $sep || b.s2 || $sep,
+        |                 $sep || b.s1 || b.s2 || $sep) AS str
+        |  FROM $prev, b$i b)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS merge_rank, s1, s2, c AS pair_count FROM b$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH words AS (SELECT word, COUNT(*) AS cnt FROM
+      |    (SELECT unnest($dTokens) AS word FROM documents)
+      |  WHERE NOT contains(word, $sep) GROUP BY word),
+      |v0 AS (SELECT word, cnt, $sep ||
+      |    array_to_string(list_transform(range(1, len(word) + 1),
+      |      i -> word[i:i]), $sep) || $sep AS str
+      |  FROM words),
+      |$levels
+      |SELECT * FROM ($finals) ORDER BY merge_rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_bpe_pairs", q72, Some(q72Sql)),
     QueryDef("q73_vocab_coverage", q73, Some(q73Sql)),
     QueryDef("q74_cooccurrence", q74, Some(q74Sql)),
     QueryDef("q90_token_dot", q90, Some(q90Sql)),
+    QueryDef("q157_bpe_train", q157, Some(q157Sql)),
   )
 }

@@ -137,6 +137,23 @@ class Round10Spec extends AnyFunSuite {
     assert(Similarity.derivedPqParams(10, 10L) == ((5, 2))) // odd dim, tiny corpus
   }
 
+  // ----------------------------- iterated BPE training
+
+  test("bpeTrain: hand-computed trajectory, greedy overlap handling, early exhaustion") {
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    // words: "aaa" ×2, "ab" ×1
+    val docs = Seq((1L, "aaa aaa"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(docs, "text", nMerges = 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // round 1: (a,a) counts OVERLAPPING pairs (2 per "aaa" × cnt 2 = 4);
+    // greedy application leaves [aa, a], NOT [aa, aa-half]
+    // round 2: (aa, a) from the rewritten words; round 3: (a, b);
+    // then no pairs remain — 3 merges despite nMerges = 5
+    assert(merges == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L), (3, "a", "b", 1L)),
+      merges.toString)
+  }
+
   // ----------------------------- containment pairs
 
   test("containmentPairs: full containment scores 1.0 exactly where Jaccard stays below threshold") {
