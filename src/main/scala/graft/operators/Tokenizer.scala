@@ -87,9 +87,20 @@ object Tokenizer {
     * impossible (`␟a␟b␟` cannot match inside `␟xa␟b…` — the char
     * before `a` is `x`, not `␟`). */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
-    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (merges, vocab) = bpeTrainCore(docs, textCol, nMerges)
+    Checkpoints.releasePinned(vocab) // merges are driver-side; blocks are dead
+    merges.toDF("merge_rank", "s1", "s2", "pair_count")
+  }
+
+  /** The training loop behind [[bpeTrain]] / [[bpeSegmentStats]]:
+    * returns the learned merges AND the final vocab frame
+    * `(word, cnt, str)` — `str` is each distinct word's fully-merged
+    * segmentation, still pinned (the CALLER owns the release). */
+  private def bpeTrainCore(docs: DataFrame, textCol: String,
+      nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
     val charArr = transform(sequence(lit(1), length(col("word"))),
       i => col("word").substr(i, lit(1)))
     var vocab = docs.select(explode(tokens(col(textCol))).as("word"))
@@ -127,8 +138,48 @@ object Tokenizer {
         round += 1
       }
     }
-    Checkpoints.releasePinned(vocab) // merges are driver-side; blocks are dead
-    merges.toSeq.toDF("merge_rank", "s1", "s2", "pair_count")
+    (merges.toSeq, vocab)
+  }
+
+  /** BPE SEGMENTATION statistics — the apply half of the tokenizer
+    * [[bpeTrain]] learns: segment the corpus with the trained merges
+    * and report, per group, the compression the vocabulary buys
+    * (`chars_per_token` — the number a tokenizer team actually
+    * tracks per language/source when sizing a vocab).
+    *
+    * The apply side inherits the trainer's word-frequency
+    * compression: each DISTINCT word is segmented ONCE (its final
+    * `str` already sits in the trained vocab frame), and the corpus
+    * pass is an explode + equi-join on the word value — no per-
+    * occurrence re-segmentation, no driver loop. At 100 TB the join
+    * shuffles (vocab can be 100M+ rows); the word key is Zipf-hot
+    * but the aggregate above it is partial, and a broadcast variant
+    * is a one-line swap when the vocab is capped. Words containing
+    * the separator are excluded by the trainer's contract and
+    * therefore drop from the stats (inner join), identically in the
+    * oracle.
+    *
+    * Columns per group: `n_words` (occurrences), `total_chars`,
+    * `total_bpe_tokens`, `chars_per_token`. */
+  def bpeSegmentStats(docs: DataFrame, textCol: String,
+      groupCols: Seq[String], nMerges: Int): DataFrame = {
+    val (_, vocab) = bpeTrainCore(docs, textCol, nMerges)
+    val nSyms = size(filter(split(col("str"),
+      java.util.regex.Pattern.quote(BpeSep)), s => s =!= ""))
+    val seg = vocab.select(col("word"), nSyms.cast("long").as("n_syms"))
+    val words = docs.select(
+      groupCols.map(col) :+ explode(tokens(col(textCol))).as("word"): _*)
+    val out = words.join(seg, Seq("word"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("total_chars"),
+        sum(col("n_syms")).as("total_bpe_tokens"))
+      .withColumn("chars_per_token",
+        col("total_chars").cast("double") / col("total_bpe_tokens"))
+    // the stats plan references the pinned vocab lazily; hand the
+    // release to the caller's consumption via Bench.releaseBlocks —
+    // eager release here would truncate the un-executed plan
+    out
   }
 
   /** Frequency-ranked vocabulary: the `vocabSize` most frequent

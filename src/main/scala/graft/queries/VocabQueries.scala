@@ -127,10 +127,12 @@ object VocabQueries {
   // overlapping = greedy BPE), so the whole training trajectory
   // including tie-breaks is bit-identical.
   private val BpeMerges = 8
-  private def q157(s: SparkSession, dir: String): DataFrame =
-    Tokenizer.bpeTrain(Tables.documents(s, dir), "text", nMerges = BpeMerges)
-      .orderBy(col("merge_rank"))
-  private val q157Sql = {
+
+  /** The q157/q158 shared oracle machinery: the full unrolled BPE
+    * training chain — `words` → `v0` (char symbols) → per round i,
+    * pair counts `p_i`, 1-row argmax `b_i`, rewritten vocab `v_i` —
+    * mirroring [[Tokenizer.bpeTrain]]'s replace() mechanics. */
+  private def bpeCtes: String = {
     val sep = "chr(31)"
     val levels = (1 to BpeMerges).map { i =>
       val prev = if (i == 1) "v0" else s"v${i - 1}"
@@ -147,18 +149,53 @@ object VocabQueries {
         |                 $sep || b.s1 || b.s2 || $sep) AS str
         |  FROM $prev, b$i b)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to BpeMerges)
-      .map(i => s"SELECT $i AS merge_rank, s1, s2, c AS pair_count FROM b$i")
-      .mkString("\n UNION ALL ")
-    s"""WITH words AS (SELECT word, COUNT(*) AS cnt FROM
+    s"""words AS (SELECT word, COUNT(*) AS cnt FROM
       |    (SELECT unnest($dTokens) AS word FROM documents)
       |  WHERE NOT contains(word, $sep) GROUP BY word),
       |v0 AS (SELECT word, cnt, $sep ||
       |    array_to_string(list_transform(range(1, len(word) + 1),
       |      i -> word[i:i]), $sep) || $sep AS str
       |  FROM words),
-      |$levels
+      |$levels""".stripMargin
+  }
+
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    Tokenizer.bpeTrain(Tables.documents(s, dir), "text", nMerges = BpeMerges)
+      .orderBy(col("merge_rank"))
+  private val q157Sql = {
+    val finals = (1 to BpeMerges)
+      .map(i => s"SELECT $i AS merge_rank, s1, s2, c AS pair_count FROM b$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH $bpeCtes
       |SELECT * FROM ($finals) ORDER BY merge_rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q158 — BPE SEGMENTATION stats ([[Tokenizer.bpeSegmentStats]]):
+  // the apply half of q157's trainer — per language, the compression
+  // the 8-merge vocabulary buys (chars per BPE token), computed by
+  // segmenting each DISTINCT word once (its final symbol string
+  // already sits in the trained vocab frame) and joining doc word
+  // occurrences against it: no per-occurrence re-segmentation
+  // anywhere. The oracle rides the shared unrolled training chain
+  // and reads v8 as the segmentation table.
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    Tokenizer.bpeSegmentStats(Tables.documents(s, dir), "text",
+        Seq("lang"), nMerges = BpeMerges)
+      .orderBy(col("lang"))
+  private val q158Sql = {
+    val sep = "chr(31)"
+    s"""WITH $bpeCtes,
+      |seg AS (SELECT word,
+      |    len(list_filter(string_split(str, $sep), x -> x <> '')) AS n_syms
+      |  FROM v$BpeMerges),
+      |docw AS (SELECT lang, unnest($dTokens) AS word FROM documents)
+      |SELECT d.lang, COUNT(*) AS n_words,
+      |  CAST(SUM(len(d.word)) AS BIGINT) AS total_chars,
+      |  CAST(SUM(s.n_syms) AS BIGINT) AS total_bpe_tokens,
+      |  CAST(SUM(len(d.word)) AS DOUBLE) / SUM(s.n_syms) AS chars_per_token
+      |FROM docw d JOIN seg s USING (word)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -167,5 +204,6 @@ object VocabQueries {
     QueryDef("q74_cooccurrence", q74, Some(q74Sql)),
     QueryDef("q90_token_dot", q90, Some(q90Sql)),
     QueryDef("q157_bpe_train", q157, Some(q157Sql)),
+    QueryDef("q158_bpe_segment", q158, Some(q158Sql)),
   )
 }

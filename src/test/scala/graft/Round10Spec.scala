@@ -154,6 +154,19 @@ class Round10Spec extends AnyFunSuite {
       merges.toString)
   }
 
+  test("bpeSegmentStats: distinct words segment once; hand-computed compression") {
+    import graft.operators.Tokenizer
+    import spark.implicits._
+    val docs = Seq((1L, "aaa aaa"), (2L, "ab")).toDF("doc_id", "text")
+    // 2 merges: (a,a) then (aa,a) -> "aaa" = 1 token, "ab" = 2
+    val r = Tokenizer.bpeSegmentStats(docs, "text", Seq.empty, nMerges = 2)
+      .collect().head
+    assert(r.getLong(0) == 3L, s"3 word occurrences, got ${r.toSeq}")
+    assert(r.getLong(1) == 8L, "total chars 3+3+2")
+    assert(r.getLong(2) == 4L, "tokens 1+1+2")
+    assert(r.getDouble(3) == 2.0)
+  }
+
   // ----------------------------- containment pairs
 
   test("containmentPairs: full containment scores 1.0 exactly where Jaccard stays below threshold") {
