@@ -26,7 +26,8 @@ import graft.queries._
   *  - [[CurationQueries]]    q47–q50, q53, q57–q58, q64–q65, q70–q71,
   *    q76, q80, q101: skew-safe aggs, sampling/caps/mixtures, packing,
   *    sketches + the mergeable sketch rollup
-  *  - [[VocabQueries]]       q72–q74, q90: tokenizer-training stats
+  *  - [[VocabQueries]]       q72–q74, q90, q157–q158: tokenizer-
+  *    training stats + the iterated BPE trainer and segmentation
   *  - [[LifecycleQueries]]   also q79, q86: CDC diff + MERGE
   *  - [[EventQueries]]       q83–q84, q89, q92–q93, q104–q106: funnel,
   *    gap fill, sigma/MAD outliers, trailing RANGE windows, trend

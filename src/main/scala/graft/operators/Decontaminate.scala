@@ -57,4 +57,49 @@ object Decontaminate {
     train.join(contaminated, Seq(idCol), "left")
       .withColumn(flagCol, coalesce(col(flagCol), lit(false)))
   }
+
+  /** SEMANTIC decontamination: flag training documents whose
+    * embedding cosine against ANY eval doc reaches `threshold` — the
+    * paraphrase-contamination detector [[flagContaminated]]'s exact
+    * n-gram overlap cannot be (an eval item rephrased in a training
+    * doc shares meaning-space, not necessarily any exact gram).
+    * Encoder = [[TextFunctions.hashEmbed]] (the deterministic stub;
+    * swap for a model encoder without changing the plan shape).
+    *
+    * Same scale asymmetry as the gram flagger: the EVAL side is tiny
+    * by construction and broadcasts; the corpus pass is one map-side
+    * scoring sweep (|eval| codegen'd dot products per doc) whose
+    * per-doc max collapses in the partial aggregate — the only
+    * shuffle carries one row per flagged doc. The train embedding
+    * frame is localCheckpoint'd (it feeds the scoring pass AND the
+    * 1:1 flag join — the CollapseProject re-encode hazard).
+    *
+    * Returns `train` 1:1 plus `flagCol` and `max_eval_cosine` (null
+    * for unflagged docs; zero-norm docs flag false). */
+  def flagSemanticContaminated(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, dim: Int, threshold: Double,
+      flagCol: String = "is_sem_contaminated"): DataFrame = {
+    require(!train.columns.contains(flagCol),
+      s"train already has a '$flagCol' column — drop or rename it before flagging")
+    val internal = Seq("__emb", "__nrm", "__ev", "__en", "__cos", "max_eval_cosine")
+    require(!internal.contains(idCol) && idCol != flagCol,
+      s"idCol '$idCol' collides with an internal/output column")
+    def norm(c: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, v) => a + v))
+    val tEmb = train.select(col(idCol), hashEmbed(col(textCol), dim).as("__emb"))
+      .withColumn("__nrm", norm(col("__emb")))
+      .localCheckpoint()
+    val eEmb = eval.select(hashEmbed(col(textCol), dim).as("__ev"))
+      .withColumn("__en", norm(col("__ev"))).filter(col("__en") > 0)
+    val flagged = tEmb.filter(col("__nrm") > 0)
+      .crossJoin(broadcast(eEmb))
+      .withColumn("__cos",
+        aggregate(zip_with(col("__emb"), col("__ev"), (x, y) => x * y),
+          lit(0.0), (a, v) => a + v) / (col("__nrm") * col("__en")))
+      .groupBy(col(idCol)).agg(max(col("__cos")).as("max_eval_cosine"))
+      .filter(col("max_eval_cosine") >= threshold)
+      .withColumn(flagCol, lit(true))
+    train.join(broadcast(flagged), Seq(idCol), "left")
+      .withColumn(flagCol, coalesce(col(flagCol), lit(false)))
+  }
 }

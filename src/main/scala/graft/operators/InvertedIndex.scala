@@ -219,4 +219,47 @@ object InvertedIndex {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
+
+  // --------------------------------------- incremental posting store
+
+  /** Append one batch's postings to the PERSISTED index at `root` —
+    * the maintenance shape a served retrieval index needs: a daily
+    * delta writes ONLY its own `(id, token, tf, doc_len)` rows
+    * ([[BatchStore]] stage-and-rename commit), and search scans the
+    * union of committed batches — the corpus text is tokenized once,
+    * ever, instead of per query ([[andSearch]]'s re-scan shape) or
+    * per day (a full re-index). Postings are one shuffle on
+    * (id, token) with map-side partial counts. */
+  def writePostingStore(df: DataFrame, idCol: String, textCol: String,
+      root: String, batchId: Long): Unit = {
+    val postings = df
+      .select(col(idCol), size(tokens(col(textCol))).as("doc_len"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("doc_len"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    BatchStore.append(postings, root, batchId)
+  }
+
+  /** [[andSearch]] OVER THE STORE: identical ranking semantics (docs
+    * containing ALL terms, total-tf score, id tiebreak, top `k`) from
+    * persisted postings instead of a corpus scan — pinned
+    * value-identical to the scan path in Round10Spec. The term filter
+    * reaches the parquet scan as a pushed `In(token, …)` predicate
+    * (PlanSpec), so a query reads only its terms' row groups: the
+    * point of maintaining the index. Assumes each doc's postings live
+    * in exactly one batch (append deltas, don't re-append docs). */
+  def andSearchFromStore(store: DataFrame, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    require(k >= 1, s"need k >= 1, got $k")
+    store.filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("token")).as("__n_terms"),
+        sum(col("tf")).as("score"))
+      .filter(col("__n_terms") === terms.size)
+      .select(col(idCol), col("score"))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
 }

@@ -993,6 +993,36 @@ object TextQueries {
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------
+  // q159 — q139 THROUGH THE PERSISTED POSTING STORE: two daily
+  // batches (an even/odd doc_id split standing in for day 1 / day 2)
+  // append their postings via the BatchStore stage-and-rename
+  // commit, and the search runs over the store union — the index-
+  // maintenance shape: corpus text is tokenized ONCE ever (per-batch
+  // delta writes), not per query or per day. Ranking semantics are
+  // identical to q139's scan path, so the oracle IS q139's SQL; the
+  // term filter reaches the store's parquet scan as a pushed
+  // In(token, …) predicate (PlanSpec) — a query reads its terms'
+  // row groups, not the corpus.
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q159_postings").toString
+    graft.operators.InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, batchId = 1L)
+    graft.operators.InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, batchId = 2L)
+    val out = graft.operators.InvertedIndex.andSearchFromStore(
+        graft.operators.BatchStore.read(s, root), "doc_id",
+        terms = Seq("spark", "join", "hash"), k = 20)
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    out
+  }
+  private val q159Sql = q139Sql
+
+  // ---------------------------------------------------------------
   // q151 — idf-weighted RANKED retrieval: q139's term set, re-ranked
   // by length-normalized tf·idf ([[graft.operators.InvertedIndex
   // .rankedSearch]]). q139's raw-tf score is dominated by long
@@ -1217,29 +1247,15 @@ object TextQueries {
   // localCheckpoint is the q130 CollapseProject barrier (encoder
   // feeds norm + every pair cosine).
   private def q156(s: SparkSession, dir: String): DataFrame = {
-    val dim = 32
-    val emb = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        (col("doc_id") % 97 === 3).as("is_eval"),
-        TextFunctions.hashEmbed(col("text"), dim).as("emb"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("emb"), x => x * x), lit(0.0), (a, v) => a + v)))
-      .localCheckpoint()
-    val evalSide = emb.filter(col("is_eval") && col("nrm") > 0)
-      .select(col("emb").as("ev"), col("nrm").as("en"))
-    val train = emb.filter(!col("is_eval"))
-    val flagged = train.filter(col("nrm") > 0)
-      .crossJoin(broadcast(evalSide))
-      .withColumn("cosine",
-        aggregate(zip_with(col("emb"), col("ev"), (x, y) => x * y),
-          lit(0.0), (a, v) => a + v) / (col("nrm") * col("en")))
-      .groupBy(col("doc_id")).agg(max(col("cosine")).as("max_cos"))
-      .filter(col("max_cos") >= 0.9)
-      .select(col("doc_id"), lit(1L).as("c"))
-    train.select(col("doc_id"), col("lang"))
-      .join(broadcast(flagged), Seq("doc_id"), "left")
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_train"),
-        sum(coalesce(col("c"), lit(0L))).as("n_sem_contaminated"))
+    val docs = Tables.documents(s, dir)
+    val flagged = graft.operators.Decontaminate.flagSemanticContaminated(
+      docs.filter(col("doc_id") % 97 =!= 3)
+        .select(col("doc_id"), col("lang"), col("text")),
+      docs.filter(col("doc_id") % 97 === 3),
+      "doc_id", "text", dim = 32, threshold = 0.9)
+    flagged.groupBy(col("lang")).agg(count(lit(1)).as("n_train"),
+        sum(when(col("is_sem_contaminated"), 1L).otherwise(0L))
+          .as("n_sem_contaminated"))
       .orderBy(col("lang"))
   }
   private val q156Sql = {
@@ -2005,6 +2021,7 @@ object TextQueries {
     QueryDef("q154_ngram_repetition", q154, Some(q154Sql)),
     QueryDef("q155_containment", q155, Some(q155Sql)),
     QueryDef("q156_semantic_decontamination", q156, Some(q156Sql)),
+    QueryDef("q159_posting_store_search", q159, Some(q159Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),

@@ -137,6 +137,43 @@ class Round10Spec extends AnyFunSuite {
     assert(Similarity.derivedPqParams(10, 10L) == ((5, 2))) // odd dim, tiny corpus
   }
 
+  // ----------------------------- incremental posting store
+
+  test("posting store: search over appended batches equals the scan path; term filter pushes to the scan; retry fails fast") {
+    import spark.implicits._
+    import graft.operators.{BatchStore, InvertedIndex}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_posting_spec").toString
+    val docs = Seq(
+      (1L, "spark join hash spark"), (2L, "spark join hash"),
+      (3L, "spark only here"), (4L, "join hash but no first term"),
+      (5L, "spark join hash hash hash")).toDF("doc_id", "text")
+    InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", root, 1L)
+    InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") > 2), "doc_id", "text", root, 2L)
+    val terms = Seq("spark", "join", "hash")
+    val fromStore = InvertedIndex.andSearchFromStore(
+      BatchStore.read(spark, root), "doc_id", terms, k = 10)
+    val fromScan = InvertedIndex.andSearch(docs, "doc_id", "text", terms, k = 10)
+      .select(col("doc_id"), col("score"))
+    assert(fromStore.as[(Long, Long)].collect().toSeq ==
+      fromScan.as[(Long, Long)].collect().toSeq)
+    assert(fromStore.as[(Long, Long)].collect().toSeq ==
+      Seq((5L, 5L), (1L, 4L), (2L, 3L)))
+    // the point of the index: the term filter reaches the parquet scan
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(token"),
+      s"term filter must push into the store scan:\n$plan")
+    // append-only: re-committing a batch id fails fast
+    intercept[IllegalArgumentException] {
+      InvertedIndex.writePostingStore(docs, "doc_id", "text", root, 1L)
+    }
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   // ----------------------------- iterated BPE training
 
   test("bpeTrain: hand-computed trajectory, greedy overlap handling, early exhaustion") {
