@@ -1023,6 +1023,74 @@ object TextQueries {
   private val q159Sql = q139Sql
 
   // ---------------------------------------------------------------
+  // q160 — PASSAGE RETRIEVAL: the RAG-shape composition — chunk the
+  // training corpus (q68's 64/48 windows), embed each chunk (q130's
+  // hashEmbed stub, dim 32), retrieve the top-5 chunks per eval
+  // query by cosine — the passage-level complement of q156's
+  // doc-level decontamination (WHERE an eval item leaks, not just
+  // whether). Chunk embeddings are localCheckpoint'd (encoder feeds
+  // norm + every pair — the q130 barrier); queries broadcast (eval
+  // sets are small constants); the per-query top-5 is a window rank
+  // whose WindowGroupLimit partial runs map-side. Cosines are the
+  // q130 fold spelling, ties broken (doc_id, chunk_id) — the whole
+  // ranking hash-matches.
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val dim = 32
+    def nrm(c: org.apache.spark.sql.Column) =
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, v) => a + v))
+    val docs = Tables.documents(s, dir)
+    val chunks = Chunking.chunkByTokens(docs.filter(col("doc_id") % 97 =!= 3),
+        "doc_id", "text", chunkTokens = 64, strideTokens = 48)
+      .select(col("doc_id"), col("chunk_id"),
+        TextFunctions.hashEmbed(col("chunk_text"), dim).as("cemb"))
+      .withColumn("cn", nrm(col("cemb"))).filter(col("cn") > 0)
+      .localCheckpoint()
+    val queries = docs.filter(col("doc_id") % 97 === 3)
+      .select(col("doc_id").as("query_id"),
+        TextFunctions.hashEmbed(col("text"), dim).as("qemb"))
+      .withColumn("qn", nrm(col("qemb"))).filter(col("qn") > 0)
+    chunks.crossJoin(broadcast(queries))
+      .withColumn("cosine",
+        aggregate(zip_with(col("cemb"), col("qemb"), (x, y) => x * y),
+          lit(0.0), (a, v) => a + v) / (col("cn") * col("qn")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(desc("cosine"), col("doc_id"), col("chunk_id"))).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("chunk_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q160Sql = {
+    val w = s"(${dHash("'1:' || tk")} % 2001 - 1000) / 1000.0"
+    def emb(toks: String) = s"""list_transform(range(0, 32), d ->
+      |    list_reduce(list_prepend(0.0, list_transform($toks, tk ->
+      |      CASE WHEN ${dHash("tk")} % 32 = d THEN $w ELSE 0.0 END)),
+      |      (a, b) -> a + b))""".stripMargin
+    val nrm = "sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(emb, x -> x * x)), (a, b) -> a + b))"
+    val dot = "list_reduce(list_prepend(0.0, " +
+      "list_transform(range(1, 33), i -> c.emb[i] * q.emb[i])), (x, y) -> x + y)"
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |ch AS (SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+      |    toks[start:start+63] AS ctoks
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start
+      |        FROM t WHERE len(toks) > 0 AND doc_id % 97 <> 3)),
+      |ce AS (SELECT doc_id, chunk_id, ${emb("ctoks")} AS emb FROM ch),
+      |cn AS (SELECT doc_id, chunk_id, emb, $nrm AS n FROM ce),
+      |q0 AS (SELECT doc_id AS query_id, ${emb("toks")} AS emb FROM t
+      |       WHERE doc_id % 97 = 3),
+      |qn AS (SELECT query_id, emb, $nrm AS n FROM q0),
+      |p AS (SELECT q.query_id, c.doc_id, c.chunk_id,
+      |    $dot / (c.n * q.n) AS cosine
+      |  FROM cn c CROSS JOIN qn q WHERE c.n > 0 AND q.n > 0),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, doc_id, chunk_id) AS BIGINT) AS rank FROM p)
+      |SELECT query_id, rank, doc_id, chunk_id, cosine
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q151 — idf-weighted RANKED retrieval: q139's term set, re-ranked
   // by length-normalized tf·idf ([[graft.operators.InvertedIndex
   // .rankedSearch]]). q139's raw-tf score is dominated by long
@@ -2022,6 +2090,7 @@ object TextQueries {
     QueryDef("q155_containment", q155, Some(q155Sql)),
     QueryDef("q156_semantic_decontamination", q156, Some(q156Sql)),
     QueryDef("q159_posting_store_search", q159, Some(q159Sql)),
+    QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),
