@@ -78,7 +78,8 @@ object Bench {
     "q150_pq_trained_planted", "q152_ivfpq_planted",
     "q153_bm25_search", "q154_ngram_repetition", "q155_containment",
     "q156_semantic_decontamination", "q157_bpe_train", "q158_bpe_segment",
-    "q159_posting_store_search", "q160_passage_retrieval")
+    "q159_posting_store_search", "q160_passage_retrieval",
+    "q161_bm25_store")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -414,7 +415,8 @@ object Bench {
       "q150_pq_trained_planted", "q152_ivfpq_planted",
     "q153_bm25_search", "q154_ngram_repetition", "q155_containment",
     "q156_semantic_decontamination", "q157_bpe_train", "q158_bpe_segment",
-    "q159_posting_store_search", "q160_passage_retrieval")
+    "q159_posting_store_search", "q160_passage_retrieval",
+    "q161_bm25_store")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

@@ -177,9 +177,18 @@ object InvertedIndex {
       .filter(col("token").isin(terms: _*))
       .groupBy(col(idCol), col("doc_len"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = df.select(count(lit(1)).as("n_docs"),
       sum(size(tokens(col(textCol)))).as("total_len"))
+    bm25Rank(tf, stats, idCol, terms, k)
+  }
+
+  /** The BM25 scoring stage shared by [[bm25Search]] (tf/stats from a
+    * corpus scan) and [[bm25SearchFromStore]] (tf/stats from persisted
+    * postings): df from the term-filtered tf frame, the saturated
+    * pivoted contribution, the fixed-order pivot sum, top-k. */
+  private def bm25Rank(tf: DataFrame, stats: DataFrame, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val dlRatio = col("doc_len").cast("double") /
       (col("total_len").cast("double") / col("n_docs"))
@@ -198,6 +207,27 @@ object InvertedIndex {
       .select(col(idCol), col("doc_len").cast("long").as("doc_len"), col("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
+  }
+
+  /** [[bm25Search]] OVER THE STORE ([[writePostingStore]]): identical
+    * scoring arithmetic from persisted postings — tf rows are the
+    * store's term-filtered rows (pushed-filter scan, like
+    * [[andSearchFromStore]]), and the corpus stats (N, Σdl) come
+    * from the store's distinct (id, doc_len) pairs. One documented
+    * divergence from the scan path: zero-token documents have no
+    * postings, so they are absent from N/avgdl here — on a corpus
+    * where every doc tokenizes, the two paths are value-identical
+    * (spec-pinned). */
+  def bm25SearchFromStore(store: DataFrame, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    require(k >= 1, s"need k >= 1, got $k")
+    val tf = store.filter(col("token").isin(terms: _*))
+      .select(col(idCol), col("doc_len"), col("token"), col("tf"))
+    val stats = store.select(col(idCol), col("doc_len")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_len")).as("total_len"))
+    bm25Rank(tf, stats, idCol, terms, k)
   }
 
   /** Documents containing ALL `terms`, ranked by total term frequency

@@ -1144,7 +1144,11 @@ object TextQueries {
   private def q153(s: SparkSession, dir: String): DataFrame =
     graft.operators.InvertedIndex.bm25Search(
       Tables.documents(s, dir), "doc_id", "text", q151Terms, k = 20)
-  private val q153Sql = {
+  /** Shared BM25 oracle body, parameterized by the corpus-stats CTE —
+    * the scan path (q153) counts every document; the store path
+    * (q161) counts only documents WITH postings (zero-token docs are
+    * absent from a posting store, the one documented divergence). */
+  private def bm25SqlFor(nCte: String) = {
     val inList = q151Terms.map(t => s"'$t'").mkString(", ")
     val cells = q151Terms.zipWithIndex.map { case (t, i) =>
       s"MAX(CASE WHEN token = '$t' THEN contrib END) AS c$i" }.mkString(",\n    ")
@@ -1158,7 +1162,7 @@ object TextQueries {
       |tf AS (SELECT doc_id, doc_len, token, COUNT(*) AS tf FROM base
       |  WHERE token IN ($inList) GROUP BY 1, 2, 3),
       |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
-      |n AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM t),
+      |n AS ($nCte),
       |c AS (SELECT doc_id, doc_len, token,
       |    $contrib AS contrib
       |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
@@ -1170,6 +1174,35 @@ object TextQueries {
       |FROM p WHERE n_terms = ${q151Terms.size}
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
+  private val q153Sql = bm25SqlFor(
+    "SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM t")
+
+  // ---------------------------------------------------------------
+  // q161 — BM25 FROM THE POSTING STORE: q153's scoring arithmetic
+  // over q159's persisted postings ([[graft.operators.InvertedIndex
+  // .bm25SearchFromStore]]) — the served-index completion: term rows
+  // from the pushed-filter store scan, corpus stats (N, Σdl) from
+  // the store's distinct (id, doc_len) pairs. Zero-token docs have
+  // no postings, so the oracle's stats CTE counts only tokenizing
+  // docs — the one documented divergence from the scan path.
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q161_postings").toString
+    graft.operators.InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, batchId = 1L)
+    graft.operators.InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, batchId = 2L)
+    val out = graft.operators.InvertedIndex.bm25SearchFromStore(
+        graft.operators.BatchStore.read(s, root), "doc_id", q151Terms, k = 20)
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    out
+  }
+  private val q161Sql = bm25SqlFor(
+    "SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM t WHERE len(toks) > 0")
 
   // ---------------------------------------------------------------
   // q60 — benchmark decontamination: training docs sharing any word
@@ -2091,6 +2124,7 @@ object TextQueries {
     QueryDef("q156_semantic_decontamination", q156, Some(q156Sql)),
     QueryDef("q159_posting_store_search", q159, Some(q159Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
+    QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),

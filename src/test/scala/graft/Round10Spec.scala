@@ -174,6 +174,33 @@ class Round10Spec extends AnyFunSuite {
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("bm25SearchFromStore equals the scan path on a fully-tokenizing corpus") {
+    import spark.implicits._
+    import graft.operators.{BatchStore, InvertedIndex}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_bm25_store_spec").toString
+    val docs = Seq(
+      (1L, "spark join hash spark pad1 pad2"), (2L, "spark join hash"),
+      (3L, "spark only"), (4L, "spark join hash " + ("filler " * 30).trim))
+      .toDF("doc_id", "text")
+    InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") <= 2), "doc_id", "text", root, 1L)
+    InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") > 2), "doc_id", "text", root, 2L)
+    val terms = Seq("spark", "join", "hash")
+    val scan = InvertedIndex.bm25Search(docs, "doc_id", "text", terms, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    val store = InvertedIndex.bm25SearchFromStore(
+        BatchStore.read(spark, root), "doc_id", terms, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(store == scan, s"store $store vs scan $scan")
+    assert(store.map(_._1) == Seq(2L, 1L, 4L),
+      "short balanced doc must outrank the padded ones")
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   // ----------------------------- iterated BPE training
 
   test("bpeTrain: hand-computed trajectory, greedy overlap handling, early exhaustion") {
