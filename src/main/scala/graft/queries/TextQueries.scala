@@ -1091,6 +1091,73 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
+  // q162 — SPLIT-LEAKAGE AUDIT: the measured proof behind q125's
+  // "leakage-safe" claim. Both splitters use the SAME hash splitter
+  // (Sampling.groupSplit, 5/5/90) — one keyed on the near-dup
+  // CLUSTER, one keyed on the raw doc_id (the naive row split every
+  // pipeline starts with) — and the audit counts near-dup pairs
+  // whose two ends land in different splits. The cluster split MUST
+  // be zero (in-plan assert fails the query otherwise: the q125
+  // guarantee as an executable invariant); the row split leaks a
+  // nonzero fraction at every tested scale, which is the number that
+  // justifies paying for the clustering. The pair frame is
+  // localCheckpoint'd — it feeds the components AND both audit joins.
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val comp = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val labeled = docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("component"), col("doc_id")))
+    val weights = Seq(("val", 5), ("test", 10), ("train", 100))
+    val bySafe = Sampling.groupSplit(labeled, col("grp"), weights)
+      .select(col("doc_id"), col("split"))
+    val byRow = Sampling.groupSplit(docs.select(col("doc_id")), col("doc_id"), weights)
+      .select(col("doc_id"), col("split"))
+    def audit(assign: DataFrame, method: String): DataFrame =
+      pairs
+        .join(assign.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(assign.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("n_cross"))
+        .select(lit(method).as("method"), col("n_pairs"), col("n_cross"))
+    val safe = audit(bySafe, "cluster")
+      .filter(assert_true(col("n_cross") === 0,
+        lit("cluster split leaked a near-dup pair across the cut")).isNull)
+    safe.unionByName(audit(byRow, "row_hash")).orderBy(col("method"))
+  }
+  private val q162Sql = {
+    val hGrp = dHash("CAST(grp AS VARCHAR)")
+    val hDoc = dHash("CAST(doc_id AS VARCHAR)")
+    def splitCase(h: String) =
+      s"""CASE WHEN $h % 100 < 5 THEN 'val'
+         |         WHEN $h % 100 < 10 THEN 'test'
+         |         ELSE 'train' END AS split""".stripMargin
+    def auditSel(tag: String, a: String) =
+      s"""SELECT '$tag' AS method, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+         |FROM pairs p JOIN $a a ON p.id_a = a.doc_id
+         |             JOIN $a b ON p.id_b = b.doc_id""".stripMargin
+    s"""WITH RECURSIVE ${dLshCtes("documents")},
+      |pairs0 AS ($dLshPairsSelect),
+      |pairs AS (SELECT id_a, id_b FROM pairs0),
+      |$dCcCtes,
+      |labeled AS (
+      |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS grp
+      |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+      |safe AS (SELECT doc_id, ${splitCase(hGrp)} FROM labeled),
+      |naive AS (SELECT doc_id, ${splitCase(hDoc)} FROM documents)
+      |SELECT * FROM (
+      |${auditSel("cluster", "safe")}
+      |UNION ALL
+      |${auditSel("row_hash", "naive")})
+      |ORDER BY method""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q151 — idf-weighted RANKED retrieval: q139's term set, re-ranked
   // by length-normalized tf·idf ([[graft.operators.InvertedIndex
   // .rankedSearch]]). q139's raw-tf score is dominated by long
@@ -2125,6 +2192,7 @@ object TextQueries {
     QueryDef("q159_posting_store_search", q159, Some(q159Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
+    QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),
