@@ -1158,6 +1158,40 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
+  // q163 — JSONL ROUND-TRIP: the interchange format LLM corpora
+  // actually ship in, gated end-to-end — documents → JSON-lines sink
+  // → schema'd JSON source → per-language rollup, compared against
+  // the parquet truth (the oracle aggregates the parquet table
+  // directly, so any escaping/encoding loss in either direction
+  // breaks the hash; multi-byte text and embedded quotes ride the
+  // zh/es rows). Read side is explicit-schema (no sampling
+  // inference pass — at 100 TB, schema inference is a full extra
+  // scan) with the default PERMISSIVE corrupt handling. Sink
+  // staging is a temp dir, deleted after the checkpoint.
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_q163_jsonl").toString
+    docs.write.mode("overwrite").json(tmp)
+    val out = s.read.schema(docs.schema).json(tmp)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(length(col("text")).cast("long")).as("text_chars"))
+      .orderBy(col("lang"))
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out
+  }
+  private val q163Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(SUM(len(text)) AS BIGINT) AS text_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // q151 — idf-weighted RANKED retrieval: q139's term set, re-ranked
   // by length-normalized tf·idf ([[graft.operators.InvertedIndex
   // .rankedSearch]]). q139's raw-tf score is dominated by long
@@ -2193,6 +2227,7 @@ object TextQueries {
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),
+    QueryDef("q163_jsonl_roundtrip", q163, Some(q163Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),

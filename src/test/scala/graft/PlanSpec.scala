@@ -118,6 +118,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate"), s"per-doc signals must not aggregate:\n$p")
   }
 
+  test("q158: segmentation joins the trained vocab — no cartesian, no per-occurrence re-segmentation") {
+    val p = planOf("q158_bpe_segment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"word equi-join expected:\n$p")
+  }
+
+  test("q160: passage retrieval broadcasts the queries and ranks with a map-side group limit") {
+    val p = planOf("q160_passage_retrieval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the eval-query side must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-5 must plan as WindowGroupLimit:\n$p")
+  }
+
   test("q155: containment candidates come from the band join — never all pairs") {
     val p = planOf("q155_containment")
     assert(!p.contains("CartesianProduct"), p)
