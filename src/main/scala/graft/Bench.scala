@@ -79,7 +79,8 @@ object Bench {
     "q153_bm25_search", "q154_ngram_repetition", "q155_containment",
     "q156_semantic_decontamination", "q157_bpe_train", "q158_bpe_segment",
     "q159_posting_store_search", "q160_passage_retrieval",
-    "q161_bm25_store", "q162_split_leakage_audit", "q163_jsonl_roundtrip")
+    "q161_bm25_store", "q162_split_leakage_audit", "q163_jsonl_roundtrip",
+    "q164_mmr_rerank")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -416,7 +417,8 @@ object Bench {
     "q153_bm25_search", "q154_ngram_repetition", "q155_containment",
     "q156_semantic_decontamination", "q157_bpe_train", "q158_bpe_segment",
     "q159_posting_store_search", "q160_passage_retrieval",
-    "q161_bm25_store", "q162_split_leakage_audit", "q163_jsonl_roundtrip")
+    "q161_bm25_store", "q162_split_leakage_audit", "q163_jsonl_roundtrip",
+    "q164_mmr_rerank")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

@@ -543,6 +543,79 @@ object Similarity {
       .distinct()
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking: greedily pick `k`
+    * candidates per query, each step's score
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)` trading relevance
+    * against redundancy with what is already picked — the diversity
+    * pass a RAG retriever runs AFTER top-N similarity (N near-dup
+    * passages about one aspect crowd out every other aspect; MMR
+    * keeps one of each). The empty-selected max is 0, so pick 1 is
+    * the pure-relevance argmax under the same formula.
+    *
+    * `cands` carries one row per (query, candidate):
+    * `queryCol, idCol, relCol, vecCol` (the candidate's embedding —
+    * pairwise sims are computed HERE, cosine). Scale shape: MMR runs
+    * on top-N frames (N per query is tens), so every stage is
+    * candidate-sized — the per-query self-join is N² rows, the k
+    * greedy steps are k unrolled join+window stages over those
+    * frames, and the corpus never appears; `cands` and the sim frame
+    * are localCheckpoint'd once (they feed every step). The greedy
+    * loop is inherently sequential in k — at fixed small k (5–20)
+    * that is k candidate-sized stages, not a scaling hazard.
+    *
+    * Determinism: rel and sims are cosines (engine-identical
+    * doubles), λ must be binary-exact (default 1/2), ties break on
+    * the candidate id — the whole greedy trajectory is
+    * bit-reproducible (oracle-gated, q164). Returns
+    * `(queryCol, pick_rank, idCol, rel, mmr)`. */
+  def mmrRerank(cands: DataFrame, queryCol: String, idCol: String,
+      relCol: String, vecCol: String, k: Int,
+      lam: Double = 0.5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(lam >= 0 && lam <= 1, s"need 0 <= lambda <= 1, got $lam")
+    val base = cands.select(col(queryCol), col(idCol), col(relCol),
+        col(vecCol), l2Norm(col(vecCol)).as("__n"))
+      .localCheckpoint() // feeds the sim self-join and every step
+    val a = base.select(col(queryCol), col(idCol).as("__cid_a"),
+      col(vecCol).as("__va"), col("__n").as("__na"))
+    val b = base.select(col(queryCol), col(idCol).as("__cid_b"),
+      col(vecCol).as("__vb"), col("__n").as("__nb"))
+    val sims = a.join(b, Seq(queryCol))
+      .filter(col("__cid_a") =!= col("__cid_b"))
+      .select(col(queryCol), col("__cid_a"), col("__cid_b"),
+        (dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("__sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("__mmr").desc, col(idCol))
+    val empty = base.select(col(queryCol), col(idCol), col(relCol),
+        lit(0.0).as("mmr"), lit(0).as("pick_rank")).limit(0)
+    val selected = (1 to k).foldLeft(empty) { (sel, t) =>
+      val remaining = base.join(
+        sel.select(col(queryCol), col(idCol)), Seq(queryCol, idCol), "left_anti")
+      val maxSim = sims
+        .join(sel.select(col(queryCol), col(idCol).as("__cid_b")),
+          Seq(queryCol, "__cid_b"))
+        .groupBy(col(queryCol), col("__cid_a"))
+        .agg(max(col("__sim")).as("__ms"))
+      val pick = remaining
+        .join(maxSim.withColumnRenamed(queryCol, "__q"),
+          col(queryCol) === col("__q") && col(idCol) === col("__cid_a"), "left")
+        .drop("__q", "__cid_a")
+        .withColumn("__mmr",
+          lit(lam) * col(relCol) - lit(1.0 - lam) * coalesce(col("__ms"), lit(0.0)))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(queryCol), col(idCol), col(relCol),
+          col("__mmr").as("mmr"), lit(t).as("pick_rank"))
+      // selected stays tiny (t rows/query); the checkpoint keeps the
+      // k-step plan linear instead of doubling per step (sel feeds
+      // both the anti join and the max-sim join)
+      sel.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col(queryCol), col("pick_rank"), col(idCol),
+      col(relCol), col("mmr"))
+  }
+
   // ------------------------------------------ product quantization
 
   /** Per-subspace slices of `vecCol` as a long-format frame: one row

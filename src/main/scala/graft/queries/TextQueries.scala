@@ -1034,7 +1034,9 @@ object TextQueries {
   // whose WindowGroupLimit partial runs map-side. Cosines are the
   // q130 fold spelling, ties broken (doc_id, chunk_id) — the whole
   // ranking hash-matches.
-  private def q160(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q160/q164 candidate builder: ranked chunk candidates per
+    * eval query, embeddings kept for downstream re-ranking. */
+  private def passageCands(s: SparkSession, dir: String, topN: Int): DataFrame = {
     val dim = 32
     def nrm(c: org.apache.spark.sql.Column) =
       sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, v) => a + v))
@@ -1055,12 +1057,16 @@ object TextQueries {
           lit(0.0), (a, v) => a + v) / (col("cn") * col("qn")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(desc("cosine"), col("doc_id"), col("chunk_id"))).cast("long"))
-      .filter(col("rank") <= 5)
+          .orderBy(desc("cosine"), col("doc_id"), col("chunk_id"))))
+      .filter(col("rank") <= topN)
       .select(col("query_id"), col("rank"), col("doc_id"),
-        col("chunk_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+        col("chunk_id"), col("cosine"), col("cemb"))
   }
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    passageCands(s, dir, topN = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("chunk_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
   private val q160Sql = {
     val w = s"(${dHash("'1:' || tk")} % 2001 - 1000) / 1000.0"
     def emb(toks: String) = s"""list_transform(range(0, 32), d ->
@@ -1190,6 +1196,80 @@ object TextQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
       |  CAST(SUM(len(text)) AS BIGINT) AS text_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q164 — MMR DIVERSITY RE-RANKING ([[graft.operators.Similarity
+  // .mmrRerank]]): q160's top-10 candidates per eval query, greedily
+  // re-picked 5 deep by λ·rel − (1−λ)·max-sim-to-selected (λ = 1/2,
+  // binary-exact) — the diversity pass a RAG retriever runs after
+  // top-N similarity, so near-dup passages about one aspect stop
+  // crowding out every other aspect. Every stage is candidate-sized
+  // (the corpus never appears past the shared candidate build); the
+  // 5 greedy steps unroll into CTEs in the oracle with the same
+  // empty-selected-max = 0 convention, so the whole trajectory —
+  // scores, tie-breaks, pick order — hash-matches.
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val cand = passageCands(s, dir, topN = 10)
+      .select(col("query_id"),
+        concat_ws(":", col("doc_id"), col("chunk_id")).as("cid"),
+        col("cosine").as("rel"), col("cemb"))
+    graft.operators.Similarity.mmrRerank(cand, "query_id", "cid", "rel", "cemb",
+        k = 5, lam = 0.5)
+      .orderBy(col("query_id"), col("pick_rank"))
+  }
+  private val q164Sql = {
+    val w = s"(${dHash("'1:' || tk")} % 2001 - 1000) / 1000.0"
+    def emb(toks: String) = s"""list_transform(range(0, 32), d ->
+      |    list_reduce(list_prepend(0.0, list_transform($toks, tk ->
+      |      CASE WHEN ${dHash("tk")} % 32 = d THEN $w ELSE 0.0 END)),
+      |      (a, b) -> a + b))""".stripMargin
+    val nrm = "sqrt(list_reduce(list_prepend(0.0, " +
+      "list_transform(emb, x -> x * x)), (a, b) -> a + b))"
+    def dotp(x: String, y: String) = "list_reduce(list_prepend(0.0, " +
+      s"list_transform(range(1, 33), i -> $x[i] * $y[i])), (p, q) -> p + q)"
+    val steps = (1 to 5).map { t =>
+      s"""m$t AS (SELECT s.query_id, s.cid_a AS cid, MAX(s.sim) AS ms
+        |  FROM s JOIN sel${t - 1} z
+        |    ON s.query_id = z.query_id AND s.cid_b = z.cid
+        |  GROUP BY 1, 2),
+        |sc$t AS (SELECT c.query_id, c.cid, c.rel,
+        |    0.5 * c.rel - 0.5 * COALESCE(m.ms, 0.0) AS mmr
+        |  FROM cand c LEFT JOIN m$t m
+        |    ON c.query_id = m.query_id AND c.cid = m.cid
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} z
+        |    WHERE z.query_id = c.query_id AND z.cid = c.cid)),
+        |p$t AS (SELECT query_id, cid, rel, mmr, $t AS pick_rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY mmr DESC, cid) AS rn FROM sc$t) WHERE rn = 1),
+        |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |ch AS (SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+      |    toks[start:start+63] AS ctoks
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start
+      |        FROM t WHERE len(toks) > 0 AND doc_id % 97 <> 3)),
+      |ce AS (SELECT doc_id, chunk_id, ${emb("ctoks")} AS emb FROM ch),
+      |cn AS (SELECT doc_id, chunk_id, emb, $nrm AS n FROM ce),
+      |q0 AS (SELECT doc_id AS query_id, ${emb("toks")} AS emb FROM t
+      |       WHERE doc_id % 97 = 3),
+      |qn AS (SELECT query_id, emb, $nrm AS n FROM q0),
+      |pp AS (SELECT q.query_id, c.doc_id, c.chunk_id, c.emb, c.n,
+      |    ${dotp("c.emb", "q.emb")} / (c.n * q.n) AS cosine
+      |  FROM cn c CROSS JOIN qn q WHERE c.n > 0 AND q.n > 0),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, doc_id, chunk_id) AS rank FROM pp),
+      |cand AS (SELECT query_id, doc_id || ':' || chunk_id AS cid,
+      |    cosine AS rel, emb, n FROM rr WHERE rank <= 10),
+      |s AS (SELECT a.query_id, a.cid AS cid_a, b.cid AS cid_b,
+      |    ${dotp("a.emb", "b.emb")} / (a.n * b.n) AS sim
+      |  FROM cand a JOIN cand b
+      |    ON a.query_id = b.query_id AND a.cid <> b.cid),
+      |sel0 AS (SELECT query_id, cid, rel, 0.0 AS mmr, 0 AS pick_rank
+      |  FROM cand WHERE FALSE),
+      |$steps
+      |SELECT query_id, pick_rank, cid, rel, mmr FROM sel5
+      |ORDER BY query_id, pick_rank""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // q151 — idf-weighted RANKED retrieval: q139's term set, re-ranked
@@ -2228,6 +2308,7 @@ object TextQueries {
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),
     QueryDef("q163_jsonl_roundtrip", q163, Some(q163Sql)),
+    QueryDef("q164_mmr_rerank", q164, Some(q164Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),

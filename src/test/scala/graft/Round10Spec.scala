@@ -201,6 +201,23 @@ class Round10Spec extends AnyFunSuite {
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  // ----------------------------- MMR diversity re-ranking
+
+  test("mmrRerank: a near-dup of the top pick loses to a diverse lower-relevance candidate") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, "A", 0.99, Array(1f, 0f)),
+      (1L, "B", 0.98, Array(1f, 0.02f)), // near-dup of A (cos ≈ 0.9998)
+      (1L, "C", 0.90, Array(0f, 1f)))    // orthogonal to A
+      .toDF("query_id", "cid", "rel", "emb")
+    val picks = Similarity.mmrRerank(cands, "query_id", "cid", "rel", "emb",
+        k = 3, lam = 0.5)
+      .orderBy(col("pick_rank"))
+      .select("cid").as[String].collect().toSeq
+    // pure relevance would pick A, B, C; MMR penalizes B's redundancy
+    assert(picks == Seq("A", "C", "B"), picks.toString)
+  }
+
   // ----------------------------- iterated BPE training
 
   test("bpeTrain: hand-computed trajectory, greedy overlap handling, early exhaustion") {
