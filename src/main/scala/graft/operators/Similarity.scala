@@ -79,6 +79,37 @@ object Similarity {
     rankTopK(scored, k, col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: per query, the
+    * `k` most cosine-similar vectors whose `labelCol` DIFFERS from
+    * the query's — the near-misses a contrastive loss learns the
+    * most from (an easy random negative contributes ~zero gradient;
+    * the highest-similarity non-positive defines the margin). The
+    * label is whatever positive-set notion the trainer has: the
+    * planted cluster, a near-dup component id, a source/domain key.
+    *
+    * Plan = [[bruteForceTopK]] with the label-mismatch predicate
+    * fused into the scoring join: queries (with their labels)
+    * broadcast, one corpus-linear scoring pass, the same-label rows
+    * drop BEFORE ranking, and the top-k is the map-side
+    * `InferWindowGroupLimit` shape of [[rankTopK]]. At corpus scale
+    * the brute pass swaps for the IVF/LSH candidate generators like
+    * every other top-k here — the exclusion predicate and ranking
+    * are unchanged. Returns `(query_id, rank, neighbor_id, cosine)`
+    * — every neighbor guaranteed label-mismatched by construction. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      labelCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__cl"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("__ql") =!= col("__cl"))
+      .withColumn("cosine", pairCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    rankTopK(scored, k, col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** `row_number() <= k` in the canonical shape for Catalyst's
     * `InferWindowGroupLimit`: the filter compares the raw (int) rank
     * against a literal, with the widening cast applied only AFTER the

@@ -878,8 +878,48 @@ object SimilarityQueries {
       |ORDER BY t.query_id, t.rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q165 — HARD-NEGATIVE MINING ([[Similarity.hardNegatives]]) on
+  // the planted fixture: per query, the 3 most cosine-similar
+  // vectors from a DIFFERENT cluster — the near-misses a contrastive
+  // loss learns from (mates are positives; the label-mismatch
+  // predicate is fused into the broadcast scoring join, so exclusion
+  // is by construction, and on THIS fixture it bites: the top raw
+  // neighbors are mates, q150's 5/5). Brute scoring is the gate
+  // baseline; candidate generation swaps for IVF/LSH at corpus
+  // scale, exclusion and ranking unchanged.
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.ScaleGen.plantedEmbeddings(s, clusters = 50,
+      perCluster = 10, dim = 64, noise = 1.0).localCheckpoint()
+    Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+        "vec_id", "label", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q165Sql = {
+    def u(key: String) =
+      s"(CAST('0x' || substr(md5($key), 1, 15) AS BIGINT) / 576460752303423488.0 - 1.0)"
+    s"""WITH gen AS (SELECT i AS vec_id, i % 50 AS label,
+      |    list_transform(range(0, 64), j -> CAST(
+      |      ${u("'pc:' || (i % 50) || ':' || j")}
+      |        + 1.0 * ${u("'pn:' || i || ':' || j")} AS FLOAT)) AS emb
+      |  FROM range(0, 500) t(i)),
+      |e AS (SELECT vec_id, label, CAST(emb AS DOUBLE[]) AS v FROM gen),
+      |q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e
+      |      WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id, $dCos AS cosine
+      |  FROM q CROSS JOIN (SELECT vec_id, label AS cl, v AS cv FROM e) e
+      |  WHERE ql <> cl),
+      |ranked AS (SELECT query_id, neighbor_id, cosine,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q152_ivfpq_planted", q152, Some(q152Sql)),
+    QueryDef("q165_hard_negatives", q165, Some(q165Sql)),
     QueryDef("q150_pq_trained_planted", q150, Some(q150Sql)),
     QueryDef("q146_pq_ann", q146, Some(q146Sql)),
     QueryDef("q148_ivfpq_ann", q148, Some(q148Sql)),

@@ -201,6 +201,31 @@ class Round10Spec extends AnyFunSuite {
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  // ----------------------------- hard-negative mining
+
+  test("hardNegatives: every neighbor label-mismatched, where raw top-k would return positives") {
+    val e = ScaleGen.plantedEmbeddings(spark, clusters = 50,
+      perCluster = 10, dim = 64, noise = 1.0).localCheckpoint()
+    val q = e.filter(col("vec_id") < 5)
+    val lbl = e.select(col("vec_id"), col("label"))
+    val hn = Similarity.hardNegatives(e, q, "vec_id", "label", "embedding", k = 3)
+      .join(lbl.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "ql"), "query_id")
+      .join(lbl.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nl"), "neighbor_id")
+    assert(hn.filter(col("ql") === col("nl")).count() == 0,
+      "a hard negative shared the query's label")
+    assert(hn.count() == 15, "3 negatives per query")
+    // the predicate matters: the raw top-3 on this fixture ARE mates
+    val raw = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 3)
+      .join(lbl.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "ql"), "query_id")
+      .join(lbl.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nl"), "neighbor_id")
+    assert(raw.filter(col("ql") === col("nl")).count() > 0,
+      "fixture must make raw neighbors positives, or the spec is vacuous")
+  }
+
   // ----------------------------- MMR diversity re-ranking
 
   test("mmrRerank: a near-dup of the top pick loses to a diverse lower-relevance candidate") {
