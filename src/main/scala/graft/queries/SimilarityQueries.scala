@@ -917,9 +917,66 @@ object SimilarityQueries {
       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q167 — RETRIEVAL QUALITY AS EXACT ARITHMETIC: mean-reciprocal-
+  // rank ingredients for the planted fixture's brute retrieval — per
+  // query, the rank of the FIRST cluster-mate in the top-5 and its
+  // reciprocal-rank contribution ×60 (ranks 1..5 all divide 60, so
+  // 60 DIV rank is an exact integer — no float sums whose order
+  // could drift cross-engine; MRR = Σ(rr_x60)/60/n is one mirrored
+  // division for the consumer). The metric pass every retrieval
+  // change should re-run: a probing/codebook regression moves the
+  // first-mate rank, and the gate sees it as integers.
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.ScaleGen.plantedEmbeddings(s, clusters = 50,
+      perCluster = 10, dim = 64, noise = 1.0).localCheckpoint()
+    val q = e.filter(col("vec_id") < 10)
+    val lbl = e.select(col("vec_id"), col("label"))
+    val firstMate = Similarity
+      .bruteForceTopK(e, q, "vec_id", "embedding", k = 5)
+      .join(lbl.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "ql"), "query_id")
+      .join(lbl.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nl"), "neighbor_id")
+      .filter(col("ql") === col("nl"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_mate_rank"))
+    q.select(col("vec_id").as("query_id"))
+      .join(firstMate, Seq("query_id"), "left")
+      .withColumn("rr_x60", coalesce(
+        expr("60 DIV first_mate_rank"), lit(0L)))
+      .orderBy(col("query_id"))
+  }
+  private val q167Sql = {
+    def u(key: String) =
+      s"(CAST('0x' || substr(md5($key), 1, 15) AS BIGINT) / 576460752303423488.0 - 1.0)"
+    s"""WITH gen AS (SELECT i AS vec_id, i % 50 AS label,
+      |    list_transform(range(0, 64), j -> CAST(
+      |      ${u("'pc:' || (i % 50) || ':' || j")}
+      |        + 1.0 * ${u("'pn:' || i || ':' || j")} AS FLOAT)) AS emb
+      |  FROM range(0, 500) t(i)),
+      |e AS (SELECT vec_id, label, CAST(emb AS DOUBLE[]) AS v FROM gen),
+      |q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e
+      |      WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT query_id, ql, e.vec_id AS neighbor_id, e.label AS nl,
+      |    $dCos AS cosine
+      |  FROM q CROSS JOIN (SELECT vec_id, label, v AS cv FROM e) e
+      |  WHERE query_id <> e.vec_id),
+      |ranked AS (SELECT query_id, ql, neighbor_id, nl,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored),
+      |fm AS (SELECT query_id, CAST(MIN(rank) AS BIGINT) AS first_mate_rank
+      |  FROM ranked WHERE rank <= 5 AND ql = nl GROUP BY query_id)
+      |SELECT q.query_id, fm.first_mate_rank,
+      |  COALESCE(60 // fm.first_mate_rank, 0) AS rr_x60
+      |FROM q LEFT JOIN fm USING (query_id)
+      |ORDER BY q.query_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q152_ivfpq_planted", q152, Some(q152Sql)),
     QueryDef("q165_hard_negatives", q165, Some(q165Sql)),
+    QueryDef("q167_retrieval_mrr", q167, Some(q167Sql)),
     QueryDef("q150_pq_trained_planted", q150, Some(q150Sql)),
     QueryDef("q146_pq_ann", q146, Some(q146Sql)),
     QueryDef("q148_ivfpq_ann", q148, Some(q148Sql)),

@@ -1272,6 +1272,44 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------
+  // q166 — STREAMED JSONL INGEST: q163's interchange format through
+  // the file-source STREAM — documents staged as 3 JSON-lines files,
+  // consumed one file per micro-batch with an explicit schema (no
+  // inference pass), complete-mode per-language rollup into a memory
+  // sink, gated against the parquet truth. The landing-zone shape of
+  // a production corpus intake: files arrive, the running rollup
+  // stays current, and aggregation-over-union associativity makes
+  // the final state chunking-independent — which is exactly what the
+  // batch oracle checks.
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_q166_jsonl").toString
+    docs.repartition(3).write.mode("overwrite").json(tmp)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").json(tmp)
+    val agg = stream.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+    val sink = "q166_" + java.util.UUID.randomUUID().toString.take(8)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val out = s.table(sink).orderBy(col("lang")).localCheckpoint()
+    new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out
+  }
+  private val q166Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // q151 — idf-weighted RANKED retrieval: q139's term set, re-ranked
   // by length-normalized tf·idf ([[graft.operators.InvertedIndex
   // .rankedSearch]]). q139's raw-tf score is dominated by long
@@ -2309,6 +2347,7 @@ object TextQueries {
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),
     QueryDef("q163_jsonl_roundtrip", q163, Some(q163Sql)),
     QueryDef("q164_mmr_rerank", q164, Some(q164Sql)),
+    QueryDef("q166_jsonl_streamed", q166, Some(q166Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),
