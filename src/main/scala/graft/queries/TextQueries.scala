@@ -1310,6 +1310,33 @@ object TextQueries {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
+  // q168 — ORC ROUND-TRIP: q163's gate for the OTHER columnar format
+  // Spark ships natively (warehouse interchange with Hive-lineage
+  // stacks) — documents → ORC sink → ORC scan → per-language rollup
+  // against the parquet truth. Exercises the native vectorized ORC
+  // reader end-to-end including multi-byte text; DuckDB cannot read
+  // ORC, so the oracle aggregates the parquet table directly — any
+  // encoding/values loss in the round-trip breaks the hash.
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_q168_orc").toString
+    docs.write.mode("overwrite").orc(tmp)
+    val out = s.read.orc(tmp)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(length(col("text")).cast("long")).as("text_chars"))
+      .orderBy(col("lang"))
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    out
+  }
+  private val q168Sql = q163Sql
+
+  // ---------------------------------------------------------------
   // q151 — idf-weighted RANKED retrieval: q139's term set, re-ranked
   // by length-normalized tf·idf ([[graft.operators.InvertedIndex
   // .rankedSearch]]). q139's raw-tf score is dominated by long
@@ -2348,6 +2375,7 @@ object TextQueries {
     QueryDef("q163_jsonl_roundtrip", q163, Some(q163Sql)),
     QueryDef("q164_mmr_rerank", q164, Some(q164Sql)),
     QueryDef("q166_jsonl_streamed", q166, Some(q166Sql)),
+    QueryDef("q168_orc_roundtrip", q168, Some(q168Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),
