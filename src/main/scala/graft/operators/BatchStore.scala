@@ -37,6 +37,58 @@ object BatchStore {
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** Compact every committed batch into ONE new batch and delete the
+    * originals — the maintenance an append-only store needs (a year
+    * of daily deltas is 365 dirs of small files, each adding listing
+    * + footer cost to every scan). The [[Dedup.compactSignatureStore]]
+    * protocol, minus its content-conflict semantics (a generic store
+    * has no (id, chash) notion — callers with idempotent-append
+    * invariants layer their own checks):
+    *  - `newBatchId` must exceed every existing id, re-validated by a
+    *    RE-LIST immediately before the commit rename (an append
+    *    racing the merge aborts the compaction loudly, staging still
+    *    invisible);
+    *  - between the rename and the deletes, readers see every row
+    *    twice — callers must be duplicate-tolerant through that
+    *    window (term-search and BM25 stats are NOT: compact the
+    *    posting store only between queries, or dedup on read).
+    * SINGLE MAINTAINER assumed, as for the signature store. Returns
+    * the number of batch dirs replaced. */
+  def compact(spark: SparkSession, root: String, newBatchId: Long): Int =
+    compact(spark, root, newBatchId, () => ())
+
+  /** Test seam: `onBeforeCommit` runs after the merged batch is
+    * staged, before the id-invariant re-list (Round10Spec plants a
+    * racing append there). */
+  private[graft] def compact(spark: SparkSession, root: String,
+      newBatchId: Long, onBeforeCommit: () => Unit): Int = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def listIds(): Seq[Long] = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val batches = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    require(batches.nonEmpty, s"no committed batches under $root")
+    val ids = batches.map(_.getPath.getName.stripPrefix("batch=").toLong)
+    require(newBatchId > ids.max,
+      s"newBatchId=$newBatchId must exceed every existing batch id (max ${ids.max})")
+    val merged = spark.read.parquet(batches.map(_.getPath.toString): _*)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".staging-$newBatchId-${java.util.UUID.randomUUID().toString.take(8)}")
+    merged.write.mode("error").parquet(tmp.toString)
+    onBeforeCommit()
+    val idsNow = listIds()
+    require(idsNow.max < newBatchId,
+      s"append raced the compaction: batch id ${idsNow.max} committed " +
+        s"during the merge is >= newBatchId=$newBatchId — aborting")
+    val dest = new org.apache.hadoop.fs.Path(root, s"batch=$newBatchId")
+    require(!fs.exists(dest), s"batch $newBatchId already committed at $dest")
+    require(fs.rename(tmp, dest), s"commit rename $tmp -> $dest failed")
+    batches.foreach(st => fs.delete(st.getPath, true))
+    batches.size
+  }
+
   /** Delete leftover `.staging-*` dirs from crashed [[append]]s.
     * Never touches committed batches; only run when no concurrent
     * writer is staging. Returns the number of dirs removed. */

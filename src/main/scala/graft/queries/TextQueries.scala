@@ -1023,6 +1023,36 @@ object TextQueries {
   private val q159Sql = q139Sql
 
   // ---------------------------------------------------------------
+  // q169 — q159 AFTER COMPACTION: the posting store's two daily
+  // batches merged into one ([[graft.operators.BatchStore.compact]] —
+  // the signature-store protocol: stage, re-validate the max-id
+  // invariant against racing appends, rename, delete), then the same
+  // pushed-filter search. Result must be IDENTICAL to the
+  // pre-compaction union (q139's SQL again) — compaction is layout
+  // maintenance, never semantics; 365 daily dirs become one without
+  // the searcher noticing.
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q169_postings").toString
+    graft.operators.InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, batchId = 1L)
+    graft.operators.InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, batchId = 2L)
+    val replaced = graft.operators.BatchStore.compact(s, root, newBatchId = 3L)
+    require(replaced == 2, s"expected 2 batches replaced, got $replaced")
+    val out = graft.operators.InvertedIndex.andSearchFromStore(
+        graft.operators.BatchStore.read(s, root), "doc_id",
+        terms = Seq("spark", "join", "hash"), k = 20)
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    out
+  }
+  private val q169Sql = q139Sql
+
+  // ---------------------------------------------------------------
   // q160 — PASSAGE RETRIEVAL: the RAG-shape composition — chunk the
   // training corpus (q68's 64/48 windows), embed each chunk (q130's
   // hashEmbed stub, dim 32), retrieve the top-5 chunks per eval
@@ -2369,6 +2399,7 @@ object TextQueries {
     QueryDef("q155_containment", q155, Some(q155Sql)),
     QueryDef("q156_semantic_decontamination", q156, Some(q156Sql)),
     QueryDef("q159_posting_store_search", q159, Some(q159Sql)),
+    QueryDef("q169_posting_compacted", q169, Some(q169Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

@@ -201,6 +201,41 @@ class Round10Spec extends AnyFunSuite {
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("BatchStore.compact: layout-only (search unchanged); racing append aborts before the rename") {
+    import spark.implicits._
+    import graft.operators.{BatchStore, InvertedIndex}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_batchstore_compact").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val docs = Seq((1L, "spark join hash"), (2L, "spark join hash hash"),
+      (3L, "spark join hash spark spark")).toDF("doc_id", "text")
+    InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") <= 1), "doc_id", "text", root, 1L)
+    InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") > 1), "doc_id", "text", root, 2L)
+    val terms = Seq("spark", "join", "hash")
+    def search() = InvertedIndex.andSearchFromStore(
+        BatchStore.read(spark, root), "doc_id", terms, k = 10)
+      .as[(Long, Long)].collect().toSeq
+    val before = search()
+    assert(BatchStore.compact(spark, root, 5L) == 2)
+    assert(search() == before, "compaction changed the search result")
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(dirs == Seq("batch=5"))
+    // racing append with id >= newBatchId lands after staging: abort
+    val e = intercept[IllegalArgumentException] {
+      BatchStore.compact(spark, root, 7L,
+        () => fs.mkdirs(new org.apache.hadoop.fs.Path(root, "batch=9")))
+    }
+    assert(e.getMessage.contains("raced"), e.getMessage)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(after == Seq("batch=5", "batch=9"), "nothing must have committed")
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   // ----------------------------- hard-negative mining
 
   test("hardNegatives: every neighbor label-mismatched, where raw top-k would return positives") {
