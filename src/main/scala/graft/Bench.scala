@@ -81,7 +81,8 @@ object Bench {
     "q159_posting_store_search", "q160_passage_retrieval",
     "q161_bm25_store", "q162_split_leakage_audit", "q163_jsonl_roundtrip",
     "q164_mmr_rerank", "q165_hard_negatives", "q166_jsonl_streamed",
-    "q167_retrieval_mrr", "q168_orc_roundtrip", "q169_posting_compacted")
+    "q167_retrieval_mrr", "q168_orc_roundtrip", "q169_posting_compacted",
+    "q170_topk_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -420,7 +421,8 @@ object Bench {
     "q159_posting_store_search", "q160_passage_retrieval",
     "q161_bm25_store", "q162_split_leakage_audit", "q163_jsonl_roundtrip",
     "q164_mmr_rerank", "q165_hard_negatives", "q166_jsonl_streamed",
-    "q167_retrieval_mrr", "q168_orc_roundtrip", "q169_posting_compacted")
+    "q167_retrieval_mrr", "q168_orc_roundtrip", "q169_posting_compacted",
+    "q170_topk_streamed")
     val total = results.collect {
       case (k, v) if v >= 0 && !totalExcludes.contains(k) => v }.sum
     def esc(s: String) = s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }

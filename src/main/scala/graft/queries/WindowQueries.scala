@@ -648,6 +648,43 @@ object WindowQueries {
       |FROM cnt c JOIN sk ON c.event_type = sk.event_type
       |ORDER BY c.event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q170 — STREAMING running top-k under the gate: per event type,
+  // the 5 largest values seen so far as transformWithState state
+  // (the live-leaderboard shape; [[graft.streaming.EventStream
+  // .topKStream]]). Top-k-of-union under the total order (value
+  // desc, id) is associative, so the final emission equals the batch
+  // ranking exactly however the stream was chunked — the oracle's
+  // check, with O(k) per-key state the same way q149's KMV bounds
+  // its sketch. Values pass through state EXACTLY (no arithmetic),
+  // so the doubles hash-match the source parquet.
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      streamedGate(s, dir, "q170", outputMode = "update")(stream =>
+        graft.streaming.EventStream.topKStream(
+          s, stream.filter(col("user_id") >= 0), k = 5).toDF())(
+        out => out
+          .withColumn("__mx", max(col("n_seen")).over(
+            Window.partitionBy(col("event_type"))))
+          .filter(col("n_seen") === col("__mx"))
+          .select(col("event_type"), col("rank"), col("event_id"), col("value"))
+          .orderBy(col("event_type"), col("rank")))
+    } finally prevProvider.fold(
+      s.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+  private val q170Sql =
+    """SELECT event_type, rank, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id) AS BIGINT) AS rank
+      |  FROM events WHERE user_id < 40)
+      |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin
+
   private def q117(s: SparkSession, dir: String): DataFrame =
     streamedIntervalGate(s, dir, "q117")(stream =>
       graft.streaming.EventStream.correlateFull(
@@ -1008,6 +1045,7 @@ object WindowQueries {
     QueryDef("q142_bootstrap_dedup_streamed", q142, Some(q142Sql)),
     QueryDef("q143_bootstrap_dedup_restarted", q143, Some(q143Sql)),
     QueryDef("q149_kmv_sketch_streamed", q149, Some(q149Sql)),
+    QueryDef("q170_topk_streamed", q170, Some(q170Sql)),
     QueryDef("q99_ratio_to_report", q99, Some(q99Sql)),
   )
 }

@@ -110,6 +110,36 @@ object EventStream {
         historyKeys.groupByKey(identity).mapValues(_ => true))
   }
 
+  final case class TopKEvent(event_type: String, event_id: Long, value: Double)
+
+  final case class TopKState(n_seen: Long, ids: Array[Long], values: Array[Double])
+
+  final case class TopKRow(event_type: String, n_seen: Long, rank: Long,
+    event_id: Long, value: Double)
+
+  /** STREAMING running top-k: per key, the k largest values seen so
+    * far (value desc, event id as the total-order tiebreak) kept as
+    * `transformWithState` stream state — the live-leaderboard shape
+    * (current best-quality docs per source, highest-value events per
+    * type). Top-k-of-union under a TOTAL order is associative and
+    * commutative, so the final emission equals the batch ranking
+    * exactly however the stream was chunked — the q170 oracle's
+    * check, and the same mergeable-summary argument as the KMV
+    * sketch ([[kmvSketchStream]]): per-key state is O(k) entries
+    * regardless of corpus size. Emits the current top-k (with the
+    * running `n_seen`) once per (batch, key); the final rows per key
+    * are the n_seen-argmax. */
+  def topKStream(spark: SparkSession, stream: DataFrame,
+      k: Int): Dataset[TopKRow] = {
+    import spark.implicits._
+    stream.select(col("event_type"), col("event_id").cast("long"), col("value"))
+      .as[TopKEvent]
+      .groupByKey(_.event_type)
+      .transformWithState(new TopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   final case class KmvEvent(event_type: String, h: Long)
 
   final case class KmvState(n_seen: Long, mins: Array[Long])
@@ -325,6 +355,43 @@ object EventStream {
   * batching-independent, so the final state equals the batch
   * bottom-k whatever the chunking. Top-level class — Spark
   * serializes the processor to every task. */
+/** The [[EventStream.topKStream]] state machine: per key, the k
+  * largest (value, id) entries under the total order (value desc, id
+  * asc). Merging a batch is entries ∪ rows → sort → take k —
+  * batching-independent because top-k of a union under a total order
+  * is associative. State is two parallel k-arrays (a Product
+  * encoder); values pass through EXACTLY (no arithmetic), so emitted
+  * doubles hash-match the source parquet. Top-level class — Spark
+  * serializes the processor to every task. */
+final class TopKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, EventStream.TopKEvent, EventStream.TopKRow] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[EventStream.TopKState] = _
+
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[EventStream.TopKState]("topk",
+      org.apache.spark.sql.Encoders.product[EventStream.TopKState],
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: String,
+      rows: Iterator[EventStream.TopKEvent],
+      timerValues: TimerValues): Iterator[EventStream.TopKRow] = {
+    val prev = if (st.exists()) st.get()
+      else EventStream.TopKState(0L, Array.empty[Long], Array.empty[Double])
+    val incoming = rows.map(e => (e.value, e.event_id)).toArray
+    val merged = (prev.values.zip(prev.ids) ++ incoming)
+      .sortBy { case (v, id) => (-v, id) }.take(k)
+    val next = EventStream.TopKState(prev.n_seen + incoming.length,
+      merged.map(_._2), merged.map(_._1))
+    st.update(next)
+    merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+      EventStream.TopKRow(key, next.n_seen, i + 1L, id, v)
+    }
+  }
+}
+
 final class KmvSketchProcessor(k: Int)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       String, EventStream.KmvEvent, EventStream.KmvSketch] {
