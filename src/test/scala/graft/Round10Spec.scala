@@ -236,6 +236,46 @@ class Round10Spec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("topKStream: final state identical across chunkings, equal to the batch ranking") {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = (1L to 60L).map(i =>
+        (i, s"t${i % 2}", ((i * 2654435761L) % 1000L).toDouble))
+      def run(chunks: Seq[Seq[(Long, String, Double)]]): Seq[(String, Long, Long, Double)] = {
+        implicit val sqlCtx = spark.sqlContext
+        val ms = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String, Double)]
+        val out = EventStream.topKStream(spark,
+          ms.toDF().toDF("event_id", "event_type", "value"), k = 3).toDF()
+        val sink = "topk_spec_" + java.util.UUID.randomUUID().toString.take(8)
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("update").start()
+        try chunks.foreach { c => ms.addData(c: _*); q.processAllAvailable() }
+        finally q.stop()
+        val t = spark.table(sink)
+        t.withColumn("__mx", max(col("n_seen")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+          .filter(col("n_seen") === col("__mx"))
+          .select(col("event_type"), col("n_seen"), col("rank"), col("value"))
+          .as[(String, Long, Long, Double)].collect().toSeq.sorted
+      }
+      val oneShot = run(Seq(events))
+      val chunked = run(events.grouped(7).toSeq)
+      assert(oneShot == chunked, "chunking changed the final top-k")
+      val batch = events.groupBy(_._2).flatMap { case (t, es) =>
+        es.sortBy(e => (-e._3, e._1)).take(3).zipWithIndex
+          .map { case (e, i) => (t, es.size.toLong, i + 1L, e._3) }
+      }.toSeq.sorted
+      assert(oneShot == batch, s"streamed != batch:\n$oneShot\n$batch")
+    } finally prev.fold(
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+  }
+
   // ----------------------------- hard-negative mining
 
   test("hardNegatives: every neighbor label-mismatched, where raw top-k would return positives") {
