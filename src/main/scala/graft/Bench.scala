@@ -82,7 +82,7 @@ object Bench {
     "q161_bm25_store", "q162_split_leakage_audit", "q163_jsonl_roundtrip",
     "q164_mmr_rerank", "q165_hard_negatives", "q166_jsonl_streamed",
     "q167_retrieval_mrr", "q168_orc_roundtrip", "q169_posting_compacted",
-    "q170_topk_streamed")
+    "q170_topk_streamed", "q171_image_resize")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -1042,6 +1042,84 @@ object Multimodal {
     }
   }
 
+  /** One resized image row: exact-arithmetic columns (the gated
+    * surface) plus the re-encoded PNG bytes — REAL plumbing whose
+    * byte content is writer-specific and therefore not oracle-checked
+    * (lossless RGB, so a decode of `resized_png` returns exactly the
+    * sampled pixels). */
+  final case class ResizedImage(
+    media_id: Long, codec: String, src_w: Int, src_h: Int,
+    out_w: Int, out_h: Int,
+    mean_r: Double, mean_g: Double, mean_b: Double,
+    resized_png: Array[Byte])
+
+  /** NEAREST-NEIGHBOR image resize to a fixed `outW`×`outH` — the
+    * normalize-for-the-vision-encoder pass every multimodal pipeline
+    * runs before batching. The sample map is EXACT integer
+    * arithmetic — source pixel `(sx, sy) = ((x'·w) DIV outW,
+    * (y'·h) DIV outH)` — so an SQL oracle replays the whole resample
+    * on the fixture's closed-form ramps; per-channel means of the
+    * RESIZED grid come from exact integer sums (one division at the
+    * end). The decode side is [[imageStats]]'s discipline (header
+    * probe → pixel budget → real `ImageIO` decode; failures take the
+    * deterministic stub), and the resized image is RE-ENCODED through
+    * the JDK's real PNG writer and carried as a binary column —
+    * schema, batch shape, and executor-side byte handling are the
+    * production plumbing; only the encoder's exact byte stream is
+    * writer-specific and left ungated. One `mapPartitions` pass,
+    * payload bytes never leave the executor. */
+  def imageResize(spark: SparkSession, media: DataFrame,
+      outW: Int, outH: Int): Dataset[ResizedImage] = {
+    require(outW >= 1 && outH >= 1 && outW.toLong * outH <= MaxDecodePixels,
+      s"bad target size ${outW}x$outH")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { m =>
+        val n = m.payload.length.toLong
+        val real: Option[ResizedImage] =
+          if (m.kind != "image") None
+          else tryDecodeImage(m.payload)
+            .filter { case (w, h) => w.toLong * h <= MaxDecodePixels }
+            .flatMap { case (w, h) =>
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(m.payload))
+                if (img == null || img.getWidth != w || img.getHeight != h) None
+                else {
+                  val out = new java.awt.image.BufferedImage(
+                    outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  var (sr, sg, sb) = (0L, 0L, 0L)
+                  var y = 0
+                  while (y < outH) {
+                    val sy = (y.toLong * h / outH).toInt
+                    var x = 0
+                    while (x < outW) {
+                      val sx = (x.toLong * w / outW).toInt
+                      val p = img.getRGB(sx, sy) & 0xffffff
+                      out.setRGB(x, y, p)
+                      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(out, "png", bos)
+                  val px = outW.toLong * outH
+                  Some(ResizedImage(m.media_id, "image", w, h, outW, outH,
+                    sr.toDouble / px, sg.toDouble / px, sb.toDouble / px,
+                    bos.toByteArray))
+                }
+              } catch { case scala.util.control.NonFatal(_) => None }
+            }
+        real.getOrElse(ResizedImage(m.media_id, "stub",
+          src_w = (n % 640).toInt, src_h = (n % 480).toInt,
+          out_w = outW, out_h = outH,
+          mean_r = (n % 251).toDouble, mean_g = (n % 241).toDouble,
+          mean_b = (n % 239).toDouble, resized_png = Array.emptyByteArray))
+      }
+    }
+  }
+
   /** Strided frame sampling over video payloads: pick (up to) `k`
     * frame indices evenly across each video — `idx_j = ⌊j·frames/k⌋`,
     * de-duplicated for short videos — and emit each sampled frame as a

@@ -1970,6 +1970,60 @@ object TextQueries {
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q171 — NEAREST-NEIGHBOR RESIZE ([[Multimodal.imageResize]]): the
+  // normalize-for-the-vision-encoder pass over q111's PNG fixtures —
+  // real decode, exact-integer sample map ((x'·w) DIV 5, (y'·h)
+  // DIV 4), real PNG re-encode (binary column carried, writer-
+  // specific bytes ungated), per-channel means of the RESIZED 5×4
+  // grid from exact sums. The oracle replays the sample map on the
+  // closed-form ramps; every 7th payload is a non-image and must
+  // take the stub.
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+    val media = ids.as[Long].map { id =>
+      if (id % 7 == 0)
+        Multimodal.MediaRecord(id, "image", s"img-$id".getBytes("UTF-8"))
+      else Multimodal.MediaRecord(id, "image", Multimodal.pngBytes(
+        w = (8 + id % 5 * 4).toInt, h = (6 + id % 3 * 4).toInt, seed = id))
+    }.toDF()
+    Multimodal.imageResize(s, media, outW = 5, outH = 4)
+      .select(col("media_id"), col("codec"), col("src_w"), col("src_h"),
+        col("out_w"), col("out_h"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("media_id"))
+  }
+  private val q171Sql =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |p AS (SELECT id, 8 + (id % 5) * 4 AS w, 6 + (id % 3) * 4 AS h
+      |  FROM d WHERE id % 7 <> 0),
+      |px AS (SELECT id, w, h,
+      |    (xp * w) // 5 AS sx, (yp * h) // 4 AS sy
+      |  FROM p, unnest(range(0, 5)) AS t1(xp), unnest(range(0, 4)) AS t2(yp)),
+      |sums AS (SELECT id, w, h,
+      |    SUM((7*sx + 13*sy + id) % 256) AS sr,
+      |    SUM((3*sx + 5*sy + 2*id) % 256) AS sg,
+      |    SUM((11*sx + 2*sy + 3*id) % 256) AS sb,
+      |    COUNT(*) AS npx
+      |  FROM px GROUP BY id, w, h),
+      |st AS (SELECT id,
+      |    CAST(octet_length(encode('img-' || CAST(id AS VARCHAR))) AS BIGINT) AS n
+      |  FROM d WHERE id % 7 = 0)
+      |SELECT id AS media_id, 'image' AS codec,
+      |  CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+      |  5 AS out_w, 4 AS out_h,
+      |  CAST(sr AS DOUBLE) / npx AS mean_r,
+      |  CAST(sg AS DOUBLE) / npx AS mean_g,
+      |  CAST(sb AS DOUBLE) / npx AS mean_b
+      |FROM sums
+      |UNION ALL
+      |SELECT id, 'stub', CAST(n % 640 AS INTEGER), CAST(n % 480 AS INTEGER),
+      |  5, 4,
+      |  CAST(n % 251 AS DOUBLE), CAST(n % 241 AS DOUBLE), CAST(n % 239 AS DOUBLE)
+      |FROM st
+      |ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q114 — frame sampling driven by the REAL container frame count:
   // [[Multimodal.frameSampleProbed]] reads each fixture MP4's video-
   // track stsz (q108's builders, incl. multi-track files) and strides
@@ -2407,6 +2461,7 @@ object TextQueries {
     QueryDef("q164_mmr_rerank", q164, Some(q164Sql)),
     QueryDef("q166_jsonl_streamed", q166, Some(q166Sql)),
     QueryDef("q168_orc_roundtrip", q168, Some(q168Sql)),
+    QueryDef("q171_image_resize", q171, Some(q171Sql)),
     QueryDef("q60_decontaminate", q60, Some(q60Sql)),
     QueryDef("q61_repetition", q61, Some(q61Sql)),
     QueryDef("q63_curation_pipeline", q63, Some(q63Sql)),
