@@ -71,8 +71,13 @@ object Decontaminate {
     * scoring sweep (|eval| codegen'd dot products per doc) whose
     * per-doc max collapses in the partial aggregate — the only
     * shuffle carries one row per flagged doc. The train embedding
-    * frame is localCheckpoint'd (it feeds the scoring pass AND the
-    * 1:1 flag join — the CollapseProject re-encode hazard).
+    * frame has a SINGLE consumer (the scoring pass; the 1:1 flag
+    * join reads the raw `train` frame), so no materialization
+    * barrier is needed — the encoder runs once per row regardless.
+    * The flagged-set join carries NO broadcast hint: on a badly
+    * contaminated corpus the flagged side is corpus-scale, and a
+    * forced broadcast would ship it to every executor; AQE picks
+    * broadcast at runtime when the set is actually small.
     *
     * Returns `train` 1:1 plus `flagCol` and `max_eval_cosine` (null
     * for unflagged docs; zero-norm docs flag false). */
@@ -88,7 +93,6 @@ object Decontaminate {
       sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, v) => a + v))
     val tEmb = train.select(col(idCol), hashEmbed(col(textCol), dim).as("__emb"))
       .withColumn("__nrm", norm(col("__emb")))
-      .localCheckpoint()
     val eEmb = eval.select(hashEmbed(col(textCol), dim).as("__ev"))
       .withColumn("__en", norm(col("__ev"))).filter(col("__en") > 0)
     val flagged = tEmb.filter(col("__nrm") > 0)
@@ -99,7 +103,7 @@ object Decontaminate {
       .groupBy(col(idCol)).agg(max(col("__cos")).as("max_eval_cosine"))
       .filter(col("max_eval_cosine") >= threshold)
       .withColumn(flagCol, lit(true))
-    train.join(broadcast(flagged), Seq(idCol), "left")
+    train.join(flagged, Seq(idCol), "left")
       .withColumn(flagCol, coalesce(col(flagCol), lit(false)))
   }
 }

@@ -25,7 +25,8 @@ import TextFunctions.tokens
   *    incrementally inside the sort — no per-token buffer), and only
   *    those ≤ k survivors reach the aggregate. Full posting EXPORT at
   *    scale shards by (token, bucket(doc)) so no single writer owns a
-  *    hot token's whole list.
+  *    hot token's whole list — [[exportPostings]], pinned in
+  *    Round11Spec.
   *  - [[andSearch]] never touches the index: it is a fresh scan +
   *    filtered aggregate + `TakeOrderedAndProject` top-k, the right
   *    plan when the term set is small and ad hoc; a served index is
@@ -212,23 +213,42 @@ object InvertedIndex {
   /** [[bm25Search]] OVER THE STORE ([[writePostingStore]]): identical
     * scoring arithmetic from persisted postings — tf rows are the
     * store's term-filtered rows (pushed-filter scan, like
-    * [[andSearchFromStore]]), and the corpus stats (N, Σdl) come
-    * from the store's distinct (id, doc_len) pairs. One documented
-    * divergence from the scan path: zero-token documents have no
-    * postings, so they are absent from N/avgdl here — on a corpus
-    * where every doc tokenizes, the two paths are value-identical
-    * (spec-pinned). */
-  def bm25SearchFromStore(store: DataFrame, idCol: String,
-      terms: Seq[String], k: Int): DataFrame = {
+    * [[andSearchFromStore]]), and the corpus stats (N, Σdl) come from
+    * the store's STATS SIDECAR ([[postingStoreStats]]): one persisted
+    * row per committed batch, summed at query time. A served query
+    * therefore reads term-pruned posting row groups plus a
+    * batches-count-sized stats frame — never the whole store (the
+    * pre-sidecar shape `distinct(id, doc_len)` paid a full corpus
+    * scan per query, which defeats maintaining an index at all;
+    * pinned gone in MetricsSpec). Because each batch's stats row is
+    * computed from the batch's RAW document frame (zero-token docs
+    * included), the store path is value-identical to [[bm25Search]]'s
+    * scan path on ANY corpus — no tokenization-coverage caveat. */
+  def bm25SearchFromStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       s"terms must be non-empty and distinct, got $terms")
     require(k >= 1, s"need k >= 1, got $k")
-    val tf = store.filter(col("token").isin(terms: _*))
+    val tf = BatchStore.read(spark, root)
+      .filter(col("token").isin(terms: _*))
       .select(col(idCol), col("doc_len"), col("token"), col("tf"))
-    val stats = store.select(col(idCol), col("doc_len")).distinct()
-      .agg(count(lit(1)).as("n_docs"), sum(col("doc_len")).as("total_len"))
-    bm25Rank(tf, stats, idCol, terms, k)
+    bm25Rank(tf, postingStoreStats(spark, root), idCol, terms, k)
   }
+
+  /** Corpus stats of the posting store at `root` as ONE row
+    * `(n_docs, total_len)`: the sum of the per-batch sidecar rows
+    * [[writePostingStore]] commits under `root/.stats` (a dot-dir —
+    * invisible to the postings reader's parquet listing, so the
+    * store's row schema is unchanged). The frame scanned here is
+    * batches-count-sized, never corpus-sized. */
+  def postingStoreStats(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame =
+    BatchStore.read(spark, statsRoot(root))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("total_len")).as("total_len"))
+
+  private def statsRoot(root: String): String =
+    new org.apache.hadoop.fs.Path(root, ".stats").toString
 
   /** Documents containing ALL `terms`, ranked by total term frequency
     * (exact integer score — no idf floats, so the ranking is
@@ -267,6 +287,73 @@ object InvertedIndex {
         explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("doc_len"), col("token"))
       .agg(count(lit(1)).as("tf"))
+    BatchStore.append(postings, root, batchId)
+    // Stats sidecar: ONE (n_docs, total_len) row per batch, computed
+    // from the RAW batch frame (explode drops zero-token docs from
+    // postings; the sidecar must not), committed under root/.stats so
+    // BM25 stats at query time are a sum of batches-count rows, not a
+    // corpus scan. The second pass over df tokenizes the DELTA again —
+    // write-time cost on the day's increment, bought back on every
+    // served query. Committed AFTER the postings batch: a crash
+    // between the two leaves postings without stats, which
+    // postingStoreStats under-counts — compact or re-append to heal;
+    // the reverse order would over-count silently.
+    val stats = df.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(tokens(col(textCol))).cast("long")), lit(0L))
+        .as("total_len"))
+    BatchStore.append(stats, statsRoot(root), batchId)
+  }
+
+  /** Compact the posting store AND its stats sidecar at `root` into
+    * one batch each ([[BatchStore.compact]] twice — same protocol,
+    * same single-maintainer assumption). Search results and
+    * [[postingStoreStats]] totals are identical before and after:
+    * compaction merges rows, it never re-aggregates them. Returns the
+    * number of posting batch dirs replaced. */
+  def compactPostingStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, newBatchId: Long): Int = {
+    val n = BatchStore.compact(spark, root, newBatchId)
+    BatchStore.compact(spark, statsRoot(root), newBatchId)
+    n
+  }
+
+  /** FULL posting EXPORT, sharded by (token, bucket(doc)) — the
+    * object-scaladoc promise made concrete. A full export is the one
+    * posting-store operation where the Zipf head bites the WRITER: a
+    * stopword's posting list is corpus-sized, and any layout that
+    * routes a token's whole list to one task (e.g. `partitionBy` or a
+    * `repartition(token)`) stalls the export on its hottest token and
+    * produces one giant file per stopword. Sharding the exchange on
+    * `(token, doc_bucket)` — doc_bucket = hash60(id) mod `docBuckets`,
+    * reproducible across runs/engines — spreads each hot token over up
+    * to `docBuckets` writer tasks while keeping each (token, bucket)
+    * cell whole, so a reader can still merge a token's list from
+    * `docBuckets` sorted-by-id fragments. No-single-owner is pinned in
+    * Round11Spec (the hottest token's rows span > 1 task partition).
+    * Committed via the [[BatchStore]] stage-and-rename protocol; the
+    * `doc_bucket` column rides along for auditing, like `batch`.
+    *
+    * The writer-task count is EXPLICIT (`numShards`, default the
+    * session's shuffle parallelism): an unnumbered `repartition(cols)`
+    * is an AQE-adjustable exchange, and AQE's small-partition
+    * coalescing would happily merge a hot token's spread cells back
+    * into one writer — the exact ownership concentration the shard key
+    * exists to prevent. */
+  def exportPostings(df: DataFrame, idCol: String, textCol: String,
+      root: String, batchId: Long, docBuckets: Int,
+      numShards: Int = 0): Unit = {
+    require(docBuckets >= 1, s"need docBuckets >= 1, got $docBuckets")
+    require(numShards >= 0, s"need numShards >= 0 (0 = session default), got $numShards")
+    val shards = if (numShards > 0) numShards
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val postings = df
+      .select(col(idCol), size(tokens(col(textCol))).as("doc_len"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("doc_len"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("doc_bucket",
+        pmod(TextFunctions.hash60(col(idCol).cast("string")), lit(docBuckets.toLong)))
+      .repartition(shards, col("token"), col("doc_bucket"))
     BatchStore.append(postings, root, batchId)
   }
 

@@ -1024,10 +1024,11 @@ object TextQueries {
 
   // ---------------------------------------------------------------
   // q169 — q159 AFTER COMPACTION: the posting store's two daily
-  // batches merged into one ([[graft.operators.BatchStore.compact]] —
-  // the signature-store protocol: stage, re-validate the max-id
-  // invariant against racing appends, rename, delete), then the same
-  // pushed-filter search. Result must be IDENTICAL to the
+  // batches merged into one ([[graft.operators.InvertedIndex
+  // .compactPostingStore]] — the signature-store protocol: stage,
+  // re-validate the max-id invariant against racing appends, rename,
+  // delete — applied to the postings AND the stats sidecar), then the
+  // same pushed-filter search. Result must be IDENTICAL to the
   // pre-compaction union (q139's SQL again) — compaction is layout
   // maintenance, never semantics; 365 daily dirs become one without
   // the searcher noticing.
@@ -1039,7 +1040,8 @@ object TextQueries {
       docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, batchId = 1L)
     graft.operators.InvertedIndex.writePostingStore(
       docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, batchId = 2L)
-    val replaced = graft.operators.BatchStore.compact(s, root, newBatchId = 3L)
+    val replaced = graft.operators.InvertedIndex.compactPostingStore(
+      s, root, newBatchId = 3L)
     require(replaced == 2, s"expected 2 batches replaced, got $replaced")
     val out = graft.operators.InvertedIndex.andSearchFromStore(
         graft.operators.BatchStore.read(s, root), "doc_id",
@@ -1051,6 +1053,48 @@ object TextQueries {
     out
   }
   private val q169Sql = q139Sql
+
+  // ---------------------------------------------------------------
+  // q174 — SHARDED FULL-POSTING EXPORT ([[graft.operators
+  // .InvertedIndex.exportPostings]]): the whole posting list written
+  // out, exchange keyed on (token, hash60(doc) mod 8) so no single
+  // writer task owns a hot token's corpus-sized list (Round11Spec
+  // pins the multi-file spread on disk). The gate reads the export
+  // back and aggregates per-token df/cf plus the number of DISTINCT
+  // doc-buckets the token's list actually spans — the oracle
+  // recomputes all three from the raw corpus, including the bucket
+  // arithmetic (md5-derived hash60 mod 8, regenerated in DuckDB), so
+  // a sharding change that loses or duplicates postings, or shifts
+  // the bucket function, breaks the hash. Top-20 by cf, token
+  // tiebreak.
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q174_export").toString
+    graft.operators.InvertedIndex.exportPostings(
+      docs, "doc_id", "text", root, batchId = 1L, docBuckets = 8)
+    val out = graft.operators.BatchStore.read(s, root)
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        sum(col("tf")).cast("long").as("cf"),
+        countDistinct(col("doc_bucket")).as("n_buckets"))
+      .orderBy(desc("cf"), col("token"))
+      .limit(20)
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    out
+  }
+  private val q174Sql = {
+    val bucket = s"${dHash("CAST(doc_id AS VARCHAR)")} % 8"
+    s"""WITH tok AS (SELECT doc_id, unnest($dTokens) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf, $bucket AS doc_bucket
+      |  FROM tok GROUP BY doc_id, token)
+      |SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+      |  COUNT(DISTINCT doc_bucket) AS n_buckets
+      |FROM tf GROUP BY token ORDER BY cf DESC, token LIMIT 20""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // q160 — PASSAGE RETRIEVAL: the RAG-shape composition — chunk the
@@ -1420,10 +1464,10 @@ object TextQueries {
   private def q153(s: SparkSession, dir: String): DataFrame =
     graft.operators.InvertedIndex.bm25Search(
       Tables.documents(s, dir), "doc_id", "text", q151Terms, k = 20)
-  /** Shared BM25 oracle body, parameterized by the corpus-stats CTE —
-    * the scan path (q153) counts every document; the store path
-    * (q161) counts only documents WITH postings (zero-token docs are
-    * absent from a posting store, the one documented divergence). */
+  /** Shared BM25 oracle body, parameterized by the corpus-stats CTE.
+    * Since round 11 both the scan path (q153) and the store path
+    * (q161, stats sidecar) count every document — zero-token docs
+    * included — so both use the same all-docs stats CTE. */
   private def bm25SqlFor(nCte: String) = {
     val inList = q151Terms.map(t => s"'$t'").mkString(", ")
     val cells = q151Terms.zipWithIndex.map { case (t, i) =>
@@ -1458,9 +1502,11 @@ object TextQueries {
   // over q159's persisted postings ([[graft.operators.InvertedIndex
   // .bm25SearchFromStore]]) — the served-index completion: term rows
   // from the pushed-filter store scan, corpus stats (N, Σdl) from
-  // the store's distinct (id, doc_len) pairs. Zero-token docs have
-  // no postings, so the oracle's stats CTE counts only tokenizing
-  // docs — the one documented divergence from the scan path.
+  // the per-batch STATS SIDECAR summed at query time (round 11 — the
+  // pre-sidecar path distinct()-scanned the whole store per query).
+  // Sidecar stats count EVERY batch doc, zero-token ones included,
+  // so the oracle is q153's all-docs stats CTE verbatim: the store
+  // path is now value-identical to the scan path on any corpus.
   private def q161(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val root = java.nio.file.Files
@@ -1470,7 +1516,7 @@ object TextQueries {
     graft.operators.InvertedIndex.writePostingStore(
       docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, batchId = 2L)
     val out = graft.operators.InvertedIndex.bm25SearchFromStore(
-        graft.operators.BatchStore.read(s, root), "doc_id", q151Terms, k = 20)
+        s, root, "doc_id", q151Terms, k = 20)
       .localCheckpoint()
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
@@ -1478,7 +1524,7 @@ object TextQueries {
     out
   }
   private val q161Sql = bm25SqlFor(
-    "SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM t WHERE len(toks) > 0")
+    "SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM t")
 
   // ---------------------------------------------------------------
   // q60 — benchmark decontamination: training docs sharing any word
@@ -2454,6 +2500,7 @@ object TextQueries {
     QueryDef("q156_semantic_decontamination", q156, Some(q156Sql)),
     QueryDef("q159_posting_store_search", q159, Some(q159Sql)),
     QueryDef("q169_posting_compacted", q169, Some(q169Sql)),
+    QueryDef("q174_posting_export", q174, Some(q174Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

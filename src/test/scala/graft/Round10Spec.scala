@@ -174,14 +174,19 @@ class Round10Spec extends AnyFunSuite {
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
-  test("bm25SearchFromStore equals the scan path on a fully-tokenizing corpus") {
+  test("bm25SearchFromStore equals the scan path even with zero-token docs (sidecar stats)") {
     import spark.implicits._
-    import graft.operators.{BatchStore, InvertedIndex}
+    import graft.operators.InvertedIndex
     val root = java.nio.file.Files
       .createTempDirectory("graft_bm25_store_spec").toString
+    // doc 5 tokenizes to NOTHING: it has no postings, but the stats
+    // sidecar (computed from the raw batch frame) still counts it in
+    // N — exactly like the scan path, so the paths stay identical on
+    // any corpus (pre-round-11 the store path diverged here).
     val docs = Seq(
       (1L, "spark join hash spark pad1 pad2"), (2L, "spark join hash"),
-      (3L, "spark only"), (4L, "spark join hash " + ("filler " * 30).trim))
+      (3L, "spark only"), (4L, "spark join hash " + ("filler " * 30).trim),
+      (5L, "   "))
       .toDF("doc_id", "text")
     InvertedIndex.writePostingStore(
       docs.filter(col("doc_id") <= 2), "doc_id", "text", root, 1L)
@@ -191,7 +196,7 @@ class Round10Spec extends AnyFunSuite {
     val scan = InvertedIndex.bm25Search(docs, "doc_id", "text", terms, k = 10)
       .as[(Long, Long, Double)].collect().toSeq
     val store = InvertedIndex.bm25SearchFromStore(
-        BatchStore.read(spark, root), "doc_id", terms, k = 10)
+        spark, root, "doc_id", terms, k = 10)
       .as[(Long, Long, Double)].collect().toSeq
     assert(store == scan, s"store $store vs scan $scan")
     assert(store.map(_._1) == Seq(2L, 1L, 4L),
