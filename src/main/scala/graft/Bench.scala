@@ -417,7 +417,7 @@ object Bench {
       // fixture — fixed size regardless of SPARK_GRAFT_SF_DIR, same
       // rationale; q166/q170 are bounded-slice streamed gates like
       // q149. Every other round-10 tail query (q153–q164, q168,
-      // q169) is sf-scaled and STAYS in the headline total.
+      // q169, q171) is sf-scaled and STAYS in the headline total.
       "q150_pq_trained_planted", "q152_ivfpq_planted",
       "q165_hard_negatives", "q166_jsonl_streamed",
       "q167_retrieval_mrr", "q170_topk_streamed")

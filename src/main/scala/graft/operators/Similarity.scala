@@ -590,9 +590,12 @@ object Similarity {
     * candidate-sized — the per-query self-join is N² rows, the k
     * greedy steps are k unrolled join+window stages over those
     * frames, and the corpus never appears; `cands` and the sim frame
-    * are localCheckpoint'd once (they feed every step). The greedy
-    * loop is inherently sequential in k — at fixed small k (5–20)
-    * that is k candidate-sized stages, not a scaling hazard.
+    * are localCheckpoint'd once (they feed every step) and RELEASED
+    * on return, as is each superseded greedy step's checkpoint — a
+    * long-lived session pins only the returned selection frame per
+    * call. The greedy loop is inherently sequential in k — at fixed
+    * small k (5–20) that is k candidate-sized stages, not a scaling
+    * hazard.
     *
     * Determinism: rel and sims are cosines (engine-identical
     * doubles), λ must be binary-exact (default 1/2), ties break on
@@ -641,10 +644,24 @@ object Similarity {
       // selected stays tiny (t rows/query); the checkpoint keeps the
       // k-step plan linear instead of doubling per step (sel feeds
       // both the anti join and the max-sim join)
-      sel.unionByName(pick).localCheckpoint()
+      val next = sel.unionByName(pick).localCheckpoint()
+      // the superseded step's checkpoint is dead once `next` is
+      // materialized — release it so a long-lived session pins O(1)
+      // selection frames, not O(k) per call (the bpeTrainCore
+      // pattern). Step 1's `sel` is `empty`, whose plan reaches the
+      // still-live base checkpoint — skip it.
+      if (t > 1) Checkpoints.releasePinned(sel)
+      next
     }
-    selected.select(col(queryCol), col("pick_rank"), col(idCol),
+    val out = selected.select(col(queryCol), col("pick_rank"), col(idCol),
       col(relCol), col("mmr"))
+    // `selected` is itself checkpointed, so base and sims are fully
+    // consumed — release them here; the caller owns only the final
+    // selection checkpoint (Bench.releaseBlocks sweeps it, or
+    // releasePinned(result) for long-lived services)
+    Checkpoints.releasePinned(base)
+    Checkpoints.releasePinned(sims)
+    out
   }
 
   // ------------------------------------------ product quantization

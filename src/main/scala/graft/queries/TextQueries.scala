@@ -1373,6 +1373,10 @@ object TextQueries {
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val out = s.table(sink).orderBy(col("lang")).localCheckpoint()
+    // the checkpoint owns the rows now — drop the memory-sink temp
+    // view, or each bench invocation (3 runs/query) leaves a cached
+    // result table registered for the session's lifetime
+    s.catalog.dropTempView(sink)
     new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(s.sessionState.newHadoopConf())
       .delete(new org.apache.hadoop.fs.Path(tmp), true)
