@@ -74,33 +74,114 @@ object Tokenizer {
     * over the vocab frame, a 1-row TakeOrdered argmax to the driver,
     * and a map-side merge rewrite (localCheckpoint per round bounds
     * the lineage, the kmeans discipline; each round releases the
-    * previous round's blocks).
+    * previous round's blocks). One round per MERGE is fine at gate
+    * scale but not at a production 30k-merge vocabulary — that is
+    * [[bpeTrainBatched]], which applies the top-B non-conflicting
+    * pairs per round.
     *
     * Cross-engine reproducibility: symbol sequences are SEPARATOR-
-    * DELIMITED STRINGS (`␟c₁␟c₂␟…␟`) and a merge is one literal
-    * `replace(str, ␟s1␟s2␟ → ␟s1s2␟)` — both engines' replace scans
-    * left-to-right non-overlapping and continues AFTER the
-    * replacement, which IS greedy BPE application, so the whole
-    * training trajectory (including tie-breaks: count desc, then
-    * (s1, s2) lexicographic) is bit-identical (oracle-gated, q157).
-    * The bounding separators make cross-symbol false matches
-    * impossible (`␟a␟b␟` cannot match inside `␟xa␟b…` — the char
-    * before `a` is `x`, not `␟`). */
+    * DELIMITED STRINGS (`␟c₁␟c₂␟…␟`) and a merge is a LEFT-TO-RIGHT
+    * GREEDY PAIRING FOLD over the split symbol list ([[applyMerge]]):
+    * if the accumulator's last symbol is `s1` and the next symbol is
+    * `s2`, fuse them, else append — exactly Sennrich's scan
+    * (`i += 2` after a merge). A literal
+    * `replace(␟s1␟s2␟ → ␟s1s2␟)` is NOT equivalent: the match
+    * consumes the shared boundary separator, so an even run like
+    * `aaaa` under merge (a,a) yields [aa, a, a] instead of the
+    * greedy [aa, aa] (the round-10 advice finding; the `aaaa`
+    * trajectory is now pinned in Round11Spec). Both engines spell
+    * the identical fold (Spark `aggregate`, DuckDB `list_reduce`),
+    * so the whole training trajectory (including tie-breaks: count
+    * desc, then (s1, s2) lexicographic) is bit-identical
+    * (oracle-gated, q157). The fold cannot cascade: the fused symbol
+    * `s1s2` can never equal `s1` (s2 is non-empty), so a fresh merge
+    * site is never fabricated inside one application pass. */
   def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (merges, vocab) = bpeTrainCore(docs, textCol, nMerges)
+    val (merges, vocab) = bpeTrainCore(docs, textCol, nMerges, batch = 1)
     Checkpoints.releasePinned(vocab) // merges are driver-side; blocks are dead
-    merges.toDF("merge_rank", "s1", "s2", "pair_count")
+    merges.map { case (r, _, s1, s2, c) => (r, s1, s2, c) }
+      .toDF("merge_rank", "s1", "s2", "pair_count")
   }
 
-  /** The training loop behind [[bpeTrain]] / [[bpeSegmentStats]]:
-    * returns the learned merges AND the final vocab frame
+  /** BATCHED BPE training: per round, apply the top-`batch` PAIRWISE
+    * NON-CONFLICTING merges from one pair count instead of one — the
+    * standard fix for [[bpeTrain]]'s round count: a production 30k–50k
+    * merge vocabulary at one Spark job per merge is 30k sequential
+    * driver round-trips; at batch B the round count drops ~B× (the
+    * q173 gate measures 6 merges in 3 rounds; SCALE.md the nMerges=64
+    * sweep).
+    *
+    * CONFLICT RULE: candidate P conflicts with an already-selected Q
+    * iff `P.s1 = Q.s2` or `P.s2 = Q.s1` (their merge sites can share
+    * a symbol occurrence: 'x a y' under (x,a)+(a,y) both claim the
+    * 'a'); pairs sharing only a same-side symbol — (a,b)+(a,c),
+    * (a,b)+(c,b) — have site-disjoint occurrences (one 'a' is
+    * followed by either b or c, never both) and batch safely.
+    * Selection is a greedy scan of the ranked list (count desc,
+    * (s1, s2) lex — the [[bpeTrain]] tie rule): per slot, a top-1
+    * over the pair frame filtered by the conflicts accumulated so
+    * far, so selection is unbounded-correct (never "top-N then
+    * filter", which could under-select behind a wall of conflicts).
+    *
+    * APPROXIMATION, stated: each selected merge records its
+    * PRE-ROUND count, and in-round application is sequential in
+    * selection order — non-conflicting sites are disjoint, so counts
+    * stay exact for the selected pairs, but a B=1 trainer would
+    * RECOUNT between them and could prefer a pair involving the
+    * just-fused symbol; batch > 1 trades that lookahead for B× fewer
+    * rounds (every fast BPE trainer's trade). `batch = 1` is
+    * bit-identical to [[bpeTrain]] (pinned in Round11Spec; the q157
+    * gated trajectory is unchanged).
+    *
+    * Returns `(merge_rank, round, s1, s2, pair_count)` — rank is the
+    * global application order, `round` exposes the batching. */
+  def bpeTrainBatched(docs: DataFrame, textCol: String, nMerges: Int,
+      batch: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, vocab) = bpeTrainCore(docs, textCol, nMerges, batch)
+    Checkpoints.releasePinned(vocab)
+    merges.toDF("merge_rank", "round", "s1", "s2", "pair_count")
+  }
+
+  /** Split a `␟…␟`-delimited symbol string into its symbol array. */
+  private def symsOf(strCol: Column): Column =
+    filter(split(strCol, java.util.regex.Pattern.quote(BpeSep)), s => s =!= "")
+
+  /** Apply merge `(s1, s2)` to a symbol string with TRUE GREEDY
+    * left-to-right pairing: fold the symbol list with a string
+    * accumulator — if the accumulator's LAST symbol is `s1` (it
+    * equals `s1`, or ends with `␟s1`; the separator guard makes a
+    * symbol merely SUFFIXED by s1, like `xa` vs `a`, a non-match)
+    * and the incoming symbol is `s2`, strip the trailing `s1` and
+    * append the fused `s1s2`, else append `␟symbol`. Init is the
+    * first symbol, so the accumulator never carries bounding
+    * separators; the result is re-wrapped to the `␟…␟` form.
+    * DuckDB mirrors this exact fold via `list_reduce` (same init
+    * rule), so learned tables and segmentations hash-match. */
+  private def applyMerge(strCol: Column, s1: String, s2: String): Column = {
+    val syms = symsOf(strCol)
+    val folded = aggregate(
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      element_at(syms, 1),
+      (acc, c) =>
+        when((acc === lit(s1) || acc.endsWith(lit(BpeSep + s1))) && c === lit(s2),
+          concat(acc.substr(lit(1), length(acc) - lit(s1.length)), lit(s1 + s2)))
+          .otherwise(concat(acc, lit(BpeSep), c)))
+    concat(lit(BpeSep), folded, lit(BpeSep))
+  }
+
+  /** The training loop behind [[bpeTrain]] / [[bpeTrainBatched]] /
+    * [[bpeSegmentStats]]: returns the learned merges as
+    * `(rank, round, s1, s2, count)` AND the final vocab frame
     * `(word, cnt, str)` — `str` is each distinct word's fully-merged
     * segmentation, still pinned (the CALLER owns the release). */
-  private def bpeTrainCore(docs: DataFrame, textCol: String,
-      nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+  private def bpeTrainCore(docs: DataFrame, textCol: String, nMerges: Int,
+      batch: Int): (Seq[(Int, Int, String, String, Long)], DataFrame) = {
     require(nMerges >= 1, s"need nMerges >= 1, got $nMerges")
+    require(batch >= 1, s"need batch >= 1, got $batch")
     val charArr = transform(sequence(lit(1), length(col("word"))),
       i => col("word").substr(i, lit(1)))
     var vocab = docs.select(explode(tokens(col(textCol))).as("word"))
@@ -109,30 +190,48 @@ object Tokenizer {
       .select(col("word"), col("cnt"),
         concat(lit(BpeSep), concat_ws(BpeSep, charArr), lit(BpeSep)).as("str"))
       .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
     var exhausted = false
     var round = 1
-    while (round <= nMerges && !exhausted) {
-      val syms = filter(split(col("str"),
-        java.util.regex.Pattern.quote(BpeSep)), s => s =!= "")
+    while (merges.size < nMerges && !exhausted) {
+      val syms = symsOf(col("str"))
       val m = greatest(size(syms) - 1, lit(0))
-      val best = vocab
+      val pairs0 = vocab
         .select(col("cnt"), explode(zip_with(
           slice(syms, lit(1), m), slice(syms, lit(2), m),
           (a, b) => struct(a.as("s1"), b.as("s2")))).as("p"))
         .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
         .agg(sum(col("cnt")).as("c"))
-        .orderBy(col("c").desc, col("s1"), col("s2"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true // every word fully merged
+      // batch > 1 runs up to `batch` top-1 selections against this
+      // frame — barrier it so the vocab scan+explode runs once per
+      // round, not per slot (single-consumer batch=1 skips it)
+      val pairs = if (batch == 1) pairs0 else pairs0.localCheckpoint()
+      val want = math.min(batch, nMerges - merges.size)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var open = true
+      while (open && selected.size < want) {
+        // greedy non-conflicting selection: drop candidates whose
+        // merge sites could share a symbol occurrence with an
+        // already-selected pair (see bpeTrainBatched's conflict rule)
+        val eligible = selected.foldLeft(pairs) { case (df, (a1, a2, _)) =>
+          df.filter(!(col("s1") === a1 && col("s2") === a2) &&
+            col("s1") =!= a2 && col("s2") =!= a1)
+        }
+        val best = eligible.orderBy(col("c").desc, col("s1"), col("s2"))
+          .limit(1).collect()
+        if (best.isEmpty) open = false
+        else selected +=
+          ((best(0).getString(0), best(0).getString(1), best(0).getLong(2)))
+      }
+      if (batch > 1) Checkpoints.releasePinned(pairs)
+      if (selected.isEmpty) exhausted = true // every word fully merged
       else {
-        val (s1, s2, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += ((round, s1, s2, c))
-        val next = vocab.withColumn("str", call_function("replace",
-            col("str"), lit(BpeSep + s1 + BpeSep + s2 + BpeSep),
-            lit(BpeSep + s1 + s2 + BpeSep)))
-          .localCheckpoint()
+        selected.foreach { case (s1, s2, c) =>
+          merges += ((merges.size + 1, round, s1, s2, c)) }
+        val rewritten = selected.foldLeft(col("str")) { case (c0, (s1, s2, _)) =>
+          applyMerge(c0, s1, s2) }
+        val next = vocab.withColumn("str", rewritten).localCheckpoint()
         Checkpoints.releasePinned(vocab)
         vocab = next
         round += 1
@@ -163,9 +262,8 @@ object Tokenizer {
     * `total_bpe_tokens`, `chars_per_token`. */
   def bpeSegmentStats(docs: DataFrame, textCol: String,
       groupCols: Seq[String], nMerges: Int): DataFrame = {
-    val (_, vocab) = bpeTrainCore(docs, textCol, nMerges)
-    val nSyms = size(filter(split(col("str"),
-      java.util.regex.Pattern.quote(BpeSep)), s => s =!= ""))
+    val (_, vocab) = bpeTrainCore(docs, textCol, nMerges, batch = 1)
+    val nSyms = size(symsOf(col("str")))
     val seg = vocab.select(col("word"), nSyms.cast("long").as("n_syms"))
     val words = docs.select(
       groupCols.map(col) :+ explode(tokens(col(textCol))).as("word"): _*)

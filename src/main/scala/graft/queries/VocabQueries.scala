@@ -122,40 +122,60 @@ object VocabQueries {
   // scanned once (word → count); every round then runs on the
   // vocab-sized frame — the compression that makes BPE training
   // corpus-size-independent. The oracle replays all 8 rounds as
-  // unrolled CTEs over the same separator-delimited replace()
-  // mechanics (both engines' replace is left-to-right non-
-  // overlapping = greedy BPE), so the whole training trajectory
-  // including tie-breaks is bit-identical.
+  // unrolled CTEs over the same greedy left-to-right pairing FOLD
+  // (Spark `aggregate` / DuckDB `list_reduce`, identical init and
+  // branch rules — a literal replace() would mis-pair even
+  // same-symbol runs, the round-10 advice finding), so the whole
+  // training trajectory including tie-breaks is bit-identical.
   private val BpeMerges = 8
 
   /** The q157/q158 shared oracle machinery: the full unrolled BPE
     * training chain — `words` → `v0` (char symbols) → per round i,
     * pair counts `p_i`, 1-row argmax `b_i`, rewritten vocab `v_i` —
-    * mirroring [[Tokenizer.bpeTrain]]'s replace() mechanics. */
+    * mirroring [[Tokenizer.bpeTrain]]'s greedy-pairing fold exactly
+    * (list_reduce with first-element init, the same
+    * last-symbol-is-s1 test and strip-and-fuse arithmetic). */
+  private val dSep = "chr(31)"
+
+  /** DuckDB fragment: [[graft.operators.Tokenizer]]'s greedy-pairing
+    * merge fold applied to string expression `strExpr` with merge
+    * `(s1, s2)` (SQL expressions, e.g. `b.s1`) — list_reduce with
+    * first-element init, the same last-symbol test and strip-and-fuse
+    * arithmetic as the Spark `aggregate`. */
+  private def dFold(strExpr: String, s1: String, s2: String): String =
+    s"""$dSep || list_reduce(
+      |      list_filter(string_split($strExpr, $dSep), x -> x <> ''),
+      |      (acc, c) -> CASE WHEN (acc = $s1 OR ends_with(acc, $dSep || $s1))
+      |                        AND c = $s2
+      |                   THEN substr(acc, 1, length(acc) - length($s1)) || $s1 || $s2
+      |                   ELSE acc || $dSep || c END) || $dSep""".stripMargin
+
+  /** The shared `words` → `v0` (char-symbol strings) head CTEs. */
+  private def bpeHeadCtes: String =
+    s"""words AS (SELECT word, COUNT(*) AS cnt FROM
+      |    (SELECT unnest($dTokens) AS word FROM documents)
+      |  WHERE NOT contains(word, $dSep) GROUP BY word),
+      |v0 AS (SELECT word, cnt, $dSep ||
+      |    array_to_string(list_transform(range(1, len(word) + 1),
+      |      i -> word[i:i]), $dSep) || $dSep AS str
+      |  FROM words)""".stripMargin
+
   private def bpeCtes: String = {
-    val sep = "chr(31)"
     val levels = (1 to BpeMerges).map { i =>
       val prev = if (i == 1) "v0" else s"v${i - 1}"
       s"""p$i AS (SELECT cnt,
         |    unnest(list_transform(range(1, len(syms)), j -> syms[j])) AS s1,
         |    unnest(list_transform(range(1, len(syms)), j -> syms[j+1])) AS s2
         |  FROM (SELECT cnt,
-        |      list_filter(string_split(str, $sep), x -> x <> '') AS syms
+        |      list_filter(string_split(str, $dSep), x -> x <> '') AS syms
         |    FROM $prev)),
         |b$i AS (SELECT s1, s2, CAST(SUM(cnt) AS BIGINT) AS c
         |  FROM p$i GROUP BY 1, 2 ORDER BY c DESC, s1, s2 LIMIT 1),
         |v$i AS (SELECT word, cnt,
-        |    replace(str, $sep || b.s1 || $sep || b.s2 || $sep,
-        |                 $sep || b.s1 || b.s2 || $sep) AS str
+        |    ${dFold("str", "b.s1", "b.s2")} AS str
         |  FROM $prev, b$i b)""".stripMargin
     }.mkString(",\n")
-    s"""words AS (SELECT word, COUNT(*) AS cnt FROM
-      |    (SELECT unnest($dTokens) AS word FROM documents)
-      |  WHERE NOT contains(word, $sep) GROUP BY word),
-      |v0 AS (SELECT word, cnt, $sep ||
-      |    array_to_string(list_transform(range(1, len(word) + 1),
-      |      i -> word[i:i]), $sep) || $sep AS str
-      |  FROM words),
+    s"""$bpeHeadCtes,
       |$levels""".stripMargin
   }
 
@@ -198,6 +218,64 @@ object VocabQueries {
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q173 — BATCHED BPE training ([[Tokenizer.bpeTrainBatched]],
+  // 6 merges at batch 2 = 3 rounds): per round, ONE pair count feeds
+  // a greedy scan of the ranked list that selects the top-2 pairwise
+  // NON-CONFLICTING pairs (P conflicts with selected Q iff
+  // P.s1 = Q.s2 or P.s2 = Q.s1 — their merge sites could claim the
+  // same symbol occurrence), both applied before the next recount —
+  // the round-count fix that makes a 30k-merge production vocabulary
+  // feasible where q157's one-job-per-merge loop is not. The oracle
+  // unrolls all 3 rounds: per round, aggregated pair counts, the
+  // rank-1 selection `a_i`, the first non-conflicting runner-up
+  // `b_i` (an unbounded filtered top-1, exactly the Spark scan), and
+  // the vocab rewritten by BOTH greedy folds in selection order —
+  // guarded through 1-row NULL forms so an exhausted selection
+  // passes the vocab through instead of annihilating the cross
+  // join. Counts recorded are pre-round (sites of non-conflicting
+  // pairs are disjoint, so they are exact) — the documented batching
+  // approximation vs a B=1 recount-between-merges trajectory.
+  private val BatchedMerges = 6
+  private val BatchedRounds = 3 // = BatchedMerges / batch
+  private def q173(s: SparkSession, dir: String): DataFrame =
+    Tokenizer.bpeTrainBatched(Tables.documents(s, dir), "text",
+        nMerges = BatchedMerges, batch = 2)
+      .orderBy(col("merge_rank"))
+  private val q173Sql = {
+    val levels = (1 to BatchedRounds).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      val saExpr = s"CASE WHEN a.s1 IS NULL THEN str ELSE ${dFold("str", "a.s1", "a.s2")} END"
+      val sbExpr = s"CASE WHEN b.s1 IS NULL THEN ($saExpr) ELSE ${dFold(s"($saExpr)", "b.s1", "b.s2")} END"
+      s"""p$i AS (SELECT s1, s2, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        |  SELECT cnt,
+        |    unnest(list_transform(range(1, len(syms)), j -> syms[j])) AS s1,
+        |    unnest(list_transform(range(1, len(syms)), j -> syms[j+1])) AS s2
+        |  FROM (SELECT cnt,
+        |      list_filter(string_split(str, $dSep), x -> x <> '') AS syms
+        |    FROM $prev)) GROUP BY s1, s2),
+        |a$i AS (SELECT s1, s2, c FROM p$i ORDER BY c DESC, s1, s2 LIMIT 1),
+        |b$i AS (SELECT p.s1, p.s2, p.c FROM p$i p, a$i a
+        |  WHERE NOT (p.s1 = a.s1 AND p.s2 = a.s2)
+        |    AND p.s1 <> a.s2 AND p.s2 <> a.s1
+        |  ORDER BY p.c DESC, p.s1, p.s2 LIMIT 1),
+        |an$i AS (SELECT MAX(s1) AS s1, MAX(s2) AS s2 FROM a$i),
+        |bn$i AS (SELECT MAX(s1) AS s1, MAX(s2) AS s2 FROM b$i),
+        |v$i AS (SELECT word, cnt, $sbExpr AS str
+        |  FROM $prev, an$i a, bn$i b)""".stripMargin
+    }.mkString(",\n")
+    val sels = (1 to BatchedRounds).flatMap { i =>
+      Seq(s"SELECT $i AS round, 1 AS sel, s1, s2, c FROM a$i",
+        s"SELECT $i AS round, 2 AS sel, s1, s2, c FROM b$i")
+    }.mkString("\n UNION ALL ")
+    s"""WITH $bpeHeadCtes,
+      |$levels,
+      |sels AS ($sels)
+      |SELECT CAST(row_number() OVER (ORDER BY round, sel) AS INTEGER) AS merge_rank,
+      |  CAST(round AS INTEGER) AS round, s1, s2, c AS pair_count
+      |FROM sels ORDER BY merge_rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q72_bpe_pairs", q72, Some(q72Sql)),
     QueryDef("q73_vocab_coverage", q73, Some(q73Sql)),
@@ -205,5 +283,6 @@ object VocabQueries {
     QueryDef("q90_token_dot", q90, Some(q90Sql)),
     QueryDef("q157_bpe_train", q157, Some(q157Sql)),
     QueryDef("q158_bpe_segment", q158, Some(q158Sql)),
+    QueryDef("q173_bpe_batched", q173, Some(q173Sql)),
   )
 }

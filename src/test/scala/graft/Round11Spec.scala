@@ -108,6 +108,71 @@ class Round11Spec extends AnyFunSuite {
     rm(root)
   }
 
+  // ----------------------------- true-greedy BPE merge application
+
+  test("bpeTrain pairs even same-symbol runs greedily: 'aaaa' -> [aa, aa], not [aa, a, a]") {
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    // the round-10 advice counterexample: a literal replace of
+    // ␟a␟a␟ consumes the shared boundary separator, leaving
+    // [aa, a, a] for 'aaaa'; Sennrich's greedy scan pairs [aa, aa].
+    // Trajectory under the fold: round 1 merges (a,a) (3 overlapping
+    // pairs × 2 words = 6), leaving both words as [aa, aa]; round 2
+    // merges (aa,aa) (count 2); then exhaustion.
+    val docs = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(docs, "text", nMerges = 5)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)),
+      merges.toString)
+    // the replace-based application would have left [aa, a, a] after
+    // round 1, making round 2's argmax (aa, a) — the segmentation
+    // stats expose the same difference: 1 token per word, not 2/3
+    val seg = Tokenizer.bpeSegmentStats(docs, "text", Seq.empty, nMerges = 2)
+      .collect().head
+    assert(seg.getLong(0) == 2L && seg.getLong(2) == 2L,
+      s"2 words, 1 BPE token each after both merges, got ${seg.toSeq}")
+  }
+
+  test("applyMerge separator guard: a symbol suffixed by s1 never false-matches") {
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    // words 'xab' and 'ab': round 1 argmax is (a,b) count 2; 'xab'
+    // must merge its OWN (a,b) — and the 'x' symbol, whose
+    // accumulator suffix is 'x' not '␟a', must not fuse
+    val docs = Seq((1L, "xab ab")).toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(docs, "text", nMerges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(merges == Seq((1, "a", "b", 2L)), merges.toString)
+    val seg = Tokenizer.bpeSegmentStats(docs, "text", Seq.empty, nMerges = 1)
+      .collect().head
+    // 'xab' -> [x, ab] (2), 'ab' -> [ab] (1)
+    assert(seg.getLong(2) == 3L, s"expected 3 BPE tokens, got ${seg.toSeq}")
+  }
+
+  test("bpeTrainBatched: batch=1 is bit-identical to bpeTrain; batch=2 halves rounds and skips conflicts") {
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    val docs = Seq((1L, "banana bandana banana"), (2L, "ban cabana"))
+      .toDF("doc_id", "text")
+    val single = Tokenizer.bpeTrain(docs, "text", nMerges = 4)
+      .as[(Int, String, String, Long)].collect().toSeq
+    val b1 = Tokenizer.bpeTrainBatched(docs, "text", nMerges = 4, batch = 1)
+      .as[(Int, Int, String, String, Long)].collect().toSeq
+    assert(b1.map { case (r, _, s1, s2, c) => (r, s1, s2, c) } == single,
+      s"batch=1 must replay the q157 trajectory exactly: $b1 vs $single")
+    assert(b1.map(_._2) == (1 to 4), "batch=1: one round per merge")
+    val b2 = Tokenizer.bpeTrainBatched(docs, "text", nMerges = 4, batch = 2)
+      .as[(Int, Int, String, String, Long)].collect().toSeq
+    assert(b2.map(_._2) == Seq(1, 1, 2, 2), s"batch=2: two merges per round: $b2")
+    // within a round the two selections must be non-conflicting
+    b2.groupBy(_._2).values.foreach {
+      case Seq((_, _, a1, a2, _), (_, _, p1, p2, _)) =>
+        assert(p1 != a2 && p2 != a1 && (p1, p2) != ((a1, a2)),
+          s"conflicting pair batched together: ($a1,$a2) + ($p1,$p2)")
+      case other => fail(s"expected 2 selections per round, got $other")
+    }
+  }
+
   // ------------------------------------------ sharded posting export
 
   test("exportPostings: content equals the corpus truth; a hot token's list spans multiple files") {
