@@ -574,6 +574,55 @@ object Similarity {
       .distinct()
   }
 
+  /** LSH-FRONTED top-k retrieval: sign-projection candidate
+    * generation in front of the exact-cosine verify — the scale path
+    * for [[bruteForceTopK]]'s corpus-linear scoring pass when BOTH
+    * sides grow (the q160/q164 passage-retrieval build measured 8.0×
+    * at 10× data with brute candidates; this replaces the
+    * corpus×queries product with a bucket join).
+    *
+    * Mechanics: corpus AND queries are signed with the SAME
+    * md5-derived hyperplanes ([[rpSignatures]] — regenerable in any
+    * engine); a candidate is any (query, corpus) pair sharing ANY
+    * table's bucket; candidates are verified by exact cosine, deduped
+    * across tables by `distinct()` on (query, neighbor, cosine)
+    * (byte-identical rows — the [[rpLshNearDupPairs]] discipline),
+    * and ranked per query with the map-side
+    * `WindowGroupLimit(Partial)` shape of [[rankTopK]].
+    *
+    * Scale shape: query signatures broadcast (queries × tables rows);
+    * the corpus side is ONE map-side signing pass into a broadcast
+    * hash join — the corpus never shuffles; the only exchanges are
+    * candidate-sized (dedup + rank). No corpus×queries product
+    * anywhere (PlanSpec pins no cartesian/nested-loop join and the
+    * bucket-keyed probe).
+    *
+    * The RECALL trade is the caller's to gate: a true neighbor is
+    * found only if it collides with the query in ≥ 1 table
+    * (per-table probability (1 − θ/π)^bits — tune recall with
+    * `tables`, candidate volume with `bits`); q172 gates this
+    * composition with an in-plan mean-recall floor vs the in-query
+    * brute force. Queries must be broadcast-sized, as in
+    * [[bruteForceTopK]]; zero-norm vectors should be filtered
+    * upstream (their cosine is NULL and the two engines order nulls
+    * differently). Returns `(query_id, rank, neighbor_id, cosine)`. */
+  def rpLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, bits: Int, tables: Int, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val cs = rpSignatures(c0, "cv", dim, bits, tables)
+    val qs = rpSignatures(q0, "qv", dim, bits, tables)
+    val scored = cs.join(broadcast(qs), Seq("rp_table", "rp_bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", pairCosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .distinct()
+    rankTopK(scored, k, col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** MAXIMAL MARGINAL RELEVANCE re-ranking: greedily pick `k`
     * candidates per query, each step's score
     * `λ·rel − (1−λ)·max_{s∈selected} sim(c, s)` trading relevance

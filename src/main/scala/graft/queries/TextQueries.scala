@@ -1108,9 +1108,11 @@ object TextQueries {
   // whose WindowGroupLimit partial runs map-side. Cosines are the
   // q130 fold spelling, ties broken (doc_id, chunk_id) — the whole
   // ranking hash-matches.
-  /** Shared q160/q164 candidate builder: ranked chunk candidates per
-    * eval query, embeddings kept for downstream re-ranking. */
-  private def passageCands(s: SparkSession, dir: String, topN: Int): DataFrame = {
+  /** Shared q160/q164/q172 embedding builder: the chunked corpus side
+    * (localCheckpoint'd — the encoder feeds norms and every candidate
+    * pair, the q130 barrier) and the eval-query side, both
+    * zero-norm-filtered. */
+  private def chunkQueryEmb(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val dim = 32
     def nrm(c: org.apache.spark.sql.Column) =
       sqrt(aggregate(transform(c, x => x * x), lit(0.0), (a, v) => a + v))
@@ -1125,6 +1127,13 @@ object TextQueries {
       .select(col("doc_id").as("query_id"),
         TextFunctions.hashEmbed(col("text"), dim).as("qemb"))
       .withColumn("qn", nrm(col("qemb"))).filter(col("qn") > 0)
+    (chunks, queries)
+  }
+
+  /** Shared q160/q164 candidate builder: ranked chunk candidates per
+    * eval query, embeddings kept for downstream re-ranking. */
+  private def passageCands(s: SparkSession, dir: String, topN: Int): DataFrame = {
+    val (chunks, queries) = chunkQueryEmb(s, dir)
     chunks.crossJoin(broadcast(queries))
       .withColumn("cosine",
         aggregate(zip_with(col("cemb"), col("qemb"), (x, y) => x * y),
@@ -1168,6 +1177,115 @@ object TextQueries {
       |    ORDER BY cosine DESC, doc_id, chunk_id) AS BIGINT) AS rank FROM p)
       |SELECT query_id, rank, doc_id, chunk_id, cosine
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q172 — LSH-FRONTED PASSAGE RETRIEVAL: q131's sign-bucket
+  // candidate generation wired in front of q160's exact-cosine
+  // verify ([[graft.operators.Similarity.rpLshTopK]]) — the scale
+  // path for the RAG candidate build, whose brute chunks×queries
+  // product measured 8.0× at 10× data when both sides grow
+  // (SCALE.md, q164). Chunks are signed map-side and bucket-joined
+  // against the broadcast query signatures — the corpus never meets
+  // the query set in a product (PlanSpec pins no cartesian join) —
+  // then only colliding candidates pay the exact cosine. The gate is
+  // q110-style retrieval quality IN-QUERY: recall@5 of the LSH path
+  // vs the exact brute force per eval query, hash-gated (the oracle
+  // replays the same planes/buckets from md5), with an in-plan
+  // MEAN-recall floor — per-query recall is the honest LSH trade
+  // (a query whose true neighbors sit at moderate cosine can miss
+  // entirely: collision probability (1−θ/π)^bits per table), so the
+  // floor binds the aggregate, measured across sf0.001/0.01/0.1.
+  private val Q172Bits = 12
+  private val Q172Tables = 8
+  private val Q172MeanRecallFloor = 0.5
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val (chunks, queries) = chunkQueryEmb(s, dir)
+    val corpus = chunks.select(
+      (col("doc_id") * lit(1048576L) + col("chunk_id")).as("nid"),
+      col("cemb").as("emb"))
+    val qfr = queries.select(col("query_id").as("nid"), col("qemb").as("emb"))
+    val lsh = graft.operators.Similarity.rpLshTopK(corpus, qfr, "nid", "emb",
+        dim = 32, bits = Q172Bits, tables = Q172Tables, k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(corpus, qfr, "nid", "emb", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val per = brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(5.0))
+      .localCheckpoint() // feeds the mean aggregate AND the output rows
+    val mean = per.agg(avg(col("recall")).as("__mean"))
+    per.crossJoin(broadcast(mean))
+      .filter(assert_true(col("__mean") >= Q172MeanRecallFloor,
+        concat(lit(s"LSH retrieval mean recall@5 below floor $Q172MeanRecallFloor: "),
+          col("__mean").cast("string"))).isNull)
+      .select(col("query_id"), col("n_hits"), col("recall"))
+      .orderBy(col("query_id"))
+  }
+  private val q172Sql = {
+    val w = s"(${dHash("'1:' || tk")} % 2001 - 1000) / 1000.0"
+    def emb(toks: String) = s"""list_transform(range(0, 32), d ->
+      |    list_reduce(list_prepend(0.0, list_transform($toks, tk ->
+      |      CASE WHEN ${dHash("tk")} % 32 = d THEN $w ELSE 0.0 END)),
+      |      (a, b) -> a + b))""".stripMargin
+    val bits = Q172Bits
+    val nPlanes = Q172Bits * Q172Tables
+    def cos(a: String, b: String) =
+      s"list_inner_product($a.emb, $b.emb) / (sqrt(list_inner_product($a.emb, $a.emb)) * sqrt(list_inner_product($b.emb, $b.emb)))"
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |ch AS (SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+      |    toks[start:start+63] AS ctoks
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start
+      |        FROM t WHERE len(toks) > 0 AND doc_id % 97 <> 3)),
+      |ce AS (SELECT doc_id * 1048576 + chunk_id AS nid, ${emb("ctoks")} AS emb
+      |  FROM ch),
+      |cv AS (SELECT nid, emb FROM ce
+      |  WHERE sqrt(list_inner_product(emb, emb)) > 0),
+      |qe AS (SELECT doc_id AS query_id, ${emb("toks")} AS emb FROM t
+      |       WHERE doc_id % 97 = 3),
+      |qv AS (SELECT query_id, emb FROM qe
+      |  WHERE sqrt(list_inner_product(emb, emb)) > 0),
+      |planes AS (
+      |  SELECT p, list_transform(range(0, 32), i ->
+      |    CASE WHEN CAST('0x' || substr(md5('rp:' || p || ':' || i), 1, 15) AS BIGINT) % 2 = 0
+      |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS coefs
+      |  FROM range(0, $nPlanes) t(p)),
+      |csig AS (
+      |  SELECT v.nid, p // $bits AS rp_table,
+      |    SUM(CASE WHEN list_inner_product(v.emb, pl.coefs) > 0
+      |             THEN 1 << (p % $bits) ELSE 0 END) AS rp_bucket
+      |  FROM cv v CROSS JOIN planes pl GROUP BY 1, 2),
+      |qsig AS (
+      |  SELECT q.query_id, p // $bits AS rp_table,
+      |    SUM(CASE WHEN list_inner_product(q.emb, pl.coefs) > 0
+      |             THEN 1 << (p % $bits) ELSE 0 END) AS rp_bucket
+      |  FROM qv q CROSS JOIN planes pl GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT q.query_id, c.nid
+      |  FROM qsig q JOIN csig c
+      |    ON q.rp_table = c.rp_table AND q.rp_bucket = c.rp_bucket
+      |  WHERE q.query_id <> c.nid),
+      |lsh AS (SELECT query_id, nid FROM (
+      |  SELECT cand.query_id, cand.nid,
+      |    row_number() OVER (PARTITION BY cand.query_id
+      |      ORDER BY ${cos("a", "b")} DESC, cand.nid) AS rank
+      |  FROM cand JOIN cv a ON a.nid = cand.nid
+      |            JOIN qv b ON b.query_id = cand.query_id)
+      |  WHERE rank <= 5),
+      |brute AS (SELECT query_id, nid FROM (
+      |  SELECT q.query_id, c.nid,
+      |    row_number() OVER (PARTITION BY q.query_id
+      |      ORDER BY ${cos("c", "q")} DESC, c.nid) AS rank
+      |  FROM cv c CROSS JOIN qv q WHERE c.nid <> q.query_id)
+      |  WHERE rank <= 5)
+      |SELECT b.query_id,
+      |  CAST(SUM(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(SUM(CASE WHEN l.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 5.0 AS recall
+      |FROM brute b LEFT JOIN lsh l
+      |  ON b.query_id = l.query_id AND b.nid = l.nid
+      |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -2505,6 +2623,7 @@ object TextQueries {
     QueryDef("q159_posting_store_search", q159, Some(q159Sql)),
     QueryDef("q169_posting_compacted", q169, Some(q169Sql)),
     QueryDef("q174_posting_export", q174, Some(q174Sql)),
+    QueryDef("q172_lsh_passage_retrieval", q172, Some(q172Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

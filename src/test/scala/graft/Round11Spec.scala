@@ -108,6 +108,40 @@ class Round11Spec extends AnyFunSuite {
     rm(root)
   }
 
+  // ----------------------------- LSH-fronted retrieval (q172 path)
+
+  test("rpLshTopK: no corpus×queries product; finds planted neighbors with exact cosines") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dim = 8
+    def base(i: Int): Seq[Double] =
+      (0 until dim).map(j => (((i * 31 + j * 17) % 13) - 6).toDouble)
+    // 5 queries, each with 3 near-identical planted neighbors
+    // (cosine ≈ 1 ⇒ per-table collision ≈ (1−θ/π)^bits ≈ 1; missing
+    // all 8 tables is ~1e-13) plus unrelated filler
+    val queries = (1 to 5).map(i => (i.toLong, base(i)))
+    val planted = for {
+      i <- 1 to 5; r <- 1 to 3
+    } yield ((100 * i + r).toLong, base(i).zipWithIndex.map {
+      case (v, j) => v + 0.001 * r * (j % 3) })
+    val filler = (1 to 50).map(i => ((1000 + i).toLong, base(i * 7 + 3)))
+    val corpus = (planted ++ filler).toDF("id", "v")
+    val qdf = queries.toDF("id", "v")
+    val lsh = Similarity.rpLshTopK(corpus, qdf, "id", "v",
+      dim = dim, bits = 2, tables = 8, k = 3)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH retrieval must never form the corpus×queries product:\n$plan")
+    assert(plan.contains("rp_bucket"), "candidate join must key on the sign bucket")
+    val brute = Similarity.bruteForceTopK(corpus, qdf, "id", "v", k = 3)
+    val l = lsh.as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val b = brute.as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(l == b,
+      s"planted neighbors at cosine≈1 must all collide: lsh $l vs brute $b")
+    assert(l.map(_._1).distinct.size == 5 && l.size == 15)
+  }
+
   // ----------------------------- true-greedy BPE merge application
 
   test("bpeTrain pairs even same-symbol runs greedily: 'aaaa' -> [aa, aa], not [aa, a, a]") {
