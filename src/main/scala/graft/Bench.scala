@@ -82,7 +82,13 @@ object Bench {
     "q161_bm25_store", "q162_split_leakage_audit", "q163_jsonl_roundtrip",
     "q164_mmr_rerank", "q165_hard_negatives", "q166_jsonl_streamed",
     "q167_retrieval_mrr", "q168_orc_roundtrip", "q169_posting_compacted",
-    "q170_topk_streamed", "q171_image_resize")
+    "q170_topk_streamed", "q171_image_resize",
+    // round-11 tail (all sf-scaled — none belong in totalExcludes):
+    // LSH-fronted passage retrieval, batched BPE, sharded posting
+    // export, PQ codebook training (q146/q148 now time SERVING from
+    // the model store; q175 is the training cost as its own number)
+    "q172_lsh_passage_retrieval", "q173_bpe_batched",
+    "q174_posting_export", "q175_pq_train")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

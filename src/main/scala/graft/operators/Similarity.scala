@@ -917,9 +917,35 @@ object Similarity {
     * LIST IS PROBED — the nProbe/lists fraction of the corpus, the
     * entire point of IVF. Returns (query_id, rank, neighbor_id,
     * adc_fp), k rows per query. */
+  /** The residual codebook [[ivfPqTopK]] trains in-query when no
+    * precomputed one is passed — exposed so serving can TRAIN ONCE
+    * and reuse it ([[ModelStore]]; the codebook is model state like
+    * the dedup signature store, and round-10's bench measured 2–3×
+    * serving medians from retraining inside every timed query).
+    * Must be built against the SAME `coarse` frame the serving call
+    * uses — residuals are list-relative coordinates. */
+  def ivfPqResidualCodebook(vectors: DataFrame, coarse: DataFrame,
+      residualSeeds: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, trainIters: Int): DataFrame = {
+    // barrier: the residual frame feeds the seed join AND the
+    // training slices — without it each re-runs the coarse argmin
+    val res = ivfResiduals(vectors, coarse, idCol, vecCol).localCheckpoint()
+    val seedIds = residualSeeds.select(col(idCol)).distinct()
+    val rcb =
+      if (trainIters == 0) pqCodebook(
+        res.join(broadcast(seedIds), Seq(idCol)), idCol, "rv", dim, m)
+      else pqTrainedCodebook(res,
+        res.join(broadcast(seedIds), Seq(idCol)), idCol, "rv", dim, m, trainIters)
+    val out = rcb.localCheckpoint()
+    Checkpoints.releasePinned(res)
+    Checkpoints.releasePinned(rcb)
+    out
+  }
+
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame, coarse: DataFrame,
       residualSeeds: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, nProbe: Int, k: Int, trainIters: Int = 0): DataFrame = {
+      dim: Int, m: Int, nProbe: Int, k: Int, trainIters: Int = 0,
+      residualCodebook: Option[DataFrame] = None): DataFrame = {
     require(nProbe >= 1 && k >= 1, s"need nProbe/k >= 1, got $nProbe/$k")
     // MATERIALIZATION BARRIER: the residual frame feeds THREE
     // consumers (the codebook seeds, the coding pass, and the
@@ -929,12 +955,16 @@ object Similarity {
     val seedIds = residualSeeds.select(col(idCol)).distinct()
     // trainIters > 0 trains the residual codebook per-subspace
     // (k-means over ALL residuals, seeds from residualSeeds) — the
-    // quality step that turns ADC from floor-grade to usable retrieval
-    val rcb =
+    // quality step that turns ADC from floor-grade to usable
+    // retrieval. A caller serving many queries passes the
+    // ONCE-TRAINED codebook ([[ivfPqResidualCodebook]] through
+    // [[ModelStore]]) instead of re-deriving it per call.
+    val rcb = residualCodebook.getOrElse {
       if (trainIters == 0) pqCodebook(
         res.join(broadcast(seedIds), Seq(idCol)), idCol, "rv", dim, m)
       else pqTrainedCodebook(res,
         res.join(broadcast(seedIds), Seq(idCol)), idCol, "rv", dim, m, trainIters)
+    }
     val codes = pqCodes(res, rcb, idCol, "rv", dim, m)
       .join(res.select(col(idCol), col("list_id")), Seq(idCol))
     val qres = ivfProbeResiduals(queries, coarse, idCol, vecCol, nProbe)

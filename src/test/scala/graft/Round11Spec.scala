@@ -108,6 +108,21 @@ class Round11Spec extends AnyFunSuite {
     rm(root)
   }
 
+  // ----------------------------- train-once PQ serving (model store)
+
+  test("q146/q148 serve from the model store: a repeated call trains nothing new") {
+    import graft.operators.ModelStore
+    val sf = "/root/testdata/sf0.001"
+    SparkEntry.queries("q146_pq_ann")(spark, sf).collect()
+    SparkEntry.queries("q148_ivfpq_ann")(spark, sf).collect()
+    val afterFirst = ModelStore.trainedCount
+    val r1 = SparkEntry.queries("q146_pq_ann")(spark, sf).collect()
+    val r2 = SparkEntry.queries("q148_ivfpq_ann")(spark, sf).collect()
+    assert(ModelStore.trainedCount == afterFirst,
+      "a second serve must reuse the persisted codebook, not retrain")
+    assert(r1.nonEmpty && r2.nonEmpty)
+  }
+
   // ----------------------------- LSH-fronted retrieval (q172 path)
 
   test("rpLshTopK: no corpus×queries product; finds planted neighbors with exact cosines") {
