@@ -229,11 +229,20 @@ object Tokenizer {
       else {
         selected.foreach { case (s1, s2, c) =>
           merges += ((merges.size + 1, round, s1, s2, c)) }
-        val rewritten = selected.foldLeft(col("str")) { case (c0, (s1, s2, _)) =>
-          applyMerge(c0, s1, s2) }
-        val next = vocab.withColumn("str", rewritten).localCheckpoint()
-        Checkpoints.releasePinned(vocab)
-        vocab = next
+        // apply the round's merges as SUCCESSIVE checkpointed
+        // rewrites, one fold deep each — composing the folds into one
+        // expression triples the subtree per level (the symbol array
+        // is referenced 3×), i.e. ~3^B expression copies at batch B:
+        // measured 7 s → 137 s at B=8 before this. The per-merge
+        // eager materialization is the same cost batch=1 already
+        // pays; what batching saves is the per-merge pair-count
+        // aggregation (the explode-heavy job), not the rewrite.
+        selected.foreach { case (s1, s2, _) =>
+          val next = vocab.withColumn("str", applyMerge(col("str"), s1, s2))
+            .localCheckpoint()
+          Checkpoints.releasePinned(vocab)
+          vocab = next
+        }
         round += 1
       }
     }
