@@ -88,7 +88,13 @@ object Bench {
     // export, PQ codebook training (q146/q148 now time SERVING from
     // the model store; q175 is the training cost as its own number)
     "q172_lsh_passage_retrieval", "q173_bpe_batched",
-    "q174_posting_export", "q175_pq_train")
+    "q174_posting_export", "q175_pq_train",
+    // q176 serves from the persisted PQ code store (embeddings-scaled);
+    // q177 streams the WHOLE corpus through the posting-store sink —
+    // measured 1.8× at 10× (corpus work dominates the fixed streaming
+    // machinery), so unlike the bounded-slice streamed gates it stays
+    // in the scaled total
+    "q176_pq_index_store", "q177_posting_store_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -298,11 +298,48 @@ object InvertedIndex {
     // between the two leaves postings without stats, which
     // postingStoreStats under-counts — compact or re-append to heal;
     // the reverse order would over-count silently.
-    val stats = df.agg(count(lit(1)).as("n_docs"),
+    BatchStore.append(batchStats(df, textCol), statsRoot(root), batchId)
+  }
+
+  /** One (n_docs, total_len) row for a batch frame — the sidecar
+    * payload, shared by [[writePostingStore]] and the streaming
+    * sink's heal path. */
+  private def batchStats(df: DataFrame, textCol: String): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(size(tokens(col(textCol))).cast("long")), lit(0L))
         .as("total_len"))
-    BatchStore.append(stats, statsRoot(root), batchId)
-  }
+
+  /** Maintain the posting store FROM A STREAM — index maintenance as
+    * a `foreachBatch` streaming job, the production shape where the
+    * daily-delta batches of [[writePostingStore]] arrive continuously
+    * instead. Batch id = `baseBatchId + epochId`, and the sink is
+    * EXACTLY-ONCE under Structured Streaming's at-least-once epoch
+    * replay:
+    *  - epoch fully committed → the replay is a NO-OP (both dirs
+    *    exist);
+    *  - crash in [[writePostingStore]]'s window (postings committed,
+    *    stats not) → the replay HEALS it by appending only the
+    *    missing stats row, recomputed from the replayed batch — the
+    *    stage-and-rename commit guarantees a half-written dir was
+    *    never visible, so postings are either absent or complete;
+    *  - epoch never started → the normal write.
+    * Requires the replayed epoch to carry the same rows, which the
+    * checkpointed file/kafka sources guarantee. */
+  def postingStoreSink(idCol: String, textCol: String, root: String,
+      baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+    (batch, epochId) => {
+      val spark = batch.sparkSession
+      val id = baseBatchId + epochId
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val postingsDone = fs.exists(
+        new org.apache.hadoop.fs.Path(root, s"batch=$id"))
+      val statsDone = fs.exists(new org.apache.hadoop.fs.Path(
+        statsRoot(root), s"batch=$id"))
+      if (!postingsDone) writePostingStore(batch, idCol, textCol, root, id)
+      else if (!statsDone)
+        BatchStore.append(batchStats(batch, textCol), statsRoot(root), id)
+    }
 
   /** Compact the posting store AND its stats sidecar at `root` into
     * one batch each ([[BatchStore.compact]] twice — same protocol,

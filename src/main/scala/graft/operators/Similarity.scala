@@ -1012,6 +1012,53 @@ object Similarity {
         zip_with(col("__q"), col("__cv"), (a, b) => a - b).as("rv"))
   }
 
+  /** Append one batch of PQ CODES to the persisted index at `root` —
+    * the other half of the serving story [[ModelStore]] started: the
+    * codebook is model state, and the CODES are the index payload (m
+    * small integers per vector — the 4×-to-64× compression that makes
+    * billion-vector stores RAM-resident). A daily delta codes ONLY its
+    * own vectors against the frozen codebook and appends via the
+    * [[BatchStore]] stage-and-rename commit; serving
+    * ([[pqAdcTopKFromStore]]) reads the union of committed batches
+    * and NEVER touches the corpus embedding column again — the
+    * whole point of paying the coding pass at write time. Assumes
+    * each vector's codes live in exactly one batch (append deltas,
+    * don't re-append ids), like the posting store. */
+  def writePqIndex(vectors: DataFrame, codebook: DataFrame, idCol: String,
+      vecCol: String, dim: Int, m: Int, root: String, batchId: Long): Unit =
+    BatchStore.append(
+      pqCodes(vectors, codebook, idCol, vecCol, dim, m), root, batchId)
+
+  /** [[pqAdcTopK]] OVER THE PERSISTED CODE STORE: identical ADC
+    * arithmetic (per-query (sub, code) distance table, fixed-point
+    * lookup sums, (adc_fp, id) ranking) with the corpus side read
+    * from [[writePqIndex]]'s committed batches — value-identical to
+    * coding in-memory (spec-pinned), with the store scan reading
+    * ONLY the (id, sub, code) columns: a served query costs
+    * |queries|·m·centroids broadcast table rows + one pass over
+    * m·N tiny code rows, not one over N `dim`-float embeddings. */
+  def pqAdcTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val codes = BatchStore.read(spark, root)
+      .select(col(idCol), col("sub"), col("code"))
+    val dtable = subSlices(queries, idCol, "query_id", vecCol, dim, m)
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        floor(sqDist(col("sv"), col("cv")) * lit(1073741824.0))
+          .cast("long").as("dfp"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_fp"), col(idCol))
+    codes.join(broadcast(dtable), Seq("sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("dfp")).as("adc_fp"))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol).as("neighbor_id"), col("adc_fp"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query
     * precomputes its (sub, code) → distance TABLE against the
     * codebook (|queries|·m·centroids rows — broadcast); a coded

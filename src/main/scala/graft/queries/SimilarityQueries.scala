@@ -723,6 +723,75 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------
+  // q176 — PQ ADC SERVING FROM THE PERSISTED CODE STORE: the other
+  // half of the q146/q175 train/serve split. The trained codebook
+  // (ModelStore, shared with q146 — one training per session) codes
+  // two corpus deltas into a [[graft.operators.BatchStore]]-committed
+  // index ([[graft.operators.Similarity.writePqIndex]]), and the
+  // query is served ENTIRELY from the code store
+  // ([[Similarity.pqAdcTopKFromStore]]): the corpus embedding column
+  // is never read again — a served query costs the broadcast ADC
+  // table plus one pass over m·N small code rows (Round11Spec pins
+  // the store scan's ReadSchema carries no embedding and the result
+  // equals the in-memory path exactly). Oracle = the q146 chain
+  // through its topk CTE: codes from the retrained codebook are
+  // batch-independent, so store union == in-memory coding.
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val seeds = e.filter(col("vec_id") < 8)
+    val queries = e.filter(col("vec_id") < 10)
+    val cb = graft.operators.ModelStore.cached(s, s"q146_cb:$dir") {
+      Similarity.pqTrainedCodebook(e, seeds, "vec_id", "embedding",
+        dim = 64, m = 4, iters = PqTrainIters)
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q176_pqindex").toString
+    Similarity.writePqIndex(e.filter(col("vec_id") % 2 === 0), cb,
+      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 1L)
+    Similarity.writePqIndex(e.filter(col("vec_id") % 2 === 1), cb,
+      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 2L)
+    val out = Similarity.pqAdcTopKFromStore(s, root, queries, cb,
+        "vec_id", "embedding", dim = 64, m = 4, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    out
+  }
+  private val q176Sql = {
+    val subs = "(SELECT unnest(range(4)) AS sub) s"
+    def ip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def d2(a: String, b: String) =
+      s"(${ip(a, a)} - 2 * ${ip(a, b)} + ${ip(b, b)})"
+    val (trainCtes, cbFinal) = pqTrainSql("xs", "cb0", PqTrainIters)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |xs AS (SELECT vec_id, s.sub, v[s.sub*16+1 : s.sub*16+16] AS sv
+      |  FROM e, $subs),
+      |cb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM xs WHERE vec_id < 8),
+      |$trainCtes,
+      |scored AS (SELECT xs.vec_id, xs.sub, cb.code,
+      |    ${d2("xs.sv", "cb.cv")} AS d2
+      |  FROM xs JOIN $cbFinal cb ON xs.sub = cb.sub),
+      |codes AS (SELECT vec_id, sub, code FROM (
+      |  SELECT vec_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |  FROM scored) WHERE rn = 1),
+      |dt AS (SELECT xs.vec_id AS query_id, cb.sub, cb.code,
+      |    CAST(floor(${d2("xs.sv", "cb.cv")} * 1073741824) AS BIGINT) AS dfp
+      |  FROM xs JOIN $cbFinal cb ON xs.sub = cb.sub WHERE xs.vec_id < 10),
+      |sc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+      |    CAST(SUM(dfp) AS BIGINT) AS adc_fp
+      |  FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, neighbor_id, adc_fp FROM (
+      |  SELECT query_id, neighbor_id, adc_fp,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
+      |  FROM sc) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q150 — trained-PQ retrieval on a PLANTED-cluster fixture: the
   // quality gate whose floor actually BINDS. The driver embeddings
   // have no neighbor structure (max pairwise cosine ≈ 0.60), so
@@ -1033,6 +1102,7 @@ object SimilarityQueries {
     QueryDef("q146_pq_ann", q146, Some(q146Sql)),
     QueryDef("q148_ivfpq_ann", q148, Some(q148Sql)),
     QueryDef("q175_pq_train", q175, Some(q175Sql)),
+    QueryDef("q176_pq_index_store", q176, Some(q176Sql)),
     QueryDef("q123_semantic_dedup", q123, Some(q123Sql)),
     QueryDef("q34_ann_brute_force", q34, Some(q34Sql)),
     QueryDef("q75_quantize_int8", q75, Some(q75Sql)),

@@ -1055,6 +1055,54 @@ object TextQueries {
   private val q169Sql = q139Sql
 
   // ---------------------------------------------------------------
+  // q177 — STREAMED POSTING-STORE MAINTENANCE: the q159/q161 store
+  // maintained by a STREAMING job ([[graft.operators.InvertedIndex
+  // .postingStoreSink]]) — the corpus staged as two parquet files,
+  // delivered one per micro-batch through the checkpointed file
+  // source, each epoch appending its postings + stats-sidecar batch
+  // via the stage-and-rename commit. The sink is exactly-once under
+  // epoch replay (fully-committed epochs no-op; the postings-but-
+  // no-stats crash window heals — Round11Spec pins both), and the
+  // served BM25 over the streamed store must equal the batch-built
+  // store and the scan path exactly: the oracle is q161's (= q153's)
+  // SQL verbatim. Search results are independent of how the source
+  // chunked docs into epochs — union semantics, the q166 argument.
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q177_stage").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q177_store").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q177_ckpt").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(stage)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(stage)
+    val sink = graft.operators.InvertedIndex
+      .postingStoreSink("doc_id", "text", store)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = stream.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = graft.operators.InvertedIndex.bm25SearchFromStore(
+        s, store, "doc_id", q151Terms, k = 20)
+      .localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Seq(stage, store, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    out
+  }
+  // lazy: bm25SqlFor reads q151Terms, which initializes LATER in this
+  // object — an eager val here would NPE at class init
+  private lazy val q177Sql = bm25SqlFor(
+    "SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM t")
+
+  // ---------------------------------------------------------------
   // q174 — SHARDED FULL-POSTING EXPORT ([[graft.operators
   // .InvertedIndex.exportPostings]]): the whole posting list written
   // out, exchange keyed on (token, hash60(doc) mod 8) so no single
@@ -2624,6 +2672,7 @@ object TextQueries {
     QueryDef("q169_posting_compacted", q169, Some(q169Sql)),
     QueryDef("q174_posting_export", q174, Some(q174Sql)),
     QueryDef("q172_lsh_passage_retrieval", q172, Some(q172Sql)),
+    QueryDef("q177_posting_store_streamed", q177, Some(q177Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

@@ -123,6 +123,42 @@ class Round11Spec extends AnyFunSuite {
     assert(r1.nonEmpty && r2.nonEmpty)
   }
 
+  test("pqAdcTopKFromStore: equals the in-memory ADC path; the store scan never reads embeddings") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val seeds = e.filter(col("vec_id") < 8)
+    val queries = e.filter(col("vec_id") < 10)
+    val cb = Similarity.pqTrainedCodebook(e, seeds, "vec_id", "embedding",
+      dim = 64, m = 4, iters = 2)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pq_index_spec").toString
+    Similarity.writePqIndex(e.filter(col("vec_id") % 2 === 0), cb,
+      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 1L)
+    Similarity.writePqIndex(e.filter(col("vec_id") % 2 === 1), cb,
+      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 2L)
+    val served = Similarity.pqAdcTopKFromStore(spark, root, queries, cb,
+      "vec_id", "embedding", dim = 64, m = 4, k = 5)
+    val inMem = Similarity.pqAdcTopK(e, queries, cb, "vec_id", "embedding",
+      dim = 64, m = 4, k = 5)
+    assert(served.as[(Long, Long, Long, Long)].collect().toSeq.sorted ==
+      inMem.as[(Long, Long, Long, Long)].collect().toSeq.sorted,
+      "store-served ADC must equal coding in-memory")
+    // the serving point: the CORPUS side of the plan is the code
+    // store — its scan's ReadSchema carries (id, sub, code), never
+    // the embedding array (queries still read theirs, so check the
+    // store relation's line specifically)
+    val plan = served.queryExecution.executedPlan.toString
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.exists(l => l.contains("sub") && l.contains("code") &&
+      !l.contains("embedding")),
+      s"code-store scan must not read embeddings:\n${readSchemas.mkString("\n")}")
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   // ----------------------------- LSH-fronted retrieval (q172 path)
 
   test("rpLshTopK: no corpus×queries product; finds planted neighbors with exact cosines") {
@@ -220,6 +256,32 @@ class Round11Spec extends AnyFunSuite {
           s"conflicting pair batched together: ($a1,$a2) + ($p1,$p2)")
       case other => fail(s"expected 2 selections per round, got $other")
     }
+  }
+
+  test("postingStoreSink: epoch replay is a no-op; the postings-without-stats crash window heals") {
+    import spark.implicits._
+    val root = tmp("graft_sink_replay")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val b0 = Seq((1L, "a b c"), (2L, "a")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "b c"), (4L, "   ")).toDF("doc_id", "text")
+    val sink = InvertedIndex.postingStoreSink("doc_id", "text", root)
+    sink(b0, 0L); sink(b1, 1L)
+    def stats() = InvertedIndex.postingStoreStats(spark, root)
+      .as[(Long, Long)].collect().head
+    def postings() = BatchStore.read(spark, root).count()
+    val (s0, p0) = (stats(), postings())
+    assert(s0 == ((4L, 6L)), s"zero-token doc 4 must count in stats: $s0")
+    // at-least-once delivery: replaying both epochs changes NOTHING
+    sink(b0, 0L); sink(b1, 1L)
+    assert(stats() == s0 && postings() == p0, "replay must be a no-op")
+    // crash window: postings committed, stats not — replay heals
+    fs.delete(new org.apache.hadoop.fs.Path(root, ".stats/batch=2"), true)
+    assert(stats() == ((2L, 4L)), "sanity: stats under-count in the window")
+    sink(b1, 1L)
+    assert(stats() == s0 && postings() == p0,
+      "replaying the crashed epoch must append exactly the missing stats row")
+    rm(root)
   }
 
   // ------------------------------------------ sharded posting export
