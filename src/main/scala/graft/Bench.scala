@@ -94,7 +94,8 @@ object Bench {
     // measured 1.8× at 10× (corpus work dominates the fixed streaming
     // machinery), so unlike the bounded-slice streamed gates it stays
     // in the scaled total
-    "q176_pq_index_store", "q177_posting_store_streamed")
+    "q176_pq_index_store", "q177_posting_store_streamed",
+    "q178_bpe_apply_unseen")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

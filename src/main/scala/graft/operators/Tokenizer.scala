@@ -272,21 +272,64 @@ object Tokenizer {
   def bpeSegmentStats(docs: DataFrame, textCol: String,
       groupCols: Seq[String], nMerges: Int): DataFrame = {
     val (_, vocab) = bpeTrainCore(docs, textCol, nMerges, batch = 1)
-    val nSyms = size(symsOf(col("str")))
-    val seg = vocab.select(col("word"), nSyms.cast("long").as("n_syms"))
+    // the stats plan references the pinned vocab lazily; hand the
+    // release to the caller's consumption via Bench.releaseBlocks —
+    // eager release here would truncate the un-executed plan
+    segmentStatsFrom(vocab, docs, textCol, groupCols)
+  }
+
+  /** Per-group compression rollup from a segmented-vocab frame
+    * `(word, str)` — the shared tail of [[bpeSegmentStats]] (segment
+    * the training corpus) and [[bpeApplyStats]] (segment an unseen
+    * one). */
+  private def segmentStatsFrom(vocab: DataFrame, docs: DataFrame,
+      textCol: String, groupCols: Seq[String]): DataFrame = {
+    val seg = vocab.select(col("word"),
+      size(symsOf(col("str"))).cast("long").as("n_syms"))
     val words = docs.select(
       groupCols.map(col) :+ explode(tokens(col(textCol))).as("word"): _*)
-    val out = words.join(seg, Seq("word"))
+    words.join(seg, Seq("word"))
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("word")).cast("long")).as("total_chars"),
         sum(col("n_syms")).as("total_bpe_tokens"))
       .withColumn("chars_per_token",
         col("total_chars").cast("double") / col("total_bpe_tokens"))
-    // the stats plan references the pinned vocab lazily; hand the
-    // release to the caller's consumption via Bench.releaseBlocks —
-    // eager release here would truncate the un-executed plan
-    out
+  }
+
+  /** Segment an UNSEEN corpus with an ALREADY-TRAINED merge table —
+    * the INFERENCE half of the tokenizer lifecycle
+    * ([[bpeSegmentStats]] segments the corpus it trained on; a real
+    * tokenizer trains once and then segments every new shard with
+    * the frozen merges, exactly like the PQ codebook serves from
+    * [[ModelStore]]). Each DISTINCT new-corpus word is segmented
+    * once: char-split, then the merges applied IN RANK ORDER as the
+    * same greedy pairing folds the trainer used ([[applyMerge]],
+    * one checkpointed rewrite per merge — the ~3^B
+    * expression-composition hazard applies here too); the per-group
+    * rollup is [[bpeSegmentStats]]'s. Merges that match nothing in
+    * the new corpus no-op, exactly as in any BPE tokenizer. Words
+    * containing the separator are outside the trainer's contract
+    * and drop from the stats (inner join), as in the training-side
+    * stats. */
+  def bpeApplyStats(docs: DataFrame, textCol: String,
+      groupCols: Seq[String], merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "need a non-empty trained merge table")
+    val charArr = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    var vocab = docs.select(explode(tokens(col(textCol))).as("word"))
+      .filter(!col("word").contains(BpeSep))
+      .distinct()
+      .select(col("word"),
+        concat(lit(BpeSep), concat_ws(BpeSep, charArr), lit(BpeSep)).as("str"))
+      .localCheckpoint()
+    merges.foreach { case (s1, s2) =>
+      val next = vocab.withColumn("str", applyMerge(col("str"), s1, s2))
+        .localCheckpoint()
+      Checkpoints.releasePinned(vocab)
+      vocab = next
+    }
+    segmentStatsFrom(vocab, docs, textCol, groupCols)
   }
 
   /** Frequency-ranked vocabulary: the `vocabSize` most frequent

@@ -150,17 +150,19 @@ object VocabQueries {
       |                   THEN substr(acc, 1, length(acc) - length($s1)) || $s1 || $s2
       |                   ELSE acc || $dSep || c END) || $dSep""".stripMargin
 
-  /** The shared `words` → `v0` (char-symbol strings) head CTEs. */
-  private def bpeHeadCtes: String =
+  /** The shared `words` → `v0` (char-symbol strings) head CTEs;
+    * `where` restricts the training corpus (q178 trains on the even
+    * half). */
+  private def bpeHeadCtes(where: String = ""): String =
     s"""words AS (SELECT word, COUNT(*) AS cnt FROM
-      |    (SELECT unnest($dTokens) AS word FROM documents)
+      |    (SELECT unnest($dTokens) AS word FROM documents $where)
       |  WHERE NOT contains(word, $dSep) GROUP BY word),
       |v0 AS (SELECT word, cnt, $dSep ||
       |    array_to_string(list_transform(range(1, len(word) + 1),
       |      i -> word[i:i]), $dSep) || $dSep AS str
       |  FROM words)""".stripMargin
 
-  private def bpeCtes: String = {
+  private def bpeCtes(where: String = ""): String = {
     val levels = (1 to BpeMerges).map { i =>
       val prev = if (i == 1) "v0" else s"v${i - 1}"
       s"""p$i AS (SELECT cnt,
@@ -175,7 +177,7 @@ object VocabQueries {
         |    ${dFold("str", "b.s1", "b.s2")} AS str
         |  FROM $prev, b$i b)""".stripMargin
     }.mkString(",\n")
-    s"""$bpeHeadCtes,
+    s"""${bpeHeadCtes()},
       |$levels""".stripMargin
   }
 
@@ -186,7 +188,7 @@ object VocabQueries {
     val finals = (1 to BpeMerges)
       .map(i => s"SELECT $i AS merge_rank, s1, s2, c AS pair_count FROM b$i")
       .mkString("\n UNION ALL ")
-    s"""WITH $bpeCtes
+    s"""WITH ${bpeCtes()}
       |SELECT * FROM ($finals) ORDER BY merge_rank""".stripMargin
   }
 
@@ -205,7 +207,7 @@ object VocabQueries {
       .orderBy(col("lang"))
   private val q158Sql = {
     val sep = "chr(31)"
-    s"""WITH $bpeCtes,
+    s"""WITH ${bpeCtes()},
       |seg AS (SELECT word,
       |    len(list_filter(string_split(str, $sep), x -> x <> '')) AS n_syms
       |  FROM v$BpeMerges),
@@ -268,12 +270,63 @@ object VocabQueries {
       Seq(s"SELECT $i AS round, 1 AS sel, s1, s2, c FROM a$i",
         s"SELECT $i AS round, 2 AS sel, s1, s2, c FROM b$i")
     }.mkString("\n UNION ALL ")
-    s"""WITH $bpeHeadCtes,
+    s"""WITH ${bpeHeadCtes()},
       |$levels,
       |sels AS ($sels)
       |SELECT CAST(row_number() OVER (ORDER BY round, sel) AS INTEGER) AS merge_rank,
       |  CAST(round AS INTEGER) AS round, s1, s2, c AS pair_count
       |FROM sels ORDER BY merge_rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q178 — TRAINED-TOKENIZER INFERENCE on an UNSEEN corpus
+  // ([[Tokenizer.bpeApplyStats]]): train the 8-merge table on the
+  // EVEN half of the corpus, freeze it, segment the ODD half — the
+  // real tokenizer lifecycle (q158 segments the corpus it trained
+  // on; production trains once and segments every new shard with the
+  // frozen merges). Each distinct unseen word is char-split and the
+  // merges applied in rank order as the same greedy pairing folds
+  // the trainer used; merges that match nothing no-op. The oracle
+  // unrolls BOTH halves: the training chain restricted to the even
+  // half (the b_i argmaxes), then 8 apply folds over the odd half's
+  // distinct words, then the per-language rollup — so a drift in
+  // training, application order, or the fold itself breaks the hash.
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val trained = Tokenizer.bpeTrain(docs.filter(col("doc_id") % 2 === 0),
+        "text", nMerges = BpeMerges)
+      .orderBy(col("merge_rank"))
+      .collect().toSeq.map(r => (r.getString(1), r.getString(2)))
+    Tokenizer.bpeApplyStats(docs.filter(col("doc_id") % 2 === 1), "text",
+        Seq("lang"), trained)
+      .orderBy(col("lang"))
+  }
+  private val q178Sql = {
+    val applyLevels = (1 to BpeMerges).map { i =>
+      val prev = if (i == 1) "w0" else s"w${i - 1}"
+      s"""w$i AS (SELECT word, ${dFold("str", "b.s1", "b.s2")} AS str
+         |  FROM $prev, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeCtes("WHERE doc_id % 2 = 0")},
+      |aw AS (SELECT DISTINCT word FROM
+      |    (SELECT unnest($dTokens) AS word FROM documents WHERE doc_id % 2 = 1)
+      |  WHERE NOT contains(word, $dSep)),
+      |w0 AS (SELECT word, $dSep ||
+      |    array_to_string(list_transform(range(1, len(word) + 1),
+      |      i -> word[i:i]), $dSep) || $dSep AS str
+      |  FROM aw),
+      |$applyLevels,
+      |seg AS (SELECT word,
+      |    len(list_filter(string_split(str, $dSep), x -> x <> '')) AS n_syms
+      |  FROM w$BpeMerges),
+      |docw AS (SELECT lang, unnest($dTokens) AS word FROM documents
+      |         WHERE doc_id % 2 = 1)
+      |SELECT d.lang, COUNT(*) AS n_words,
+      |  CAST(SUM(len(d.word)) AS BIGINT) AS total_chars,
+      |  CAST(SUM(s.n_syms) AS BIGINT) AS total_bpe_tokens,
+      |  CAST(SUM(len(d.word)) AS DOUBLE) / SUM(s.n_syms) AS chars_per_token
+      |FROM docw d JOIN seg s USING (word)
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -284,5 +337,6 @@ object VocabQueries {
     QueryDef("q157_bpe_train", q157, Some(q157Sql)),
     QueryDef("q158_bpe_segment", q158, Some(q158Sql)),
     QueryDef("q173_bpe_batched", q173, Some(q173Sql)),
+    QueryDef("q178_bpe_apply_unseen", q178, Some(q178Sql)),
   )
 }

@@ -284,6 +284,29 @@ class Round11Spec extends AnyFunSuite {
     rm(root)
   }
 
+  test("bpeApplyStats: frozen merges replayed on the training corpus equal the trainer's own segmentation") {
+    import spark.implicits._
+    import graft.operators.Tokenizer
+    val docs = Seq((1L, "banana bandana aaaa"), (2L, "ban ab aaaa"))
+      .toDF("doc_id", "text")
+    val merges = Tokenizer.bpeTrain(docs, "text", nMerges = 4)
+      .orderBy(col("merge_rank"))
+      .collect().toSeq.map(r => (r.getString(1), r.getString(2)))
+    val trainSide = Tokenizer.bpeSegmentStats(docs, "text", Seq.empty, nMerges = 4)
+      .collect().head.toSeq
+    val applySide = Tokenizer.bpeApplyStats(docs, "text", Seq.empty, merges)
+      .collect().head.toSeq
+    // the trainer's final vocab IS sequential application of the
+    // learned merges in rank order — post-hoc replay must agree
+    assert(applySide == trainSide, s"$applySide vs $trainSide")
+    // unseen words segment with whatever merges apply; others no-op
+    val unseen = Seq((9L, "banana zzz aaaa")).toDF("doc_id", "text")
+    val u = Tokenizer.bpeApplyStats(unseen, "text", Seq.empty, merges)
+      .collect().head
+    assert(u.getLong(0) == 3L && u.getLong(2) >= 3L,
+      s"3 words, 'zzz' must stay unmerged-or-char-split: ${u.toSeq}")
+  }
+
   // ------------------------------------------ sharded posting export
 
   test("exportPostings: content equals the corpus truth; a hot token's list spans multiple files") {
