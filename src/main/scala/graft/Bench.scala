@@ -95,7 +95,7 @@ object Bench {
     // machinery), so unlike the bounded-slice streamed gates it stays
     // in the scaled total
     "q176_pq_index_store", "q177_posting_store_streamed",
-    "q178_bpe_apply_unseen")
+    "q178_bpe_apply_unseen", "q179_ivfpq_index_store")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -19,8 +19,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * written once, ever; the daily append writes ONLY the delta. */
 object BatchStore {
 
-  /** Stage `df` and commit it as `root/batch=<batchId>`. */
-  def append(df: DataFrame, root: String, batchId: Long): Unit = {
+  /** Stage `df` and commit it as `root/batch=<batchId>`. With
+    * `partitionBy`, the batch is written partition-dir-per-value
+    * (`batch=<id>/col=<v>/…`) — readers get DIRECTORY-level partition
+    * pruning on those columns (the [[graft.operators.Similarity
+    * .ivfPqTopKFromStore]] probe reads only its lists' dirs); the
+    * whole batch still commits in the one staging rename. */
+  def append(df: DataFrame, root: String, batchId: Long,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
     val spark = df.sparkSession
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -28,7 +34,9 @@ object BatchStore {
     require(!fs.exists(dest), s"batch $batchId already committed at $dest")
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".staging-$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.mode("error").parquet(tmp.toString)
+    val w = df.write.mode("error")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
     require(fs.rename(tmp, dest), s"commit rename $tmp -> $dest failed")
   }
 

@@ -187,8 +187,18 @@ object InvertedIndex {
     * corpus scan) and [[bm25SearchFromStore]] (tf/stats from persisted
     * postings): df from the term-filtered tf frame, the saturated
     * pivoted contribution, the fixed-order pivot sum, top-k. */
-  private def bm25Rank(tf: DataFrame, stats: DataFrame, idCol: String,
+  private def bm25Rank(tf0: DataFrame, stats: DataFrame, idCol: String,
       terms: Seq[String], k: Int): DataFrame = {
+    // BARRIER: the term-filtered tf frame feeds df AND the scoring
+    // join — without it each consumer re-runs the upstream corpus
+    // scan (scan path) or term-pruned store pass (served path); with
+    // it the corpus is read once and both consumers read the small
+    // materialized tf rows (the q141 multi-consumer discipline;
+    // Round11Spec pins the served read at one store pass). The
+    // pinned blocks are bounded by the query terms' posting volume;
+    // callers release per the materialize contract (the bench
+    // sweeps between runs).
+    val tf = tf0.localCheckpoint()
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val dlRatio = col("doc_len").cast("double") /

@@ -1059,6 +1059,85 @@ object Similarity {
         col(idCol).as("neighbor_id"), col("adc_fp"))
   }
 
+  /** Write the IVF-PQ index: one row per (vector, subspace) —
+    * `(id, list_id, sub, code)`, the coarse assignment plus residual
+    * PQ codes against a FROZEN codebook ([[ivfPqResidualCodebook]]
+    * through [[ModelStore]]) — PARTITIONED BY `list_id` inside the
+    * [[BatchStore]] commit, so a probed query's scan prunes at the
+    * DIRECTORY level: unprobed lists' files are never opened
+    * ([[ivfPqTopKFromStore]]; the on-disk form of "a probe touches
+    * nProbe/lists of the corpus"). */
+  def writeIvfPqIndex(vectors: DataFrame, coarse: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
+      root: String, batchId: Long): Unit = {
+    // barrier: residuals feed the coding pass AND the list-id join
+    val res = ivfResiduals(vectors, coarse, idCol, vecCol).localCheckpoint()
+    val codes = pqCodes(res, codebook, idCol, "rv", dim, m)
+      .join(res.select(col(idCol), col("list_id")), Seq(idCol))
+    BatchStore.append(codes, root, batchId, partitionBy = Seq("list_id"))
+    Checkpoints.releasePinned(res)
+  }
+
+  /** [[ivfPqTopK]] OVER THE PERSISTED INDEX: identical per-(query,
+    * probed-list) ADC arithmetic with the corpus side read from
+    * [[writeIvfPqIndex]]'s committed batches. The probed list ids
+    * (nProbe × |queries| — driver-small) become an explicit
+    * `list_id IN (…)` predicate on the store scan, which is a
+    * PARTITION filter on the list-partitioned layout: serving reads
+    * only the probed lists' directories (Round11Spec pins the
+    * pruned partition count and value-equality with the in-memory
+    * path). `coarse` and `codebook` must be the frozen artifacts the
+    * index was built with. */
+  def ivfPqTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, coarse: DataFrame,
+      codebook: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, nProbe: Int, k: Int): DataFrame = {
+    require(nProbe >= 1 && k >= 1, s"need nProbe/k >= 1, got $nProbe/$k")
+    val qres = ivfProbeResiduals(queries, coarse, idCol, vecCol, nProbe)
+      .localCheckpoint() // feeds the ADC table AND the probed-list collect
+    val subDim = dim / m
+    val dt = qres.select(col("query_id"), col("list_id"),
+        explode(array((0 until m).map { s0 =>
+          struct(lit(s0).as("sub"),
+            slice(col("rv"), s0 * subDim + 1, subDim).as("sv"))
+        }: _*)).as("x"))
+      .select(col("query_id"), col("list_id"),
+        col("x.sub").as("sub"), col("x.sv").as("sv"))
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("query_id"), col("list_id"), col("sub"), col("code"),
+        floor(sqDist(col("sv"), col("cv")) * lit(1073741824.0))
+          .cast("long").as("dfp"))
+    // the ADC table is (queries × nProbe × m × codes) rows — small;
+    // materialize it so qres (which it references) can be released
+    // before the serving join runs
+    val dtm = dt.localCheckpoint()
+    val probed = qres.select(col("list_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    Checkpoints.releasePinned(qres)
+    val codes0 = BatchStore.read(spark, root)
+    // the probed-list predicate must hit the PARTITION column at its
+    // DISCOVERED type (small dir values infer as int) — longs would
+    // wrap the column in a cast and forfeit directory pruning; the
+    // long normalization for the join happens after the filter
+    val probedLits: Seq[Any] = codes0.schema("list_id").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probed.toSeq.map(_.toInt)
+      case _ => probed.toSeq
+    }
+    val codes = codes0
+      .filter(col("list_id").isin(probedLits: _*))
+      .select(col(idCol), col("list_id").cast("long").as("list_id"),
+        col("sub"), col("code"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_fp"), col(idCol))
+    codes.join(broadcast(dtm), Seq("list_id", "sub", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("dfp")).as("adc_fp"))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col(idCol).as("neighbor_id"), col("adc_fp"))
+  }
+
   /** Asymmetric-distance (ADC) top-k over PQ codes: each query
     * precomputes its (sub, code) → distance TABLE against the
     * codebook (|queries|·m·centroids rows — broadcast); a coded

@@ -688,6 +688,101 @@ object SimilarityQueries {
   }
 
   // ---------------------------------------------------------------
+  // q179 — IVF-PQ SERVING FROM THE LIST-PARTITIONED INDEX: q176's
+  // code-store discipline applied to the full IVF-PQ shape
+  // ([[graft.operators.Similarity.writeIvfPqIndex]] /
+  // [[Similarity.ivfPqTopKFromStore]]). The index rows
+  // (id, list_id, sub, code) are BatchStore-committed PARTITIONED BY
+  // list_id, and a serve turns its probed list ids into a partition
+  // filter — unprobed lists' directories are never opened: the
+  // "nProbe/lists of the corpus" claim as on-disk pruning, pinned in
+  // Round11Spec (partition count + value-equality with the
+  // in-memory q148 path). Coarse centroids and the trained residual
+  // codebook are the frozen artifacts (ModelStore, shared with
+  // q148 — one training per session); the oracle is the q148 chain
+  // through its topk CTE (store union == in-memory coding).
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val coarse = e.filter(col("vec_id") < 8)
+    val resSeeds = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+    val queries = e.filter(col("vec_id") < 10)
+    val rcb = graft.operators.ModelStore.cached(s, s"q148_rcb:$dir") {
+      Similarity.ivfPqResidualCodebook(e, coarse, resSeeds,
+        "vec_id", "embedding", dim = 64, m = 4, trainIters = PqTrainIters)
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q179_ivfpq").toString
+    Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0), coarse, rcb,
+      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 1L)
+    Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 1), coarse, rcb,
+      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 2L)
+    val out = Similarity.ivfPqTopKFromStore(s, root, queries, coarse, rcb,
+        "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    out
+  }
+  private val q179Sql = {
+    val subs = "(SELECT unnest(range(4)) AS sub) s"
+    def ip(a: String, b: String) = s"list_inner_product($a, $b)"
+    def d2(a: String, b: String) =
+      s"(${ip(a, a)} - 2 * ${ip(a, b)} + ${ip(b, b)})"
+    val (trainCtes, cbFinal) = pqTrainSql("rxs", "cb0", PqTrainIters)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c8 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |asg0 AS (SELECT e.vec_id, c8.cid, c8.cv, ${d2("e.v", "c8.cv")} AS d2
+      |  FROM e CROSS JOIN c8),
+      |asg AS (SELECT vec_id, cid AS list_id, cv FROM (
+      |  SELECT vec_id, cid, cv,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      |  FROM asg0) WHERE rn = 1),
+      |res AS (SELECT a.vec_id, a.list_id,
+      |    list_transform(generate_series(1, 64), i -> e.v[i] - a.cv[i]) AS rv
+      |  FROM asg a JOIN e ON e.vec_id = a.vec_id),
+      |rxs AS (SELECT vec_id, list_id, s.sub,
+      |    rv[s.sub*16+1 : s.sub*16+16] AS sv FROM res, $subs),
+      |cb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM rxs
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |$trainCtes,
+      |rcb AS (SELECT sub, code, cv FROM $cbFinal),
+      |sc0 AS (SELECT rxs.vec_id, rxs.list_id, rxs.sub, rcb.code,
+      |    ${d2("rxs.sv", "rcb.cv")} AS d2
+      |  FROM rxs JOIN rcb ON rxs.sub = rcb.sub),
+      |codes AS (SELECT vec_id, list_id, sub, code FROM (
+      |  SELECT vec_id, list_id, sub, code,
+      |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |  FROM sc0) WHERE rn = 1),
+      |pr0 AS (SELECT q.vec_id AS query_id, c8.cid AS list_id, c8.cv,
+      |    ${d2("q.v", "c8.cv")} AS d2
+      |  FROM (SELECT * FROM e WHERE vec_id < 10) q CROSS JOIN c8),
+      |pr AS (SELECT query_id, list_id, cv FROM (
+      |  SELECT query_id, list_id, cv,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY d2, list_id) AS rn
+      |  FROM pr0) WHERE rn <= 2),
+      |qres AS (SELECT p.query_id, p.list_id,
+      |    list_transform(generate_series(1, 64), i -> e.v[i] - p.cv[i]) AS rv
+      |  FROM pr p JOIN e ON e.vec_id = p.query_id),
+      |qxs AS (SELECT query_id, list_id, s.sub,
+      |    rv[s.sub*16+1 : s.sub*16+16] AS sv FROM qres, $subs),
+      |dt AS (SELECT qxs.query_id, qxs.list_id, qxs.sub, rcb.code,
+      |    CAST(floor(${d2("qxs.sv", "rcb.cv")} * 1073741824) AS BIGINT) AS dfp
+      |  FROM qxs JOIN rcb ON qxs.sub = rcb.sub),
+      |sc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+      |    CAST(SUM(dfp) AS BIGINT) AS adc_fp
+      |  FROM codes JOIN dt ON codes.list_id = dt.list_id
+      |    AND codes.sub = dt.sub AND codes.code = dt.code
+      |  GROUP BY 1, 2)
+      |SELECT query_id, rank, neighbor_id, adc_fp FROM (
+      |  SELECT query_id, neighbor_id, adc_fp,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_fp, neighbor_id) AS BIGINT) AS rank
+      |  FROM sc) WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q175 — PQ CODEBOOK TRAINING as its own gated, TIMED unit: the
   // two per-subspace Lloyd rounds q146 serves from, run end-to-end
   // and emitted as the trained codebook itself (long format —
@@ -1103,6 +1198,7 @@ object SimilarityQueries {
     QueryDef("q148_ivfpq_ann", q148, Some(q148Sql)),
     QueryDef("q175_pq_train", q175, Some(q175Sql)),
     QueryDef("q176_pq_index_store", q176, Some(q176Sql)),
+    QueryDef("q179_ivfpq_index_store", q179, Some(q179Sql)),
     QueryDef("q123_semantic_dedup", q123, Some(q123Sql)),
     QueryDef("q34_ann_brute_force", q34, Some(q34Sql)),
     QueryDef("q75_quantize_int8", q75, Some(q75Sql)),

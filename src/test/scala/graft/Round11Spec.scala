@@ -64,6 +64,8 @@ class Round11Spec extends AnyFunSuite {
       docs.filter(col("doc_id") > 100), "doc_id", "text", root, 2L)
     val storeRows = BatchStore.read(spark, root).count()
     val terms = Seq("spark", "join", "hash")
+    val termRows = BatchStore.read(spark, root)
+      .filter(col("token").isin(terms: _*)).count()
     val (served, m) = Metrics.capture(spark) {
       InvertedIndex.bm25SearchFromStore(spark, root, "doc_id", terms, k = 10)
         .as[(Long, Long, Double)].collect().toSeq
@@ -71,12 +73,14 @@ class Round11Spec extends AnyFunSuite {
     val scan = InvertedIndex.bm25Search(docs, "doc_id", "text", terms, k = 10)
       .as[(Long, Long, Double)].collect().toSeq
     assert(served == scan, s"served $served vs scan $scan")
-    // tf feeds df and the scoring join (2 term-pruned store passes) +
-    // the 2-row sidecar; the old distinct() stats path needed a THIRD,
-    // UNPRUNED store pass — reintroducing it breaks this bound
-    assert(m.inputRecords <= 2 * storeRows + 8,
+    // ONE term-pruned store pass (the tf barrier materializes it;
+    // its two consumers re-read only the materialized TERM rows —
+    // block reads count as inputRecords too) + the 2-row sidecar.
+    // The old shape paid 2 full store passes for tf and a third,
+    // UNPRUNED one for distinct() stats — either breaks this bound.
+    assert(m.inputRecords <= storeRows + 2 * termRows + 8,
       s"served query read ${m.inputRecords} records for a $storeRows-row store " +
-        "— a corpus-scale stats scan is back")
+        s"($termRows term rows) — a second store pass (or the stats corpus scan) is back")
     rm(root)
   }
 
@@ -154,6 +158,48 @@ class Round11Spec extends AnyFunSuite {
     assert(readSchemas.exists(l => l.contains("sub") && l.contains("code") &&
       !l.contains("embedding")),
       s"code-store scan must not read embeddings:\n${readSchemas.mkString("\n")}")
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("ivfPqTopKFromStore: equals the in-memory path; serving scans ONLY the probed lists' partitions") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val sf = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, sf)
+    val coarse = e.filter(col("vec_id") < 8)
+    val resSeeds = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+    val queries = e.filter(col("vec_id") < 1) // ONE query: probes ≤ nProbe lists
+    val rcb = Similarity.ivfPqResidualCodebook(e, coarse, resSeeds,
+      "vec_id", "embedding", dim = 64, m = 4, trainIters = 2)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_index_spec").toString
+    Similarity.writeIvfPqIndex(e, coarse, rcb,
+      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 1L)
+    val served = Similarity.ivfPqTopKFromStore(spark, root, queries, coarse,
+      rcb, "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, k = 5)
+    val inMem = Similarity.ivfPqTopK(e, queries, coarse, resSeeds,
+      "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, k = 5,
+      trainIters = 2, residualCodebook = Some(rcb))
+    assert(served.as[(Long, Long, Long, Long)].collect().toSeq.sorted ==
+      inMem.as[(Long, Long, Long, Long)].collect().toSeq.sorted,
+      "store-served IVF-PQ must equal the in-memory path")
+    // the pruning point: 1 query × nProbe=2 probes at most 2 of the
+    // 8 lists — the scan's partition count must be the probed count,
+    // not all list dirs
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    }.flatten
+    val scan = scansOf(served.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("graft_ivfpq_index_spec")))
+    assert(scan.isDefined, "expected a parquet scan of the index store")
+    val parts = scan.get.selectedPartitions.partitionCount
+    assert(parts <= 2 && parts >= 1,
+      s"1 query × nProbe=2 must open at most 2 list partitions, opened $parts")
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
       .delete(new org.apache.hadoop.fs.Path(root), true)
