@@ -95,7 +95,11 @@ object Bench {
     // machinery), so unlike the bounded-slice streamed gates it stays
     // in the scaled total
     "q176_pq_index_store", "q177_posting_store_streamed",
-    "q178_bpe_apply_unseen", "q179_ivfpq_index_store")
+    "q178_bpe_apply_unseen", "q179_ivfpq_index_store",
+    // q180 runs the takedown lifecycle end-to-end (build + delete +
+    // masked serve + purge + re-serve) over the whole corpus —
+    // sf-scaled, stays in the scaled total
+    "q180_posting_tombstones")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -429,8 +433,8 @@ object Bench {
       // q150/q152/q165/q167 run on their GENERATED 500-row planted
       // fixture — fixed size regardless of SPARK_GRAFT_SF_DIR, same
       // rationale; q166/q170 are bounded-slice streamed gates like
-      // q149. Every other round-10 tail query (q153–q164, q168,
-      // q169, q171) is sf-scaled and STAYS in the headline total.
+      // q149. Every other round-10+ tail query (q153–q164, q168,
+      // q169, q171–q180) is sf-scaled and STAYS in the headline total.
       "q150_pq_trained_planted", "q152_ivfpq_planted",
       "q165_hard_negatives", "q166_jsonl_streamed",
       "q167_retrieval_mrr", "q170_topk_streamed")

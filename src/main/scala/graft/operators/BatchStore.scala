@@ -65,11 +65,28 @@ object BatchStore {
   def compact(spark: SparkSession, root: String, newBatchId: Long): Int =
     compact(spark, root, newBatchId, () => ())
 
+  /** [[compact]] with a row TRANSFORM applied to the merged frame
+    * before it commits — the hook a store needs to make maintenance
+    * REWRITE rows, not just re-pack them (the posting store's
+    * tombstone purge drops deleted docs' rows here,
+    * [[InvertedIndex.purgeTombstones]]). Same protocol, same
+    * single-maintainer assumption; the transform must be
+    * deterministic — it runs once, on the merge, and the originals
+    * are deleted after the commit. */
+  def compactWith(spark: SparkSession, root: String, newBatchId: Long,
+      transform: DataFrame => DataFrame): Int =
+    compact(spark, root, newBatchId, transform, () => ())
+
   /** Test seam: `onBeforeCommit` runs after the merged batch is
     * staged, before the id-invariant re-list (Round10Spec plants a
     * racing append there). */
   private[graft] def compact(spark: SparkSession, root: String,
-      newBatchId: Long, onBeforeCommit: () => Unit): Int = {
+      newBatchId: Long, onBeforeCommit: () => Unit): Int =
+    compact(spark, root, newBatchId, identity[DataFrame], onBeforeCommit)
+
+  private[graft] def compact(spark: SparkSession, root: String,
+      newBatchId: Long, transform: DataFrame => DataFrame,
+      onBeforeCommit: () => Unit): Int = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     def listIds(): Seq[Long] = fs.listStatus(p).toSeq
@@ -81,7 +98,8 @@ object BatchStore {
     val ids = batches.map(_.getPath.getName.stripPrefix("batch=").toLong)
     require(newBatchId > ids.max,
       s"newBatchId=$newBatchId must exceed every existing batch id (max ${ids.max})")
-    val merged = spark.read.parquet(batches.map(_.getPath.toString): _*)
+    val merged = transform(
+      spark.read.parquet(batches.map(_.getPath.toString): _*))
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".staging-$newBatchId-${java.util.UUID.randomUUID().toString.take(8)}")
     merged.write.mode("error").parquet(tmp.toString)

@@ -239,8 +239,8 @@ object InvertedIndex {
     require(terms.nonEmpty && terms.distinct == terms,
       s"terms must be non-empty and distinct, got $terms")
     require(k >= 1, s"need k >= 1, got $k")
-    val tf = BatchStore.read(spark, root)
-      .filter(col("token").isin(terms: _*))
+    val tf = applyTombstones(spark, root,
+        BatchStore.read(spark, root).filter(col("token").isin(terms: _*)), idCol)
       .select(col(idCol), col("doc_len"), col("token"), col("tf"))
     bm25Rank(tf, postingStoreStats(spark, root), idCol, terms, k)
   }
@@ -363,6 +363,122 @@ object InvertedIndex {
     BatchStore.compact(spark, statsRoot(root), newBatchId)
     n
   }
+
+  // --------------------------------------------------- document deletes
+
+  /** DELETE documents from the posting store — the maintenance shape a
+    * takedown / GDPR-erasure request forces on a served index: the
+    * removal must be VISIBLE IMMEDIATELY (a search one second later may
+    * not return the doc) but rewriting a 100 TB store synchronously is
+    * not an option. The standard resolution is a TOMBSTONE: the delete
+    * commits only the removed ids (a delete-volume-sized batch under
+    * `root/.tombstones`, same stage-and-rename protocol) plus a
+    * NEGATIVE stats-sidecar row, and every search anti-joins its
+    * term-filtered rows against the tombstones — the masking cost is
+    * proportional to accumulated deletes, never to the store, and is
+    * reclaimed by [[purgeTombstones]] at the next maintenance window.
+    *
+    * Takes the removed DOCUMENT frame (id + text — the shape an
+    * erasure request arrives in: the caller holds the records), not
+    * bare ids, so the stats adjustment is computed by the exact
+    * arithmetic [[writePostingStore]] used — including ZERO-TOKEN docs,
+    * which have no posting rows to recover a length from. After the
+    * delete, [[postingStoreStats]] sums to exactly the remaining
+    * corpus, so served BM25 is value-identical to a scan of the
+    * remaining docs (oracle-gated in q180).
+    *
+    * Contract (append-delta discipline, like re-appending ids): delete
+    * each doc AT MOST ONCE, only docs previously appended, and use a
+    * fresh `batchId` — the stats sidecar is shared with appends, so a
+    * reused id fails fast in the commit. The TOMBSTONE commits FIRST:
+    * the erasure must be effective the moment the delete can have
+    * happened, so the crash window leaves docs masked but stats still
+    * counting them — scores drift conservatively until the heal
+    * (re-append only the missing negative stats row, the
+    * [[postingStoreSink]] discipline); the reverse order's window
+    * would keep SERVING the deleted docs, which for a takedown is the
+    * failure that matters. */
+  def deleteFromPostingStore(df: DataFrame, idCol: String, textCol: String,
+      root: String, batchId: Long): Unit = {
+    BatchStore.append(df.select(col(idCol)), tombstoneRoot(root), batchId)
+    BatchStore.append(
+      batchStats(df, textCol)
+        .select((-col("n_docs")).as("n_docs"),
+          (-col("total_len")).as("total_len")),
+      statsRoot(root), batchId)
+  }
+
+  /** Anti-join `rows` against the store's tombstones, if any — the
+    * read-side half of [[deleteFromPostingStore]]. Applied AFTER the
+    * term filter in the served search, so the join's left side is the
+    * query's posting rows, not the store; the tombstone side is
+    * delete-volume-sized (AQE picks the strategy — usually a
+    * broadcast, but a mass-erasure day must not be forced into one). */
+  def applyTombstones(spark: org.apache.spark.sql.SparkSession,
+      root: String, rows: DataFrame, idCol: String): DataFrame = {
+    // list COMMITTED batch dirs, not bare dir existence: a purge
+    // retires every applied batch and may leave (or race-keep) the
+    // parent dir, and an empty load path fails schema inference
+    val batches = tombstoneBatches(spark, root)
+    if (batches.isEmpty) rows
+    else rows.join(
+      spark.read.parquet(batches: _*).select(col(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  private def tombstoneBatches(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[String] = {
+    val tr = new org.apache.hadoop.fs.Path(tombstoneRoot(root))
+    val fs = tr.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tr)) Seq.empty
+    else fs.listStatus(tr).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.toString)
+  }
+
+  /** Physically drop tombstoned docs' posting rows and retire the
+    * applied tombstones — the maintenance window's rewrite
+    * ([[BatchStore.compactWith]]: merge every batch, anti-join the
+    * tombstones observed AT START, commit as one batch, delete the
+    * originals). Only tombstone batches observed at start are deleted,
+    * so a delete RACING the purge keeps its tombstone and stays masked
+    * on read — no abort needed on that side (a racing APPEND still
+    * aborts via the compact id re-list). Stats rows are untouched: the
+    * negative delete rows must keep offsetting the appends' positive
+    * rows ([[compactPostingStore]] folds them into one dir when run).
+    * Served results are pinned identical before/after the purge
+    * (in-plan in q180, and TombstoneSpec). Returns the number of
+    * posting batch dirs replaced, 0 if there were no tombstones. */
+  def purgeTombstones(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String, newBatchId: Long): Int =
+    purgeTombstones(spark, root, idCol, newBatchId, () => ())
+
+  /** Test seam: `onBeforeCommit` runs after the purged merge is
+    * staged, before the commit (TombstoneSpec plants a racing delete
+    * there). */
+  private[graft] def purgeTombstones(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String, newBatchId: Long,
+      onBeforeCommit: () => Unit): Int = {
+    val tr = new org.apache.hadoop.fs.Path(tombstoneRoot(root))
+    val fs = tr.getFileSystem(spark.sessionState.newHadoopConf())
+    val observed = tombstoneBatches(spark, root)
+      .map(new org.apache.hadoop.fs.Path(_))
+    if (observed.isEmpty) return 0
+    val tomb = spark.read.parquet(observed.map(_.toString): _*)
+      .select(col(idCol))
+    val n = BatchStore.compact(spark, root, newBatchId,
+      (merged: DataFrame) => merged.join(tomb, Seq(idCol), "left_anti"),
+      onBeforeCommit)
+    observed.foreach(p => fs.delete(p, true))
+    // retire the parent dir too if no delete raced in (non-recursive:
+    // refuses — and is ignored — if a racing tombstone just committed)
+    if (tombstoneBatches(spark, root).isEmpty)
+      try fs.delete(tr, false) catch { case _: java.io.IOException => () }
+    n
+  }
+
+  private def tombstoneRoot(root: String): String =
+    new org.apache.hadoop.fs.Path(root, ".tombstones").toString
 
   /** FULL posting EXPORT, sharded by (token, bucket(doc)) — the
     * object-scaladoc promise made concrete. A full export is the one

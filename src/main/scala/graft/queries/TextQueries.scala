@@ -1103,6 +1103,66 @@ object TextQueries {
     "SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM t")
 
   // ---------------------------------------------------------------
+  // q180 — DOCUMENT DELETES IN THE SERVED INDEX ([[graft.operators
+  // .InvertedIndex.deleteFromPostingStore]] / [[InvertedIndex
+  // .purgeTombstones]]): the takedown lifecycle end-to-end. Build the
+  // q161 store, DELETE every doc_id % 7 == 3 (tombstone batch +
+  // negative stats-sidecar row — the erasure is visible to the next
+  // search without rewriting the store), serve BM25 (deleted docs
+  // masked by the term-filtered anti-join; stats sum to exactly the
+  // remaining corpus), then PURGE (physical rewrite dropping the
+  // tombstoned rows, applied tombstones retired) and serve again.
+  // The two servings must be IDENTICAL — pinned in-plan: any drift
+  // between the masked view and the purged store fails the query.
+  // Oracle: the q153 BM25 chain over documents WHERE doc_id % 7 <> 3,
+  // stats CTE included — a tombstone that leaked into stats, a
+  // negative row miscounted, or a purge that dropped a live row all
+  // break the hash.
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q180_tomb").toString
+    graft.operators.InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, batchId = 1L)
+    graft.operators.InvertedIndex.writePostingStore(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, batchId = 2L)
+    graft.operators.InvertedIndex.deleteFromPostingStore(
+      docs.filter(col("doc_id") % 7 === 3), "doc_id", "text", root, batchId = 3L)
+    val masked = graft.operators.InvertedIndex.bm25SearchFromStore(
+        s, root, "doc_id", q151Terms, k = 20)
+      .localCheckpoint()
+    graft.operators.InvertedIndex.purgeTombstones(
+      s, root, "doc_id", newBatchId = 4L)
+    val purged = graft.operators.InvertedIndex.bm25SearchFromStore(
+        s, root, "doc_id", q151Terms, k = 20)
+      .localCheckpoint()
+    // in-plan equality gate: every (doc_id, doc_len, score) row must
+    // appear exactly once in EACH serving — count==2 per group and
+    // group-count preserved (the q162 audit discipline)
+    val eq = masked.union(purged)
+      .groupBy(col("doc_id"), col("doc_len"), col("score"))
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
+        count(lit(1)).as("groups"))
+    val out = purged.crossJoin(broadcast(eq))
+      .filter(assert_true(
+        col("mn") === 2 && col("mx") === 2 && col("groups") === masked.count(),
+        lit("purge changed served BM25 results")).isNull)
+      .select(col("doc_id"), col("doc_len"), col("score"))
+      .orderBy(desc("score"), col("doc_id"))
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.operators.Checkpoints.releasePinned(masked)
+    graft.operators.Checkpoints.releasePinned(purged)
+    out
+  }
+  private lazy val q180Sql = bm25SqlFor(
+    "SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM t",
+    where = " WHERE doc_id % 7 <> 3")
+
+  // ---------------------------------------------------------------
   // q174 — SHARDED FULL-POSTING EXPORT ([[graft.operators
   // .InvertedIndex.exportPostings]]): the whole posting list written
   // out, exchange keyed on (token, hash60(doc) mod 8) so no single
@@ -1638,7 +1698,7 @@ object TextQueries {
     * Since round 11 both the scan path (q153) and the store path
     * (q161, stats sidecar) count every document — zero-token docs
     * included — so both use the same all-docs stats CTE. */
-  private def bm25SqlFor(nCte: String) = {
+  private def bm25SqlFor(nCte: String, where: String = "") = {
     val inList = q151Terms.map(t => s"'$t'").mkString(", ")
     val cells = q151Terms.zipWithIndex.map { case (t, i) =>
       s"MAX(CASE WHEN token = '$t' THEN contrib END) AS c$i" }.mkString(",\n    ")
@@ -1647,7 +1707,7 @@ object TextQueries {
     val contrib = "(((n_docs - df) + 0.5) / (df + 0.5)) * " +
       "((CAST(tf AS DOUBLE) * 2.25) / (tf + 1.25 * (0.25 + 0.75 * " +
       "(CAST(doc_len AS DOUBLE) / (CAST(total_len AS DOUBLE) / n_docs)))))"
-    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents$where),
       |base AS (SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS token FROM t),
       |tf AS (SELECT doc_id, doc_len, token, COUNT(*) AS tf FROM base
       |  WHERE token IN ($inList) GROUP BY 1, 2, 3),
@@ -2673,6 +2733,7 @@ object TextQueries {
     QueryDef("q174_posting_export", q174, Some(q174Sql)),
     QueryDef("q172_lsh_passage_retrieval", q172, Some(q172Sql)),
     QueryDef("q177_posting_store_streamed", q177, Some(q177Sql)),
+    QueryDef("q180_posting_tombstones", q180, Some(q180Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),
