@@ -98,8 +98,9 @@ object Bench {
     "q178_bpe_apply_unseen", "q179_ivfpq_index_store",
     // q180 runs the takedown lifecycle end-to-end (build + delete +
     // masked serve + purge + re-serve) over the whole corpus —
-    // sf-scaled, stays in the scaled total
-    "q180_posting_tombstones")
+    // sf-scaled, stays in the scaled total; q181/q182 train + score
+    // the bigram LM over the corpus split — likewise sf-scaled
+    "q180_posting_tombstones", "q181_bigram_lm", "q182_lm_store")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

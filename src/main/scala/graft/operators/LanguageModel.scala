@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import TextFunctions.tokens
+
+/** Count-based bigram language-model scoring — the KenLM-style
+  * perplexity-proxy quality filter a pretraining pipeline runs over
+  * every candidate document: train token-level bigram counts on a
+  * REFERENCE corpus (curated, high-quality), then score candidates by
+  * how probable their token sequences are under it. Low average
+  * probability = surprising text = boilerplate, non-language, or
+  * out-of-domain — the classic third signal next to the rule-based
+  * quality score (q26) and n-gram repetition (q154).
+  *
+  * Arithmetic is the repo's cross-engine discipline end-to-end:
+  *  - Per-bigram contribution is LAPLACE-SMOOTHED FIXED-POINT:
+  *    `floor((c(w1,w2)+1) · 2³⁰ / (c(w1·)+V))` as a LONG, where
+  *    `c(w1·)` = occurrences of w1 as a bigram LEFT (the conditional's
+  *    denominator) and V = distinct CONTINUATION types (distinct w2) —
+  *    both derivable from the bigram counts alone, which is what makes
+  *    the counts a self-contained, MERGEABLE model artifact
+  *    ([[writeLmStore]]). No logarithm: a transcendental ln() can
+  *    differ in the last ulp across engines (the BM25 rule); the
+  *    fixed-point probabilities rank identically for a fixed V.
+  *  - A document's score is the SUM of its contributions — exact
+  *    longs, order-free — and the ranking key is ONE double division
+  *    (sum / n_bigrams), bit-reproducible from exact inputs.
+  *  - The double product `(c+1) · 2³⁰` can exceed 2⁵³ on a 100 TB
+  *    corpus (c up to ~10¹²), so it is NOT exact — but it is the SAME
+  *    IEEE double in any engine mirroring the parenthesization, which
+  *    is all the oracle hash needs (q151's discipline).
+  *
+  * Known limitation (inherent to pure Laplace, no backoff): an
+  * entirely UNSEEN context scores 1/V, while an unseen continuation
+  * of a frequent seen context scores 1/(c(w1·)+V) — smaller. So the
+  * model orders in-domain text above degenerate text (the guarantee
+  * LanguageModelSpec pins) but does not order noise against shuffled
+  * in-domain tokens; a production stack wanting that adds
+  * Katz/Kneser-Ney backoff, which needs only the same count frame.
+  *
+  * Scale (100 TB): the counts frame is bigram-TYPE-sized (Heaps-law
+  * sublinear), built by one shuffle with map-side partial counts; the
+  * left-count frame re-aggregates it (vocab-sized); V is a 1-row
+  * broadcast. Scoring is two hash joins keyed on (w1,w2) and w1 —
+  * candidate-bigram-sized exchanges, no hint so AQE broadcasts the
+  * count side only when it truly fits — then a per-doc partial
+  * aggregate. Nothing is ever all-pairs; unseen bigrams/lefts survive
+  * as LEFT-join nulls → the smoothed floor of 1/(0+V).
+  */
+object LanguageModel {
+
+  /** Consecutive token pairs of each doc: `(id, w1, w2)` — docs with
+    * fewer than two tokens contribute nothing (and score as absent:
+    * there is no sequence to judge). */
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+
+  /** Train the model: corpus bigram counts `(w1, w2, cnt)` — the ONLY
+    * artifact; left counts and V derive from it ([[bigramLmScore]]),
+    * and counts from disjoint corpus slices MERGE by summing, which is
+    * why the persisted form ([[writeLmStore]]) can be maintained by
+    * appends. One shuffle, map-side partials. */
+  def bigramCounts(train: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigrams(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Score `candidates` under trained `counts`: the `k` LOWEST average
+    * fixed-point bigram probabilities — the docs a quality filter
+    * flags first. Returns `(id, n_bigrams, lm_fp, lm_avg)` ascending
+    * by `lm_avg` (id tiebreak): lm_fp = Σ floor((c+1)·2³⁰/(cl+V))
+    * exact long, lm_avg = lm_fp / n_bigrams (one double division). */
+  def bigramLmScore(candidates: DataFrame, counts: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    // barrier: counts feeds the (w1,w2) join, the left-count re-agg,
+    // AND the V aggregate — without it each consumer re-runs the
+    // training scan (the q141 multi-consumer discipline). Callers
+    // release per the materialize contract.
+    val cb = counts.localCheckpoint()
+    val cl = cb.groupBy(col("w1")).agg(sum(col("cnt")).as("cl"))
+    val v = cb.agg(countDistinct(col("w2")).as("v"))
+    bigrams(candidates, idCol, textCol)
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cl, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("__contrib", floor(
+        (coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")
+          * lit(1073741824.0)
+          / (coalesce(col("cl"), lit(0L)) + col("v"))).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("lm_fp"),
+        count(lit(1)).as("n_bigrams"))
+      .withColumn("lm_avg", col("lm_fp").cast("double") / col("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("lm_fp"), col("lm_avg"))
+      .orderBy(col("lm_avg"), col(idCol))
+      .limit(k)
+  }
+
+  // ----------------------------------------------- persisted LM store
+
+  /** Append one training slice's bigram counts to the persisted model
+    * at `root` — LM maintenance as [[BatchStore]] deltas: counts are
+    * mergeable by SUM, so a daily slice appends its own counts and the
+    * served model is the sum-on-read union ([[bigramLmScoreFromStore]])
+    * — training never re-reads history, and
+    * [[BatchStore.compact]] folds a year of deltas back into one dir
+    * without changing a single score (sum is associative). */
+  def writeLmStore(train: DataFrame, idCol: String, textCol: String,
+      root: String, batchId: Long): Unit =
+    BatchStore.append(bigramCounts(train, idCol, textCol), root, batchId)
+
+  /** [[bigramLmScore]] with counts summed from the store's committed
+    * batches — value-identical to single-shot training on the
+    * concatenated slices (spec-pinned): the per-batch counts re-merge
+    * in one vocab-keyed aggregate before the identical scoring. */
+  def bigramLmScoreFromStore(spark: SparkSession, root: String,
+      candidates: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    bigramLmScore(candidates,
+      BatchStore.read(spark, root)
+        .groupBy(col("w1"), col("w2"))
+        .agg(sum(col("cnt")).as("cnt")),
+      idCol, textCol, k)
+}

@@ -1163,6 +1163,84 @@ object TextQueries {
     where = " WHERE doc_id % 7 <> 3")
 
   // ---------------------------------------------------------------
+  // q181 — BIGRAM-LM QUALITY SCORING ([[graft.operators
+  // .LanguageModel]]): the KenLM-style perplexity-proxy filter —
+  // train Laplace-smoothed bigram counts on the reference slice
+  // (doc_id % 3 ≠ 0), score the candidate slice by average smoothed
+  // bigram probability, flag the 20 LEAST probable docs. Fixed-point
+  // contributions floor((c+1)·2³⁰/(cl+V)) summed as exact longs
+  // (order-free); the ranking key is one double division. No log —
+  // the BM25 transcendental rule. V = distinct continuation types,
+  // so the whole model derives from the bigram-count frame alone.
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 3 =!= 0)
+    val cand = docs.filter(col("doc_id") % 3 === 0)
+    graft.operators.LanguageModel.bigramLmScore(cand,
+      graft.operators.LanguageModel.bigramCounts(train, "doc_id", "text"),
+      "doc_id", "text", k = 20)
+  }
+  private val lmSql: String =
+    s"""WITH tr AS (SELECT doc_id, $dTokens AS toks FROM documents
+      |  WHERE doc_id % 3 <> 0),
+      |tb AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM tr),
+      |tbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM tb),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cnt FROM tbg GROUP BY 1, 2),
+      |cl AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cl FROM cb GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w2) AS v FROM cb),
+      |ca AS (SELECT doc_id, $dTokens AS toks FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |cab AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM ca),
+      |cbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM cab),
+      |sc AS (SELECT c.doc_id,
+      |    CAST(floor(CAST(COALESCE(cb.cnt, 0) + 1 AS DOUBLE) * 1073741824.0
+      |      / (COALESCE(cl.cl, 0) + v.v)) AS BIGINT) AS contrib
+      |  FROM cbg c
+      |  LEFT JOIN cb ON c.w1 = cb.w1 AND c.w2 = cb.w2
+      |  LEFT JOIN cl ON c.w1 = cl.w1
+      |  CROSS JOIN v),
+      |agg AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS lm_fp,
+      |    COUNT(*) AS n_bigrams
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, lm_fp,
+      |  CAST(lm_fp AS DOUBLE) / n_bigrams AS lm_avg
+      |FROM agg ORDER BY lm_avg, doc_id LIMIT 20""".stripMargin
+  private val q181Sql = lmSql
+
+  // ---------------------------------------------------------------
+  // q182 — THE LM AS A MAINTAINED STORE ([[graft.operators
+  // .LanguageModel.writeLmStore]] / [[LanguageModel
+  // .bigramLmScoreFromStore]]): bigram counts are mergeable by SUM,
+  // so the model is a BatchStore of per-slice count deltas — two
+  // training slices append independently, compaction folds the dirs,
+  // and serving re-merges counts in one vocab-keyed aggregate before
+  // the identical scoring. The oracle is q181's SQL verbatim: the
+  // stored, compacted, re-merged model must score bit-identically to
+  // single-shot training on the concatenated slices.
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q182_lm").toString
+    graft.operators.LanguageModel.writeLmStore(
+      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", root, batchId = 1L)
+    graft.operators.LanguageModel.writeLmStore(
+      docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", root, batchId = 2L)
+    graft.operators.BatchStore.compact(s, root, newBatchId = 3L)
+    val out = graft.operators.LanguageModel.bigramLmScoreFromStore(
+        s, root, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 20)
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    out
+  }
+  private val q182Sql = lmSql
+
+  // ---------------------------------------------------------------
   // q174 — SHARDED FULL-POSTING EXPORT ([[graft.operators
   // .InvertedIndex.exportPostings]]): the whole posting list written
   // out, exchange keyed on (token, hash60(doc) mod 8) so no single
@@ -2734,6 +2812,8 @@ object TextQueries {
     QueryDef("q172_lsh_passage_retrieval", q172, Some(q172Sql)),
     QueryDef("q177_posting_store_streamed", q177, Some(q177Sql)),
     QueryDef("q180_posting_tombstones", q180, Some(q180Sql)),
+    QueryDef("q181_bigram_lm", q181, Some(q181Sql)),
+    QueryDef("q182_lm_store", q182, Some(q182Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),
