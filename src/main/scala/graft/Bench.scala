@@ -100,7 +100,11 @@ object Bench {
     // masked serve + purge + re-serve) over the whole corpus —
     // sf-scaled, stays in the scaled total; q181/q182 train + score
     // the bigram LM over the corpus split — likewise sf-scaled
-    "q180_posting_tombstones", "q181_bigram_lm", "q182_lm_store")
+    "q180_posting_tombstones", "q181_bigram_lm", "q182_lm_store",
+    // q183 streams the WHOLE training corpus through the
+    // decontamination sink — corpus work dominates (the q177
+    // argument), so it stays in the scaled total
+    "q183_decontaminate_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

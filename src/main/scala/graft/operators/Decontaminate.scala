@@ -106,4 +106,31 @@ object Decontaminate {
     train.join(flagged, Seq(idCol), "left")
       .withColumn(flagCol, coalesce(col(flagCol), lit(false)))
   }
+
+  /** Decontaminate a STREAM of arriving training docs — the ingest
+    * shape: the corpus lands continuously and each doc must carry its
+    * contamination flag BEFORE it reaches the training pool, not in a
+    * nightly batch re-scan. A `foreachBatch` sink: per-doc flagging is
+    * stateless across training docs (the eval set is the only shared
+    * state, and it is a static broadcast), so each micro-batch runs
+    * [[flagContaminated]] independently and commits `keep` + the flag
+    * via the [[BatchStore]] stage-and-rename protocol. Results are
+    * therefore independent of how the source chunks docs into epochs
+    * (union semantics — the q166 argument), and the sink is
+    * EXACTLY-ONCE under at-least-once epoch replay: one dir per epoch,
+    * so a committed epoch's replay no-ops on the exists check — no
+    * two-dir crash window to heal, unlike the posting-store sink. */
+  def contaminationSink(eval: DataFrame, idCol: String, textCol: String,
+      n: Int, root: String, keep: Seq[String],
+      baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+    (batch, epochId) => {
+      val id = baseBatchId + epochId
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        batch.sparkSession.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"batch=$id")))
+        BatchStore.append(
+          flagContaminated(batch, eval, idCol, textCol, n)
+            .select((keep :+ "is_contaminated").map(col): _*),
+          root, id)
+    }
 }

@@ -1241,6 +1241,55 @@ object TextQueries {
   private val q182Sql = lmSql
 
   // ---------------------------------------------------------------
+  // q183 — STREAMED DECONTAMINATION ([[graft.operators.Decontaminate
+  // .contaminationSink]]): q60's n-gram flagging run at INGEST — the
+  // training corpus staged as two parquet files, delivered one per
+  // micro-batch through the checkpointed file source, each epoch
+  // flagged against the static broadcast eval set and committed via
+  // the stage-and-rename protocol (exactly-once: one dir per epoch,
+  // committed epochs no-op on replay — Round11Spec pins both the
+  // replay and chunking-independence). The per-lang rollup over the
+  // streamed store must equal the batch flagger exactly: the oracle
+  // is q60's SQL verbatim.
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val evalSet = docs.filter(col("doc_id") % 97 === 3)
+    val train = docs.filter(col("doc_id") % 97 =!= 3)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q183_stage").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q183_store").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q183_ckpt").toString
+    train.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(stage)
+    train.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(stage)
+    val sink = Decontaminate.contaminationSink(
+      evalSet, "doc_id", "text", n = 3, store, keep = Seq("doc_id", "lang"))
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = stream.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = graft.operators.BatchStore.read(s, store)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("is_contaminated"), 1L).otherwise(0L)).as("n_contaminated"))
+      .orderBy(col("lang"))
+      .localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Seq(stage, store, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    out
+  }
+  // lazy: q60Sql initializes later in this object (the q177 rule)
+  private lazy val q183Sql = q60Sql
+
+  // ---------------------------------------------------------------
   // q174 — SHARDED FULL-POSTING EXPORT ([[graft.operators
   // .InvertedIndex.exportPostings]]): the whole posting list written
   // out, exchange keyed on (token, hash60(doc) mod 8) so no single
@@ -2814,6 +2863,7 @@ object TextQueries {
     QueryDef("q180_posting_tombstones", q180, Some(q180Sql)),
     QueryDef("q181_bigram_lm", q181, Some(q181Sql)),
     QueryDef("q182_lm_store", q182, Some(q182Sql)),
+    QueryDef("q183_decontaminate_streamed", q183, Some(q183Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

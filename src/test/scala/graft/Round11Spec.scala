@@ -384,4 +384,41 @@ class Round11Spec extends AnyFunSuite {
     assert(cellFiles == 1L, s"a (token, doc_bucket) cell split across $cellFiles files")
     rm(root)
   }
+
+  // ------------------------------------- streamed decontamination
+
+  test("contaminationSink: exactly-once under epoch replay; flags independent of chunking") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      val t = if (i % 5 == 0) s"alpha beta gamma tail$i"
+        else s"tok$i tok${i + 1} tok${i + 2} tok${i + 3}"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val eval = Seq((900L, "alpha beta gamma")).toDF("doc_id", "text")
+    val train = docs
+    val expect = graft.operators.Decontaminate
+      .flagContaminated(train, eval, "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("is_contaminated"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // chunking A: two epochs, with epoch 0 REPLAYED after commit
+    val rootA = tmp("graft_decon_a")
+    val sinkA = graft.operators.Decontaminate.contaminationSink(
+      eval, "doc_id", "text", n = 3, rootA, keep = Seq("doc_id"))
+    sinkA(train.filter(col("doc_id") <= 20), 0L)
+    sinkA(train.filter(col("doc_id") > 20), 1L)
+    sinkA(train.filter(col("doc_id") <= 20), 0L) // at-least-once replay
+    // chunking B: one epoch
+    val rootB = tmp("graft_decon_b")
+    val sinkB = graft.operators.Decontaminate.contaminationSink(
+      eval, "doc_id", "text", n = 3, rootB, keep = Seq("doc_id"))
+    sinkB(train, 0L)
+    for (root <- Seq(rootA, rootB)) {
+      val got = BatchStore.read(spark, root)
+        .select(col("doc_id"), col("is_contaminated"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == expect,
+        s"streamed flags at $root diverge from the batch flagger")
+      rm(root)
+    }
+  }
 }
