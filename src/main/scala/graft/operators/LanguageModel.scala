@@ -37,8 +37,8 @@ import TextFunctions.tokens
   * of a frequent seen context scores 1/(c(w1·)+V) — smaller. So the
   * model orders in-domain text above degenerate text (the guarantee
   * LanguageModelSpec pins) but does not order noise against shuffled
-  * in-domain tokens; a production stack wanting that adds
-  * Katz/Kneser-Ney backoff, which needs only the same count frame.
+  * in-domain tokens; [[stupidBackoffScore]] adds the backoff that
+  * does, from the same count frame.
   *
   * Scale (100 TB): the counts frame is bigram-TYPE-sized (Heaps-law
   * sublinear), built by one shuffle with map-side partial counts; the
@@ -102,6 +102,55 @@ object LanguageModel {
       .withColumn("lm_avg", col("lm_fp").cast("double") / col("n_bigrams"))
       .select(col(idCol), col("n_bigrams"), col("lm_fp"), col("lm_avg"))
       .orderBy(col("lm_avg"), col(idCol))
+      .limit(k)
+  }
+
+  /** [[bigramLmScore]] with STUPID BACKOFF smoothing (Brants et al.
+    * 2007, "Large Language Models in Machine Translation" — the
+    * score web-scale LMs actually serve, chosen there precisely
+    * because it needs no discount fitting and distributes as pure
+    * count arithmetic):
+    *  - seen bigram: the MLE `c(w1,w2) / c(w1·)`;
+    *  - unseen bigram: back OFF to the unigram `0.4 · c(·w2) / N`
+    *    (continuation count over total bigrams) instead of Laplace's
+    *    flat 1/(c(w1·)+V);
+    *  - w2 never seen at all: 0.
+    * This fixes the Laplace artifact [[bigramLmScore]] documents:
+    * noise no longer outscores shuffled in-domain tokens, because an
+    * unseen continuation now scores by ITS OWN corpus frequency, not
+    * by how novel its context is (LanguageModelSpec pins the full
+    * garbled < shuffled < in-domain ordering). Same fixed-point
+    * discipline: per-bigram floor(2³⁰·S) longs, order-free exact sum,
+    * one double division as the ranking key; 0.4 parses to the same
+    * IEEE double in any engine, and every contribution is a fixed
+    * parenthesization of exact counts. Same scale shape as
+    * [[bigramLmScore]] plus one more vocab-sized re-aggregate (the
+    * continuation counts). */
+  def stupidBackoffScore(candidates: DataFrame, counts: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val cb = counts.localCheckpoint() // feeds 3 derived frames + the join
+    val cl = cb.groupBy(col("w1")).agg(sum(col("cnt")).as("cl"))
+    val cr = cb.groupBy(col("w2")).agg(sum(col("cnt")).as("cr"))
+    val nb = cb.agg(sum(col("cnt")).as("nb"))
+    val seen = col("cnt").cast("double") * lit(1073741824.0) / col("cl")
+    val backoff = lit(0.4) *
+      (coalesce(col("cr"), lit(0L)).cast("double") * lit(1073741824.0)
+        / col("nb"))
+    bigrams(candidates, idCol, textCol)
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cl, Seq("w1"), "left")
+      .join(cr, Seq("w2"), "left")
+      .crossJoin(broadcast(nb))
+      .withColumn("__contrib",
+        floor(when(col("cnt").isNotNull, seen).otherwise(backoff))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("sb_fp"),
+        count(lit(1)).as("n_bigrams"))
+      .withColumn("sb_avg", col("sb_fp").cast("double") / col("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("sb_fp"), col("sb_avg"))
+      .orderBy(col("sb_avg"), col(idCol))
       .limit(k)
   }
 

@@ -1290,6 +1290,58 @@ object TextQueries {
   private lazy val q183Sql = q60Sql
 
   // ---------------------------------------------------------------
+  // q184 — STUPID-BACKOFF LM SCORING ([[graft.operators.LanguageModel
+  // .stupidBackoffScore]]; Brants et al. 2007): q181's split and
+  // fixed-point discipline, smoothed the way web-scale count LMs
+  // actually serve — seen bigrams score the MLE c/cl, unseen ones
+  // back off to 0.4·(continuation count)/N, never-seen continuations
+  // score zero. Fixes the Laplace artifact q181 documents (noise
+  // outscoring shuffled in-domain tokens); LanguageModelSpec pins the
+  // full ordering. The 20 LOWEST-scoring candidate docs.
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 3 =!= 0)
+    val cand = docs.filter(col("doc_id") % 3 === 0)
+    graft.operators.LanguageModel.stupidBackoffScore(cand,
+      graft.operators.LanguageModel.bigramCounts(train, "doc_id", "text"),
+      "doc_id", "text", k = 20)
+  }
+  private val q184Sql =
+    s"""WITH tr AS (SELECT doc_id, $dTokens AS toks FROM documents
+      |  WHERE doc_id % 3 <> 0),
+      |tb AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM tr),
+      |tbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM tb),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cnt FROM tbg GROUP BY 1, 2),
+      |cl AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cl FROM cb GROUP BY 1),
+      |cr AS (SELECT w2, CAST(SUM(cnt) AS BIGINT) AS cr FROM cb GROUP BY 1),
+      |nb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nb FROM cb),
+      |ca AS (SELECT doc_id, $dTokens AS toks FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |cab AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM ca),
+      |cbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM cab),
+      |sc AS (SELECT c.doc_id,
+      |    CAST(floor(CASE WHEN cb.cnt IS NOT NULL
+      |      THEN CAST(cb.cnt AS DOUBLE) * 1073741824.0 / cl.cl
+      |      ELSE 0.4 * (CAST(COALESCE(cr.cr, 0) AS DOUBLE) * 1073741824.0
+      |        / nb.nb)
+      |    END) AS BIGINT) AS contrib
+      |  FROM cbg c
+      |  LEFT JOIN cb ON c.w1 = cb.w1 AND c.w2 = cb.w2
+      |  LEFT JOIN cl ON c.w1 = cl.w1
+      |  LEFT JOIN cr ON c.w2 = cr.w2
+      |  CROSS JOIN nb),
+      |agg AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS sb_fp,
+      |    COUNT(*) AS n_bigrams
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, sb_fp,
+      |  CAST(sb_fp AS DOUBLE) / n_bigrams AS sb_avg
+      |FROM agg ORDER BY sb_avg, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
   // q174 — SHARDED FULL-POSTING EXPORT ([[graft.operators
   // .InvertedIndex.exportPostings]]): the whole posting list written
   // out, exchange keyed on (token, hash60(doc) mod 8) so no single
@@ -2864,6 +2916,7 @@ object TextQueries {
     QueryDef("q181_bigram_lm", q181, Some(q181Sql)),
     QueryDef("q182_lm_store", q182, Some(q182Sql)),
     QueryDef("q183_decontaminate_streamed", q183, Some(q183Sql)),
+    QueryDef("q184_stupid_backoff", q184, Some(q184Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

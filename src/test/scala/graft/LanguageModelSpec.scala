@@ -84,5 +84,34 @@ class LanguageModelSpec extends AnyFunSuite {
     // in-domain text beats BOTH.
     assert(byId(100L) > byId(101L) && byId(100L) > byId(102L),
       s"in-domain text must outscore shuffled and garbled text, got $byId")
+    // stupid backoff restores the full ordering: an unseen
+    // continuation scores by ITS OWN corpus frequency (0.4·cr/N), so
+    // shuffled in-domain tokens beat noise — the Laplace artifact gone
+    val sb = LanguageModel
+      .stupidBackoffScore(cand, counts, "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(sb(102L) < sb(101L) && sb(101L) < sb(100L),
+      s"backoff must order garbled < shuffled < in-domain, got $sb")
+  }
+
+  test("stupid backoff: exact seen-MLE, backoff, and zero cases") {
+    import spark.implicits._
+    // train: "a b" ×3, "a c" ×1 → cl(a)=4, cr(b)=3, cr(c)=1, N=4
+    val train = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val cand = Seq(
+      (10L, "a b"),  // seen: floor(3·2^30/4)
+      (11L, "x b"),  // unseen pair, seen continuation: floor(0.4·(3·2^30/4))
+      (12L, "x y"))  // continuation never seen: 0
+      .toDF("doc_id", "text")
+    val counts = LanguageModel.bigramCounts(train, "doc_id", "text")
+    val got = LanguageModel
+      .stupidBackoffScore(cand, counts, "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val mle = 3.0 * 1073741824.0 / 4.0
+    assert(got == Map(
+      10L -> mle.toLong,
+      11L -> math.floor(0.4 * mle).toLong,
+      12L -> 0L), s"exact backoff cases drifted: $got")
   }
 }
