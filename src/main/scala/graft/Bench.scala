@@ -103,8 +103,9 @@ object Bench {
     "q180_posting_tombstones", "q181_bigram_lm", "q182_lm_store",
     // q183 streams the WHOLE training corpus through the
     // decontamination sink — corpus work dominates (the q177
-    // argument), so it stays in the scaled total
-    "q183_decontaminate_streamed")
+    // argument), so it stays in the scaled total; q184 is q181's
+    // corpus split under backoff smoothing — sf-scaled
+    "q183_decontaminate_streamed", "q184_stupid_backoff")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
