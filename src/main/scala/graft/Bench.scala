@@ -105,7 +105,9 @@ object Bench {
     // decontamination sink — corpus work dominates (the q177
     // argument), so it stays in the scaled total; q184 is q181's
     // corpus split under backoff smoothing — sf-scaled
-    "q183_decontaminate_streamed", "q184_stupid_backoff")
+    "q183_decontaminate_streamed", "q184_stupid_backoff",
+    // q185 trains + classifies over the corpus split — sf-scaled
+    "q185_langid_trained")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import TextFunctions.tokens
@@ -152,6 +153,81 @@ object LanguageModel {
       .select(col(idCol), col("n_bigrams"), col("sb_fp"), col("sb_avg"))
       .orderBy(col("sb_avg"), col(idCol))
       .limit(k)
+  }
+
+  // ------------------------------------- trained language identification
+
+  /** All character trigrams of each doc (spaces included — they carry
+    * real signal: '␣de', 'el␣' separate es/de/fr), one row per
+    * OCCURRENCE; docs under 3 chars contribute nothing. Character
+    * semantics are code points in both engines (Spark UTF8String
+    * numChars / DuckDB substr), so the oracle sees identical grams. */
+  private def charTrigrams(df: DataFrame, cols: Seq[String],
+      textCol: String): DataFrame =
+    df.filter(length(col(textCol)) >= 3)
+      .select(cols.map(col) :+ explode(transform(
+        sequence(lit(1), length(col(textCol)) - 2),
+        i => col(textCol).substr(i, lit(3)))).as("tri"): _*)
+
+  /** Train the language identifier: per-class character-trigram
+    * counts `(lang, tri, cnt)` from a LABELED corpus — mergeable by
+    * SUM like [[bigramCounts]], so the same [[BatchStore]] delta
+    * maintenance applies. */
+  def langTrigramCounts(train: DataFrame, langCol: String,
+      textCol: String): DataFrame =
+    charTrigrams(train, Seq(langCol), textCol)
+      .groupBy(col(langCol).as("lang"), col("tri"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Classify docs by TRAINED class-conditional trigram LM — the
+    * statistical upgrade of [[TextAnalysis.langId]]'s stopword
+    * heuristic (which needs a hand list per language and returns
+    * 'und' on text with no stopwords; this learns its evidence from
+    * labeled data and scores every ≥3-char doc). A doc's class score
+    * is Σ over its trigram occurrences of the Laplace fixed-point
+    * `floor((c(tri,lang)+1)·2³⁰/(c(·lang)+V))` — all longs, so the
+    * ARGMAX IS EXACT integer comparison (no float ranking at all;
+    * ties break on lang ascending). V = distinct trigram types in
+    * training, shared across classes.
+    *
+    * The unseen-trigram term is a PER-CLASS CONSTANT
+    * `floor(1·2³⁰/(cl+V))`, so scoring never explodes candidates ×
+    * classes: one join of candidate trigrams against the seen counts
+    * (the only corpus-scale exchange, keyed on tri), a per-(doc,
+    * class) partial aggregate, then the missing-mass term
+    * `(n_tri − n_seen) · floor0(lang)` added from a classes-sized
+    * broadcast. Returns `(id, lang_pred, score_fp)`. */
+  def classifyLangByTrigrams(cand: DataFrame, counts: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val cb = counts.localCheckpoint() // feeds cl, V, and the seen join
+    val cl = cb.groupBy(col("lang")).agg(sum(col("cnt")).as("cl"))
+    val v = cb.agg(countDistinct(col("tri")).as("v"))
+    val classes = cl.crossJoin(broadcast(v))
+      .withColumn("floor0", floor(
+        lit(1L).cast("double") * lit(1073741824.0)
+          / (col("cl") + col("v"))).cast("long"))
+      .select(col("lang"), col("cl"), col("v"), col("floor0"))
+    val tri = charTrigrams(cand, Seq(idCol), textCol)
+    val nTri = tri.groupBy(col(idCol)).agg(count(lit(1)).as("n_tri"))
+    val seen = tri.join(cb, Seq("tri"))
+      .join(broadcast(classes.select(col("lang"), col("cl"), col("v"))),
+        Seq("lang"))
+      .withColumn("__contrib", floor(
+        (col("cnt") + lit(1L)).cast("double") * lit(1073741824.0)
+          / (col("cl") + col("v"))).cast("long"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(col("__contrib")).as("seen_fp"),
+        count(lit(1)).as("n_seen"))
+    val byDoc = Window.partitionBy(col(idCol))
+      .orderBy(desc("score_fp"), col("lang"))
+    nTri.crossJoin(broadcast(classes.select(col("lang"), col("floor0"))))
+      .join(seen, Seq(idCol, "lang"), "left")
+      .withColumn("score_fp",
+        coalesce(col("seen_fp"), lit(0L)) +
+          (col("n_tri") - coalesce(col("n_seen"), lit(0L))) * col("floor0"))
+      .withColumn("__rn", row_number().over(byDoc))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lang").as("lang_pred"), col("score_fp"))
   }
 
   // ----------------------------------------------- persisted LM store

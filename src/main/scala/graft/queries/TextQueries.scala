@@ -1342,6 +1342,76 @@ object TextQueries {
       |FROM agg ORDER BY sb_avg, doc_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------
+  // q185 — TRAINED LANGUAGE ID ([[graft.operators.LanguageModel
+  // .classifyLangByTrigrams]]): the statistical upgrade of q27's
+  // stopword heuristic — per-class char-trigram counts trained on the
+  // labeled split (doc_id % 5 ≠ 0), held-out docs (doc_id % 5 = 0)
+  // classified by exact-integer argmax of the Laplace fixed-point
+  // class score (no float ranking anywhere: contributions are longs,
+  // ties break on lang ascending). Scoring never explodes candidates
+  // × classes: the unseen-trigram term is a per-class constant, so
+  // the only corpus exchange is the candidate-trigrams ⋈ counts join.
+  // Output is the confusion matrix (lang, lang_pred, n_docs). NOTE:
+  // the synthetic corpus's lang label is INDEPENDENT of its text
+  // (every lang carries the same token soup), so the matrix here is
+  // near-uniform by construction — this gate pins the exact scoring
+  // arithmetic; the DISCRIMINATION property is pinned in
+  // LanguageModelSpec on a fixture whose classes actually differ.
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val cand = docs.filter(col("doc_id") % 5 === 0)
+    val counts = graft.operators.LanguageModel
+      .langTrigramCounts(train, "lang", "text")
+    graft.operators.LanguageModel
+      .classifyLangByTrigrams(cand, counts, "doc_id", "text")
+      .join(cand.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+  private val q185Sql =
+    s"""WITH tr AS (SELECT lang, text FROM documents
+      |  WHERE doc_id % 5 <> 0 AND length(text) >= 3),
+      |ttr AS (SELECT lang, unnest(list_transform(
+      |    generate_series(1, length(text) - 2),
+      |    i -> substr(text, i, 3))) AS tri FROM tr),
+      |cb AS (SELECT lang, tri, COUNT(*) AS cnt FROM ttr GROUP BY 1, 2),
+      |cl AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS cl FROM cb GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT tri) AS v FROM cb),
+      |cls AS (SELECT lang, cl, v.v AS v,
+      |    CAST(floor(CAST(1 AS DOUBLE) * 1073741824.0 / (cl + v.v))
+      |      AS BIGINT) AS floor0
+      |  FROM cl CROSS JOIN v),
+      |ca AS (SELECT doc_id, lang, text FROM documents
+      |  WHERE doc_id % 5 = 0 AND length(text) >= 3),
+      |tca AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, length(text) - 2),
+      |    i -> substr(text, i, 3))) AS tri FROM ca),
+      |nt AS (SELECT doc_id, COUNT(*) AS n_tri FROM tca GROUP BY 1),
+      |seen AS (SELECT t.doc_id, cb.lang,
+      |    CAST(SUM(CAST(floor(CAST(cb.cnt + 1 AS DOUBLE) * 1073741824.0
+      |      / (cls.cl + cls.v)) AS BIGINT)) AS BIGINT) AS seen_fp,
+      |    COUNT(*) AS n_seen
+      |  FROM tca t
+      |  JOIN cb ON t.tri = cb.tri
+      |  JOIN cls ON cb.lang = cls.lang
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT nt.doc_id, cls.lang,
+      |    COALESCE(seen.seen_fp, 0)
+      |      + (nt.n_tri - COALESCE(seen.n_seen, 0)) * cls.floor0 AS score_fp
+      |  FROM nt CROSS JOIN cls
+      |  LEFT JOIN seen ON seen.doc_id = nt.doc_id AND seen.lang = cls.lang),
+      |pred AS (SELECT doc_id, lang AS lang_pred FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score_fp DESC, lang) AS rn
+      |  FROM sc) WHERE rn = 1)
+      |SELECT ca.lang, pred.lang_pred, COUNT(*) AS n_docs
+      |FROM pred JOIN ca ON pred.doc_id = ca.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
   // q174 — SHARDED FULL-POSTING EXPORT ([[graft.operators
   // .InvertedIndex.exportPostings]]): the whole posting list written
   // out, exchange keyed on (token, hash60(doc) mod 8) so no single
@@ -2917,6 +2987,7 @@ object TextQueries {
     QueryDef("q182_lm_store", q182, Some(q182Sql)),
     QueryDef("q183_decontaminate_streamed", q183, Some(q183Sql)),
     QueryDef("q184_stupid_backoff", q184, Some(q184Sql)),
+    QueryDef("q185_langid_trained", q185, Some(q185Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

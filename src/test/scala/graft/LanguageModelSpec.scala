@@ -94,6 +94,47 @@ class LanguageModelSpec extends AnyFunSuite {
       s"backoff must order garbled < shuffled < in-domain, got $sb")
   }
 
+  test("trained lang-id separates classes with distinct character statistics; heuristic-blind text still classified") {
+    import spark.implicits._
+    // three synthetic "languages" with disjoint character inventories
+    // — no stopword list knows them, TextAnalysis.langId would return
+    // 'und' on all of this
+    def doc(lang: String, i: Long) = lang match {
+      case "aa" => (i, lang, s"abra abac adab car$i abba")
+      case "bb" => (i, lang, s"bolbo bubbo obbol bon$i lobbo")
+      case "cc" => (i, lang, s"cicci cocci iccoc cim$i occi")
+    }
+    val train = (1L to 60L).map(i =>
+      doc(Seq("aa", "bb", "cc")((i % 3).toInt), i)).toDF("doc_id", "lang", "text")
+    val cand = Seq(
+      (100L, "aa", "abac adab abra"),
+      (101L, "bb", "obbol bubbo"),
+      (102L, "cc", "cocci iccoc cicci"))
+      .toDF("doc_id", "lang", "text")
+    val counts = LanguageModel.langTrigramCounts(train, "lang", "text")
+    val pred = LanguageModel
+      .classifyLangByTrigrams(cand, counts, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(100L -> "aa", 101L -> "bb", 102L -> "cc"),
+      s"trained trigram model failed to separate distinct classes: $pred")
+  }
+
+  test("trained lang-id: exact missing-mass arithmetic — unseen trigrams add the per-class floor") {
+    import spark.implicits._
+    // one class, one training doc "abcd" → trigrams abc, bcd; cl=2, V=2
+    val train = Seq((1L, "xx", "abcd")).toDF("doc_id", "lang", "text")
+    // candidate "abcz": trigrams abc (seen c=1), bcz, (czX none) → n_tri=2, n_seen=1
+    val cand = Seq((10L, "abcz")).toDF("doc_id", "text")
+    val counts = LanguageModel.langTrigramCounts(train, "lang", "text")
+    val got = LanguageModel
+      .classifyLangByTrigrams(cand, counts, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val seenC = math.floor(2.0 * 1073741824.0 / 4.0).toLong  // (1+1)·2^30/(2+2)
+    val floor0 = math.floor(1.0 * 1073741824.0 / 4.0).toLong // 1·2^30/(2+2)
+    assert(got == Seq((10L, "xx", seenC + floor0)),
+      s"expected seen=$seenC + floor0=$floor0, got $got")
+  }
+
   test("stupid backoff: exact seen-MLE, backoff, and zero cases") {
     import spark.implicits._
     // train: "a b" ×3, "a c" ×1 → cl(a)=4, cr(b)=3, cr(c)=1, N=4
