@@ -106,8 +106,11 @@ object Bench {
     // argument), so it stays in the scaled total; q184 is q181's
     // corpus split under backoff smoothing — sf-scaled
     "q183_decontaminate_streamed", "q184_stupid_backoff",
-    // q185 trains + classifies over the corpus split — sf-scaled
-    "q185_langid_trained")
+    // q185 trains + classifies over the corpus split — sf-scaled;
+    // q186/q187 stream-build / delete-purge-serve the IVF-PQ index
+    // over the whole embeddings table (embeddings-scaled, like
+    // q176/q179)
+    "q185_langid_trained", "q186_ivfpq_streamed", "q187_ivfpq_tombstones")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -84,9 +84,13 @@ object BatchStore {
       newBatchId: Long, onBeforeCommit: () => Unit): Int =
     compact(spark, root, newBatchId, identity[DataFrame], onBeforeCommit)
 
+  /** `partitionBy` re-establishes a partitioned layout ([[append]]'s
+    * dir-per-value) on the compacted batch — a list-partitioned index
+    * compacted flat would lose its directory pruning. */
   private[graft] def compact(spark: SparkSession, root: String,
       newBatchId: Long, transform: DataFrame => DataFrame,
-      onBeforeCommit: () => Unit): Int = {
+      onBeforeCommit: () => Unit,
+      partitionBy: Seq[String] = Seq.empty): Int = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     def listIds(): Seq[Long] = fs.listStatus(p).toSeq
@@ -102,7 +106,9 @@ object BatchStore {
       spark.read.parquet(batches.map(_.getPath.toString): _*))
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".staging-$newBatchId-${java.util.UUID.randomUUID().toString.take(8)}")
-    merged.write.mode("error").parquet(tmp.toString)
+    val w = merged.write.mode("error")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
     onBeforeCommit()
     val idsNow = listIds()
     require(idsNow.max < newBatchId,

@@ -400,7 +400,7 @@ object InvertedIndex {
     * failure that matters. */
   def deleteFromPostingStore(df: DataFrame, idCol: String, textCol: String,
       root: String, batchId: Long): Unit = {
-    BatchStore.append(df.select(col(idCol)), tombstoneRoot(root), batchId)
+    Tombstones.append(df, idCol, root, batchId)
     BatchStore.append(
       batchStats(df, textCol)
         .select((-col("n_docs")).as("n_docs"),
@@ -409,32 +409,16 @@ object InvertedIndex {
   }
 
   /** Anti-join `rows` against the store's tombstones, if any — the
-    * read-side half of [[deleteFromPostingStore]]. Applied AFTER the
-    * term filter in the served search, so the join's left side is the
-    * query's posting rows, not the store; the tombstone side is
-    * delete-volume-sized (AQE picks the strategy — usually a
-    * broadcast, but a mass-erasure day must not be forced into one). */
+    * read-side half of [[deleteFromPostingStore]]
+    * ([[Tombstones.apply]], the discipline shared with the ANN code
+    * stores). Applied AFTER the term filter in the served search, so
+    * the join's left side is the query's posting rows, not the store;
+    * the tombstone side is delete-volume-sized (AQE picks the
+    * strategy — usually a broadcast, but a mass-erasure day must not
+    * be forced into one). */
   def applyTombstones(spark: org.apache.spark.sql.SparkSession,
-      root: String, rows: DataFrame, idCol: String): DataFrame = {
-    // list COMMITTED batch dirs, not bare dir existence: a purge
-    // retires every applied batch and may leave (or race-keep) the
-    // parent dir, and an empty load path fails schema inference
-    val batches = tombstoneBatches(spark, root)
-    if (batches.isEmpty) rows
-    else rows.join(
-      spark.read.parquet(batches: _*).select(col(idCol)),
-      Seq(idCol), "left_anti")
-  }
-
-  private def tombstoneBatches(spark: org.apache.spark.sql.SparkSession,
-      root: String): Seq[String] = {
-    val tr = new org.apache.hadoop.fs.Path(tombstoneRoot(root))
-    val fs = tr.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(tr)) Seq.empty
-    else fs.listStatus(tr).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.toString)
-  }
+      root: String, rows: DataFrame, idCol: String): DataFrame =
+    Tombstones.apply(spark, root, rows, idCol)
 
   /** Physically drop tombstoned docs' posting rows and retire the
     * applied tombstones — the maintenance window's rewrite
@@ -458,27 +442,9 @@ object InvertedIndex {
     * there). */
   private[graft] def purgeTombstones(spark: org.apache.spark.sql.SparkSession,
       root: String, idCol: String, newBatchId: Long,
-      onBeforeCommit: () => Unit): Int = {
-    val tr = new org.apache.hadoop.fs.Path(tombstoneRoot(root))
-    val fs = tr.getFileSystem(spark.sessionState.newHadoopConf())
-    val observed = tombstoneBatches(spark, root)
-      .map(new org.apache.hadoop.fs.Path(_))
-    if (observed.isEmpty) return 0
-    val tomb = spark.read.parquet(observed.map(_.toString): _*)
-      .select(col(idCol))
-    val n = BatchStore.compact(spark, root, newBatchId,
-      (merged: DataFrame) => merged.join(tomb, Seq(idCol), "left_anti"),
-      onBeforeCommit)
-    observed.foreach(p => fs.delete(p, true))
-    // retire the parent dir too if no delete raced in (non-recursive:
-    // refuses — and is ignored — if a racing tombstone just committed)
-    if (tombstoneBatches(spark, root).isEmpty)
-      try fs.delete(tr, false) catch { case _: java.io.IOException => () }
-    n
-  }
-
-  private def tombstoneRoot(root: String): String =
-    new org.apache.hadoop.fs.Path(root, ".tombstones").toString
+      onBeforeCommit: () => Unit): Int =
+    Tombstones.purge(spark, root, idCol, newBatchId,
+      onBeforeCommit = onBeforeCommit)
 
   /** FULL posting EXPORT, sharded by (token, bucket(doc)) — the
     * object-scaladoc promise made concrete. A full export is the one

@@ -1078,6 +1078,47 @@ object Similarity {
     Checkpoints.releasePinned(res)
   }
 
+  /** Maintain the IVF-PQ index FROM A STREAM — vector ingest as a
+    * `foreachBatch` streaming job: embeddings arrive continuously,
+    * each epoch codes ONLY its own vectors against the FROZEN coarse
+    * centroids + residual codebook and commits a list-partitioned
+    * batch ([[writeIvfPqIndex]]). Coding is stateless across vectors
+    * (the frozen model is the only shared state), so the served index
+    * is independent of epoch chunking, and the sink is EXACTLY-ONCE
+    * under at-least-once replay: one dir per epoch, committed epochs
+    * no-op on the exists check (the [[graft.operators.Decontaminate
+    * .contaminationSink]] shape — no two-dir crash window). */
+  def ivfPqIndexSink(coarse: DataFrame, codebook: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, root: String,
+      baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+    (batch, epochId) => {
+      val id = baseBatchId + epochId
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        batch.sparkSession.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"batch=$id")))
+        writeIvfPqIndex(batch, coarse, codebook, idCol, vecCol, dim, m,
+          root, id)
+    }
+
+  /** DELETE vectors from the served IVF-PQ index — the
+    * [[Tombstones]] discipline (an embedding of an erased document is
+    * as much personal data as its text): commit the ids, serving
+    * ([[ivfPqTopKFromStore]]) masks them after its partition filter,
+    * [[purgeIvfPqIndex]] rewrites at the next maintenance window. No
+    * sidecar to adjust — the index carries no corpus stats. */
+  def deleteFromIvfPqIndex(ids: DataFrame, idCol: String, root: String,
+      batchId: Long): Unit =
+    Tombstones.append(ids, idCol, root, batchId)
+
+  /** Physically drop tombstoned vectors' code rows and retire the
+    * applied tombstones — [[Tombstones.purge]] RE-PARTITIONED BY
+    * `list_id`, so the compacted batch keeps the directory layout
+    * probed serving depends on. */
+  def purgeIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String, newBatchId: Long): Int =
+    Tombstones.purge(spark, root, idCol, newBatchId,
+      partitionBy = Seq("list_id"))
+
   /** [[ivfPqTopK]] OVER THE PERSISTED INDEX: identical per-(query,
     * probed-list) ADC arithmetic with the corpus side read from
     * [[writeIvfPqIndex]]'s committed batches. The probed list ids
@@ -1123,8 +1164,11 @@ object Similarity {
       case org.apache.spark.sql.types.IntegerType => probed.toSeq.map(_.toInt)
       case _ => probed.toSeq
     }
-    val codes = codes0
-      .filter(col("list_id").isin(probedLits: _*))
+    // erasure mask AFTER the partition filter: the anti-join's left
+    // side is the probed lists' rows, not the store (Tombstones —
+    // the discipline shared with the posting store)
+    val codes = Tombstones.apply(spark, root,
+      codes0.filter(col("list_id").isin(probedLits: _*)), idCol)
       .select(col(idCol), col("list_id").cast("long").as("list_id"),
         col("sub"), col("code"))
     val byQuery = Window.partitionBy(col("query_id"))

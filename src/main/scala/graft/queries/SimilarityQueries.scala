@@ -725,7 +725,11 @@ object SimilarityQueries {
       .delete(new org.apache.hadoop.fs.Path(root), true)
     out
   }
-  private val q179Sql = {
+  /** The q179 serving oracle, parameterized by a predicate on the
+    * CODES side (q187 re-uses the chain with the deleted vectors'
+    * codes filtered out — exactly what a correct tombstone mask /
+    * purge must equal). */
+  private def ivfPqStoreSql(codesWhere: String): String = {
     val subs = "(SELECT unnest(range(4)) AS sub) s"
     def ip(a: String, b: String) = s"list_inner_product($a, $b)"
     def d2(a: String, b: String) =
@@ -770,10 +774,11 @@ object SimilarityQueries {
       |dt AS (SELECT qxs.query_id, qxs.list_id, qxs.sub, rcb.code,
       |    CAST(floor(${d2("qxs.sv", "rcb.cv")} * 1073741824) AS BIGINT) AS dfp
       |  FROM qxs JOIN rcb ON qxs.sub = rcb.sub),
-      |sc AS (SELECT dt.query_id, codes.vec_id AS neighbor_id,
+      |live AS (SELECT * FROM codes $codesWhere),
+      |sc AS (SELECT dt.query_id, live.vec_id AS neighbor_id,
       |    CAST(SUM(dfp) AS BIGINT) AS adc_fp
-      |  FROM codes JOIN dt ON codes.list_id = dt.list_id
-      |    AND codes.sub = dt.sub AND codes.code = dt.code
+      |  FROM live JOIN dt ON live.list_id = dt.list_id
+      |    AND live.sub = dt.sub AND live.code = dt.code
       |  GROUP BY 1, 2)
       |SELECT query_id, rank, neighbor_id, adc_fp FROM (
       |  SELECT query_id, neighbor_id, adc_fp,
@@ -781,6 +786,112 @@ object SimilarityQueries {
       |  FROM sc) WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
   }
+  private val q179Sql = ivfPqStoreSql(codesWhere = "")
+
+  // ---------------------------------------------------------------
+  // q186 — STREAMED IVF-PQ INDEX MAINTENANCE ([[graft.operators
+  // .Similarity.ivfPqIndexSink]]): q179's index maintained by a
+  // STREAMING job — embeddings staged as two parquet files, delivered
+  // one per micro-batch through the checkpointed file source, each
+  // epoch coded against the FROZEN coarse/residual artifacts and
+  // committed as a list-partitioned batch (exactly-once: one dir per
+  // epoch, committed epochs no-op on replay). Coding is stateless
+  // across vectors, so serving is independent of epoch chunking and
+  // the oracle is q179's SQL verbatim.
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val coarse = e.filter(col("vec_id") < 8)
+    val resSeeds = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+    val queries = e.filter(col("vec_id") < 10)
+    val rcb = graft.operators.ModelStore.cached(s, s"q148_rcb:$dir") {
+      Similarity.ivfPqResidualCodebook(e, coarse, resSeeds,
+        "vec_id", "embedding", dim = 64, m = 4, trainIters = PqTrainIters)
+    }
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q186_stage").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q186_store").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q186_ckpt").toString
+    e.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(stage)
+    e.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(stage)
+    val sink = Similarity.ivfPqIndexSink(coarse, rcb,
+      "vec_id", "embedding", dim = 64, m = 4, store)
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = stream.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = Similarity.ivfPqTopKFromStore(s, store, queries, coarse, rcb,
+        "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Seq(stage, store, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    out
+  }
+  private val q186Sql = q179Sql
+
+  // ---------------------------------------------------------------
+  // q187 — VECTOR DELETES IN THE SERVED IVF-PQ INDEX ([[graft
+  // .operators.Similarity.deleteFromIvfPqIndex]] / [[Similarity
+  // .purgeIvfPqIndex]]): the q180 takedown lifecycle on the ANN side
+  // — an erased document's embedding is as much personal data as its
+  // text. Build the q179 index, DELETE every odd vector (tombstone
+  // ids only — no sidecar: the index carries no corpus stats), serve
+  // (masked AFTER the partition filter), PURGE (list-partitioned
+  // rewrite — the compacted batch keeps the directory layout probed
+  // serving depends on), serve again; the two servings must be
+  // identical in-plan. Oracle: q179's chain with the deleted
+  // vectors' codes filtered out.
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val coarse = e.filter(col("vec_id") < 8)
+    val resSeeds = e.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+    val queries = e.filter(col("vec_id") < 10)
+    val rcb = graft.operators.ModelStore.cached(s, s"q148_rcb:$dir") {
+      Similarity.ivfPqResidualCodebook(e, coarse, resSeeds,
+        "vec_id", "embedding", dim = 64, m = 4, trainIters = PqTrainIters)
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q187_ivfpq").toString
+    Similarity.writeIvfPqIndex(e, coarse, rcb,
+      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 1L)
+    Similarity.deleteFromIvfPqIndex(
+      e.filter(col("vec_id") % 2 === 1).select(col("vec_id")),
+      "vec_id", root, batchId = 2L)
+    def serve() = Similarity.ivfPqTopKFromStore(s, root, queries, coarse,
+        rcb, "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, k = 5)
+      .localCheckpoint()
+    val masked = serve()
+    Similarity.purgeIvfPqIndex(s, root, "vec_id", newBatchId = 3L)
+    val purged = serve()
+    val eq = masked.union(purged)
+      .groupBy(col("query_id"), col("rank"), col("neighbor_id"), col("adc_fp"))
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
+        count(lit(1)).as("groups"))
+    val out = purged.crossJoin(broadcast(eq))
+      .filter(assert_true(
+        col("mn") === 2 && col("mx") === 2 && col("groups") === masked.count(),
+        lit("purge changed served IVF-PQ results")).isNull)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc_fp"))
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.operators.Checkpoints.releasePinned(masked)
+    graft.operators.Checkpoints.releasePinned(purged)
+    out
+  }
+  private val q187Sql = ivfPqStoreSql(codesWhere = "WHERE vec_id % 2 = 0")
 
   // ---------------------------------------------------------------
   // q175 — PQ CODEBOOK TRAINING as its own gated, TIMED unit: the
@@ -1199,6 +1310,8 @@ object SimilarityQueries {
     QueryDef("q175_pq_train", q175, Some(q175Sql)),
     QueryDef("q176_pq_index_store", q176, Some(q176Sql)),
     QueryDef("q179_ivfpq_index_store", q179, Some(q179Sql)),
+    QueryDef("q186_ivfpq_streamed", q186, Some(q186Sql)),
+    QueryDef("q187_ivfpq_tombstones", q187, Some(q187Sql)),
     QueryDef("q123_semantic_dedup", q123, Some(q123Sql)),
     QueryDef("q34_ann_brute_force", q34, Some(q34Sql)),
     QueryDef("q75_quantize_int8", q75, Some(q75Sql)),

@@ -116,6 +116,52 @@ class TombstoneSpec extends AnyFunSuite {
     rm(root)
   }
 
+  test("IVF-PQ deletes: mask equals an index built from the remaining vectors; purge keeps the list-partitioned layout") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 40 deterministic vectors, dim 8, m 2; coarse = first 2 vectors
+    val e = (1L to 40L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toDouble - 6.0))
+    }.toDF("vec_id", "embedding")
+    val coarse = e.filter(col("vec_id") <= 2)
+    val seeds = e.filter(col("vec_id") > 2 && col("vec_id") <= 6)
+    val rcb = Similarity.ivfPqResidualCodebook(e, coarse, seeds,
+      "vec_id", "embedding", dim = 8, m = 2, trainIters = 1)
+      .localCheckpoint()
+    val queries = e.filter(col("vec_id") <= 3)
+    def serve(root: String) = Similarity.ivfPqTopKFromStore(spark, root,
+        queries, coarse, rcb, "vec_id", "embedding",
+        dim = 8, m = 2, nProbe = 2, k = 5)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    // full index + delete odds
+    val root = tmp("graft_ivfpq_tomb")
+    Similarity.writeIvfPqIndex(e, coarse, rcb,
+      "vec_id", "embedding", 8, 2, root, 1L)
+    Similarity.deleteFromIvfPqIndex(
+      e.filter(col("vec_id") % 2 === 1).select(col("vec_id")),
+      "vec_id", root, 2L)
+    // truth: an index that never saw the odd vectors
+    val evenRoot = tmp("graft_ivfpq_even")
+    Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0), coarse,
+      rcb, "vec_id", "embedding", 8, 2, evenRoot, 1L)
+    val masked = serve(root)
+    assert(masked == serve(evenRoot),
+      "masked serving must equal an index of the remaining vectors")
+    assert(Similarity.purgeIvfPqIndex(spark, root, "vec_id", 3L) == 1)
+    assert(serve(root) == masked, "purge changed served results")
+    // physical: no odd ids anywhere; layout still list-partitioned
+    assert(BatchStore.read(spark, root)
+      .filter(col("vec_id") % 2 === 1).count() == 0)
+    val batchDir = new org.apache.hadoop.fs.Path(root, "batch=3")
+    val listDirs = fs(root).listStatus(batchDir)
+      .filter(_.isDirectory).map(_.getPath.getName)
+    assert(listDirs.nonEmpty && listDirs.forall(_.startsWith("list_id=")),
+      s"purge lost the list-partitioned layout: ${listDirs.toSeq}")
+    assert(!fs(root).exists(
+      new org.apache.hadoop.fs.Path(root, ".tombstones")))
+    Seq(root, evenRoot).foreach(rm)
+  }
+
   test("crash window (tombstone committed, stats row not): the doc is already masked; the heal is the missing stats row") {
     val root = tmp("graft_tomb_crash")
     val docs = corpus
