@@ -110,7 +110,9 @@ object Bench {
     // q186/q187 stream-build / delete-purge-serve the IVF-PQ index
     // over the whole embeddings table (embeddings-scaled, like
     // q176/q179)
-    "q185_langid_trained", "q186_ivfpq_streamed", "q187_ivfpq_tombstones")
+    "q185_langid_trained", "q186_ivfpq_streamed", "q187_ivfpq_tombstones",
+    // q188 builds + erases + verdicts over the corpus split — sf-scaled
+    "q188_signature_erasure")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

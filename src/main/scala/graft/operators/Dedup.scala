@@ -349,6 +349,34 @@ object Dedup {
       root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** [[readSignatureStore]] with the store's tombstones applied — the
+    * erasure-aware read ([[deleteFromSignatureStore]]). */
+  def readSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String): DataFrame =
+    Tombstones.apply(spark, root, spark.read.parquet(root), idCol)
+
+  /** DELETE documents' signatures from the store — the [[Tombstones]]
+    * discipline on the dedup side: an erased document's content
+    * digest and MinHash sketch are derived from its text and must go
+    * with it. Semantics follow: content identical or near-identical
+    * to an ERASED document is ADMITTED again by
+    * [[incrementalDedupFromStore]] (fed the erasure-aware read) — the
+    * store no longer remembers the erased content to suppress
+    * against, which is exactly what erasure means. */
+  def deleteFromSignatureStore(ids: DataFrame, idCol: String,
+      root: String, batchId: Long): Unit =
+    Tombstones.append(ids, idCol, root, batchId)
+
+  /** Physically drop tombstoned signatures and retire the applied
+    * tombstones ([[Tombstones.purge]]). Rows are otherwise preserved
+    * VERBATIM — byte-identical duplicate rows from a healed re-append
+    * survive a purge (readers are duplicate-tolerant by the
+    * countDistinct discipline); [[compactSignatureStore]] remains the
+    * op that folds them. */
+  def purgeSignatureStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String, newBatchId: Long): Int =
+    Tombstones.purge(spark, root, idCol, newBatchId)
+
   /** Delete leftover `.staging-*` dirs from CRASHED
     * [[writeSignatureStore]] writes. Readers never see them (dot-dirs
     * are invisible to the parquet source), so this is hygiene, not

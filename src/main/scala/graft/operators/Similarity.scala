@@ -1041,7 +1041,9 @@ object Similarity {
       root: String, queries: DataFrame, codebook: DataFrame,
       idCol: String, vecCol: String, dim: Int, m: Int, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    val codes = BatchStore.read(spark, root)
+    // erasure mask ([[Tombstones]] — deletes via [[deleteFromPqIndex]])
+    val codes = Tombstones.apply(spark, root,
+        BatchStore.read(spark, root), idCol)
       .select(col(idCol), col("sub"), col("code"))
     val dtable = subSlices(queries, idCol, "query_id", vecCol, dim, m)
       .join(broadcast(codebook), Seq("sub"))
@@ -1109,6 +1111,20 @@ object Similarity {
   def deleteFromIvfPqIndex(ids: DataFrame, idCol: String, root: String,
       batchId: Long): Unit =
     Tombstones.append(ids, idCol, root, batchId)
+
+  /** [[deleteFromIvfPqIndex]] for the flat PQ code store
+    * ([[writePqIndex]]): serving ([[pqAdcTopKFromStore]]) masks, and
+    * the purge needs no partition re-layout (the flat store has
+    * none). */
+  def deleteFromPqIndex(ids: DataFrame, idCol: String, root: String,
+      batchId: Long): Unit =
+    Tombstones.append(ids, idCol, root, batchId)
+
+  /** Physically drop tombstoned vectors from the flat PQ code store
+    * and retire the applied tombstones. */
+  def purgePqIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String, newBatchId: Long): Int =
+    Tombstones.purge(spark, root, idCol, newBatchId)
 
   /** Physically drop tombstoned vectors' code rows and retire the
     * applied tombstones — [[Tombstones.purge]] RE-PARTITIONED BY

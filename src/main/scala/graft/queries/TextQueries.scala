@@ -634,8 +634,10 @@ object TextQueries {
   }
   // Mirrors dLshCtes with an `is_batch` carry flag (the shared chain
   // can't thread extra columns without touching the q30/q59/q63
-  // oracles); the hashing is verbatim-identical.
-  private val q128Sql = {
+  // oracles); the hashing is verbatim-identical. `hist(alias)` is the
+  // predicate selecting the HISTORY side — q128 uses NOT is_batch,
+  // q188 additionally excludes erased docs.
+  private def incDedupSql(hist: String => String): String = {
     import graft.operators.Dedup.{minhashPermA, minhashPermB, MinhashPrime}
     val mh = (0 until 16).map(j =>
       s"list_min(list_transform(hs, h -> (${minhashPermA(j)} * h + ${minhashPermB(j)}) % $MinhashPrime)) AS mh$j")
@@ -658,7 +660,7 @@ object TextQueries {
       |bk AS ($bandSelects),
       |cand AS (SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
       |  FROM bk b JOIN bk h ON b.band = h.band AND b.key = h.key
-      |  AND b.is_batch AND NOT h.is_batch),
+      |  AND b.is_batch AND ${hist("h")}),
       |ver AS (SELECT bid, $jac AS jaccard
       |  FROM cand JOIN hb sb ON cand.bid = sb.doc_id
       |            JOIN hb sh ON cand.hid = sh.doc_id
@@ -666,7 +668,7 @@ object TextQueries {
       |nears AS (SELECT bid, COUNT(*) AS n_near_dups, MAX(jaccard) AS best_jaccard
       |  FROM ver GROUP BY bid),
       |exacts AS (SELECT DISTINCT b.doc_id AS bid FROM t b
-      |  JOIN t h ON b.chash = h.chash AND b.is_batch AND NOT h.is_batch)
+      |  JOIN t h ON b.chash = h.chash AND b.is_batch AND ${hist("h")})
       |SELECT t.doc_id, e.bid IS NOT NULL AS is_exact_dup,
       |  CAST(COALESCE(n.n_near_dups, 0) AS BIGINT) AS n_near_dups,
       |  n.best_jaccard
@@ -674,6 +676,63 @@ object TextQueries {
       |       LEFT JOIN nears n ON t.doc_id = n.bid
       |WHERE t.is_batch ORDER BY t.doc_id""".stripMargin
   }
+  private val q128Sql = incDedupSql(a => s"NOT $a.is_batch")
+
+  // ---------------------------------------------------------------
+  // q188 — ERASURE IN THE SIGNATURE STORE ([[graft.operators.Dedup
+  // .deleteFromSignatureStore]] / [[Dedup.purgeSignatureStore]]): the
+  // q180/q187 takedown lifecycle on the DEDUP side — an erased
+  // document's content digest and MinHash sketch derive from its text
+  // and must go with it, which also means content identical to the
+  // erased doc is ADMITTED again (the store no longer remembers what
+  // to suppress against: that is what erasure means). Build the q134
+  // store in two batches, DELETE every history doc_id % 9 == 4,
+  // verdict the day's batch against the masked read, PURGE, verdict
+  // again — identical in-plan. Oracle: q128's chain with the erased
+  // docs excluded from the history side (batch side untouched).
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val isBatch =
+      pmod(TextFunctions.hash60(col("doc_id").cast("string")), lit(10L)) < 1
+    val hist = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q188_store").toString
+    Dedup.writeSignatureStore(hist.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", k = 16, shingleN = 3, root = root, batchId = 1L)
+    Dedup.writeSignatureStore(hist.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", k = 16, shingleN = 3, root = root, batchId = 2L)
+    Dedup.deleteFromSignatureStore(
+      hist.filter(col("doc_id") % 9 === 4).select(col("doc_id")),
+      "doc_id", root, batchId = 3L)
+    def verdict() = Dedup.incrementalDedupFromStore(
+        Dedup.readSignatureStore(s, root, "doc_id"), batch,
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+      .localCheckpoint()
+    val masked = verdict()
+    Dedup.purgeSignatureStore(s, root, "doc_id", newBatchId = 4L)
+    val purged = verdict()
+    val eq = masked.union(purged)
+      .groupBy(purged.columns.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
+        count(lit(1)).as("groups"))
+    val out = purged.crossJoin(broadcast(eq))
+      .filter(assert_true(
+        col("mn") === 2 && col("mx") === 2 && col("groups") === masked.count(),
+        lit("purge changed the dedup verdict")).isNull)
+      .select(purged.columns.map(col): _*)
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.operators.Checkpoints.releasePinned(masked)
+    graft.operators.Checkpoints.releasePinned(purged)
+    out
+  }
+  private val q188Sql =
+    incDedupSql(a => s"NOT $a.is_batch AND $a.doc_id % 9 <> 4")
 
   // ---------------------------------------------------------------
   // q134 — q128 THROUGH THE PERSISTED SIGNATURE STORE: the history's
@@ -2988,6 +3047,7 @@ object TextQueries {
     QueryDef("q183_decontaminate_streamed", q183, Some(q183Sql)),
     QueryDef("q184_stupid_backoff", q184, Some(q184Sql)),
     QueryDef("q185_langid_trained", q185, Some(q185Sql)),
+    QueryDef("q188_signature_erasure", q188, Some(q188Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

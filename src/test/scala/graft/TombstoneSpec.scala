@@ -162,6 +162,36 @@ class TombstoneSpec extends AnyFunSuite {
     Seq(root, evenRoot).foreach(rm)
   }
 
+  test("signature-store erasure: content identical to an erased doc is admitted again") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val hist = (1L to 10L).map(i =>
+      (i, s"unique$i words for doc $i only here"))
+      .toDF("doc_id", "text")
+    // the day's batch carries an exact copy of history doc 5's text
+    val batch = Seq((100L, "unique5 words for doc 5 only here"))
+      .toDF("doc_id", "text")
+    val root = tmp("graft_sig_erase")
+    Dedup.writeSignatureStore(hist, "doc_id", "text",
+      k = 16, shingleN = 3, root = root, batchId = 1L)
+    def verdict() = Dedup.incrementalDedupFromStore(
+        Dedup.readSignatureStore(spark, root, "doc_id"), batch,
+        "doc_id", "text", k = 16, shingleN = 3, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getBoolean(1), r.getLong(2))).head
+    assert(verdict() == ((true, 1L)),
+      "the copy must be suppressed while doc 5's signatures live")
+    Dedup.deleteFromSignatureStore(
+      Seq(5L).toDF("doc_id"), "doc_id", root, batchId = 2L)
+    assert(verdict() == ((false, 0L)),
+      "erasure must stop suppressing against the erased content")
+    Dedup.purgeSignatureStore(spark, root, "doc_id", 3L)
+    assert(verdict() == ((false, 0L)), "purge changed the verdict")
+    assert(Dedup.readSignatureStore(spark, root)
+      .filter(col("doc_id") === 5L).count() == 0,
+      "purge left doc 5's signatures on disk")
+    rm(root)
+  }
+
   test("crash window (tombstone committed, stats row not): the doc is already masked; the heal is the missing stats row") {
     val root = tmp("graft_tomb_crash")
     val docs = corpus
