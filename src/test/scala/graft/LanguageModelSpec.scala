@@ -94,6 +94,34 @@ class LanguageModelSpec extends AnyFunSuite {
       s"backoff must order garbled < shuffled < in-domain, got $sb")
   }
 
+  test("scoring reads each corpus file exactly once: training pass + candidate pass, counts never re-scanned") {
+    import spark.implicits._
+    val dir = tmp("graft_lm_onepass")
+    (1L to 50L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 5}"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/train")
+    (100L to 119L).map(i => (i, s"tok${i % 7} tok${(i + 3) % 7}"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$dir/cand")
+    val train = spark.read.parquet(s"$dir/train")
+    val cand = spark.read.parquet(s"$dir/cand")
+    val nCounts = LanguageModel.bigramCounts(train, "doc_id", "text").count()
+    val (_, m) = Metrics.capture(spark) {
+      LanguageModel.bigramLmScore(cand,
+        LanguageModel.bigramCounts(train, "doc_id", "text"),
+        "doc_id", "text", 10).collect()
+    }
+    // recordsRead counts BOTH file scans and checkpoint-block reads,
+    // which makes this pin exact: 50 train rows once (the counts
+    // barrier's materialization), 20 candidate rows once, and each of
+    // the THREE count consumers (the (w1,w2) join, the left-count
+    // re-agg, V) reads the counts-type-sized materialized frame — the
+    // corpus is never re-scanned by a derivation
+    assert(m.inputRecords == 70 + 3 * nCounts,
+      s"expected 70 corpus + 3×$nCounts count-frame records, read ${m.inputRecords}")
+    rm(dir)
+  }
+
   test("trained lang-id separates classes with distinct character statistics; heuristic-blind text still classified") {
     import spark.implicits._
     // three synthetic "languages" with disjoint character inventories

@@ -162,6 +162,25 @@ class TombstoneSpec extends AnyFunSuite {
     Seq(root, evenRoot).foreach(rm)
   }
 
+  test("the tombstone mask preserves the pushed term filter beneath the anti-join") {
+    import spark.implicits._
+    val root = tmp("graft_tomb_push")
+    val docs = corpus
+    InvertedIndex.writePostingStore(docs, "doc_id", "text", root, 1L)
+    InvertedIndex.deleteFromPostingStore(
+      docs.filter(col("doc_id") === 6L), "doc_id", "text", root, 2L)
+    // the serve's tf construction, pre-checkpoint (bm25Rank's barrier
+    // would hide the scan): filter, THEN mask — the anti-join must
+    // not block the In(token,…) pushdown that makes the index an index
+    val tf = InvertedIndex.applyTombstones(spark, root,
+      BatchStore.read(spark, root).filter(col("token").isin(terms: _*)),
+      "doc_id")
+    val plan = tf.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(token"),
+      s"term filter must stay pushed under the tombstone mask:\n$plan")
+    rm(root)
+  }
+
   test("signature-store erasure: content identical to an erased doc is admitted again") {
     import spark.implicits._
     import graft.operators.Dedup
