@@ -39,7 +39,18 @@ import TextFunctions.tokens
   * model orders in-domain text above degenerate text (the guarantee
   * LanguageModelSpec pins) but does not order noise against shuffled
   * in-domain tokens; [[stupidBackoffScore]] adds the backoff that
-  * does, from the same count frame.
+  * does, from the same count frame, and [[trigramBackoffScore]]
+  * extends the chain to n=3.
+  *
+  * Checkpoint lifecycle: each scorer pins its counts frame once (it
+  * feeds every derived aggregate AND the join — the q141
+  * multi-consumer discipline), materializes the result as its own
+  * checkpoint, and RELEASES the counts pin before returning — a
+  * long-lived service scoring daily batches holds only the k-row
+  * (or candidate-sized, for lang-id) result per call, never a
+  * counts-frame per call. Callers release the returned frame when
+  * done ([[Checkpoints.releasePinned]]; the bench's sweep handles it
+  * between runs).
   *
   * Scale (100 TB): the counts frame is bigram-TYPE-sized (Heaps-law
   * sublinear), built by one shuffle with map-side partial counts; the
@@ -64,6 +75,20 @@ object LanguageModel {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
       .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
 
+  /** Consecutive token triples: `(id, w1, w2, w3)` — docs with fewer
+    * than three tokens contribute nothing at n=3 (the [[bigrams]]
+    * rule one order up). */
+  private def trigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 3)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__t")) - 2),
+        i => struct(element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2"),
+          element_at(col("__t"), i + 2).as("w3")))).as("__tg"))
+      .select(col(idCol), col("__tg.w1").as("w1"), col("__tg.w2").as("w2"),
+        col("__tg.w3").as("w3"))
+
   /** Train the model: corpus bigram counts `(w1, w2, cnt)` — the ONLY
     * artifact; left counts and V derive from it ([[bigramLmScore]]),
     * and counts from disjoint corpus slices MERGE by summing, which is
@@ -74,22 +99,31 @@ object LanguageModel {
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Corpus trigram counts `(w1, w2, w3, cnt)` — the n=3 artifact
+    * behind [[trigramBackoffScore]]; mergeable by SUM exactly like
+    * [[bigramCounts]]. */
+  def trigramCounts(train: DataFrame, idCol: String, textCol: String): DataFrame =
+    trigrams(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Score `candidates` under trained `counts`: the `k` LOWEST average
     * fixed-point bigram probabilities — the docs a quality filter
     * flags first. Returns `(id, n_bigrams, lm_fp, lm_avg)` ascending
     * by `lm_avg` (id tiebreak): lm_fp = Σ floor((c+1)·2³⁰/(cl+V))
-    * exact long, lm_avg = lm_fp / n_bigrams (one double division). */
+    * exact long, lm_avg = lm_fp / n_bigrams (one double division).
+    * The returned frame is the call's only live checkpoint (k rows);
+    * the counts pin is released before return. */
   def bigramLmScore(candidates: DataFrame, counts: DataFrame,
       idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     // barrier: counts feeds the (w1,w2) join, the left-count re-agg,
     // AND the V aggregate — without it each consumer re-runs the
-    // training scan (the q141 multi-consumer discipline). Callers
-    // release per the materialize contract.
+    // training scan (the q141 multi-consumer discipline).
     val cb = counts.localCheckpoint()
     val cl = cb.groupBy(col("w1")).agg(sum(col("cnt")).as("cl"))
     val v = cb.agg(countDistinct(col("w2")).as("v"))
-    bigrams(candidates, idCol, textCol)
+    val out = bigrams(candidates, idCol, textCol)
       .join(cb, Seq("w1", "w2"), "left")
       .join(cl, Seq("w1"), "left")
       .crossJoin(broadcast(v))
@@ -104,6 +138,9 @@ object LanguageModel {
       .select(col(idCol), col("n_bigrams"), col("lm_fp"), col("lm_avg"))
       .orderBy(col("lm_avg"), col(idCol))
       .limit(k)
+      .localCheckpoint() // the k-row result owns the data now
+    Checkpoints.releasePinned(cb)
+    out
   }
 
   /** [[bigramLmScore]] with STUPID BACKOFF smoothing (Brants et al.
@@ -124,9 +161,9 @@ object LanguageModel {
     * discipline: per-bigram floor(2³⁰·S) longs, order-free exact sum,
     * one double division as the ranking key; 0.4 parses to the same
     * IEEE double in any engine, and every contribution is a fixed
-    * parenthesization of exact counts. Same scale shape as
-    * [[bigramLmScore]] plus one more vocab-sized re-aggregate (the
-    * continuation counts). */
+    * parenthesization of exact counts. Same scale and checkpoint
+    * shape as [[bigramLmScore]] plus one more vocab-sized
+    * re-aggregate (the continuation counts). */
   def stupidBackoffScore(candidates: DataFrame, counts: DataFrame,
       idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
@@ -138,7 +175,7 @@ object LanguageModel {
     val backoff = lit(0.4) *
       (coalesce(col("cr"), lit(0L)).cast("double") * lit(1073741824.0)
         / col("nb"))
-    bigrams(candidates, idCol, textCol)
+    val out = bigrams(candidates, idCol, textCol)
       .join(cb, Seq("w1", "w2"), "left")
       .join(cl, Seq("w1"), "left")
       .join(cr, Seq("w2"), "left")
@@ -153,6 +190,71 @@ object LanguageModel {
       .select(col(idCol), col("n_bigrams"), col("sb_fp"), col("sb_avg"))
       .orderBy(col("sb_avg"), col(idCol))
       .limit(k)
+      .localCheckpoint()
+    Checkpoints.releasePinned(cb)
+    out
+  }
+
+  /** TRIGRAM stupid backoff — the recursive chain of Brants et al.
+    * completed one order up, still pure count arithmetic
+    * (trigram MLE → 0.4·bigram MLE → 0.4²·unigram frequency):
+    *  - seen trigram: `c(w1,w2,w3) / c(w1,w2)` (the raw BIGRAM count
+    *    as the denominator — a trigram's prefix bigram necessarily
+    *    occurred, so the MLE is always defined);
+    *  - unseen trigram, seen bigram (w2,w3):
+    *    `0.4 · c(w2,w3) / c(w2·)`;
+    *  - both unseen: `0.4 · 0.4 · c(·w3) / N` (0 when w3 was never a
+    *    continuation).
+    * Takes BOTH count frames — `triCounts` ([[trigramCounts]]) and
+    * `biCounts` ([[bigramCounts]]) from the SAME training corpus;
+    * each is one corpus pass, both mergeable artifacts. Same
+    * fixed-point discipline (per-trigram floor(2³⁰·S) longs; 0.4 and
+    * the nested parenthesization are engine-identical doubles);
+    * candidates need ≥ 3 tokens to contribute. Scale shape: the
+    * bigram frame feeds one join and three vocab-sized re-aggregates
+    * (pinned once, released on return); the trigram frame feeds only
+    * its own join — candidate-trigram-sized exchanges, nothing
+    * all-pairs. Returns `(id, n_trigrams, sb3_fp, sb3_avg)` ascending
+    * (id tiebreak), k rows. */
+  def trigramBackoffScore(candidates: DataFrame, triCounts: DataFrame,
+      biCounts: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val bb = biCounts.localCheckpoint() // feeds 2 joins + 3 re-aggs
+    val tc = triCounts.select(col("w1"), col("w2"), col("w3"),
+      col("cnt").as("c123"))
+    val b12 = bb.select(col("w1"), col("w2"), col("cnt").as("c12"))
+    val b23 = bb.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("cnt").as("c23"))
+    val cl2 = bb.groupBy(col("w1").as("w2")).agg(sum(col("cnt")).as("cl2"))
+    val cr3 = bb.groupBy(col("w2").as("w3")).agg(sum(col("cnt")).as("cr3"))
+    val nb = bb.agg(sum(col("cnt")).as("nb"))
+    val seenTri = col("c123").cast("double") * lit(1073741824.0) / col("c12")
+    val seenBi = lit(0.4) *
+      (col("c23").cast("double") * lit(1073741824.0) / col("cl2"))
+    val uni = lit(0.4) * (lit(0.4) *
+      (coalesce(col("cr3"), lit(0L)).cast("double") * lit(1073741824.0)
+        / col("nb")))
+    val out = trigrams(candidates, idCol, textCol)
+      .join(tc, Seq("w1", "w2", "w3"), "left")
+      .join(b12, Seq("w1", "w2"), "left")
+      .join(b23, Seq("w2", "w3"), "left")
+      .join(cl2, Seq("w2"), "left")
+      .join(cr3, Seq("w3"), "left")
+      .crossJoin(broadcast(nb))
+      .withColumn("__contrib", floor(
+        when(col("c123").isNotNull, seenTri)
+          .when(col("c23").isNotNull, seenBi)
+          .otherwise(uni)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__contrib")).as("sb3_fp"),
+        count(lit(1)).as("n_trigrams"))
+      .withColumn("sb3_avg", col("sb3_fp").cast("double") / col("n_trigrams"))
+      .select(col(idCol), col("n_trigrams"), col("sb3_fp"), col("sb3_avg"))
+      .orderBy(col("sb3_avg"), col(idCol))
+      .limit(k)
+      .localCheckpoint()
+    Checkpoints.releasePinned(bb)
+    out
   }
 
   // ------------------------------------- trained language identification
@@ -172,7 +274,7 @@ object LanguageModel {
   /** Train the language identifier: per-class character-trigram
     * counts `(lang, tri, cnt)` from a LABELED corpus — mergeable by
     * SUM like [[bigramCounts]], so the same [[BatchStore]] delta
-    * maintenance applies. */
+    * maintenance applies ([[writeLangIdStore]]). */
   def langTrigramCounts(train: DataFrame, langCol: String,
       textCol: String): DataFrame =
     charTrigrams(train, Seq(langCol), textCol)
@@ -196,7 +298,9 @@ object LanguageModel {
     * (the only corpus-scale exchange, keyed on tri), a per-(doc,
     * class) partial aggregate, then the missing-mass term
     * `(n_tri − n_seen) · floor0(lang)` added from a classes-sized
-    * broadcast. Returns `(id, lang_pred, score_fp)`. */
+    * broadcast. Returns `(id, lang_pred, score_fp)` — the call's only
+    * live checkpoint (candidate-sized); the counts pin is released
+    * before return. */
   def classifyLangByTrigrams(cand: DataFrame, counts: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val cb = counts.localCheckpoint() // feeds cl, V, and the seen join
@@ -220,7 +324,8 @@ object LanguageModel {
         count(lit(1)).as("n_seen"))
     val byDoc = Window.partitionBy(col(idCol))
       .orderBy(desc("score_fp"), col("lang"))
-    nTri.crossJoin(broadcast(classes.select(col("lang"), col("floor0"))))
+    val out = nTri
+      .crossJoin(broadcast(classes.select(col("lang"), col("floor0"))))
       .join(seen, Seq(idCol, "lang"), "left")
       .withColumn("score_fp",
         coalesce(col("seen_fp"), lit(0L)) +
@@ -228,6 +333,9 @@ object LanguageModel {
       .withColumn("__rn", row_number().over(byDoc))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("lang").as("lang_pred"), col("score_fp"))
+      .localCheckpoint()
+    Checkpoints.releasePinned(cb)
+    out
   }
 
   // ----------------------------------------------- persisted LM store
@@ -236,23 +344,124 @@ object LanguageModel {
     * at `root` — LM maintenance as [[BatchStore]] deltas: counts are
     * mergeable by SUM, so a daily slice appends its own counts and the
     * served model is the sum-on-read union ([[bigramLmScoreFromStore]])
-    * — training never re-reads history, and
-    * [[BatchStore.compact]] folds a year of deltas back into one dir
-    * without changing a single score (sum is associative). */
+    * — training never re-reads history, and [[compactLmStore]] folds
+    * a year of deltas back into one dir without changing a single
+    * score (sum is associative). */
   def writeLmStore(train: DataFrame, idCol: String, textCol: String,
       root: String, batchId: Long): Unit =
     BatchStore.append(bigramCounts(train, idCol, textCol), root, batchId)
 
+  /** ERASE documents from the persisted LM — the takedown path that
+    * completes the tombstone discipline for the one served store
+    * whose rows are AGGREGATES, not documents: there is no per-doc
+    * row to mask, but counts merge by SUM, so erasure is an append of
+    * the erased docs' bigram counts NEGATED (the posting store's
+    * negative-stats-row discipline, [[InvertedIndex
+    * .deleteFromPostingStore]]). Served scoring nets the negatives
+    * out on the very next query — no retraining, no store rewrite —
+    * and [[compactLmStore]] folds them away physically at the next
+    * maintenance window. Takes the removed DOCUMENT frame (id +
+    * text), so the delta is computed by the exact arithmetic
+    * [[writeLmStore]] used.
+    *
+    * Contract (append-delta discipline): erase each doc AT MOST ONCE,
+    * only docs previously appended, with a fresh `batchId` — a net
+    * count below zero has no corpus meaning, and the serve-side
+    * zero-row filter only guarantees retrain-identity when deltas
+    * follow this contract. */
+  def deleteFromLmStore(deleted: DataFrame, idCol: String, textCol: String,
+      root: String, batchId: Long): Unit =
+    BatchStore.append(
+      bigramCounts(deleted, idCol, textCol)
+        .select(col("w1"), col("w2"), (-col("cnt")).as("cnt")),
+      root, batchId)
+
+  /** Merge a count store's committed batches into the served count
+    * frame: one keyed SUM, then DROP NET-ZERO ROWS — after an erasure
+    * the negated delta nets a fully-erased key to 0, and a zero row
+    * must behave as UNSEEN (kept, it would still count its key toward
+    * V / the continuation vocabulary and join as "seen" with a zero
+    * numerator), so the filter is exactly what makes served scoring
+    * value-identical to retraining on the remaining corpus
+    * (oracle-gated, q189/q191). */
+  private def mergedStoreCounts(spark: SparkSession, root: String,
+      keys: Seq[String]): DataFrame =
+    BatchStore.read(spark, root)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0)
+
+  /** Fold the LM store's delta batches — positive appends AND negated
+    * erasure batches — into one physically-clean dir: re-aggregate by
+    * key, drop net-zero rows, commit as a single batch
+    * ([[BatchStore.compactWith]]'s protocol: racing appends abort the
+    * compaction, staging invisible). Serving before and after is
+    * value-identical (q189 pins it in-plan); after the fold the
+    * erased docs' counts are physically gone, not just netted. */
+  def compactLmStore(spark: SparkSession, root: String,
+      newBatchId: Long): Int =
+    BatchStore.compactWith(spark, root, newBatchId,
+      m => m.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0))
+
   /** [[bigramLmScore]] with counts summed from the store's committed
     * batches — value-identical to single-shot training on the
-    * concatenated slices (spec-pinned): the per-batch counts re-merge
-    * in one vocab-keyed aggregate before the identical scoring. */
+    * concatenated minus erased slices (spec-pinned): the per-batch
+    * deltas re-merge in one vocab-keyed aggregate (net-zero rows
+    * dropped, [[mergedStoreCounts]]) before the identical scoring. */
   def bigramLmScoreFromStore(spark: SparkSession, root: String,
       candidates: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    bigramLmScore(candidates,
-      BatchStore.read(spark, root)
-        .groupBy(col("w1"), col("w2"))
-        .agg(sum(col("cnt")).as("cnt")),
+    bigramLmScore(candidates, mergedStoreCounts(spark, root, Seq("w1", "w2")),
       idCol, textCol, k)
+
+  /** [[stupidBackoffScore]] served from the persisted LM store — the
+    * same one-re-aggregate read path as [[bigramLmScoreFromStore]]
+    * (both scorers derive everything from the bigram counts, so ONE
+    * store serves both smoothing modes), value-identical to in-memory
+    * scoring on the merged counts (oracle-gated, q190). */
+  def stupidBackoffScoreFromStore(spark: SparkSession, root: String,
+      candidates: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    stupidBackoffScore(candidates,
+      mergedStoreCounts(spark, root, Seq("w1", "w2")), idCol, textCol, k)
+
+  // ------------------------------------------ persisted lang-id store
+
+  /** Append one labeled slice's per-class trigram counts to the
+    * persisted language-id model at `root` — same mergeable-counts
+    * delta maintenance as [[writeLmStore]], keyed (lang, tri). */
+  def writeLangIdStore(train: DataFrame, langCol: String, textCol: String,
+      root: String, batchId: Long): Unit =
+    BatchStore.append(langTrigramCounts(train, langCol, textCol), root, batchId)
+
+  /** Erase labeled documents from the persisted lang-id model — the
+    * [[deleteFromLmStore]] discipline on (lang, tri)-keyed counts:
+    * append the erased docs' per-class trigram counts negated; the
+    * served merge nets them out, [[compactLangIdStore]] folds them
+    * away. Same at-most-once / previously-appended contract. */
+  def deleteFromLangIdStore(deleted: DataFrame, langCol: String,
+      textCol: String, root: String, batchId: Long): Unit =
+    BatchStore.append(
+      langTrigramCounts(deleted, langCol, textCol)
+        .select(col("lang"), col("tri"), (-col("cnt")).as("cnt")),
+      root, batchId)
+
+  /** [[compactLmStore]] for the lang-id store: fold delta batches by
+    * (lang, tri), drop net-zero rows, one committed dir. */
+  def compactLangIdStore(spark: SparkSession, root: String,
+      newBatchId: Long): Int =
+    BatchStore.compactWith(spark, root, newBatchId,
+      m => m.groupBy(col("lang"), col("tri")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0))
+
+  /** [[classifyLangByTrigrams]] served from the persisted lang-id
+    * store — one (lang, tri)-keyed re-aggregate (net-zero rows
+    * dropped) then the identical exact-integer argmax; value-identical
+    * to training on the appended-minus-erased corpus (oracle-gated,
+    * q191). */
+  def classifyLangByTrigramsFromStore(spark: SparkSession, root: String,
+      cand: DataFrame, idCol: String, textCol: String): DataFrame =
+    classifyLangByTrigrams(cand,
+      mergedStoreCounts(spark, root, Seq("lang", "tri")), idCol, textCol)
 }

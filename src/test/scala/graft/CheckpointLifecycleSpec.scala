@@ -60,6 +60,38 @@ class CheckpointLifecycleSpec extends AnyFunSuite {
     assert(persistentCount == 0)
   }
 
+  test("LM scorers retain only their result checkpoint per call; releasing the results drops to zero") {
+    import spark.implicits._
+    Bench.releaseBlocks(spark)
+    val train = (1L to 30L).map(i =>
+      (i, if (i % 2 == 0) "aa" else "bb",
+        s"tok${i % 5} tok${(i + 1) % 5} tok${(i + 2) % 5}"))
+      .toDF("doc_id", "lang", "text")
+    val cand = (100L to 109L).map(i =>
+      (i, s"tok${i % 5} tok${(i + 3) % 5} tok${(i + 1) % 5}"))
+      .toDF("doc_id", "text")
+    (1 to 3).foreach { _ =>
+      // each scorer pins its counts frame internally and must release
+      // it before returning — a daily-batch service accumulates only
+      // the (k-row / candidate-sized) results, which it releases here
+      val bi = operators.LanguageModel.bigramCounts(train, "doc_id", "text")
+      val results = Seq(
+        operators.LanguageModel.bigramLmScore(cand, bi, "doc_id", "text", 5),
+        operators.LanguageModel.stupidBackoffScore(cand, bi, "doc_id", "text", 5),
+        operators.LanguageModel.trigramBackoffScore(cand,
+          operators.LanguageModel.trigramCounts(train, "doc_id", "text"),
+          bi, "doc_id", "text", 5),
+        operators.LanguageModel.classifyLangByTrigrams(cand,
+          operators.LanguageModel.langTrigramCounts(train, "lang", "text"),
+          "doc_id", "text"))
+      assert(persistentCount == results.size,
+        s"scorers must pin exactly one result each, got $persistentCount")
+      results.foreach(operators.Checkpoints.releasePinned)
+      assert(persistentCount == 0,
+        s"releasing the results must drop the registry to zero, got $persistentCount")
+    }
+  }
+
   // Deliberately NOT tested: "without release the count grows". Whether
   // dead checkpoints linger depends on when driver GC feeds the
   // ContextCleaner's reference queue — a correct implementation can

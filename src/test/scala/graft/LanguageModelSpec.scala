@@ -106,19 +106,23 @@ class LanguageModelSpec extends AnyFunSuite {
     val train = spark.read.parquet(s"$dir/train")
     val cand = spark.read.parquet(s"$dir/cand")
     val nCounts = LanguageModel.bigramCounts(train, "doc_id", "text").count()
-    val (_, m) = Metrics.capture(spark) {
+    val (rows, m) = Metrics.capture(spark) {
       LanguageModel.bigramLmScore(cand,
         LanguageModel.bigramCounts(train, "doc_id", "text"),
         "doc_id", "text", 10).collect()
     }
     // recordsRead counts BOTH file scans and checkpoint-block reads,
     // which makes this pin exact: 50 train rows once (the counts
-    // barrier's materialization), 20 candidate rows once, and each of
-    // the THREE count consumers (the (w1,w2) join, the left-count
-    // re-agg, V) reads the counts-type-sized materialized frame — the
-    // corpus is never re-scanned by a derivation
-    assert(m.inputRecords == 70 + 3 * nCounts,
-      s"expected 70 corpus + 3×$nCounts count-frame records, read ${m.inputRecords}")
+    // barrier's materialization), 20 candidate rows once, each of the
+    // THREE count consumers (the (w1,w2) join, the left-count re-agg,
+    // V) reads the counts-type-sized materialized frame — the corpus
+    // is never re-scanned by a derivation — and the collect reads the
+    // scorer's own k-row result checkpoint (the round-12 lifecycle:
+    // the counts pin is released inside the scorer, so the result
+    // checkpoint is the call's only retained state)
+    assert(m.inputRecords == 70 + 3 * nCounts + rows.length,
+      s"expected 70 corpus + 3×$nCounts count-frame + ${rows.length} " +
+        s"result records, read ${m.inputRecords}")
     rm(dir)
   }
 
@@ -161,6 +165,134 @@ class LanguageModelSpec extends AnyFunSuite {
     val floor0 = math.floor(1.0 * 1073741824.0 / 4.0).toLong // 1·2^30/(2+2)
     assert(got == Seq((10L, "xx", seenC + floor0)),
       s"expected seen=$seenC + floor0=$floor0, got $got")
+  }
+
+  test("trigram backoff: exact cases for all three chain levels, zero, and the 3-token floor") {
+    import spark.implicits._
+    // trigram counts: (a,b,c)=2, (a,b,d)=1; bigram counts: (a,b)=3,
+    // (b,c)=2, (b,d)=1; cl(b)=3; cr(c)=2; N=6
+    val train = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val cand = Seq(
+      (10L, "a b c"),  // seen trigram: MLE c123/c12
+      (11L, "x b c"),  // unseen trigram, seen bigram (b,c): 0.4·c23/cl(b)
+      (12L, "x y c"),  // both unseen, c seen as continuation: 0.4²·cr(c)/N
+      (13L, "x y z"),  // z never a continuation: 0
+      (14L, "a b"))    // 2 tokens: no trigram to judge — absent
+      .toDF("doc_id", "text")
+    val got = LanguageModel.trigramBackoffScore(cand,
+        LanguageModel.trigramCounts(train, "doc_id", "text"),
+        LanguageModel.bigramCounts(train, "doc_id", "text"),
+        "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val fp = 1073741824.0
+    assert(got == Map(
+      10L -> math.floor(2.0 * fp / 3.0).toLong,
+      11L -> math.floor(0.4 * (2.0 * fp / 3.0)).toLong,
+      12L -> math.floor(0.4 * (0.4 * (2.0 * fp / 6.0))).toLong,
+      13L -> 0L), s"exact trigram-backoff cases drifted: $got")
+  }
+
+  test("trigram backoff orders garbled < shuffled < in-domain (the n=3 re-proof)") {
+    import spark.implicits._
+    val train = (1L to 50L).map { i =>
+      (i, "the cat sat on the mat and the dog ran to the cat")
+    }.toDF("doc_id", "text")
+    val cand = Seq(
+      (100L, "the cat sat on the mat"), // in-domain: seen trigrams (MLE level)
+      (101L, "mat the on sat cat the"), // unseen tri+bi, known tokens (0.4² level)
+      (102L, "zx qv wk jj pf lr"))      // tokens never continuations: 0
+      .toDF("doc_id", "text")
+    val sb3 = LanguageModel.trigramBackoffScore(cand,
+        LanguageModel.trigramCounts(train, "doc_id", "text"),
+        LanguageModel.bigramCounts(train, "doc_id", "text"),
+        "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(sb3(102L) < sb3(101L) && sb3(101L) < sb3(100L),
+      s"trigram backoff must order garbled < shuffled < in-domain, got $sb3")
+  }
+
+  test("LM-store erasure: negated deltas serve identically to retraining on the remaining corpus; compaction folds them physically") {
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 5} tail${i % 3}")
+    }.toDF("doc_id", "text")
+    val a = docs.filter(col("doc_id") <= 20)
+    val b = docs.filter(col("doc_id") > 20 && col("doc_id") <= 30)
+    val cand = docs.filter(col("doc_id") > 30)
+    val erased = a.filter(col("doc_id") % 5 === 0) // 4 docs out of batch 1
+    val remaining = a.filter(col("doc_id") % 5 =!= 0).unionByName(b)
+    val direct = LanguageModel.bigramLmScore(cand,
+      LanguageModel.bigramCounts(remaining, "doc_id", "text"),
+      "doc_id", "text", 10).collect().toSeq
+    val root = tmp("graft_lm_erase")
+    LanguageModel.writeLmStore(a, "doc_id", "text", root, 1L)
+    LanguageModel.writeLmStore(b, "doc_id", "text", root, 2L)
+    LanguageModel.deleteFromLmStore(erased, "doc_id", "text", root, 3L)
+    // the negatives net out on the next serve — no retraining
+    val served = LanguageModel.bigramLmScoreFromStore(
+      spark, root, cand, "doc_id", "text", 10).collect().toSeq
+    assert(served == direct,
+      s"served-after-delete must equal retrain-on-remaining\n got    $served\n direct $direct")
+    // backoff serves from the SAME store, same identity
+    val sbDirect = LanguageModel.stupidBackoffScore(cand,
+      LanguageModel.bigramCounts(remaining, "doc_id", "text"),
+      "doc_id", "text", 10).collect().toSeq
+    val sbServed = LanguageModel.stupidBackoffScoreFromStore(
+      spark, root, cand, "doc_id", "text", 10).collect().toSeq
+    assert(sbServed == sbDirect, "backoff-from-store drifted after the delete")
+    // maintenance: the fold is physical — one batch dir, counts equal
+    // retraining's EXACTLY (no zero/negative residue), serve unchanged
+    assert(LanguageModel.compactLmStore(spark, root, 4L) == 3)
+    val after = LanguageModel.bigramLmScoreFromStore(
+      spark, root, cand, "doc_id", "text", 10).collect().toSeq
+    assert(after == direct, "compaction changed served scores")
+    val stored = operators.BatchStore.read(spark, root)
+      .select(col("w1"), col("w2"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val expect = LanguageModel.bigramCounts(remaining, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(stored == expect,
+      "compacted store must hold exactly the remaining corpus's counts")
+    rm(root)
+  }
+
+  test("lang-id store: append + erase + compact serves the exact-argmax classifier identically to in-memory training on the remaining slices") {
+    import spark.implicits._
+    def doc(lang: String, i: Long) = lang match {
+      case "aa" => (i, lang, s"abra abac adab car$i abba")
+      case "bb" => (i, lang, s"bolbo bubbo obbol bon$i lobbo")
+      case _    => (i, lang, s"cicci cocci iccoc cim$i occi")
+    }
+    val train = (1L to 60L).map(i =>
+      doc(Seq("aa", "bb", "cc")((i % 3).toInt), i)).toDF("doc_id", "lang", "text")
+    val cand = Seq((100L, "abac adab abra"), (101L, "obbol bubbo"),
+      (102L, "cocci iccoc cicci")).toDF("doc_id", "text")
+    val erased = train.filter(col("doc_id") % 4 === 0)
+    val remaining = train.filter(col("doc_id") % 4 =!= 0)
+    val direct = LanguageModel.classifyLangByTrigrams(cand,
+        LanguageModel.langTrigramCounts(remaining, "lang", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val root = tmp("graft_langid_store")
+    LanguageModel.writeLangIdStore(
+      train.filter(col("doc_id") <= 30), "lang", "text", root, 1L)
+    LanguageModel.writeLangIdStore(
+      train.filter(col("doc_id") > 30), "lang", "text", root, 2L)
+    LanguageModel.deleteFromLangIdStore(erased, "lang", "text", root, 3L)
+    val served = LanguageModel.classifyLangByTrigramsFromStore(
+        spark, root, cand, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(served == direct,
+      s"served-after-delete must equal retrain-on-remaining\n got    $served\n direct $direct")
+    assert(LanguageModel.compactLangIdStore(spark, root, 4L) == 3)
+    val after = LanguageModel.classifyLangByTrigramsFromStore(
+        spark, root, cand, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == direct, "compaction changed served classifications")
+    rm(root)
   }
 
   test("stupid backoff: exact seen-MLE, backoff, and zero cases") {
