@@ -1239,9 +1239,12 @@ object TextQueries {
       graft.operators.LanguageModel.bigramCounts(train, "doc_id", "text"),
       "doc_id", "text", k = 20)
   }
-  private val lmSql: String =
+  /** q181's Laplace bigram-LM chain with a pluggable TRAINING filter —
+    * the erasure gate (q189) trains the oracle on the remaining
+    * corpus; the store gates reuse the full-train instance. */
+  private def lmSqlFor(trainWhere: String): String =
     s"""WITH tr AS (SELECT doc_id, $dTokens AS toks FROM documents
-      |  WHERE doc_id % 3 <> 0),
+      |  WHERE $trainWhere),
       |tb AS (SELECT doc_id, unnest(list_transform(
       |    generate_series(1, len(toks) - 1),
       |    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM tr),
@@ -1268,6 +1271,7 @@ object TextQueries {
       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, lm_fp,
       |  CAST(lm_fp AS DOUBLE) / n_bigrams AS lm_avg
       |FROM agg ORDER BY lm_avg, doc_id LIMIT 20""".stripMargin
+  private val lmSql: String = lmSqlFor("doc_id % 3 <> 0")
   private val q181Sql = lmSql
 
   // ---------------------------------------------------------------
@@ -1365,9 +1369,12 @@ object TextQueries {
       graft.operators.LanguageModel.bigramCounts(train, "doc_id", "text"),
       "doc_id", "text", k = 20)
   }
-  private val q184Sql =
+  /** q184's stupid-backoff chain with a pluggable training filter —
+    * q190 serves the same scorer from an appended-minus-erased store,
+    * so its oracle trains on the remaining slices. */
+  private def backoffSqlFor(trainWhere: String): String =
     s"""WITH tr AS (SELECT doc_id, $dTokens AS toks FROM documents
-      |  WHERE doc_id % 3 <> 0),
+      |  WHERE $trainWhere),
       |tb AS (SELECT doc_id, unnest(list_transform(
       |    generate_series(1, len(toks) - 1),
       |    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM tr),
@@ -1399,6 +1406,7 @@ object TextQueries {
       |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, sb_fp,
       |  CAST(sb_fp AS DOUBLE) / n_bigrams AS sb_avg
       |FROM agg ORDER BY sb_avg, doc_id LIMIT 20""".stripMargin
+  private val q184Sql = backoffSqlFor("doc_id % 3 <> 0")
 
   // ---------------------------------------------------------------
   // q185 — TRAINED LANGUAGE ID ([[graft.operators.LanguageModel
@@ -1429,9 +1437,12 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("lang_pred"))
   }
-  private val q185Sql =
+  /** q185's trained-lang-id chain with a pluggable training filter —
+    * q191 serves from an appended-minus-erased (lang, tri) count
+    * store, so its oracle trains on the remaining labeled slices. */
+  private def langidSqlFor(trainWhere: String): String =
     s"""WITH tr AS (SELECT lang, text FROM documents
-      |  WHERE doc_id % 5 <> 0 AND length(text) >= 3),
+      |  WHERE ($trainWhere) AND length(text) >= 3),
       |ttr AS (SELECT lang, unnest(list_transform(
       |    generate_series(1, length(text) - 2),
       |    i -> substr(text, i, 3))) AS tri FROM tr),
@@ -1469,6 +1480,215 @@ object TextQueries {
       |SELECT ca.lang, pred.lang_pred, COUNT(*) AS n_docs
       |FROM pred JOIN ca ON pred.doc_id = ca.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  private val q185Sql = langidSqlFor("doc_id % 5 <> 0")
+
+  // ---------------------------------------------------------------
+  // q189 — ERASURE IN THE LM STORE ([[graft.operators.LanguageModel
+  // .deleteFromLmStore]] / [[LanguageModel.compactLmStore]]): the
+  // q180/q188 takedown lifecycle on the one served store whose rows
+  // are AGGREGATES, not documents — there is no per-doc row to
+  // tombstone, but counts merge by SUM, so erasure is an append of
+  // the erased docs' bigram counts NEGATED. Append two training
+  // slices, erase a sub-slice of batch 1 (doc_id % 3 = 1 AND
+  // doc_id % 5 = 0), serve q181's scoring from the store (the
+  // negatives net out in the one keyed re-aggregate — no retraining,
+  // no store rewrite), COMPACT (negatives folded away physically,
+  // net-zero keys dropped), serve again — identical in-plan (the
+  // q180 equality-gate discipline). Oracle: q181's chain trained on
+  // the remaining corpus — a negative delta that leaked into V, a
+  // zero-count key still counted as vocabulary, or a compaction that
+  // dropped a live key all break the hash.
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val LM = graft.operators.LanguageModel
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q189_lm").toString
+    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", root, batchId = 1L)
+    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", root, batchId = 2L)
+    LM.deleteFromLmStore(
+      docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0),
+      "doc_id", "text", root, batchId = 3L)
+    val cand = docs.filter(col("doc_id") % 3 === 0)
+    val masked = LM.bigramLmScoreFromStore(s, root, cand, "doc_id", "text", k = 20)
+    LM.compactLmStore(s, root, newBatchId = 4L)
+    val compacted = LM.bigramLmScoreFromStore(s, root, cand, "doc_id", "text", k = 20)
+    val eq = masked.union(compacted)
+      .groupBy(compacted.columns.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
+        count(lit(1)).as("groups"))
+    val out = compacted.crossJoin(broadcast(eq))
+      .filter(assert_true(
+        col("mn") === 2 && col("mx") === 2 && col("groups") === masked.count(),
+        lit("LM-store compaction changed served scoring")).isNull)
+      .select(compacted.columns.map(col): _*)
+      .orderBy(col("lm_avg"), col("doc_id"))
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.operators.Checkpoints.releasePinned(masked)
+    graft.operators.Checkpoints.releasePinned(compacted)
+    out
+  }
+  private val q189Sql =
+    lmSqlFor("doc_id % 3 <> 0 AND NOT (doc_id % 3 = 1 AND doc_id % 5 = 0)")
+
+  // ---------------------------------------------------------------
+  // q190 — STUPID BACKOFF SERVED FROM THE ERASED STORE ([[graft
+  // .operators.LanguageModel.stupidBackoffScoreFromStore]]): the
+  // SAME bigram-count store serves both smoothing modes (everything
+  // each scorer needs derives from the counts), so q189's
+  // append-erase-compact store must feed q184's backoff scoring with
+  // no retraining either. Build the q189 store (two appends, one
+  // negated erasure delta, compacted), serve the backoff scorer from
+  // it; the oracle is q184's chain trained on the remaining corpus —
+  // gating BOTH the FromStore identity (q182's discipline) and the
+  // erasure netting through the second read path.
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val LM = graft.operators.LanguageModel
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q190_lm").toString
+    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", root, batchId = 1L)
+    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", root, batchId = 2L)
+    LM.deleteFromLmStore(
+      docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0),
+      "doc_id", "text", root, batchId = 3L)
+    LM.compactLmStore(s, root, newBatchId = 4L)
+    val out = LM.stupidBackoffScoreFromStore(s, root,
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 20)
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    out
+  }
+  private val q190Sql =
+    backoffSqlFor("doc_id % 3 <> 0 AND NOT (doc_id % 3 = 1 AND doc_id % 5 = 0)")
+
+  // ---------------------------------------------------------------
+  // q191 — ERASURE IN THE LANG-ID STORE ([[graft.operators
+  // .LanguageModel.writeLangIdStore]] / [[LanguageModel
+  // .deleteFromLangIdStore]] / [[LanguageModel
+  // .classifyLangByTrigramsFromStore]]): the q189 lifecycle on the
+  // (lang, tri)-keyed class-conditional counts — labeled slices
+  // append in two batches, every doc_id % 7 = 0 training doc is
+  // erased by its negated per-class trigram counts, the held-out
+  // split is classified from the masked store (exact-integer argmax
+  // unchanged), then the store compacts and classifies again —
+  // identical in-plan. Output is q185's confusion matrix; the oracle
+  // trains on the remaining labeled slices (% 5 <> 0 AND % 7 <> 0) —
+  // an erased doc still contributing trigram mass, or a net-zero
+  // (lang, tri) key still counted toward V, breaks the hash.
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val LM = graft.operators.LanguageModel
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q191_lid").toString
+    LM.writeLangIdStore(train.filter(col("doc_id") % 2 === 0),
+      "lang", "text", root, batchId = 1L)
+    LM.writeLangIdStore(train.filter(col("doc_id") % 2 === 1),
+      "lang", "text", root, batchId = 2L)
+    LM.deleteFromLangIdStore(train.filter(col("doc_id") % 7 === 0),
+      "lang", "text", root, batchId = 3L)
+    val cand = docs.filter(col("doc_id") % 5 === 0)
+    val masked = LM.classifyLangByTrigramsFromStore(s, root, cand, "doc_id", "text")
+    LM.compactLangIdStore(s, root, newBatchId = 4L)
+    val compacted = LM.classifyLangByTrigramsFromStore(s, root, cand, "doc_id", "text")
+    val eq = masked.union(compacted)
+      .groupBy(compacted.columns.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
+        count(lit(1)).as("groups"))
+    val out = compacted.crossJoin(broadcast(eq))
+      .filter(assert_true(
+        col("mn") === 2 && col("mx") === 2 && col("groups") === masked.count(),
+        lit("lang-id store compaction changed served classification")).isNull)
+      .join(cand.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.operators.Checkpoints.releasePinned(masked)
+    graft.operators.Checkpoints.releasePinned(compacted)
+    out
+  }
+  private val q191Sql = langidSqlFor("doc_id % 5 <> 0 AND doc_id % 7 <> 0")
+
+  // ---------------------------------------------------------------
+  // q192 — TRIGRAM STUPID BACKOFF ([[graft.operators.LanguageModel
+  // .trigramBackoffScore]]): the Brants et al. recursive chain
+  // completed at n=3 — seen trigram scores the MLE c(w1w2w3)/c(w1w2),
+  // unseen trigram backs off to 0.4·c(w2w3)/c(w2·), both-unseen to
+  // 0.4²·c(·w3)/N — q181's split, the 20 lowest-scoring candidates.
+  // Pure count arithmetic end-to-end: per-trigram floor(2³⁰·S) longs
+  // (order-free exact sum), one double division as the ranking key;
+  // the oracle unrolls the full recursion as a three-way CASE over
+  // the trigram and bigram count CTEs with the identical
+  // parenthesization.
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val LM = graft.operators.LanguageModel
+    val docs = Tables.documents(s, dir)
+    val train = docs.filter(col("doc_id") % 3 =!= 0)
+    LM.trigramBackoffScore(docs.filter(col("doc_id") % 3 === 0),
+      LM.trigramCounts(train, "doc_id", "text"),
+      LM.bigramCounts(train, "doc_id", "text"),
+      "doc_id", "text", k = 20)
+  }
+  private val q192Sql =
+    s"""WITH tr AS (SELECT doc_id, $dTokens AS toks FROM documents
+      |  WHERE doc_id % 3 <> 0),
+      |tb AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM tr),
+      |cb AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS cnt
+      |  FROM tb GROUP BY 1, 2),
+      |tt AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 2),
+      |    i -> {'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}))
+      |    AS tg FROM tr),
+      |cb3 AS (SELECT tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3,
+      |    COUNT(*) AS c123 FROM tt GROUP BY 1, 2, 3),
+      |cl2 AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cl2 FROM cb GROUP BY 1),
+      |cr3 AS (SELECT w2, CAST(SUM(cnt) AS BIGINT) AS cr3 FROM cb GROUP BY 1),
+      |nb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nb FROM cb),
+      |ca AS (SELECT doc_id, $dTokens AS toks FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |ctg AS (SELECT doc_id, tg.w1 AS w1, tg.w2 AS w2, tg.w3 AS w3
+      |  FROM (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 2),
+      |    i -> {'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}))
+      |    AS tg FROM ca)),
+      |sc AS (SELECT c.doc_id,
+      |    CAST(floor(CASE
+      |      WHEN t3.c123 IS NOT NULL
+      |        THEN CAST(t3.c123 AS DOUBLE) * 1073741824.0 / b12.cnt
+      |      WHEN b23.cnt IS NOT NULL
+      |        THEN 0.4 * (CAST(b23.cnt AS DOUBLE) * 1073741824.0 / cl2.cl2)
+      |      ELSE 0.4 * (0.4 * (CAST(COALESCE(cr3.cr3, 0) AS DOUBLE)
+      |        * 1073741824.0 / nb.nb))
+      |    END) AS BIGINT) AS contrib
+      |  FROM ctg c
+      |  LEFT JOIN cb3 t3 ON c.w1 = t3.w1 AND c.w2 = t3.w2 AND c.w3 = t3.w3
+      |  LEFT JOIN cb b12 ON c.w1 = b12.w1 AND c.w2 = b12.w2
+      |  LEFT JOIN cb b23 ON c.w2 = b23.w1 AND c.w3 = b23.w2
+      |  LEFT JOIN cl2 ON c.w2 = cl2.w1
+      |  LEFT JOIN cr3 ON c.w3 = cr3.w2
+      |  CROSS JOIN nb),
+      |agg AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS sb3_fp,
+      |    COUNT(*) AS n_trigrams
+      |  FROM sc GROUP BY 1)
+      |SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams, sb3_fp,
+      |  CAST(sb3_fp AS DOUBLE) / n_trigrams AS sb3_avg
+      |FROM agg ORDER BY sb3_avg, doc_id LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------
   // q174 — SHARDED FULL-POSTING EXPORT ([[graft.operators
