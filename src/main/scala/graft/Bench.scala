@@ -112,7 +112,16 @@ object Bench {
     // q176/q179)
     "q185_langid_trained", "q186_ivfpq_streamed", "q187_ivfpq_tombstones",
     // q188 builds + erases + verdicts over the corpus split — sf-scaled
-    "q188_signature_erasure")
+    "q188_signature_erasure",
+    // round-12 tail (all sf-scaled, none in totalExcludes): q189/q190
+    // build + erase + compact + serve the LM store over corpus splits,
+    // q191 the lang-id store, q192 trains trigram+bigram counts and
+    // scores the held-out split
+    "q189_lm_store_erasure", "q190_backoff_from_store",
+    "q191_langid_erasure", "q192_trigram_backoff",
+    // q193 chains the LSH candidate build + MMR + the in-query brute
+    // recall gate over corpus splits — sf-scaled like q164/q172
+    "q193_lsh_mmr_rerank")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

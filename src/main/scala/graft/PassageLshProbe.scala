@@ -68,6 +68,32 @@ object PassageLshProbe {
         val (c, q) = build()
         Similarity.bruteForceTopK(c, q, "nid", "emb", k = 5).count()
       }
+      // the full SERVING chain (q193 without its eval-only brute
+      // gate): LSH top-10 candidates → MMR 5-deep diversity re-rank —
+      // the number a production retriever actually pays per batch of
+      // queries
+      time("lsh+mmr") {
+        val (c, q) = build()
+        val sel = Similarity.rpLshMmrTopK(c, q, "nid", "emb", dim = 32,
+          bits = 12, tables = 8, topN = 10, k = 5)
+        val n = sel.count()
+        graft.operators.Checkpoints.releasePinned(sel)
+        n
+      }
+      // the brute-fronted equivalent (q164's shape) for the contrast
+      time("brute+mmr") {
+        val (c, q) = build()
+        val cands = Similarity.bruteForceTopK(c, q, "nid", "emb", k = 10)
+          .join(c.select(col("nid").as("neighbor_id"), col("emb").as("__emb")),
+            Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            col("cosine").as("rel"), col("__emb"))
+        val sel = Similarity.mmrRerank(cands, "query_id", "neighbor_id",
+          "rel", "__emb", k = 5)
+        val n = sel.count()
+        graft.operators.Checkpoints.releasePinned(sel)
+        n
+      }
     }
     spark.stop()
   }

@@ -391,18 +391,41 @@ object LanguageModel {
       .agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0)
 
+  /** Compaction fold shared by both count stores: re-aggregate by
+    * `keys`, FAIL LOUDLY on any NEGATIVE net count, then drop
+    * net-zero keys. A net count below zero has no corpus meaning —
+    * it means a double-delete or a delete-without-append (the
+    * at-most-once contract of [[deleteFromLmStore]] violated) — and
+    * the serve-side zero-row filter silently keeps such keys out of
+    * V while their negative mass still sums into sibling aggregates,
+    * so compaction is the maintenance checkpoint where the violation
+    * must surface instead of persisting physically (the posting
+    * store's negative-stats discipline, [[InvertedIndex]]). The check
+    * is fused into the fold plan (assert_true naming the offending
+    * key), never a collect. */
+  private def foldNonNegativeCounts(m: DataFrame, keys: Seq[String]): DataFrame =
+    m.groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(assert_true(col("cnt") >= 0,
+        concat(lit("negative net count in store compaction "
+            + "(double-delete or delete-without-append): key="),
+          concat_ws("/", keys.map(col): _*),
+          lit(" cnt="), col("cnt"))).isNull)
+      .filter(col("cnt") =!= 0)
+
   /** Fold the LM store's delta batches — positive appends AND negated
     * erasure batches — into one physically-clean dir: re-aggregate by
-    * key, drop net-zero rows, commit as a single batch
-    * ([[BatchStore.compactWith]]'s protocol: racing appends abort the
-    * compaction, staging invisible). Serving before and after is
-    * value-identical (q189 pins it in-plan); after the fold the
-    * erased docs' counts are physically gone, not just netted. */
+    * key, fail loudly on negative net counts (erasure-contract
+    * violations, [[foldNonNegativeCounts]]), drop net-zero rows,
+    * commit as a single batch ([[BatchStore.compactWith]]'s protocol:
+    * racing appends abort the compaction, staging invisible). Serving
+    * before and after is value-identical (q189 pins it in-plan);
+    * after the fold the erased docs' counts are physically gone, not
+    * just netted. */
   def compactLmStore(spark: SparkSession, root: String,
       newBatchId: Long): Int =
     BatchStore.compactWith(spark, root, newBatchId,
-      m => m.groupBy(col("w1"), col("w2")).agg(sum(col("cnt")).as("cnt"))
-        .filter(col("cnt") =!= 0))
+      m => foldNonNegativeCounts(m, Seq("w1", "w2")))
 
   /** [[bigramLmScore]] with counts summed from the store's committed
     * batches — value-identical to single-shot training on the
@@ -448,12 +471,13 @@ object LanguageModel {
       root, batchId)
 
   /** [[compactLmStore]] for the lang-id store: fold delta batches by
-    * (lang, tri), drop net-zero rows, one committed dir. */
+    * (lang, tri), fail loudly on negative net counts
+    * ([[foldNonNegativeCounts]]), drop net-zero rows, one committed
+    * dir. */
   def compactLangIdStore(spark: SparkSession, root: String,
       newBatchId: Long): Int =
     BatchStore.compactWith(spark, root, newBatchId,
-      m => m.groupBy(col("lang"), col("tri")).agg(sum(col("cnt")).as("cnt"))
-        .filter(col("cnt") =!= 0))
+      m => foldNonNegativeCounts(m, Seq("lang", "tri")))
 
   /** [[classifyLangByTrigrams]] served from the persisted lang-id
     * store — one (lang, tri)-keyed re-aggregate (net-zero rows

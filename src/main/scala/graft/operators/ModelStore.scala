@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * every timed serve re-ran the Lloyd rounds in-query.
   *
   * Semantics: `cached(key)(train)` runs `train` AT MOST ONCE per
-  * (JVM session, key), persists the result as parquet, and returns a
+  * (store root, key), persists the result as parquet, and returns a
   * parquet-backed frame — which survives the bench's between-run
   * block sweeps ([[graft.Bench.releaseBlocks]] unpersists every RDD;
   * a localCheckpoint cache would be destroyed, a parquet file is
@@ -19,14 +19,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * training inline — the oracle gates keep regenerating training
   * from scratch in SQL and still hash-match.
   *
-  * Scope: deliberately session-local (a temp dir, deleted on JVM
-  * exit) — the right size for gates and benches. A production
-  * deployment persists the same frames through [[SnapshotCommit]] /
-  * [[BatchStore]] with explicit versioning instead; the serving-side
-  * read path is identical.
+  * Two roots:
+  *  - [[cached]] uses a session-local temp root (deleted on JVM
+  *    exit) — the right size for gates and benches;
+  *  - [[cachedAt]] takes an EXPLICIT root shared across sessions —
+  *    the production deployment: a restarted service re-opens the
+  *    root and SERVES without retraining (spec-pinned: a second
+  *    "session" sharing the root trains nothing and reads the
+  *    identical frame). The artifact commits through the
+  *    [[BatchStore]] staging discipline — written under an invisible
+  *    dot-dir, renamed in atomically — so a reader never sees a
+  *    half-written codebook and a crashed trainer leaves only
+  *    invisible staging garbage. If two trainers race the same key,
+  *    one rename wins and the loser discards its (bit-identical)
+  *    staging and serves the winner's artifact.
   */
 object ModelStore {
-  private lazy val root: java.nio.file.Path = {
+  private lazy val sessionRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_model_store")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
@@ -36,22 +45,50 @@ object ModelStore {
       } catch { case _: Throwable => () }))
     p
   }
-  private val saved = scala.collection.mutable.HashMap.empty[String, String]
+  private val trained = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stable artifact dir name for a key: keys carry paths/params
+    * (slashes, colons), so the dir is the key's md5 — deterministic
+    * across sessions, which is what lets a restart find the artifact. */
+  private def artifactName(key: String): String =
+    "m-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(20)
 
   /** The parquet-backed result of `train`, training at most once per
-    * (session, `key`). Callers must key on everything the training
-    * run depends on (data dir, params). */
-  def cached(spark: SparkSession, key: String)(train: => DataFrame): DataFrame = {
-    val path = synchronized {
-      saved.getOrElseUpdate(key, {
-        val p = root.resolve("m" + saved.size).toString
-        train.write.mode("error").parquet(p)
-        p
-      })
+    * (session temp root, `key`). Callers must key on everything the
+    * training run depends on (data dir, params). */
+  def cached(spark: SparkSession, key: String)(train: => DataFrame): DataFrame =
+    cachedAt(spark, sessionRoot.toString, key)(train)
+
+  /** [[cached]] against an explicit DURABLE `root`: if the key's
+    * artifact is already committed under the root — by this session
+    * or any previous one — it is served as-is; otherwise `train`
+    * runs once and commits via stage-then-rename. In-JVM calls are
+    * serialized (training is heavyweight; the fs-level rename
+    * arbitrates cross-JVM races). */
+  def cachedAt(spark: SparkSession, root: String, key: String)(
+      train: => DataFrame): DataFrame = synchronized {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    val dest = new org.apache.hadoop.fs.Path(rootP, artifactName(key))
+    if (!fs.exists(dest)) {
+      fs.mkdirs(rootP)
+      val tmp = new org.apache.hadoop.fs.Path(rootP,
+        s".staging-${dest.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+      trained.incrementAndGet()
+      train.write.mode("error").parquet(tmp.toString)
+      if (!fs.rename(tmp, dest)) {
+        // another trainer won the commit race: ours is bit-identical
+        // (reproducible training) — drop the staging, serve theirs
+        fs.delete(tmp, true)
+        require(fs.exists(dest),
+          s"commit rename $tmp -> $dest failed with no winning artifact")
+      }
     }
-    spark.read.parquet(path)
+    spark.read.parquet(dest.toString)
   }
 
   /** Test seam: number of training runs executed so far. */
-  private[graft] def trainedCount: Int = synchronized { saved.size }
+  private[graft] def trainedCount: Int = trained.get
 }

@@ -33,6 +33,18 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's DEFAULT stream cache is disk-backed: every
+  // ImageIO.read(InputStream) / ImageIO.write(img, fmt, OutputStream)
+  // creates a temp FILE, so each image decode/encode pays executor-
+  // local disk I/O — measured 2.4× wall on q111's 5000-image workload
+  // on a slow-/tmp box (2717 ms vs 1115 ms in-memory; the r12→r13
+  // q111 regression). Every payload here is an in-memory byte array
+  // already bounded by the [[MaxDecodePixels]] budget check, so the
+  // memory-backed cache is strictly better at any scale. Runs in the
+  // object initializer: every decode lambda calls through this
+  // object, so executors flip the flag before their first decode.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRecord(
       media_id: Long, kind: String, payload: Array[Byte])
 

@@ -713,6 +713,72 @@ object Similarity {
     out
   }
 
+  /** The SERVING retrieval chain: [[rpLshTopK]] candidate generation
+    * (top `topN` per query by exact cosine over LSH-bucket
+    * candidates) re-ranked by [[mmrRerank]] diversity — LSH front,
+    * MMR back, the composition a production RAG retriever actually
+    * runs. No corpus×queries product anywhere: the corpus is signed
+    * map-side into a broadcast bucket join (never shuffles,
+    * [[rpLshTopK]]'s shape, PlanSpec-pinned on this composition), the
+    * embedding join-back for MMR's pairwise sims is candidate-keyed,
+    * and every MMR stage is candidate-sized.
+    *
+    * `meanRecallFloor` > 0 adds the q172 evaluation gate CARRIED
+    * THROUGH the composition: the brute-force top-`topN` is computed
+    * alongside and the mean per-query recall of the LSH candidate set
+    * is asserted in-plan ≥ the floor (the assert fuses into the
+    * returned selection — a silent recall collapse fails the query,
+    * not just a dashboard). The brute compare is corpus×queries by
+    * definition — eval mode only; serving passes 0 and gates recall
+    * offline (oracle-gated, q193).
+    *
+    * Checkpoint lifecycle: the candidate frame is pinned once (it
+    * feeds the MMR build and the optional recall gate), and every
+    * intermediate pin is released before return — the caller owns
+    * only the returned k-row selection. Returns
+    * `(query_id, pick_rank, neighbor_id, rel, mmr)`. */
+  def rpLshMmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, bits: Int, tables: Int, topN: Int, k: Int,
+      lam: Double = 0.5, meanRecallFloor: Double = 0.0): DataFrame = {
+    require(topN >= k, s"need topN >= k, got topN=$topN k=$k")
+    val cands = rpLshTopK(corpus, queries, idCol, vecCol, dim, bits, tables, topN)
+      .localCheckpoint() // feeds the MMR build AND the recall gate
+    val emb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__emb"))
+    val withVec = cands.join(emb, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine").as("rel"), col("__emb"))
+    // mmrRerank materializes its selection internally, so `cands` is
+    // consumed on the MMR side as soon as this returns
+    val sel = mmrRerank(withVec, "query_id", "neighbor_id", "rel", "__emb",
+      k, lam)
+    if (meanRecallFloor <= 0) {
+      Checkpoints.releasePinned(cands)
+      sel
+    } else {
+      val brute = bruteForceTopK(corpus, queries, idCol, vecCol, topN)
+        .select(col("query_id"), col("neighbor_id"))
+      val per = brute.join(
+          cands.select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("__nh"))
+        .localCheckpoint() // consumes cands on the gate side
+      Checkpoints.releasePinned(cands)
+      val mean = per.agg(
+        (sum(col("__nh")).cast("double") /
+          (count(lit(1)) * topN)).as("__mean"))
+      val out = sel.crossJoin(broadcast(mean))
+        .filter(assert_true(col("__mean") >= meanRecallFloor,
+          concat(lit(s"LSH→MMR mean candidate recall@$topN below floor " +
+            s"$meanRecallFloor: "), col("__mean").cast("string"))).isNull)
+        .select(sel.columns.map(col): _*)
+        .localCheckpoint()
+      Checkpoints.releasePinned(sel)
+      Checkpoints.releasePinned(per)
+      out
+    }
+  }
+
   // ------------------------------------------ product quantization
 
   /** Per-subspace slices of `vecCol` as a long-format frame: one row

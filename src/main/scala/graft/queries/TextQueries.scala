@@ -1482,6 +1482,60 @@ object TextQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   private val q185Sql = langidSqlFor("doc_id % 5 <> 0")
 
+  /** Temp store root with GUARANTEED cleanup: the Hadoop-FS delete of
+    * the root runs even when the in-plan equality gate (or any Spark
+    * action inside `body`) throws — a failed gate must not leak the
+    * store directory on disk. Safe because every serving call inside
+    * materializes its result (`localCheckpoint`) before `body`
+    * returns. */
+  private def withTempStore(s: SparkSession, prefix: String)(
+      body: String => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(root)
+    finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  /** q189/q190 shared fixture: the appended-minus-erased LM store —
+    * two training-slice appends (doc_id % 3 = 1, then % 3 = 2) and
+    * one negated-delta erasure of the % 3 = 1 AND % 5 = 0 sub-slice.
+    * Remaining corpus is exactly the `lmSqlFor`/`backoffSqlFor`
+    * oracle filter `doc_id % 3 <> 0 AND NOT (doc_id % 3 = 1 AND
+    * doc_id % 5 = 0)`. */
+  private def buildErasedLmStore(docs: DataFrame, root: String): Unit = {
+    val LM = graft.operators.LanguageModel
+    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 1),
+      "doc_id", "text", root, batchId = 1L)
+    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 2),
+      "doc_id", "text", root, batchId = 2L)
+    LM.deleteFromLmStore(
+      docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0),
+      "doc_id", "text", root, batchId = 3L)
+  }
+  private val erasedLmFilter =
+    "doc_id % 3 <> 0 AND NOT (doc_id % 3 = 1 AND doc_id % 5 = 0)"
+
+  /** In-plan pre/post-compaction equality gate (q180's discipline,
+    * shared by q189/q191): asserts `masked` and `compacted` are
+    * row-multiset-identical — every distinct row appears exactly
+    * twice in their union and the group count matches — returning
+    * `compacted`'s rows with the assertion fused into the plan. */
+  private def compactionIdentityGate(masked: DataFrame,
+      compacted: DataFrame, msg: String): DataFrame = {
+    val eq = masked.union(compacted)
+      .groupBy(compacted.columns.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
+        count(lit(1)).as("groups"))
+    compacted.crossJoin(broadcast(eq))
+      .filter(assert_true(
+        col("mn") === 2 && col("mx") === 2 && col("groups") === masked.count(),
+        lit(msg)).isNull)
+      .select(compacted.columns.map(col): _*)
+  }
+
   // ---------------------------------------------------------------
   // q189 — ERASURE IN THE LM STORE ([[graft.operators.LanguageModel
   // .deleteFromLmStore]] / [[LanguageModel.compactLmStore]]): the
@@ -1501,40 +1555,22 @@ object TextQueries {
   private def q189(s: SparkSession, dir: String): DataFrame = {
     val LM = graft.operators.LanguageModel
     val docs = Tables.documents(s, dir)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_q189_lm").toString
-    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 1),
-      "doc_id", "text", root, batchId = 1L)
-    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 2),
-      "doc_id", "text", root, batchId = 2L)
-    LM.deleteFromLmStore(
-      docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0),
-      "doc_id", "text", root, batchId = 3L)
-    val cand = docs.filter(col("doc_id") % 3 === 0)
-    val masked = LM.bigramLmScoreFromStore(s, root, cand, "doc_id", "text", k = 20)
-    LM.compactLmStore(s, root, newBatchId = 4L)
-    val compacted = LM.bigramLmScoreFromStore(s, root, cand, "doc_id", "text", k = 20)
-    val eq = masked.union(compacted)
-      .groupBy(compacted.columns.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
-        count(lit(1)).as("groups"))
-    val out = compacted.crossJoin(broadcast(eq))
-      .filter(assert_true(
-        col("mn") === 2 && col("mx") === 2 && col("groups") === masked.count(),
-        lit("LM-store compaction changed served scoring")).isNull)
-      .select(compacted.columns.map(col): _*)
-      .orderBy(col("lm_avg"), col("doc_id"))
-      .localCheckpoint()
-    new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sessionState.newHadoopConf())
-      .delete(new org.apache.hadoop.fs.Path(root), true)
-    graft.operators.Checkpoints.releasePinned(masked)
-    graft.operators.Checkpoints.releasePinned(compacted)
-    out
+    withTempStore(s, "graft_q189_lm") { root =>
+      buildErasedLmStore(docs, root)
+      val cand = docs.filter(col("doc_id") % 3 === 0)
+      val masked = LM.bigramLmScoreFromStore(s, root, cand, "doc_id", "text", k = 20)
+      LM.compactLmStore(s, root, newBatchId = 4L)
+      val compacted = LM.bigramLmScoreFromStore(s, root, cand, "doc_id", "text", k = 20)
+      val out = compactionIdentityGate(masked, compacted,
+          "LM-store compaction changed served scoring")
+        .orderBy(col("lm_avg"), col("doc_id"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.releasePinned(masked)
+      graft.operators.Checkpoints.releasePinned(compacted)
+      out
+    }
   }
-  private val q189Sql =
-    lmSqlFor("doc_id % 3 <> 0 AND NOT (doc_id % 3 = 1 AND doc_id % 5 = 0)")
+  private val q189Sql = lmSqlFor(erasedLmFilter)
 
   // ---------------------------------------------------------------
   // q190 — STUPID BACKOFF SERVED FROM THE ERASED STORE ([[graft
@@ -1550,25 +1586,14 @@ object TextQueries {
   private def q190(s: SparkSession, dir: String): DataFrame = {
     val LM = graft.operators.LanguageModel
     val docs = Tables.documents(s, dir)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_q190_lm").toString
-    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 1),
-      "doc_id", "text", root, batchId = 1L)
-    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 2),
-      "doc_id", "text", root, batchId = 2L)
-    LM.deleteFromLmStore(
-      docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0),
-      "doc_id", "text", root, batchId = 3L)
-    LM.compactLmStore(s, root, newBatchId = 4L)
-    val out = LM.stupidBackoffScoreFromStore(s, root,
-      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 20)
-    new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sessionState.newHadoopConf())
-      .delete(new org.apache.hadoop.fs.Path(root), true)
-    out
+    withTempStore(s, "graft_q190_lm") { root =>
+      buildErasedLmStore(docs, root)
+      LM.compactLmStore(s, root, newBatchId = 4L)
+      LM.stupidBackoffScoreFromStore(s, root,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 20)
+    }
   }
-  private val q190Sql =
-    backoffSqlFor("doc_id % 3 <> 0 AND NOT (doc_id % 3 = 1 AND doc_id % 5 = 0)")
+  private val q190Sql = backoffSqlFor(erasedLmFilter)
 
   // ---------------------------------------------------------------
   // q191 — ERASURE IN THE LANG-ID STORE ([[graft.operators
@@ -1588,38 +1613,28 @@ object TextQueries {
     val LM = graft.operators.LanguageModel
     val docs = Tables.documents(s, dir)
     val train = docs.filter(col("doc_id") % 5 =!= 0)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_q191_lid").toString
-    LM.writeLangIdStore(train.filter(col("doc_id") % 2 === 0),
-      "lang", "text", root, batchId = 1L)
-    LM.writeLangIdStore(train.filter(col("doc_id") % 2 === 1),
-      "lang", "text", root, batchId = 2L)
-    LM.deleteFromLangIdStore(train.filter(col("doc_id") % 7 === 0),
-      "lang", "text", root, batchId = 3L)
-    val cand = docs.filter(col("doc_id") % 5 === 0)
-    val masked = LM.classifyLangByTrigramsFromStore(s, root, cand, "doc_id", "text")
-    LM.compactLangIdStore(s, root, newBatchId = 4L)
-    val compacted = LM.classifyLangByTrigramsFromStore(s, root, cand, "doc_id", "text")
-    val eq = masked.union(compacted)
-      .groupBy(compacted.columns.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
-        count(lit(1)).as("groups"))
-    val out = compacted.crossJoin(broadcast(eq))
-      .filter(assert_true(
-        col("mn") === 2 && col("mx") === 2 && col("groups") === masked.count(),
-        lit("lang-id store compaction changed served classification")).isNull)
-      .join(cand.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .groupBy(col("lang"), col("lang_pred"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("lang"), col("lang_pred"))
-      .localCheckpoint()
-    new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sessionState.newHadoopConf())
-      .delete(new org.apache.hadoop.fs.Path(root), true)
-    graft.operators.Checkpoints.releasePinned(masked)
-    graft.operators.Checkpoints.releasePinned(compacted)
-    out
+    withTempStore(s, "graft_q191_lid") { root =>
+      LM.writeLangIdStore(train.filter(col("doc_id") % 2 === 0),
+        "lang", "text", root, batchId = 1L)
+      LM.writeLangIdStore(train.filter(col("doc_id") % 2 === 1),
+        "lang", "text", root, batchId = 2L)
+      LM.deleteFromLangIdStore(train.filter(col("doc_id") % 7 === 0),
+        "lang", "text", root, batchId = 3L)
+      val cand = docs.filter(col("doc_id") % 5 === 0)
+      val masked = LM.classifyLangByTrigramsFromStore(s, root, cand, "doc_id", "text")
+      LM.compactLangIdStore(s, root, newBatchId = 4L)
+      val compacted = LM.classifyLangByTrigramsFromStore(s, root, cand, "doc_id", "text")
+      val out = compactionIdentityGate(masked, compacted,
+          "lang-id store compaction changed served classification")
+        .join(cand.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("lang_pred"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.releasePinned(masked)
+      graft.operators.Checkpoints.releasePinned(compacted)
+      out
+    }
   }
   private val q191Sql = langidSqlFor("doc_id % 5 <> 0 AND doc_id % 7 <> 0")
 
@@ -1689,6 +1704,109 @@ object TextQueries {
       |SELECT doc_id, CAST(n_trigrams AS BIGINT) AS n_trigrams, sb3_fp,
       |  CAST(sb3_fp AS DOUBLE) / n_trigrams AS sb3_avg
       |FROM agg ORDER BY sb3_avg, doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q193 — MMR OVER LSH CANDIDATES ([[graft.operators.Similarity
+  // .rpLshMmrTopK]]): the SERVING retrieval chain assembled — q172's
+  // sign-bucket candidate generation (top-10 per eval query by exact
+  // cosine, corpus signed map-side into a broadcast bucket join, no
+  // corpus×queries product: PlanSpec pins the composition) feeding
+  // q164's greedy diversity re-rank (5 picks, λ = 1/2). The q172
+  // recall floor is CARRIED THROUGH: mean per-query recall@10 of the
+  // LSH candidate set vs the brute-force top-10 is asserted in-plan
+  // ≥ 0.5 on the returned selection — a silent recall collapse fails
+  // the query. Oracle: the full LSH replay (md5 planes → buckets →
+  // candidates → exact-cosine top-10) feeding the MMR recursion
+  // unrolled (q164's CTEs), ties on the numeric nid in both engines.
+  private final val Q193MeanRecallFloor = 0.5
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val (chunks, queries) = chunkQueryEmb(s, dir)
+    val corpus = chunks.select(
+      (col("doc_id") * lit(1048576L) + col("chunk_id")).as("nid"),
+      col("cemb").as("emb"))
+    val qfr = queries.select(col("query_id").as("nid"), col("qemb").as("emb"))
+    graft.operators.Similarity.rpLshMmrTopK(corpus, qfr, "nid", "emb",
+        dim = 32, bits = Q172Bits, tables = Q172Tables, topN = 10, k = 5,
+        lam = 0.5, meanRecallFloor = Q193MeanRecallFloor)
+      .orderBy(col("query_id"), col("pick_rank"))
+  }
+  private val q193Sql = {
+    val w = s"(${dHash("'1:' || tk")} % 2001 - 1000) / 1000.0"
+    def emb(toks: String) = s"""list_transform(range(0, 32), d ->
+      |    list_reduce(list_prepend(0.0, list_transform($toks, tk ->
+      |      CASE WHEN ${dHash("tk")} % 32 = d THEN $w ELSE 0.0 END)),
+      |      (a, b) -> a + b))""".stripMargin
+    val bits = Q172Bits
+    val nPlanes = Q172Bits * Q172Tables
+    val relExpr = "list_inner_product(a.emb, b.emb) / " +
+      "(sqrt(list_inner_product(a.emb, a.emb)) * " +
+      "sqrt(list_inner_product(b.emb, b.emb)))"
+    val steps = (1 to 5).map { t =>
+      s"""m$t AS (SELECT s.query_id, s.cid_a AS cid, MAX(s.sim) AS ms
+        |  FROM s JOIN sel${t - 1} z
+        |    ON s.query_id = z.query_id AND s.cid_b = z.cid
+        |  GROUP BY 1, 2),
+        |sc$t AS (SELECT c.query_id, c.cid, c.rel,
+        |    0.5 * c.rel - 0.5 * COALESCE(m.ms, 0.0) AS mmr
+        |  FROM cand10 c LEFT JOIN m$t m
+        |    ON c.query_id = m.query_id AND c.cid = m.cid
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} z
+        |    WHERE z.query_id = c.query_id AND z.cid = c.cid)),
+        |p$t AS (SELECT query_id, cid, rel, mmr, $t AS pick_rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY mmr DESC, cid) AS rn FROM sc$t) WHERE rn = 1),
+        |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |ch AS (SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+      |    toks[start:start+63] AS ctoks
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 48)) AS start
+      |        FROM t WHERE len(toks) > 0 AND doc_id % 97 <> 3)),
+      |ce AS (SELECT doc_id * 1048576 + chunk_id AS nid, ${emb("ctoks")} AS emb
+      |  FROM ch),
+      |cv AS (SELECT nid, emb FROM ce
+      |  WHERE sqrt(list_inner_product(emb, emb)) > 0),
+      |qe AS (SELECT doc_id AS query_id, ${emb("toks")} AS emb FROM t
+      |       WHERE doc_id % 97 = 3),
+      |qv AS (SELECT query_id, emb FROM qe
+      |  WHERE sqrt(list_inner_product(emb, emb)) > 0),
+      |planes AS (
+      |  SELECT p, list_transform(range(0, 32), i ->
+      |    CASE WHEN CAST('0x' || substr(md5('rp:' || p || ':' || i), 1, 15) AS BIGINT) % 2 = 0
+      |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS coefs
+      |  FROM range(0, $nPlanes) t(p)),
+      |csig AS (
+      |  SELECT v.nid, p // $bits AS rp_table,
+      |    SUM(CASE WHEN list_inner_product(v.emb, pl.coefs) > 0
+      |             THEN 1 << (p % $bits) ELSE 0 END) AS rp_bucket
+      |  FROM cv v CROSS JOIN planes pl GROUP BY 1, 2),
+      |qsig AS (
+      |  SELECT q.query_id, p // $bits AS rp_table,
+      |    SUM(CASE WHEN list_inner_product(q.emb, pl.coefs) > 0
+      |             THEN 1 << (p % $bits) ELSE 0 END) AS rp_bucket
+      |  FROM qv q CROSS JOIN planes pl GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT q.query_id, c.nid
+      |  FROM qsig q JOIN csig c
+      |    ON q.rp_table = c.rp_table AND q.rp_bucket = c.rp_bucket
+      |  WHERE q.query_id <> c.nid),
+      |lr AS (SELECT cand.query_id, cand.nid, $relExpr AS rel, a.emb AS emb,
+      |    row_number() OVER (PARTITION BY cand.query_id
+      |      ORDER BY $relExpr DESC, cand.nid) AS rank
+      |  FROM cand JOIN cv a ON a.nid = cand.nid
+      |            JOIN qv b ON b.query_id = cand.query_id),
+      |cand10 AS (SELECT query_id, nid AS cid, rel, emb,
+      |    sqrt(list_inner_product(emb, emb)) AS n FROM lr WHERE rank <= 10),
+      |s AS (SELECT a.query_id, a.cid AS cid_a, b.cid AS cid_b,
+      |    list_inner_product(a.emb, b.emb) / (a.n * b.n) AS sim
+      |  FROM cand10 a JOIN cand10 b
+      |    ON a.query_id = b.query_id AND a.cid <> b.cid),
+      |sel0 AS (SELECT query_id, cid, rel, 0.0 AS mmr, 0 AS pick_rank
+      |  FROM cand10 WHERE FALSE),
+      |$steps
+      |SELECT query_id, pick_rank, cid AS neighbor_id, rel, mmr FROM sel5
+      |ORDER BY query_id, pick_rank""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   // q174 — SHARDED FULL-POSTING EXPORT ([[graft.operators
@@ -1832,9 +1950,9 @@ object TextQueries {
   // (a query whose true neighbors sit at moderate cosine can miss
   // entirely: collision probability (1−θ/π)^bits per table), so the
   // floor binds the aggregate, measured across sf0.001/0.01/0.1.
-  private val Q172Bits = 12
-  private val Q172Tables = 8
-  private val Q172MeanRecallFloor = 0.5
+  private final val Q172Bits = 12
+  private final val Q172Tables = 8
+  private final val Q172MeanRecallFloor = 0.5
   private def q172(s: SparkSession, dir: String): DataFrame = {
     val (chunks, queries) = chunkQueryEmb(s, dir)
     val corpus = chunks.select(
@@ -3268,6 +3386,11 @@ object TextQueries {
     QueryDef("q184_stupid_backoff", q184, Some(q184Sql)),
     QueryDef("q185_langid_trained", q185, Some(q185Sql)),
     QueryDef("q188_signature_erasure", q188, Some(q188Sql)),
+    QueryDef("q189_lm_store_erasure", q189, Some(q189Sql)),
+    QueryDef("q190_backoff_from_store", q190, Some(q190Sql)),
+    QueryDef("q191_langid_erasure", q191, Some(q191Sql)),
+    QueryDef("q192_trigram_backoff", q192, Some(q192Sql)),
+    QueryDef("q193_lsh_mmr_rerank", q193, Some(q193Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

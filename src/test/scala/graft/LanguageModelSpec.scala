@@ -315,4 +315,46 @@ class LanguageModelSpec extends AnyFunSuite {
       11L -> math.floor(0.4 * mle).toLong,
       12L -> 0L), s"exact backoff cases drifted: $got")
   }
+
+  test("erasure-contract violation fails loudly at compaction: a double-delete's negative net count aborts the fold") {
+    import spark.implicits._
+    // per-doc-unique tokens: each bigram/trigram key has count 1, so
+    // a double-delete nets it to -1 (shared tokens could mask the
+    // violation behind surviving docs' positive counts)
+    val docs = (1L to 20L).map { i =>
+      (i, f"u${i}%02da u${i}%02db u${i}%02dc")
+    }.toDF("doc_id", "text")
+    val erased = docs.filter(col("doc_id") % 4 === 0)
+    val root = tmp("graft_lm_doubledel")
+    LanguageModel.writeLmStore(docs, "doc_id", "text", root, 1L)
+    LanguageModel.deleteFromLmStore(erased, "doc_id", "text", root, 2L)
+    // contract violation: the same docs erased AGAIN — some (w1,w2)
+    // nets go negative, which has no corpus meaning
+    LanguageModel.deleteFromLmStore(erased, "doc_id", "text", root, 3L)
+    val ex = intercept[Exception] {
+      LanguageModel.compactLmStore(spark, root, 4L)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("negative net count")),
+      s"compaction must name the contract violation, got: $ex")
+    rm(root)
+
+    // same discipline on the lang-id store
+    val labeled = docs.withColumn("lang",
+      when(col("doc_id") % 2 === 0, "aa").otherwise("bb"))
+    val root2 = tmp("graft_lid_doubledel")
+    LanguageModel.writeLangIdStore(labeled, "lang", "text", root2, 1L)
+    LanguageModel.deleteFromLangIdStore(
+      labeled.filter(col("doc_id") % 4 === 0), "lang", "text", root2, 2L)
+    LanguageModel.deleteFromLangIdStore(
+      labeled.filter(col("doc_id") % 4 === 0), "lang", "text", root2, 3L)
+    val ex2 = intercept[Exception] {
+      LanguageModel.compactLangIdStore(spark, root2, 4L)
+    }
+    assert(messages(ex2).exists(_.contains("negative net count")),
+      s"lang-id compaction must name the contract violation, got: $ex2")
+    rm(root2)
+  }
 }

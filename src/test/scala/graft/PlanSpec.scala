@@ -363,6 +363,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("rp_bucket"), p)
   }
 
+  test("q193 serving chain: LSH candidates + embedding join-back — no corpus product anywhere") {
+    // the SERVING form of rpLshMmrTopK (meanRecallFloor = 0): pin the
+    // pre-checkpoint stages — the candidate build is the q172 bucket
+    // join, and MMR's embedding join-back is candidate-KEYED (equi
+    // join on neighbor_id), so no cartesian/BNLJ may appear even
+    // though the brute gate variant legitimately uses one. Pinned on
+    // the pre-checkpoint frame (the composed operator's result is a
+    // checkpoint scan, round-10 gotcha).
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 3)
+      .select(col("doc_id").as("nid"),
+        graft.operators.TextFunctions.hashEmbed(col("text"), 32).as("emb"))
+    val queries = docs.filter(col("doc_id") % 97 === 3)
+      .select(col("doc_id").as("nid"),
+        graft.operators.TextFunctions.hashEmbed(col("text"), 32).as("emb"))
+    val cands = Similarity.rpLshTopK(corpus, queries, "nid", "emb",
+      dim = 32, bits = 12, tables = 8, k = 10)
+    val withVec = cands.join(
+        corpus.select(col("nid").as("neighbor_id"), col("emb").as("__emb")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("cosine").as("rel"), col("__emb"))
+    val p = withVec.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("rp_bucket"), p)
+  }
+
   test("q131: embed→LSH near-dup — candidates from the bucket join, no corpus product") {
     val p = planOf("q131_embed_lsh_neardup")
     // same contract as q91, now with the encoder feeding the LSH: the

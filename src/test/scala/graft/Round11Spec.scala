@@ -127,6 +127,40 @@ class Round11Spec extends AnyFunSuite {
     assert(r1.nonEmpty && r2.nonEmpty)
   }
 
+  test("durable model store: a restarted session sharing the root serves the identical artifact without retraining") {
+    import spark.implicits._
+    import graft.operators.ModelStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_model_store_durable").toString
+    var trainRuns = 0
+    def train() = { trainRuns += 1
+      Seq((0, 1.5), (1, -2.25), (2, 0.0)).toDF("centroid", "v") }
+    // session 1 trains and commits
+    val first = ModelStore.cachedAt(spark, root, "durable:test:k1")(train())
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sorted.toSeq
+    assert(trainRuns == 1)
+    // the ONLY state cachedAt consults is the filesystem — a process
+    // restart is exactly "a fresh SparkSession against the same root".
+    // The fresh session must serve without training.
+    val s2 = spark.newSession()
+    val second = ModelStore.cachedAt(s2, root, "durable:test:k1")(train())
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sorted.toSeq
+    assert(trainRuns == 1, "a session sharing the root must not retrain")
+    assert(second == first, "served artifact drifted across sessions")
+    // a crashed trainer's leftover dot-staging dir is invisible: it
+    // must break neither serving this key nor training a second key
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".staging-m-dead-xyz"))
+    assert(ModelStore.cachedAt(spark, root, "durable:test:k1")(train())
+      .count() == 3)
+    assert(trainRuns == 1)
+    assert(ModelStore.cachedAt(spark, root, "durable:test:k2")(train())
+      .count() == 3)
+    assert(trainRuns == 2, "a distinct key must train exactly once")
+    rm(root)
+  }
+
   test("pqAdcTopKFromStore: equals the in-memory ADC path; the store scan never reads embeddings") {
     import spark.implicits._
     import graft.operators.Similarity
