@@ -121,7 +121,18 @@ object Bench {
     "q191_langid_erasure", "q192_trigram_backoff",
     // q193 chains the LSH candidate build + MMR + the in-query brute
     // recall gate over corpus splits — sf-scaled like q164/q172
-    "q193_lsh_mmr_rerank")
+    "q193_lsh_mmr_rerank",
+    // round-13 tail (sf-scaled, none in totalExcludes): q194 streams
+    // the whole corpus through the LM-store sink then serves (the
+    // q177 shape on the count store); q195 fits both hashed-n-gram
+    // distributions and scores every candidate
+    "q194_lm_store_streamed", "q195_dsir_selection",
+    // q196 builds the corpus rollup, then the rewritten aggregate
+    // scans it — both halves sf-scaled
+    "q196_rollup_rewrite",
+    // q197 re-scores the LSH candidates token-by-token — candidate
+    // work rides the sf-scaled corpus front like q193
+    "q197_maxsim_rerank")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

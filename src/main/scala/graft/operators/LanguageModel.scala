@@ -351,6 +351,32 @@ object LanguageModel {
       root: String, batchId: Long): Unit =
     BatchStore.append(bigramCounts(train, idCol, textCol), root, batchId)
 
+  /** Maintain the LM store FROM A STREAM — model maintenance as a
+    * `foreachBatch` streaming job, the production shape where the
+    * daily training slices of [[writeLmStore]] arrive continuously
+    * instead ([[InvertedIndex.postingStoreSink]]'s discipline on the
+    * count store). Batch id = `baseBatchId + epochId`, and the sink
+    * is EXACTLY-ONCE under Structured Streaming's at-least-once epoch
+    * replay: the LM store is a SINGLE [[BatchStore]] dir (no stats
+    * sidecar — left counts and V derive from the counts themselves,
+    * see [[bigramCounts]]), so there is no partial-commit crash
+    * window to heal: the stage-and-rename commit means `batch=$id`
+    * either exists completely (replay no-ops) or not at all (normal
+    * write). Requires the replayed epoch to carry the same rows,
+    * which the checkpointed file/kafka sources guarantee. Serving
+    * ([[bigramLmScoreFromStore]]) is independent of how the source
+    * chunked the corpus into epochs — counts merge by SUM (q194 pins
+    * the streamed store against single-shot training). */
+  def lmStoreSink(idCol: String, textCol: String, root: String,
+      baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+    (batch, epochId) => {
+      val id = baseBatchId + epochId
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"batch=$id")))
+        writeLmStore(batch, idCol, textCol, root, id)
+    }
+
   /** ERASE documents from the persisted LM — the takedown path that
     * completes the tombstone discipline for the one served store
     * whose rows are AGGREGATES, not documents: there is no per-doc

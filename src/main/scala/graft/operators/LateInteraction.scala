@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Late-interaction re-ranking — the ColBERT scoring rule (Khattab &
+  * Zaharia 2020): instead of one vector per passage, keep one vector
+  * per TOKEN and score a (query, passage) pair as
+  * `Σ_i max_j cos(q_i, d_j)` — each query token finds its best match
+  * in the passage and the matches sum. The precision stage of the
+  * two-stage retrieval stack: a bi-encoder front (LSH over pooled
+  * chunk embeddings, [[Similarity.rpLshTopK]]) recalls candidates
+  * cheaply, MaxSim re-scores the survivors with token-level
+  * interaction that pooled vectors blur away.
+  *
+  * Token vectors are the deterministic fastText-style stub
+  * ([[TextFunctions.tokenVector]] — char-trigram grams of the padded
+  * token through the hashed-slot fold; a real encoder swaps in behind
+  * the same (token → vec) contract). Each DISTINCT token is embedded
+  * exactly ONCE (vocabulary-sized work, Heaps-law sublinear) and
+  * joined back to occurrences — never re-hashed per candidate pair.
+  *
+  * Arithmetic discipline: per-(query-position, passage) max cosine is
+  * an exact IEEE double (fixed parenthesization), the per-position
+  * contribution is `floor(2³⁰ · maxcos)` as a LONG, a pair's score is
+  * the order-free exact sum of its positions' contributions, and the
+  * ranking key is ONE double division (ms_fp / n_qtoks) — the LM/q151
+  * fixed-point rule, so the oracle hash-matches the full ranking.
+  *
+  * Scale shape: candidates × query-positions × passage-tokens is the
+  * only pair-level work, keyed on the candidate ids — the corpus
+  * appears ONLY through the candidate list the front stage produced.
+  * Duplicate passage tokens are collapsed BEFORE the pair join (max
+  * over occurrences = max over distinct tokens); query positions are
+  * kept (ColBERT sums per position, so a repeated query token counts
+  * each time). Nothing is ever corpus×queries.
+  */
+object LateInteraction {
+
+  /** Re-rank `cands` — one row per (query, passage) candidate pair,
+    * columns `queryCol, passageCol` — by MaxSim between the query's
+    * first `maxQueryTokens` tokens and the passage's tokens. Token
+    * text comes from `queryToks` (`queryCol, text`) and `passageToks`
+    * (`passageCol, text`). Returns
+    * `(queryCol, rank, passageCol, n_qtoks, ms_fp, ms_avg)`, the top
+    * `k` per query descending by `ms_avg` (passage-id tiebreak):
+    * ms_fp = Σ over query positions of floor(2³⁰·max_j cos), ms_avg =
+    * ms_fp / n_qtoks. Query positions whose token embeds to a
+    * zero-norm vector are skipped on both sides (cosine undefined);
+    * a candidate whose passage has NO embeddable token drops out. */
+  def maxSimRerank(cands: DataFrame, queries: DataFrame, passages: DataFrame,
+      queryCol: String, passageCol: String, textCol: String,
+      dim: Int, maxQueryTokens: Int, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxQueryTokens >= 1, s"need maxQueryTokens >= 1, got $maxQueryTokens")
+    val toks = TextFunctions.tokens(col(textCol))
+    // pin: the candidate list feeds both occurrence joins
+    val cb = cands.select(col(queryCol), col(passageCol)).localCheckpoint()
+    // query positions: (query, qpos, tok) — positions kept, window
+    // bounded to the serving-query length
+    val qt = queries.join(cb.select(col(queryCol)).distinct(), Seq(queryCol))
+      .select(col(queryCol), posexplode(slice(toks, 1, maxQueryTokens)))
+      .select(col(queryCol), col("pos").as("__qpos"), col("col").as("__tok"))
+    // passage tokens: distinct per passage (max over occurrences ==
+    // max over distinct tokens — the pair join shrinks for free)
+    val dt = passages.join(cb.select(col(passageCol)).distinct(), Seq(passageCol))
+      .select(col(passageCol), explode(toks).as("__tok"))
+      .distinct()
+    // vocabulary-sized embedding: every distinct token ONCE
+    val vocab = qt.select(col("__tok")).union(dt.select(col("__tok")))
+      .distinct()
+      .withColumn("__tv", TextFunctions.tokenVector(col("__tok"), dim))
+      .withColumn("__tn", sqrt(aggregate(
+        transform(col("__tv"), x => x * x), lit(0.0), (a, v) => a + v)))
+      .filter(col("__tn") > 0)
+      .localCheckpoint() // feeds both occurrence joins
+    val qe = qt.join(vocab, Seq("__tok"))
+      .select(col(queryCol), col("__qpos"),
+        col("__tv").as("__qv"), col("__tn").as("__qn"))
+    val de = dt.join(vocab, Seq("__tok"))
+      .select(col(passageCol), col("__tv").as("__dv"), col("__tn").as("__dn"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(desc("ms_avg"), col(passageCol))
+    val out = cb
+      .join(qe, Seq(queryCol))
+      .join(de, Seq(passageCol))
+      .withColumn("__cos",
+        aggregate(zip_with(col("__qv"), col("__dv"), (x, y) => x * y),
+          lit(0.0), (a, v) => a + v) / (col("__qn") * col("__dn")))
+      .groupBy(col(queryCol), col(passageCol), col("__qpos"))
+      .agg(max(col("__cos")).as("__mc"))
+      .withColumn("__contrib",
+        floor(col("__mc") * lit(1073741824.0)).cast("long"))
+      .groupBy(col(queryCol), col(passageCol))
+      .agg(sum(col("__contrib")).as("ms_fp"),
+        count(lit(1)).as("n_qtoks"))
+      .withColumn("ms_avg", col("ms_fp").cast("double") / col("n_qtoks"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryCol), col("rank").cast("long").as("rank"),
+        col(passageCol), col("n_qtoks"), col("ms_fp"), col("ms_avg"))
+      .localCheckpoint()
+    Seq(cb, vocab).foreach(Checkpoints.releasePinned)
+    out
+  }
+}

@@ -57,15 +57,38 @@ object TextFunctions {
     * repeated both md5s inside every one of `dim` components (16
     * md5s/token at dim=8) — this IS the hot path the moment anyone
     * scales the stub. */
-  def hashEmbed(textCol: Column, dim: Int): Column = {
+  def hashEmbed(textCol: Column, dim: Int): Column =
+    hashEmbedGrams(tokens(textCol), dim)
+
+  /** [[hashEmbed]]'s fold over an EXPLICIT gram array — the reuse
+    * point for non-whitespace feature spaces (e.g. the char-trigram
+    * subword grams of [[tokenVector]]); same strict sequential fold,
+    * same cross-engine determinism. */
+  def hashEmbedGrams(gramsCol: Column, dim: Int): Column = {
     require(dim > 0 && dim <= 64, s"need 0 < dim <= 64, got $dim")
-    val slotted = transform(tokens(textCol), t => struct(
+    val slotted = transform(gramsCol, t => struct(
       pmod(hash60(t), lit(dim.toLong)).cast("int").as("d"),
       ((pmod(hash60Seeded(t, 1), lit(2001L)) - 1000L).cast("double") / 1000.0)
         .as("w")))
     aggregate(slotted, array_repeat(lit(0.0), dim),
       (acc, p) => transform(acc, (x, i) =>
         when(i === p.getField("d"), x + p.getField("w")).otherwise(x)))
+  }
+
+  /** Subword TOKEN embedding — the fastText recipe (Bojanowski et al.
+    * 2017): a token's vector is the [[hashEmbedGrams]] fold over the
+    * char trigrams of the boundary-padded token `'<' + tok + '>'`
+    * (padding guarantees ≥ 1 gram for any non-empty token and makes
+    * prefix/suffix grams distinct from interior ones). Deterministic
+    * stand-in for a per-token encoder: multiple non-zero components
+    * per token (unlike a whole-token hash, whose single slot makes
+    * every cosine ±1/0), morphology-sensitive, and replayable in the
+    * oracle gram-for-gram. */
+  def tokenVector(tokCol: Column, dim: Int): Column = {
+    val padded = concat(lit("<"), tokCol, lit(">"))
+    hashEmbedGrams(transform(
+      sequence(lit(1), length(padded) - 2),
+      i => padded.substr(i, lit(3))), dim)
   }
 
   /** The original per-dimension spelling of [[hashEmbed]] — kept ONLY

@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // 60-bit hash collapses to the native kernel (see
     // [[NativeHash60Rewrite]]).
     ext.injectOptimizerRule(_ => NativeHash60Rewrite())
+    // View-matching rule: aggregates over a registered base table
+    // re-target its materialized rollup (see [[SummaryRewrite]]).
+    ext.injectOptimizerRule(_ => SummaryRewriteRule())
     ext.injectFunction((
       FunctionIdentifier("graft_hash60"),
       new ExpressionInfo(classOf[Md5Hash60].getCanonicalName, "graft_hash60"),

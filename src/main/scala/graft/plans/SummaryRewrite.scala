@@ -1,0 +1,222 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+
+/** Materialized-rollup rewrite — the optimizer half of incremental
+  * aggregation (q94 maintains the rollup; THIS serves it): an
+  * `Aggregate` over a registered base table is rewritten to a
+  * RE-AGGREGATION over its much smaller pre-computed rollup whenever
+  * the query's shape is provably answerable from it —
+  *
+  *  - grouping columns ⊆ the rollup's keys (a rollup at (lang,
+  *    source) granularity answers GROUP BY lang, GROUP BY source,
+  *    and GROUP BY both);
+  *  - filters reference only key columns (they survive verbatim on
+  *    the rollup, where they additionally partition-prune);
+  *  - aggregates decompose over the rollup's partials:
+  *    `count(*)` → `sum(__cnt)` (coalesced to 0 for the global-agg
+  *    empty case), `sum(m)` → `sum(__sum_m)`, `min(m)` →
+  *    `min(__min_m)`, `max(m)` → `max(__max_m)` — the classic
+  *    self-decomposing aggregates. Anything else (avg over doubles,
+  *    count-distinct, expressions over non-key columns) leaves the
+  *    plan untouched: the rule rewrites only what it can prove.
+  *
+  * Output attributes keep their original `ExprId`s (each rewritten
+  * aggregate re-aliases under the original id), so operators above
+  * the Aggregate — sorts, joins, projections — never notice the swap.
+  *
+  * At 100 TB this is the difference between a full-corpus scan and a
+  * keys-cardinality-sized one on every dashboard query: the rollup is
+  * maintained incrementally (q94's merge discipline) and EVERY
+  * matching aggregate gets the small scan for free, with no query
+  * rewrite in user code — the summary-table pattern of Goldstein &
+  * Larson's view-matching work, scoped to the rollups this library
+  * itself maintains.
+  *
+  * Freshness is the registrant's contract: register after the rollup
+  * commit, [[SummaryRewrite.deregister]] before dropping it. Disable
+  * per-session with `spark.graft.summaryRewrite=false`.
+  */
+object SummaryRewrite {
+
+  /** A registered rollup: its resolved parquet relation (cached at
+    * registration — file listing happens once, not per query; fresh
+    * attribute ids are minted per rewrite via `newInstance`), the
+    * grouping keys it was built at, and the measures it carries. */
+  final case class SummaryDef(relation: LogicalRelation, keys: Seq[String],
+      measures: Seq[String])
+
+  private val registry = new ConcurrentHashMap[String, SummaryDef]()
+
+  private[plans] def cntCol: String = "__cnt"
+  private[plans] def sumCol(m: String): String = s"__sum_$m"
+  private[plans] def minCol(m: String): String = s"__min_$m"
+  private[plans] def maxCol(m: String): String = s"__max_$m"
+
+  /** Scheme-free normalized path — `file:/x/y/` and `/x/y` register
+    * and look up identically. */
+  private def normalize(p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    if (path.length > 1 && path.endsWith("/")) path.dropRight(1) else path
+  }
+
+  /** Build the rollup of `basePath` at `keys` granularity, write it to
+    * `summaryPath`, and register it. One base scan, one keys-sized
+    * shuffle — the cost is paid once and amortized over every
+    * rewritten query. */
+  def buildAndRegister(spark: SparkSession, basePath: String,
+      keys: Seq[String], measures: Seq[String], summaryPath: String): Unit = {
+    require(keys.nonEmpty, "need at least one rollup key")
+    val aggs = count(lit(1)).as(cntCol) +: measures.flatMap(m => Seq(
+      sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)),
+      max(col(m)).as(maxCol(m))))
+    spark.read.parquet(basePath)
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(summaryPath)
+    register(spark, basePath, summaryPath, keys, measures)
+  }
+
+  /** Register an existing rollup (built by [[buildAndRegister]] or
+    * maintained incrementally) for `basePath`. */
+  def register(spark: SparkSession, basePath: String, summaryPath: String,
+      keys: Seq[String], measures: Seq[String]): Unit = {
+    val rel = spark.read.parquet(summaryPath).queryExecution.analyzed match {
+      case l: LogicalRelation => l
+      case other => throw new IllegalStateException(
+        s"summary read did not resolve to a relation: ${other.getClass}")
+    }
+    val names = rel.output.map(_.name).toSet
+    val needed = keys ++ (cntCol +: measures.flatMap(m =>
+      Seq(sumCol(m), minCol(m), maxCol(m))))
+    val missing = needed.filterNot(names)
+    require(missing.isEmpty,
+      s"summary at $summaryPath lacks columns: ${missing.mkString(", ")}")
+    registry.put(normalize(basePath), SummaryDef(rel, keys, measures))
+  }
+
+  def deregister(basePath: String): Unit = registry.remove(normalize(basePath))
+
+  private[plans] def lookup(rootPaths: Seq[String]): Option[SummaryDef] =
+    // single-root scans only: a multi-root relation's union semantics
+    // are not what any single registration described
+    rootPaths match {
+      case Seq(p) => Option(registry.get(normalize(p)))
+      case _ => None
+    }
+}
+
+/** The injected rule ([[GraftExtensions]]). Operates post-analysis, so
+  * it sees resolved attributes; runs in the operator-optimization
+  * batch, so it tolerates the pushed-down `Project`/`Filter` shapes
+  * between the `Aggregate` and the scan. */
+case class SummaryRewriteRule() extends Rule[LogicalPlan] {
+  import SummaryRewrite._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.summaryRewrite", "true").toBoolean) plan
+    else plan.transformUp {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** Peel attribute-only Projects and collect Filter predicates down
+    * to a single-file-source relation. Any other operator in between
+    * (a join, a generator, a renaming projection) disqualifies. */
+  private def strip(p: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] =
+    p match {
+      case rel: LogicalRelation if rel.relation.isInstanceOf[HadoopFsRelation] =>
+        Some((Nil, rel))
+      case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        strip(ch)
+      case Filter(cond, ch) =>
+        strip(ch).map { case (cs, l) => (cond +: cs, l) }
+      case _ => None
+    }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
+    (conds, rel) <- strip(agg.child)
+    sd <- lookup(rel.relation.asInstanceOf[HadoopFsRelation]
+      .location.rootPaths.map(_.toString))
+    // fresh attribute ids per rewrite — the same rollup may serve
+    // several aggregates in one plan (each gets its own instance)
+    sumRel = sd.relation.newInstance()
+    byName = sumRel.output.map(a => a.name -> a).toMap
+    grouping <- traverse(agg.groupingExpressions)(rewriteScalar(_, sd, byName))
+    filters <- traverse(conds)(rewriteScalar(_, sd, byName))
+    aggExprs <- traverse(agg.aggregateExpressions)(rewriteNamed(_, sd, byName))
+  } yield Aggregate(grouping, aggExprs,
+    filters.foldRight(sumRel: LogicalPlan)(Filter(_, _)))
+
+  private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
+    val out = xs.map(f)
+    if (out.forall(_.isDefined)) Some(out.map(_.get)) else None
+  }
+
+  /** Rewrite a non-aggregate expression: key attributes re-bind to the
+    * summary's; any other column reference disqualifies the plan. */
+  private def rewriteScalar(e: Expression, sd: SummaryDef,
+      byName: Map[String, AttributeReference]): Option[Expression] = e match {
+    case a: AttributeReference =>
+      if (sd.keys.contains(a.name)) byName.get(a.name) else None
+    case other =>
+      traverse(other.children)(rewriteScalar(_, sd, byName))
+        .map(other.withNewChildren)
+  }
+
+  /** Rewrite a result expression, preserving its output `ExprId` so
+    * downstream operators keep resolving. */
+  private def rewriteNamed(ne: NamedExpression, sd: SummaryDef,
+      byName: Map[String, AttributeReference]): Option[NamedExpression] =
+    ne match {
+      case a: AttributeReference if sd.keys.contains(a.name) =>
+        byName.get(a.name).map(n => Alias(n, a.name)(exprId = a.exprId))
+      case al: Alias =>
+        rewriteExpr(al.child, sd, byName)
+          .map(e => Alias(e, al.name)(exprId = al.exprId))
+      case _ => None
+    }
+
+  /** Rewrite an expression tree that may contain aggregate calls:
+    * decomposable aggregates re-target the rollup's partial columns,
+    * key attributes re-bind, anything else disqualifies. */
+  private def rewriteExpr(e: Expression, sd: SummaryDef,
+      byName: Map[String, AttributeReference]): Option[Expression] = e match {
+    case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        // count(*) / count(1): sum of per-group counts; coalesce keeps
+        // the global-aggregate-over-empty-input case at 0, and keeps
+        // the output non-nullable like Count itself
+        case c: Count if c.children.forall(_.foldable) =>
+          byName.get(cntCol).map(cnt => Coalesce(Seq(
+            Sum(cnt).toAggregateExpression(), Literal(0L))))
+        case s: Sum => s.child match {
+          case a: AttributeReference if sd.measures.contains(a.name) =>
+            byName.get(sumCol(a.name)).map(Sum(_).toAggregateExpression())
+          case _ => None
+        }
+        case m: Min => m.child match {
+          case a: AttributeReference if sd.measures.contains(a.name) =>
+            byName.get(minCol(a.name)).map(Min(_).toAggregateExpression())
+          case _ => None
+        }
+        case m: Max => m.child match {
+          case a: AttributeReference if sd.measures.contains(a.name) =>
+            byName.get(maxCol(a.name)).map(Max(_).toAggregateExpression())
+          case _ => None
+        }
+        case _ => None
+      }
+    case a: AttributeReference =>
+      if (sd.keys.contains(a.name)) byName.get(a.name) else None
+    case other =>
+      traverse(other.children)(rewriteExpr(_, sd, byName))
+        .map(other.withNewChildren)
+  }
+}

@@ -383,8 +383,65 @@ object CurationQueries {
     """SELECT event_type, COUNT(*) AS n_rows, TRUE AS within_rank_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q195 — IMPORTANCE-WEIGHTED DATA SELECTION ([[graft.operators
+  // .DataSelection.dsirTopK]]): the DSIR recipe — hashed unigram ∪
+  // bigram features (60-bit md5 mod 4096, q174's replay discipline),
+  // a target distribution fit on the curated slice (doc_id % 7 = 0),
+  // the raw distribution fit on the candidate pool itself
+  // (doc_id % 7 ≠ 0), per-bucket fixed-point ratio weights
+  // floor((t+1)·(N_R+B)·2³⁰ / ((r+1)·(N_T+B))) (add-one smoothing,
+  // no transcendentals — the LM discipline), and the 20 candidates
+  // with the highest per-feature mean importance. The oracle replays
+  // the whole chain — hash, smoothing, the exact double
+  // parenthesization, the long sums — so a bucket off-by-one, a
+  // smoothing constant drift, or a features-vs-types miscount all
+  // break the hash.
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.DataSelection.dsirTopK(
+      candidates = docs.filter(col("doc_id") % 7 =!= 0),
+      target = docs.filter(col("doc_id") % 7 === 0),
+      idCol = "doc_id", textCol = "text", buckets = 4096, k = 20)
+  }
+  private val q195Sql =
+    s"""WITH tg AS (SELECT doc_id, $dTokens AS toks FROM documents
+      |  WHERE doc_id % 7 = 0),
+      |tf AS (SELECT ${dHash("g")} % 4096 AS bucket FROM (
+      |  SELECT unnest(toks) AS g FROM tg
+      |  UNION ALL
+      |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS g FROM tg)),
+      |tc AS (SELECT bucket, COUNT(*) AS t_cnt FROM tf GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS nt FROM tc),
+      |cg AS (SELECT doc_id, $dTokens AS toks FROM documents
+      |  WHERE doc_id % 7 <> 0),
+      |cf AS (SELECT doc_id, ${dHash("g")} % 4096 AS bucket FROM (
+      |  SELECT doc_id, unnest(toks) AS g FROM cg
+      |  UNION ALL
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS g FROM cg)),
+      |rc AS (SELECT bucket, COUNT(*) AS r_cnt FROM cf GROUP BY 1),
+      |nr AS (SELECT CAST(SUM(r_cnt) AS BIGINT) AS nr FROM rc),
+      |w AS (SELECT rc.bucket,
+      |    CAST(floor(CAST(COALESCE(tc.t_cnt, 0) + 1 AS DOUBLE)
+      |      * (nr.nr + 4096) * 1073741824.0
+      |      / (CAST(COALESCE(rc.r_cnt, 0) + 1 AS DOUBLE)
+      |        * (nt.nt + 4096))) AS BIGINT) AS w
+      |  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket
+      |  CROSS JOIN nt CROSS JOIN nr),
+      |pd AS (SELECT doc_id, bucket, COUNT(*) AS c FROM cf GROUP BY 1, 2),
+      |agg AS (SELECT pd.doc_id,
+      |    CAST(SUM(pd.c * w.w) AS BIGINT) AS dsir_fp,
+      |    CAST(SUM(pd.c) AS BIGINT) AS n_feats
+      |  FROM pd JOIN w ON pd.bucket = w.bucket GROUP BY 1)
+      |SELECT doc_id, n_feats, dsir_fp,
+      |  CAST(dsir_fp AS DOUBLE) / n_feats AS dsir_avg
+      |FROM agg ORDER BY dsir_avg DESC, doc_id LIMIT 20""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
+    QueryDef("q195_dsir_selection", q195, Some(q195Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),
     QueryDef("q80_approx_median", q80, Some(q80Sql)),
     QueryDef("q70_stratified_sample", q70, Some(q70Sql)),

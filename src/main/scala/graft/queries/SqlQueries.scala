@@ -147,10 +147,63 @@ object SqlQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q196 — MATERIALIZED-ROLLUP REWRITE ([[graft.plans.SummaryRewrite]]
+  // via [[graft.plans.GraftExtensions]]): the view-matching optimizer
+  // rule end-to-end. Build the (lang, source)-granularity rollup of
+  // the documents table, register it, then run a SUBSET-grouped,
+  // key-filtered aggregate against the BASE table — the injected
+  // `Rule[LogicalPlan]` re-targets it onto the rollup (count(*) →
+  // sum(__cnt), sum/min/max → their partials), and an in-query
+  // require asserts the optimized plan scans ONLY the rollup — a
+  // rewrite that silently stops firing fails the gate, not just a
+  // spec. Oracle: the same aggregate over the raw documents table —
+  // so the gate simultaneously proves the rewrite FIRED and that it
+  // changed nothing but the scan.
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val basePath = s"$dir/documents.parquet"
+    val summary = java.nio.file.Files
+      .createTempDirectory("graft_q196_rollup").toString
+    try {
+      graft.plans.SummaryRewrite.buildAndRegister(s, basePath,
+        keys = Seq("lang", "source"), measures = Seq("n_chars"), summary)
+      val out = s.read.parquet(basePath)
+        .filter(col("source") =!= "src0")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+      val scans = out.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains(
+          new java.io.File(summary).getName)),
+        s"summary rewrite did not fire: scans=$scans")
+      out.localCheckpoint()
+    } finally {
+      graft.plans.SummaryRewrite.deregister(basePath)
+      val p = new org.apache.hadoop.fs.Path(summary)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+  private val q196Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents WHERE source <> 'src0'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q46_sql_surface", q46, Some(q46Sql)),
     QueryDef("q77_sql_native_fns", q77, Some(q77Sql)),
     QueryDef("q98_grouping_sets", q98, Some(q98Sql)),
     QueryDef("q103_correlated_subqueries", q103, Some(q103Sql)),
+    QueryDef("q196_rollup_rewrite", q196, Some(q196Sql)),
   )
 }

@@ -1730,7 +1730,14 @@ object TextQueries {
         lam = 0.5, meanRecallFloor = Q193MeanRecallFloor)
       .orderBy(col("query_id"), col("pick_rank"))
   }
-  private val q193Sql = {
+  /** Shared q193/q197 serving-front oracle prefix: tokens → chunks →
+    * chunk/query embeddings → md5 hyperplanes → sign buckets → LSH
+    * candidates → exact-cosine top-10 per query, ending at
+    * `cand10(query_id, cid, rel, emb, n)` — the full DuckDB replay of
+    * [[graft.operators.Similarity.rpLshTopK]] over the q193 fixture.
+    * The two consumers append different back stages (q193 the MMR
+    * recursion, q197 the MaxSim chain). */
+  private lazy val lshCand10Sql: String = {
     val w = s"(${dHash("'1:' || tk")} % 2001 - 1000) / 1000.0"
     def emb(toks: String) = s"""list_transform(range(0, 32), d ->
       |    list_reduce(list_prepend(0.0, list_transform($toks, tk ->
@@ -1741,22 +1748,6 @@ object TextQueries {
     val relExpr = "list_inner_product(a.emb, b.emb) / " +
       "(sqrt(list_inner_product(a.emb, a.emb)) * " +
       "sqrt(list_inner_product(b.emb, b.emb)))"
-    val steps = (1 to 5).map { t =>
-      s"""m$t AS (SELECT s.query_id, s.cid_a AS cid, MAX(s.sim) AS ms
-        |  FROM s JOIN sel${t - 1} z
-        |    ON s.query_id = z.query_id AND s.cid_b = z.cid
-        |  GROUP BY 1, 2),
-        |sc$t AS (SELECT c.query_id, c.cid, c.rel,
-        |    0.5 * c.rel - 0.5 * COALESCE(m.ms, 0.0) AS mmr
-        |  FROM cand10 c LEFT JOIN m$t m
-        |    ON c.query_id = m.query_id AND c.cid = m.cid
-        |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} z
-        |    WHERE z.query_id = c.query_id AND z.cid = c.cid)),
-        |p$t AS (SELECT query_id, cid, rel, mmr, $t AS pick_rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY mmr DESC, cid) AS rn FROM sc$t) WHERE rn = 1),
-        |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
-    }.mkString(",\n")
     s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
       |ch AS (SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
       |    toks[start:start+63] AS ctoks
@@ -1796,7 +1787,26 @@ object TextQueries {
       |  FROM cand JOIN cv a ON a.nid = cand.nid
       |            JOIN qv b ON b.query_id = cand.query_id),
       |cand10 AS (SELECT query_id, nid AS cid, rel, emb,
-      |    sqrt(list_inner_product(emb, emb)) AS n FROM lr WHERE rank <= 10),
+      |    sqrt(list_inner_product(emb, emb)) AS n FROM lr WHERE rank <= 10)""".stripMargin
+  }
+  private lazy val q193Sql = {
+    val steps = (1 to 5).map { t =>
+      s"""m$t AS (SELECT s.query_id, s.cid_a AS cid, MAX(s.sim) AS ms
+        |  FROM s JOIN sel${t - 1} z
+        |    ON s.query_id = z.query_id AND s.cid_b = z.cid
+        |  GROUP BY 1, 2),
+        |sc$t AS (SELECT c.query_id, c.cid, c.rel,
+        |    0.5 * c.rel - 0.5 * COALESCE(m.ms, 0.0) AS mmr
+        |  FROM cand10 c LEFT JOIN m$t m
+        |    ON c.query_id = m.query_id AND c.cid = m.cid
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} z
+        |    WHERE z.query_id = c.query_id AND z.cid = c.cid)),
+        |p$t AS (SELECT query_id, cid, rel, mmr, $t AS pick_rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY mmr DESC, cid) AS rn FROM sc$t) WHERE rn = 1),
+        |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
+    }.mkString(",\n")
+    s"""$lshCand10Sql,
       |s AS (SELECT a.query_id, a.cid AS cid_a, b.cid AS cid_b,
       |    list_inner_product(a.emb, b.emb) / (a.n * b.n) AS sim
       |  FROM cand10 a JOIN cand10 b
@@ -1806,6 +1816,133 @@ object TextQueries {
       |$steps
       |SELECT query_id, pick_rank, cid AS neighbor_id, rel, mmr FROM sel5
       |ORDER BY query_id, pick_rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q194 — STREAMED LM-STORE MAINTENANCE ([[graft.operators
+  // .LanguageModel.lmStoreSink]]): the q177 discipline on the COUNT
+  // store — the training corpus staged as two parquet files,
+  // delivered one per micro-batch through the checkpointed file
+  // source, each epoch appending its bigram-count delta via the
+  // stage-and-rename commit. The sink is exactly-once under epoch
+  // replay with NO heal window (single dir, no sidecar — left counts
+  // and V derive from the counts themselves; LanguageModelSpec pins
+  // the replay no-op), and served scoring must be independent of how
+  // the source chunked the corpus into epochs: counts merge by SUM,
+  // so the oracle is q181's chain trained single-shot on the full
+  // corpus — verbatim.
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q194_stage").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q194_store").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q194_ckpt").toString
+    docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+      .write.mode("append").parquet(stage)
+    docs.filter(col("doc_id") % 3 === 2).coalesce(1)
+      .write.mode("append").parquet(stage)
+    val sink = graft.operators.LanguageModel
+      .lmStoreSink("doc_id", "text", store)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = stream.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = graft.operators.LanguageModel.bigramLmScoreFromStore(
+        s, store, docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", k = 20)
+      .localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Seq(stage, store, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    out
+  }
+  private val q194Sql = lmSql
+
+  // ---------------------------------------------------------------
+  // q197 — LATE-INTERACTION RE-RANKING ([[graft.operators
+  // .LateInteraction.maxSimRerank]]): the ColBERT MaxSim rule on the
+  // q193 serving stack — the LSH bi-encoder front recalls 10
+  // chunk candidates per eval query (q172's sign-bucket chain,
+  // corpus never shuffles), then every survivor is RE-SCORED at
+  // token level: Σ over the query's first 16 token positions of the
+  // max cosine against the chunk's distinct tokens, token vectors
+  // from the fastText-style char-trigram stub
+  // ([[graft.operators.TextFunctions.tokenVector]], dim 16, each
+  // distinct token embedded once). Fixed-point per-position
+  // contributions (floor(2³⁰·maxcos) longs, exact sums, one double
+  // division as the ranking key) make the full ranking hash-exact.
+  // Oracle: the q193 LSH replay (shared prefix) feeding the MaxSim
+  // chain — subword grams, slot folds, max, floor, and ranking all
+  // regenerated in DuckDB.
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (chunks, queries) = chunkQueryEmb(s, dir)
+    val corpus = chunks.select(
+      (col("doc_id") * lit(1048576L) + col("chunk_id")).as("nid"),
+      col("cemb").as("emb"))
+    val qfr = queries.select(col("query_id").as("nid"), col("qemb").as("emb"))
+    val cands = graft.operators.Similarity.rpLshTopK(corpus, qfr, "nid", "emb",
+        dim = 32, bits = Q172Bits, tables = Q172Tables, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val passages = Chunking.chunkByTokens(
+        docs.filter(col("doc_id") % 97 =!= 3), "doc_id", "text",
+        chunkTokens = 64, strideTokens = 48)
+      .select((col("doc_id") * lit(1048576L) + col("chunk_id")).as("neighbor_id"),
+        col("chunk_text").as("text"))
+    val qtext = docs.filter(col("doc_id") % 97 === 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    graft.operators.LateInteraction.maxSimRerank(cands, qtext, passages,
+        "query_id", "neighbor_id", "text", dim = 16, maxQueryTokens = 16, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private lazy val q197Sql = {
+    val w = s"(${dHash("'1:' || g")} % 2001 - 1000) / 1000.0"
+    s"""$lshCand10Sql,
+      |qt AS (SELECT query_id, p.p AS qpos, p.tk AS tok FROM (
+      |  SELECT doc_id AS query_id, unnest(list_transform(
+      |      generate_series(1, least(len(toks), 16)),
+      |      i -> {'p': i, 'tk': toks[i]})) AS p
+      |  FROM t WHERE doc_id % 97 = 3)),
+      |dt AS (SELECT DISTINCT cd.cid, x.tok FROM
+      |  (SELECT DISTINCT cid FROM cand10) cd
+      |  JOIN (SELECT doc_id * 1048576 + chunk_id AS nid, unnest(ctoks) AS tok
+      |        FROM ch) x ON x.nid = cd.cid),
+      |vt AS (SELECT tok FROM qt UNION SELECT tok FROM dt),
+      |vg AS (SELECT tok, list_transform(
+      |    generate_series(1, length('<' || tok || '>') - 2),
+      |    i -> substr('<' || tok || '>', i, 3)) AS grams FROM vt),
+      |vv AS (SELECT tok, list_transform(range(0, 16), d ->
+      |    list_reduce(list_prepend(0.0, list_transform(grams, g ->
+      |      CASE WHEN ${dHash("g")} % 16 = d THEN $w ELSE 0.0 END)),
+      |      (a, b) -> a + b)) AS tv FROM vg),
+      |vn AS (SELECT tok, tv, sqrt(list_inner_product(tv, tv)) AS tn FROM vv
+      |  WHERE sqrt(list_inner_product(tv, tv)) > 0),
+      |mx AS (SELECT cd.query_id, cd.cid, qt.qpos,
+      |    MAX(list_inner_product(a.tv, b.tv) / (a.tn * b.tn)) AS mc
+      |  FROM (SELECT DISTINCT query_id, cid FROM cand10) cd
+      |  JOIN qt ON qt.query_id = cd.query_id
+      |  JOIN vn a ON a.tok = qt.tok
+      |  JOIN dt ON dt.cid = cd.cid
+      |  JOIN vn b ON b.tok = dt.tok
+      |  GROUP BY 1, 2, 3),
+      |sc AS (SELECT query_id, cid,
+      |    CAST(SUM(CAST(floor(mc * 1073741824.0) AS BIGINT)) AS BIGINT) AS ms_fp,
+      |    COUNT(*) AS n_qtoks
+      |  FROM mx GROUP BY 1, 2),
+      |rk AS (SELECT query_id, cid, n_qtoks, ms_fp,
+      |    CAST(ms_fp AS DOUBLE) / n_qtoks AS ms_avg,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY CAST(ms_fp AS DOUBLE) / n_qtoks DESC, cid) AS rank
+      |  FROM sc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, cid AS neighbor_id,
+      |  CAST(n_qtoks AS BIGINT) AS n_qtoks, ms_fp, ms_avg
+      |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -3391,6 +3528,8 @@ object TextQueries {
     QueryDef("q191_langid_erasure", q191, Some(q191Sql)),
     QueryDef("q192_trigram_backoff", q192, Some(q192Sql)),
     QueryDef("q193_lsh_mmr_rerank", q193, Some(q193Sql)),
+    QueryDef("q194_lm_store_streamed", q194, Some(q194Sql)),
+    QueryDef("q197_maxsim_rerank", q197, Some(q197Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

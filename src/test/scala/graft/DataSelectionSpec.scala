@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DataSelection
+
+/** Round-13: DSIR-style importance-weighted selection — the signal
+  * DIRECTION (candidates resembling the target must outrank
+  * candidates that don't — the property that makes the operator a
+  * data selector rather than a number generator), the feature count
+  * arithmetic, and the checkpoint lifecycle. The exact fixed-point
+  * weight arithmetic is oracle-gated (q195).
+  */
+class DataSelectionSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+
+  test("candidates drawn from the target distribution outrank disjoint-vocabulary candidates") {
+    import spark.implicits._
+    // target: in-domain prose over one vocabulary
+    val target = (1L to 20L).map { i =>
+      (i, s"the quick fox jumps over the lazy dog ${i % 3}")
+    }.toDF("doc_id", "text")
+    // candidates: 5 in-domain, 5 from a disjoint vocabulary
+    val cand = ((101L to 105L).map(i =>
+        (i, s"the quick dog jumps over the lazy fox ${i % 3}")) ++
+      (201L to 205L).map(i =>
+        (i, s"zzq${i} wqx yyk zzp qqv nnm ${i % 3}"))).toDF("doc_id", "text")
+    val res = DataSelection.dsirTopK(cand, target, "doc_id", "text",
+      buckets = 512, k = 10)
+    val got = res.select(col("doc_id")).as[Long].collect().toSeq
+    graft.operators.Checkpoints.releasePinned(res)
+    assert(got.size == 10)
+    // the ranking is descending by mean importance: all 5 in-domain
+    // docs must come before every disjoint-vocab doc
+    assert(got.take(5).forall(_ <= 105L),
+      s"in-domain candidates must rank first, got $got")
+    assert(got.drop(5).forall(_ >= 201L),
+      s"disjoint-vocab candidates must rank last, got $got")
+  }
+
+  test("n_feats counts unigram + bigram OCCURRENCES (2n-1); zero-token docs are absent; k truncates") {
+    import spark.implicits._
+    val target = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val cand = Seq(
+      (10L, "a b c d"), // 4 tokens -> 4 + 3 = 7 features
+      (11L, "a"),       // 1 token  -> 1 + 0 = 1 feature
+      (12L, "   "))     // 0 tokens -> absent
+      .toDF("doc_id", "text")
+    val res = DataSelection.dsirTopK(cand, target, "doc_id", "text",
+      buckets = 64, k = 10)
+    val got = res.select(col("doc_id"), col("n_feats"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    graft.operators.Checkpoints.releasePinned(res)
+    assert(got == Seq((10L, 7L), (11L, 1L)),
+      s"expected occurrence counts (7, 1) and doc 12 absent, got $got")
+    val res1 = DataSelection.dsirTopK(cand, target, "doc_id", "text",
+      buckets = 64, k = 1)
+    val k1 = res1.count()
+    graft.operators.Checkpoints.releasePinned(res1)
+    assert(k1 == 1L, "k must truncate the ranking")
+  }
+
+  test("selection is deterministic and leaks no checkpoint pins") {
+    import spark.implicits._
+    val docs = (1L to 60L).map { i =>
+      (i, s"tok${i % 11} tok${(i + 3) % 11} tok${(i + 5) % 7} t${i % 2}")
+    }.toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 6 === 0)
+    val cand = docs.filter(col("doc_id") % 6 =!= 0)
+    // exact pin accounting per call: every frame this suite created is
+    // strongly referenced until released, so the ContextCleaner can't
+    // shift the counts under us
+    def pinned: Int = spark.sparkContext.getPersistentRDDs.size
+    val before = pinned
+    val a = DataSelection.dsirTopK(cand, target, "doc_id", "text", 256, 10)
+    val rowsA = a.collect().toSeq
+    assert(pinned == before + 1,
+      "after a call, only the returned frame may be pinned")
+    val b = DataSelection.dsirTopK(cand, target, "doc_id", "text", 256, 10)
+    val rowsB = b.collect().toSeq
+    assert(rowsA == rowsB, "same inputs must select the same docs")
+    graft.operators.Checkpoints.releasePinned(a)
+    graft.operators.Checkpoints.releasePinned(b)
+    assert(pinned == before,
+      "each call must release every internal pin (only the returned frame was live)")
+  }
+}

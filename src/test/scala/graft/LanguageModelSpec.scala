@@ -357,4 +357,32 @@ class LanguageModelSpec extends AnyFunSuite {
       s"lang-id compaction must name the contract violation, got: $ex2")
     rm(root2)
   }
+
+  test("lmStoreSink: epoch replay is a no-op; the streamed store equals single-shot training") {
+    import spark.implicits._
+    val root = tmp("graft_lm_sink")
+    val b0 = Seq((1L, "a b c a b"), (2L, "b c")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "c a b"), (4L, "q")).toDF("doc_id", "text")
+    val sink = LanguageModel.lmStoreSink("doc_id", "text", root)
+    sink(b0, 0L); sink(b1, 1L)
+    def stored() = graft.operators.BatchStore.read(spark, root)
+      .orderBy(col("batch"), col("w1"), col("w2")).collect().toSeq
+    val s0 = stored()
+    // at-least-once delivery: replaying both epochs changes NOTHING —
+    // a re-appended count delta would double every replayed bigram
+    sink(b0, 0L); sink(b1, 1L)
+    assert(stored() == s0, "epoch replay must be a no-op")
+    // serving from the streamed store == single-shot training on the
+    // concatenated batches (counts merge by SUM, epoch chunking is
+    // invisible)
+    val cand = Seq((10L, "a b x"), (11L, "c c")).toDF("doc_id", "text")
+    val streamed = LanguageModel.bigramLmScoreFromStore(
+      spark, root, cand, "doc_id", "text", 10).collect().toSeq
+    val direct = LanguageModel.bigramLmScore(cand,
+      LanguageModel.bigramCounts(b0.union(b1), "doc_id", "text"),
+      "doc_id", "text", 10).collect().toSeq
+    assert(streamed == direct,
+      s"streamed store must equal single-shot\n got    $streamed\n direct $direct")
+    rm(root)
+  }
 }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.SummaryRewrite
+
+/** Round-13: the materialized-rollup view-matching rule — rewritten
+  * plans scan the rollup (never the base), values are identical to
+  * the direct aggregation, output ExprIds survive (operators above
+  * the Aggregate keep resolving), and every shape the rule cannot
+  * prove stays untouched.
+  */
+class SummaryRewriteSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rm(root: String): Unit =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+
+  /** Root paths of every file scan in the optimized plan. */
+  private def scanPaths(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten
+
+  private def scansOnly(df: DataFrame, path: String): Boolean = {
+    val ps = scanPaths(df)
+    ps.nonEmpty && ps.forall(_.contains(
+      new org.apache.hadoop.fs.Path(path).getName))
+  }
+
+  private def withFixture(test: (String, String) => Unit): Unit = {
+    import spark.implicits._
+    val base = tmp("graft_sr_base")
+    val summary = tmp("graft_sr_sum")
+    try {
+      (1L to 200L).map { i =>
+        (i, s"k${i % 5}", s"g${i % 3}", i * 2, if (i % 7 == 0) None else Some(i.toDouble))
+      }.toDF("id", "key_a", "key_b", "m_long", "m_opt")
+        .write.mode("overwrite").parquet(base)
+      SummaryRewrite.buildAndRegister(spark, base,
+        keys = Seq("key_a", "key_b"), measures = Seq("m_long"), summary)
+      test(base, summary)
+    } finally {
+      SummaryRewrite.deregister(base)
+      rm(base); rm(summary)
+    }
+  }
+
+  test("subset grouping + key filter rewrites to the rollup scan with identical values") {
+    withFixture { (base, summary) =>
+      def query(p: String) = spark.read.parquet(p)
+        .filter(col("key_b") =!= "g0")
+        .groupBy(col("key_a"))
+        .agg(count(lit(1)).as("n"), sum(col("m_long")).as("s"),
+          min(col("m_long")).as("mn"), max(col("m_long")).as("mx"))
+        .orderBy(col("key_a"))
+      val rewritten = query(base)
+      assert(scansOnly(rewritten, summary),
+        s"expected only the rollup scan, got ${scanPaths(rewritten)}")
+      // values: compare against the same query with the rule disabled
+      spark.conf.set("spark.graft.summaryRewrite", "false")
+      val direct = try query(base).collect().toSeq
+        finally spark.conf.unset("spark.graft.summaryRewrite")
+      assert(rewritten.collect().toSeq == direct,
+        "rewritten plan must be value-identical to the base aggregation")
+    }
+  }
+
+  test("grouping by BOTH keys and the global aggregate rewrite too; empty-match count is 0, not null") {
+    withFixture { (base, summary) =>
+      val both = spark.read.parquet(base)
+        .groupBy(col("key_a"), col("key_b"))
+        .agg(sum(col("m_long")).as("s"))
+      assert(scansOnly(both, summary))
+      assert(both.agg(sum(col("s"))).head.getLong(0) == (1L to 200L).map(_ * 2).sum)
+      val global = spark.read.parquet(base)
+        .filter(col("key_a") === "nope")
+        .agg(count(lit(1)).as("n"), sum(col("m_long")).as("s"))
+      assert(scansOnly(global, summary))
+      val row = global.head
+      assert(row.getLong(0) == 0L && row.isNullAt(1),
+        s"empty global agg must yield (0, null), got $row")
+    }
+  }
+
+  test("shapes the rule cannot prove stay on the base scan") {
+    withFixture { (base, summary) =>
+      val df = spark.read.parquet(base)
+      // nullable-column count (count(m_opt) skips nulls — not count(*))
+      val c = df.groupBy(col("key_a")).agg(count(col("m_opt")).as("n"))
+      // avg (not decomposable from these partials)
+      val a = df.groupBy(col("key_a")).agg(avg(col("m_long")).as("a"))
+      // filter on a non-key column
+      val f = df.filter(col("id") > 100).groupBy(col("key_a"))
+        .agg(sum(col("m_long")).as("s"))
+      // grouping on a non-key column
+      val g = df.groupBy(col("id")).agg(sum(col("m_long")).as("s"))
+      // count-distinct
+      val d = df.groupBy(col("key_a")).agg(countDistinct(col("m_long")).as("n"))
+      Seq(("count(nullable)", c), ("avg", a), ("non-key filter", f),
+        ("non-key grouping", g), ("count-distinct", d)).foreach {
+        case (name, q) =>
+          assert(!scansOnly(q, summary),
+            s"$name must NOT rewrite, got ${scanPaths(q)}")
+      }
+      // and the kill-switch disables even a provable shape
+      spark.conf.set("spark.graft.summaryRewrite", "false")
+      try {
+        val killed = df.groupBy(col("key_a")).agg(sum(col("m_long")).as("s"))
+        assert(!scansOnly(killed, summary), "kill-switch must disable the rule")
+      } finally spark.conf.unset("spark.graft.summaryRewrite")
+    }
+  }
+
+  test("output ExprIds survive: joins and sorts above the rewritten aggregate keep resolving") {
+    withFixture { (base, summary) =>
+      import spark.implicits._
+      val agg = spark.read.parquet(base)
+        .groupBy(col("key_a")).agg(sum(col("m_long")).as("s"))
+      val dim = Seq(("k0", "zero"), ("k1", "one")).toDF("key_a", "label")
+      val joined = agg.join(dim, Seq("key_a")).orderBy(desc("s"), col("key_a"))
+      assert(scansOnly(joined.select(col("key_a"), col("s")), summary) ||
+        scanPaths(joined).exists(_.contains(
+          new org.apache.hadoop.fs.Path(summary).getName)),
+        s"rollup scan must survive under the join: ${scanPaths(joined)}")
+      val got = joined.select(col("key_a"), col("s"), col("label"))
+        .as[(String, Long, String)].collect().toSeq
+      val expect = (1L to 200L).groupBy(i => s"k${i % 5}")
+        .view.mapValues(_.map(_ * 2).sum).toMap
+      assert(got == Seq(("k0", expect("k0"), "zero"), ("k1", expect("k1"), "one")))
+    }
+  }
+}
