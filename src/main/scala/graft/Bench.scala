@@ -131,8 +131,11 @@ object Bench {
     // scans it — both halves sf-scaled
     "q196_rollup_rewrite",
     // q197 re-scores the LSH candidates token-by-token — candidate
-    // work rides the sf-scaled corpus front like q193
-    "q197_maxsim_rerank")
+    // work rides the sf-scaled corpus front like q193; q198/q199 add
+    // the persisted token index (build + serve / erase + purge), both
+    // corpus-write-scaled like q161/q180
+    "q197_maxsim_rerank", "q198_token_index_store",
+    "q199_token_index_erasure")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -59,14 +59,19 @@ object LateInteraction {
     val cb = cands.select(col(queryCol), col(passageCol)).localCheckpoint()
     // query positions: (query, qpos, tok) — positions kept, window
     // bounded to the serving-query length
+    // both occurrence frames feed the vocabulary AND their own
+    // embedding join — pinned once (the q141 multi-consumer
+    // discipline; dt's upstream is a corpus-chunk-scale scan)
     val qt = queries.join(cb.select(col(queryCol)).distinct(), Seq(queryCol))
       .select(col(queryCol), posexplode(slice(toks, 1, maxQueryTokens)))
       .select(col(queryCol), col("pos").as("__qpos"), col("col").as("__tok"))
+      .localCheckpoint()
     // passage tokens: distinct per passage (max over occurrences ==
     // max over distinct tokens — the pair join shrinks for free)
     val dt = passages.join(cb.select(col(passageCol)).distinct(), Seq(passageCol))
       .select(col(passageCol), explode(toks).as("__tok"))
       .distinct()
+      .localCheckpoint()
     // vocabulary-sized embedding: every distinct token ONCE
     val vocab = qt.select(col("__tok")).union(dt.select(col("__tok")))
       .distinct()
@@ -80,10 +85,20 @@ object LateInteraction {
         col("__tv").as("__qv"), col("__tn").as("__qn"))
     val de = dt.join(vocab, Seq("__tok"))
       .select(col(passageCol), col("__tv").as("__dv"), col("__tn").as("__dn"))
+    val out = scoreTail(cb, qe, de, queryCol, passageCol, k)
+    Seq(cb, qt, dt, vocab).foreach(Checkpoints.releasePinned)
+    out
+  }
+
+  /** The MaxSim scoring tail shared by the in-memory and the
+    * served-from-index paths: candidate pairs × query positions ×
+    * passage vectors → per-position max cosine → fixed-point
+    * contribution → exact pair sum → per-query rank, top `k`. */
+  private def scoreTail(cb: DataFrame, qe: DataFrame, de: DataFrame,
+      queryCol: String, passageCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(queryCol))
       .orderBy(desc("ms_avg"), col(passageCol))
-    val out = cb
-      .join(qe, Seq(queryCol))
+    cb.join(qe, Seq(queryCol))
       .join(de, Seq(passageCol))
       .withColumn("__cos",
         aggregate(zip_with(col("__qv"), col("__dv"), (x, y) => x * y),
@@ -101,7 +116,87 @@ object LateInteraction {
       .select(col(queryCol), col("rank").cast("long").as("rank"),
         col(passageCol), col("n_qtoks"), col("ms_fp"), col("ms_avg"))
       .localCheckpoint()
-    Seq(cb, vocab).foreach(Checkpoints.releasePinned)
+  }
+
+  // -------------------------------------------- persisted token index
+
+  /** Append one passage slice's TOKEN VECTORS to the persisted
+    * late-interaction index at `root` — the ColBERT index as a
+    * [[BatchStore]]: one row per (passage, distinct token), columns
+    * `(passageCol, __dv array<double>, __dn double)`; the passage's
+    * duplicate tokens are collapsed at WRITE time (max over
+    * occurrences = max over distinct tokens — q197's shrink moved to
+    * the write so the serve never re-tokenizes the corpus) and
+    * zero-norm tokens are dropped (never scorable). Each passage
+    * must live entirely in one batch (slices partition by passage,
+    * the [[InvertedIndex.writePostingStore]] contract). */
+  def writeTokenIndex(passages: DataFrame, passageCol: String,
+      textCol: String, dim: Int, root: String, batchId: Long): Unit = {
+    val rows = passages
+      .select(col(passageCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .distinct()
+      .withColumn("__dv", TextFunctions.tokenVector(col("__tok"), dim))
+      .withColumn("__dn", sqrt(aggregate(
+        transform(col("__dv"), x => x * x), lit(0.0), (a, v) => a + v)))
+      .filter(col("__dn") > 0)
+      .select(col(passageCol), col("__dv"), col("__dn"))
+    BatchStore.append(rows, root, batchId)
+  }
+
+  /** ERASE passages from the token index — the shared tombstone
+    * discipline ([[Tombstones]]): commit only the removed ids; every
+    * serve masks them after its candidate filter, [[purgeTokenIndex]]
+    * rewrites them away at the next maintenance window. */
+  def deleteFromTokenIndex(ids: DataFrame, passageCol: String,
+      root: String, batchId: Long): Unit =
+    Tombstones.append(ids, passageCol, root, batchId)
+
+  /** Physically drop tombstoned passages and retire applied
+    * tombstones ([[Tombstones.purge]]). Serving before and after is
+    * value-identical (q199 pins it in-plan). */
+  def purgeTokenIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, passageCol: String, newBatchId: Long): Int =
+    Tombstones.purge(spark, root, passageCol, newBatchId)
+
+  /** [[maxSimRerank]] served from the persisted token index — the
+    * production serving shape: the passage side reads PRECOMPUTED
+    * vectors (candidate-filtered FIRST, so the scan is
+    * candidate-sized; tombstones masked AFTER the filter, the
+    * [[Tombstones.apply]] discipline), only the ephemeral queries
+    * embed at serve time. Value-identical to the in-memory path over
+    * the same passages (oracle-gated, q198); erased passages drop
+    * out of the ranking and the survivors re-rank (q199). */
+  def maxSimFromTokenIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, cands: DataFrame, queries: DataFrame,
+      queryCol: String, passageCol: String, textCol: String,
+      dim: Int, maxQueryTokens: Int, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxQueryTokens >= 1, s"need maxQueryTokens >= 1, got $maxQueryTokens")
+    val cb = cands.select(col(queryCol), col(passageCol)).localCheckpoint()
+    // pinned: feeds the query-side vocabulary AND the embedding join
+    val qt = queries.join(cb.select(col(queryCol)).distinct(), Seq(queryCol))
+      .select(col(queryCol), posexplode(
+        slice(TextFunctions.tokens(col(textCol)), 1, maxQueryTokens)))
+      .select(col(queryCol), col("pos").as("__qpos"), col("col").as("__tok"))
+      .localCheckpoint()
+    // query-side vocabulary embedded at serve time (queries are
+    // ephemeral); vectors are per-token deterministic, so the split
+    // vocabulary build scores identically to q197's joint one
+    val vocab = qt.select(col("__tok")).distinct()
+      .withColumn("__tv", TextFunctions.tokenVector(col("__tok"), dim))
+      .withColumn("__tn", sqrt(aggregate(
+        transform(col("__tv"), x => x * x), lit(0.0), (a, v) => a + v)))
+      .filter(col("__tn") > 0)
+    val qe = qt.join(vocab, Seq("__tok"))
+      .select(col(queryCol), col("__qpos"),
+        col("__tv").as("__qv"), col("__tn").as("__qn"))
+    val de = Tombstones.apply(spark, root,
+      BatchStore.read(spark, root)
+        .join(cb.select(col(passageCol)).distinct(), Seq(passageCol)),
+      passageCol)
+    val out = scoreTail(cb, qe, de, queryCol, passageCol, k)
+    Seq(cb, qt).foreach(Checkpoints.releasePinned)
     out
   }
 }

@@ -1880,7 +1880,13 @@ object TextQueries {
   // Oracle: the q193 LSH replay (shared prefix) feeding the MaxSim
   // chain — subword grams, slot folds, max, floor, and ranking all
   // regenerated in DuckDB.
-  private def q197(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q197/q198/q199 serving fixture: the q193 LSH candidate
+    * front (10 chunk candidates per eval query) plus the TEXT frames
+    * the late-interaction stage tokenizes — `(cands(query_id,
+    * neighbor_id), qtext(query_id, text), passages(neighbor_id,
+    * text))`. */
+  private def maxSimFixture(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
     val (chunks, queries) = chunkQueryEmb(s, dir)
     val corpus = chunks.select(
@@ -1897,11 +1903,20 @@ object TextQueries {
         col("chunk_text").as("text"))
     val qtext = docs.filter(col("doc_id") % 97 === 3)
       .select(col("doc_id").as("query_id"), col("text"))
+    (cands, qtext, passages)
+  }
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val (cands, qtext, passages) = maxSimFixture(s, dir)
     graft.operators.LateInteraction.maxSimRerank(cands, qtext, passages,
         "query_id", "neighbor_id", "text", dim = 16, maxQueryTokens = 16, k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
-  private lazy val q197Sql = {
+  /** The q197 MaxSim oracle with a pluggable passage-side mask —
+    * q199's token-index erasure serves the SAME chain minus the
+    * tombstoned passages (the mask applies on the index side, after
+    * candidate generation, exactly as [[graft.operators
+    * .LateInteraction.maxSimFromTokenIndex]] does). */
+  private def maxSimSqlFor(dtWhere: String): String = {
     val w = s"(${dHash("'1:' || g")} % 2001 - 1000) / 1000.0"
     s"""$lshCand10Sql,
       |qt AS (SELECT query_id, p.p AS qpos, p.tk AS tok FROM (
@@ -1910,7 +1925,7 @@ object TextQueries {
       |      i -> {'p': i, 'tk': toks[i]})) AS p
       |  FROM t WHERE doc_id % 97 = 3)),
       |dt AS (SELECT DISTINCT cd.cid, x.tok FROM
-      |  (SELECT DISTINCT cid FROM cand10) cd
+      |  (SELECT DISTINCT cid FROM cand10 WHERE $dtWhere) cd
       |  JOIN (SELECT doc_id * 1048576 + chunk_id AS nid, unnest(ctoks) AS tok
       |        FROM ch) x ON x.nid = cd.cid),
       |vt AS (SELECT tok FROM qt UNION SELECT tok FROM dt),
@@ -1944,6 +1959,76 @@ object TextQueries {
       |  CAST(n_qtoks AS BIGINT) AS n_qtoks, ms_fp, ms_avg
       |FROM rk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
+  private lazy val q197Sql = maxSimSqlFor("TRUE")
+
+  // ---------------------------------------------------------------
+  // q198 — MAXSIM SERVED FROM THE PERSISTED TOKEN INDEX ([[graft
+  // .operators.LateInteraction.writeTokenIndex]] /
+  // [[LateInteraction.maxSimFromTokenIndex]]): the ColBERT index as
+  // a [[graft.operators.BatchStore]] — per-passage distinct token
+  // VECTORS precomputed at write time (two slice appends), so the
+  // serve reads candidate-filtered vector rows and embeds only the
+  // ephemeral queries; the q182/q161 FromStore discipline on the
+  // late-interaction stack. Value-identical to q197's in-memory
+  // chain over the same passages: the oracle is q197's verbatim.
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val LI = graft.operators.LateInteraction
+    val (cands, qtext, passages) = maxSimFixture(s, dir)
+    withTempStore(s, "graft_q198_ti") { root =>
+      LI.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 0),
+        "neighbor_id", "text", dim = 16, root, batchId = 1L)
+      LI.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 1),
+        "neighbor_id", "text", dim = 16, root, batchId = 2L)
+      LI.maxSimFromTokenIndex(s, root, cands, qtext,
+          "query_id", "neighbor_id", "text",
+          dim = 16, maxQueryTokens = 16, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint()
+    }
+  }
+  private lazy val q198Sql = q197Sql
+
+  // ---------------------------------------------------------------
+  // q199 — TOKEN-INDEX ERASURE ([[graft.operators.LateInteraction
+  // .deleteFromTokenIndex]] / [[LateInteraction.purgeTokenIndex]]):
+  // the q180/q187 takedown lifecycle on the late-interaction index.
+  // Build the q198 store, tombstone every passage with
+  // neighbor_id % 13 = 5 (ids-only batch under `.tombstones`, the
+  // shared [[graft.operators.Tombstones]] protocol), serve — the
+  // erased passages vanish from the ranking and the survivors
+  // re-rank (the mask applies AFTER the candidate filter, so its
+  // left side is candidate-sized) — then PURGE (physical rewrite,
+  // applied tombstones retired) and serve again, identical in-plan
+  // (the q180 equality-gate discipline). Oracle: q197's chain with
+  // the erased passages excluded on the index side.
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val LI = graft.operators.LateInteraction
+    val (cands, qtext, passages) = maxSimFixture(s, dir)
+    withTempStore(s, "graft_q199_ti") { root =>
+      LI.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 0),
+        "neighbor_id", "text", dim = 16, root, batchId = 1L)
+      LI.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 1),
+        "neighbor_id", "text", dim = 16, root, batchId = 2L)
+      LI.deleteFromTokenIndex(
+        passages.filter(col("neighbor_id") % 13 === 5)
+          .select(col("neighbor_id")),
+        "neighbor_id", root, batchId = 3L)
+      def serve() = LI.maxSimFromTokenIndex(s, root, cands, qtext,
+        "query_id", "neighbor_id", "text",
+        dim = 16, maxQueryTokens = 16, k = 5)
+      val masked = serve()
+      LI.purgeTokenIndex(s, root, "neighbor_id", newBatchId = 4L)
+      val purged = serve()
+      val out = compactionIdentityGate(masked, purged,
+          "token-index purge changed served ranking")
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.releasePinned(masked)
+      graft.operators.Checkpoints.releasePinned(purged)
+      out
+    }
+  }
+  private lazy val q199Sql = maxSimSqlFor("cid % 13 <> 5")
 
   // ---------------------------------------------------------------
   // q174 — SHARDED FULL-POSTING EXPORT ([[graft.operators
@@ -3530,6 +3615,8 @@ object TextQueries {
     QueryDef("q193_lsh_mmr_rerank", q193, Some(q193Sql)),
     QueryDef("q194_lm_store_streamed", q194, Some(q194Sql)),
     QueryDef("q197_maxsim_rerank", q197, Some(q197Sql)),
+    QueryDef("q198_token_index_store", q198, Some(q198Sql)),
+    QueryDef("q199_token_index_erasure", q199, Some(q199Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

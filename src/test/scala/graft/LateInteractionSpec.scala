@@ -81,6 +81,53 @@ class LateInteractionSpec extends AnyFunSuite {
     graft.operators.Checkpoints.releasePinned(res1)
   }
 
+  test("token index: FromStore serve equals in-memory scoring; erasure masks and re-ranks; purge is value-identical") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ti_spec").toString
+    val queries = Seq((1L, "apple banana cherry")).toDF("query_id", "text")
+    val passages = Seq(
+      (10L, "apple banana cherry exact"),
+      (11L, "apple banana close match"),
+      (12L, "apple only here"),
+      (13L, "zzq wqx yyk")).toDF("neighbor_id", "text")
+    val cands = passages.select(lit(1L).as("query_id"), col("neighbor_id"))
+    LateInteraction.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 0),
+      "neighbor_id", "text", dim = 16, root, batchId = 1L)
+    LateInteraction.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 1),
+      "neighbor_id", "text", dim = 16, root, batchId = 2L)
+    def fromStore() = LateInteraction.maxSimFromTokenIndex(spark, root,
+      cands, queries, "query_id", "neighbor_id", "text",
+      dim = 16, maxQueryTokens = 16, k = 4)
+    val mem = LateInteraction.maxSimRerank(cands, queries, passages,
+      "query_id", "neighbor_id", "text", dim = 16, maxQueryTokens = 16, k = 4)
+    val served = fromStore()
+    assert(served.collect().toSeq == mem.collect().toSeq,
+      "the persisted index must serve the in-memory ranking exactly")
+    // erase the top passage: it vanishes, the survivors re-rank
+    LateInteraction.deleteFromTokenIndex(Seq(10L).toDF("neighbor_id"),
+      "neighbor_id", root, batchId = 3L)
+    val masked = fromStore()
+    val maskedRows = masked.select(col("rank"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(!maskedRows.exists(_._2 == 10L), s"erased passage served: $maskedRows")
+    assert(maskedRows.map(_._1) == Seq(1L, 2L, 3L),
+      s"survivors must re-rank densely: $maskedRows")
+    // purge: physical rewrite, value-identical serve
+    val replaced = LateInteraction.purgeTokenIndex(spark, root,
+      "neighbor_id", newBatchId = 4L)
+    assert(replaced == 2, s"expected 2 batches replaced, got $replaced")
+    val purged = fromStore()
+    assert(purged.collect().toSeq == masked.collect().toSeq,
+      "purge must not change the served ranking")
+    assert(graft.operators.Tombstones.batches(spark, root).isEmpty,
+      "applied tombstones must be retired")
+    Seq(mem, served, masked, purged)
+      .foreach(graft.operators.Checkpoints.releasePinned)
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("maxQueryTokens bounds the scored window") {
     import spark.implicits._
     val queries = Seq((1L, "apple banana cherry")).toDF("query_id", "text")
