@@ -135,7 +135,10 @@ object Bench {
     // the persisted token index (build + serve / erase + purge), both
     // corpus-write-scaled like q161/q180
     "q197_maxsim_rerank", "q198_token_index_store",
-    "q199_token_index_erasure")
+    "q199_token_index_erasure",
+    // q200 streams the whole passage corpus through the token-index
+    // sink then serves — corpus work dominates, like q177/q194
+    "q200_token_index_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

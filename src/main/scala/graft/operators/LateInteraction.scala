@@ -144,6 +144,27 @@ object LateInteraction {
     BatchStore.append(rows, root, batchId)
   }
 
+  /** Maintain the token index FROM A STREAM — the
+    * [[LanguageModel.lmStoreSink]] discipline on the vector store:
+    * batch id = `baseBatchId + epochId`, exactly-once under epoch
+    * replay (single [[BatchStore]] dir, no sidecar — `batch=$id`
+    * either committed completely or absent, so a replay no-ops or
+    * writes normally; nothing to heal). Each streamed passage must
+    * arrive wholly in one epoch (the per-passage distinct-token
+    * collapse happens within the batch), which file/kafka sources
+    * carrying whole documents guarantee. Serving is independent of
+    * epoch chunking — the store is a union of per-passage rows
+    * (q200 pins the streamed store against the batch build). */
+  def tokenIndexSink(passageCol: String, textCol: String, dim: Int,
+      root: String, baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+    (batch, epochId) => {
+      val id = baseBatchId + epochId
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"batch=$id")))
+        writeTokenIndex(batch, passageCol, textCol, dim, root, id)
+    }
+
   /** ERASE passages from the token index — the shared tombstone
     * discipline ([[Tombstones]]): commit only the removed ids; every
     * serve masks them after its candidate filter, [[purgeTokenIndex]]

@@ -2031,6 +2031,51 @@ object TextQueries {
   private lazy val q199Sql = maxSimSqlFor("cid % 13 <> 5")
 
   // ---------------------------------------------------------------
+  // q200 — STREAMED TOKEN-INDEX MAINTENANCE ([[graft.operators
+  // .LateInteraction.tokenIndexSink]]): the q177/q194 exactly-once
+  // foreachBatch discipline on the late-interaction vector store —
+  // the passage corpus staged as two parquet files, delivered one
+  // per micro-batch through the checkpointed file source, each epoch
+  // appending its per-passage token vectors via the stage-and-rename
+  // commit (single dir, replay no-ops; LateInteractionSpec pins it).
+  // Served MaxSim over the streamed store must equal the batch-built
+  // store and the in-memory chain exactly: the oracle is q197's SQL
+  // verbatim.
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val LI = graft.operators.LateInteraction
+    val (cands, qtext, passages) = maxSimFixture(s, dir)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q200_stage").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q200_store").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q200_ckpt").toString
+    passages.filter(col("neighbor_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(stage)
+    passages.filter(col("neighbor_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(stage)
+    val sink = LI.tokenIndexSink("neighbor_id", "text", dim = 16, store)
+    val stream = s.readStream.schema(passages.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = stream.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = LI.maxSimFromTokenIndex(s, store, cands, qtext,
+        "query_id", "neighbor_id", "text",
+        dim = 16, maxQueryTokens = 16, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Seq(stage, store, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    out
+  }
+  private lazy val q200Sql = q197Sql
+
+  // ---------------------------------------------------------------
   // q174 — SHARDED FULL-POSTING EXPORT ([[graft.operators
   // .InvertedIndex.exportPostings]]): the whole posting list written
   // out, exchange keyed on (token, hash60(doc) mod 8) so no single
@@ -3617,6 +3662,7 @@ object TextQueries {
     QueryDef("q197_maxsim_rerank", q197, Some(q197Sql)),
     QueryDef("q198_token_index_store", q198, Some(q198Sql)),
     QueryDef("q199_token_index_erasure", q199, Some(q199Sql)),
+    QueryDef("q200_token_index_streamed", q200, Some(q200Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),

@@ -128,6 +128,25 @@ class LateInteractionSpec extends AnyFunSuite {
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("tokenIndexSink: epoch replay is a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ti_sink").toString
+    val b0 = Seq((1L, "a b c"), (2L, "a a")).toDF("neighbor_id", "text")
+    val b1 = Seq((3L, "c d")).toDF("neighbor_id", "text")
+    val sink = LateInteraction.tokenIndexSink("neighbor_id", "text", 8, root)
+    sink(b0, 0L); sink(b1, 1L)
+    def stored() = graft.operators.BatchStore.read(spark, root)
+      .orderBy(col("batch"), col("neighbor_id"), col("__dn"))
+      .collect().toSeq
+    val s0 = stored()
+    assert(s0.nonEmpty)
+    sink(b0, 0L); sink(b1, 1L)
+    assert(stored() == s0, "epoch replay must be a no-op")
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("maxQueryTokens bounds the scored window") {
     import spark.implicits._
     val queries = Seq((1L, "apple banana cherry")).toDF("query_id", "text")
