@@ -138,7 +138,10 @@ object Bench {
     "q199_token_index_erasure",
     // q200 streams the whole passage corpus through the token-index
     // sink then serves — corpus work dominates, like q177/q194
-    "q200_token_index_streamed")
+    "q200_token_index_streamed",
+    // q201 builds + erases + compacts the target store over corpus
+    // splits, then scores every candidate twice — sf-scaled like q189
+    "q201_dsir_store_erasure")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import TextFunctions.{hash60, tokens}
@@ -79,6 +79,38 @@ object DataSelection {
     * judge). */
   def dsirTopK(candidates: DataFrame, target: DataFrame, idCol: String,
       textCol: String, buckets: Int, k: Int): DataFrame = {
+    val (scored, pins) = dsirScored(candidates, target, idCol, textCol, buckets, k)
+    val out = scored.localCheckpoint()
+    pins.foreach(Checkpoints.releasePinned)
+    out
+  }
+
+  /** [[dsirTopK]] minus the result checkpoint — the pre-checkpoint
+    * plan stays inspectable (PlanSpec pins the broadcast weight join
+    * and the product-free shape; a checkpointed frame's plan is just
+    * a block scan). Returns the scored frame plus the internal pins
+    * the caller must release after consuming it. */
+  private[graft] def dsirScored(candidates: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, buckets: Int,
+      k: Int): (DataFrame, Seq[DataFrame]) =
+    dsirScoredFromCounts(candidates,
+      targetBucketCounts(target, idCol, textCol, buckets)
+        .select(col("bucket"), col("cnt").as("t_cnt")),
+      idCol, textCol, buckets, k)
+
+  /** The target corpus's per-bucket feature counts `(bucket, cnt)` —
+    * the DSIR model artifact: B-bounded, mergeable by SUM (disjoint
+    * target slices append, erasure appends negated counts), which is
+    * what makes the persisted form ([[writeDsirTargetStore]])
+    * maintainable by the count-store delta discipline. */
+  def targetBucketCounts(target: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    hashedFeatures(target, idCol, textCol, buckets)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  private def dsirScoredFromCounts(candidates: DataFrame, targetCounts: DataFrame,
+      idCol: String, textCol: String, buckets: Int,
+      k: Int): (DataFrame, Seq[DataFrame]) = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
     require(k >= 1, s"need k >= 1, got $k")
     // pin: feeds the raw distribution AND the per-doc scoring
@@ -87,9 +119,7 @@ object DataSelection {
     // pin: each B-row count frame feeds its weight join AND a totals agg
     val rc = feats.groupBy(col("bucket"))
       .agg(count(lit(1)).as("r_cnt")).localCheckpoint()
-    val tc = hashedFeatures(target, idCol, textCol, buckets)
-      .groupBy(col("bucket")).agg(count(lit(1)).as("t_cnt"))
-      .localCheckpoint()
+    val tc = targetCounts.localCheckpoint()
     val nrF = rc.agg(sum(col("r_cnt")).as("nr"))
     val ntF = tc.agg(sum(col("t_cnt")).as("nt"))
     // every candidate bucket is in rc by construction, so the weight
@@ -113,8 +143,59 @@ object DataSelection {
       .select(col(idCol), col("n_feats"), col("dsir_fp"), col("dsir_avg"))
       .orderBy(desc("dsir_avg"), col(idCol))
       .limit(k)
-      .localCheckpoint()
-    Seq(feats, rc, tc).foreach(Checkpoints.releasePinned)
+    (out, Seq(feats, rc, tc))
+  }
+
+  // ------------------------------------- persisted target distribution
+
+  /** Append one curated slice's bucket counts to the persisted DSIR
+    * target model at `root` — the LM-store delta discipline
+    * ([[LanguageModel.writeLmStore]]) on the selection model: counts
+    * merge by SUM, so the target distribution is maintained by
+    * appends and served as the sum-on-read union, never retrained. */
+  def writeDsirTargetStore(target: DataFrame, idCol: String, textCol: String,
+      buckets: Int, root: String, batchId: Long): Unit =
+    BatchStore.append(targetBucketCounts(target, idCol, textCol, buckets),
+      root, batchId)
+
+  /** ERASE documents from the persisted target model — negated bucket
+    * counts ([[LanguageModel.deleteFromLmStore]]'s contract: each doc
+    * at most once, only previously-appended docs, fresh batchId). A
+    * bucket netted to zero behaves exactly as never-seen (the add-one
+    * smoothing maps both to t+1 = 1), so served selection is
+    * value-identical to retraining on the remaining target. */
+  def deleteFromDsirTargetStore(deleted: DataFrame, idCol: String,
+      textCol: String, buckets: Int, root: String, batchId: Long): Unit =
+    BatchStore.append(
+      targetBucketCounts(deleted, idCol, textCol, buckets)
+        .select(col("bucket"), (-col("cnt")).as("cnt")),
+      root, batchId)
+
+  /** Fold the target store's delta batches into one physically-clean
+    * dir — fail loudly on negative net counts (erasure-contract
+    * violations, [[LanguageModel.foldNonNegativeCounts]]), drop
+    * net-zero buckets, one committed batch. Serving before and after
+    * is value-identical (q201 pins it in-plan). */
+  def compactDsirStore(spark: SparkSession, root: String,
+      newBatchId: Long): Int =
+    BatchStore.compactWith(spark, root, newBatchId,
+      m => LanguageModel.foldNonNegativeCounts(m, Seq("bucket")))
+
+  /** [[dsirTopK]] with the target distribution summed from the
+    * store's committed batches — one bucket-keyed re-aggregate
+    * (net-zero buckets dropped), then the identical scoring;
+    * value-identical to single-shot selection against the
+    * appended-minus-erased target (oracle-gated, q201). */
+  def dsirTopKFromStore(spark: SparkSession, root: String,
+      candidates: DataFrame, idCol: String, textCol: String,
+      buckets: Int, k: Int): DataFrame = {
+    val tc = BatchStore.read(spark, root)
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("t_cnt"))
+      .filter(col("t_cnt") =!= 0)
+    val (scored, pins) = dsirScoredFromCounts(candidates, tc,
+      idCol, textCol, buckets, k)
+    val out = scored.localCheckpoint()
+    pins.foreach(Checkpoints.releasePinned)
     out
   }
 }

@@ -429,7 +429,7 @@ object LanguageModel {
     * store's negative-stats discipline, [[InvertedIndex]]). The check
     * is fused into the fold plan (assert_true naming the offending
     * key), never a collect. */
-  private def foldNonNegativeCounts(m: DataFrame, keys: Seq[String]): DataFrame =
+  private[operators] def foldNonNegativeCounts(m: DataFrame, keys: Seq[String]): DataFrame =
     m.groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
       .filter(assert_true(col("cnt") >= 0,

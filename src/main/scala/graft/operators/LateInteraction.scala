@@ -132,16 +132,25 @@ object LateInteraction {
     * the [[InvertedIndex.writePostingStore]] contract). */
   def writeTokenIndex(passages: DataFrame, passageCol: String,
       textCol: String, dim: Int, root: String, batchId: Long): Unit = {
-    val rows = passages
+    // pinned: the (passage, token) pairs feed the vocabulary AND the
+    // join back — and the slice's DISTINCT tokens embed exactly once
+    // (vocabulary-sized md5 work, not corpus-token-sized: the same
+    // token appearing in ten thousand passages hashes its grams once,
+    // the maxSimRerank discipline applied to the write path)
+    val pairs = passages
       .select(col(passageCol),
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .distinct()
+      .localCheckpoint()
+    val vocab = pairs.select(col("__tok")).distinct()
       .withColumn("__dv", TextFunctions.tokenVector(col("__tok"), dim))
       .withColumn("__dn", sqrt(aggregate(
         transform(col("__dv"), x => x * x), lit(0.0), (a, v) => a + v)))
       .filter(col("__dn") > 0)
+    val rows = pairs.join(vocab, Seq("__tok"))
       .select(col(passageCol), col("__dv"), col("__dn"))
     BatchStore.append(rows, root, batchId)
+    Checkpoints.releasePinned(pairs)
   }
 
   /** Maintain the token index FROM A STREAM — the

@@ -404,9 +404,12 @@ object CurationQueries {
       target = docs.filter(col("doc_id") % 7 === 0),
       idCol = "doc_id", textCol = "text", buckets = 4096, k = 20)
   }
-  private val q195Sql =
+  /** The q195 chain with a pluggable target filter — q201 serves from
+    * an appended-minus-erased target store, so its oracle fits the
+    * target distribution on the remaining curated slices. */
+  private def dsirSqlFor(targetWhere: String): String =
     s"""WITH tg AS (SELECT doc_id, $dTokens AS toks FROM documents
-      |  WHERE doc_id % 7 = 0),
+      |  WHERE $targetWhere),
       |tf AS (SELECT ${dHash("g")} % 4096 AS bucket FROM (
       |  SELECT unnest(toks) AS g FROM tg
       |  UNION ALL
@@ -438,8 +441,52 @@ object CurationQueries {
       |SELECT doc_id, n_feats, dsir_fp,
       |  CAST(dsir_fp AS DOUBLE) / n_feats AS dsir_avg
       |FROM agg ORDER BY dsir_avg DESC, doc_id LIMIT 20""".stripMargin
+  private val q195Sql = dsirSqlFor("doc_id % 7 = 0")
+
+  // ---------------------------------------------------------------
+  // q201 — ERASURE IN THE DSIR TARGET STORE ([[graft.operators
+  // .DataSelection.writeDsirTargetStore]] / [[DataSelection
+  // .deleteFromDsirTargetStore]] / [[DataSelection.compactDsirStore]]):
+  // the q189 count-store lifecycle on the SELECTION model — the
+  // curated target distribution appends in two slices
+  // (doc_id % 7 = 0 split by % 2), a takedown erases the % 5 = 0
+  // sub-slice by its negated bucket counts, selection serves from
+  // the masked store (a bucket netted to zero behaves exactly as
+  // never-seen: add-one smoothing maps 0 and absent to the same
+  // weight), then the store COMPACTS (negative-net-count guard
+  // armed, net-zero buckets dropped) and serves again — identical
+  // in-plan (the q180 equality-gate discipline). Oracle: q195's
+  // chain with the target fit on the remaining curated slices.
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val DS = graft.operators.DataSelection
+    val docs = Tables.documents(s, dir)
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val cand = docs.filter(col("doc_id") % 7 =!= 0)
+    StoreGates.withTempStore(s, "graft_q201_dsir") { root =>
+      DS.writeDsirTargetStore(target.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", buckets = 4096, root, batchId = 1L)
+      DS.writeDsirTargetStore(target.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", buckets = 4096, root, batchId = 2L)
+      DS.deleteFromDsirTargetStore(target.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", buckets = 4096, root, batchId = 3L)
+      val masked = DS.dsirTopKFromStore(s, root, cand,
+        "doc_id", "text", buckets = 4096, k = 20)
+      DS.compactDsirStore(s, root, newBatchId = 4L)
+      val compacted = DS.dsirTopKFromStore(s, root, cand,
+        "doc_id", "text", buckets = 4096, k = 20)
+      val out = StoreGates.compactionIdentityGate(masked, compacted,
+          "DSIR-store compaction changed served selection")
+        .orderBy(desc("dsir_avg"), col("doc_id"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.releasePinned(masked)
+      graft.operators.Checkpoints.releasePinned(compacted)
+      out
+    }
+  }
+  private val q201Sql = dsirSqlFor("doc_id % 7 = 0 AND doc_id % 5 <> 0")
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q201_dsir_store_erasure", q201, Some(q201Sql)),
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
     QueryDef("q195_dsir_selection", q195, Some(q195Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),

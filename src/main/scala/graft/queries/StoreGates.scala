@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared gate plumbing for the temp-store lifecycle queries
+  * (q189–q191, q198–q201): guaranteed store cleanup and the in-plan
+  * pre/post-compaction equality assertion (q180's discipline).
+  */
+private[queries] object StoreGates {
+
+  /** Temp store root with GUARANTEED cleanup: the Hadoop-FS delete of
+    * the root runs even when the in-plan equality gate (or any Spark
+    * action inside `body`) throws — a failed gate must not leak the
+    * store directory on disk. Safe because every serving call inside
+    * materializes its result (`localCheckpoint`) before `body`
+    * returns. */
+  def withTempStore(s: SparkSession, prefix: String)(
+      body: String => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(root)
+    finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  /** In-plan pre/post-compaction equality gate: asserts `masked` and
+    * `compacted` are row-multiset-identical — every distinct row
+    * appears exactly twice in their union and the group count matches
+    * — returning `compacted`'s rows with the assertion fused into the
+    * plan. */
+  def compactionIdentityGate(masked: DataFrame,
+      compacted: DataFrame, msg: String): DataFrame = {
+    val eq = masked.union(compacted)
+      .groupBy(compacted.columns.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
+        count(lit(1)).as("groups"))
+    compacted.crossJoin(broadcast(eq))
+      .filter(assert_true(
+        col("mn") === 2 && col("mx") === 2 && col("groups") === masked.count(),
+        lit(msg)).isNull)
+      .select(compacted.columns.map(col): _*)
+  }
+}

@@ -1482,21 +1482,11 @@ object TextQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   private val q185Sql = langidSqlFor("doc_id % 5 <> 0")
 
-  /** Temp store root with GUARANTEED cleanup: the Hadoop-FS delete of
-    * the root runs even when the in-plan equality gate (or any Spark
-    * action inside `body`) throws — a failed gate must not leak the
-    * store directory on disk. Safe because every serving call inside
-    * materializes its result (`localCheckpoint`) before `body`
-    * returns. */
+  /** Temp store root with guaranteed cleanup ([[StoreGates]] — shared
+    * with the q201 DSIR-store gate in CurationQueries). */
   private def withTempStore(s: SparkSession, prefix: String)(
-      body: String => DataFrame): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory(prefix).toString
-    try body(root)
-    finally {
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
-    }
-  }
+      body: String => DataFrame): DataFrame =
+    StoreGates.withTempStore(s, prefix)(body)
 
   /** q189/q190 shared fixture: the appended-minus-erased LM store —
     * two training-slice appends (doc_id % 3 = 1, then % 3 = 2) and
@@ -1518,23 +1508,11 @@ object TextQueries {
     "doc_id % 3 <> 0 AND NOT (doc_id % 3 = 1 AND doc_id % 5 = 0)"
 
   /** In-plan pre/post-compaction equality gate (q180's discipline,
-    * shared by q189/q191): asserts `masked` and `compacted` are
-    * row-multiset-identical — every distinct row appears exactly
-    * twice in their union and the group count matches — returning
-    * `compacted`'s rows with the assertion fused into the plan. */
+    * shared by q189/q191/q199 here and q201 in CurationQueries —
+    * [[StoreGates.compactionIdentityGate]]). */
   private def compactionIdentityGate(masked: DataFrame,
-      compacted: DataFrame, msg: String): DataFrame = {
-    val eq = masked.union(compacted)
-      .groupBy(compacted.columns.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .agg(min(col("n")).as("mn"), max(col("n")).as("mx"),
-        count(lit(1)).as("groups"))
-    compacted.crossJoin(broadcast(eq))
-      .filter(assert_true(
-        col("mn") === 2 && col("mx") === 2 && col("groups") === masked.count(),
-        lit(msg)).isNull)
-      .select(compacted.columns.map(col): _*)
-  }
+      compacted: DataFrame, msg: String): DataFrame =
+    StoreGates.compactionIdentityGate(masked, compacted, msg)
 
   // ---------------------------------------------------------------
   // q189 — ERASURE IN THE LM STORE ([[graft.operators.LanguageModel

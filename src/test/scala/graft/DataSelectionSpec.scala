@@ -61,6 +61,66 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(k1 == 1L, "k must truncate the ranking")
   }
 
+  test("plan shape: weights join broadcasts, top-k is TakeOrdered, no sort-merge anywhere") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"tok${i % 9} tok${(i + 2) % 9}"))
+      .toDF("doc_id", "text")
+    val (scored, pins) = graft.operators.DataSelection.dsirScored(
+      docs.filter(col("doc_id") % 4 =!= 0), docs.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", buckets = 128, k = 10)
+    val p = scored.queryExecution.executedPlan.toString
+    Seq(scored) ++ pins foreach graft.operators.Checkpoints.releasePinned
+    // the B-row weights frame broadcasts into per-doc scoring — the
+    // candidate side never shuffles for the join
+    assert(p.contains("BroadcastHashJoin"), p)
+    // top-k never plans a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("target store of per-slice deltas selects identically to single-shot; double-delete fails at compaction") {
+    import spark.implicits._
+    val docs = (1L to 80L).map { i =>
+      (i, s"tok${i % 13} tok${(i + 4) % 13} tok${(i + 7) % 5}")
+    }.toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 4 === 0)
+    val cand = docs.filter(col("doc_id") % 4 =!= 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_dsir_store").toString
+    DataSelection.writeDsirTargetStore(
+      target.filter(col("doc_id") % 8 === 0), "doc_id", "text", 256, root, 1L)
+    DataSelection.writeDsirTargetStore(
+      target.filter(col("doc_id") % 8 =!= 0), "doc_id", "text", 256, root, 2L)
+    DataSelection.deleteFromDsirTargetStore(
+      target.filter(col("doc_id") % 3 === 0), "doc_id", "text", 256, root, 3L)
+    val remaining = target.filter(col("doc_id") % 3 =!= 0)
+    val direct = DataSelection.dsirTopK(cand, remaining, "doc_id", "text", 256, 10)
+    val served = DataSelection.dsirTopKFromStore(spark, root, cand,
+      "doc_id", "text", 256, 10)
+    assert(served.collect().toSeq == direct.collect().toSeq,
+      "store-served selection must equal retraining on the remaining target")
+    DataSelection.compactDsirStore(spark, root, 4L)
+    val compacted = DataSelection.dsirTopKFromStore(spark, root, cand,
+      "doc_id", "text", 256, 10)
+    assert(compacted.collect().toSeq == direct.collect().toSeq,
+      "compaction must not change served selection")
+    // contract violation: the same docs erased AGAIN
+    DataSelection.deleteFromDsirTargetStore(
+      target.filter(col("doc_id") % 3 === 0), "doc_id", "text", 256, root, 5L)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val ex = intercept[Exception] {
+      DataSelection.compactDsirStore(spark, root, 6L)
+    }
+    assert(messages(ex).exists(_.contains("negative net count")),
+      s"compaction must name the contract violation, got: $ex")
+    Seq(direct, served, compacted)
+      .foreach(graft.operators.Checkpoints.releasePinned)
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("selection is deterministic and leaks no checkpoint pins") {
     import spark.implicits._
     val docs = (1L to 60L).map { i =>
