@@ -54,7 +54,9 @@ object SummaryRewrite {
   final case class SummaryDef(relation: LogicalRelation, keys: Seq[String],
       measures: Seq[String])
 
-  private val registry = new ConcurrentHashMap[String, SummaryDef]()
+  // several rollups may serve one base (e.g. daily fine + monthly
+  // coarse); the rule picks the smallest CAPABLE one per query
+  private val registry = new ConcurrentHashMap[String, List[SummaryDef]]()
 
   private[plans] def cntCol: String = "__cnt"
   private[plans] def sumCol(m: String): String = s"__sum_$m"
@@ -85,7 +87,9 @@ object SummaryRewrite {
   }
 
   /** Register an existing rollup (built by [[buildAndRegister]] or
-    * maintained incrementally) for `basePath`. */
+    * maintained incrementally) for `basePath` — ADDITIVE: a base may
+    * carry several rollups at different granularities, and the rule
+    * serves each query from the smallest one that can answer it. */
   def register(spark: SparkSession, basePath: String, summaryPath: String,
       keys: Seq[String], measures: Seq[String]): Unit = {
     val rel = spark.read.parquet(summaryPath).queryExecution.analyzed match {
@@ -99,17 +103,23 @@ object SummaryRewrite {
     val missing = needed.filterNot(names)
     require(missing.isEmpty,
       s"summary at $summaryPath lacks columns: ${missing.mkString(", ")}")
-    registry.put(normalize(basePath), SummaryDef(rel, keys, measures))
+    registry.merge(normalize(basePath), List(SummaryDef(rel, keys, measures)),
+      (old, add) => add ::: old)
   }
 
+  /** Drop every rollup registered for `basePath`. */
   def deregister(basePath: String): Unit = registry.remove(normalize(basePath))
 
-  private[plans] def lookup(rootPaths: Seq[String]): Option[SummaryDef] =
+  /** Candidate rollups for a scan, FEWEST KEYS FIRST — fewer keys =
+    * coarser granularity = fewer rows, so the first candidate the
+    * rule can fully rewrite onto is also the cheapest capable one. */
+  private[plans] def lookup(rootPaths: Seq[String]): Seq[SummaryDef] =
     // single-root scans only: a multi-root relation's union semantics
     // are not what any single registration described
     rootPaths match {
-      case Seq(p) => Option(registry.get(normalize(p)))
-      case _ => None
+      case Seq(p) =>
+        Option(registry.get(normalize(p))).getOrElse(Nil).sortBy(_.keys.size)
+      case _ => Nil
     }
 }
 
@@ -140,19 +150,28 @@ case class SummaryRewriteRule() extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
-    (conds, rel) <- strip(agg.child)
-    sd <- lookup(rel.relation.asInstanceOf[HadoopFsRelation]
-      .location.rootPaths.map(_.toString))
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
+    strip(agg.child).flatMap { case (conds, rel) =>
+      val candidates = lookup(rel.relation.asInstanceOf[HadoopFsRelation]
+        .location.rootPaths.map(_.toString))
+      // fewest-keys-first: the first rollup that can fully answer the
+      // query is also the smallest capable one
+      candidates.view.flatMap(sd => tryRewriteWith(agg, conds, sd)).headOption
+    }
+
+  private def tryRewriteWith(agg: Aggregate, conds: Seq[Expression],
+      sd: SummaryDef): Option[LogicalPlan] = {
     // fresh attribute ids per rewrite — the same rollup may serve
     // several aggregates in one plan (each gets its own instance)
-    sumRel = sd.relation.newInstance()
-    byName = sumRel.output.map(a => a.name -> a).toMap
-    grouping <- traverse(agg.groupingExpressions)(rewriteScalar(_, sd, byName))
-    filters <- traverse(conds)(rewriteScalar(_, sd, byName))
-    aggExprs <- traverse(agg.aggregateExpressions)(rewriteNamed(_, sd, byName))
-  } yield Aggregate(grouping, aggExprs,
-    filters.foldRight(sumRel: LogicalPlan)(Filter(_, _)))
+    val sumRel = sd.relation.newInstance()
+    val byName = sumRel.output.map(a => a.name -> a).toMap
+    for {
+      grouping <- traverse(agg.groupingExpressions)(rewriteScalar(_, sd, byName))
+      filters <- traverse(conds)(rewriteScalar(_, sd, byName))
+      aggExprs <- traverse(agg.aggregateExpressions)(rewriteNamed(_, sd, byName))
+    } yield Aggregate(grouping, aggExprs,
+      filters.foldRight(sumRel: LogicalPlan)(Filter(_, _)))
+  }
 
   private def traverse[A, B](xs: Seq[A])(f: A => Option[B]): Option[Seq[B]] = {
     val out = xs.map(f)

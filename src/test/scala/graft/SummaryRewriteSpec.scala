@@ -123,6 +123,40 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("multiple rollups: each query picks the smallest CAPABLE one") {
+    import spark.implicits._
+    val base = tmp("graft_sr_multi_base")
+    val coarse = tmp("graft_sr_coarse")
+    val fine = tmp("graft_sr_fine")
+    try {
+      (1L to 100L).map(i => (i, s"k${i % 4}", s"g${i % 3}", i))
+        .toDF("id", "key_a", "key_b", "m")
+        .write.mode("overwrite").parquet(base)
+      SummaryRewrite.buildAndRegister(spark, base,
+        keys = Seq("key_a", "key_b"), measures = Seq("m"), fine)
+      SummaryRewrite.buildAndRegister(spark, base,
+        keys = Seq("key_a"), measures = Seq("m"), coarse)
+      val df = spark.read.parquet(base)
+      // answerable at coarse granularity -> the 1-key rollup wins
+      val byA = df.groupBy(col("key_a")).agg(sum(col("m")).as("s"))
+      assert(scansOnly(byA, coarse),
+        s"expected the coarse rollup, got ${scanPaths(byA)}")
+      // the key_b filter needs the fine rollup
+      val filtered = df.filter(col("key_b") === "g1")
+        .groupBy(col("key_a")).agg(sum(col("m")).as("s"))
+      assert(scansOnly(filtered, fine),
+        s"expected the fine rollup, got ${scanPaths(filtered)}")
+      // values identical either way
+      spark.conf.set("spark.graft.summaryRewrite", "false")
+      val directA = try byA.orderBy(col("key_a")).collect().toSeq
+        finally spark.conf.unset("spark.graft.summaryRewrite")
+      assert(byA.orderBy(col("key_a")).collect().toSeq == directA)
+    } finally {
+      SummaryRewrite.deregister(base)
+      Seq(base, coarse, fine).foreach(rm)
+    }
+  }
+
   test("output ExprIds survive: joins and sorts above the rewritten aggregate keep resolving") {
     withFixture { (base, summary) =>
       import spark.implicits._
