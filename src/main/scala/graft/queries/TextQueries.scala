@@ -1981,8 +1981,12 @@ object TextQueries {
   // the erased passages excluded on the index side.
   private def q199(s: SparkSession, dir: String): DataFrame = {
     val LI = graft.operators.LateInteraction
-    val (cands, qtext, passages) = maxSimFixture(s, dir)
-    withTempStore(s, "graft_q199_ti") { root =>
+    // cands feeds 2 serves — pinned once (tiny frame) so the LSH
+    // front runs once, not per serve; passages stay lazy (measured:
+    // materializing corpus chunk text costs more than re-chunking)
+    val (cands0, qtext, passages) = maxSimFixture(s, dir)
+    val cands = cands0.localCheckpoint()
+    val res = withTempStore(s, "graft_q199_ti") { root =>
       LI.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 0),
         "neighbor_id", "text", dim = 16, root, batchId = 1L)
       LI.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 1),
@@ -2005,6 +2009,8 @@ object TextQueries {
       graft.operators.Checkpoints.releasePinned(purged)
       out
     }
+    graft.operators.Checkpoints.releasePinned(cands)
+    res
   }
   private lazy val q199Sql = maxSimSqlFor("cid % 13 <> 5")
 
