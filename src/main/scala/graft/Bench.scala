@@ -141,7 +141,10 @@ object Bench {
     "q200_token_index_streamed",
     // q201 builds + erases + compacts the target store over corpus
     // splits, then scores every candidate twice — sf-scaled like q189
-    "q201_dsir_store_erasure")
+    "q201_dsir_store_erasure",
+    // q202 streams the curated slices through the target sink then
+    // scores every candidate — corpus work dominates, like q194
+    "q202_dsir_store_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -20,6 +20,11 @@ import graft.operators.{Checkpoints, InvertedIndex, LanguageModel}
   *    three delete volumes — erasure is an appended NEGATED-count
   *    batch, so each serve pays one keyed re-aggregate over
   *    (store + delete-volume-sized delta rows).
+  *  - TOKEN index (late-interaction): build once over the chunked
+  *    corpus, then time the MaxSim serve on a FIXED candidate set at
+  *    the same three delete volumes — the mask is the shared
+  *    tombstone anti-join applied after the candidate filter, so the
+  *    serve delta must track the tombstone count, not the index.
   *
   * `runMain graft.ErasureScaleProbe <dir1> [dir2 ...]` prints one
   * `ERASE <dir> <label> <median>s [runs]` line per measurement.
@@ -43,7 +48,13 @@ object ErasureScaleProbe {
         ts.map(t => f"$t%.3f").mkString("[", ",", "]"))
     }
     args.foreach { dir =>
-      val docs = Tables.documents(spark, dir).localCheckpoint()
+      // NO checkpoints anywhere in this probe: time() runs
+      // Bench.isolate, which sweeps every persistent block — a pinned
+      // frame consumed inside (or after) a timed region would die
+      // with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Recomputation is
+      // constant across the three delete volumes, so the DELTA (the
+      // claim under test) is unaffected.
+      val docs = Tables.documents(spark, dir)
 
       // ---- posting store: serve cost vs tombstone volume
       val proot = java.nio.file.Files
@@ -86,7 +97,41 @@ object ErasureScaleProbe {
         docs.filter(col("doc_id") % 10 === 3), "doc_id", "text", lroot, 3L)
       time(dir, "lm_serve_del11pct")(lmServe())
       rm(lroot)
-      Checkpoints.releasePinned(docs)
+
+      // ---- token index: MaxSim serve cost vs tombstone volume —
+      // fixed candidate pairs (every query × 10 fixed passages), so
+      // the only moving part across the three measurements is the
+      // tombstone anti-join after the candidate filter
+      val troot = java.nio.file.Files
+        .createTempDirectory("graft_eraseprobe_ti").toString
+      val chunks = graft.operators.Chunking
+        .chunkByTokens(docs, "doc_id", "text", 64, 48)
+        .select((col("doc_id") * lit(1048576L) + col("chunk_id"))
+          .as("neighbor_id"), col("chunk_text").as("text"))
+      graft.operators.LateInteraction.writeTokenIndex(
+        chunks, "neighbor_id", "text", dim = 16, troot, batchId = 1L)
+      val qs = docs.filter(col("doc_id") % 97 === 3)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val tcand = qs.select(col("query_id")).crossJoin(
+          chunks.select(col("neighbor_id"))
+            .orderBy(col("neighbor_id")).limit(10))
+      def tiServe(): Unit = {
+        val r = graft.operators.LateInteraction.maxSimFromTokenIndex(
+          spark, troot, tcand, qs, "query_id", "neighbor_id", "text",
+          dim = 16, maxQueryTokens = 16, k = 5)
+        r.count()
+        Checkpoints.releasePinned(r)
+      }
+      time(dir, "maxsim_serve_del0")(tiServe())
+      graft.operators.LateInteraction.deleteFromTokenIndex(
+        chunks.filter(col("neighbor_id") % 100 === 7)
+          .select(col("neighbor_id")), "neighbor_id", troot, 2L)
+      time(dir, "maxsim_serve_del1pct")(tiServe())
+      graft.operators.LateInteraction.deleteFromTokenIndex(
+        chunks.filter(col("neighbor_id") % 10 === 3)
+          .select(col("neighbor_id")), "neighbor_id", troot, 3L)
+      time(dir, "maxsim_serve_del11pct")(tiServe())
+      rm(troot)
     }
     spark.stop()
   }

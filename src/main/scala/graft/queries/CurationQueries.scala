@@ -485,8 +485,53 @@ object CurationQueries {
   }
   private val q201Sql = dsirSqlFor("doc_id % 7 = 0 AND doc_id % 5 <> 0")
 
+  // ---------------------------------------------------------------
+  // q202 — STREAMED DSIR TARGET MAINTENANCE ([[graft.operators
+  // .DataSelection.dsirStoreSink]]): the q194/q200 exactly-once
+  // foreachBatch discipline on the selection model — the curated
+  // target staged as two parquet files, one per micro-batch through
+  // the checkpointed file source, each epoch appending its bucket-
+  // count delta (single dir, replay no-ops; DataSelectionSpec pins
+  // the sink). Served selection is independent of epoch chunking
+  // (bucket counts merge by SUM): the oracle is q195's single-shot
+  // fit verbatim.
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val DS = graft.operators.DataSelection
+    val docs = Tables.documents(s, dir)
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_q202_stage").toString
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_q202_store").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_q202_ckpt").toString
+    target.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(stage)
+    target.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(stage)
+    val sink = DS.dsirStoreSink("doc_id", "text", buckets = 4096, store)
+    val stream = s.readStream.schema(target.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    val q = stream.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = DS.dsirTopKFromStore(s, store,
+        docs.filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", buckets = 4096, k = 20)
+      .localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Seq(stage, store, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    out
+  }
+  private val q202Sql = q195Sql
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q201_dsir_store_erasure", q201, Some(q201Sql)),
+    QueryDef("q202_dsir_store_streamed", q202, Some(q202Sql)),
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
     QueryDef("q195_dsir_selection", q195, Some(q195Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),

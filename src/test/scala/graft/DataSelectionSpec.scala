@@ -121,6 +121,31 @@ class DataSelectionSpec extends AnyFunSuite {
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("dsirStoreSink: epoch replay is a no-op; the streamed store selects like single-shot fitting") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dsir_sink").toString
+    val b0 = Seq((2L, "alpha beta gamma"), (4L, "alpha beta")).toDF("doc_id", "text")
+    val b1 = Seq((6L, "beta gamma delta")).toDF("doc_id", "text")
+    val sink = DataSelection.dsirStoreSink("doc_id", "text", 128, root)
+    sink(b0, 0L); sink(b1, 1L)
+    def stored() = graft.operators.BatchStore.read(spark, root)
+      .orderBy(col("batch"), col("bucket")).collect().toSeq
+    val s0 = stored()
+    sink(b0, 0L); sink(b1, 1L)
+    assert(stored() == s0, "epoch replay must be a no-op")
+    val cand = Seq((11L, "alpha beta gamma"), (13L, "zz qq ww")).toDF("doc_id", "text")
+    val served = DataSelection.dsirTopKFromStore(spark, root, cand,
+      "doc_id", "text", 128, 5)
+    val direct = DataSelection.dsirTopK(cand, b0.union(b1),
+      "doc_id", "text", 128, 5)
+    assert(served.collect().toSeq == direct.collect().toSeq,
+      "streamed store must select like single-shot fitting")
+    Seq(served, direct).foreach(graft.operators.Checkpoints.releasePinned)
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("selection is deterministic and leaks no checkpoint pins") {
     import spark.implicits._
     val docs = (1L to 60L).map { i =>
