@@ -94,6 +94,30 @@ object PassageLshProbe {
         graft.operators.Checkpoints.releasePinned(sel)
         n
       }
+      // the PRECISION serving chain (q197's shape): LSH top-10
+      // candidates → token-level MaxSim re-scoring — what the
+      // two-stage retriever pays when the back end is
+      // late-interaction instead of MMR diversity
+      time("lsh+maxsim") {
+        val docs = Tables.documents(spark, dir)
+        val (c, q) = build()
+        val cands = Similarity.rpLshTopK(c, q, "nid", "emb", dim = 32,
+            bits = 12, tables = 8, k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val passages = Chunking.chunkByTokens(
+            docs.filter(col("doc_id") % qMod =!= 3),
+            "doc_id", "text", chunkTokens = 64, strideTokens = 48)
+          .select((col("doc_id") * lit(1048576L) + col("chunk_id"))
+            .as("neighbor_id"), col("chunk_text").as("text"))
+        val qtext = docs.filter(col("doc_id") % qMod === 3)
+          .select(col("doc_id").as("query_id"), col("text"))
+        val sel = graft.operators.LateInteraction.maxSimRerank(
+          cands, qtext, passages, "query_id", "neighbor_id", "text",
+          dim = 16, maxQueryTokens = 16, k = 5)
+        val n = sel.count()
+        graft.operators.Checkpoints.releasePinned(sel)
+        n
+      }
     }
     spark.stop()
   }
