@@ -144,7 +144,10 @@ object Bench {
     "q201_dsir_store_erasure",
     // q202 streams the curated slices through the target sink then
     // scores every candidate — corpus work dominates, like q194
-    "q202_dsir_store_streamed")
+    "q202_dsir_store_streamed",
+    // q203 appends two rollup slices then serves the rewritten
+    // aggregate from the multi-batch partials — sf-scaled like q196
+    "q203_incremental_rollup_rewrite")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -2,7 +2,7 @@ package graft.plans
 
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
@@ -70,6 +70,11 @@ object SummaryRewrite {
     if (path.length > 1 && path.endsWith("/")) path.dropRight(1) else path
   }
 
+  private def rollupAggs(measures: Seq[String]) =
+    count(lit(1)).as(cntCol) +: measures.flatMap(m => Seq(
+      sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)),
+      max(col(m)).as(maxCol(m))))
+
   /** Build the rollup of `basePath` at `keys` granularity, write it to
     * `summaryPath`, and register it. One base scan, one keys-sized
     * shuffle — the cost is paid once and amortized over every
@@ -77,13 +82,31 @@ object SummaryRewrite {
   def buildAndRegister(spark: SparkSession, basePath: String,
       keys: Seq[String], measures: Seq[String], summaryPath: String): Unit = {
     require(keys.nonEmpty, "need at least one rollup key")
-    val aggs = count(lit(1)).as(cntCol) +: measures.flatMap(m => Seq(
-      sum(col(m)).as(sumCol(m)), min(col(m)).as(minCol(m)),
-      max(col(m)).as(maxCol(m))))
+    val aggs = rollupAggs(measures)
     spark.read.parquet(basePath)
       .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(summaryPath)
     register(spark, basePath, summaryPath, keys, measures)
+  }
+
+  /** Append one slice's rollup PARTIALS to an INCREMENTALLY-maintained
+    * rollup at `summaryRoot` ([[graft.operators.BatchStore]] layout) —
+    * one partial row per (slice, keys). Re-aggregation composes: sum
+    * of sums, min of mins, max of maxes, sum of counts is EXACTLY
+    * what the rewritten Aggregate already computes over multiple
+    * summary rows per group, so a multi-batch rollup serves queries
+    * directly — the rollup is never rebuilt and never compacted on
+    * the query path (q94's maintenance discipline meeting the q196
+    * serving rule, gated end-to-end by q203). APPEND-ONLY facts only:
+    * a negated-delta erasure would break min/max (they don't
+    * un-aggregate), unlike the pure count stores. */
+  def appendRollupSlice(slice: DataFrame, keys: Seq[String],
+      measures: Seq[String], summaryRoot: String, batchId: Long): Unit = {
+    require(keys.nonEmpty, "need at least one rollup key")
+    val aggs = rollupAggs(measures)
+    graft.operators.BatchStore.append(
+      slice.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*),
+      summaryRoot, batchId)
   }
 
   /** Register an existing rollup (built by [[buildAndRegister]] or

@@ -499,33 +499,14 @@ object CurationQueries {
     val DS = graft.operators.DataSelection
     val docs = Tables.documents(s, dir)
     val target = docs.filter(col("doc_id") % 7 === 0)
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_q202_stage").toString
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_q202_store").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_q202_ckpt").toString
-    target.filter(col("doc_id") % 2 === 0).coalesce(1)
-      .write.mode("append").parquet(stage)
-    target.filter(col("doc_id") % 2 === 1).coalesce(1)
-      .write.mode("append").parquet(stage)
-    val sink = DS.dsirStoreSink("doc_id", "text", buckets = 4096, store)
-    val stream = s.readStream.schema(target.schema)
-      .option("maxFilesPerTrigger", "1").parquet(stage)
-    val q = stream.writeStream
-      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val out = DS.dsirTopKFromStore(s, store,
-        docs.filter(col("doc_id") % 7 =!= 0),
+    StoreGates.withStreamedStore(s, "graft_q202",
+      slices = Seq(target.filter(col("doc_id") % 2 === 0),
+        target.filter(col("doc_id") % 2 === 1)),
+      sink = store => DS.dsirStoreSink("doc_id", "text", buckets = 4096, store)
+    ) { store =>
+      DS.dsirTopKFromStore(s, store, docs.filter(col("doc_id") % 7 =!= 0),
         "doc_id", "text", buckets = 4096, k = 20)
-      .localCheckpoint()
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    Seq(stage, store, ckpt).foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    out
+    }
   }
   private val q202Sql = q195Sql
 

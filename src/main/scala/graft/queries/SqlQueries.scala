@@ -199,11 +199,71 @@ object SqlQueries {
       |FROM documents WHERE source <> 'src0'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q203 — INCREMENTALLY-MAINTAINED ROLLUP SERVED BY THE REWRITE
+  // ([[graft.plans.SummaryRewrite.appendRollupSlice]]): q94's
+  // maintenance discipline meeting q196's serving rule. The rollup
+  // is never built whole: two corpus slices append their PARTIAL
+  // rows (one per (slice, keys)) as BatchStore batches, the root is
+  // registered as-is, and the rewritten Aggregate's own
+  // re-aggregation (sum of sums, min of mins, max of maxes, sum of
+  // counts) merges the partials per group at query time — no
+  // compaction on the query path. The in-query require again pins
+  // that the optimized plan scans ONLY the rollup; the oracle is the
+  // plain aggregate over the raw table — a partial row lost,
+  // double-merged, or mis-decomposed breaks the hash.
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val basePath = s"$dir/documents.parquet"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q203_rollup").toString
+    try {
+      val base = s.read.parquet(basePath)
+      graft.plans.SummaryRewrite.appendRollupSlice(
+        base.filter(col("doc_id") % 2 === 0),
+        keys = Seq("lang", "source"), measures = Seq("n_chars"), root, 1L)
+      graft.plans.SummaryRewrite.appendRollupSlice(
+        base.filter(col("doc_id") % 2 =!= 0),
+        keys = Seq("lang", "source"), measures = Seq("n_chars"), root, 2L)
+      graft.plans.SummaryRewrite.register(s, basePath, root,
+        keys = Seq("lang", "source"), measures = Seq("n_chars"))
+      val out = s.read.parquet(basePath)
+        .filter(col("lang") =!= "zh")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy(col("source"))
+      val scans = out.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains(
+          new java.io.File(root).getName)),
+        s"incremental-rollup rewrite did not fire: scans=$scans")
+      out.localCheckpoint()
+    } finally {
+      graft.plans.SummaryRewrite.deregister(basePath)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+  private val q203Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents WHERE lang <> 'zh'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q46_sql_surface", q46, Some(q46Sql)),
     QueryDef("q77_sql_native_fns", q77, Some(q77Sql)),
     QueryDef("q98_grouping_sets", q98, Some(q98Sql)),
     QueryDef("q103_correlated_subqueries", q103, Some(q103Sql)),
     QueryDef("q196_rollup_rewrite", q196, Some(q196Sql)),
+    QueryDef("q203_incremental_rollup_rewrite", q203, Some(q203Sql)),
   )
 }

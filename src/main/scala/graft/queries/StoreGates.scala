@@ -25,6 +25,40 @@ private[queries] object StoreGates {
     }
   }
 
+  /** Shared streamed-ingest gate plumbing (q194/q200/q202): stage
+    * each slice as one parquet file, deliver them one per micro-batch
+    * through the checkpointed file source into the store's
+    * exactly-once `foreachBatch` sink, serve from the completed
+    * store, and clean up stage + store + checkpoint — the serve
+    * result must be materialized (`localCheckpoint`) by `serve`
+    * (every FromStore serving call does) since the dirs are deleted
+    * on return. */
+  def withStreamedStore(s: SparkSession, prefix: String,
+      slices: Seq[DataFrame], sink: String => (DataFrame, Long) => Unit)(
+      serve: String => DataFrame): DataFrame = {
+    require(slices.nonEmpty, "need at least one slice")
+    val stage = java.nio.file.Files.createTempDirectory(s"${prefix}_stage").toString
+    val store = java.nio.file.Files.createTempDirectory(s"${prefix}_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"${prefix}_ckpt").toString
+    try {
+      slices.foreach(_.coalesce(1).write.mode("append").parquet(stage))
+      val snk = sink(store)
+      val q = s.readStream.schema(slices.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) => snk(b, id))
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      serve(store)
+    } finally {
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      Seq(stage, store, ckpt).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    }
+  }
+
   /** In-plan pre/post-compaction equality gate: asserts `masked` and
     * `compacted` are row-multiset-identical — every distinct row
     * appears exactly twice in their union and the group count matches

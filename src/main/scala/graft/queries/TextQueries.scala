@@ -1810,35 +1810,15 @@ object TextQueries {
   // so the oracle is q181's chain trained single-shot on the full
   // corpus — verbatim.
   private def q194(s: SparkSession, dir: String): DataFrame = {
+    val LM = graft.operators.LanguageModel
     val docs = Tables.documents(s, dir)
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_q194_stage").toString
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_q194_store").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_q194_ckpt").toString
-    docs.filter(col("doc_id") % 3 === 1).coalesce(1)
-      .write.mode("append").parquet(stage)
-    docs.filter(col("doc_id") % 3 === 2).coalesce(1)
-      .write.mode("append").parquet(stage)
-    val sink = graft.operators.LanguageModel
-      .lmStoreSink("doc_id", "text", store)
-    val stream = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(stage)
-    val q = stream.writeStream
-      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val out = graft.operators.LanguageModel.bigramLmScoreFromStore(
-        s, store, docs.filter(col("doc_id") % 3 === 0),
-        "doc_id", "text", k = 20)
-      .localCheckpoint()
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    Seq(stage, store, ckpt).foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    out
+    StoreGates.withStreamedStore(s, "graft_q194",
+      slices = Seq(docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2)),
+      sink = store => LM.lmStoreSink("doc_id", "text", store)) { store =>
+      LM.bigramLmScoreFromStore(s, store,
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 20)
+    }
   }
   private val q194Sql = lmSql
 
@@ -2028,34 +2008,17 @@ object TextQueries {
   private def q200(s: SparkSession, dir: String): DataFrame = {
     val LI = graft.operators.LateInteraction
     val (cands, qtext, passages) = maxSimFixture(s, dir)
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_q200_stage").toString
-    val store = java.nio.file.Files
-      .createTempDirectory("graft_q200_store").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_q200_ckpt").toString
-    passages.filter(col("neighbor_id") % 2 === 0).coalesce(1)
-      .write.mode("append").parquet(stage)
-    passages.filter(col("neighbor_id") % 2 === 1).coalesce(1)
-      .write.mode("append").parquet(stage)
-    val sink = LI.tokenIndexSink("neighbor_id", "text", dim = 16, store)
-    val stream = s.readStream.schema(passages.schema)
-      .option("maxFilesPerTrigger", "1").parquet(stage)
-    val q = stream.writeStream
-      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id))
-      .option("checkpointLocation", ckpt)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val out = LI.maxSimFromTokenIndex(s, store, cands, qtext,
-        "query_id", "neighbor_id", "text",
-        dim = 16, maxQueryTokens = 16, k = 5)
-      .orderBy(col("query_id"), col("rank"))
-      .localCheckpoint()
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(s.sessionState.newHadoopConf())
-    Seq(stage, store, ckpt).foreach(p =>
-      fs.delete(new org.apache.hadoop.fs.Path(p), true))
-    out
+    StoreGates.withStreamedStore(s, "graft_q200",
+      slices = Seq(passages.filter(col("neighbor_id") % 2 === 0),
+        passages.filter(col("neighbor_id") % 2 === 1)),
+      sink = store => LI.tokenIndexSink("neighbor_id", "text", dim = 16, store)
+    ) { store =>
+      LI.maxSimFromTokenIndex(s, store, cands, qtext,
+          "query_id", "neighbor_id", "text",
+          dim = 16, maxQueryTokens = 16, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint()
+    }
   }
   private lazy val q200Sql = q197Sql
 

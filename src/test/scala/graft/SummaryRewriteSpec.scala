@@ -157,6 +157,38 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementally-appended rollup partials re-aggregate correctly through the rewrite") {
+    import spark.implicits._
+    val base = tmp("graft_sr_inc_base")
+    val root = tmp("graft_sr_inc_roll")
+    try {
+      (1L to 120L).map(i => (i, s"k${i % 3}", i * 3))
+        .toDF("id", "key_a", "m")
+        .write.mode("overwrite").parquet(base)
+      val df = spark.read.parquet(base)
+      // three slices — every group gets THREE partial rows
+      Seq(0L, 1L, 2L).foreach(r =>
+        SummaryRewrite.appendRollupSlice(df.filter(col("id") % 3 === r),
+          Seq("key_a"), Seq("m"), root, batchId = r + 1))
+      SummaryRewrite.register(spark, base, root, Seq("key_a"), Seq("m"))
+      val agg = spark.read.parquet(base)
+        .groupBy(col("key_a"))
+        .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+          min(col("m")).as("mn"), max(col("m")).as("mx"))
+        .orderBy(col("key_a"))
+      assert(scansOnly(agg, root),
+        s"expected the incremental rollup scan, got ${scanPaths(agg)}")
+      val got = agg.as[(String, Long, Long, Long, Long)].collect().toSeq
+      val expect = (1L to 120L).groupBy(i => s"k${i % 3}").toSeq.sortBy(_._1)
+        .map { case (k, is) =>
+          (k, is.size.toLong, is.map(_ * 3).sum, is.min * 3, is.max * 3) }
+      assert(got == expect, s"\n got    $got\n expect $expect")
+    } finally {
+      SummaryRewrite.deregister(base)
+      Seq(base, root).foreach(rm)
+    }
+  }
+
   test("output ExprIds survive: joins and sorts above the rewritten aggregate keep resolving") {
     withFixture { (base, summary) =>
       import spark.implicits._
