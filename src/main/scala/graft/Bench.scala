@@ -147,7 +147,10 @@ object Bench {
     "q202_dsir_store_streamed",
     // q203 appends two rollup slices then serves the rewritten
     // aggregate from the multi-batch partials — sf-scaled like q196
-    "q203_incremental_rollup_rewrite")
+    "q203_incremental_rollup_rewrite",
+    // q204 builds the int8-packed token index then serves MaxSim
+    // from unpacked codes — corpus-write-scaled like q198
+    "q204_token_index_int8")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

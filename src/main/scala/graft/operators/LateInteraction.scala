@@ -153,6 +153,81 @@ object LateInteraction {
     Checkpoints.releasePinned(pairs)
   }
 
+  /** The QUANTIZED token index — [[writeTokenIndex]] with the real
+    * ColBERT storage answer: token vectors are symmetrically
+    * int8-quantized ([[Quantize.int8AbsMax]] — per-vector absmax,
+    * exact cross-engine arithmetic) and persisted as ONE BYTE per
+    * component via the native [[graft.plans.Int8Pack]] codec
+    * (array<int> in parquet is 4 bytes/component; the 4× storage
+    * promise needs the binary narrowing). Cosines over quantized
+    * vectors need NO dequantization: the per-vector scale cancels in
+    * the cosine up to the floor error (the q135 symmetric-int8
+    * discipline), so serving unpacks to exact ints and runs the same
+    * fixed-point MaxSim tail — the oracle replays quantization +
+    * integer dots, never the bytes. Zero-scale (all-zero) token
+    * vectors are dropped at write time; any non-zero vector keeps a
+    * ±127 component, so norms never vanish after quantization. */
+  def writeTokenIndexInt8(passages: DataFrame, passageCol: String,
+      textCol: String, dim: Int, root: String, batchId: Long): Unit = {
+    val pairs = passages
+      .select(col(passageCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .distinct()
+      .localCheckpoint() // feeds the vocabulary AND the join back
+    val vocab = Quantize.int8AbsMax(
+        pairs.select(col("__tok")).distinct()
+          .withColumn("__tv", TextFunctions.tokenVector(col("__tok"), dim)),
+        "__tv")
+      .filter(col("scale") > 0)
+      .select(col("__tok"), graft.plans.Int8Codec.pack(col("q")).as("__qb"))
+    val rows = pairs.join(vocab, Seq("__tok"))
+      .select(col(passageCol), col("__qb"))
+    BatchStore.append(rows, root, batchId)
+    Checkpoints.releasePinned(pairs)
+  }
+
+  /** [[maxSimFromTokenIndex]] over the int8 index: the passage side
+    * unpacks stored codes to exact ints (widened to double — dots of
+    * dim·127² magnitude are exact IEEE); the ephemeral query side
+    * quantizes symmetrically at serve time. Tombstone masking and the
+    * candidate-filtered read are identical to the float path. */
+  def maxSimFromTokenIndexInt8(spark: org.apache.spark.sql.SparkSession,
+      root: String, cands: DataFrame, queries: DataFrame,
+      queryCol: String, passageCol: String, textCol: String,
+      dim: Int, maxQueryTokens: Int, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxQueryTokens >= 1, s"need maxQueryTokens >= 1, got $maxQueryTokens")
+    val cb = cands.select(col(queryCol), col(passageCol)).localCheckpoint()
+    val qt = queries.join(cb.select(col(queryCol)).distinct(), Seq(queryCol))
+      .select(col(queryCol), posexplode(
+        slice(TextFunctions.tokens(col(textCol)), 1, maxQueryTokens)))
+      .select(col(queryCol), col("pos").as("__qpos"), col("col").as("__tok"))
+      .localCheckpoint() // feeds the vocabulary AND the embedding join
+    val vocab = Quantize.int8AbsMax(
+        qt.select(col("__tok")).distinct()
+          .withColumn("__tv", TextFunctions.tokenVector(col("__tok"), dim)),
+        "__tv")
+      .filter(col("scale") > 0)
+      .withColumn("__qv", transform(col("q"), x => x.cast("double")))
+      .withColumn("__qn", sqrt(aggregate(
+        transform(col("__qv"), x => x * x), lit(0.0), (a, v) => a + v)))
+      .select(col("__tok"), col("__qv"), col("__qn"))
+    val qe = qt.join(vocab, Seq("__tok"))
+      .select(col(queryCol), col("__qpos"), col("__qv"), col("__qn"))
+    val de = Tombstones.apply(spark, root,
+        BatchStore.read(spark, root)
+          .join(cb.select(col(passageCol)).distinct(), Seq(passageCol)),
+        passageCol)
+      .withColumn("__dv", transform(
+        graft.plans.Int8Codec.unpack(col("__qb")), x => x.cast("double")))
+      .withColumn("__dn", sqrt(aggregate(
+        transform(col("__dv"), x => x * x), lit(0.0), (a, v) => a + v)))
+      .select(col(passageCol), col("__dv"), col("__dn"))
+    val out = scoreTail(cb, qe, de, queryCol, passageCol, k)
+    Seq(cb, qt).foreach(Checkpoints.releasePinned)
+    out
+  }
+
   /** Maintain the token index FROM A STREAM — the
     * [[LanguageModel.lmStoreSink]] discipline on the vector store:
     * batch id = `baseBatchId + epochId`, exactly-once under epoch

@@ -47,5 +47,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, s"graft_dot expects 2 arguments, got ${args.length}")
         DotProduct(args.head, args(1))
       }))
+    // int8 vector codec — the storage kernels of the quantized index
+    ext.injectFunction((
+      FunctionIdentifier("graft_int8_pack"),
+      new ExpressionInfo(classOf[Int8Pack].getCanonicalName, "graft_int8_pack"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_int8_pack expects 1 argument, got ${args.length}")
+        Int8Pack(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int8_unpack"),
+      new ExpressionInfo(classOf[Int8Unpack].getCanonicalName, "graft_int8_unpack"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_int8_unpack expects 1 argument, got ${args.length}")
+        Int8Unpack(args.head)
+      }))
   }
 }

@@ -1874,8 +1874,22 @@ object TextQueries {
     * tombstoned passages (the mask applies on the index side, after
     * candidate generation, exactly as [[graft.operators
     * .LateInteraction.maxSimFromTokenIndex]] does). */
-  private def maxSimSqlFor(dtWhere: String): String = {
+  private def maxSimSqlFor(dtWhere: String, int8: Boolean = false): String = {
     val w = s"(${dHash("'1:' || g")} % 2001 - 1000) / 1000.0"
+    // int8: replay the symmetric absmax quantization — per-token
+    // scale, floor(x·127/scale) codes widened to DOUBLE — before the
+    // norm/cosine chain (q204; the float path keeps the raw fold)
+    val vnCte = if (int8)
+      s"""vs AS (SELECT tok, tv,
+        |    list_max(list_transform(tv, x -> abs(x))) AS sc FROM vv),
+        |vq AS (SELECT tok, list_transform(tv,
+        |    x -> CAST(floor(x * 127.0 / sc) AS DOUBLE)) AS tv
+        |  FROM vs WHERE sc > 0),
+        |vn AS (SELECT tok, tv, sqrt(list_inner_product(tv, tv)) AS tn
+        |  FROM vq)""".stripMargin
+    else
+      s"""vn AS (SELECT tok, tv, sqrt(list_inner_product(tv, tv)) AS tn FROM vv
+        |  WHERE sqrt(list_inner_product(tv, tv)) > 0)""".stripMargin
     s"""$lshCand10Sql,
       |qt AS (SELECT query_id, p.p AS qpos, p.tk AS tok FROM (
       |  SELECT doc_id AS query_id, unnest(list_transform(
@@ -1894,8 +1908,7 @@ object TextQueries {
       |    list_reduce(list_prepend(0.0, list_transform(grams, g ->
       |      CASE WHEN ${dHash("g")} % 16 = d THEN $w ELSE 0.0 END)),
       |      (a, b) -> a + b)) AS tv FROM vg),
-      |vn AS (SELECT tok, tv, sqrt(list_inner_product(tv, tv)) AS tn FROM vv
-      |  WHERE sqrt(list_inner_product(tv, tv)) > 0),
+      |$vnCte,
       |mx AS (SELECT cd.query_id, cd.cid, qt.qpos,
       |    MAX(list_inner_product(a.tv, b.tv) / (a.tn * b.tn)) AS mc
       |  FROM (SELECT DISTINCT query_id, cid FROM cand10) cd
@@ -1993,6 +2006,40 @@ object TextQueries {
     res
   }
   private lazy val q199Sql = maxSimSqlFor("cid % 13 <> 5")
+
+  // ---------------------------------------------------------------
+  // q204 — THE QUANTIZED TOKEN INDEX ([[graft.operators
+  // .LateInteraction.writeTokenIndexInt8]] / [[LateInteraction
+  // .maxSimFromTokenIndexInt8]]): the q198 store with the real
+  // ColBERT storage answer — token vectors symmetrically
+  // int8-quantized (per-vector absmax, the q135 discipline) and
+  // persisted ONE BYTE per component via the native Int8Pack codec.
+  // Measured honestly (TokenIndexSizeProbe): 1.4–1.6× smaller on
+  // disk, NOT 4× — parquet dictionary pages already deduplicate the
+  // repeated per-token vectors in both layouts, so the narrowing
+  // shrinks only the dictionary; the raw-bytes 4×/9× shows up where
+  // dictionaries don't apply (unique-vector columns, in-memory
+  // serving buffers). Serving unpacks to exact ints and runs the identical
+  // fixed-point MaxSim tail; per-vector scales cancel in the cosine
+  // up to the floor error. Oracle: the q197 chain with the
+  // quantization replayed in the vector CTE — a scale off-by-one, a
+  // floor/round drift, or a byte that wrapped all break the hash.
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val LI = graft.operators.LateInteraction
+    val (cands, qtext, passages) = maxSimFixture(s, dir)
+    withTempStore(s, "graft_q204_ti8") { root =>
+      LI.writeTokenIndexInt8(passages.filter(col("neighbor_id") % 2 === 0),
+        "neighbor_id", "text", dim = 16, root, batchId = 1L)
+      LI.writeTokenIndexInt8(passages.filter(col("neighbor_id") % 2 === 1),
+        "neighbor_id", "text", dim = 16, root, batchId = 2L)
+      LI.maxSimFromTokenIndexInt8(s, root, cands, qtext,
+          "query_id", "neighbor_id", "text",
+          dim = 16, maxQueryTokens = 16, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint()
+    }
+  }
+  private lazy val q204Sql = maxSimSqlFor("TRUE", int8 = true)
 
   // ---------------------------------------------------------------
   // q200 — STREAMED TOKEN-INDEX MAINTENANCE ([[graft.operators
@@ -3610,6 +3657,7 @@ object TextQueries {
     QueryDef("q198_token_index_store", q198, Some(q198Sql)),
     QueryDef("q199_token_index_erasure", q199, Some(q199Sql)),
     QueryDef("q200_token_index_streamed", q200, Some(q200Sql)),
+    QueryDef("q204_token_index_int8", q204, Some(q204Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),
