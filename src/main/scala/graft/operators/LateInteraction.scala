@@ -38,6 +38,43 @@ import org.apache.spark.sql.functions._
   */
 object LateInteraction {
 
+  /** Query POSITIONS with candidates: `(queryCol, __qpos, __tok)` —
+    * positions kept (ColBERT sums per position), the token window
+    * bounded, queries without candidates dropped. Returned PINNED
+    * (feeds the vocabulary and the embedding join); callers release. */
+  private def queryPositions(queries: DataFrame, cb: DataFrame,
+      queryCol: String, textCol: String, maxQueryTokens: Int): DataFrame =
+    queries.join(cb.select(col(queryCol)).distinct(), Seq(queryCol))
+      .select(col(queryCol), posexplode(
+        slice(TextFunctions.tokens(col(textCol)), 1, maxQueryTokens)))
+      .select(col(queryCol), col("pos").as("__qpos"), col("col").as("__tok"))
+      .localCheckpoint()
+
+  /** Embed a distinct-token frame (`__tok`): adds the float vector
+    * `__tv` and its norm `__tn`, zero-norm tokens dropped (cosine
+    * undefined) — the vocabulary-sized embedding pass every MaxSim
+    * path shares. */
+  private def embedVocab(toks: DataFrame, dim: Int): DataFrame =
+    toks.withColumn("__tv", TextFunctions.tokenVector(col("__tok"), dim))
+      .withColumn("__tn", sqrt(aggregate(
+        transform(col("__tv"), x => x * x), lit(0.0), (a, v) => a + v)))
+      .filter(col("__tn") > 0)
+
+  /** [[embedVocab]] then symmetric int8 absmax quantization: `__qv`
+    * (codes widened to double) and `__qn` — the serve-time query-side
+    * twin of [[writeTokenIndexInt8]]'s stored codes. Goes through the
+    * same [[Quantize.int8AbsMax]] arithmetic; a non-zero vector always
+    * keeps a ±127 component, so `__qn` never vanishes. */
+  private def embedVocabInt8(toks: DataFrame, dim: Int): DataFrame =
+    Quantize.int8AbsMax(
+        toks.withColumn("__tv", TextFunctions.tokenVector(col("__tok"), dim)),
+        "__tv")
+      .filter(col("scale") > 0)
+      .withColumn("__qv", transform(col("q"), x => x.cast("double")))
+      .withColumn("__qn", sqrt(aggregate(
+        transform(col("__qv"), x => x * x), lit(0.0), (a, v) => a + v)))
+      .select(col("__tok"), col("q"), col("__qv"), col("__qn"))
+
   /** Re-rank `cands` — one row per (query, passage) candidate pair,
     * columns `queryCol, passageCol` — by MaxSim between the query's
     * first `maxQueryTokens` tokens and the passage's tokens. Token
@@ -54,31 +91,22 @@ object LateInteraction {
       dim: Int, maxQueryTokens: Int, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxQueryTokens >= 1, s"need maxQueryTokens >= 1, got $maxQueryTokens")
-    val toks = TextFunctions.tokens(col(textCol))
-    // pin: the candidate list feeds both occurrence joins
+    // pin: the candidate list feeds both occurrence joins; both
+    // occurrence frames feed the vocabulary AND their own embedding
+    // join — pinned once (the q141 multi-consumer discipline; dt's
+    // upstream is a corpus-chunk-scale scan)
     val cb = cands.select(col(queryCol), col(passageCol)).localCheckpoint()
-    // query positions: (query, qpos, tok) — positions kept, window
-    // bounded to the serving-query length
-    // both occurrence frames feed the vocabulary AND their own
-    // embedding join — pinned once (the q141 multi-consumer
-    // discipline; dt's upstream is a corpus-chunk-scale scan)
-    val qt = queries.join(cb.select(col(queryCol)).distinct(), Seq(queryCol))
-      .select(col(queryCol), posexplode(slice(toks, 1, maxQueryTokens)))
-      .select(col(queryCol), col("pos").as("__qpos"), col("col").as("__tok"))
-      .localCheckpoint()
+    val qt = queryPositions(queries, cb, queryCol, textCol, maxQueryTokens)
     // passage tokens: distinct per passage (max over occurrences ==
     // max over distinct tokens — the pair join shrinks for free)
     val dt = passages.join(cb.select(col(passageCol)).distinct(), Seq(passageCol))
-      .select(col(passageCol), explode(toks).as("__tok"))
+      .select(col(passageCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .distinct()
       .localCheckpoint()
     // vocabulary-sized embedding: every distinct token ONCE
-    val vocab = qt.select(col("__tok")).union(dt.select(col("__tok")))
-      .distinct()
-      .withColumn("__tv", TextFunctions.tokenVector(col("__tok"), dim))
-      .withColumn("__tn", sqrt(aggregate(
-        transform(col("__tv"), x => x * x), lit(0.0), (a, v) => a + v)))
-      .filter(col("__tn") > 0)
+    val vocab = embedVocab(
+        qt.select(col("__tok")).union(dt.select(col("__tok"))).distinct(), dim)
       .localCheckpoint() // feeds both occurrence joins
     val qe = qt.join(vocab, Seq("__tok"))
       .select(col(queryCol), col("__qpos"),
@@ -142,13 +170,10 @@ object LateInteraction {
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .distinct()
       .localCheckpoint()
-    val vocab = pairs.select(col("__tok")).distinct()
-      .withColumn("__dv", TextFunctions.tokenVector(col("__tok"), dim))
-      .withColumn("__dn", sqrt(aggregate(
-        transform(col("__dv"), x => x * x), lit(0.0), (a, v) => a + v)))
-      .filter(col("__dn") > 0)
+    val vocab = embedVocab(pairs.select(col("__tok")).distinct(), dim)
     val rows = pairs.join(vocab, Seq("__tok"))
-      .select(col(passageCol), col("__dv"), col("__dn"))
+      .select(col(passageCol),
+        col("__tv").as("__dv"), col("__tn").as("__dn"))
     BatchStore.append(rows, root, batchId)
     Checkpoints.releasePinned(pairs)
   }
@@ -174,11 +199,7 @@ object LateInteraction {
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .distinct()
       .localCheckpoint() // feeds the vocabulary AND the join back
-    val vocab = Quantize.int8AbsMax(
-        pairs.select(col("__tok")).distinct()
-          .withColumn("__tv", TextFunctions.tokenVector(col("__tok"), dim)),
-        "__tv")
-      .filter(col("scale") > 0)
+    val vocab = embedVocabInt8(pairs.select(col("__tok")).distinct(), dim)
       .select(col("__tok"), graft.plans.Int8Codec.pack(col("q")).as("__qb"))
     val rows = pairs.join(vocab, Seq("__tok"))
       .select(col(passageCol), col("__qb"))
@@ -198,19 +219,8 @@ object LateInteraction {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxQueryTokens >= 1, s"need maxQueryTokens >= 1, got $maxQueryTokens")
     val cb = cands.select(col(queryCol), col(passageCol)).localCheckpoint()
-    val qt = queries.join(cb.select(col(queryCol)).distinct(), Seq(queryCol))
-      .select(col(queryCol), posexplode(
-        slice(TextFunctions.tokens(col(textCol)), 1, maxQueryTokens)))
-      .select(col(queryCol), col("pos").as("__qpos"), col("col").as("__tok"))
-      .localCheckpoint() // feeds the vocabulary AND the embedding join
-    val vocab = Quantize.int8AbsMax(
-        qt.select(col("__tok")).distinct()
-          .withColumn("__tv", TextFunctions.tokenVector(col("__tok"), dim)),
-        "__tv")
-      .filter(col("scale") > 0)
-      .withColumn("__qv", transform(col("q"), x => x.cast("double")))
-      .withColumn("__qn", sqrt(aggregate(
-        transform(col("__qv"), x => x * x), lit(0.0), (a, v) => a + v)))
+    val qt = queryPositions(queries, cb, queryCol, textCol, maxQueryTokens)
+    val vocab = embedVocabInt8(qt.select(col("__tok")).distinct(), dim)
       .select(col("__tok"), col("__qv"), col("__qn"))
     val qe = qt.join(vocab, Seq("__tok"))
       .select(col(queryCol), col("__qpos"), col("__qv"), col("__qn"))
@@ -279,20 +289,11 @@ object LateInteraction {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxQueryTokens >= 1, s"need maxQueryTokens >= 1, got $maxQueryTokens")
     val cb = cands.select(col(queryCol), col(passageCol)).localCheckpoint()
-    // pinned: feeds the query-side vocabulary AND the embedding join
-    val qt = queries.join(cb.select(col(queryCol)).distinct(), Seq(queryCol))
-      .select(col(queryCol), posexplode(
-        slice(TextFunctions.tokens(col(textCol)), 1, maxQueryTokens)))
-      .select(col(queryCol), col("pos").as("__qpos"), col("col").as("__tok"))
-      .localCheckpoint()
+    val qt = queryPositions(queries, cb, queryCol, textCol, maxQueryTokens)
     // query-side vocabulary embedded at serve time (queries are
     // ephemeral); vectors are per-token deterministic, so the split
     // vocabulary build scores identically to q197's joint one
-    val vocab = qt.select(col("__tok")).distinct()
-      .withColumn("__tv", TextFunctions.tokenVector(col("__tok"), dim))
-      .withColumn("__tn", sqrt(aggregate(
-        transform(col("__tv"), x => x * x), lit(0.0), (a, v) => a + v)))
-      .filter(col("__tn") > 0)
+    val vocab = embedVocab(qt.select(col("__tok")).distinct(), dim)
     val qe = qt.join(vocab, Seq("__tok"))
       .select(col(queryCol), col("__qpos"),
         col("__tv").as("__qv"), col("__tn").as("__qn"))
