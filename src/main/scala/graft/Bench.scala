@@ -150,7 +150,9 @@ object Bench {
     "q203_incremental_rollup_rewrite",
     // q204 builds the int8-packed token index then serves MaxSim
     // from unpacked codes — corpus-write-scaled like q198
-    "q204_token_index_int8")
+    "q204_token_index_int8",
+    // q205 is q196 through the SQL front door — same shape
+    "q205_rollup_rewrite_sql")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -258,6 +258,56 @@ object SqlQueries {
       |FROM documents WHERE lang <> 'zh'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q205 — THE ROLLUP REWRITE THROUGH THE SQL FRONT DOOR: the same
+  // view-matching rule serving a `spark.sql` TEXT query over a temp
+  // view of the base table — the house DSL/SQL twin discipline
+  // applied to the optimizer feature. The analyzer's
+  // EliminateSubqueryAliases runs before the operator-optimization
+  // batch, so by the time the injected rule sees the plan the view
+  // alias is gone and the Aggregate sits directly on the scan — the
+  // rewrite fires identically for SQL-text users (Thrift/Connect
+  // sessions included, the GraftExtensions argument). Same in-plan
+  // rewrite-fired require; oracle = the query text itself.
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val basePath = s"$dir/documents.parquet"
+    val summary = java.nio.file.Files
+      .createTempDirectory("graft_q205_rollup").toString
+    try {
+      graft.plans.SummaryRewrite.buildAndRegister(s, basePath,
+        keys = Seq("lang", "source"), measures = Seq("n_chars"), summary)
+      s.read.parquet(basePath).createOrReplaceTempView("q205_docs")
+      val out = s.sql(
+        """SELECT lang, source, COUNT(*) AS n_docs,
+          |  SUM(n_chars) AS sum_chars, MIN(n_chars) AS min_chars
+          |FROM q205_docs WHERE source IN ('src1', 'src3', 'src5')
+          |GROUP BY lang, source
+          |ORDER BY lang, source""".stripMargin)
+      val scans = out.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains(
+          new java.io.File(summary).getName)),
+        s"SQL-front-door rewrite did not fire: scans=$scans")
+      out.localCheckpoint()
+    } finally {
+      graft.plans.SummaryRewrite.deregister(basePath)
+      val p = new org.apache.hadoop.fs.Path(summary)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+  private val q205Sql =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(n_chars) AS min_chars
+      |FROM documents WHERE source IN ('src1', 'src3', 'src5')
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q46_sql_surface", q46, Some(q46Sql)),
     QueryDef("q77_sql_native_fns", q77, Some(q77Sql)),
@@ -265,5 +315,6 @@ object SqlQueries {
     QueryDef("q103_correlated_subqueries", q103, Some(q103Sql)),
     QueryDef("q196_rollup_rewrite", q196, Some(q196Sql)),
     QueryDef("q203_incremental_rollup_rewrite", q203, Some(q203Sql)),
+    QueryDef("q205_rollup_rewrite_sql", q205, Some(q205Sql)),
   )
 }
