@@ -152,7 +152,10 @@ object Bench {
     // from unpacked codes — corpus-write-scaled like q198
     "q204_token_index_int8",
     // q205 is q196 through the SQL front door — same shape
-    "q205_rollup_rewrite_sql")
+    "q205_rollup_rewrite_sql",
+    // q206 builds the two-run SCD2 dim then joins every order to its
+    // valid-at-date version — fact-dim equi-join, sf-scaled
+    "q206_scd2_point_in_time")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -206,4 +206,30 @@ object ScdType2 {
         releasing(ckExisting.toSeq :+ joined)(rekey(assembled))
     }
   }
+
+  /** POINT-IN-TIME dimension lookup — the query an SCD2 dimension
+    * exists FOR: join each fact to the version that was valid at the
+    * fact's own date (`effective_date ≤ fact date ≤ expiry_date`,
+    * open-ended current versions match everything after their
+    * effective date). `facts` must carry the dimension's natural key
+    * under `idCol` and a date column `dateCol`.
+    *
+    * Matches are unique by construction: [[ScdType2.apply]]'s
+    * validity windows PARTITION time per key (each expiry is the next
+    * version's effective minus one day), so an inner join returns
+    * each fact at most once — facts dated before the key's first
+    * version (or with unknown keys) drop out, the warehouse
+    * convention for early/orphan facts.
+    *
+    * Scale shape: an EQUI-join keyed on the natural key with the
+    * validity window as a residual filter — never a range join over
+    * the cross product. Versions per key are small (one per change),
+    * so the per-key fan-out before the residual is bounded; AQE
+    * broadcasts the dimension when it fits, else both sides shuffle
+    * on the key like any fact-dim join. */
+  def pointInTimeLookup(facts: DataFrame, dim: DataFrame, idCol: String,
+      dateCol: String): DataFrame =
+    facts.join(dim, Seq(idCol))
+      .filter(col(dateCol) >= col("effective_date") &&
+        (col("expiry_date").isNull || col(dateCol) <= col("expiry_date")))
 }

@@ -84,7 +84,10 @@ object LifecycleQueries {
         scdTracked, "customer_sk", LocalDate.parse("2024-07-01"))
       .orderBy(col("customer_sk"))
   }
-  private val q20Sql =
+  /** The q20 two-run SCD2 dimension as a DuckDB CTE chain ending at
+    * `assembled` — shared by q20 (rekey + full dump) and q206 (the
+    * point-in-time fact lookup). */
+  private val scd2AssembledCte =
     """WITH snap AS (
       |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
       |first_run AS (
@@ -124,8 +127,51 @@ object LifecycleQueries {
       |  UNION ALL
       |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal, CAST(1 AS BIGINT),
       |         DATE '2024-07-01', CAST(NULL AS DATE), TRUE
-      |  FROM new_snap WHERE c_custkey NOT IN (SELECT c_custkey FROM first_run))
-      |SELECT row_number() OVER (ORDER BY c_custkey, version) - 1 AS customer_sk,
+      |  FROM new_snap WHERE c_custkey NOT IN (SELECT c_custkey FROM first_run))""".stripMargin
+  // ---------------------------------------------------------------
+  // q206 — POINT-IN-TIME SCD2 LOOKUP ([[graft.operators.ScdType2
+  // .pointInTimeLookup]]): the query the versioned dimension exists
+  // FOR — each fact joined to the customer VERSION valid at the
+  // fact's own date, not the current one. Facts are orders with a
+  // deterministic probe date spanning both runs
+  // (2024-06-01 + o_orderkey % 60 days, so ~half the facts land in
+  // each validity regime); the v2 '-V2' segments accrue revenue ONLY
+  // from facts dated after the 2024-07-01 change, which is exactly
+  // what the (version, segment) totals pin. Equi-join on the natural
+  // key + the validity-window residual — never a range join over a
+  // product; validity windows partition time per key, so every fact
+  // matches at most one version. Oracle: the q20 assembled-dimension
+  // CTE (shared) joined to the same probe-dated facts.
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val existing = ScdType2(snapshot(s, dir), None, "c_custkey", scdAttrs,
+      scdTracked, "customer_sk", LocalDate.parse("2024-06-01"))
+    val dim = ScdType2(mutatedSnapshot(s, dir), Some(existing), "c_custkey",
+      scdAttrs, scdTracked, "customer_sk", LocalDate.parse("2024-07-01"))
+    val facts = Tables.orders(s, dir).select(
+      col("o_custkey").as("c_custkey"),
+      col("o_totalprice"),
+      date_add(to_date(lit("2024-06-01")),
+        (col("o_orderkey") % 60).cast("int")).as("fdate"))
+    ScdType2.pointInTimeLookup(facts, dim, "c_custkey", "fdate")
+      .groupBy(col("version"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_facts"),
+        sum(col("o_totalprice").cast("decimal(28,9)")).cast("double")
+          .as("revenue"))
+      .orderBy(col("version"), col("c_mktsegment"))
+  }
+  private val q206Sql = scd2AssembledCte + ",\n" +
+    """f AS (SELECT o_custkey AS c_custkey, o_totalprice,
+      |    DATE '2024-06-01' + CAST(o_orderkey % 60 AS INTEGER) AS fdate
+      |  FROM orders)
+      |SELECT d.version, d.c_mktsegment, COUNT(*) AS n_facts,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,9))) AS DOUBLE) AS revenue
+      |FROM f JOIN assembled d ON f.c_custkey = d.c_custkey
+      |WHERE f.fdate >= d.effective_date
+      |  AND (d.expiry_date IS NULL OR f.fdate <= d.expiry_date)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val q20Sql = scd2AssembledCte + "\n" +
+    """SELECT row_number() OVER (ORDER BY c_custkey, version) - 1 AS customer_sk,
       |       c_custkey, c_name, c_mktsegment, c_acctbal, version,
       |       effective_date, expiry_date, is_current
       |FROM assembled ORDER BY 1""".stripMargin
@@ -245,6 +291,7 @@ object LifecycleQueries {
     QueryDef("q79_snapshot_diff", q79, Some(q79Sql)),
     QueryDef("q86_apply_changes", q86, Some(q86Sql)),
     QueryDef("q18_surrogate_keys", q18, Some(q18Sql)),
+    QueryDef("q206_scd2_point_in_time", q206, Some(q206Sql)),
     QueryDef("q19_scd2_first_run", q19, Some(q19Sql)),
     QueryDef("q20_scd2_incremental", q20, Some(q20Sql)),
     QueryDef("q109_scd2_changed_only", q109, Some(q20Sql)),

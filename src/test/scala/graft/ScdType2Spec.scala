@@ -3,6 +3,7 @@ package graft
 import java.time.LocalDate
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, to_date}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.ScdType2
@@ -130,5 +131,32 @@ class ScdType2Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, true))
     // exactly one current row per id — the core SCD2 invariant
     assert(rows.count(_.getAs[Boolean]("is_current")) == 1)
+  }
+
+  test("pointInTimeLookup: each fact sees the version valid at ITS date, at most once") {
+    import spark.implicits._
+    val first = ScdType2(snap(("a", "Ann", "2 Oak"), ("b", "Bob", "3 Elm")),
+      None, "id", attrs, tracked, "sk", d1)
+    val dim = ScdType2(snap(("a", "Ann", "9 New"), ("b", "Bob", "3 Elm")),
+      Some(first), "id", attrs, tracked, "sk", d2)
+    val facts = Seq(
+      ("a", "2024-05-15", 1L), // before any version: drops
+      ("a", "2024-06-01", 2L), // v1 effective boundary
+      ("a", "2024-06-30", 3L), // v1 expiry boundary
+      ("a", "2024-07-01", 4L), // v2 effective boundary
+      ("a", "2024-12-25", 5L), // open-ended current
+      ("b", "2024-07-15", 6L), // unchanged id: v1 still current
+      ("z", "2024-07-15", 7L)) // unknown key: drops
+      .toDF("id", "d", "fact_id")
+      .select(col("id"), to_date(col("d")).as("fdate"), col("fact_id"))
+    val got = ScdType2.pointInTimeLookup(facts, dim, "id", "fdate")
+      .select(col("fact_id"), col("address"), col("version"))
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (2L, "2 Oak", 1L), (3L, "2 Oak", 1L),
+      (4L, "9 New", 2L), (5L, "9 New", 2L),
+      (6L, "3 Elm", 1L)), s"got $got")
+    // uniqueness: no fact matched twice
+    assert(got.map(_._1).distinct.size == got.size)
   }
 }
