@@ -155,7 +155,11 @@ object Bench {
     "q205_rollup_rewrite_sql",
     // q206 builds the two-run SCD2 dim then joins every order to its
     // valid-at-date version — fact-dim equi-join, sf-scaled
-    "q206_scd2_point_in_time")
+    "q206_scd2_point_in_time",
+    // q207 trains the tokenizer once into the durable model store and
+    // segments the unseen half from the served merges — q178's shape
+    // plus the artifact round-trip
+    "q207_bpe_from_model_store")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -329,7 +329,51 @@ object VocabQueries {
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q207 — THE TOKENIZER AS A DURABLE MODEL ARTIFACT ([[graft
+  // .operators.ModelStore.cachedAt]] serving [[Tokenizer.bpeTrain]]):
+  // the train-once-serve-many discipline the PQ codebooks get
+  // (q146/q148), applied to THE canonical persisted artifact of an
+  // LLM pipeline — the trained tokenizer. Merges train once and
+  // commit to an explicit durable root (stage-then-rename, a reader
+  // never sees a half-written vocabulary); the SECOND call serves
+  // from the committed parquet with no retraining — asserted
+  // in-query via the ModelStore train counter, so a cache regression
+  // that silently retrains per call fails the gate, not just a
+  // dashboard. Segmentation of the unseen half runs from the SERVED
+  // merges; training is deterministic and the artifact round-trips
+  // strings exactly, so the oracle is q178's chain verbatim.
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q207_tok").toString
+    try {
+      def merges = graft.operators.ModelStore.cachedAt(s, root,
+          s"q207_bpe:$dir") {
+        Tokenizer.bpeTrain(docs.filter(col("doc_id") % 2 === 0),
+          "text", nMerges = BpeMerges)
+      }
+      val before = graft.operators.ModelStore.trainedCount
+      merges.count() // first call: train + commit
+      val served = merges // second call: MUST read the committed artifact
+      val trained = served.orderBy(col("merge_rank"))
+        .collect().toSeq.map(r => (r.getString(1), r.getString(2)))
+      require(graft.operators.ModelStore.trainedCount == before + 1,
+        "tokenizer must train exactly once; the second call must serve " +
+          "from the durable store")
+      Tokenizer.bpeApplyStats(docs.filter(col("doc_id") % 2 === 1), "text",
+          Seq("lang"), trained)
+        .orderBy(col("lang"))
+        .localCheckpoint()
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+  private val q207Sql = q178Sql
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q207_bpe_from_model_store", q207, Some(q207Sql)),
     QueryDef("q72_bpe_pairs", q72, Some(q72Sql)),
     QueryDef("q73_vocab_coverage", q73, Some(q73Sql)),
     QueryDef("q74_cooccurrence", q74, Some(q74Sql)),
