@@ -159,7 +159,11 @@ object Bench {
     // q207 trains the tokenizer once into the durable model store and
     // segments the unseen half from the served merges — q178's shape
     // plus the artifact round-trip
-    "q207_bpe_from_model_store")
+    "q207_bpe_from_model_store",
+    // round-14 tail (sf-scaled, none in totalExcludes): q208 is q203
+    // with the second slice appended post-registration (the freshness
+    // refresh) — same two-append + rewritten-serve shape
+    "q208_rollup_fresh_append")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -102,8 +102,16 @@ object BatchStore {
     val ids = batches.map(_.getPath.getName.stripPrefix("batch=").toLong)
     require(newBatchId > ids.max,
       s"newBatchId=$newBatchId must exceed every existing batch id (max ${ids.max})")
+    // one read PER batch dir, unioned by name: a multi-path read of
+    // `batch=N` roots that carry partition SUBDIRS (the IVF-PQ list
+    // dirs, the token index's __pb buckets) trips Spark's partition
+    // inference (CONFLICTING_DIRECTORY_STRUCTURES — the root names
+    // themselves look partition-like); per-root reads infer each
+    // batch's subdir columns independently and union cleanly, and are
+    // byte-identical to the multi-path read for flat batches
     val merged = transform(
-      spark.read.parquet(batches.map(_.getPath.toString): _*))
+      batches.map(st => spark.read.parquet(st.getPath.toString))
+        .reduce(_.unionByName(_)))
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".staging-$newBatchId-${java.util.UUID.randomUUID().toString.take(8)}")
     val w = merged.write.mode("error")

@@ -120,8 +120,12 @@ object DataSelection {
     val rc = feats.groupBy(col("bucket"))
       .agg(count(lit(1)).as("r_cnt")).localCheckpoint()
     val tc = targetCounts.localCheckpoint()
-    val nrF = rc.agg(sum(col("r_cnt")).as("nr"))
-    val ntF = tc.agg(sum(col("t_cnt")).as("nt"))
+    // empty (or fully-erased, all-net-zero) distributions sum to NULL
+    // — coalesce to 0: add-one smoothing still defines every ratio
+    // (an empty target scores all candidates by uniform weights)
+    // instead of silently returning NULL scores for every row
+    val nrF = rc.agg(coalesce(sum(col("r_cnt")), lit(0L)).as("nr"))
+    val ntF = tc.agg(coalesce(sum(col("t_cnt")), lit(0L)).as("nt"))
     // every candidate bucket is in rc by construction, so the weight
     // domain is rc's; buckets the target never hit smooth to t_b = 0
     val weights = rc.join(tc, Seq("bucket"), "left")

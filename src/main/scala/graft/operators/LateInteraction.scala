@@ -148,6 +148,90 @@ object LateInteraction {
 
   // -------------------------------------------- persisted token index
 
+  /** Default passage-bucket count for the partitioned store layout —
+    * small enough that a gate-scale batch isn't shredded into empty
+    * dirs, large enough that the pruning is visible; a 100 TB index
+    * would use 1024+ (buckets are fixed at first append, recorded in
+    * the store's `_buckets` meta file). */
+  val DefaultBuckets: Int = 16
+
+  private def bucketsMetaFile(root: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(root, "_buckets")
+
+  /** The store's passage-bucket expression: a deterministic hash of
+    * the passage id into `[0, buckets)` — the write side partitions
+    * dirs by it, the serve side recomputes it on the CANDIDATE ids
+    * to know which dirs to open. Never oracle-visible (it moves
+    * bytes, not values). */
+  private def passageBucket(passageCol: String, buckets: Int) =
+    pmod(xxhash64(col(passageCol)), lit(buckets.toLong))
+
+  /** Record (or verify) the store's bucket count — written once at
+    * first append (leading underscore keeps it invisible to the
+    * parquet reader); later appends must match: a store mixing two
+    * bucketings would silently serve partial results. */
+  private def ensureBucketsMeta(spark: org.apache.spark.sql.SparkSession,
+      root: String, buckets: Int): Unit = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val p = bucketsMetaFile(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    readBucketsMeta(spark, root) match {
+      case Some(n) => require(n == buckets,
+        s"token index at $root is bucketed into $n dirs; append used $buckets")
+      case None =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+        val out = fs.create(p, false) // racing second writer fails fast
+        try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The store's recorded bucket count; `None` for a pre-bucketing
+    * (flat) store, which serves by full scan — the legacy fallback. */
+  private[operators] def readBucketsMeta(
+      spark: org.apache.spark.sql.SparkSession, root: String): Option[Int] = {
+    val p = bucketsMetaFile(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** The candidate-pruned store read — the serve-side half of the
+    * bucket layout: collect the DISTINCT buckets the candidate ids
+    * hash to (≤ the store's bucket count rows, driver-safe at any
+    * candidate volume) and turn them into a PARTITION filter on the
+    * `__pb` dirs, so the scan opens only the candidates' buckets —
+    * serve input bytes scale with candidates, not store size (the
+    * [[Similarity.ivfPqTopKFromStore]] probed-list discipline). The
+    * predicate hits the partition column at its DISCOVERED type
+    * (small dir values infer as int — a long literal would wrap the
+    * column in a cast and forfeit directory pruning). Flat legacy
+    * stores (no meta file) fall back to the full scan. */
+  private[graft] def prunedStoreRead(spark: org.apache.spark.sql.SparkSession,
+      root: String, candIds: DataFrame, passageCol: String): DataFrame = {
+    val st = BatchStore.read(spark, root)
+    readBucketsMeta(spark, root) match {
+      case Some(n) =>
+        val bks = candIds.select(passageBucket(passageCol, n).as("__pb"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        if (bks.isEmpty) st.filter(lit(false)).drop("__pb")
+        else {
+          val lits: Seq[Any] = st.schema("__pb").dataType match {
+            case org.apache.spark.sql.types.IntegerType => bks.toSeq.map(_.toInt)
+            case _ => bks.toSeq
+          }
+          st.filter(col("__pb").isin(lits: _*)).drop("__pb")
+        }
+      case None => st
+    }
+  }
+
   /** Append one passage slice's TOKEN VECTORS to the persisted
     * late-interaction index at `root` — the ColBERT index as a
     * [[BatchStore]]: one row per (passage, distinct token), columns
@@ -157,14 +241,24 @@ object LateInteraction {
     * the write so the serve never re-tokenizes the corpus) and
     * zero-norm tokens are dropped (never scorable). Each passage
     * must live entirely in one batch (slices partition by passage,
-    * the [[InvertedIndex.writePostingStore]] contract). */
+    * the [[InvertedIndex.writePostingStore]] contract).
+    *
+    * Layout: rows are hash-bucketed by passage id into `buckets`
+    * partition dirs per batch (`batch=<id>/__pb=<b>/…`), so serving
+    * opens only the candidate ids' buckets ([[prunedStoreRead]]) —
+    * the token index is one row per passage×distinct-token, the
+    * LARGEST store in the library, and an unpruned serve scan would
+    * pay O(store) per query at 100 TB. The bucket count is fixed at
+    * first append (`_buckets` meta file). */
   def writeTokenIndex(passages: DataFrame, passageCol: String,
-      textCol: String, dim: Int, root: String, batchId: Long): Unit = {
+      textCol: String, dim: Int, root: String, batchId: Long,
+      buckets: Int = DefaultBuckets): Unit = {
     // pinned: the (passage, token) pairs feed the vocabulary AND the
     // join back — and the slice's DISTINCT tokens embed exactly once
     // (vocabulary-sized md5 work, not corpus-token-sized: the same
     // token appearing in ten thousand passages hashes its grams once,
     // the maxSimRerank discipline applied to the write path)
+    ensureBucketsMeta(passages.sparkSession, root, buckets)
     val pairs = passages
       .select(col(passageCol),
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
@@ -174,7 +268,8 @@ object LateInteraction {
     val rows = pairs.join(vocab, Seq("__tok"))
       .select(col(passageCol),
         col("__tv").as("__dv"), col("__tn").as("__dn"))
-    BatchStore.append(rows, root, batchId)
+      .withColumn("__pb", passageBucket(passageCol, buckets))
+    BatchStore.append(rows, root, batchId, partitionBy = Seq("__pb"))
     Checkpoints.releasePinned(pairs)
   }
 
@@ -193,7 +288,9 @@ object LateInteraction {
     * vectors are dropped at write time; any non-zero vector keeps a
     * ±127 component, so norms never vanish after quantization. */
   def writeTokenIndexInt8(passages: DataFrame, passageCol: String,
-      textCol: String, dim: Int, root: String, batchId: Long): Unit = {
+      textCol: String, dim: Int, root: String, batchId: Long,
+      buckets: Int = DefaultBuckets): Unit = {
+    ensureBucketsMeta(passages.sparkSession, root, buckets)
     val pairs = passages
       .select(col(passageCol),
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
@@ -203,7 +300,8 @@ object LateInteraction {
       .select(col("__tok"), graft.plans.Int8Codec.pack(col("q")).as("__qb"))
     val rows = pairs.join(vocab, Seq("__tok"))
       .select(col(passageCol), col("__qb"))
-    BatchStore.append(rows, root, batchId)
+      .withColumn("__pb", passageBucket(passageCol, buckets))
+    BatchStore.append(rows, root, batchId, partitionBy = Seq("__pb"))
     Checkpoints.releasePinned(pairs)
   }
 
@@ -224,9 +322,11 @@ object LateInteraction {
       .select(col("__tok"), col("__qv"), col("__qn"))
     val qe = qt.join(vocab, Seq("__tok"))
       .select(col(queryCol), col("__qpos"), col("__qv"), col("__qn"))
+    // pinned: feeds the bucket collect AND the candidate join
+    val candIds = cb.select(col(passageCol)).distinct().localCheckpoint()
     val de = Tombstones.apply(spark, root,
-        BatchStore.read(spark, root)
-          .join(cb.select(col(passageCol)).distinct(), Seq(passageCol)),
+        prunedStoreRead(spark, root, candIds, passageCol)
+          .join(candIds, Seq(passageCol)),
         passageCol)
       .withColumn("__dv", transform(
         graft.plans.Int8Codec.unpack(col("__qb")), x => x.cast("double")))
@@ -234,7 +334,7 @@ object LateInteraction {
         transform(col("__dv"), x => x * x), lit(0.0), (a, v) => a + v)))
       .select(col(passageCol), col("__dv"), col("__dn"))
     val out = scoreTail(cb, qe, de, queryCol, passageCol, k)
-    Seq(cb, qt).foreach(Checkpoints.releasePinned)
+    Seq(cb, qt, candIds).foreach(Checkpoints.releasePinned)
     out
   }
 
@@ -250,13 +350,14 @@ object LateInteraction {
     * epoch chunking — the store is a union of per-passage rows
     * (q200 pins the streamed store against the batch build). */
   def tokenIndexSink(passageCol: String, textCol: String, dim: Int,
-      root: String, baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+      root: String, baseBatchId: Long = 1L,
+      buckets: Int = DefaultBuckets): (DataFrame, Long) => Unit =
     (batch, epochId) => {
       val id = baseBatchId + epochId
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
       if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"batch=$id")))
-        writeTokenIndex(batch, passageCol, textCol, dim, root, id)
+        writeTokenIndex(batch, passageCol, textCol, dim, root, id, buckets)
     }
 
   /** ERASE passages from the token index — the shared tombstone
@@ -268,20 +369,27 @@ object LateInteraction {
     Tombstones.append(ids, passageCol, root, batchId)
 
   /** Physically drop tombstoned passages and retire applied
-    * tombstones ([[Tombstones.purge]]). Serving before and after is
+    * tombstones ([[Tombstones.purge]]) — re-partitioned by `__pb`
+    * on a bucketed store, so the compacted batch keeps the directory
+    * layout pruned serving depends on (the [[Similarity
+    * .purgeIvfPqIndex]] rule). Serving before and after is
     * value-identical (q199 pins it in-plan). */
   def purgeTokenIndex(spark: org.apache.spark.sql.SparkSession,
       root: String, passageCol: String, newBatchId: Long): Int =
-    Tombstones.purge(spark, root, passageCol, newBatchId)
+    Tombstones.purge(spark, root, passageCol, newBatchId,
+      partitionBy =
+        if (readBucketsMeta(spark, root).isDefined) Seq("__pb") else Seq.empty)
 
   /** [[maxSimRerank]] served from the persisted token index — the
     * production serving shape: the passage side reads PRECOMPUTED
-    * vectors (candidate-filtered FIRST, so the scan is
-    * candidate-sized; tombstones masked AFTER the filter, the
-    * [[Tombstones.apply]] discipline), only the ephemeral queries
-    * embed at serve time. Value-identical to the in-memory path over
-    * the same passages (oracle-gated, q198); erased passages drop
-    * out of the ranking and the survivors re-rank (q199). */
+    * vectors from only the candidate ids' bucket dirs
+    * ([[prunedStoreRead]] — input bytes scale with candidates, not
+    * store size), candidate-filtered exactly, tombstones masked
+    * AFTER the filter (the [[Tombstones.apply]] discipline); only
+    * the ephemeral queries embed at serve time. Value-identical to
+    * the in-memory path over the same passages (oracle-gated, q198);
+    * erased passages drop out of the ranking and the survivors
+    * re-rank (q199). */
   def maxSimFromTokenIndex(spark: org.apache.spark.sql.SparkSession,
       root: String, cands: DataFrame, queries: DataFrame,
       queryCol: String, passageCol: String, textCol: String,
@@ -297,12 +405,14 @@ object LateInteraction {
     val qe = qt.join(vocab, Seq("__tok"))
       .select(col(queryCol), col("__qpos"),
         col("__tv").as("__qv"), col("__tn").as("__qn"))
+    // pinned: feeds the bucket collect AND the candidate join
+    val candIds = cb.select(col(passageCol)).distinct().localCheckpoint()
     val de = Tombstones.apply(spark, root,
-      BatchStore.read(spark, root)
-        .join(cb.select(col(passageCol)).distinct(), Seq(passageCol)),
+      prunedStoreRead(spark, root, candIds, passageCol)
+        .join(candIds, Seq(passageCol)),
       passageCol)
     val out = scoreTail(cb, qe, de, queryCol, passageCol, k)
-    Seq(cb, qt).foreach(Checkpoints.releasePinned)
+    Seq(cb, qt, candIds).foreach(Checkpoints.releasePinned)
     out
   }
 }

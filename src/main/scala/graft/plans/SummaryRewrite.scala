@@ -3,7 +3,7 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -41,21 +41,35 @@ import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
   * Larson's view-matching work, scoped to the rollups this library
   * itself maintains.
   *
-  * Freshness is the registrant's contract: register after the rollup
-  * commit, [[SummaryRewrite.deregister]] before dropping it. Disable
-  * per-session with `spark.graft.summaryRewrite=false`.
+  * Freshness: rollup maintenance THROUGH THIS API keeps registrations
+  * fresh automatically — [[SummaryRewrite.appendRollupSlice]]
+  * re-resolves every registration serving its summary root after the
+  * batch commits, so the next rewritten query sees the new partial
+  * (oracle-gated, q208). Only a rollup mutated BEHIND the API (a
+  * foreign writer appending files to the summary path) needs the
+  * manual contract: re-[[SummaryRewrite.register]] after the foreign
+  * commit, [[SummaryRewrite.deregister]] before dropping the rollup.
+  * Disable per-session with `spark.graft.summaryRewrite=false`.
   */
 object SummaryRewrite {
 
   /** A registered rollup: its resolved parquet relation (cached at
-    * registration — file listing happens once, not per query; fresh
-    * attribute ids are minted per rewrite via `newInstance`), the
-    * grouping keys it was built at, and the measures it carries. */
-  final case class SummaryDef(relation: LogicalRelation, keys: Seq[String],
-      measures: Seq[String])
+    * registration — file listing happens once, not per query, and is
+    * refreshed by [[appendRollupSlice]]; fresh attribute ids are
+    * minted per rewrite via `newInstance`), the normalized summary
+    * location it was resolved from (the refresh key), the grouping
+    * keys it was built at, and the measures it carries. */
+  final case class SummaryDef(relation: LogicalRelation, summaryPath: String,
+      keys: Seq[String], measures: Seq[String])
 
   // several rollups may serve one base (e.g. daily fine + monthly
-  // coarse); the rule picks the smallest CAPABLE one per query
+  // coarse); the rule picks the smallest CAPABLE one per query.
+  // SCOPE: the registry is JVM-GLOBAL, like [[graft.operators
+  // .ModelStore]]'s session cache — two SparkSessions in one JVM see
+  // each other's registrations (the kill-switch conf is per-session,
+  // the registry is not). Multi-tenant JVMs sharing a base path but
+  // not its rollups must key tenants by distinct (fully-qualified)
+  // base locations or disable the rule per session.
   private val registry = new ConcurrentHashMap[String, List[SummaryDef]]()
 
   private[plans] def cntCol: String = "__cnt"
@@ -63,11 +77,20 @@ object SummaryRewrite {
   private[plans] def minCol(m: String): String = s"__min_$m"
   private[plans] def maxCol(m: String): String = s"__max_$m"
 
-  /** Scheme-free normalized path — `file:/x/y/` and `/x/y` register
-    * and look up identically. */
+  /** Normalized registry key: local-default schemes collapse
+    * (`file:/x/y/`, `/x/y` register and look up identically), but a
+    * REMOTE scheme+authority is KEPT — `s3a://bucketA/data` and
+    * `s3a://bucketB/data` (or a local `/data`) must not collide on
+    * one key, or a rollup registered for one base could silently
+    * serve aggregates for a different table at the same path on
+    * another filesystem. */
   private def normalize(p: String): String = {
-    val path = new org.apache.hadoop.fs.Path(p).toUri.getPath
-    if (path.length > 1 && path.endsWith("/")) path.dropRight(1) else path
+    val uri = new org.apache.hadoop.fs.Path(p).toUri
+    val raw = uri.getPath
+    val path = if (raw.length > 1 && raw.endsWith("/")) raw.dropRight(1) else raw
+    val scheme = uri.getScheme
+    if (scheme == null || scheme == "file") path
+    else s"$scheme://${Option(uri.getAuthority).getOrElse("")}$path"
   }
 
   private def rollupAggs(measures: Seq[String]) =
@@ -107,7 +130,34 @@ object SummaryRewrite {
     graft.operators.BatchStore.append(
       slice.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*),
       summaryRoot, batchId)
+    // freshness: a registration caches its resolved file listing, so
+    // an append AFTER registration would be silently invisible to
+    // every rewritten query (a stale WRONG ANSWER with no red signal)
+    // — re-resolve every registration serving this root now that the
+    // batch is committed (q208 gates it; SummaryRewriteSpec pins it)
+    refreshRegistrations(slice.sparkSession, summaryRoot)
   }
+
+  /** Re-resolve (fresh file listing) every registered rollup whose
+    * summary location is `summaryPath` — the maintenance half of the
+    * freshness story. Idempotent; a no-op when nothing is registered
+    * for the location. */
+  def refreshRegistrations(spark: SparkSession, summaryPath: String): Unit = {
+    val np = normalize(summaryPath)
+    registry.replaceAll((_, defs) => defs.map { d =>
+      if (d.summaryPath == np)
+        d.copy(relation = resolveRelation(spark, summaryPath))
+      else d
+    })
+  }
+
+  private def resolveRelation(spark: SparkSession,
+      summaryPath: String): LogicalRelation =
+    spark.read.parquet(summaryPath).queryExecution.analyzed match {
+      case l: LogicalRelation => l
+      case other => throw new IllegalStateException(
+        s"summary read did not resolve to a relation: ${other.getClass}")
+    }
 
   /** Register an existing rollup (built by [[buildAndRegister]] or
     * maintained incrementally) for `basePath` — ADDITIVE: a base may
@@ -115,18 +165,15 @@ object SummaryRewrite {
     * serves each query from the smallest one that can answer it. */
   def register(spark: SparkSession, basePath: String, summaryPath: String,
       keys: Seq[String], measures: Seq[String]): Unit = {
-    val rel = spark.read.parquet(summaryPath).queryExecution.analyzed match {
-      case l: LogicalRelation => l
-      case other => throw new IllegalStateException(
-        s"summary read did not resolve to a relation: ${other.getClass}")
-    }
+    val rel = resolveRelation(spark, summaryPath)
     val names = rel.output.map(_.name).toSet
     val needed = keys ++ (cntCol +: measures.flatMap(m =>
       Seq(sumCol(m), minCol(m), maxCol(m))))
     val missing = needed.filterNot(names)
     require(missing.isEmpty,
       s"summary at $summaryPath lacks columns: ${missing.mkString(", ")}")
-    registry.merge(normalize(basePath), List(SummaryDef(rel, keys, measures)),
+    registry.merge(normalize(basePath),
+      List(SummaryDef(rel, normalize(summaryPath), keys, measures)),
       (old, add) => add ::: old)
   }
 
@@ -161,14 +208,18 @@ case class SummaryRewriteRule() extends Rule[LogicalPlan] {
 
   /** Peel attribute-only Projects and collect Filter predicates down
     * to a single-file-source relation. Any other operator in between
-    * (a join, a generator, a renaming projection) disqualifies. */
+    * (a join, a generator, a renaming projection) disqualifies — as
+    * does a NON-DETERMINISTIC filter (e.g. `rand() < 0.1` over key
+    * columns): moved verbatim onto the rollup it would sample
+    * pre-aggregated GROUP rows instead of base rows — silently
+    * different results. */
   private def strip(p: LogicalPlan): Option[(Seq[Expression], LogicalRelation)] =
     p match {
       case rel: LogicalRelation if rel.relation.isInstanceOf[HadoopFsRelation] =>
         Some((Nil, rel))
       case Project(pl, ch) if pl.forall(_.isInstanceOf[AttributeReference]) =>
         strip(ch)
-      case Filter(cond, ch) =>
+      case Filter(cond, ch) if cond.deterministic =>
         strip(ch).map { case (cs, l) => (cond +: cs, l) }
       case _ => None
     }
@@ -231,6 +282,16 @@ case class SummaryRewriteRule() extends Rule[LogicalPlan] {
   private def rewriteExpr(e: Expression, sd: SummaryDef,
       byName: Map[String, AttributeReference]): Option[Expression] = e match {
     case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+      // type preservation: re-aggregation can WIDEN the result type —
+      // sum(decimal(p,s)) is decimal(p+10,s), so Sum over the
+      // rollup's __sum_m partial yields decimal(p+20,s) while the
+      // preserved ExprId makes parents keep resolving at the old
+      // type (schema/codegen mismatch). Cast back when the types
+      // differ: the VALUE is the same mathematical sum, and an
+      // overflow of the original type nulls/errors identically on
+      // both paths (Sum's own overflow handling vs the Cast's).
+      def typed(e: Expression): Expression =
+        if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
       ae.aggregateFunction match {
         // count(*) / count(1): sum of per-group counts; coalesce keeps
         // the global-aggregate-over-empty-input case at 0, and keeps
@@ -240,17 +301,20 @@ case class SummaryRewriteRule() extends Rule[LogicalPlan] {
             Sum(cnt).toAggregateExpression(), Literal(0L))))
         case s: Sum => s.child match {
           case a: AttributeReference if sd.measures.contains(a.name) =>
-            byName.get(sumCol(a.name)).map(Sum(_).toAggregateExpression())
+            byName.get(sumCol(a.name))
+              .map(p => typed(Sum(p).toAggregateExpression()))
           case _ => None
         }
         case m: Min => m.child match {
           case a: AttributeReference if sd.measures.contains(a.name) =>
-            byName.get(minCol(a.name)).map(Min(_).toAggregateExpression())
+            byName.get(minCol(a.name))
+              .map(p => typed(Min(p).toAggregateExpression()))
           case _ => None
         }
         case m: Max => m.child match {
           case a: AttributeReference if sd.measures.contains(a.name) =>
-            byName.get(maxCol(a.name)).map(Max(_).toAggregateExpression())
+            byName.get(maxCol(a.name))
+              .map(p => typed(Max(p).toAggregateExpression()))
           case _ => None
         }
         case _ => None

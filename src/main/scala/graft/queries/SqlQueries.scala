@@ -259,6 +259,66 @@ object SqlQueries {
       |GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
+  // q208 — ROLLUP FRESHNESS UNDER POST-REGISTRATION MAINTENANCE
+  // ([[graft.plans.SummaryRewrite.appendRollupSlice]]'s refresh):
+  // the round-13 latent hazard closed and gated. A registration
+  // caches its resolved file listing, so a partial appended AFTER
+  // registration used to be silently invisible to every rewritten
+  // query — a stale WRONG ANSWER with no red signal. Now the append
+  // re-resolves the registrations serving its root: this gate
+  // registers after ONE slice, appends the second slice
+  // post-registration, and runs the aggregate — the in-plan require
+  // still pins that the rewrite FIRED (scans only the rollup), and
+  // the oracle is the FULL-table aggregate, so serving the stale
+  // half-corpus rollup fails the hash, not just a spec.
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val basePath = s"$dir/documents.parquet"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q208_rollup").toString
+    try {
+      val base = s.read.parquet(basePath)
+      graft.plans.SummaryRewrite.appendRollupSlice(
+        base.filter(col("doc_id") % 2 === 0),
+        keys = Seq("lang", "source"), measures = Seq("n_chars"), root, 1L)
+      graft.plans.SummaryRewrite.register(s, basePath, root,
+        keys = Seq("lang", "source"), measures = Seq("n_chars"))
+      // maintenance lands AFTER registration — the fresh-serve point
+      graft.plans.SummaryRewrite.appendRollupSlice(
+        base.filter(col("doc_id") % 2 =!= 0),
+        keys = Seq("lang", "source"), measures = Seq("n_chars"), root, 2L)
+      val out = s.read.parquet(basePath)
+        .filter(col("source") =!= "src2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))
+      val scans = out.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      require(scans.nonEmpty && scans.forall(_.contains(
+          new java.io.File(root).getName)),
+        s"fresh-rollup rewrite did not fire: scans=$scans")
+      out.localCheckpoint()
+    } finally {
+      graft.plans.SummaryRewrite.deregister(basePath)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+  private val q208Sql =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MAX(n_chars) AS max_chars
+      |FROM documents WHERE source <> 'src2'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   // q205 — THE ROLLUP REWRITE THROUGH THE SQL FRONT DOOR: the same
   // view-matching rule serving a `spark.sql` TEXT query over a temp
   // view of the base table — the house DSL/SQL twin discipline
@@ -316,5 +376,6 @@ object SqlQueries {
     QueryDef("q196_rollup_rewrite", q196, Some(q196Sql)),
     QueryDef("q203_incremental_rollup_rewrite", q203, Some(q203Sql)),
     QueryDef("q205_rollup_rewrite_sql", q205, Some(q205Sql)),
+    QueryDef("q208_rollup_fresh_append", q208, Some(q208Sql)),
   )
 }

@@ -128,6 +128,76 @@ class LateInteractionSpec extends AnyFunSuite {
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("token index: serving scans ONLY the candidates' bucket partitions; pruned serve reads fewer store records than a full scan") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ti_prune").toString
+    // 40 passages spread over 4 buckets; 2 batches
+    val passages = (0L until 40L)
+      .map(i => (i, s"tok$i alpha beta gamma")).toDF("neighbor_id", "text")
+    LateInteraction.writeTokenIndex(passages.filter(col("neighbor_id") < 20),
+      "neighbor_id", "text", dim = 8, root, batchId = 1L, buckets = 4)
+    LateInteraction.writeTokenIndex(passages.filter(col("neighbor_id") >= 20),
+      "neighbor_id", "text", dim = 8, root, batchId = 2L, buckets = 4)
+    val queries = Seq((1L, "alpha beta")).toDF("query_id", "text")
+    // two candidate passages → at most 2 distinct buckets
+    val cands = Seq((1L, 3L), (1L, 7L)).toDF("query_id", "neighbor_id")
+    val candBuckets = cands
+      .select(pmod(xxhash64(col("neighbor_id")), lit(4L))).distinct().count()
+    def serve() = LateInteraction.maxSimFromTokenIndex(spark, root,
+      cands, queries, "query_id", "neighbor_id", "text",
+      dim = 8, maxQueryTokens = 16, k = 2)
+    // the pruning pin, on the serve's store-read path pre-checkpoint
+    // (the served frame itself is a checkpoint block scan): the store
+    // scan opens at most (batches × candidate-buckets) partition
+    // dirs, not all 8
+    val candIds = cands.select(col("neighbor_id")).distinct()
+    val pruned0 = LateInteraction.prunedStoreRead(spark, root,
+      candIds, "neighbor_id")
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    }.flatten
+    val scan = scansOf(pruned0.queryExecution.executedPlan)
+      .find(_.metadata.get("Location").exists(_.contains("graft_ti_prune")))
+    assert(scan.isDefined, "expected a parquet scan of the token index store")
+    val parts = scan.get.selectedPartitions.partitionCount
+    assert(parts <= 2 * candBuckets && parts < 8,
+      s"2 candidates in $candBuckets buckets × 2 batches must open " +
+        s"at most ${2 * candBuckets} of 8 partitions, opened $parts")
+    val served = serve()
+    // measured: the pruned serve reads strictly fewer records than
+    // the same serve forced to a full store scan (meta file removed —
+    // the legacy-flat fallback path)
+    val (s1, pruned) = Metrics.capture(spark) { serve() }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_buckets"), false)
+    val (s2, full) = Metrics.capture(spark) { serve() }
+    assert(pruned.inputRecords < full.inputRecords,
+      s"pruned serve must read fewer records: ${pruned.inputRecords} " +
+        s"vs full-scan ${full.inputRecords}")
+    Seq(served, s1, s2).foreach(graft.operators.Checkpoints.releasePinned)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("token index: appends with a mismatched bucket count fail fast") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ti_meta").toString
+    val p = Seq((1L, "a b")).toDF("neighbor_id", "text")
+    LateInteraction.writeTokenIndex(p, "neighbor_id", "text", 8, root,
+      batchId = 1L, buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      LateInteraction.writeTokenIndex(p, "neighbor_id", "text", 8, root,
+        batchId = 2L, buckets = 8)
+    }
+    assert(e.getMessage.contains("bucketed into 4"), e.getMessage)
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("tokenIndexSink: epoch replay is a no-op") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ti_sink").toString

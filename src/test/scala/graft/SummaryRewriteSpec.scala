@@ -189,6 +189,99 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a non-deterministic filter over key columns disqualifies the rewrite") {
+    withFixture { (base, summary) =>
+      // rand() references no non-key column, but moved onto the
+      // rollup it would sample pre-aggregated GROUP rows, not base
+      // rows — the rule must leave the plan on the base scan. (An
+      // out-of-range comparison like rand() < 2.0 is FOLDED AWAY by
+      // the optimizer before the rule runs; the in-range one stays.)
+      val q = spark.read.parquet(base)
+        .filter(rand(7) < 0.5)
+        .groupBy(col("key_a")).agg(sum(col("m_long")).as("s"))
+      assert(!scansOnly(q, summary),
+        s"non-deterministic filter must NOT rewrite: ${scanPaths(q)}")
+    }
+  }
+
+  test("decimal sum: the rewritten aggregate keeps the original result type") {
+    import spark.implicits._
+    val base = tmp("graft_sr_dec_base")
+    val summary = tmp("graft_sr_dec_sum")
+    try {
+      (1L to 50L).map(i => (s"k${i % 3}", BigDecimal(i).setScale(2)))
+        .toDF("key_a", "m_dec")
+        .select(col("key_a"), col("m_dec").cast("decimal(12,2)").as("m_dec"))
+        .write.mode("overwrite").parquet(base)
+      SummaryRewrite.buildAndRegister(spark, base,
+        keys = Seq("key_a"), measures = Seq("m_dec"), summary)
+      val q = spark.read.parquet(base)
+        .groupBy(col("key_a")).agg(sum(col("m_dec")).as("s"))
+      assert(scansOnly(q, summary), s"expected rewrite: ${scanPaths(q)}")
+      // base sum(decimal(12,2)) = decimal(22,2); re-summing the
+      // rollup's decimal(22,2) partial would widen to (32,2) — the
+      // preserved ExprId would then resolve at the WRONG type
+      assert(q.schema("s").dataType ==
+        org.apache.spark.sql.types.DecimalType(22, 2),
+        s"rewritten sum must keep decimal(22,2), got ${q.schema("s").dataType}")
+      val got = q.orderBy(col("key_a")).as[(String, BigDecimal)].collect().toSeq
+      val expect = (1L to 50L).groupBy(i => s"k${i % 3}").toSeq.sortBy(_._1)
+        .map { case (k, is) => (k, BigDecimal(is.sum).setScale(2)) }
+      assert(got == expect, s"\n got    $got\n expect $expect")
+    } finally {
+      SummaryRewrite.deregister(base)
+      Seq(base, summary).foreach(rm)
+    }
+  }
+
+  test("a partial appended AFTER registration is served fresh (appendRollupSlice refreshes)") {
+    import spark.implicits._
+    val base = tmp("graft_sr_fresh_base")
+    val root = tmp("graft_sr_fresh_roll")
+    try {
+      (1L to 60L).map(i => (i, s"k${i % 3}", i * 5))
+        .toDF("id", "key_a", "m")
+        .write.mode("overwrite").parquet(base)
+      val df = spark.read.parquet(base)
+      SummaryRewrite.appendRollupSlice(df.filter(col("id") <= 30),
+        Seq("key_a"), Seq("m"), root, batchId = 1L)
+      SummaryRewrite.register(spark, base, root, Seq("key_a"), Seq("m"))
+      // maintenance AFTER registration — the old listing would miss it
+      SummaryRewrite.appendRollupSlice(df.filter(col("id") > 30),
+        Seq("key_a"), Seq("m"), root, batchId = 2L)
+      val q = spark.read.parquet(base)
+        .groupBy(col("key_a")).agg(sum(col("m")).as("s"))
+        .orderBy(col("key_a"))
+      assert(scansOnly(q, root), s"expected rewrite: ${scanPaths(q)}")
+      val got = q.as[(String, Long)].collect().toSeq
+      val expect = (1L to 60L).groupBy(i => s"k${i % 3}").toSeq.sortBy(_._1)
+        .map { case (k, is) => (k, is.map(_ * 5).sum) }
+      assert(got == expect,
+        s"post-registration append must be visible:\n got $got\n expect $expect")
+    } finally {
+      SummaryRewrite.deregister(base)
+      Seq(base, root).foreach(rm)
+    }
+  }
+
+  test("registry keys keep remote scheme+authority: an s3a registration never serves a local base at the same path") {
+    withFixture { (base, summary) =>
+      SummaryRewrite.deregister(base)
+      // same PATH, different filesystem — must not collide
+      SummaryRewrite.register(spark, s"s3a://bucket-a$base", summary,
+        keys = Seq("key_a", "key_b"), measures = Seq("m_long"))
+      try {
+        val q = spark.read.parquet(base)
+          .groupBy(col("key_a")).agg(sum(col("m_long")).as("s"))
+        assert(!scansOnly(q, summary),
+          s"s3a registration served a local base: ${scanPaths(q)}")
+      } finally SummaryRewrite.deregister(s"s3a://bucket-a$base")
+      // re-register locally so withFixture's deregister stays a no-op
+      SummaryRewrite.register(spark, base, summary,
+        keys = Seq("key_a", "key_b"), measures = Seq("m_long"))
+    }
+  }
+
   test("output ExprIds survive: joins and sorts above the rewritten aggregate keep resolving") {
     withFixture { (base, summary) =>
       import spark.implicits._
