@@ -163,7 +163,18 @@ object Bench {
     // round-14 tail (sf-scaled, none in totalExcludes): q208 is q203
     // with the second slice appended post-registration (the freshness
     // refresh) — same two-append + rewritten-serve shape
-    "q208_rollup_fresh_append")
+    "q208_rollup_fresh_append",
+    // q209 shuffles every corpus line once (the df count) and strips
+    // in-row — both passes sf-scaled
+    "q209_boilerplate_strip",
+    // q210 trains the hashed-feature NB through the full store
+    // lifecycle and classifies the held-out quarter — corpus feature
+    // passes dominate, like q195
+    "q210_quality_classifier_store",
+    // q211 scores every candidate under the stored LM then cuts per
+    // source at the exact quantile — q181's scoring plus q147's
+    // selection, both sf-scaled
+    "q211_lm_quality_filter")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

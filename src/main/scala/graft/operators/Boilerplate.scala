@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextFunctions.hash60
+
+/** Boilerplate removal — the FIRST content stage of a web-scale
+  * curation pipeline (the CCNet / RefinedWeb recipe: Wenzek et al.
+  * 2020; Penedo et al. 2023): before any document-level dedup or
+  * quality scoring, strip the LINES that repeat across many documents
+  * of the same domain — navigation bars, cookie banners, headers,
+  * footers, share buttons — which are per-DOMAIN artifacts invisible
+  * to whole-document dedup (every page differs) and poisonous to
+  * n-gram statistics (the LM learns the cookie banner).
+  *
+  * Rule: a line is boilerplate in a domain when it appears in at
+  * least `minDf` DISTINCT documents of that domain. Detection is
+  * ONE corpus-line shuffle keyed (domain, line-hash) — the 60-bit
+  * md5 kernel ([[TextFunctions.hash60]]) keeps the shuffle rows
+  * fixed-width and the oracle replayable. The strip side never
+  * re-shuffles documents: the per-domain boilerplate line-hash SETS
+  * (small by construction — only lines crossing the threshold) join
+  * back on the domain key and each document filters its OWN line
+  * array in place with a higher-order function, so documents are
+  * never exploded-and-regrouped and their line order is free.
+  *
+  * Scale (100 TB): corpus is scanned twice (count pass + strip pass);
+  * the only corpus-scale exchange is the (domain, line-hash) count.
+  * The boilerplate-set frame is domains-sized rows; no broadcast
+  * hint — AQE broadcasts when the sets fit, and a pathological domain
+  * (millions of above-threshold lines) degrades to a shuffle join on
+  * the domain key instead of an OOM.
+  */
+object Boilerplate {
+
+  /** Markup strip — the other half of the CCNet first stage: drop
+    * HTML/XML tags, replacing each with a space so adjacent words
+    * don't fuse (`a</p><p>b` → `a b`, not `ab`). Intentionally
+    * regex-simple (tags, not a parser): the curation goal is token
+    * statistics, not DOM fidelity. */
+  def stripMarkup(text: Column): Column =
+    regexp_replace(text, "<[^>]*>", " ")
+
+  /** Per-domain boilerplate lines: `(domainCol, __lh, df)` — every
+    * (domain, line-hash) pair appearing in at least `minDf` distinct
+    * documents of the domain. One corpus-line shuffle. */
+  def repeatedLines(docs: DataFrame, idCol: String, domainCol: String,
+      textCol: String, minDf: Long): DataFrame = {
+    require(minDf >= 2, s"need minDf >= 2, got $minDf")
+    docs.select(col(idCol), col(domainCol),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col(idCol), col(domainCol), hash60(col("__line")).as("__lh"))
+      .distinct() // document frequency, not occurrence count
+      .groupBy(col(domainCol), col("__lh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Strip per-domain repeated lines from every document: returns
+    * `(idCol, domainCol, n_lines, n_kept, textCol)` with the
+    * surviving lines re-joined in their original order; documents
+    * whose every line was boilerplate are DROPPED (stripped-to-empty
+    * = removed, the CCNet rule). Exact-line semantics: a line is the
+    * maximal `\n`-free run; no normalization — normalize upstream
+    * (e.g. [[stripMarkup]], trim) if near-identical lines should
+    * count together. */
+  def stripRepeatedLines(docs: DataFrame, idCol: String, domainCol: String,
+      textCol: String, minDf: Long): DataFrame = {
+    val boilerSets = repeatedLines(docs, idCol, domainCol, textCol, minDf)
+      .groupBy(col(domainCol)).agg(collect_set(col("__lh")).as("__bset"))
+    docs.join(boilerSets, Seq(domainCol), "left")
+      .withColumn("__lines", split(col(textCol), "\n"))
+      .withColumn("__kept", when(col("__bset").isNull, col("__lines"))
+        .otherwise(filter(col("__lines"),
+          l => !array_contains(col("__bset"), hash60(l)))))
+      .filter(size(col("__kept")) > 0)
+      .select(col(idCol), col(domainCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), "\n").as(textCol))
+  }
+}

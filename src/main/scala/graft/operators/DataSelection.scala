@@ -55,9 +55,11 @@ object DataSelection {
 
   /** Hashed feature occurrences of each doc: `(id, bucket)`, one row
     * per unigram and per bigram occurrence. `hash60` is non-negative
-    * (60-bit), so plain `%` is the bucket in both engines. */
-  private def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
-      buckets: Int): DataFrame = {
+    * (60-bit), so plain `%` is the bucket in both engines. Shared
+    * with [[QualityClassifier]] (same feature space, supervised
+    * twin). */
+  private[operators] def hashedFeatures(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
     val t = df.select(col(idCol), tokens(col(textCol)).as("__t"))
     val uni = t.select(col(idCol), explode(col("__t")).as("__g"))
     val bi = t.filter(size(col("__t")) >= 2)

@@ -121,9 +121,23 @@ object LanguageModel {
     // AND the V aggregate — without it each consumer re-runs the
     // training scan (the q141 multi-consumer discipline).
     val cb = counts.localCheckpoint()
+    val out = scoredAll(candidates, cb, idCol, textCol)
+      .orderBy(col("lm_avg"), col(idCol))
+      .limit(k)
+      .localCheckpoint() // the k-row result owns the data now
+    Checkpoints.releasePinned(cb)
+    out
+  }
+
+  /** The Laplace fixed-point scoring chain over a PINNED counts frame,
+    * every candidate, unranked — shared by the flag-the-worst-k path
+    * ([[bigramLmScore]]) and the keep-the-best filter
+    * ([[lmQualityFilter]]). */
+  private def scoredAll(candidates: DataFrame, cb: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val cl = cb.groupBy(col("w1")).agg(sum(col("cnt")).as("cl"))
     val v = cb.agg(countDistinct(col("w2")).as("v"))
-    val out = bigrams(candidates, idCol, textCol)
+    bigrams(candidates, idCol, textCol)
       .join(cb, Seq("w1", "w2"), "left")
       .join(cl, Seq("w1"), "left")
       .crossJoin(broadcast(v))
@@ -136,12 +150,58 @@ object LanguageModel {
         count(lit(1)).as("n_bigrams"))
       .withColumn("lm_avg", col("lm_fp").cast("double") / col("n_bigrams"))
       .select(col(idCol), col("n_bigrams"), col("lm_fp"), col("lm_avg"))
-      .orderBy(col("lm_avg"), col(idCol))
-      .limit(k)
-      .localCheckpoint() // the k-row result owns the data now
-    Checkpoints.releasePinned(cb)
+  }
+
+  /** The KenLM-style PERPLEXITY QUALITY GATE every real pretraining
+    * pipeline runs (CCNet's third stage), composed from parts this
+    * library already serves: score EVERY candidate under the trained
+    * bigram LM (fixed-point, hash-exact) and keep, WITHIN EACH GROUP
+    * (source/domain), the docs at or above the group's `cutQ`-quantile
+    * of `lm_avg` — per-source thresholds ([[Sampling
+    * .groupQuantileDisc]]'s exact order statistic, q147's discipline)
+    * so one spammy source is judged by its own distribution, not the
+    * clean sources'. Keep fraction ≈ 1 − cutQ (ties at the cutoff are
+    * kept). Returns `(idCol, groupCol, n_bigrams, lm_fp, lm_avg)`;
+    * docs with < 2 tokens have no score and are dropped. The returned
+    * frame is the call's only live checkpoint.
+    *
+    * Scale: the scoring is [[bigramLmScore]]'s shape (nothing
+    * all-pairs); the quantile is the two-level histogram selection
+    * that never buffers a group; the cutoff frame is groups-sized and
+    * broadcast. `candidates` is scanned once into the pinned scored
+    * frame; everything downstream reads that. */
+  def lmQualityFilter(candidates: DataFrame, counts: DataFrame,
+      idCol: String, textCol: String, groupCol: String,
+      cutQ: Double): DataFrame = {
+    require(cutQ > 0 && cutQ < 1, s"cutQ must be in (0,1), got $cutQ")
+    val cb = counts.localCheckpoint()
+    // pin: the scored frame feeds the quantile's passes AND the keep
+    // join (the q141 multi-consumer discipline)
+    val scored = scoredAll(candidates, cb, idCol, textCol)
+      .join(candidates.select(col(idCol), col(groupCol)), Seq(idCol))
+      .localCheckpoint()
+    val (cutRaw, cutPins) = Sampling.groupQuantileDiscPinned(
+      scored, groupCol, "lm_avg", q = cutQ)
+    val cut = cutRaw.select(col(groupCol), col("quantile").as("__cut"))
+    val out = scored.join(broadcast(cut), Seq(groupCol))
+      .filter(col("lm_avg") >= col("__cut"))
+      .select(col(idCol), col(groupCol), col("n_bigrams"),
+        col("lm_fp"), col("lm_avg"))
+      .localCheckpoint()
+    (Seq(cb, scored) ++ cutPins).foreach(Checkpoints.releasePinned)
     out
   }
+
+  /** [[lmQualityFilter]] with counts summed from the persisted LM
+    * store — the production composition: the store is maintained by
+    * appends/erasures ([[writeLmStore]]/[[deleteFromLmStore]]), and
+    * every curation run filters against the CURRENT model with no
+    * retraining (oracle-gated, q211). */
+  def lmQualityFilterFromStore(spark: SparkSession, root: String,
+      candidates: DataFrame, idCol: String, textCol: String,
+      groupCol: String, cutQ: Double): DataFrame =
+    lmQualityFilter(candidates, mergedStoreCounts(spark, root, Seq("w1", "w2")),
+      idCol, textCol, groupCol, cutQ)
 
   /** [[bigramLmScore]] with STUPID BACKOFF smoothing (Brants et al.
     * 2007, "Large Language Models in Machine Translation" — the
@@ -410,7 +470,7 @@ object LanguageModel {
     * numerator), so the filter is exactly what makes served scoring
     * value-identical to retraining on the remaining corpus
     * (oracle-gated, q189/q191). */
-  private def mergedStoreCounts(spark: SparkSession, root: String,
+  private[operators] def mergedStoreCounts(spark: SparkSession, root: String,
       keys: Seq[String]): DataFrame =
     BatchStore.read(spark, root)
       .groupBy(keys.map(col): _*)

@@ -274,16 +274,29 @@ object Sampling {
     * from ranks (the [[quantileBins]] discipline). */
   def groupQuantileDisc(df: DataFrame, groupCol: String, valueCol: String,
       q: Double, buckets: Int = 256, maxBucketRows: Long = 1L << 20,
-      maxDepth: Int = 64): DataFrame = {
+      maxDepth: Int = 64): DataFrame =
+    groupQuantileDiscPinned(df, groupCol, valueCol, q, buckets,
+      maxBucketRows, maxDepth)._1
+
+  /** [[groupQuantileDisc]] plus the internal per-level `targets`
+    * checkpoints the returned frame reads — callers that MATERIALIZE
+    * the result (e.g. [[LanguageModel.lmQualityFilter]]) release them
+    * ([[Checkpoints.releasePinned]]); the public method leaves them
+    * live because its lazily-returned frame still needs them. */
+  private[operators] def groupQuantileDiscPinned(df: DataFrame,
+      groupCol: String, valueCol: String, q: Double, buckets: Int = 256,
+      maxBucketRows: Long = 1L << 20,
+      maxDepth: Int = 64): (DataFrame, Seq[DataFrame]) = {
     require(q > 0 && q <= 1, s"q must be in (0,1], got $q")
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    val pins = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val vals = df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull)
     val bounds = vals.agg(min(col("__v")), max(col("__v"))).head()
     if (bounds.isNullAt(0))
-      return vals.groupBy(col(groupCol))
+      return (vals.groupBy(col(groupCol))
         .agg(count(lit(1)).as("n_rows"), first(col("__v")).as("quantile"))
-        .limit(0)
+        .limit(0), pins.toSeq)
     // exact rank: decimal(q's shortest literal) × long, ceil'd — never
     // a double product (0.9 * 10 = 9.000000000000002 → rank 10)
     val decQ = BigDecimal(java.math.BigDecimal.valueOf(q))
@@ -315,6 +328,7 @@ object Sampling {
         col("__bmax"), col("__c"),
         (col("__r") - (col("__cum") - col("__c"))).as("__off"))
       .localCheckpoint() // tiny (≤ groups rows); read 2-3× per level
+    pins += targets
 
     // Refinement loop: re-histogram oversized targets within their own
     // interval. The rank is GLOBAL (__r) and re-anchored per level by
@@ -351,6 +365,7 @@ object Sampling {
           col("__bmax"), col("__c"),
           (col("__r") - (col("__cum") - col("__c"))).as("__off"))
       targets = done.unionByName(refined).localCheckpoint()
+      pins += targets
       depth += 1
     }
 
@@ -368,7 +383,7 @@ object Sampling {
       .filter(col("__rn") === col("__off"))
       .select(col(groupCol), col("__n").as("n_rows"),
         col("__v").as("quantile"))
-    direct.unionByName(ranked)
+    (direct.unionByName(ranked), pins.toSeq)
   }
 
   /** Leakage-safe dataset split: every row of a GROUP lands in the same

@@ -384,6 +384,220 @@ object CurationQueries {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  // q209 — BOILERPLATE REMOVAL ([[graft.operators.Boilerplate
+  // .stripRepeatedLines]]): the CCNet/RefinedWeb first content stage
+  // — per-domain repeated-LINE stripping, the curation step that
+  // catches navigation/header/footer artifacts whole-document dedup
+  // cannot (every page differs) — on a line-structured fixture built
+  // in-plan: each document becomes a per-source header line + its
+  // own text + one of two per-source footer lines (df ≈ docs-per-
+  // source and half that — both above the threshold; the text line's
+  // df is ~1). Detection is ONE corpus-line shuffle keyed
+  // (source, line-hash60); the strip side filters each doc's OWN
+  // line array against the domain's boilerplate set — documents are
+  // never exploded-and-regrouped. Oracle: the same line split, md5
+  // hash, distinct-doc frequency, threshold, and order-preserving
+  // rebuild replayed in DuckDB — a df off-by-one, a hash drift, or a
+  // reordered rebuild all break the hash.
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lined = docs.select(col("doc_id"), col("source"),
+      concat(
+        lit("boiler "), col("source"), lit("\n"),
+        col("text"), lit("\n"),
+        when(col("doc_id") % 2 === 0, concat(lit("footer-a "), col("source")))
+          .otherwise(concat(lit("footer-b "), col("source")))).as("text"))
+    graft.operators.Boilerplate.stripRepeatedLines(
+        lined, "doc_id", "source", "text", minDf = 10L)
+      .orderBy(col("doc_id"))
+  }
+  private val q209Sql =
+    s"""WITH lined AS (SELECT doc_id, source,
+      |    'boiler ' || source || chr(10) || text || chr(10) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN 'footer-a ' || source
+      |         ELSE 'footer-b ' || source END AS ltext
+      |  FROM documents),
+      |ls AS (SELECT doc_id, source, string_split(ltext, chr(10)) AS ls
+      |  FROM lined),
+      |lines AS (SELECT doc_id, source, u.i AS pos, ls[u.i] AS line
+      |  FROM ls, UNNEST(generate_series(1, len(ls))) AS u(i)),
+      |dfh AS (SELECT source, lh, COUNT(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, source, ${dHash("line")} AS lh FROM lines)
+      |  GROUP BY 1, 2),
+      |boiler AS (SELECT source, lh FROM dfh WHERE df >= 10),
+      |kept AS (SELECT l.doc_id, l.source, l.pos, l.line
+      |  FROM lines l LEFT JOIN boiler b
+      |    ON l.source = b.source AND ${dHash("l.line")} = b.lh
+      |  WHERE b.lh IS NULL),
+      |tot AS (SELECT doc_id, len(ls) AS n_lines FROM ls)
+      |SELECT k.doc_id, k.source, CAST(t.n_lines AS BIGINT) AS n_lines,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  string_agg(k.line, chr(10) ORDER BY k.pos) AS text
+      |FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+      |GROUP BY 1, 2, 3 ORDER BY k.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q210 — TRAINED QUALITY CLASSIFIER WITH THE FULL STORE LIFECYCLE
+  // ([[graft.operators.QualityClassifier]]): naive Bayes over the
+  // DSIR hashed unigram ∪ bigram feature space (B = 4096), the
+  // supervised sibling of q185's lang-id — same exact-integer argmax,
+  // labels from a deterministic rule (n_chars ≥ 300 → 'good') so the
+  // oracle can regenerate them. The model store runs the q191
+  // lifecycle verbatim: two labeled appends (doc_id % 4 ≠ 0 split by
+  // % 2), a negated-delta erasure of the % 5 = 0 sub-slice, a masked
+  // serve, compaction (non-negative guard armed, net-zero buckets
+  // dropped), and a second serve — identical in-plan (the q180
+  // equality-gate discipline). Held-out docs (doc_id % 4 = 0)
+  // classify into the confusion matrix. Oracle: features, Laplace
+  // floors, per-class missing-mass constants, and the argmax all
+  // replayed in DuckDB over the appended-minus-erased training set.
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val QC = graft.operators.QualityClassifier
+    val docs = Tables.documents(s, dir)
+    val labeled = docs.withColumn("label",
+      when(col("n_chars") >= 300, lit("good")).otherwise(lit("bad")))
+    val train = labeled.filter(col("doc_id") % 4 =!= 0)
+    val cand = labeled.filter(col("doc_id") % 4 === 0)
+    StoreGates.withTempStore(s, "graft_q210_qc") { root =>
+      QC.writeQualityStore(train.filter(col("doc_id") % 2 === 0),
+        "label", "text", buckets = 4096, root, batchId = 1L)
+      QC.writeQualityStore(train.filter(col("doc_id") % 2 =!= 0),
+        "label", "text", buckets = 4096, root, batchId = 2L)
+      QC.deleteFromQualityStore(train.filter(col("doc_id") % 5 === 0),
+        "label", "text", buckets = 4096, root, batchId = 3L)
+      def serve() = QC.classifyFromStore(s, root, cand,
+        "doc_id", "text", buckets = 4096)
+      val masked = serve()
+      QC.compactQualityStore(s, root, newBatchId = 4L)
+      val compacted = serve()
+      val out = StoreGates.compactionIdentityGate(masked, compacted,
+          "quality-store compaction changed classifications")
+        .join(cand.select(col("doc_id"), col("label").as("label_true")),
+          Seq("doc_id"))
+        .groupBy(col("label_true"), col("label_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("label_true"), col("label_pred"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.releasePinned(masked)
+      graft.operators.Checkpoints.releasePinned(compacted)
+      out
+    }
+  }
+  private val q210Sql =
+    s"""WITH tr AS (SELECT
+      |    CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END AS label,
+      |    $dTokens AS toks FROM documents
+      |  WHERE doc_id % 4 <> 0 AND doc_id % 5 <> 0),
+      |tf AS (SELECT label, ${dHash("g")} % 4096 AS bucket FROM (
+      |  SELECT label, unnest(toks) AS g FROM tr
+      |  UNION ALL
+      |  SELECT label, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS g FROM tr)),
+      |cb AS (SELECT label, bucket, COUNT(*) AS cnt FROM tf GROUP BY 1, 2),
+      |cl AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS cl FROM cb GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT bucket) AS v FROM cb),
+      |cls AS (SELECT label, cl, v.v AS v,
+      |    CAST(floor(CAST(1 AS DOUBLE) * 1073741824.0 / (cl + v.v))
+      |      AS BIGINT) AS floor0
+      |  FROM cl CROSS JOIN v),
+      |ca AS (SELECT doc_id,
+      |    CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END AS label_true,
+      |    $dTokens AS toks FROM documents WHERE doc_id % 4 = 0),
+      |cf AS (SELECT doc_id, ${dHash("g")} % 4096 AS bucket FROM (
+      |  SELECT doc_id, unnest(toks) AS g FROM ca
+      |  UNION ALL
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS g FROM ca)),
+      |nf AS (SELECT doc_id, COUNT(*) AS n_feats FROM cf GROUP BY 1),
+      |seen AS (SELECT f.doc_id, cb.label,
+      |    CAST(SUM(CAST(floor(CAST(cb.cnt + 1 AS DOUBLE) * 1073741824.0
+      |      / (cls.cl + cls.v)) AS BIGINT)) AS BIGINT) AS seen_fp,
+      |    COUNT(*) AS n_seen
+      |  FROM cf f JOIN cb ON f.bucket = cb.bucket
+      |  JOIN cls ON cb.label = cls.label
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT nf.doc_id, cls.label,
+      |    COALESCE(seen.seen_fp, 0)
+      |      + (nf.n_feats - COALESCE(seen.n_seen, 0)) * cls.floor0 AS score_fp
+      |  FROM nf CROSS JOIN cls
+      |  LEFT JOIN seen ON seen.doc_id = nf.doc_id AND seen.label = cls.label),
+      |pred AS (SELECT doc_id, label AS label_pred FROM (
+      |  SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score_fp DESC, label) AS rn FROM sc) WHERE rn = 1)
+      |SELECT ca.label_true, pred.label_pred, COUNT(*) AS n_docs
+      |FROM pred JOIN ca ON pred.doc_id = ca.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q211 — THE PERPLEXITY QUALITY GATE ([[graft.operators
+  // .LanguageModel.lmQualityFilterFromStore]]): CCNet's third stage
+  // composed from served parts — the persisted bigram LM (two
+  // training appends, doc_id % 3 = 1 then % 3 = 2, the q182 store)
+  // scores EVERY candidate doc (doc_id % 3 = 0), and each SOURCE
+  // keeps its docs at or above its own 0.625-quantile of lm_avg
+  // (per-source thresholds, q147's exact order statistic — one
+  // spammy source is judged by its own distribution). cutQ = 0.625
+  // is an exact binary fraction, so the oracle's double ceil(q·n)
+  // equals the operator's exact-decimal rank. Fixed-point scores
+  // make the kept SET and every score hash-exact.
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val LM = graft.operators.LanguageModel
+    val docs = Tables.documents(s, dir)
+    StoreGates.withTempStore(s, "graft_q211_lm") { root =>
+      LM.writeLmStore(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", root, batchId = 1L)
+      LM.writeLmStore(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", root, batchId = 2L)
+      LM.lmQualityFilterFromStore(s, root,
+          docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", groupCol = "source", cutQ = 0.625)
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+  }
+  private val q211Sql =
+    s"""WITH tr AS (SELECT doc_id, $dTokens AS toks FROM documents
+      |  WHERE doc_id % 3 <> 0),
+      |tb AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM tr),
+      |tbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM tb),
+      |cb AS (SELECT w1, w2, COUNT(*) AS cnt FROM tbg GROUP BY 1, 2),
+      |cl AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cl FROM cb GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w2) AS v FROM cb),
+      |ca AS (SELECT doc_id, $dTokens AS toks FROM documents
+      |  WHERE doc_id % 3 = 0),
+      |cab AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(toks) - 1),
+      |    i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg FROM ca),
+      |cbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM cab),
+      |sc AS (SELECT c.doc_id,
+      |    CAST(floor(CAST(COALESCE(cb.cnt, 0) + 1 AS DOUBLE) * 1073741824.0
+      |      / (COALESCE(cl.cl, 0) + v.v)) AS BIGINT) AS contrib
+      |  FROM cbg c
+      |  LEFT JOIN cb ON c.w1 = cb.w1 AND c.w2 = cb.w2
+      |  LEFT JOIN cl ON c.w1 = cl.w1
+      |  CROSS JOIN v),
+      |agg AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS lm_fp,
+      |    COUNT(*) AS n_bigrams
+      |  FROM sc GROUP BY 1),
+      |scg AS (SELECT a.doc_id, d.source,
+      |    CAST(a.n_bigrams AS BIGINT) AS n_bigrams, a.lm_fp,
+      |    CAST(a.lm_fp AS DOUBLE) / a.n_bigrams AS lm_avg
+      |  FROM agg a JOIN documents d ON a.doc_id = d.doc_id),
+      |r AS (SELECT source, lm_avg,
+      |    row_number() OVER (PARTITION BY source ORDER BY lm_avg) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n FROM scg),
+      |cut AS (SELECT source,
+      |    MAX(CASE WHEN rn = CAST(ceil(0.625 * n) AS BIGINT)
+      |      THEN lm_avg END) AS cutoff
+      |  FROM r GROUP BY source)
+      |SELECT s.doc_id, s.source, s.n_bigrams, s.lm_fp, s.lm_avg
+      |FROM scg s JOIN cut c ON s.source = c.source
+      |WHERE s.lm_avg >= c.cutoff
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q195 — IMPORTANCE-WEIGHTED DATA SELECTION ([[graft.operators
   // .DataSelection.dsirTopK]]): the DSIR recipe — hashed unigram ∪
   // bigram features (60-bit md5 mod 4096, q174's replay discipline),
@@ -513,6 +727,9 @@ object CurationQueries {
   val all: Seq[QueryDef] = Seq(
     QueryDef("q201_dsir_store_erasure", q201, Some(q201Sql)),
     QueryDef("q202_dsir_store_streamed", q202, Some(q202Sql)),
+    QueryDef("q209_boilerplate_strip", q209, Some(q209Sql)),
+    QueryDef("q210_quality_classifier_store", q210, Some(q210Sql)),
+    QueryDef("q211_lm_quality_filter", q211, Some(q211Sql)),
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
     QueryDef("q195_dsir_selection", q195, Some(q195Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Boilerplate
+
+/** Round-14: per-domain repeated-line removal (the CCNet/RefinedWeb
+  * first stage) — threshold semantics, domain isolation, order
+  * preservation, the drop-empty rule, and the no-regroup plan shape.
+  * Exact rebuild arithmetic is oracle-gated (q209).
+  */
+class BoilerplateSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      // domain a: "NAV" in all 3 docs (df=3), "COOKIE" in 2 (df=2)
+      (1L, "a", "NAV\nalpha one\nCOOKIE"),
+      (2L, "a", "NAV\nbeta two"),
+      (3L, "a", "NAV\nCOOKIE\ngamma three"),
+      // domain b: "NAV" appears once — NOT boilerplate here
+      (4L, "b", "NAV\ndelta four"),
+      // domain b: a doc that is ALL boilerplate once df kicks in
+      (5L, "b", "PROMO"),
+      (6L, "b", "PROMO\nepsilon six"),
+      (7L, "b", "PROMO\nzeta seven")
+    ).toDF("doc_id", "domain", "text")
+  }
+
+  test("lines at or above minDf strip within their domain only; order preserved; all-boilerplate docs drop") {
+    import spark.implicits._
+    val got = Boilerplate.stripRepeatedLines(fixture,
+        "doc_id", "domain", "text", minDf = 3L)
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    // df(a, NAV)=3 stripped; df(a, COOKIE)=2 kept; df(b, NAV)=1 kept;
+    // df(b, PROMO)=3 stripped -> doc 5 strips to empty and DROPS
+    assert(got == Seq(
+      (1L, "a", 3L, 2L, "alpha one\nCOOKIE"),
+      (2L, "a", 2L, 1L, "beta two"),
+      (3L, "a", 3L, 2L, "COOKIE\ngamma three"),
+      (4L, "b", 2L, 2L, "NAV\ndelta four"),
+      (6L, "b", 2L, 1L, "epsilon six"),
+      (7L, "b", 2L, 1L, "zeta seven")), s"got $got")
+  }
+
+  test("minDf=2 also strips the COOKIE pair; duplicate lines within ONE doc count once toward df") {
+    import spark.implicits._
+    val df2 = Boilerplate.stripRepeatedLines(fixture,
+        "doc_id", "domain", "text", minDf = 2L)
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(df2.find(_._1 == 1L).get._5 == "alpha one", s"got $df2")
+    // a doc repeating a line 5 times alone must NOT reach df=2
+    val rep = Seq((1L, "x", "SAME\nSAME\nSAME\nSAME\nSAME"),
+      (2L, "x", "other text")).toDF("doc_id", "domain", "text")
+    val kept = Boilerplate.stripRepeatedLines(rep,
+        "doc_id", "domain", "text", minDf = 2L)
+      .filter(col("doc_id") === 1L).count()
+    assert(kept == 1L, "within-doc repeats must not count as cross-doc df")
+  }
+
+  test("plan shape: documents are never exploded-and-regrouped; no products") {
+    val out = Boilerplate.stripRepeatedLines(fixture,
+      "doc_id", "domain", "text", minDf = 3L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no product joins allowed:\n$plan")
+    // the strip side must NOT regroup document CONTENT: the rebuild
+    // is an in-row array filter, never a collect_list-and-reassemble
+    // (the detection pass's distinct over line-HASHES is fine — rows
+    // there are fixed-width, not text)
+    assert(!plan.contains("collect_list"),
+      s"the rebuild must not collect document lines:\n$plan")
+  }
+
+  test("stripMarkup drops tags and keeps words separated") {
+    import spark.implicits._
+    val got = Seq("a</p><p>b", "no tags", "<div class=\"x\">inner</div>")
+      .toDF("t")
+      .select(Boilerplate.stripMarkup(col("t")).as("s"))
+      .as[String].collect().toSeq
+    // each tag becomes one space — adjacent words never fuse
+    assert(got == Seq("a  b", "no tags", " inner "), s"got $got")
+  }
+}

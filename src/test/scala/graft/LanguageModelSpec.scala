@@ -358,6 +358,42 @@ class LanguageModelSpec extends AnyFunSuite {
     rm(root2)
   }
 
+  test("lmQualityFilter: per-group cutoffs are independent; keep fraction follows cutQ; pins released") {
+    import spark.implicits._
+    // group A: 16 docs whose in-domain fraction GROWS with j (scores
+    // strictly increase); group B: 8 docs junkier than all of A's
+    // keepers (scores strictly decrease with k) — a global threshold
+    // would gut B, per-group cuts keep each group's own top share
+    val train = (1 to 20).map(i =>
+      (i.toLong, s"the cat sat on the mat chapter $i")).toDF("doc_id", "text")
+    val cand = (
+      (1 to 16).map(j => (100L + j, "A",
+        Seq.fill(j)("the cat").mkString(" ") + s" zz$j qq$j")) ++
+      (1 to 8).map(k => (300L + k, "B",
+        "the cat " + Seq.fill(k)("xx").mkString(" ")))
+    ).toDF("doc_id", "src", "text")
+    def pinned: Int = spark.sparkContext.getPersistentRDDs.size
+    val before = pinned
+    val kept = LanguageModel.lmQualityFilter(cand,
+      LanguageModel.bigramCounts(train, "doc_id", "text"),
+      "doc_id", "text", "src", cutQ = 0.5)
+    val rows = kept.select(col("doc_id"), col("src"))
+      .as[(Long, String)].collect().toSeq
+    assert(pinned == before + 1,
+      "after a call, only the returned frame may be pinned")
+    graft.operators.Checkpoints.releasePinned(kept)
+    assert(pinned == before, "each call must release every internal pin")
+    // group A: ascending rank ceil(0.5·16) = 8 → keep scores ≥ the
+    // 8th — exactly j ∈ [8, 16] (scores strictly increase with j)
+    val a = rows.filter(_._2 == "A").map(_._1 - 100L).sorted
+    assert(a == (8L to 16L), s"A must keep its top 9 by score, got $a")
+    // group B keeps by its OWN cutoff (rank ceil(0.5·8) = 4 of its
+    // descending-in-k scores → k ∈ [1, 5]) even though every B doc
+    // scores below A's cutoff doc
+    val b = rows.filter(_._2 == "B").map(_._1 - 300L).sorted
+    assert(b == (1L to 5L), s"B must keep its own top 5, got $b")
+  }
+
   test("lmStoreSink: epoch replay is a no-op; the streamed store equals single-shot training") {
     import spark.implicits._
     val root = tmp("graft_lm_sink")
