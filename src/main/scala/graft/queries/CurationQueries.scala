@@ -411,13 +411,16 @@ object CurationQueries {
         lined, "doc_id", "source", "text", minDf = 10L)
       .orderBy(col("doc_id"))
   }
-  private val q209Sql =
-    s"""WITH lined AS (SELECT doc_id, source,
-      |    'boiler ' || source || chr(10) || text || chr(10) ||
-      |    CASE WHEN doc_id % 2 = 0 THEN 'footer-a ' || source
-      |         ELSE 'footer-b ' || source END AS ltext
-      |  FROM documents),
-      |ls AS (SELECT doc_id, source, string_split(ltext, chr(10)) AS ls
+  /** The q209/q212 shared oracle tail: given CTEs ending in a frame
+    * `lined(doc_id, source, ltext)`, replay the line split, md5 line
+    * hash, distinct-doc frequency, threshold, and order-preserving
+    * rebuild. */
+  private def boilerplateSqlTail(linedCtes: String): String =
+    // concatenate AFTER the tail's stripMargin — a second stripMargin
+    // over the embedded CTE would eat the first `|` of a line-leading
+    // `||` continuation
+    linedCtes + ",\n" +
+    s"""ls AS (SELECT doc_id, source, string_split(ltext, chr(10)) AS ls
       |  FROM lined),
       |lines AS (SELECT doc_id, source, u.i AS pos, ls[u.i] AS line
       |  FROM ls, UNNEST(generate_series(1, len(ls))) AS u(i)),
@@ -435,6 +438,47 @@ object CurationQueries {
       |  string_agg(k.line, chr(10) ORDER BY k.pos) AS text
       |FROM kept k JOIN tot t ON k.doc_id = t.doc_id
       |GROUP BY 1, 2, 3 ORDER BY k.doc_id""".stripMargin
+  private val q209Sql = boilerplateSqlTail(
+    """WITH lined AS (SELECT doc_id, source,
+      |    'boiler ' || source || chr(10) || text || chr(10) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN 'footer-a ' || source
+      |         ELSE 'footer-b ' || source END AS ltext
+      |  FROM documents)""".stripMargin)
+
+  // ---------------------------------------------------------------
+  // q212 — MARKUP STRIP + LINE DEDUP, THE COMPOSED FIRST STAGE
+  // ([[graft.operators.Boilerplate.stripMarkup]] feeding
+  // [[Boilerplate.stripRepeatedLines]]): the full CCNet/RefinedWeb
+  // entry recipe — each document arrives as tagged HTML-ish markup
+  // (nav header, <p>-wrapped body, per-source footer, built in-plan),
+  // tags strip to spaces (adjacent words never fuse), and the
+  // per-source repeated lines the strip EXPOSES (the nav/footer text
+  // is identical across a source's pages only after the tags go)
+  // are then removed by document frequency. Oracle: DuckDB
+  // regexp_replace(…, 'g') replays the tag strip character-for-
+  // character, then the q209 chain — a regex dialect drift, a
+  // space-vs-empty replacement, or a df miscount all break the hash.
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val marked = docs.select(col("doc_id"), col("source"), concat(
+      lit("<nav>menu "), col("source"), lit("</nav>\n<p>"),
+      col("text"), lit("</p>\n<footer>(c) "), col("source"),
+      lit("</footer>")).as("text"))
+    val cleaned = marked.withColumn("text",
+      graft.operators.Boilerplate.stripMarkup(col("text")))
+    graft.operators.Boilerplate.stripRepeatedLines(
+        cleaned, "doc_id", "source", "text", minDf = 10L)
+      .orderBy(col("doc_id"))
+  }
+  private val q212Sql = boilerplateSqlTail(
+    """WITH marked AS (SELECT doc_id, source,
+      |    '<nav>menu ' || source || '</nav>' || chr(10) || '<p>' || text
+      |    || '</p>' || chr(10) || '<footer>(c) ' || source || '</footer>'
+      |    AS mtext
+      |  FROM documents),
+      |lined AS (SELECT doc_id, source,
+      |    regexp_replace(mtext, '<[^>]*>', ' ', 'g') AS ltext
+      |  FROM marked)""".stripMargin)
 
   // ---------------------------------------------------------------
   // q210 — TRAINED QUALITY CLASSIFIER WITH THE FULL STORE LIFECYCLE
@@ -730,6 +774,7 @@ object CurationQueries {
     QueryDef("q209_boilerplate_strip", q209, Some(q209Sql)),
     QueryDef("q210_quality_classifier_store", q210, Some(q210Sql)),
     QueryDef("q211_lm_quality_filter", q211, Some(q211Sql)),
+    QueryDef("q212_markup_boilerplate", q212, Some(q212Sql)),
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
     QueryDef("q195_dsir_selection", q195, Some(q195Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),

@@ -39,6 +39,22 @@ class DataSelectionSpec extends AnyFunSuite {
       s"disjoint-vocab candidates must rank last, got $got")
   }
 
+  test("an EMPTY target distribution scores with uniform add-one weights, never NULLs") {
+    import spark.implicits._
+    val target = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cand = Seq((1L, "a b c"), (2L, "x y")).toDF("doc_id", "text")
+    val res = DataSelection.dsirTopK(cand, target, "doc_id", "text",
+      buckets = 64, k = 10)
+    val got = res.select(col("doc_id"), col("dsir_fp"), col("dsir_avg"))
+      .collect().toSeq
+    graft.operators.Checkpoints.releasePinned(res)
+    // nt coalesces to 0: every bucket smooths to t+1 = 1, nt+B = B —
+    // weights are defined (uniform in the target term), scores non-null
+    assert(got.size == 2, s"both docs must score, got $got")
+    assert(got.forall(r => !r.isNullAt(1) && !r.isNullAt(2)),
+      s"empty target must yield defined scores, got $got")
+  }
+
   test("n_feats counts unigram + bigram OCCURRENCES (2n-1); zero-token docs are absent; k truncates") {
     import spark.implicits._
     val target = Seq((1L, "a b c")).toDF("doc_id", "text")
