@@ -177,7 +177,14 @@ object Bench {
     "q211_lm_quality_filter",
     // q212 composes the tag strip with the line dedup — q209's shape
     // plus one regex pass over the corpus
-    "q212_markup_boilerplate")
+    "q212_markup_boilerplate",
+    // q213 streams the labeled slices through the exactly-once
+    // quality-model sink then classifies the held-out quarter —
+    // corpus work dominates, like q194/q202
+    "q213_quality_store_streamed",
+    // q214 chains the strip into exact dedup and survivor stats —
+    // q209's shuffle plus one (id, digest) hash pass
+    "q214_curation_pipeline")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:

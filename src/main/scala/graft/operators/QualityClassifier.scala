@@ -102,6 +102,23 @@ object QualityClassifier {
     BatchStore.append(featureCounts(train, labelCol, textCol, buckets),
       root, batchId)
 
+  /** Maintain the model FROM A STREAM — the [[LanguageModel
+    * .lmStoreSink]] epoch discipline on the classifier's count store:
+    * batch id = `baseBatchId + epochId`, exactly-once under replay
+    * (single [[BatchStore]] dir — `batch=$id` committed completely or
+    * absent, nothing to heal). Served classification is
+    * epoch-chunking-independent (counts merge by SUM; q213 pins the
+    * streamed store against single-shot training). */
+  def qualityStoreSink(labelCol: String, textCol: String, buckets: Int,
+      root: String, baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+    (batch, epochId) => {
+      val id = baseBatchId + epochId
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"batch=$id")))
+        writeQualityStore(batch, labelCol, textCol, buckets, root, id)
+    }
+
   /** Erase labeled documents from the persisted model — negated
     * per-class feature counts ([[LanguageModel.deleteFromLmStore]]'s
     * contract: each doc at most once, only previously-appended docs,

@@ -399,18 +399,27 @@ object CurationQueries {
   // hash, distinct-doc frequency, threshold, and order-preserving
   // rebuild replayed in DuckDB — a df off-by-one, a hash drift, or a
   // reordered rebuild all break the hash.
-  private def q209(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val lined = docs.select(col("doc_id"), col("source"),
+  /** q209/q214 shared fixture: each document as per-source header +
+    * its own text + one of two parity-keyed per-source footers. */
+  private def boilerLined(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
       concat(
         lit("boiler "), col("source"), lit("\n"),
         col("text"), lit("\n"),
         when(col("doc_id") % 2 === 0, concat(lit("footer-a "), col("source")))
           .otherwise(concat(lit("footer-b "), col("source")))).as("text"))
+  private val boilerLinedCte =
+    """WITH lined AS (SELECT doc_id, source,
+      |    'boiler ' || source || chr(10) || text || chr(10) ||
+      |    CASE WHEN doc_id % 2 = 0 THEN 'footer-a ' || source
+      |         ELSE 'footer-b ' || source END AS ltext
+      |  FROM documents)""".stripMargin
+
+  private def q209(s: SparkSession, dir: String): DataFrame =
     graft.operators.Boilerplate.stripRepeatedLines(
-        lined, "doc_id", "source", "text", minDf = 10L)
+        boilerLined(Tables.documents(s, dir)),
+        "doc_id", "source", "text", minDf = 10L)
       .orderBy(col("doc_id"))
-  }
   /** The q209/q212 shared oracle tail: given CTEs ending in a frame
     * `lined(doc_id, source, ltext)`, replay the line split, md5 line
     * hash, distinct-doc frequency, threshold, and order-preserving
@@ -438,12 +447,68 @@ object CurationQueries {
       |  string_agg(k.line, chr(10) ORDER BY k.pos) AS text
       |FROM kept k JOIN tot t ON k.doc_id = t.doc_id
       |GROUP BY 1, 2, 3 ORDER BY k.doc_id""".stripMargin
-  private val q209Sql = boilerplateSqlTail(
-    """WITH lined AS (SELECT doc_id, source,
-      |    'boiler ' || source || chr(10) || text || chr(10) ||
-      |    CASE WHEN doc_id % 2 = 0 THEN 'footer-a ' || source
-      |         ELSE 'footer-b ' || source END AS ltext
-      |  FROM documents)""".stripMargin)
+  private val q209Sql = boilerplateSqlTail(boilerLinedCte)
+
+  // ---------------------------------------------------------------
+  // q214 — THE COMPOSED CURATION PIPELINE (boilerplate strip →
+  // exact dedup → survivor stats): the demonstration that the stage
+  // ORDER carries real semantics — the injected parity-keyed footers
+  // make byte-identical documents LOOK distinct, so document-level
+  // exact dedup ([[graft.operators.Dedup.exactGroups]]) only finds
+  // the duplicate groups AFTER [[graft.operators.Boilerplate
+  // .stripRepeatedLines]] removes the per-source noise (the reason
+  // every real pipeline runs boilerplate removal first). One
+  // stripped-corpus checkpoint feeds the hash pass and the join
+  // back; output is per-source keeper counts, represented-document
+  // mass, and surviving token volume. Oracle: the q209 line chain →
+  // md5 groups keep min(doc_id) → the same stats.
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val stripped = graft.operators.Boilerplate.stripRepeatedLines(
+      boilerLined(Tables.documents(s, dir)),
+      "doc_id", "source", "text", minDf = 10L)
+    // pin: feeds the content-hash pass AND the keeper join back
+    val st = stripped.localCheckpoint()
+    val keep = graft.operators.Dedup.exactGroups(st, "doc_id", "text")
+      .filter(col("doc_id") === col("keeper_id"))
+      .select(col("doc_id"), col("group_size"))
+    val out = st.join(keep, Seq("doc_id"))
+      .select(col("source"), col("group_size"),
+        size(graft.operators.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("group_size")).as("n_represented"),
+        sum(col("n_toks")).as("sum_toks"))
+      .orderBy(col("source"))
+      .localCheckpoint()
+    graft.operators.Checkpoints.releasePinned(st)
+    out
+  }
+  private val q214Sql =
+    boilerLinedCte + ",\n" +
+    s"""ls AS (SELECT doc_id, source, string_split(ltext, chr(10)) AS ls
+      |  FROM lined),
+      |lines AS (SELECT doc_id, source, u.i AS pos, ls[u.i] AS line
+      |  FROM ls, UNNEST(generate_series(1, len(ls))) AS u(i)),
+      |dfh AS (SELECT source, lh, COUNT(*) AS df FROM (
+      |    SELECT DISTINCT doc_id, source, ${dHash("line")} AS lh FROM lines)
+      |  GROUP BY 1, 2),
+      |boiler AS (SELECT source, lh FROM dfh WHERE df >= 10),
+      |kept AS (SELECT l.doc_id, l.source, l.pos, l.line
+      |  FROM lines l LEFT JOIN boiler b
+      |    ON l.source = b.source AND ${dHash("l.line")} = b.lh
+      |  WHERE b.lh IS NULL),
+      |reb AS (SELECT doc_id, source,
+      |    string_agg(line, chr(10) ORDER BY pos) AS text
+      |  FROM kept GROUP BY 1, 2),
+      |grp AS (SELECT doc_id, source, text, md5(text) AS h FROM reb),
+      |keepers AS (SELECT h, MIN(doc_id) AS keeper, COUNT(*) AS group_size
+      |  FROM grp GROUP BY h)
+      |SELECT g.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(k.group_size) AS BIGINT) AS n_represented,
+      |  CAST(SUM(len($dTokens)) AS BIGINT) AS sum_toks
+      |FROM grp g JOIN keepers k ON g.h = k.h AND g.doc_id = k.keeper
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
   // q212 — MARKUP STRIP + LINE DEDUP, THE COMPOSED FIRST STAGE
@@ -527,11 +592,14 @@ object CurationQueries {
       out
     }
   }
-  private val q210Sql =
+  /** q210's NB-replay oracle with a pluggable TRAINING filter — q213
+    * streams the full labeled slice (no erasure), so its oracle
+    * trains on everything outside the held-out quarter. */
+  private def qualityNbSqlFor(trainWhere: String): String =
     s"""WITH tr AS (SELECT
       |    CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END AS label,
       |    $dTokens AS toks FROM documents
-      |  WHERE doc_id % 4 <> 0 AND doc_id % 5 <> 0),
+      |  WHERE $trainWhere),
       |tf AS (SELECT label, ${dHash("g")} % 4096 AS bucket FROM (
       |  SELECT label, unnest(toks) AS g FROM tr
       |  UNION ALL
@@ -571,6 +639,46 @@ object CurationQueries {
       |SELECT ca.label_true, pred.label_pred, COUNT(*) AS n_docs
       |FROM pred JOIN ca ON pred.doc_id = ca.doc_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  private val q210Sql =
+    qualityNbSqlFor("doc_id % 4 <> 0 AND doc_id % 5 <> 0")
+
+  // ---------------------------------------------------------------
+  // q213 — STREAMED QUALITY-MODEL MAINTENANCE ([[graft.operators
+  // .QualityClassifier.qualityStoreSink]]): the q194/q200/q202
+  // exactly-once foreachBatch discipline on the classifier's count
+  // store — the labeled training slices arrive one per micro-batch
+  // through the checkpointed file source, each epoch appending its
+  // per-class feature counts via the stage-and-rename commit (single
+  // dir, replay no-ops). Served classification must equal single-shot
+  // training exactly (counts merge by SUM): the oracle is q210's NB
+  // replay trained on the full labeled set, no erasure.
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val QC = graft.operators.QualityClassifier
+    val docs = Tables.documents(s, dir)
+    val labeled = docs.withColumn("label",
+      when(col("n_chars") >= 300, lit("good")).otherwise(lit("bad")))
+    val train = labeled.filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id"), col("label"), col("text"))
+    val cand = labeled.filter(col("doc_id") % 4 === 0)
+    StoreGates.withStreamedStore(s, "graft_q213",
+      slices = Seq(train.filter(col("doc_id") % 2 === 0),
+        train.filter(col("doc_id") % 2 =!= 0)),
+      sink = store => QC.qualityStoreSink("label", "text", 4096, store)
+    ) { store =>
+      val served = QC.classifyFromStore(s, store, cand,
+        "doc_id", "text", buckets = 4096)
+      val out = served
+        .join(cand.select(col("doc_id"), col("label").as("label_true")),
+          Seq("doc_id"))
+        .groupBy(col("label_true"), col("label_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("label_true"), col("label_pred"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.releasePinned(served)
+      out
+    }
+  }
+  private val q213Sql = qualityNbSqlFor("doc_id % 4 <> 0")
 
   // ---------------------------------------------------------------
   // q211 — THE PERPLEXITY QUALITY GATE ([[graft.operators
@@ -775,6 +883,8 @@ object CurationQueries {
     QueryDef("q210_quality_classifier_store", q210, Some(q210Sql)),
     QueryDef("q211_lm_quality_filter", q211, Some(q211Sql)),
     QueryDef("q212_markup_boilerplate", q212, Some(q212Sql)),
+    QueryDef("q213_quality_store_streamed", q213, Some(q213Sql)),
+    QueryDef("q214_curation_pipeline", q214, Some(q214Sql)),
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
     QueryDef("q195_dsir_selection", q195, Some(q195Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),

@@ -77,6 +77,26 @@ class BoilerplateSpec extends AnyFunSuite {
       s"the rebuild must not collect document lines:\n$plan")
   }
 
+  test("stripping UNLOCKS exact dedup: identical bodies behind distinct footers group only after the strip (the q214 pipeline-order claim)") {
+    import spark.implicits._
+    // 12 docs in 6 duplicate PAIRS (each body appears twice — below
+    // the minDf=5 threshold, so bodies survive), every pair split
+    // across the two footer variants (6 each — above threshold, so
+    // footers strip): byte-level dedup before stripping sees 12
+    // distinct docs; after stripping, the 6 pairs collapse
+    val docs = (0L until 12L).map(i =>
+      (i, "d", s"body number ${i / 2} here\nfooter-${i % 2} d"))
+      .toDF("doc_id", "domain", "text")
+    def keepers(df: org.apache.spark.sql.DataFrame): Long =
+      graft.operators.Dedup.exactGroups(df, "doc_id", "text")
+        .filter(col("doc_id") === col("keeper_id")).count()
+    assert(keepers(docs) == 12L, "pre-strip: the footers mask every duplicate")
+    val stripped = Boilerplate.stripRepeatedLines(docs,
+      "doc_id", "domain", "text", minDf = 5L)
+    assert(keepers(stripped) == 6L,
+      "post-strip: the 6 duplicate pairs must collapse")
+  }
+
   test("stripMarkup drops tags and keeps words separated") {
     import spark.implicits._
     val got = Seq("a</p><p>b", "no tags", "<div class=\"x\">inner</div>")

@@ -78,6 +78,26 @@ class QualityClassifierSpec extends AnyFunSuite {
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("qualityStoreSink: epoch replay is a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_qc_sink").toString
+    val b0 = Seq(("good", goodDoc(1)), ("bad", badDoc(1))).toDF("label", "text")
+    val b1 = Seq(("good", goodDoc(2))).toDF("label", "text")
+    val sink = QualityClassifier.qualityStoreSink("label", "text", 256, root)
+    sink(b0, 0L); sink(b1, 1L)
+    def stored() = graft.operators.BatchStore.read(spark, root)
+      .orderBy(col("batch"), col("label"), col("bucket"))
+      .collect().toSeq
+    val s0 = stored()
+    assert(s0.nonEmpty)
+    sink(b0, 0L); sink(b1, 1L)
+    assert(stored() == s0, "epoch replay must be a no-op")
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("each call releases its internal pins") {
     import spark.implicits._
     def pinned: Int = spark.sparkContext.getPersistentRDDs.size
