@@ -65,6 +65,13 @@ object QualityClassifier {
         lit(1L).cast("double") * lit(1073741824.0)
           / (col("cl") + col("v"))).cast("long"))
       .select(col("label"), col("cl"), col("v"), col("floor0"))
+    // the hashed candidate features feed the per-doc totals AND the
+    // seen join — deliberately NOT checkpointed: measured at sf0.1,
+    // materializing the corpus-scale feature rows costs more than the
+    // second md5 pass (6.9 s vs 4.9 s for the q210 lifecycle gate), so
+    // the q141 barrier discipline does not apply here (the per-row
+    // expression is one md5 per gram, cheaper than blockifying the
+    // exploded rows; same trade as classifyLangByTrigrams' trigrams)
     val feats = DataSelection.hashedFeatures(cand, idCol, textCol, buckets)
     val nF = feats.groupBy(col(idCol)).agg(count(lit(1)).as("n_feats"))
     val seen = feats.join(cb, Seq("bucket"))

@@ -282,6 +282,24 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("HAVING above the rewritten aggregate keeps resolving and filters the rewritten values") {
+    withFixture { (base, summary) =>
+      import spark.implicits._
+      // HAVING is a Filter ABOVE the Aggregate — untouched by the
+      // rule; it must resolve against the preserved output ExprIds
+      // and see the rollup-served values
+      val q = spark.read.parquet(base)
+        .groupBy(col("key_a")).agg(sum(col("m_long")).as("s"))
+        .filter(col("s") > 15000)
+        .orderBy(col("key_a"))
+      assert(scansOnly(q, summary), s"expected rewrite: ${scanPaths(q)}")
+      val expect = (1L to 200L).groupBy(i => s"k${i % 5}").toSeq
+        .map { case (k, is) => (k, is.map(_ * 2).sum) }
+        .filter(_._2 > 15000).sortBy(_._1)
+      assert(q.as[(String, Long)].collect().toSeq == expect)
+    }
+  }
+
   test("output ExprIds survive: joins and sorts above the rewritten aggregate keep resolving") {
     withFixture { (base, summary) =>
       import spark.implicits._
