@@ -184,7 +184,11 @@ object Bench {
     "q213_quality_store_streamed",
     // q214 chains the strip into exact dedup and survivor stats —
     // q209's shuffle plus one (id, digest) hash pass
-    "q214_curation_pipeline")
+    "q214_curation_pipeline",
+    // q215 runs both PRF passes over the persisted postings — two
+    // pushed-filter store scans + the feedback docs' token count,
+    // sf-scaled like q161
+    "q215_prf_expansion")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:
@@ -293,11 +297,16 @@ object Bench {
     * gate for most of the registry. This committed twin is the
     * authoritative record: every query's median and raw runs survive,
     * and the next round's gate recomputes priors from it first. */
-  private def writeLocalArtifact(line: String): Unit = {
+  private def writeLocalArtifact(line: String, quick: Boolean): Unit = {
     try {
       val dir = new java.io.File(repoRoot, "bench")
       dir.mkdirs()
-      val f = new java.io.File(dir, s"local_r$currentRound.json")
+      // a --quick run must NEVER clobber the round's authoritative
+      // artifact: the next round's delta gate recomputes priors from
+      // local_r{N}.json, and a partial quick sweep would silently
+      // drop the skipped queries from the prior set
+      val f = new java.io.File(dir,
+        if (quick) "local_quick.json" else s"local_r$currentRound.json")
       val w = new java.io.PrintWriter(f, "UTF-8")
       try w.println(line) finally w.close()
       System.err.println(s"[bench] full artifact written to $f")
@@ -563,7 +572,7 @@ object Bench {
     val headlineValue = if (failed) -1.0 else total
     val mode = if (quick) "quick" else "full"
     val line = s"""{"metric":"total","value":$headlineValue,"unit":"sec","mode":"$mode","failed":$failed,"partial_total":$total,"total_excludes":$excludesJson,"queries":$qJson,"errors":$errJson,"runs":$runsJson,"runs_per_query":$runsPerQuery,"stat":"median","delta_gate":$deltaJson,"loadavg_before":${numArr(loadBefore)},"loadavg_after":${numArr(loadAfter)},"gc_ms":$gcDelta,"sf":"$sfDir"}"""
-    writeLocalArtifact(line)
+    writeLocalArtifact(line, quick)
     println(line)
     // The driver keeps only the LAST 2000 chars of stdout and parses a
     // JSON line out of that tail; the full line above is ~8 KB, so for
@@ -578,7 +587,7 @@ object Bench {
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${if (failed) "-1.0" else fmt(total)},"unit":"sec","failed":$failed,"partial_total":${fmt(total)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"slowest":$slowest,"stat":"median","gc_ms":$gcDelta,"full_artifact":"bench/local_r$currentRound.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${if (failed) "-1.0" else fmt(total)},"unit":"sec","failed":$failed,"partial_total":${fmt(total)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"slowest":$slowest,"stat":"median","gc_ms":$gcDelta,"full_artifact":"${if (quick) "bench/local_quick.json" else s"bench/local_r$currentRound.json"}","mode":"$mode","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -260,6 +260,95 @@ object InvertedIndex {
   private def statsRoot(root: String): String =
     new org.apache.hadoop.fs.Path(root, ".stats").toString
 
+  // --------------------------- pseudo-relevance feedback (RM3-style)
+
+  /** OR-semantics BM25 in FIXED POINT: every document containing ≥ 1
+    * query term scores `Σ floor(2²⁰ · idf·tfSat)` over its MATCHING
+    * terms — the disjunctive ranking pseudo-relevance feedback needs
+    * (an expanded query must not demand every expansion term the way
+    * [[bm25Search]]'s AND pivot does). Fixed point is what makes the
+    * data-dependent term set hash-exact: the AND path's plan-time
+    * left-to-right double sum needs literal terms, while long
+    * contributions sum order-free, so any term set — including one
+    * selected at runtime from feedback documents — reproduces
+    * bit-identically in any engine. 2²⁰ (not the usual 2³⁰) leaves
+    * headroom for idf's rare-term extreme: contrib ≤ 2.25·(2N) ≈
+    * 4.5·10¹² at N = 10¹², times 2²⁰ ≈ 4.7·10¹⁸ < 2⁶³.
+    * Returns `(id, doc_len, n_terms_hit, prf_fp)`, prf_fp descending,
+    * id tiebreak; internal pins released (the result is
+    * materialized). */
+  private def bm25AnyFpRank(tf0: DataFrame, stats: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val tf = tf0.localCheckpoint() // feeds df AND the scoring join
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val dlRatio = col("doc_len").cast("double") /
+      (col("total_len").cast("double") / col("n_docs"))
+    val tfSat = (col("tf").cast("double") * lit(2.25)) /
+      (col("tf") + lit(1.25) * (lit(0.25) + lit(0.75) * dlRatio))
+    val out = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(stats))
+      .withColumn("__fp", floor(idf * tfSat * lit(1048576.0)).cast("long"))
+      .groupBy(col(idCol), col("doc_len"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("__fp")).as("prf_fp"))
+      .select(col(idCol), col("doc_len").cast("long").as("doc_len"),
+        col("n_terms_hit"), col("prf_fp"))
+      .orderBy(desc("prf_fp"), col(idCol))
+      .limit(k)
+      .localCheckpoint()
+    Checkpoints.releasePinned(tf)
+    out
+  }
+
+  /** The top expansion terms of a feedback-document set: occurrence
+    * counts over the feedback docs' tokens, the original query terms
+    * excluded, top `fbTerms` by (count desc, token asc). The frame is
+    * feedback-set-sized; callers collect it (fbTerms is a query-shape
+    * constant, the probed-IVF-list-ids precedent). */
+  def prfExpansionTerms(corpus: DataFrame, idCol: String, textCol: String,
+      fbIds: Seq[Any], terms: Seq[String], fbTerms: Int): DataFrame = {
+    require(fbTerms >= 1, s"need fbTerms >= 1, got $fbTerms")
+    corpus.filter(col(idCol).isin(fbIds: _*))
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(!col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("token"))
+      .limit(fbTerms)
+  }
+
+  /** RM3-style pseudo-relevance feedback over the persisted posting
+    * store — the query-expansion stage of a production retrieval
+    * stack (Lavrenko & Croft's relevance models, the simplified
+    * count-weighted variant): (1) the ORIGINAL query runs the strict
+    * AND BM25 ([[bm25SearchFromStore]]) and its top `fbDocs` results
+    * become the feedback set; (2) the feedback documents' most
+    * frequent non-query terms (top `fbTerms`) join the query;
+    * (3) the EXPANDED query re-ranks with OR-semantics fixed-point
+    * BM25 ([[bm25AnyFpRank]]) — documents sharing only the feedback
+    * vocabulary (synonyms, co-occurring entities) now surface even
+    * though they match no original term.
+    *
+    * Driver-side state is two parameter-bounded collects (fbDocs ids,
+    * fbTerms strings) — never corpus-sized. Store reads are the
+    * pushed-filter term scans both passes; tombstones masked as in
+    * every served search. `corpus` supplies the feedback docs' text
+    * (the forward-index role); pass-2 scoring uses only the store. */
+  def prfSearchFromStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, corpus: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], fbDocs: Int, fbTerms: Int, k: Int): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1 && k >= 1,
+      s"need fbDocs/fbTerms/k >= 1, got $fbDocs/$fbTerms/$k")
+    val fbIds = bm25SearchFromStore(spark, root, idCol, terms, fbDocs)
+      .select(col(idCol)).collect().map(_.get(0)).toSeq
+    val expansion = prfExpansionTerms(corpus, idCol, textCol,
+      fbIds, terms, fbTerms).collect().map(_.getString(0)).toSeq
+    val allTerms = terms ++ expansion
+    val tf = applyTombstones(spark, root,
+        BatchStore.read(spark, root).filter(col("token").isin(allTerms: _*)),
+        idCol)
+      .select(col(idCol), col("doc_len"), col("token"), col("tf"))
+    bm25AnyFpRank(tf, postingStoreStats(spark, root), idCol, k)
+  }
+
   /** Documents containing ALL `terms`, ranked by total term frequency
     * (exact integer score — no idf floats, so the ranking is
     * bit-reproducible in any engine), doc id as the tiebreak, top

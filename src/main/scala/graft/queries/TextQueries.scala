@@ -2664,6 +2664,73 @@ object TextQueries {
     "SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM t")
 
   // ---------------------------------------------------------------
+  // q215 — PSEUDO-RELEVANCE FEEDBACK ([[graft.operators.InvertedIndex
+  // .prfSearchFromStore]]): RM3-style query expansion over the
+  // persisted posting store — pass 1 runs the strict AND BM25
+  // (q161's serving path) and keeps the top 5 as the feedback set;
+  // the feedback docs' 3 most frequent non-query terms (count desc,
+  // token asc) join the query; pass 2 re-ranks with OR-semantics
+  // FIXED-POINT BM25 (floor(2²⁰·idf·tfSat) longs, order-free sums —
+  // the property that lets a DATA-DEPENDENT term set stay hash-exact:
+  // the AND path's plan-time left-to-right double sum needs literal
+  // terms). Oracle: both passes, the expansion selection, and the
+  // fixed-point arithmetic replayed in DuckDB — a feedback-set
+  // off-by-one, an expansion tiebreak drift, or a saturated-tf
+  // parenthesization change all break the hash.
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    withTempStore(s, "graft_q215_prf") { root =>
+      graft.operators.InvertedIndex.writePostingStore(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, 1L)
+      graft.operators.InvertedIndex.writePostingStore(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, 2L)
+      graft.operators.InvertedIndex.prfSearchFromStore(
+        s, root, docs, "doc_id", "text", q151Terms,
+        fbDocs = 5, fbTerms = 3, k = 20)
+    }
+  }
+  private lazy val q215Sql = {
+    val inList = q151Terms.map(t => s"'$t'").mkString(", ")
+    val cells = q151Terms.zipWithIndex.map { case (t, i) =>
+      s"MAX(CASE WHEN token = '$t' THEN contrib END) AS c$i" }.mkString(",\n    ")
+    val sumExpr = q151Terms.indices.map(i => s"c$i").reduce((a, b) => s"($a + $b)")
+    val contrib = "(((n_docs - df) + 0.5) / (df + 0.5)) * " +
+      "((CAST(tf AS DOUBLE) * 2.25) / (tf + 1.25 * (0.25 + 0.75 * " +
+      "(CAST(doc_len AS DOUBLE) / (CAST(total_len AS DOUBLE) / n_docs)))))"
+    s"""WITH t AS (SELECT doc_id, $dTokens AS toks FROM documents),
+      |base AS (SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS token FROM t),
+      |n AS (SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_len FROM t),
+      |tf1 AS (SELECT doc_id, doc_len, token, COUNT(*) AS tf FROM base
+      |  WHERE token IN ($inList) GROUP BY 1, 2, 3),
+      |df1 AS (SELECT token, COUNT(*) AS df FROM tf1 GROUP BY token),
+      |c1 AS (SELECT doc_id, doc_len, token, $contrib AS contrib
+      |  FROM tf1 JOIN df1 USING (token) CROSS JOIN n),
+      |p1 AS (SELECT doc_id, doc_len, COUNT(*) AS n_terms,
+      |    $cells
+      |  FROM c1 GROUP BY 1, 2),
+      |fb AS (SELECT doc_id FROM (
+      |  SELECT doc_id, $sumExpr AS score FROM p1
+      |  WHERE n_terms = ${q151Terms.size}
+      |  ORDER BY score DESC, doc_id LIMIT 5)),
+      |exp AS (SELECT token FROM (
+      |  SELECT b.token, COUNT(*) AS cnt FROM base b JOIN fb USING (doc_id)
+      |  WHERE b.token NOT IN ($inList) GROUP BY 1
+      |  ORDER BY cnt DESC, token LIMIT 3)),
+      |allt AS (SELECT token FROM exp
+      |  UNION ALL SELECT unnest([$inList]) AS token),
+      |tf2 AS (SELECT doc_id, doc_len, token, COUNT(*) AS tf FROM base
+      |  WHERE token IN (SELECT token FROM allt) GROUP BY 1, 2, 3),
+      |df2 AS (SELECT token, COUNT(*) AS df FROM tf2 GROUP BY token),
+      |c2 AS (SELECT doc_id, doc_len,
+      |    CAST(floor(($contrib) * 1048576.0) AS BIGINT) AS fp
+      |  FROM tf2 JOIN df2 USING (token) CROSS JOIN n)
+      |SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len,
+      |  COUNT(*) AS n_terms_hit, CAST(SUM(fp) AS BIGINT) AS prf_fp
+      |FROM c2 GROUP BY 1, 2
+      |ORDER BY prf_fp DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q60 — benchmark decontamination: training docs sharing any word
   // trigram with the eval slice (doc_id % 97 == 3 stands in for a
   // benchmark set), counted per language. The eval gram set broadcasts;
@@ -3660,6 +3727,7 @@ object TextQueries {
     QueryDef("q204_token_index_int8", q204, Some(q204Sql)),
     QueryDef("q160_passage_retrieval", q160, Some(q160Sql)),
     QueryDef("q161_bm25_store", q161, Some(q161Sql)),
+    QueryDef("q215_prf_expansion", q215, Some(q215Sql)),
     QueryDef("q162_split_leakage_audit", q162, Some(q162Sql)),
     QueryDef("q163_jsonl_roundtrip", q163, Some(q163Sql)),
     QueryDef("q164_mmr_rerank", q164, Some(q164Sql)),
