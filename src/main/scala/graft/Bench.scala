@@ -188,7 +188,11 @@ object Bench {
     // q215 runs both PRF passes over the persisted postings — two
     // pushed-filter store scans + the feedback docs' token count,
     // sf-scaled like q161
-    "q215_prf_expansion")
+    "q215_prf_expansion",
+    // q216 runs the line-df store lifecycle (append x2 + erasure +
+    // two served strips + compaction + equality gate) — sf-scaled
+    // like q189/q201
+    "q216_boilerplate_store")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import TextFunctions.hash60
@@ -48,13 +48,9 @@ object Boilerplate {
   def repeatedLines(docs: DataFrame, idCol: String, domainCol: String,
       textCol: String, minDf: Long): DataFrame = {
     require(minDf >= 2, s"need minDf >= 2, got $minDf")
-    docs.select(col(idCol), col(domainCol),
-        explode(split(col(textCol), "\n")).as("__line"))
-      .select(col(idCol), col(domainCol), hash60(col("__line")).as("__lh"))
-      .distinct() // document frequency, not occurrence count
-      .groupBy(col(domainCol), col("__lh"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
+    lineDfCounts(docs, idCol, domainCol, textCol)
+      .filter(col("cnt") >= minDf)
+      .select(col(domainCol), col("__lh"), col("cnt").as("df"))
   }
 
   /** Strip per-domain repeated lines from every document: returns
@@ -66,8 +62,18 @@ object Boilerplate {
     * (e.g. [[stripMarkup]], trim) if near-identical lines should
     * count together. */
   def stripRepeatedLines(docs: DataFrame, idCol: String, domainCol: String,
-      textCol: String, minDf: Long): DataFrame = {
-    val boilerSets = repeatedLines(docs, idCol, domainCol, textCol, minDf)
+      textCol: String, minDf: Long): DataFrame =
+    stripAgainst(docs,
+      repeatedLines(docs, idCol, domainCol, textCol, minDf),
+      idCol, domainCol, textCol)
+
+  /** The strip side against an explicit boilerplate frame
+    * `(domainCol, __lh)` — shared by the in-memory path (df counted
+    * on the same corpus) and the served path (df summed from the
+    * persisted store). */
+  private def stripAgainst(docs: DataFrame, boiler: DataFrame,
+      idCol: String, domainCol: String, textCol: String): DataFrame = {
+    val boilerSets = boiler
       .groupBy(col(domainCol)).agg(collect_set(col("__lh")).as("__bset"))
     docs.join(boilerSets, Seq(domainCol), "left")
       .withColumn("__lines", split(col(textCol), "\n"))
@@ -79,5 +85,85 @@ object Boilerplate {
         size(col("__lines")).cast("long").as("n_lines"),
         size(col("__kept")).cast("long").as("n_kept"),
         array_join(col("__kept"), "\n").as(textCol))
+  }
+
+  // ------------------------------------------ persisted line-df store
+
+  /** One slice's per-(domain, line-hash) DISTINCT-DOC counts
+    * `(domainCol, __lh, cnt)` — the boilerplate detector's model
+    * artifact. Counts from DISJOINT document slices merge by SUM
+    * (each document contributes exactly 1 per distinct line it
+    * carries), which is what makes the persisted form maintainable
+    * by the count-store delta discipline. */
+  def lineDfCounts(docs: DataFrame, idCol: String, domainCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), col(domainCol),
+        explode(split(col(textCol), "\n")).as("__line"))
+      .select(col(idCol), col(domainCol), hash60(col("__line")).as("__lh"))
+      .distinct()
+      .groupBy(col(domainCol), col("__lh"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Append one document slice's line-df counts to the persisted
+    * detector at `root` — the [[LanguageModel.writeLmStore]] delta
+    * discipline on the boilerplate model: a daily slice appends only
+    * its own counts; the served threshold reads the sum-on-read
+    * union, so line statistics are never recomputed over history. */
+  def writeLineDfStore(docs: DataFrame, idCol: String, domainCol: String,
+      textCol: String, root: String, batchId: Long): Unit =
+    BatchStore.append(lineDfCounts(docs, idCol, domainCol, textCol),
+      root, batchId)
+
+  /** Maintain the detector FROM A STREAM — the exactly-once epoch
+    * discipline shared by every count store ([[LanguageModel
+    * .lmStoreSink]]): batch id = `baseBatchId + epochId`, committed
+    * epochs no-op on replay. */
+  def lineDfStoreSink(idCol: String, domainCol: String, textCol: String,
+      root: String, baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+    (batch, epochId) => {
+      val id = baseBatchId + epochId
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(root, s"batch=$id")))
+        writeLineDfStore(batch, idCol, domainCol, textCol, root, id)
+    }
+
+  /** Erase documents from the persisted detector — negated line-df
+    * counts ([[LanguageModel.deleteFromLmStore]]'s contract: each doc
+    * at most once, only previously-appended docs, fresh batchId). A
+    * takedown's lines stop counting toward the threshold on the very
+    * next serve, with no history recount. */
+  def deleteFromLineDfStore(deleted: DataFrame, idCol: String,
+      domainCol: String, textCol: String, root: String, batchId: Long): Unit =
+    BatchStore.append(
+      lineDfCounts(deleted, idCol, domainCol, textCol)
+        .select(col(domainCol), col("__lh"), (-col("cnt")).as("cnt")),
+      root, batchId)
+
+  /** Fold the detector's delta batches into one physically-clean dir —
+    * fail loudly on negative net counts, drop net-zero keys
+    * ([[LanguageModel.foldNonNegativeCounts]]). Serving before and
+    * after is value-identical (q216 pins it in-plan). */
+  def compactLineDfStore(spark: SparkSession, root: String, domainCol: String,
+      newBatchId: Long): Int =
+    BatchStore.compactWith(spark, root, newBatchId,
+      m => LanguageModel.foldNonNegativeCounts(m, Seq(domainCol, "__lh")))
+
+  /** [[stripRepeatedLines]] with the line statistics summed from the
+    * persisted store — one (domain, line-hash)-keyed re-aggregate
+    * (net-zero rows dropped), threshold, then the identical in-row
+    * strip; value-identical to counting on the appended-minus-erased
+    * corpus (oracle-gated, q216). `docs` is the frame to STRIP — at a
+    * daily cadence, today's slice against the accumulated corpus
+    * statistics. */
+  def stripRepeatedLinesFromStore(spark: SparkSession, root: String,
+      docs: DataFrame, idCol: String, domainCol: String, textCol: String,
+      minDf: Long): DataFrame = {
+    require(minDf >= 2, s"need minDf >= 2, got $minDf")
+    val boiler = BatchStore.read(spark, root)
+      .groupBy(col(domainCol), col("__lh"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0 && col("cnt") >= minDf)
+    stripAgainst(docs, boiler, idCol, domainCol, textCol)
   }
 }

@@ -408,12 +408,13 @@ object CurationQueries {
         col("text"), lit("\n"),
         when(col("doc_id") % 2 === 0, concat(lit("footer-a "), col("source")))
           .otherwise(concat(lit("footer-b "), col("source")))).as("text"))
-  private val boilerLinedCte =
-    """WITH lined AS (SELECT doc_id, source,
+  private def boilerLinedCteFor(where: String) =
+    s"""WITH lined AS (SELECT doc_id, source,
       |    'boiler ' || source || chr(10) || text || chr(10) ||
       |    CASE WHEN doc_id % 2 = 0 THEN 'footer-a ' || source
       |         ELSE 'footer-b ' || source END AS ltext
-      |  FROM documents)""".stripMargin
+      |  FROM documents WHERE $where)""".stripMargin
+  private val boilerLinedCte = boilerLinedCteFor("TRUE")
 
   private def q209(s: SparkSession, dir: String): DataFrame =
     graft.operators.Boilerplate.stripRepeatedLines(
@@ -509,6 +510,49 @@ object CurationQueries {
       |  CAST(SUM(len($dTokens)) AS BIGINT) AS sum_toks
       |FROM grp g JOIN keepers k ON g.h = k.h AND g.doc_id = k.keeper
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q216 — THE BOILERPLATE DETECTOR AS A MAINTAINED STORE
+  // ([[graft.operators.Boilerplate.writeLineDfStore]] /
+  // [[Boilerplate.deleteFromLineDfStore]] / [[Boilerplate
+  // .compactLineDfStore]] / [[Boilerplate.stripRepeatedLinesFromStore]]):
+  // the q189 count-store lifecycle on the line-df model — per-
+  // (source, line-hash) DISTINCT-DOC counts append in two disjoint
+  // slices (doc_id % 2), a takedown erases the % 10 = 3 documents by
+  // negated counts (their lines stop counting toward the threshold,
+  // no history recount), the serve strips the REMAINING corpus
+  // against the summed store, then the store COMPACTS (non-negative
+  // guard armed, net-zero keys dropped) and serves again — identical
+  // in-plan (the q180 equality-gate discipline). Oracle: q209's chain
+  // with the erased documents excluded from BOTH the df counting and
+  // the strip side.
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val B = graft.operators.Boilerplate
+    val lined = boilerLined(Tables.documents(s, dir))
+    val remaining = lined.filter(col("doc_id") % 10 =!= 3)
+    StoreGates.withTempStore(s, "graft_q216_linedf") { root =>
+      B.writeLineDfStore(lined.filter(col("doc_id") % 2 === 0),
+        "doc_id", "source", "text", root, batchId = 1L)
+      B.writeLineDfStore(lined.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "source", "text", root, batchId = 2L)
+      B.deleteFromLineDfStore(lined.filter(col("doc_id") % 10 === 3),
+        "doc_id", "source", "text", root, batchId = 3L)
+      def serve() = B.stripRepeatedLinesFromStore(s, root, remaining,
+        "doc_id", "source", "text", minDf = 10L).localCheckpoint()
+      val masked = serve()
+      B.compactLineDfStore(s, root, "source", newBatchId = 4L)
+      val compacted = serve()
+      val out = StoreGates.compactionIdentityGate(masked, compacted,
+          "line-df compaction changed the served strip")
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.releasePinned(masked)
+      graft.operators.Checkpoints.releasePinned(compacted)
+      out
+    }
+  }
+  private lazy val q216Sql = boilerplateSqlTail(
+    boilerLinedCteFor("doc_id % 10 <> 3"))
 
   // ---------------------------------------------------------------
   // q212 — MARKUP STRIP + LINE DEDUP, THE COMPOSED FIRST STAGE
@@ -885,6 +929,7 @@ object CurationQueries {
     QueryDef("q212_markup_boilerplate", q212, Some(q212Sql)),
     QueryDef("q213_quality_store_streamed", q213, Some(q213Sql)),
     QueryDef("q214_curation_pipeline", q214, Some(q214Sql)),
+    QueryDef("q216_boilerplate_store", q216, Some(q216Sql)),
     QueryDef("q47_salted_agg", q47, Some(q47Sql)),
     QueryDef("q195_dsir_selection", q195, Some(q195Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),

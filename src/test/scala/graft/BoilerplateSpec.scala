@@ -97,6 +97,60 @@ class BoilerplateSpec extends AnyFunSuite {
       "post-strip: the 6 duplicate pairs must collapse")
   }
 
+  test("line-df store: erase equals recounting without the erased docs; double-delete fails compaction; sink replay no-ops") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_linedf_store").toString
+    val docs = fixture
+    graft.operators.Boilerplate.writeLineDfStore(
+      docs.filter(col("doc_id") <= 3), "doc_id", "domain", "text", root, 1L)
+    graft.operators.Boilerplate.writeLineDfStore(
+      docs.filter(col("doc_id") > 3), "doc_id", "domain", "text", root, 2L)
+    // erase doc 1: df(a, NAV) drops 3 -> 2, below minDf=3 — NAV must
+    // now SURVIVE in the remaining docs' strip
+    graft.operators.Boilerplate.deleteFromLineDfStore(
+      docs.filter(col("doc_id") === 1L), "doc_id", "domain", "text", root, 3L)
+    val remaining = docs.filter(col("doc_id") =!= 1L)
+    def serve() = graft.operators.Boilerplate.stripRepeatedLinesFromStore(
+      spark, root, remaining, "doc_id", "domain", "text", minDf = 3L)
+    val served = serve().orderBy(col("doc_id"))
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    val recount = graft.operators.Boilerplate.stripRepeatedLines(
+        remaining, "doc_id", "domain", "text", minDf = 3L)
+      .orderBy(col("doc_id"))
+      .as[(Long, String, Long, Long, String)].collect().toSeq
+    assert(served == recount,
+      s"erased store must strip like a recount:\n got $served\n exp $recount")
+    assert(served.find(_._1 == 2L).get._5 == "NAV\nbeta two",
+      s"NAV fell below the threshold after the erasure: $served")
+    // compaction folds; a second delete of the same doc nets negative
+    assert(graft.operators.Boilerplate.compactLineDfStore(
+      spark, root, "domain", 4L) == 3)
+    graft.operators.Boilerplate.deleteFromLineDfStore(
+      docs.filter(col("doc_id") === 1L), "doc_id", "domain", "text", root, 5L)
+    val e = intercept[Exception] {
+      graft.operators.Boilerplate.compactLineDfStore(spark, root, "domain", 6L)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("negative net count"),
+      s"double-delete must fail the compaction: ${e.getMessage}")
+    // sink: committed epochs no-op on replay
+    val sroot = java.nio.file.Files
+      .createTempDirectory("graft_linedf_sink").toString
+    val sink = graft.operators.Boilerplate.lineDfStoreSink(
+      "doc_id", "domain", "text", sroot)
+    sink(docs.filter(col("doc_id") <= 3), 0L)
+    def stored() = graft.operators.BatchStore.read(spark, sroot)
+      .orderBy(col("batch"), col("domain"), col("__lh")).collect().toSeq
+    val s0 = stored()
+    sink(docs.filter(col("doc_id") <= 3), 0L)
+    assert(stored() == s0, "epoch replay must be a no-op")
+    Seq(root, sroot).foreach { r =>
+      new org.apache.hadoop.fs.Path(r)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(new org.apache.hadoop.fs.Path(r), true)
+    }
+  }
+
   test("stripMarkup drops tags and keeps words separated") {
     import spark.implicits._
     val got = Seq("a</p><p>b", "no tags", "<div class=\"x\">inner</div>")
