@@ -192,7 +192,11 @@ object Bench {
     // q216 runs the line-df store lifecycle (append x2 + erasure +
     // two served strips + compaction + equality gate) — sf-scaled
     // like q189/q201
-    "q216_boilerplate_store")
+    "q216_boilerplate_store",
+    // q217 streams the corpus through the exactly-once rollup sink
+    // then serves the rewritten aggregate — corpus work dominates,
+    // like q194/q202
+    "q217_rollup_streamed")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:

@@ -368,6 +368,57 @@ object SqlQueries {
       |FROM documents WHERE source IN ('src1', 'src3', 'src5')
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q217 — STREAMED ROLLUP MAINTENANCE SERVED BY THE REWRITE
+  // ([[graft.plans.SummaryRewrite.rollupSink]]): the q194/q200/q202
+  // exactly-once foreachBatch discipline on the ROLLUP store — the
+  // corpus arrives one slice per micro-batch, each epoch committing
+  // its partial rows via the stage-and-rename append (replay
+  // no-ops) AND refreshing the registrations serving the root (the
+  // q208 freshness rule, now per-epoch). The registered rollup then
+  // serves a rewritten aggregate over the full streamed corpus; the
+  // in-plan require pins the rewrite fired, and the oracle is the
+  // plain full-table aggregate — a lost epoch, a double-committed
+  // replay, or a stale registration all break the hash.
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val basePath = s"$dir/documents.parquet"
+    val base = s.read.parquet(basePath)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    try {
+      StoreGates.withStreamedStore(s, "graft_q217_rollup",
+        slices = Seq(base.filter(col("doc_id") % 2 === 0),
+          base.filter(col("doc_id") % 2 =!= 0)),
+        sink = root => graft.plans.SummaryRewrite.rollupSink(
+          keys = Seq("lang", "source"), measures = Seq("n_chars"), root)
+      ) { root =>
+        graft.plans.SummaryRewrite.register(s, basePath, root,
+          keys = Seq("lang", "source"), measures = Seq("n_chars"))
+        val out = s.read.parquet(basePath)
+          .filter(col("source") =!= "src1")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"))
+          .orderBy(col("lang"), col("source"))
+        val scans = out.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+        require(scans.nonEmpty && scans.forall(_.contains(
+            new java.io.File(root).getName)),
+          s"streamed-rollup rewrite did not fire: scans=$scans")
+        out.localCheckpoint()
+      }
+    } finally graft.plans.SummaryRewrite.deregister(basePath)
+  }
+  private val q217Sql =
+    """SELECT lang, source, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars
+      |FROM documents WHERE source <> 'src1'
+      |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q46_sql_surface", q46, Some(q46Sql)),
     QueryDef("q77_sql_native_fns", q77, Some(q77Sql)),
@@ -377,5 +428,6 @@ object SqlQueries {
     QueryDef("q203_incremental_rollup_rewrite", q203, Some(q203Sql)),
     QueryDef("q205_rollup_rewrite_sql", q205, Some(q205Sql)),
     QueryDef("q208_rollup_fresh_append", q208, Some(q208Sql)),
+    QueryDef("q217_rollup_streamed", q217, Some(q217Sql)),
   )
 }

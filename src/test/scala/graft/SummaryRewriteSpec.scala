@@ -264,6 +264,41 @@ class SummaryRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rollupSink: epoch replay is a no-op; an epoch landing AFTER registration is served fresh") {
+    import spark.implicits._
+    val base = tmp("graft_sr_sink_base")
+    val root = tmp("graft_sr_sink_roll")
+    try {
+      (1L to 40L).map(i => (i, s"k${i % 2}", i * 7))
+        .toDF("id", "key_a", "m")
+        .write.mode("overwrite").parquet(base)
+      val df = spark.read.parquet(base)
+      val sink = SummaryRewrite.rollupSink(Seq("key_a"), Seq("m"), root)
+      sink(df.filter(col("id") <= 20), 0L)
+      def stored() = spark.read.parquet(root)
+        .orderBy(col("batch"), col("key_a")).collect().toSeq
+      val s0 = stored()
+      sink(df.filter(col("id") <= 20), 0L) // replay
+      assert(stored() == s0, "epoch replay must be a no-op")
+      SummaryRewrite.register(spark, base, root, Seq("key_a"), Seq("m"))
+      // the NEXT epoch lands after registration — the sink's
+      // per-epoch refresh must make it visible with no re-register
+      sink(df.filter(col("id") > 20), 1L)
+      val q = spark.read.parquet(base)
+        .groupBy(col("key_a")).agg(sum(col("m")).as("s"))
+        .orderBy(col("key_a"))
+      assert(scansOnly(q, root), s"expected rewrite: ${scanPaths(q)}")
+      val got = q.as[(String, Long)].collect().toSeq
+      val expect = (1L to 40L).groupBy(i => s"k${i % 2}").toSeq.sortBy(_._1)
+        .map { case (k, is) => (k, is.map(_ * 7).sum) }
+      assert(got == expect,
+        s"post-registration epoch must be served fresh:\n got $got\n expect $expect")
+    } finally {
+      SummaryRewrite.deregister(base)
+      Seq(base, root).foreach(rm)
+    }
+  }
+
   test("registry keys keep remote scheme+authority: an s3a registration never serves a local base at the same path") {
     withFixture { (base, summary) =>
       SummaryRewrite.deregister(base)
