@@ -197,8 +197,16 @@ object InvertedIndex {
     // Round11Spec pins the served read at one store pass). The
     // pinned blocks are bounded by the query terms' posting volume;
     // callers release per the materialize contract (the bench
-    // sweeps between runs).
+    // sweeps between runs). [[prfSearchFromStore]] pins its own tf
+    // and calls [[bm25RankPinned]] directly so it can release.
     val tf = tf0.localCheckpoint()
+    bm25RankPinned(tf, stats, idCol, terms, k)
+  }
+
+  /** [[bm25Rank]] over an ALREADY-PINNED tf frame — the caller owns
+    * (and releases) the pin. */
+  private def bm25RankPinned(tf: DataFrame, stats: DataFrame, idCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
     val dlRatio = col("doc_len").cast("double") /
@@ -337,8 +345,20 @@ object InvertedIndex {
       terms: Seq[String], fbDocs: Int, fbTerms: Int, k: Int): DataFrame = {
     require(fbDocs >= 1 && fbTerms >= 1 && k >= 1,
       s"need fbDocs/fbTerms/k >= 1, got $fbDocs/$fbTerms/$k")
-    val fbIds = bm25SearchFromStore(spark, root, idCol, terms, fbDocs)
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct, got $terms")
+    // pass 1 with a locally-owned tf pin (released after the
+    // feedback ids collect — bm25SearchFromStore's internal pin
+    // would be unreachable)
+    val tf1 = applyTombstones(spark, root,
+        BatchStore.read(spark, root).filter(col("token").isin(terms: _*)),
+        idCol)
+      .select(col(idCol), col("doc_len"), col("token"), col("tf"))
+      .localCheckpoint()
+    val fbIds = bm25RankPinned(tf1, postingStoreStats(spark, root),
+        idCol, terms, fbDocs)
       .select(col(idCol)).collect().map(_.get(0)).toSeq
+    Checkpoints.releasePinned(tf1)
     val expansion = prfExpansionTerms(corpus, idCol, textCol,
       fbIds, terms, fbTerms).collect().map(_.getString(0)).toSeq
     val allTerms = terms ++ expansion

@@ -38,9 +38,14 @@ class PrfSpec extends AnyFunSuite {
       "doc_id", terms, 10)
     assert(!strict.collect().map(_.getLong(0)).contains(4L),
       "AND search must not return the term-disjoint doc")
-    // PRF: feedback docs 1-3 vote "shuffle" in; doc 4 surfaces
+    // PRF: feedback docs 1-3 vote "shuffle" in; doc 4 surfaces —
+    // and the call owns exactly one pin (its materialized result)
+    def pinned: Int = spark.sparkContext.getPersistentRDDs.size
+    val before = pinned
     val prf = InvertedIndex.prfSearchFromStore(spark, root, corpus,
       "doc_id", "text", terms, fbDocs = 3, fbTerms = 1, k = 10)
+    assert(pinned == before + 1,
+      "after a PRF call, only the returned frame may be pinned")
     val rows = prf.select(col("doc_id"), col("n_terms_hit"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     // feedback docs rank above the expansion-only doc (they match 4
