@@ -13,13 +13,24 @@ import graft.operators.{Checkpoints, LateInteraction}
   * candidate set is FIXED (every eval query × 10 fixed passages), so
   * the only moving part between the two measurements is the scan.
   *
-  * `runMain graft.TokenIndexPruneProbe <dir1> [dir2 ...]` prints one
-  * `PRUNE <dir> <label> <median>s [runs] records=<n>` line per
-  * measurement.
+  * `runMain graft.TokenIndexPruneProbe [B=<buckets>] [CAND=<n>] <dir1>
+  * [dir2 ...]` prints one `PRUNE <dir> B=<b> <label> <median>s [runs]
+  * records=<n>` line per measurement. `B=` sets the store's bucket
+  * count (default [[LateInteraction.DefaultBuckets]] = the gate-scale
+  * 16; the round-14 verdict asks for the production shape B=64/256 on
+  * a 10× store, where the saved scan exceeds the ~0.3 s fixed cost of
+  * the two pruning jobs). `CAND=` sets the fixed candidate-passage
+  * count per query (default 10).
   */
 object TokenIndexPruneProbe {
-  def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: TokenIndexPruneProbe <dir1> [dir2 ...]")
+  def main(args0: Array[String]): Unit = {
+    val buckets = args0.collectFirst { case s if s.startsWith("B=") =>
+      s.drop(2).toInt }.getOrElse(LateInteraction.DefaultBuckets)
+    val nCand = args0.collectFirst { case s if s.startsWith("CAND=") =>
+      s.drop(5).toInt }.getOrElse(10)
+    val args = args0.filterNot(s => s.startsWith("B=") || s.startsWith("CAND="))
+    require(args.nonEmpty,
+      "usage: TokenIndexPruneProbe [B=<buckets>] [CAND=<n>] <dir1> [dir2 ...]")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     def rm(p0: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(p0)
@@ -37,14 +48,14 @@ object TokenIndexPruneProbe {
         .select((col("doc_id") * lit(1048576L) + col("chunk_id"))
           .as("neighbor_id"), col("chunk_text").as("text"))
       LateInteraction.writeTokenIndex(chunks.filter(col("neighbor_id") % 2 === 0),
-        "neighbor_id", "text", dim = 16, root, batchId = 1L)
+        "neighbor_id", "text", dim = 16, root, batchId = 1L, buckets = buckets)
       LateInteraction.writeTokenIndex(chunks.filter(col("neighbor_id") % 2 === 1),
-        "neighbor_id", "text", dim = 16, root, batchId = 2L)
+        "neighbor_id", "text", dim = 16, root, batchId = 2L, buckets = buckets)
       val qs = docs.filter(col("doc_id") % 97 === 3)
         .select(col("doc_id").as("query_id"), col("text"))
       val cand = qs.select(col("query_id")).crossJoin(
         chunks.select(col("neighbor_id"))
-          .orderBy(col("neighbor_id")).limit(10))
+          .orderBy(col("neighbor_id")).limit(nCand))
       def serve(): Unit = {
         val r = LateInteraction.maxSimFromTokenIndex(
           spark, root, cand, qs, "query_id", "neighbor_id", "text",
@@ -62,7 +73,7 @@ object TokenIndexPruneProbe {
         run() // warmup
         val rs = (1 to 3).map(_ => run())
         val ts = rs.map(_._1).sorted
-        println(f"PRUNE $dir $label ${ts(1)}%.3f s  " +
+        println(f"PRUNE $dir B=$buckets $label ${ts(1)}%.3f s  " +
           ts.map(t => f"$t%.3f").mkString("[", ",", "]") +
           s" records=${rs.map(_._2).min}")
       }

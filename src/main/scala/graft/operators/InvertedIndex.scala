@@ -280,8 +280,15 @@ object InvertedIndex {
     * contributions sum order-free, so any term set — including one
     * selected at runtime from feedback documents — reproduces
     * bit-identically in any engine. 2²⁰ (not the usual 2³⁰) leaves
-    * headroom for idf's rare-term extreme: contrib ≤ 2.25·(2N) ≈
-    * 4.5·10¹² at N = 10¹², times 2²⁰ ≈ 4.7·10¹⁸ < 2⁶³.
+    * headroom for idf's rare-term extreme — but the bound is JOINT
+    * over the matching term set, not per term: prf_fp sums one
+    * contribution per matching term, each ≤ 2.25·(2N)·2²⁰ ≈ 4.7·10¹⁸
+    * at N = 10¹², so the sum stays < 2⁶³ only while
+    * n_terms · N ≲ 2·10¹² (e.g. ≤ 2 000 expanded terms at N = 10⁹,
+    * or ≤ 2 terms at the N = 10¹² extreme). PRF queries carry
+    * terms + fbTerms ≈ tens of terms, which holds comfortably to
+    * N ≈ 10¹¹; the runtime require below fails loudly (rather than
+    * letting the non-ANSI sum wrap) if a caller exceeds it.
     * Returns `(id, doc_len, n_terms_hit, prf_fp)`, prf_fp descending,
     * id tiebreak; internal pins released (the result is
     * materialized). */
@@ -297,7 +304,19 @@ object InvertedIndex {
     val out = tf.join(broadcast(dfreq), "token").crossJoin(broadcast(stats))
       .withColumn("__fp", floor(idf * tfSat * lit(1048576.0)).cast("long"))
       .groupBy(col(idCol), col("doc_len"))
-      .agg(count(lit(1)).as("n_terms_hit"), sum(col("__fp")).as("prf_fp"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("__fp")).as("prf_fp"),
+        max(col("__fp")).as("__fpmax"))
+      // joint overflow guard: sum ≤ n_terms_hit·max(__fp); checked in
+      // double (which cannot wrap) so a corpus/term-set combination
+      // past the 2⁶³ headroom fails loudly instead of ranking on a
+      // silently wrapped fixed-point sum.
+      .withColumn("prf_fp", when(
+        col("n_terms_hit").cast("double") * col("__fpmax").cast("double") >
+          lit(9.0e18),
+        raise_error(lit("bm25AnyFpRank fixed-point headroom exceeded: " +
+          "n_terms_hit × max term contribution approaches 2^63; shrink " +
+          "the expanded term set or the corpus per store"))
+          .cast("long")).otherwise(col("prf_fp")))
       .select(col(idCol), col("doc_len").cast("long").as("doc_len"),
         col("n_terms_hit"), col("prf_fp"))
       .orderBy(desc("prf_fp"), col(idCol))

@@ -66,14 +66,18 @@ object LanguageModel {
   /** Consecutive token pairs of each doc: `(id, w1, w2)` — docs with
     * fewer than two tokens contribute nothing (and score as absent:
     * there is no sequence to judge). */
-  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+  private def bigrams(df: DataFrame, idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val carried = carryCols.map(col)
+    df.select(col(idCol) +: carried :+ tokens(col(textCol)).as("__t"): _*)
       .filter(size(col("__t")) >= 2)
-      .select(col(idCol), explode(zip_with(
+      .select(col(idCol) +: carried :+ explode(zip_with(
         slice(col("__t"), lit(1), size(col("__t")) - 1),
         slice(col("__t"), lit(2), size(col("__t")) - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
-      .select(col(idCol), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"): _*)
+      .select(col(idCol) +: carried :+ col("__bg.w1").as("w1") :+
+        col("__bg.w2").as("w2"): _*)
+  }
 
   /** Consecutive token triples: `(id, w1, w2, w3)` — docs with fewer
     * than three tokens contribute nothing at n=3 (the [[bigrams]]
@@ -134,10 +138,15 @@ object LanguageModel {
     * ([[bigramLmScore]]) and the keep-the-best filter
     * ([[lmQualityFilter]]). */
   private def scoredAll(candidates: DataFrame, cb: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val carried = carryCols.map(col)
     val cl = cb.groupBy(col("w1")).agg(sum(col("cnt")).as("cl"))
     val v = cb.agg(countDistinct(col("w2")).as("v"))
-    bigrams(candidates, idCol, textCol)
+    // carryCols (e.g. the quality gate's group key) ride the single
+    // candidate scan — grouping by (id, carry) is grouping by id
+    // since the carries are per-doc attributes; no second scan.
+    bigrams(candidates, idCol, textCol, carryCols)
       .join(cb, Seq("w1", "w2"), "left")
       .join(cl, Seq("w1"), "left")
       .crossJoin(broadcast(v))
@@ -145,11 +154,12 @@ object LanguageModel {
         (coalesce(col("cnt"), lit(0L)) + lit(1L)).cast("double")
           * lit(1073741824.0)
           / (coalesce(col("cl"), lit(0L)) + col("v"))).cast("long"))
-      .groupBy(col(idCol))
+      .groupBy(col(idCol) +: carried: _*)
       .agg(sum(col("__contrib")).as("lm_fp"),
         count(lit(1)).as("n_bigrams"))
       .withColumn("lm_avg", col("lm_fp").cast("double") / col("n_bigrams"))
-      .select(col(idCol), col("n_bigrams"), col("lm_fp"), col("lm_avg"))
+      .select(col(idCol) +: carried :+ col("n_bigrams") :+ col("lm_fp") :+
+        col("lm_avg"): _*)
   }
 
   /** The KenLM-style PERPLEXITY QUALITY GATE every real pretraining
@@ -176,9 +186,10 @@ object LanguageModel {
     require(cutQ > 0 && cutQ < 1, s"cutQ must be in (0,1), got $cutQ")
     val cb = counts.localCheckpoint()
     // pin: the scored frame feeds the quantile's passes AND the keep
-    // join (the q141 multi-consumer discipline)
-    val scored = scoredAll(candidates, cb, idCol, textCol)
-      .join(candidates.select(col(idCol), col(groupCol)), Seq(idCol))
+    // join (the q141 multi-consumer discipline); groupCol rides the
+    // one candidate scan inside scoredAll — no second corpus join.
+    val scored = scoredAll(candidates, cb, idCol, textCol,
+        carryCols = Seq(groupCol))
       .localCheckpoint()
     val (cutRaw, cutPins) = Sampling.groupQuantileDiscPinned(
       scored, groupCol, "lm_avg", q = cutQ)

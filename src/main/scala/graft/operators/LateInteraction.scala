@@ -179,7 +179,21 @@ object LateInteraction {
       case Some(n) => require(n == buckets,
         s"token index at $root is bucketed into $n dirs; append used $buckets")
       case None =>
-        fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        // A legacy FLAT store (pre-bucketing batches, no meta) must
+        // stay flat: committing a __pb-partitioned batch beside flat
+        // ones makes spark.read.parquet(root) fail on conflicting
+        // directory structures — the documented full-scan fallback
+        // would be bricked by its first new-code append. Fail loudly
+        // instead of mixing layouts.
+        val legacy = fs.exists(rootPath) &&
+          fs.listStatus(rootPath).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch="))
+        require(!legacy,
+          s"token index at $root has pre-bucketing flat batches; " +
+            "rebuild the store (purge + re-append) before using the " +
+            "bucketed layout")
+        fs.mkdirs(rootPath)
         val out = fs.create(p, false) // racing second writer fails fast
         try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
     }
@@ -218,7 +232,15 @@ object LateInteraction {
     val st = BatchStore.read(spark, root)
     readBucketsMeta(spark, root) match {
       case Some(n) =>
-        val bks = candIds.select(passageBucket(passageCol, n).as("__pb"))
+        // xxhash64(int) != xxhash64(long) for the same value: a
+        // candidate frame whose id dtype differs from the stored
+        // passage column would prune the WRONG dirs and silently
+        // drop passages the equi-join would have matched — hash at
+        // the store's dtype.
+        val storeIdType = st.schema(passageCol).dataType
+        val typedIds = candIds.select(col(passageCol).cast(storeIdType)
+          .as(passageCol))
+        val bks = typedIds.select(passageBucket(passageCol, n).as("__pb"))
           .distinct().collect().map(_.getLong(0)).sorted
         if (bks.isEmpty) st.filter(lit(false)).drop("__pb")
         else {

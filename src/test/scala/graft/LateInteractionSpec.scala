@@ -182,6 +182,47 @@ class LateInteractionSpec extends AnyFunSuite {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("token index: appending bucketed batches to a legacy FLAT store fails fast instead of mixing layouts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ti_flat").toString
+    // a pre-bucketing store: batch dirs, no __pb partitioning, no meta
+    val flat = Seq((1L, Seq(1.0, 0.0), 1.0))
+      .toDF("neighbor_id", "__dv", "__dn")
+    graft.operators.BatchStore.append(flat, root, batchId = 1L)
+    val e = intercept[IllegalArgumentException] {
+      LateInteraction.writeTokenIndex(
+        Seq((2L, "a b")).toDF("neighbor_id", "text"),
+        "neighbor_id", "text", 8, root, batchId = 2L, buckets = 4)
+    }
+    assert(e.getMessage.contains("flat batches"), e.getMessage)
+    // the legacy store still reads whole — no half-committed layout
+    assert(graft.operators.BatchStore.read(spark, root).count() == 1L)
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("pruned serve hashes candidate ids at the STORE's id dtype — int-typed candidates still hit long-keyed buckets") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ti_dtype").toString
+    val passages = (0L until 16L)
+      .map(i => (i, s"tok$i alpha")).toDF("neighbor_id", "text")
+    LateInteraction.writeTokenIndex(passages, "neighbor_id", "text",
+      dim = 8, root, batchId = 1L, buckets = 4)
+    // candidates with INT ids: xxhash64(int) != xxhash64(long), so an
+    // uncast bucket computation would open the wrong dirs and lose rows
+    val candIdsInt = Seq(3, 7).toDF("neighbor_id")
+    val got = LateInteraction.prunedStoreRead(spark, root,
+        candIdsInt, "neighbor_id")
+      .select(col("neighbor_id")).distinct()
+      .as[Long].collect().toSet
+    assert(Set(3L, 7L).subsetOf(got),
+      s"int-typed candidates must reach their passages' buckets, got $got")
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("token index: appends with a mismatched bucket count fail fast") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_ti_meta").toString
