@@ -196,7 +196,19 @@ object Bench {
     // q217 streams the corpus through the exactly-once rollup sink
     // then serves the rewritten aggregate — corpus work dominates,
     // like q194/q202
-    "q217_rollup_streamed")
+    "q217_rollup_streamed",
+    // q218/q219 decode two PNG renditions per document (real JDK
+    // decode, map-side) — sf-scaled via the documents id set; q219
+    // adds the Hamming band join (candidate-sized, the q30 shape)
+    "q218_image_dhash", "q219_image_near_dup",
+    // q220 builds all nine doc-derived stores, fans one erasure
+    // across them and purges — the composed-takedown lifecycle;
+    // corpus-sized store writes dominate, like q199/q210/q216
+    "q220_forget_everywhere",
+    // q221 streams the corpus through the full curation DAG (strip →
+    // dedup → classifier → LM gate → mixture → packed shards) —
+    // corpus work through five gated stages, like q214 + the sinks
+    "q221_curation_streamed")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:

@@ -42,7 +42,8 @@ object SparkEntry {
     RelationalQueries.all ++ LifecycleQueries.all ++ WindowQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ ExtendedQueries.all ++
       SqlQueries.all ++ CurationQueries.all ++ VocabQueries.all ++
-      EventQueries.all ++ ScaleQueries.all
+      EventQueries.all ++ ScaleQueries.all ++ ImageQueries.all ++
+      ErasureQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

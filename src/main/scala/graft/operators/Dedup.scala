@@ -768,6 +768,45 @@ object Dedup {
     bitSums.select(col(idCol), sketch.as("simhash"))
   }
 
+  /** Hamming-banded near-dup pairs over a banded bit sketch — the
+    * q30 MinHash-LSH candidate discipline applied to HAMMING space
+    * (SimHash sketches, [[Multimodal.imageDHash]] perceptual hashes):
+    * `bandCols` carry the sketch as B integer bands; a pair is a
+    * CANDIDATE iff some band matches exactly, and candidates verify
+    * against the exact Hamming distance `Σ bit_count(a_j XOR b_j)`.
+    * By pigeonhole the banding is EXACT (candidates ⊇ all true pairs)
+    * for `maxDist < B` — two sketches within B−1 bit flips must agree
+    * on at least one of B bands; beyond that it is the usual LSH
+    * recall trade. Returns `(id_a, id_b, dist)`, id_a < id_b.
+    *
+    * Scale: the self-join is on (band index, band value) — never
+    * all-pairs; candidate volume is Σ bucket², the q30/q91 bound, and
+    * verification is a band-column lookup join, not a re-decode. A
+    * pathological bucket (e.g. the all-zero band of blank images)
+    * concentrates like any LSH hot key — salt or drop promiscuous
+    * buckets upstream if a corpus ships one. */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String,
+      bandCols: Seq[String], maxDist: Int): DataFrame = {
+    require(bandCols.nonEmpty, "need at least one band column")
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    val kb = hashes.select(col(idCol),
+      posexplode(array(bandCols.map(col): _*)).as(Seq("__band", "__key")))
+    val cand = kb.as("a").join(kb.as("b"),
+        col("a.__band") === col("b.__band") &&
+          col("a.__key") === col("b.__key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val dist = bandCols.map(c =>
+      bit_count(col(s"ha.$c").bitwiseXOR(col(s"hb.$c"))).cast("long"))
+      .reduce(_ + _)
+    cand
+      .join(hashes.as("ha"), col("id_a") === col(s"ha.$idCol"))
+      .join(hashes.as("hb"), col("id_b") === col(s"hb.$idCol"))
+      .select(col("id_a"), col("id_b"), dist.as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Elementwise-min union of MinHash signatures — a typed
     * [[org.apache.spark.sql.expressions.Aggregator]], the UDAF
     * extension point (the engine's first: everything else composes

@@ -203,6 +203,31 @@ object LanguageModel {
     out
   }
 
+  /** The ABSOLUTE-threshold perplexity gate served from the persisted
+    * LM store — the streaming-friendly twin of
+    * [[lmQualityFilterFromStore]]: keep candidates whose fixed-point
+    * average `lm_avg` is at or above a FIXED cut. A per-batch
+    * quantile would depend on micro-batch composition (a streamed
+    * run could keep different docs than the batch twin); the
+    * absolute cut is per-doc deterministic given the store, so a
+    * stream of slices keeps EXACTLY the docs a single batch pass
+    * keeps (q221's pin). Production learns the cut offline on a
+    * calibration sample (the q211 quantile path); docs with < 2
+    * tokens have no score and are dropped. Returns
+    * `(idCol, n_bigrams, lm_fp, lm_avg)`; the returned frame is the
+    * call's only live checkpoint. */
+  def lmThresholdFilterFromStore(spark: SparkSession, root: String,
+      candidates: DataFrame, idCol: String, textCol: String,
+      minAvgFp: Double): DataFrame = {
+    val cb = mergedStoreCounts(spark, root, Seq("w1", "w2"))
+      .localCheckpoint()
+    val out = scoredAll(candidates, cb, idCol, textCol)
+      .filter(col("lm_avg") >= minAvgFp)
+      .localCheckpoint()
+    Checkpoints.releasePinned(cb)
+    out
+  }
+
   /** [[lmQualityFilter]] with counts summed from the persisted LM
     * store — the production composition: the store is maintained by
     * appends/erasures ([[writeLmStore]]/[[deleteFromLmStore]]), and

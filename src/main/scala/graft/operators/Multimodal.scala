@@ -1132,6 +1132,118 @@ object Multimodal {
     }
   }
 
+  /** Deterministic HIGH-ENTROPY PNG fixture — the [[pngBytes]] ramp's
+    * noise twin for perceptual-hash gates: per pixel, channels come
+    * from the md5 hex of `"$key:$x:$y"` (`r` = hex[0,2), `g` =
+    * hex[2,4), `b` = hex[4,6), each parsed base-16 → 0–255), so an
+    * SQL oracle replays every pixel and two images share content iff
+    * they share `key` — near-dup classes are PLANTED, never
+    * accidental (the ramp fixture's low-entropy gradients collide
+    * across seeds, which makes its near-dup relation quadratically
+    * dense — wrong regime for LSH gates). `tintTopRow` adds +40 (mod
+    * 256) to row 0's red channel: a watermark-sized perturbation that
+    * moves only the hash bits sampled from source row 0. Encoded
+    * through the JDK's real PNG writer (lossless RGB). */
+  def pngNoiseBytes(w: Int, h: Int, key: String,
+      tintTopRow: Boolean = false): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w * h <= MaxDecodePixels)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val hex = md.digest(s"$key:$x:$y".getBytes("UTF-8"))
+          .take(3).map(b => f"${b & 0xff}%02x").mkString
+        val r0 = Integer.parseInt(hex.substring(0, 2), 16)
+        val r = if (tintTopRow && y == 0) (r0 + 40) % 256 else r0
+        val g = Integer.parseInt(hex.substring(2, 4), 16)
+        val b = Integer.parseInt(hex.substring(4, 6), 16)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** One perceptual-hash row: the 64-bit DIFFERENCE HASH (dHash) of
+    * the decoded image carried as four 16-bit bands — the Hamming-LSH
+    * bucket keys directly, and integer-exact in any engine (a packed
+    * signed 64-bit long would need sign gymnastics in SQL). */
+  final case class ImageDHash(
+      media_id: Long, codec: String, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** PERCEPTUAL image hash — the dedup suite's image modality
+    * (average/difference-hash family; dHash per Krawetz's published
+    * description): decode ([[imageStats]]'s probe → pixel-budget →
+    * real `ImageIO` discipline), integer luma
+    * `gray = (299·r + 587·g + 114·b) DIV 1000`, nearest-neighbor
+    * sample to a 9×8 grid with [[imageResize]]'s EXACT map
+    * `(sx, sy) = ((x·w) DIV 9, (y·h) DIV 8)`, then 64 horizontal
+    * gradient bits `bit(x,y) = gray(x,y) < gray(x+1,y)` packed
+    * little-endian into four 16-bit bands (`b_j` holds bits
+    * `[16j, 16j+16)`, bit index `i = y·8 + x`). Every step is integer
+    * arithmetic on deterministically decoded pixels, so an SQL oracle
+    * replays the hash from the fixture's closed-form ramps — and two
+    * renditions of the same content (rescaled, re-encoded) land
+    * within a few bits of each other, which is the property
+    * [[Dedup.hammingNearDupPairs]] bands on. Non-decodable payloads
+    * take the deterministic stub (`b_j = (n·(j+1)) mod 65536`,
+    * codec = "stub"). One `mapPartitions` pass; payload bytes never
+    * leave the executor. */
+  def imageDHash(spark: SparkSession, media: DataFrame): Dataset[ImageDHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { batch =>
+      batch.map { m =>
+        val n = m.payload.length.toLong
+        val real: Option[ImageDHash] =
+          if (m.kind != "image") None
+          else tryDecodeImage(m.payload)
+            .filter { case (w, h) => w.toLong * h <= MaxDecodePixels }
+            .flatMap { case (w, h) =>
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(m.payload))
+                if (img == null || img.getWidth != w || img.getHeight != h) None
+                else {
+                  val gray = Array.ofDim[Int](8, 9)
+                  var y = 0
+                  while (y < 8) {
+                    val sy = (y.toLong * h / 8).toInt
+                    var x = 0
+                    while (x < 9) {
+                      val sx = (x.toLong * w / 9).toInt
+                      val p = img.getRGB(sx, sy)
+                      gray(y)(x) = (299 * ((p >> 16) & 0xff) +
+                        587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val bands = Array.fill(4)(0)
+                  var i = 0
+                  while (i < 64) {
+                    val (yy, xx) = (i / 8, i % 8)
+                    if (gray(yy)(xx) < gray(yy)(xx + 1))
+                      bands(i / 16) |= 1 << (i % 16)
+                    i += 1
+                  }
+                  Some(ImageDHash(m.media_id, "image",
+                    bands(0), bands(1), bands(2), bands(3)))
+                }
+              } catch { case scala.util.control.NonFatal(_) => None }
+            }
+        real.getOrElse(ImageDHash(m.media_id, "stub",
+          (n % 65536L).toInt, (n * 2 % 65536L).toInt,
+          (n * 3 % 65536L).toInt, (n * 4 % 65536L).toInt))
+      }
+    }
+  }
+
   /** Strided frame sampling over video payloads: pick (up to) `k`
     * frame indices evenly across each video — `idx_j = ⌊j·frames/k⌋`,
     * de-duplicated for short videos — and emit each sampled frame as a

@@ -920,7 +920,216 @@ object CurationQueries {
   }
   private val q202Sql = q195Sql
 
+  // ---------------------------------------------------------------
+  // q221 — THE STREAMED END-TO-END CURATION DAG ([[graft.operators
+  // .CurationPipeline]]): one Structured-Streaming pipeline composing
+  // the stages this library gates individually — markup strip →
+  // boilerplate strip served from the pre-trained line-df store
+  // (q216) → exact dedup against the signature store + in-batch
+  // first-arrival keeper (q132/q142's incremental discipline; the
+  // stream MAINTAINS the store, epoch-committed) → quality-classifier
+  // gate from the pre-trained store (q210) → LM perplexity gate at an
+  // ABSOLUTE cut (the streamed twin of q211's quantile — per-doc
+  // deterministic, so slicing cannot change the kept set) →
+  // deterministic per-source mixture coin → exactly-once kept commit
+  // → post-stream [[Packing.packSequences]] export. The stream feeds
+  // three epoch slices (planted cross-epoch duplicate copies arrive
+  // AFTER their originals; slice files get explicit mtimes so the
+  // file source's processing order is the slice order). Oracle:
+  // DuckDB replays the ENTIRE DAG — line-df model from the originals,
+  // strip, (epoch, id)-ordered dedup, the NB argmax, the Laplace
+  // fixed-point LM scores, the md5 mixture coin, and the hash-ordered
+  // packing prefix sums — one drifted stage anywhere breaks the hash.
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val CP = graft.operators.CurationPipeline
+    val docs = Tables.documents(s, dir)
+    val marked = docs.select(col("doc_id"), col("source"), concat(
+      lit("<nav>menu "), col("source"), lit("</nav>\n<p>"),
+      col("text"), lit("</p>\n<footer>(c) "), col("source"),
+      lit("</footer>")).as("text"))
+    val copies = marked
+      .filter(col("doc_id") % 11 === 0 && col("doc_id") % 3 =!= 2)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        col("source"), col("text"))
+    val epochOf = when(col("doc_id") < 10000000L, col("doc_id") % 3)
+      .otherwise((col("doc_id") - 10000000L) % 3 + 1)
+    val stream = marked.unionByName(copies).withColumn("__epoch", epochOf)
+    StoreGates.withTempStore(s, "graft_q221") { base =>
+      def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString
+      val stores = CP.Stores(lineDf = p("ldf"), quality = p("qual"),
+        lm = p("lm"), signatures = p("sig"), kept = p("kept"))
+      // pre-trained models: line-df on the stripped-markup originals
+      // (what the serve strips against), quality + LM on the RAW
+      // originals (history text, labels from the n_chars rule)
+      graft.operators.Boilerplate.writeLineDfStore(
+        marked.withColumn("text",
+          graft.operators.Boilerplate.stripMarkup(col("text"))),
+        "doc_id", "source", "text", stores.lineDf, batchId = 1L)
+      graft.operators.QualityClassifier.writeQualityStore(
+        docs.withColumn("label",
+          when(col("n_chars") >= 300, lit("good")).otherwise(lit("bad"))),
+        "label", "text", buckets = 4096, root = stores.quality,
+        batchId = 1L)
+      graft.operators.LanguageModel.writeLmStore(docs, "doc_id", "text",
+        stores.lm, batchId = 1L)
+      val gates = CP.Gates(minDf = 10L, buckets = 4096,
+        keepLabel = "good", lmCutAvgFp = 3.6e7,
+        mixKeep = substring(col("source"), 4, 10).cast("int") % 2 =!= 0 ||
+          pmod(graft.operators.TextFunctions.hash60(
+            concat(col("source"), lit(":"), col("doc_id").cast("string"))),
+            lit(4L)) < 2)
+      // the stream: one file per epoch slice, mtimes pinned so the
+      // checkpointed file source processes slices IN EPOCH ORDER
+      // (dedup keeps first arrival — order is semantic here, unlike
+      // the order-free count-store sinks)
+      val stage = p("stage"); val ckpt = p("ckpt")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      (0L to 2L).foreach { e =>
+        stream.filter(col("__epoch") === e).drop("__epoch")
+          .coalesce(1).write.mode("append").parquet(stage)
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      fs.listStatus(new org.apache.hadoop.fs.Path(stage)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getModificationTime)
+        .zipWithIndex.foreach { case (st, i) =>
+          fs.setTimes(st.getPath, t0 + i * 1000L, -1) }
+      val snk = CP.sink(stores, gates, "doc_id", "source", "text")
+      val q = s.readStream.schema(stream.drop("__epoch").schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) => snk(b, id))
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      CP.packedShards(s, stores, "doc_id", "text",
+          shards = 4, budgetTokens = 512)
+        .localCheckpoint() // owns the data; the temp stores delete now
+    }
+  }
+  private val q221Sql = {
+    val toks = dTokens
+    def toksOf(t: String) =
+      s"list_filter(regexp_split_to_array(trim($t), '\\s+'), t -> t <> '')"
+    s"""WITH str AS (
+      |  SELECT doc_id, source, n_chars, text, doc_id % 3 AS epoch
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, n_chars, text, doc_id % 3 + 1
+      |  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 3 <> 2),
+      |lined AS (SELECT doc_id, source, n_chars, epoch,
+      |    regexp_replace(
+      |      '<nav>menu ' || source || '</nav>' || chr(10) || '<p>' || text
+      |      || '</p>' || chr(10) || '<footer>(c) ' || source || '</footer>',
+      |      '<[^>]*>', ' ', 'g') AS ltext
+      |  FROM str),
+      |mls AS (SELECT doc_id, source, string_split(ltext, chr(10)) AS ls
+      |  FROM lined WHERE doc_id < 10000000),
+      |mlines AS (SELECT DISTINCT doc_id, source,
+      |    ${dHash("ls[u.i]")} AS lh
+      |  FROM mls, UNNEST(generate_series(1, len(ls))) u(i)),
+      |boiler AS (SELECT source, lh FROM (
+      |    SELECT source, lh, COUNT(*) AS df FROM mlines GROUP BY 1, 2)
+      |  WHERE df >= 10),
+      |sls AS (SELECT doc_id, source, n_chars, epoch,
+      |    string_split(ltext, chr(10)) AS ls FROM lined),
+      |slines AS (SELECT doc_id, source, n_chars, epoch, u.i AS pos,
+      |    ls[u.i] AS line
+      |  FROM sls, UNNEST(generate_series(1, len(ls))) u(i)),
+      |skept AS (SELECT l.doc_id, l.source, l.n_chars, l.epoch, l.pos, l.line
+      |  FROM slines l LEFT JOIN boiler b
+      |    ON l.source = b.source AND ${dHash("l.line")} = b.lh
+      |  WHERE b.lh IS NULL),
+      |reb AS (SELECT doc_id, source, n_chars, epoch,
+      |    string_agg(line, chr(10) ORDER BY pos) AS text
+      |  FROM skept GROUP BY 1, 2, 3, 4),
+      |ded AS (SELECT doc_id, source, n_chars, text FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY md5(text) ORDER BY epoch, doc_id) AS rn FROM reb)
+      |  WHERE rn = 1),
+      |tr AS (SELECT
+      |    CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END AS label,
+      |    $toks AS toks FROM documents),
+      |tf AS (SELECT label, ${dHash("g")} % 4096 AS bucket FROM (
+      |  SELECT label, unnest(toks) AS g FROM tr
+      |  UNION ALL
+      |  SELECT label, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS g FROM tr)),
+      |cb AS (SELECT label, bucket, COUNT(*) AS cnt FROM tf GROUP BY 1, 2),
+      |cl AS (SELECT label, CAST(SUM(cnt) AS BIGINT) AS cl FROM cb GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT bucket) AS v FROM cb),
+      |cls AS (SELECT label, cl, v.v AS v,
+      |    CAST(floor(CAST(1 AS DOUBLE) * 1073741824.0 / (cl + v.v))
+      |      AS BIGINT) AS floor0
+      |  FROM cl CROSS JOIN v),
+      |ca AS (SELECT doc_id, ${toksOf("text")} AS toks FROM ded),
+      |cf AS (SELECT doc_id, ${dHash("g")} % 4096 AS bucket FROM (
+      |  SELECT doc_id, unnest(toks) AS g FROM ca
+      |  UNION ALL
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i + 1])) AS g FROM ca)),
+      |nf AS (SELECT doc_id, COUNT(*) AS n_feats FROM cf GROUP BY 1),
+      |seen AS (SELECT f.doc_id, cb.label,
+      |    CAST(SUM(CAST(floor(CAST(cb.cnt + 1 AS DOUBLE) * 1073741824.0
+      |      / (cls.cl + cls.v)) AS BIGINT)) AS BIGINT) AS seen_fp,
+      |    COUNT(*) AS n_seen
+      |  FROM cf f JOIN cb ON f.bucket = cb.bucket
+      |  JOIN cls ON cb.label = cls.label
+      |  GROUP BY 1, 2),
+      |sc AS (SELECT nf.doc_id, cls.label,
+      |    COALESCE(seen.seen_fp, 0)
+      |      + (nf.n_feats - COALESCE(seen.n_seen, 0)) * cls.floor0 AS score_fp
+      |  FROM nf CROSS JOIN cls
+      |  LEFT JOIN seen ON seen.doc_id = nf.doc_id AND seen.label = cls.label),
+      |goodk AS (SELECT doc_id FROM (
+      |  SELECT doc_id, label, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score_fp DESC, label) AS rn FROM sc)
+      |  WHERE rn = 1 AND label = 'good'),
+      |ltr AS (SELECT $toks AS t FROM documents),
+      |lbg AS (SELECT t[i] AS w1, t[i+1] AS w2
+      |  FROM ltr, unnest(generate_series(1, len(t) - 1)) u(i)
+      |  WHERE len(t) >= 2),
+      |lcb AS (SELECT w1, w2, COUNT(*) AS cnt FROM lbg GROUP BY 1, 2),
+      |lcl AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS cl FROM lcb GROUP BY 1),
+      |lv AS (SELECT COUNT(DISTINCT w2) AS v FROM lcb),
+      |cbg AS (SELECT d.doc_id, t.t[i] AS w1, t.t[i+1] AS w2
+      |  FROM ded d JOIN goodk USING (doc_id)
+      |  JOIN (SELECT doc_id, ${toksOf("text")} AS t FROM ded) t USING (doc_id),
+      |  unnest(generate_series(1, len(t.t) - 1)) u(i)
+      |  WHERE len(t.t) >= 2),
+      |lsc AS (SELECT b.doc_id,
+      |    CAST(floor(CAST(COALESCE(lcb.cnt, 0) + 1 AS DOUBLE) * 1073741824.0
+      |      / (COALESCE(lcl.cl, 0) + lv.v)) AS BIGINT) AS c
+      |  FROM cbg b LEFT JOIN lcb ON b.w1 = lcb.w1 AND b.w2 = lcb.w2
+      |  LEFT JOIN lcl ON b.w1 = lcl.w1 CROSS JOIN lv),
+      |lmk AS (SELECT doc_id FROM (
+      |    SELECT doc_id, CAST(SUM(c) AS DOUBLE) / COUNT(*) AS lm_avg
+      |    FROM lsc GROUP BY 1)
+      |  WHERE lm_avg >= 36000000.0),
+      |mix AS (SELECT d.doc_id, d.text FROM ded d
+      |  JOIN goodk USING (doc_id) JOIN lmk USING (doc_id)
+      |  WHERE CAST(substr(d.source, 4) AS INTEGER) % 2 <> 0
+      |     OR ${dHash("d.source || ':' || CAST(d.doc_id AS VARCHAR)")} % 4 < 2),
+      |pk AS (SELECT doc_id, ${dHash("CAST(doc_id AS VARCHAR)")} AS h,
+      |    CAST(len(${toksOf("text")}) AS BIGINT) AS n_tokens FROM mix),
+      |pc AS (SELECT doc_id, h % 4 AS shard, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY h % 4
+      |      ORDER BY h, CAST(doc_id AS VARCHAR)
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM pk)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT cum_before // 512) AS n_seqs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(CASE WHEN n_tokens > 0
+      |    AND (cum_before + n_tokens - 1) // 512 > cum_before // 512
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles
+      |FROM pc GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q221_curation_streamed", q221, Some(q221Sql)),
     QueryDef("q201_dsir_store_erasure", q201, Some(q201Sql)),
     QueryDef("q202_dsir_store_streamed", q202, Some(q202Sql)),
     QueryDef("q209_boilerplate_strip", q209, Some(q209Sql)),

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Round-15: the streamed curation DAG ([[graft.operators
+  * .CurationPipeline]]) — slice-order equivalence (a STREAM of slices
+  * commits exactly what a sequential batch fold over the same slices
+  * commits), epoch replay idempotence, and the crash-between-commits
+  * retry window. End-to-end values are oracle-gated in q221. */
+class CurationPipelineSpec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+  private val CP = CurationPipeline
+
+  private def docs = {
+    import spark.implicits._
+    (0L until 60L).map { i =>
+      val body =
+        if (i % 5 == 0) s"dup group ${i % 10} shared body text here"
+        else s"unique body $i with alpha beta gamma tok$i"
+      (i, s"src${i % 2}",
+        s"<nav>menu src${i % 2}</nav>\n<p>$body</p>\n<footer>(c) src${i % 2}</footer>")
+    }.toDF("doc_id", "source", "text")
+  }
+
+  private def withBase(body: (CP.Stores, CP.Gates) => Unit): Unit = {
+    val base = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString
+    val stores = CP.Stores(p("ldf"), p("qual"), p("lm"), p("sig"), p("kept"))
+    val raw = docs.withColumn("text",
+      regexp_replace(col("text"), "<[^>]*>", " "))
+    Boilerplate.writeLineDfStore(raw, "doc_id", "source", "text",
+      stores.lineDf, batchId = 1L)
+    QualityClassifier.writeQualityStore(
+      raw.withColumn("label",
+        when(col("doc_id") % 3 === 0, lit("bad")).otherwise(lit("good"))),
+      "label", "text", buckets = 256, root = stores.quality, batchId = 1L)
+    LanguageModel.writeLmStore(raw, "doc_id", "text", stores.lm, 1L)
+    val gates = CP.Gates(minDf = 10L, buckets = 256, keepLabel = "good",
+      lmCutAvgFp = 0.0, mixKeep = lit(true))
+    try body(stores, gates)
+    finally {
+      val pp = new org.apache.hadoop.fs.Path(base)
+      pp.getFileSystem(spark.sessionState.newHadoopConf()).delete(pp, true)
+    }
+  }
+
+  private def keptIds(st: CP.Stores): Set[Long] =
+    BatchStore.read(spark, st.kept).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+
+  test("a sequential fold over slices commits exactly one first-arrival keeper per content and gates the rest") {
+    withBase { (st, gates) =>
+      val slices = Seq(docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2))
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        CP.processSlice(spark, st, gates, sl, "doc_id", "source", "text",
+          batchId = 1L + i)
+      }
+      val kept = keptIds(st)
+      // the dup-group content (i % 5 == 0, keyed by i % 10 -> groups 0
+      // and 5): first arrival is the min id in the EARLIEST slice that
+      // carries the content — group 0's members are 0,10,20,...: slice
+      // of 0 is epoch 0, keeper 0; group 5's are 5,15,25,...: epochs
+      // 2,0,1,... -> first arrival is 15 (epoch 0), NOT min id 5
+      assert(kept.intersect(Set(10L, 20L, 30L, 40L, 50L)).isEmpty,
+        s"group-0 non-keepers must not survive: $kept")
+      assert(kept.intersect(Set(5L, 25L, 35L, 45L, 55L)).isEmpty &&
+        !kept.contains(5L),
+        s"group-5's first arrival is 15 (epoch 0), not min-id 5: $kept")
+      // the kept set must equal the DIRECT batch composition of the
+      // same stages with the same slice-order dedup rule: strip ->
+      // (epoch, id)-ordered keeper -> classifier 'good' (lm cut 0 and
+      // mix=true are pass-through in this fixture)
+      val epoch = (col("doc_id") % 3).as("__e")
+      val stripped = Boilerplate.stripRepeatedLinesFromStore(spark,
+        st.lineDf,
+        docs.withColumn("text", Boilerplate.stripMarkup(col("text"))),
+        "doc_id", "source", "text", gates.minDf)
+        .withColumn("__e", col("doc_id") % 3)
+        .withColumn("__h", md5(col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__h"))
+        .orderBy(col("__e"), col("doc_id"))
+      val keepers = stripped
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__e", "__h", "__rn")
+      val expected = QualityClassifier.classifyFromStore(spark, st.quality,
+          keepers, "doc_id", "text", gates.buckets)
+        .filter(col("label_pred") === gates.keepLabel)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(kept == expected,
+        s"fold must equal the direct composition: ${kept.diff(expected)} / ${expected.diff(kept)}")
+    }
+  }
+
+  test("streamed run commits the SAME kept set as the sequential fold; epoch replay no-ops") {
+    var foldKept: Set[Long] = null
+    withBase { (st, gates) =>
+      (0 to 2).foreach(i => CP.processSlice(spark, st, gates,
+        docs.filter(col("doc_id") % 3 === i), "doc_id", "source", "text",
+        1L + i))
+      foldKept = keptIds(st)
+    }
+    withBase { (st, gates) =>
+      val stage = java.nio.file.Files.createTempDirectory("graft_cp_stage")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_cp_ckpt")
+      (0 to 2).foreach(i => docs.filter(col("doc_id") % 3 === i)
+        .coalesce(1).write.mode("append").parquet(stage.toString))
+      val fs = new org.apache.hadoop.fs.Path(stage.toString)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val t0 = System.currentTimeMillis() - 60000
+      fs.listStatus(new org.apache.hadoop.fs.Path(stage.toString)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getModificationTime).zipWithIndex
+        .foreach { case (s0, i) => fs.setTimes(s0.getPath, t0 + i * 1000L, -1) }
+      val snk = CP.sink(st, gates, "doc_id", "source", "text")
+      val q = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) => snk(b, id))
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(keptIds(st) == foldKept,
+        "streamed epochs must commit exactly the sequential fold's kept set")
+      // replayed epoch: no-op, nothing duplicated
+      val before = BatchStore.read(spark, st.kept).count()
+      CP.processSlice(spark, st, gates, docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "source", "text", batchId = 1L)
+      assert(BatchStore.read(spark, st.kept).count() == before)
+    }
+  }
+
+  test("crash between the signature commit and the kept commit: retry completes without failing") {
+    withBase { (st, gates) =>
+      CP.processSlice(spark, st, gates, docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "source", "text", batchId = 1L)
+      // simulate the crash window for epoch 2: signatures committed,
+      // kept batch missing
+      val slice2 = docs.filter(col("doc_id") % 3 === 1)
+      val stripped = Boilerplate.stripRepeatedLinesFromStore(spark,
+        st.lineDf, slice2.withColumn("text", Boilerplate.stripMarkup(col("text"))),
+        "doc_id", "source", "text", gates.minDf)
+      Dedup.writeSignatureStore(stripped, "doc_id", "text", k = 4,
+        shingleN = 3, root = st.signatures, batchId = 2L)
+      // retry must no-op the signature write and still commit kept
+      CP.processSlice(spark, st, gates, slice2, "doc_id", "source", "text",
+        batchId = 2L)
+      assert(new org.apache.hadoop.fs.Path(st.kept, "batch=2")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(new org.apache.hadoop.fs.Path(st.kept, "batch=2")))
+    }
+  }
+}
