@@ -208,7 +208,14 @@ object Bench {
     // q221 streams the corpus through the full curation DAG (strip →
     // dedup → classifier → LM gate → mixture → packed shards) —
     // corpus work through five gated stages, like q214 + the sinks
-    "q221_curation_streamed")
+    "q221_curation_streamed",
+    // q222 runs the hamming signature store lifecycle (two appends +
+    // erasure + two served incremental dedups + compaction) on real
+    // decoded image hashes — sf-scaled like q132/q188
+    "q222_image_hash_store",
+    // q223 is q221 killed and restarted from its checkpoint — the
+    // recovery composition, like q143
+    "q223_curation_restarted")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:
@@ -228,7 +235,11 @@ object Bench {
     "q174_posting_export", "q159_posting_store_search",
     "q118_interval_left_streamed", "q117_interval_join_streamed",
     "q188_signature_erasure", "q152_ivfpq_planted",
-    "q160_passage_retrieval", "q172_lsh_passage_retrieval")
+    "q160_passage_retrieval", "q172_lsh_passage_retrieval",
+    // round-15 composites: the nine-store takedown and the two
+    // streamed-DAG gates are each a full multi-store lifecycle
+    "q220_forget_everywhere", "q221_curation_streamed",
+    "q223_curation_restarted")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

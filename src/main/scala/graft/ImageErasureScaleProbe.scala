@@ -13,7 +13,8 @@ object ImageErasureScaleProbe {
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     args.foreach { dir =>
       Seq("q218_image_dhash", "q219_image_near_dup",
-          "q220_forget_everywhere", "q221_curation_streamed").foreach { q =>
+          "q220_forget_everywhere", "q221_curation_streamed",
+          "q222_image_hash_store", "q223_curation_restarted").foreach { q =>
         SparkEntry.queries(q)(spark, dir).count() // warm
         val ts = (1 to 3).map { _ =>
           Bench.isolate(spark)

@@ -807,6 +807,80 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  // ------------------------------------ persisted Hamming-sketch store
+
+  /** Append one slice's banded Hamming sketches (`idCol` + `bandCols`,
+    * e.g. [[Multimodal.imageDHash]]'s four 16-bit bands) to the
+    * persisted store at `root` — [[writeSignatureStore]]'s delta
+    * discipline on the image/SimHash modality: a daily slice appends
+    * only its own sketches; incremental near-dup
+    * ([[incrementalHammingDedup]]) then costs the DELTA's hashing plus
+    * a store scan, never a history re-decode. Each id must live in
+    * exactly one batch (append deltas, don't re-append). */
+  def writeHammingStore(hashes: DataFrame, idCol: String,
+      bandCols: Seq[String], root: String, batchId: Long): Unit =
+    BatchStore.append(
+      hashes.select((idCol +: bandCols).map(col): _*), root, batchId)
+
+  /** Erase ids from the Hamming store — the shared [[Tombstones]]
+    * discipline: content matching an ERASED image is admitted again
+    * (the store no longer remembers it), exactly like the text
+    * signature store. */
+  def deleteFromHammingStore(ids: DataFrame, idCol: String, root: String,
+      batchId: Long): Unit =
+    Tombstones.append(ids, idCol, root, batchId)
+
+  /** Physically drop tombstoned sketches and retire applied
+    * tombstones. */
+  def purgeHammingStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String, newBatchId: Long): Int =
+    Tombstones.purge(spark, root, idCol, newBatchId)
+
+  /** Near-dup verdicts for a DELTA of banded sketches against the
+    * persisted history — [[incrementalDedupFromStore]]'s asymmetry on
+    * Hamming space: the history is NEVER SHUFFLED (band keys explode
+    * map-side from the store scan and stream against the BROADCAST
+    * batch band keys — history×history collisions are never formed),
+    * candidates verify by exact `bit_count(XOR)` distance, and
+    * tombstoned history ids are masked before banding (erasure-aware,
+    * like the signature store's read). Returns one row per batch id:
+    * `(idCol, n_near_dups, best_dist)` — `best_dist` null when
+    * nothing in history is within `maxDist`. Exact for
+    * `maxDist < bandCols.size` by pigeonhole ([[hammingNearDupPairs]]).
+    * The batch side must fit a broadcast — the incremental contract. */
+  def incrementalHammingDedup(spark: org.apache.spark.sql.SparkSession,
+      root: String, batch: DataFrame, idCol: String,
+      bandCols: Seq[String], maxDist: Int): DataFrame = {
+    require(bandCols.nonEmpty, "need at least one band column")
+    require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
+    val store = Tombstones.apply(spark, root,
+      BatchStore.read(spark, root), idCol)
+    def keys(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId),
+        posexplode(array(bandCols.map(col): _*)).as(Seq("__band", "__key")))
+    val cand = keys(store, "hid")
+      .join(broadcast(keys(batch, "bid")), Seq("__band", "__key"))
+      .select(col("bid"), col("hid")).distinct()
+    val dist = bandCols.map(c =>
+      bit_count(col(s"h.$c").bitwiseXOR(col(s"b.$c"))).cast("long"))
+      .reduce(_ + _)
+    val near = store.as("h")
+      .join(broadcast(cand), col(s"h.$idCol") === col("hid"))
+      .join(broadcast(batch.as("b")), col(s"b.$idCol") === col("bid"))
+      .withColumn("__dist", dist)
+      .filter(col("__dist") <= maxDist)
+      .groupBy(col("bid"))
+      // countDistinct, not count: duplicate store rows are a legal
+      // compaction-crash transient (the signature-store rule)
+      .agg(countDistinct(col("hid")).as("n_near_dups"),
+        min(col("__dist")).as("best_dist"))
+    batch.select(col(idCol))
+      .join(broadcast(near), col(idCol) === near("bid"), "left").drop("bid")
+      .select(col(idCol),
+        coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"),
+        col("best_dist"))
+  }
+
   /** Elementwise-min union of MinHash signatures — a typed
     * [[org.apache.spark.sql.expressions.Aggregator]], the UDAF
     * extension point (the engine's first: everything else composes

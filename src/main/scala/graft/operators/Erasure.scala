@@ -61,6 +61,11 @@ object Erasure {
     * .writeQualityStore]]) — negated (label, bucket) delta. */
   final case class QualityStore(root: String, labelCol: String,
       buckets: Int) extends StoreRef
+  /** Banded Hamming-sketch store ([[Dedup.writeHammingStore]] — the
+    * image/SimHash dedup history) — MEDIA-id tombstones; erased ids
+    * come from `vecIds` like the vector stores (media ids are not
+    * document ids). */
+  final case class HammingStore(root: String) extends StoreRef
 
   /** Fan the erased slice across every registered store. `docs`
     * carries `idCol`, `textCol` and whatever label/domain columns the
@@ -81,9 +86,11 @@ object Erasure {
     require(stores.map(_.root).distinct.size == stores.size,
       "duplicate store roots in the registry — one ref per store")
     val needsVecs = stores.exists {
-      case _: PqStore | _: IvfPqStore => true; case _ => false }
+      case _: PqStore | _: IvfPqStore | _: HammingStore => true
+      case _ => false }
     require(!needsVecs || vecIds.isDefined,
-      "a PqStore/IvfPqStore is registered but vecIds was not supplied")
+      "a PqStore/IvfPqStore/HammingStore is registered but vecIds was " +
+        "not supplied")
     // one pin: every store's delta derives from the same erased rows
     val pinned = docs.localCheckpoint()
     val pinnedVecs = vecIds.map { case (vf, vc) =>
@@ -118,6 +125,9 @@ object Erasure {
       case QualityStore(r, labelCol, b) =>
         QualityClassifier.deleteFromQualityStore(pinned, labelCol,
           textCol, b, r, batchId)
+      case HammingStore(r) =>
+        val (vf, vc) = pinnedVecs.get
+        Dedup.deleteFromHammingStore(vf, vc, r, batchId)
     } finally {
       Checkpoints.releasePinned(pinned)
       pinnedVecs.foreach { case (vf, _) => Checkpoints.releasePinned(vf) }
@@ -157,6 +167,8 @@ object Erasure {
           DataSelection.compactDsirStore(spark, r, newBatchId)
         case QualityStore(r, _, _) =>
           QualityClassifier.compactQualityStore(spark, r, newBatchId)
+        case HammingStore(r) =>
+          Dedup.purgeHammingStore(spark, r, vecIdCol, newBatchId)
       }
       (ref, n)
     }

@@ -940,7 +940,15 @@ object CurationQueries {
   // strip, (epoch, id)-ordered dedup, the NB argmax, the Laplace
   // fixed-point LM scores, the md5 mixture coin, and the hash-ordered
   // packing prefix sums — one drifted stage anywhere breaks the hash.
-  private def q221(s: SparkSession, dir: String): DataFrame = {
+  /** q221/q223 shared harness: pre-train the three model stores,
+    * stage the three epoch-slice files (mtimes pinned so the file
+    * source processes slices IN EPOCH ORDER — dedup keeps first
+    * arrival, so order is semantic here, unlike the order-free
+    * count-store sinks), then hand `runStream` a restartable "process
+    * everything currently staged" closure plus a "stage more slices"
+    * closure; finish with the packed-shard export. */
+  private def withCurationDag(s: SparkSession, dir: String, prefix: String)(
+      runStream: (Seq[Long] => Unit, () => Unit) => Unit): DataFrame = {
     val CP = graft.operators.CurationPipeline
     val docs = Tables.documents(s, dir)
     val marked = docs.select(col("doc_id"), col("source"), concat(
@@ -954,7 +962,7 @@ object CurationQueries {
     val epochOf = when(col("doc_id") < 10000000L, col("doc_id") % 3)
       .otherwise((col("doc_id") - 10000000L) % 3 + 1)
     val stream = marked.unionByName(copies).withColumn("__epoch", epochOf)
-    StoreGates.withTempStore(s, "graft_q221") { base =>
+    StoreGates.withTempStore(s, prefix) { base =>
       def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString
       val stores = CP.Stores(lineDf = p("ldf"), quality = p("qual"),
         lm = p("lm"), signatures = p("sig"), kept = p("kept"))
@@ -978,36 +986,67 @@ object CurationQueries {
           pmod(graft.operators.TextFunctions.hash60(
             concat(col("source"), lit(":"), col("doc_id").cast("string"))),
             lit(4L)) < 2)
-      // the stream: one file per epoch slice, mtimes pinned so the
-      // checkpointed file source processes slices IN EPOCH ORDER
-      // (dedup keeps first arrival — order is semantic here, unlike
-      // the order-free count-store sinks)
       val stage = p("stage"); val ckpt = p("ckpt")
       val fs = new org.apache.hadoop.fs.Path(base)
         .getFileSystem(s.sessionState.newHadoopConf())
-      (0L to 2L).foreach { e =>
-        stream.filter(col("__epoch") === e).drop("__epoch")
-          .coalesce(1).write.mode("append").parquet(stage)
+      // pin each slice file's mtime to baseT + (arrival index)·1s the
+      // first time we see it (real write times are ~an hour above
+      // baseT, so pinned and unpinned files never confuse), keeping
+      // the source's processing order = staging order across restarts
+      val baseT = System.currentTimeMillis() - 3600000L
+      var nextIdx = 0
+      val stageSlices: Seq[Long] => Unit = epochs => {
+        epochs.foreach { e =>
+          stream.filter(col("__epoch") === e).drop("__epoch")
+            .coalesce(1).write.mode("append").parquet(stage)
+        }
+        fs.listStatus(new org.apache.hadoop.fs.Path(stage)).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .filter(_.getModificationTime > baseT + 1800000L) // unpinned
+          .sortBy(st => (st.getModificationTime, st.getPath.getName))
+          .foreach { st =>
+            fs.setTimes(st.getPath, baseT + nextIdx * 1000L, -1)
+            nextIdx += 1
+          }
       }
-      val t0 = System.currentTimeMillis() - 60000
-      fs.listStatus(new org.apache.hadoop.fs.Path(stage)).toSeq
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getModificationTime)
-        .zipWithIndex.foreach { case (st, i) =>
-          fs.setTimes(st.getPath, t0 + i * 1000L, -1) }
-      val snk = CP.sink(stores, gates, "doc_id", "source", "text")
-      val q = s.readStream.schema(stream.drop("__epoch").schema)
-        .option("maxFilesPerTrigger", "1").parquet(stage)
-        .writeStream
-        .foreachBatch((b: DataFrame, id: Long) => snk(b, id))
-        .option("checkpointLocation", ckpt)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      val drain: () => Unit = () => {
+        val snk = CP.sink(stores, gates, "doc_id", "source", "text")
+        val q = s.readStream.schema(stream.drop("__epoch").schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+          .writeStream
+          .foreachBatch((b: DataFrame, id: Long) => snk(b, id))
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      runStream(stageSlices, drain)
       CP.packedShards(s, stores, "doc_id", "text",
           shards = 4, budgetTokens = 512)
         .localCheckpoint() // owns the data; the temp stores delete now
     }
   }
+
+  private def q221(s: SparkSession, dir: String): DataFrame =
+    withCurationDag(s, dir, "graft_q221") { (stage, drain) =>
+      stage(Seq(0L, 1L, 2L)); drain()
+    }
+
+  // ---------------------------------------------------------------
+  // q223 — q221's DAG KILLED AND RESTARTED (the q143 discipline on
+  // the curation pipeline): phase 1 stages only epoch 0 and drains
+  // it; the query dies; more slices land; phase 2 resubmits the same
+  // job from the SAME checkpoint. Correctness rests on checkpoint
+  // recovery composing with every store's idempotence — a recovery
+  // that replays epoch 0 must no-op against the committed kept batch
+  // (not double-commit), and the restarted stream's dedup must see
+  // epoch 0's signatures as HISTORY (the planted copies arriving in
+  // epochs 1–2 still dedup against content committed before the
+  // kill). Oracle: identical to q221 — the restart must be invisible.
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    withCurationDag(s, dir, "graft_q223") { (stage, drain) =>
+      stage(Seq(0L)); drain() // phase 1, then the job dies
+      stage(Seq(1L, 2L)); drain() // resubmitted from the checkpoint
+    }
   private val q221Sql = {
     val toks = dTokens
     def toksOf(t: String) =
@@ -1130,6 +1169,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q221_curation_streamed", q221, Some(q221Sql)),
+    QueryDef("q223_curation_restarted", q223, Some(q221Sql)),
     QueryDef("q201_dsir_store_erasure", q201, Some(q201Sql)),
     QueryDef("q202_dsir_store_streamed", q202, Some(q202Sql)),
     QueryDef("q209_boilerplate_strip", q209, Some(q209Sql)),

@@ -57,24 +57,14 @@ object ImageQueries {
     }.toDF()
   }
 
-  /** The fixture's image set as DuckDB CTEs ending in
-    * `bands(mid, b0, b1, b2, b3)` (decodable renditions only) and
-    * `stubs(mid, n)` — the oracle replay of [[Multimodal.imageDHash]]
-    * on the md5-noise pixels: exact NN sample map, per-pixel md5
+  /** The dHash oracle chain given an `imgs(mid, w, h, key, tint,
+    * decodable, …)` CTE: CTEs `px → ch → g → bits → bands(mid,
+    * b0, b1, b2, b3)` — the replay of [[Multimodal.imageDHash]] on
+    * the md5-noise pixels: exact NN sample map, per-pixel md5
     * channels (tint on source row 0 where planted), integer luma,
     * horizontal gradient bits, little-endian 16-bit bands. */
-  private val dHashCtes =
-    """ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
-      |imgs AS (
-      |  SELECT 2*id AS mid, 12 + (id%4)*4 AS w, 8 + (id%3)*4 AS h,
-      |         'img:' || id AS key, FALSE AS tint, TRUE AS decodable, id
-      |  FROM ids
-      |  UNION ALL
-      |  SELECT 2*id+1, 12 + (id%4)*4, 8 + (id%3)*4,
-      |         CASE WHEN id%3 = 2 THEN 'alt:' || id ELSE 'img:' || id END,
-      |         id%7 <> 0 AND id%3 = 1, id%7 <> 0, id
-      |  FROM ids),
-      |px AS (SELECT mid, key, tint, (x*w)//9 AS sx, (y*h)//8 AS sy, x, y
+  private val dHashChain =
+    """px AS (SELECT mid, key, tint, (x*w)//9 AS sx, (y*h)//8 AS sy, x, y
       |  FROM imgs, unnest(range(0, 9)) t1(x), unnest(range(0, 8)) t2(y)
       |  WHERE decodable),
       |ch AS (SELECT mid, x, y, sy, tint,
@@ -95,7 +85,22 @@ object ImageQueries {
       |    CAST(SUM(CASE WHEN i//16 = 1 THEN bit * (1 << (i%16)) ELSE 0 END) AS INTEGER) AS b1,
       |    CAST(SUM(CASE WHEN i//16 = 2 THEN bit * (1 << (i%16)) ELSE 0 END) AS INTEGER) AS b2,
       |    CAST(SUM(CASE WHEN i//16 = 3 THEN bit * (1 << (i%16)) ELSE 0 END) AS INTEGER) AS b3
-      |  FROM bits GROUP BY mid),
+      |  FROM bits GROUP BY mid)""".stripMargin
+
+  /** The q218/q219 rendition fixture as CTEs `ids → imgs → …bands`
+    * plus the non-decodable `stubs(mid, n)`. */
+  private val dHashCtes =
+    """ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |imgs AS (
+      |  SELECT 2*id AS mid, 12 + (id%4)*4 AS w, 8 + (id%3)*4 AS h,
+      |         'img:' || id AS key, FALSE AS tint, TRUE AS decodable, id
+      |  FROM ids
+      |  UNION ALL
+      |  SELECT 2*id+1, 12 + (id%4)*4, 8 + (id%3)*4,
+      |         CASE WHEN id%3 = 2 THEN 'alt:' || id ELSE 'img:' || id END,
+      |         id%7 <> 0 AND id%3 = 1, id%7 <> 0, id
+      |  FROM ids),
+      |""".stripMargin + dHashChain + """,
       |stubs AS (SELECT mid,
       |    CAST(octet_length(encode('img-' || CAST(id AS VARCHAR))) AS BIGINT) AS n
       |  FROM imgs WHERE NOT decodable)""".stripMargin
@@ -161,7 +166,119 @@ object ImageQueries {
       |SELECT id_a, id_b, dist FROM verified
       |WHERE dist <= 8 ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q222 — THE HAMMING SIGNATURE STORE LIFECYCLE ([[Dedup
+  // .writeHammingStore]] / [[Dedup.incrementalHammingDedup]] /
+  // [[Dedup.deleteFromHammingStore]] / [[Dedup.purgeHammingStore]]):
+  // the q132/q188 incremental-dedup store discipline on the IMAGE
+  // modality — history images append their dHash bands in two
+  // batches, a takedown slice is erased (tombstones by media id; its
+  // content must be ADMITTED again — the store no longer remembers
+  // it), and a new day's batch gets near-dup verdicts against the
+  // masked store (band keys explode map-side from the store scan and
+  // stream against the BROADCAST batch side — history is never
+  // shuffled), then the store compacts and serves again — identical
+  // in-plan. The batch plants all three cases per odd id b: an exact
+  // content dup of history image b−1 (dist 0 — unless b−1 was
+  // erased), a top-row-tinted copy of b−1 (bands b1–b3 still match),
+  // and unique content (no pair). Oracle: the dHash chain over
+  // remaining history + batch, banding, and the per-batch-id
+  // (count, min dist) replayed exactly.
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val D = Dedup
+    def wOf(id: Long) = (12 + id % 4 * 4).toInt
+    def hOf(id: Long) = (8 + id % 3 * 4).toInt
+    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val history = ids.filter(_ % 2 == 0).map { e =>
+      Multimodal.MediaRecord(e, "image",
+        Multimodal.pngNoiseBytes(wOf(e), hOf(e), key = s"img:$e"))
+    }.toDF()
+    val batch = ids.filter(_ % 2 == 1).map { b =>
+      val e = b - 1
+      val rec =
+        if (b % 3 == 0)
+          Multimodal.pngNoiseBytes(wOf(e), hOf(e), key = s"img:$e")
+        else if (b % 3 == 1)
+          Multimodal.pngNoiseBytes(wOf(e), hOf(e), key = s"img:$e",
+            tintTopRow = true)
+        else Multimodal.pngNoiseBytes(wOf(b), hOf(b), key = s"img:$b")
+      Multimodal.MediaRecord(b, "image", rec)
+    }.toDF()
+    StoreGates.withTempStore(s, "graft_q222_hs") { root =>
+      val hh = Multimodal.imageDHash(s, history).toDF()
+      val bands = Seq("b0", "b1", "b2", "b3")
+      D.writeHammingStore(hh.filter(col("media_id") % 4 === 0),
+        "media_id", bands, root, batchId = 1L)
+      D.writeHammingStore(hh.filter(col("media_id") % 4 === 2),
+        "media_id", bands, root, batchId = 2L)
+      D.deleteFromHammingStore(
+        hh.filter(col("media_id") % 10 === 0).select(col("media_id")),
+        "media_id", root, batchId = 3L)
+      // pin: the batch hashes feed the band collect AND both serves
+      val bh = Multimodal.imageDHash(s, batch).toDF().localCheckpoint()
+      def serve() = D.incrementalHammingDedup(s, root, bh, "media_id",
+        bands, maxDist = 8)
+      val masked = serve().localCheckpoint()
+      D.purgeHammingStore(s, root, "media_id", newBatchId = 4L)
+      val compacted = serve().localCheckpoint()
+      val out = StoreGates.compactionIdentityGate(masked, compacted,
+          "hamming-store compaction changed served verdicts")
+        .orderBy(col("media_id"))
+        .localCheckpoint()
+      Seq(bh, masked, compacted)
+        .foreach(graft.operators.Checkpoints.releasePinned)
+      out
+    }
+  }
+  private val q222Sql =
+    s"""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |imgs AS (
+      |  SELECT id AS mid, 12 + (id%4)*4 AS w, 8 + (id%3)*4 AS h,
+      |         'img:' || id AS key, FALSE AS tint, TRUE AS decodable
+      |  FROM ids WHERE id % 2 = 0
+      |  UNION ALL
+      |  SELECT id,
+      |         CASE WHEN id%3 = 2 THEN 12 + (id%4)*4
+      |              ELSE 12 + ((id-1)%4)*4 END,
+      |         CASE WHEN id%3 = 2 THEN 8 + (id%3)*4
+      |              ELSE 8 + ((id-1)%3)*4 END,
+      |         CASE WHEN id%3 = 2 THEN 'img:' || id
+      |              ELSE 'img:' || (id-1) END,
+      |         id%3 = 1, TRUE
+      |  FROM ids WHERE id % 2 = 1),
+      |""".stripMargin + dHashChain + s""",
+      |hist AS (SELECT b.* FROM bands b
+      |  WHERE b.mid % 2 = 0 AND b.mid % 10 <> 0),
+      |bat AS (SELECT b.* FROM bands b WHERE b.mid % 2 = 1),
+      |kb AS (
+      |  SELECT mid, 0 AS band, b0 AS key FROM hist
+      |  UNION ALL SELECT mid, 1, b1 FROM hist
+      |  UNION ALL SELECT mid, 2, b2 FROM hist
+      |  UNION ALL SELECT mid, 3, b3 FROM hist),
+      |qb AS (
+      |  SELECT mid, 0 AS band, b0 AS key FROM bat
+      |  UNION ALL SELECT mid, 1, b1 FROM bat
+      |  UNION ALL SELECT mid, 2, b2 FROM bat
+      |  UNION ALL SELECT mid, 3, b3 FROM bat),
+      |cand AS (SELECT DISTINCT q.mid AS bid, k.mid AS hid
+      |  FROM qb q JOIN kb k ON q.band = k.band AND q.key = k.key),
+      |ver AS (SELECT cand.bid, cand.hid,
+      |    bit_count(xor(h.b0, q.b0)) + bit_count(xor(h.b1, q.b1))
+      |    + bit_count(xor(h.b2, q.b2)) + bit_count(xor(h.b3, q.b3)) AS d
+      |  FROM cand JOIN hist h ON cand.hid = h.mid
+      |  JOIN bat q ON cand.bid = q.mid),
+      |near AS (SELECT bid, COUNT(DISTINCT hid) AS n_near_dups,
+      |    CAST(MIN(d) AS BIGINT) AS best_dist
+      |  FROM ver WHERE d <= 8 GROUP BY bid)
+      |SELECT bat.mid AS media_id,
+      |  CAST(COALESCE(near.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+      |  near.best_dist
+      |FROM bat LEFT JOIN near ON bat.mid = near.bid
+      |ORDER BY media_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q218_image_dhash", q218, Some(q218Sql)),
-    QueryDef("q219_image_near_dup", q219, Some(q219Sql)))
+    QueryDef("q219_image_near_dup", q219, Some(q219Sql)),
+    QueryDef("q222_image_hash_store", q222, Some(q222Sql)))
 }

@@ -69,6 +69,28 @@ class ErasureSpec extends AnyFunSuite {
     }
   }
 
+  test("the HammingStore leg: forget by media id masks the image history; purge drops it physically") {
+    import spark.implicits._
+    withRoot { base =>
+      val root = new org.apache.hadoop.fs.Path(base, "hs").toString
+      val hist = Seq((10L, 1, 2, 3, 4), (20L, 5, 6, 7, 8))
+        .toDF("media_id", "b0", "b1", "b2", "b3")
+      Dedup.writeHammingStore(hist, "media_id",
+        Seq("b0", "b1", "b2", "b3"), root, batchId = 1L)
+      val stores = Seq[Erasure.StoreRef](Erasure.HammingStore(root))
+      // media ids ride the vecIds leg (they are not document ids)
+      Erasure.forget(docs.limit(1), "doc_id", "text", stores, batchId = 2L,
+        vecIds = Some((Seq(20L).toDF("media_id"), "media_id")))
+      val masked = Tombstones.apply(spark, root,
+        BatchStore.read(spark, root), "media_id")
+      assert(masked.count() == 1)
+      val purged = Erasure.purgeEverywhere(spark, stores, "doc_id",
+        newBatchId = 3L, vecIdCol = "media_id")
+      assert(purged.head._2 >= 1)
+      assert(BatchStore.read(spark, root).count() == 1)
+    }
+  }
+
   test("misuse fails fast: duplicate roots, missing vecIds, replayed batch id") {
     withRoot { base =>
       def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString

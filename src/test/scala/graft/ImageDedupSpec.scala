@@ -68,6 +68,44 @@ class ImageDedupSpec extends AnyFunSuite {
       s"expected only (1,2,dist=2): got $got")
   }
 
+  test("hamming store: erased history content is ADMITTED again; history side joins broadcast-batch, never shuffled pairs") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_hs").toString
+    val bands = Seq("b0", "b1", "b2", "b3")
+    val hist = Seq(
+      (10L, 1, 2, 3, 4), (20L, 5, 6, 7, 8), (30L, 9, 10, 11, 12))
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    Dedup.writeHammingStore(hist, "media_id", bands, root, batchId = 1L)
+    val batch = Seq(
+      (101L, 1, 2, 3, 4),   // dup of 10
+      (102L, 5, 6, 7, 8),   // dup of 20 (to be erased)
+      (103L, 50, 60, 70, 80)) // unique
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    def verdicts() = Dedup.incrementalHammingDedup(spark, root, batch,
+      "media_id", bands, maxDist = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    val before = verdicts()
+    assert(before(101L) == (1L, Some(0L)) && before(102L) == (1L, Some(0L))
+      && before(103L) == (0L, None))
+    Dedup.deleteFromHammingStore(Seq(20L).toDF("media_id"), "media_id",
+      root, batchId = 2L)
+    val masked = verdicts()
+    assert(masked(102L) == (0L, None),
+      s"erased content must be admitted again: $masked")
+    assert(Dedup.purgeHammingStore(spark, root, "media_id", 3L) >= 1)
+    assert(verdicts() == masked, "compaction must not change verdicts")
+    // history is never shuffled against itself: the store side meets
+    // only the BROADCAST batch band keys
+    val p = Dedup.incrementalHammingDedup(spark, root, batch,
+      "media_id", bands, maxDist = 3).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"batch side must broadcast:\n$p")
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("near-dup pair plan: candidates come from the band equi-join — never all pairs") {
     import spark.implicits._
     val hashes = (0L until 50L)
