@@ -215,7 +215,20 @@ object Bench {
     "q222_image_hash_store",
     // q223 is q221 killed and restarted from its checkpoint — the
     // recovery composition, like q143
-    "q223_curation_restarted")
+    "q223_curation_restarted",
+    // round-15 tail (sf-scaled, none in totalExcludes): q224 is q221
+    // with the disposition ledger on — the DAG plus slice-sized
+    // id-projected anti-joins and one more epoch-committed store
+    "q224_curation_ledger",
+    // q225 assigns every embedding map-side (broadcast centroids) and
+    // ranks within cluster — one centroid_id shuffle, sf-scaled
+    "q225_prototype_prune",
+    // q226 appends the corpus twice and reads as-of batch 1 — the
+    // rollups are corpus-scaled, the as-of scan directory-pruned
+    "q226_store_asof",
+    // q227 packs the corpus twice under different epoch seeds — two
+    // q64-shaped shard-window passes
+    "q227_epoch_shuffle")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:
@@ -239,7 +252,9 @@ object Bench {
     // round-15 composites: the nine-store takedown and the two
     // streamed-DAG gates are each a full multi-store lifecycle
     "q220_forget_everywhere", "q221_curation_streamed",
-    "q223_curation_restarted")
+    "q223_curation_restarted",
+    // q224 is q221 with the ledger on — the same streamed-DAG cost
+    "q224_curation_ledger")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

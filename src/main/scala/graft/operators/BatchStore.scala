@@ -45,6 +45,40 @@ object BatchStore {
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** The store AS OF batch `maxBatchId` — only batches committed with
+    * id ≤ `maxBatchId`. This is the reproducibility read a training
+    * pipeline needs ("rebuild the corpus exactly as the day-40 job
+    * saw it"): batch dirs are immutable once committed, so the as-of
+    * frame is bit-stable forever — and it costs nothing extra, because
+    * `batch` is a partition column and the predicate prunes at the
+    * DIRECTORY level (the scan lists only `batch=1..k`; spec-pinned
+    * via `selectedPartitions`).
+    *
+    * As-of reads require the append-only history to still exist:
+    * [[compact]] collapses every batch into one new id and deletes the
+    * originals, so an as-of below the oldest SURVIVING batch would
+    * silently serve an empty or partial frame — it fails loudly
+    * instead. Stores that need deep time travel should skip
+    * compaction (retention is the price of history) or snapshot
+    * through [[SnapshotCommit]], whose versions survive vacuum policy
+    * explicitly. */
+  def readAsOf(spark: SparkSession, root: String,
+      maxBatchId: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no store at $root")
+    val ids = fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    require(ids.nonEmpty, s"no committed batches under $root")
+    require(ids.min <= maxBatchId,
+      s"as-of $maxBatchId predates the oldest surviving batch " +
+        s"${ids.min} under $root — history was compacted away; as-of " +
+        "reads need the append-only batches retained")
+    spark.read.parquet(root)
+      .filter(org.apache.spark.sql.functions.col("batch") <= maxBatchId)
+  }
+
   /** Compact every committed batch into ONE new batch and delete the
     * originals — the maintenance an append-only store needs (a year
     * of daily deltas is 365 dirs of small files, each adding listing

@@ -44,9 +44,16 @@ object CurationPipeline {
 
   /** The pipeline's persisted stores: pre-trained models (line-df,
     * quality, LM) plus the two the stream MAINTAINS (signatures,
-    * kept). */
+    * kept) — and, optionally, the DISPOSITION LEDGER (`ledger`): one
+    * row per input document per epoch recording the FIRST gate that
+    * dropped it (`stage` ∈ dedup | quality | lm | mixture | kept).
+    * At 100 TB this is how you answer "why did retention fall 3%
+    * yesterday" without re-running the pipeline — the audit surface
+    * every production curation DAG carries. Ledger rows are
+    * id-projected and delta-sized (one per slice doc), committed with
+    * the same exactly-once epoch discipline as the kept store. */
   final case class Stores(lineDf: String, quality: String, lm: String,
-      signatures: String, kept: String)
+      signatures: String, kept: String, ledger: Option[String] = None)
 
   /** Gate constants: boilerplate df threshold, classifier feature
     * buckets, the label the classifier must assign to keep a doc,
@@ -83,6 +90,7 @@ object CurationPipeline {
     // prior epochs), then first-min-id within the batch; the batch
     // pins once — it feeds the store anti-join, the window, and the
     // downstream gates
+    val ledgerOn = st.ledger.isDefined
     val hashed = stripped.withColumn("__chash", md5(col(textCol)))
       .localCheckpoint()
     val vsStore =
@@ -92,10 +100,15 @@ object CurationPipeline {
           .select(col("chash").as("__chash")).distinct(),
         Seq("__chash"), "left_anti")
     val keeper = Window.partitionBy(col("__chash"))
-    val kept = vsStore
+    val kept0 = vsStore
       .withColumn("__keep", min(col(idCol)).over(keeper))
       .filter(col(idCol) === col("__keep"))
       .drop("__chash", "__keep")
+    // with the ledger on, each stage's survivor set is consumed twice
+    // (the next gate + the disposition diff) — pin the slice-sized
+    // intermediates so the model-store joins run once, not once per
+    // reuse
+    val kept = if (ledgerOn) kept0.localCheckpoint() else kept0
 
     // 3. the new content's signatures join the store BEFORE the
     // quality gates — dedup is about having SEEN content, not about
@@ -110,10 +123,11 @@ object CurationPipeline {
         root = st.signatures, batchId = batchId)
 
     // 4. classifier gate (model re-aggregated from the store's deltas)
-    val good = QualityClassifier.classifyFromStore(spark, st.quality,
+    val good0 = QualityClassifier.classifyFromStore(spark, st.quality,
         kept, idCol, textCol, gates.buckets)
       .filter(col("label_pred") === gates.keepLabel)
       .select(col(idCol))
+    val good = if (ledgerOn) good0.localCheckpoint() else good0
     val keptGood = kept.join(good, Seq(idCol))
 
     // 5. LM perplexity gate at the absolute cut
@@ -121,13 +135,93 @@ object CurationPipeline {
       keptGood, idCol, textCol, gates.lmCutAvgFp)
     val survivors = keptGood.join(lmOk.select(col(idCol)), Seq(idCol))
 
-    // 6. deterministic mixture coin, then the exactly-once commit
+    // 6. deterministic mixture coin; the final kept slice
+    val finalKept = survivors.filter(gates.mixKeep)
+
+    // 7. the disposition ledger: one row per INPUT doc — the first
+    // gate that dropped it, or `kept`. Pure id-projected anti-joins
+    // over the pinned slice-sized stage sets (never the corpus, never
+    // a store scan); committed BEFORE the kept batch so the
+    // crash-between-commits replay window stays covered (a retry that
+    // committed the ledger but not the kept batch skips here and
+    // still commits below — the signature-store discipline).
+    st.ledger.foreach { lroot =>
+      val ldir = new org.apache.hadoop.fs.Path(lroot, s"batch=$batchId")
+      if (!fs.exists(ldir)) {
+        def ids(f: DataFrame) = f.select(col(idCol))
+        def stamp(f: DataFrame, stage: String) =
+          f.select(col(idCol), col(domainCol))
+            .withColumn("stage", lit(stage))
+        val disposition =
+          stamp(hashed.join(ids(kept), Seq(idCol), "left_anti"), "dedup")
+            .unionByName(stamp(
+              kept.join(good, Seq(idCol), "left_anti"), "quality"))
+            .unionByName(stamp(
+              keptGood.join(ids(lmOk), Seq(idCol), "left_anti"), "lm"))
+            .unionByName(stamp(
+              survivors.join(ids(finalKept), Seq(idCol), "left_anti"),
+              "mixture"))
+            .unionByName(stamp(finalKept, "kept"))
+        BatchStore.append(disposition, lroot, batchId)
+      }
+    }
+
+    // 8. the exactly-once kept commit
     BatchStore.append(
-      survivors.filter(gates.mixKeep)
-        .select(col(idCol), col(domainCol), col(textCol)),
+      finalKept.select(col(idCol), col(domainCol), col(textCol)),
       st.kept, batchId)
     Checkpoints.releasePinned(lmOk)
+    if (ledgerOn) {
+      Checkpoints.releasePinned(kept)
+      Checkpoints.releasePinned(good)
+    }
     Checkpoints.releasePinned(hashed)
+  }
+
+  /** Masked disposition-ledger read: committed dispositions minus
+    * tombstoned ids — the audit trail is itself per-doc personal data,
+    * so a takedown must forget it too ([[Tombstones]] discipline,
+    * registered in [[Erasure]] as `LedgerStore`). */
+  def readLedger(spark: SparkSession, root: String,
+      idCol: String): DataFrame =
+    Tombstones(spark, root, BatchStore.read(spark, root), idCol)
+
+  /** Tombstone `ids` out of every ledger serve (mask-on-read;
+    * delete-volume-sized). */
+  def deleteFromLedger(ids: DataFrame, idCol: String, root: String,
+      batchId: Long): Unit =
+    Tombstones.append(ids, idCol, root, batchId)
+
+  /** Physically drop tombstoned dispositions and retire the applied
+    * tombstones (maintenance window). */
+  def purgeLedger(spark: SparkSession, root: String, idCol: String,
+      newBatchId: Long): Int =
+    Tombstones.purge(spark, root, idCol, newBatchId)
+
+  /** The RETENTION FUNNEL over a disposition ledger read ([[Stores
+    * .ledger]] via [[BatchStore.read]]): per (batch, stage) — docs
+    * exiting at that stage, docs that REACHED it, and the exit rate.
+    * `n_reached(s)` = Σ n_exited over stages ≥ s in pipeline order
+    * (dedup → quality → lm → mixture → kept); the `kept` row's
+    * n_exited IS the epoch's kept count and its rate the epoch
+    * retention. Input is ledger-sized (one row per doc per epoch) and
+    * the rollup is (batches × 5) rows — dashboard-sized at any corpus
+    * scale. */
+  def funnel(ledger: DataFrame): DataFrame = {
+    val ord = when(col("stage") === "dedup", 1)
+      .when(col("stage") === "quality", 2)
+      .when(col("stage") === "lm", 3)
+      .when(col("stage") === "mixture", 4)
+      .otherwise(5)
+    ledger.groupBy(col("batch"), col("stage"))
+      .agg(count(lit(1)).as("n_exited"))
+      .withColumn("__ord", ord)
+      .withColumn("n_reached", sum(col("n_exited")).over(
+        Window.partitionBy(col("batch")).orderBy(col("__ord").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("exit_rate",
+        col("n_exited").cast("double") / col("n_reached"))
+      .drop("__ord")
   }
 
   /** [[processSlice]] as a `foreachBatch` sink — batch id = `base +

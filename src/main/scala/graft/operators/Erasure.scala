@@ -66,6 +66,10 @@ object Erasure {
     * come from `vecIds` like the vector stores (media ids are not
     * document ids). */
   final case class HammingStore(root: String) extends StoreRef
+  /** Curation disposition ledger ([[CurationPipeline.Stores.ledger]])
+    * — doc-id tombstones: the audit trail records per-doc facts, so a
+    * takedown must forget it like any other store. */
+  final case class LedgerStore(root: String) extends StoreRef
 
   /** Fan the erased slice across every registered store. `docs`
     * carries `idCol`, `textCol` and whatever label/domain columns the
@@ -128,6 +132,9 @@ object Erasure {
       case HammingStore(r) =>
         val (vf, vc) = pinnedVecs.get
         Dedup.deleteFromHammingStore(vf, vc, r, batchId)
+      case LedgerStore(r) =>
+        CurationPipeline.deleteFromLedger(pinned.select(col(idCol)),
+          idCol, r, batchId)
     } finally {
       Checkpoints.releasePinned(pinned)
       pinnedVecs.foreach { case (vf, _) => Checkpoints.releasePinned(vf) }
@@ -169,6 +176,8 @@ object Erasure {
           QualityClassifier.compactQualityStore(spark, r, newBatchId)
         case HammingStore(r) =>
           Dedup.purgeHammingStore(spark, r, vecIdCol, newBatchId)
+        case LedgerStore(r) =>
+          CurationPipeline.purgeLedger(spark, r, idCol, newBatchId)
       }
       (ref, n)
     }

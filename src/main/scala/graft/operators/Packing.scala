@@ -37,9 +37,22 @@ object Packing {
     * Output columns: idCol, shard, n_tokens, seq_id, seq_offset,
     * straddles. Deterministic: order within a shard is
     * (hash60(id), id); id must be unique.
-    */
+    *
+    * `epochSeed` is the EPOCH RESHUFFLE: training wants a different
+    * document permutation every epoch, and at 100 TB that permutation
+    * must be a pure function of (id, seed) — a `DataFrame.sample`/
+    * `rand` shuffle varies with partitioning and retries, and
+    * re-ordering by actual random draw would be a global sort. With a
+    * non-empty seed the within-shard order key becomes
+    * hash60(seed + ":" + id): a fresh deterministic permutation per
+    * seed, identical on any cluster size or input layout. The SHARD
+    * assignment stays hash60(id) — seed-independent — so a document's
+    * shard (and the storage/locality that hangs off it) is stable
+    * across epochs; only the order and sequence composition within
+    * the shard re-deal. Empty seed (the default) is byte-identical to
+    * the historical single-epoch layout. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      shards: Int, budgetTokens: Long): DataFrame = {
+      shards: Int, budgetTokens: Long, epochSeed: String = ""): DataFrame = {
     require(shards > 0, s"need shards > 0, got $shards")
     require(budgetTokens > 0, s"need budgetTokens > 0, got $budgetTokens")
     // Internal AND output names: idCol="seq_id" would otherwise emit
@@ -49,8 +62,11 @@ object Packing {
     require(!reserved.contains(idCol) && !reserved.contains(textCol),
       s"idCol/textCol must not be one of ${reserved.mkString("/")}")
     val idStr = col(idCol).cast("string")
+    val orderKey =
+      if (epochSeed.isEmpty) hash60(col("__graft_id"))
+      else hash60(concat(lit(epochSeed), lit(":"), col("__graft_id")))
     val w = Window.partitionBy(col("shard"))
-      .orderBy(hash60(col("__graft_id")), col("__graft_id"))
+      .orderBy(orderKey, col("__graft_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     df.select(
         col(idCol), idStr.as("__graft_id"),

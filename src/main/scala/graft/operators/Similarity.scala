@@ -292,6 +292,44 @@ object Similarity {
     }.select(col("centroid_id"), col("__vec").as(vecCol))
   }
 
+  /** SSL-prototype data pruning over an embedding column (Sorscher et
+    * al., "Beyond neural scaling laws", and the SemDeDup family):
+    * assign every vector to its nearest seed centroid ([[ivfAssign]]'s
+    * cosine argmax), rank members within each cluster by
+    * prototypicality (cosine to the centroid), and KEEP the
+    * per-cluster `keepFrac` fraction of LEAST prototypical examples —
+    * the hard, diverse tail that drives training signal; the
+    * redundant near-prototype mass is what gets pruned.
+    *
+    * Exact rank semantics (`row_number` over (cosine asc, id asc),
+    * keep `rank <= ceil(keepFrac·n)`) — deterministic and
+    * oracle-replayable. Scale: the assignment is the [[ivfAssign]]
+    * map-side pass (K centroids broadcast, no corpus shuffle); the
+    * rank costs ONE shuffle on `centroid_id`. In practice K grows
+    * with the corpus (SemDeDup uses ~10^5 clusters at web scale), so
+    * cluster partitions stay ~corpus/K-sized; for degenerate giant
+    * clusters swap the exact rank for a [[Sampling.groupQuantileDisc]]
+    * threshold cut — same keep policy, percentile-approximate.
+    * Zero-norm vectors (no valid cosine) are excluded, as in
+    * [[kmeansStep]].
+    *
+    * Returns the KEPT rows: corpus columns + `centroid_id`,
+    * `centroid_cosine`, `proto_rank` (1 = least prototypical),
+    * `n_members`. */
+  def prototypePrune(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"need 0 < keepFrac <= 1, got $keepFrac")
+    val byCluster = Window.partitionBy(col("centroid_id"))
+    ivfAssign(corpus, centroids, idCol, vecCol)
+      .filter(col("centroid_id") >= 0)
+      .withColumn("proto_rank", row_number()
+        .over(byCluster.orderBy(col("centroid_cosine").asc, col(idCol).asc))
+        .cast("long"))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("proto_rank") <= ceil(lit(keepFrac) * col("n_members")))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a bucket (the
     * embedding analog of [[Dedup.ngramJaccardPairs]]). */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -236,6 +236,49 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------
+  // q227 — THE EPOCH RESHUFFLE ([[graft.operators.Packing
+  // .packSequences]] with `epochSeed`): training wants a fresh
+  // document permutation each epoch, as a pure function of (id, seed)
+  // — reproducible on any cluster size, no global sort, no rand().
+  // Two epochs pack the same corpus with seeds e0/e1: the SHARD
+  // assignment (hash of id alone) must be identical across epochs —
+  // locality is stable — while the within-shard order key
+  // hash60(seed:id) re-deals sequence composition. The oracle replays
+  // both epochs' md5 order keys and prefix sums; Round15Spec
+  // additionally pins shard stability, permutation inequality, and
+  // input-partitioning invariance.
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def epoch(seed: String, e: Long) =
+      Packing.packSequences(docs, "doc_id", "text", shards = 4,
+          budgetTokens = 512, epochSeed = seed)
+        .withColumn("epoch", lit(e))
+    epoch("e0", 0L).unionByName(epoch("e1", 1L))
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+  private val q227Sql = {
+    val hShard = dHash("CAST(doc_id AS VARCHAR)")
+    def hOrd(seed: String) = dHash(s"'$seed:' || CAST(doc_id AS VARCHAR)")
+    def one(seed: String, e: Int) =
+      s"""SELECT $e AS epoch, doc_id, h % 4 AS shard, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (
+         |    PARTITION BY h % 4 ORDER BY ho, CAST(doc_id AS VARCHAR)
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         |FROM (SELECT doc_id, $hShard AS h, ${hOrd(seed)} AS ho,
+         |  CAST(len($dTokens) AS BIGINT) AS n_tokens FROM documents)""".stripMargin
+    s"""WITH u AS (${one("e0", 0)}
+       |UNION ALL
+       |${one("e1", 1)})
+       |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, shard, n_tokens,
+       |  cum_before // 512 AS seq_id,
+       |  cum_before % 512 AS seq_offset,
+       |  n_tokens > 0 AND (cum_before + n_tokens - 1) // 512 > cum_before // 512
+       |    AS straddles
+       |FROM u ORDER BY epoch, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q126 — global ORDER-PRESERVING token-budget sharding: documents in
   // doc_id order, cut into ~2000-token contiguous shards (time/crawl-
   // order export, curriculum phases). The oracle is the one-line
@@ -947,7 +990,8 @@ object CurationQueries {
     * count-store sinks), then hand `runStream` a restartable "process
     * everything currently staged" closure plus a "stage more slices"
     * closure; finish with the packed-shard export. */
-  private def withCurationDag(s: SparkSession, dir: String, prefix: String)(
+  private def withCurationDag(s: SparkSession, dir: String, prefix: String,
+      ledger: Boolean = false)(
       runStream: (Seq[Long] => Unit, () => Unit) => Unit): DataFrame = {
     val CP = graft.operators.CurationPipeline
     val docs = Tables.documents(s, dir)
@@ -965,7 +1009,8 @@ object CurationQueries {
     StoreGates.withTempStore(s, prefix) { base =>
       def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString
       val stores = CP.Stores(lineDf = p("ldf"), quality = p("qual"),
-        lm = p("lm"), signatures = p("sig"), kept = p("kept"))
+        lm = p("lm"), signatures = p("sig"), kept = p("kept"),
+        ledger = if (ledger) Some(p("led")) else None)
       // pre-trained models: line-df on the stripped-markup originals
       // (what the serve strips against), quality + LM on the RAW
       // originals (history text, labels from the n_chars rule)
@@ -1020,9 +1065,16 @@ object CurationQueries {
         try q.processAllAvailable() finally q.stop()
       }
       runStream(stageSlices, drain)
-      CP.packedShards(s, stores, "doc_id", "text",
-          shards = 4, budgetTokens = 512)
-        .localCheckpoint() // owns the data; the temp stores delete now
+      if (ledger)
+        CP.readLedger(s, stores.ledger.get, "doc_id")
+          .select(col("doc_id"), col("source"), col("stage"),
+            (col("batch") - 1).cast("long").as("epoch"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // owns the data; the temp stores delete now
+      else
+        CP.packedShards(s, stores, "doc_id", "text",
+            shards = 4, budgetTokens = 512)
+          .localCheckpoint() // owns the data; the temp stores delete now
     }
   }
 
@@ -1047,10 +1099,46 @@ object CurationQueries {
       stage(Seq(0L)); drain() // phase 1, then the job dies
       stage(Seq(1L, 2L)); drain() // resubmitted from the checkpoint
     }
-  private val q221Sql = {
+
+  // ---------------------------------------------------------------
+  // q224 — THE DISPOSITION LEDGER (q221's DAG with [[graft.operators
+  // .CurationPipeline.Stores.ledger]] enabled): the observability
+  // surface a production pipeline carries — one row per streamed doc
+  // per epoch recording the FIRST gate that dropped it (dedup |
+  // quality | lm | mixture) or `kept`. Ledger rows are id-projected
+  // anti-joins over the slice's pinned stage sets (delta-sized, never
+  // a corpus exchange), committed epoch-exactly-once BEFORE the kept
+  // batch (the signature-store crash-window discipline —
+  // Round15Spec). Oracle: the full q221 DAG replay, finishing with a
+  // per-doc CASE over membership in each stage's survivor CTE — one
+  // drifted verdict anywhere in 531 docs breaks the hash.
+  private def q224(s: SparkSession, dir: String): DataFrame =
+    withCurationDag(s, dir, "graft_q224", ledger = true) { (stage, drain) =>
+      stage(Seq(0L, 1L, 2L)); drain()
+    }
+  private lazy val q224Sql = curationChainSql + """
+      |SELECT r.doc_id, r.source, CAST(r.epoch AS BIGINT) AS epoch,
+      |  CASE WHEN d.doc_id IS NULL THEN 'dedup'
+      |       WHEN g.doc_id IS NULL THEN 'quality'
+      |       WHEN l.doc_id IS NULL THEN 'lm'
+      |       WHEN m.doc_id IS NULL THEN 'mixture'
+      |       ELSE 'kept' END AS stage
+      |FROM reb r
+      |LEFT JOIN ded d ON r.doc_id = d.doc_id
+      |LEFT JOIN goodk g ON r.doc_id = g.doc_id
+      |LEFT JOIN lmk l ON r.doc_id = l.doc_id
+      |LEFT JOIN mix m ON r.doc_id = m.doc_id
+      |ORDER BY r.doc_id""".stripMargin
+  private def dToksOf(t: String) =
+    s"list_filter(regexp_split_to_array(trim($t), '\\s+'), t -> t <> '')"
+
+  /** The q221/q223/q224 shared oracle chain: the ENTIRE curation DAG
+    * replayed in DuckDB through the `mix` CTE (final kept doc ids) —
+    * q221/q223 append the packing prefix sums, q224 the per-doc
+    * disposition join. */
+  private lazy val curationChainSql = {
     val toks = dTokens
-    def toksOf(t: String) =
-      s"list_filter(regexp_split_to_array(trim($t), '\\s+'), t -> t <> '')"
+    def toksOf(t: String) = dToksOf(t)
     s"""WITH str AS (
       |  SELECT doc_id, source, n_chars, text, doc_id % 3 AS epoch
       |  FROM documents
@@ -1149,9 +1237,12 @@ object CurationQueries {
       |mix AS (SELECT d.doc_id, d.text FROM ded d
       |  JOIN goodk USING (doc_id) JOIN lmk USING (doc_id)
       |  WHERE CAST(substr(d.source, 4) AS INTEGER) % 2 <> 0
-      |     OR ${dHash("d.source || ':' || CAST(d.doc_id AS VARCHAR)")} % 4 < 2),
+      |     OR ${dHash("d.source || ':' || CAST(d.doc_id AS VARCHAR)")} % 4 < 2)""".stripMargin
+  }
+
+  private lazy val q221Sql = curationChainSql + "," + s"""
       |pk AS (SELECT doc_id, ${dHash("CAST(doc_id AS VARCHAR)")} AS h,
-      |    CAST(len(${toksOf("text")}) AS BIGINT) AS n_tokens FROM mix),
+      |    CAST(len(${dToksOf("text")}) AS BIGINT) AS n_tokens FROM mix),
       |pc AS (SELECT doc_id, h % 4 AS shard, n_tokens,
       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY h % 4
       |      ORDER BY h, CAST(doc_id AS VARCHAR)
@@ -1165,11 +1256,11 @@ object CurationQueries {
       |    AND (cum_before + n_tokens - 1) // 512 > cum_before // 512
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles
       |FROM pc GROUP BY shard ORDER BY shard""".stripMargin
-  }
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q221_curation_streamed", q221, Some(q221Sql)),
     QueryDef("q223_curation_restarted", q223, Some(q221Sql)),
+    QueryDef("q224_curation_ledger", q224, Some(q224Sql)),
     QueryDef("q201_dsir_store_erasure", q201, Some(q201Sql)),
     QueryDef("q202_dsir_store_streamed", q202, Some(q202Sql)),
     QueryDef("q209_boilerplate_strip", q209, Some(q209Sql)),
@@ -1194,6 +1285,7 @@ object CurationQueries {
     QueryDef("q58_salted_distinct", q58, Some(q58Sql)),
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q64_sequence_packing", q64, Some(q64Sql)),
+    QueryDef("q227_epoch_shuffle", q227, Some(q227Sql)),
     QueryDef("q126_contiguous_shards", q126, Some(q126Sql)),
     QueryDef("q65_length_trim", q65, Some(q65Sql)),
   )

@@ -346,7 +346,48 @@ object ExtendedQueries {
       |  CAST(nu AS BIGINT) AS n_users
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q226 — STORE AS-OF READ ([[graft.operators.BatchStore.readAsOf]]):
+  // the reproducibility read a 100 TB training pipeline needs —
+  // "rebuild the corpus exactly as the day-k job saw it". Documents
+  // land in two batches (doc_id parity); the as-of-1 rollup must
+  // equal the batch-1-only truth while the live read sees both — and
+  // the as-of scan LISTS only the `batch<=1` partition dirs (the
+  // predicate is on the store's partition column; directory-level
+  // pruning is spec-pinned via `selectedPartitions`, and an as-of
+  // below the oldest surviving batch after compaction fails loudly
+  // instead of silently serving partial history — Round15Spec).
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    StoreGates.withTempStore(s, "graft_q226_asof") { root =>
+      graft.operators.BatchStore.append(
+        docs.filter(col("doc_id") % 2 === 0), root, batchId = 1L)
+      graft.operators.BatchStore.append(
+        docs.filter(col("doc_id") % 2 === 1), root, batchId = 2L)
+      def rollup(df: DataFrame, asOf: Long) = df
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("as_of", lit(asOf))
+      rollup(graft.operators.BatchStore.readAsOf(s, root, 1L), 1L)
+        .unionByName(rollup(graft.operators.BatchStore.read(s, root), 2L))
+        .orderBy(col("as_of"), col("source"))
+        .localCheckpoint()
+    }
+  }
+  private val q226Sql =
+    """SELECT CAST(1 AS BIGINT) AS as_of, source,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE doc_id % 2 = 0 GROUP BY source
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS as_of, source,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY source
+      |ORDER BY as_of, source""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q226_store_asof", q226, Some(q226Sql)),
     QueryDef("q78_zorder_buckets", q78, Some(q78Sql)),
     QueryDef("q81_bloom_semi_join", q81, Some(q81Sql)),
     QueryDef("q96_argmax_agg", q96, Some(q96Sql)),

@@ -1300,7 +1300,48 @@ object SimilarityQueries {
       |ORDER BY q.query_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q225 — PROTOTYPE PRUNING ([[graft.operators.Similarity
+  // .prototypePrune]], the SSL-prototypes / SemDeDup keep policy):
+  // assign every embedding to its nearest seed centroid (the q51
+  // argmax), rank members within each cluster by cosine-to-centroid
+  // ASCENDING (least prototypical first — the hard, diverse tail),
+  // keep rank <= ceil(0.5·n). Assignment is the broadcast map-side
+  // pass; the rank is ONE shuffle on centroid_id. The oracle replays
+  // argmax, per-cluster rank, and the ceil cut with the same double
+  // cosine arithmetic (the q34/q67 cross-engine identity).
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Similarity.prototypePrune(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", keepFrac = 0.5)
+      .select(col("vec_id"), col("centroid_id"), col("proto_rank"),
+        col("n_members"), col("centroid_cosine"))
+      .orderBy(col("centroid_id"), col("proto_rank"))
+  }
+  private val q225Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT e.vec_id, c.cid,
+      |    list_inner_product(e.v, cv)
+      |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cv, cv))) AS cos
+      |  FROM e CROSS JOIN c
+      |  WHERE sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(cv, cv)) > 0),
+      |best AS (SELECT vec_id, cid, cos FROM (
+      |  SELECT vec_id, cid, cos,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+      |  FROM scored) WHERE rn = 1),
+      |rk AS (SELECT vec_id, cid, cos,
+      |    row_number() OVER (PARTITION BY cid ORDER BY cos ASC, vec_id) AS proto_rank,
+      |    COUNT(*) OVER (PARTITION BY cid) AS n_members
+      |  FROM best)
+      |SELECT vec_id, cid AS centroid_id, proto_rank,
+      |  CAST(n_members AS BIGINT) AS n_members, cos AS centroid_cosine
+      |FROM rk WHERE proto_rank <= CEIL(0.5 * n_members)
+      |ORDER BY centroid_id, proto_rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q225_prototype_prune", q225, Some(q225Sql)),
     QueryDef("q152_ivfpq_planted", q152, Some(q152Sql)),
     QueryDef("q165_hard_negatives", q165, Some(q165Sql)),
     QueryDef("q167_retrieval_mrr", q167, Some(q167Sql)),

@@ -25,18 +25,31 @@ class CurationPipelineSpec extends AnyFunSuite {
     }.toDF("doc_id", "source", "text")
   }
 
-  private def withBase(body: (CP.Stores, CP.Gates) => Unit): Unit = {
+  private def withBase(ledger: Boolean = false,
+      dupLabeledBad: Boolean = false)(
+      body: (CP.Stores, CP.Gates) => Unit): Unit = {
     val base = java.nio.file.Files.createTempDirectory("graft_cp").toString
     def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString
-    val stores = CP.Stores(p("ldf"), p("qual"), p("lm"), p("sig"), p("kept"))
+    val stores = CP.Stores(p("ldf"), p("qual"), p("lm"), p("sig"), p("kept"),
+      ledger = if (ledger) Some(p("led")) else None)
     val raw = docs.withColumn("text",
       regexp_replace(col("text"), "<[^>]*>", " "))
+    // default labels (doc_id % 3) carry no TEXTUAL signal — the NB
+    // classifier passes everything and the quality stage is a no-op;
+    // `dupLabeledBad` labels the dup-group bodies bad instead, which
+    // the classifier separates cleanly (disjoint token sets), so the
+    // quality gate actually bites for the ledger test
+    val labelExpr =
+      if (dupLabeledBad)
+        when(col("text").contains("dup group"), lit("bad"))
+          .otherwise(lit("good"))
+      else
+        when(col("doc_id") % 3 === 0, lit("bad")).otherwise(lit("good"))
+    QualityClassifier.writeQualityStore(
+      raw.withColumn("label", labelExpr),
+      "label", "text", buckets = 256, root = stores.quality, batchId = 1L)
     Boilerplate.writeLineDfStore(raw, "doc_id", "source", "text",
       stores.lineDf, batchId = 1L)
-    QualityClassifier.writeQualityStore(
-      raw.withColumn("label",
-        when(col("doc_id") % 3 === 0, lit("bad")).otherwise(lit("good"))),
-      "label", "text", buckets = 256, root = stores.quality, batchId = 1L)
     LanguageModel.writeLmStore(raw, "doc_id", "text", stores.lm, 1L)
     val gates = CP.Gates(minDf = 10L, buckets = 256, keepLabel = "good",
       lmCutAvgFp = 0.0, mixKeep = lit(true))
@@ -52,7 +65,7 @@ class CurationPipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
 
   test("a sequential fold over slices commits exactly one first-arrival keeper per content and gates the rest") {
-    withBase { (st, gates) =>
+    withBase() { (st, gates) =>
       val slices = Seq(docs.filter(col("doc_id") % 3 === 0),
         docs.filter(col("doc_id") % 3 === 1),
         docs.filter(col("doc_id") % 3 === 2))
@@ -99,13 +112,13 @@ class CurationPipelineSpec extends AnyFunSuite {
 
   test("streamed run commits the SAME kept set as the sequential fold; epoch replay no-ops") {
     var foldKept: Set[Long] = null
-    withBase { (st, gates) =>
+    withBase() { (st, gates) =>
       (0 to 2).foreach(i => CP.processSlice(spark, st, gates,
         docs.filter(col("doc_id") % 3 === i), "doc_id", "source", "text",
         1L + i))
       foldKept = keptIds(st)
     }
-    withBase { (st, gates) =>
+    withBase() { (st, gates) =>
       val stage = java.nio.file.Files.createTempDirectory("graft_cp_stage")
       val ckpt = java.nio.file.Files.createTempDirectory("graft_cp_ckpt")
       (0 to 2).foreach(i => docs.filter(col("doc_id") % 3 === i)
@@ -135,8 +148,109 @@ class CurationPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("disposition ledger: every input doc exactly once, first-failing-stage attribution, funnel consistency") {
+    withBase(ledger = true, dupLabeledBad = true) { (st, gates) =>
+      (0 to 2).foreach(i => CP.processSlice(spark, st, gates,
+        docs.filter(col("doc_id") % 3 === i), "doc_id", "source", "text",
+        1L + i))
+      val led = BatchStore.read(spark, st.ledger.get)
+        .select(col("doc_id"), col("stage"), col("batch"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(led.size == 60 && led.map(_._1).distinct.size == 60,
+        s"one disposition row per input doc: ${led.size}")
+      val byStage = led.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      // dedup drops: group-0 copies {10..50}, group-5 copies incl.
+      // min-id 5 (first arrival is 15, epoch 0)
+      assert(byStage("dedup") ==
+        Set(10L, 20L, 30L, 40L, 50L, 5L, 25L, 35L, 45L, 55L), byStage)
+      // quality drops: the dup-group KEEPERS (0 and 15) — their bodies
+      // are the trained-'bad' text, and dedup attribution must win for
+      // their non-keeper copies (first-failing-stage, not any-failing)
+      assert(byStage("quality") == Set(0L, 15L), byStage)
+      // lm cut 0.0 and mix=true are pass-through here
+      assert(!byStage.contains("lm") && !byStage.contains("mixture"),
+        byStage.keys.toSeq.sorted.mkString(","))
+      assert(byStage("kept") == keptIds(st),
+        "ledger kept rows must equal the kept store")
+      assert(byStage("kept") == (0L until 60L).toSet
+          -- byStage("dedup") -- byStage("quality"), byStage)
+      // funnel: per (batch, stage) exits + reached counts, rates
+      val fun = CP.funnel(BatchStore.read(spark, st.ledger.get))
+        .collect().map(r => (r.get(r.fieldIndex("batch")).toString.toLong,
+          r.getString(r.fieldIndex("stage")),
+          r.getLong(r.fieldIndex("n_exited")),
+          r.getLong(r.fieldIndex("n_reached")))).toSeq
+      // every epoch's dedup row reaches the full 20-doc slice
+      (1L to 3L).foreach { b =>
+        val total = fun.filter(_._1 == b).map(_._3).sum
+        assert(total == 20, s"batch $b dispositions must cover the slice: $total")
+        fun.filter(t => t._1 == b && t._2 == "dedup")
+          .foreach(t => assert(t._4 == 20, s"dedup reaches all of batch $b: $t"))
+        fun.filter(t => t._1 == b && t._2 == "kept")
+          .foreach(t => assert(t._3 == t._4, s"kept row exits all it reaches: $t"))
+      }
+      // replayed epoch: ledger no-ops too
+      CP.processSlice(spark, st, gates, docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "source", "text", batchId = 1L)
+      assert(BatchStore.read(spark, st.ledger.get).count() == 60)
+    }
+  }
+
+  test("ledger erasure: tombstoned ids mask on read, survive the Erasure fan-out, and purge physically") {
+    import spark.implicits._
+    withBase(ledger = true) { (st, gates) =>
+      (0 to 1).foreach(i => CP.processSlice(spark, st, gates,
+        docs.filter(col("doc_id") % 3 === i), "doc_id", "source", "text",
+        1L + i))
+      val lroot = st.ledger.get
+      assert(CP.readLedger(spark, lroot, "doc_id").count() == 40)
+      // forget docs 0..9 EVERYWHERE — the ledger rides the same
+      // registry fan-out as the data stores (the audit trail is
+      // itself per-doc personal data)
+      val erased = docs.filter(col("doc_id") < 10)
+      Erasure.forget(erased, "doc_id", "text",
+        Seq(Erasure.LedgerStore(lroot),
+          Erasure.SignatureStore(st.signatures)), batchId = 100L)
+      // slices 0/1 carry only 7 of the erased ids (0,3,6,9 and 1,4,7)
+      val after = CP.readLedger(spark, lroot, "doc_id")
+      assert(after.count() == 33 &&
+        after.filter(col("doc_id") < 10).count() == 0,
+        "tombstoned dispositions must mask on read")
+      // funnel over the masked read stays consistent
+      val funTotal = CP.funnel(after)
+        .agg(sum(col("n_exited"))).as[Long].collect().head
+      assert(funTotal == 33)
+      // purge: physically absent, layout rebuilt, mask retired
+      Erasure.purgeEverywhere(spark, Seq(Erasure.LedgerStore(lroot)),
+        "doc_id", newBatchId = 101L)
+      val raw = BatchStore.read(spark, lroot)
+      assert(raw.count() == 33 &&
+        raw.filter(col("doc_id") < 10).count() == 0,
+        "purge must drop tombstoned rows from the store itself")
+      assert(Tombstones.batches(spark, lroot).isEmpty,
+        "applied tombstones must retire at purge")
+    }
+  }
+
+  test("ledger committed but kept missing (crash window): retry skips the ledger and still commits kept") {
+    withBase(ledger = true) { (st, gates) =>
+      val slice = docs.filter(col("doc_id") % 3 === 0)
+      CP.processSlice(spark, st, gates, slice, "doc_id", "source", "text", 1L)
+      val fs = new org.apache.hadoop.fs.Path(st.kept)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      // simulate: the crash happened between the ledger commit and the
+      // kept commit — delete the kept batch, leave ledger + signatures
+      fs.delete(new org.apache.hadoop.fs.Path(st.kept, "batch=1"), true)
+      CP.processSlice(spark, st, gates, slice, "doc_id", "source", "text", 1L)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(st.kept, "batch=1")),
+        "retry must re-commit the kept batch")
+      assert(BatchStore.read(spark, st.ledger.get).count() == 20,
+        "retry must not double-commit the ledger")
+    }
+  }
+
   test("crash between the signature commit and the kept commit: retry completes without failing") {
-    withBase { (st, gates) =>
+    withBase() { (st, gates) =>
       CP.processSlice(spark, st, gates, docs.filter(col("doc_id") % 3 === 0),
         "doc_id", "source", "text", batchId = 1L)
       // simulate the crash window for epoch 2: signatures committed,

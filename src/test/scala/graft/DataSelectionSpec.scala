@@ -172,18 +172,20 @@ class DataSelectionSpec extends AnyFunSuite {
     // exact pin accounting per call: every frame this suite created is
     // strongly referenced until released, so the ContextCleaner can't
     // shift the counts under us
-    def pinned: Int = spark.sparkContext.getPersistentRDDs.size
-    val before = pinned
+    // id-set delta, not a count: the ContextCleaner may async-drop a
+    // dead pin from an earlier test between captures (count flake)
+    def pinnedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val before = pinnedIds
     val a = DataSelection.dsirTopK(cand, target, "doc_id", "text", 256, 10)
     val rowsA = a.collect().toSeq
-    assert(pinned == before + 1,
+    assert((pinnedIds -- before).size == 1,
       "after a call, only the returned frame may be pinned")
     val b = DataSelection.dsirTopK(cand, target, "doc_id", "text", 256, 10)
     val rowsB = b.collect().toSeq
     assert(rowsA == rowsB, "same inputs must select the same docs")
     graft.operators.Checkpoints.releasePinned(a)
     graft.operators.Checkpoints.releasePinned(b)
-    assert(pinned == before,
+    assert((pinnedIds -- before).isEmpty,
       "each call must release every internal pin (only the returned frame was live)")
   }
 }

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BatchStore
+
+/** Round-15: store as-of reads (reproducible historical rebuilds with
+  * directory-level pruning), prototype pruning over embeddings, the
+  * epoch-deterministic reshuffle, and the curation DAG's per-doc
+  * disposition ledger + funnel.
+  */
+class Round15Spec extends AnyFunSuite {
+  lazy val spark = Sessions.local(4)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rm(root: String): Unit =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scansOf(a.executedPlan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+  }.flatten
+
+  // ------------------------------------------------ store as-of read
+
+  test("readAsOf serves exactly the <=k batches and prunes at the directory level") {
+    import spark.implicits._
+    val root = tmp("graft_asof")
+    try {
+      Seq.tabulate(3) { i =>
+        Seq((i.toLong * 10, s"doc$i")).toDF("id", "payload")
+      }.zipWithIndex.foreach { case (df, i) =>
+        BatchStore.append(df, root, batchId = i + 1L)
+      }
+      val asOf2 = BatchStore.readAsOf(spark, root, 2L)
+      assert(asOf2.select("id").as[Long].collect().sorted.toSeq ===
+        Seq(0L, 10L))
+      // the pruning pin: the scan's file index selects 2 of 3
+      // partition dirs — the batch<=2 predicate is a PartitionFilter,
+      // never a post-scan filter over the full store
+      val scan = scansOf(asOf2.queryExecution.executedPlan)
+        .find(_.metadata.get("Location").exists(_.contains("graft_asof")))
+      assert(scan.isDefined)
+      assert(scan.get.selectedPartitions.partitionCount === 2,
+        s"as-of 2 must list 2 of 3 batch dirs, listed " +
+          s"${scan.get.selectedPartitions.partitionCount}")
+      // live read still sees everything
+      assert(BatchStore.read(spark, root).count() === 3)
+    } finally rm(root)
+  }
+
+  // ------------------------------------------------- epoch reshuffle
+
+  test("epoch reshuffle: shard assignment is seed-stable, the permutation is not, layout is irrelevant") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = (0L until 200L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)(s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def pack(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Packing.packSequences(df, "doc_id", "text", shards = 4,
+          budgetTokens = 16, epochSeed = seed)
+        .select("doc_id", "shard", "seq_id", "seq_offset")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val e0 = pack(docs, "e0")
+    val e1 = pack(docs, "e1")
+    // shards identical across epochs (locality stable)...
+    assert((0L until 200L).forall(i => e0(i)._1 == e1(i)._1),
+      "shard assignment must be seed-independent")
+    // ...but the within-shard permutation re-deals
+    assert((0L until 200L).exists(i => e0(i) != e1(i)),
+      "different seeds must produce a different sequence layout")
+    // pure function of (id, seed): any input partitioning packs the same
+    val e0b = pack(docs.repartition(13, col("text")), "e0")
+    assert(e0 == e0b, "packing must be input-layout-invariant")
+    // empty seed stays byte-identical to the historical layout
+    assert(pack(docs, "") == pack(docs.repartition(7), ""))
+  }
+
+  // ------------------------------------------------ prototype pruning
+
+  test("prototypePrune matches a naive driver-side reference on random vectors") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(1551)
+    val vecs = (0L until 120L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toSeq
+    val df = vecs.toDF("vec_id", "embedding")
+    val seeds = df.filter(col("vec_id") < 5)
+    val got = Similarity.prototypePrune(df, seeds, "vec_id", "embedding",
+        keepFrac = 0.4)
+      .select("vec_id", "centroid_id", "proto_rank", "n_members")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // naive reference
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i).toDouble * y(i).toDouble)
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val cents = vecs.filter(_._1 < 5)
+    val assigned = vecs.map { case (id, v) =>
+      val (cid, c) = cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .minBy { case (cid, c) => (-c, cid) }
+      (id, cid, c)
+    }
+    val expect = assigned.groupBy(_._2).flatMap { case (cid, members) =>
+      val ranked = members.sortBy { case (id, _, c) => (c, id) }.zipWithIndex
+      val keep = math.ceil(0.4 * members.size).toLong
+      ranked.filter(_._2 < keep).map { case ((id, _, _), rk) =>
+        (id, cid, rk + 1L, members.size.toLong)
+      }
+    }.toSet
+    assert(got == expect,
+      s"missing=${expect.diff(got).take(5)} extra=${got.diff(expect).take(5)}")
+  }
+
+  test("readAsOf below the oldest surviving batch fails loudly after compaction") {
+    import spark.implicits._
+    val root = tmp("graft_asof_compact")
+    try {
+      BatchStore.append(Seq((1L, "a")).toDF("id", "p"), root, 1L)
+      BatchStore.append(Seq((2L, "b")).toDF("id", "p"), root, 2L)
+      BatchStore.compact(spark, root, newBatchId = 3L)
+      val e = intercept[IllegalArgumentException] {
+        BatchStore.readAsOf(spark, root, 2L)
+      }
+      assert(e.getMessage.contains("compacted away"), e.getMessage)
+      // as-of at/above the surviving batch still serves
+      assert(BatchStore.readAsOf(spark, root, 3L).count() === 2)
+    } finally rm(root)
+  }
+}
