@@ -228,7 +228,14 @@ object Bench {
     "q226_store_asof",
     // q227 packs the corpus twice under different epoch seeds — two
     // q64-shaped shard-window passes
-    "q227_epoch_shuffle")
+    "q227_epoch_shuffle",
+    // q228 lands the corpus in the kept store, fans one takedown
+    // across kept + ledger, and packs through the masked read twice
+    // (pre/post purge) — corpus-sized store writes dominate
+    "q228_kept_erasure",
+    // q229 appends two schema generations, serves the merged-footer
+    // read, and compacts evolved — corpus-sized writes dominate
+    "q229_store_evolution")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:

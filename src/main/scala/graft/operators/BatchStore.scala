@@ -45,6 +45,30 @@ object BatchStore {
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(root)
 
+  /** SCHEMA-EVOLVED read: a year of daily appends changes schemas (a
+    * new enrichment column lands in month 7), and the plain parquet
+    * read picks ONE file's schema — batches written before the column
+    * may silently drop it or keep it depending on which file wins
+    * schema inference. `mergeSchema = true` unions every batch's
+    * schema and null-fills the pre-evolution rows — deterministic,
+    * footer-merge-costed (no data scan). Pair with [[compactEvolved]]
+    * so maintenance preserves the unified schema physically. */
+  def read(spark: SparkSession, root: String,
+      mergeSchema: Boolean): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(root)
+
+  /** [[compact]] for a store whose batches have DRIFTED schemas:
+    * merges with null-filled missing columns (the [[read]]
+    * `mergeSchema` semantics made physical) instead of failing. The
+    * default [[compact]] stays STRICT — on a store that should be
+    * uniform, silent null-filling would turn an upstream bug into
+    * quiet data corruption; evolution is opt-in per maintenance
+    * call. */
+  def compactEvolved(spark: SparkSession, root: String,
+      newBatchId: Long): Int =
+    compact(spark, root, newBatchId, identity[DataFrame], () => (),
+      evolve = true)
+
   /** The store AS OF batch `maxBatchId` — only batches committed with
     * id ≤ `maxBatchId`. This is the reproducibility read a training
     * pipeline needs ("rebuild the corpus exactly as the day-40 job
@@ -124,7 +148,8 @@ object BatchStore {
   private[graft] def compact(spark: SparkSession, root: String,
       newBatchId: Long, transform: DataFrame => DataFrame,
       onBeforeCommit: () => Unit,
-      partitionBy: Seq[String] = Seq.empty): Int = {
+      partitionBy: Seq[String] = Seq.empty,
+      evolve: Boolean = false): Int = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     def listIds(): Seq[Long] = fs.listStatus(p).toSeq
@@ -145,7 +170,7 @@ object BatchStore {
     // byte-identical to the multi-path read for flat batches
     val merged = transform(
       batches.map(st => spark.read.parquet(st.getPath.toString))
-        .reduce(_.unionByName(_)))
+        .reduce(_.unionByName(_, allowMissingColumns = evolve)))
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".staging-$newBatchId-${java.util.UUID.randomUUID().toString.take(8)}")
     val w = merged.write.mode("error")

@@ -178,6 +178,27 @@ object CurationPipeline {
     Checkpoints.releasePinned(hashed)
   }
 
+  /** Masked KEPT-CORPUS read: the committed survivors minus tombstoned
+    * ids. The kept store is the PRIMARY copy a takedown exists for —
+    * every derived index can be clean and the corpus still serves the
+    * document if this read is unmasked; it is registered in
+    * [[Erasure]] as `KeptStore` ([[Tombstones]] discipline) and
+    * [[packedShards]] exports through it, so a post-takedown shard
+    * build cannot re-pack forgotten text. */
+  def readKept(spark: SparkSession, root: String, idCol: String): DataFrame =
+    Tombstones(spark, root, BatchStore.read(spark, root), idCol)
+
+  /** Tombstone `ids` out of the kept corpus (mask-on-read). */
+  def deleteFromKept(ids: DataFrame, idCol: String, root: String,
+      batchId: Long): Unit =
+    Tombstones.append(ids, idCol, root, batchId)
+
+  /** Physically drop tombstoned survivors and retire the applied
+    * tombstones. */
+  def purgeKept(spark: SparkSession, root: String, idCol: String,
+      newBatchId: Long): Int =
+    Tombstones.purge(spark, root, idCol, newBatchId)
+
   /** Masked disposition-ledger read: committed dispositions minus
     * tombstoned ids — the audit trail is itself per-doc personal data,
     * so a takedown must forget it too ([[Tombstones]] discipline,
@@ -238,7 +259,7 @@ object CurationPipeline {
     * its shard), so it runs on the store, not per epoch. */
   def packedShards(spark: SparkSession, st: Stores, idCol: String,
       textCol: String, shards: Int, budgetTokens: Long): DataFrame =
-    Packing.packSequences(BatchStore.read(spark, st.kept), idCol, textCol,
+    Packing.packSequences(readKept(spark, st.kept, idCol), idCol, textCol,
         shards, budgetTokens)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),

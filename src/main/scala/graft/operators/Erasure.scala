@@ -70,6 +70,12 @@ object Erasure {
     * — doc-id tombstones: the audit trail records per-doc facts, so a
     * takedown must forget it like any other store. */
   final case class LedgerStore(root: String) extends StoreRef
+  /** Curation kept corpus ([[CurationPipeline.Stores.kept]]) — doc-id
+    * tombstones. The PRIMARY copy: every derived index can be clean
+    * and the corpus still serves the document if this store is not in
+    * the registry; [[CurationPipeline.packedShards]] exports through
+    * the masked read. */
+  final case class KeptStore(root: String) extends StoreRef
 
   /** Fan the erased slice across every registered store. `docs`
     * carries `idCol`, `textCol` and whatever label/domain columns the
@@ -135,6 +141,9 @@ object Erasure {
       case LedgerStore(r) =>
         CurationPipeline.deleteFromLedger(pinned.select(col(idCol)),
           idCol, r, batchId)
+      case KeptStore(r) =>
+        CurationPipeline.deleteFromKept(pinned.select(col(idCol)),
+          idCol, r, batchId)
     } finally {
       Checkpoints.releasePinned(pinned)
       pinnedVecs.foreach { case (vf, _) => Checkpoints.releasePinned(vf) }
@@ -178,6 +187,8 @@ object Erasure {
           Dedup.purgeHammingStore(spark, r, vecIdCol, newBatchId)
         case LedgerStore(r) =>
           CurationPipeline.purgeLedger(spark, r, idCol, newBatchId)
+        case KeptStore(r) =>
+          CurationPipeline.purgeKept(spark, r, idCol, newBatchId)
       }
       (ref, n)
     }

@@ -279,6 +279,72 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------
+  // q228 — KEPT-CORPUS TAKEDOWN ([[graft.operators.Erasure.KeptStore]]
+  // + [[graft.operators.CurationPipeline.readKept]]): the PRIMARY-copy
+  // hole in a derived-index-only takedown — every index can be clean
+  // and the corpus still serves the document if the kept store is not
+  // in the registry. The corpus lands in two batches; ONE
+  // Erasure.forget call tombstones the doc_id % 7 = 0 sub-slice out
+  // of the kept corpus AND its disposition ledger; the packed-shard
+  // export serves through the masked read (a post-takedown shard
+  // build cannot re-pack forgotten text); purgeEverywhere drops the
+  // rows physically and the re-served export is row-identical
+  // in-plan (the q180 equality-gate discipline). Oracle: the q64
+  // packing chain over the remaining documents.
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val CP = graft.operators.CurationPipeline
+    val E = graft.operators.Erasure
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    StoreGates.withTempStore(s, "graft_q228_kept") { base =>
+      def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString
+      val (kept, led) = (p("kept"), p("led"))
+      graft.operators.BatchStore.append(
+        docs.filter(col("doc_id") % 2 === 0), kept, batchId = 1L)
+      graft.operators.BatchStore.append(
+        docs.filter(col("doc_id") % 2 === 1), kept, batchId = 2L)
+      graft.operators.BatchStore.append(
+        docs.select(col("doc_id"), col("source"))
+          .withColumn("stage", lit("kept")), led, batchId = 1L)
+      E.forget(docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        Seq(E.KeptStore(kept), E.LedgerStore(led)), batchId = 10L)
+      val stores = CP.Stores("", "", "", "", kept)
+      def serve() = CP.packedShards(s, stores, "doc_id", "text",
+        shards = 4, budgetTokens = 512).localCheckpoint()
+      val masked = serve()
+      E.purgeEverywhere(s, Seq(E.KeptStore(kept), E.LedgerStore(led)),
+        "doc_id", newBatchId = 20L)
+      val purged = serve()
+      val out = StoreGates.compactionIdentityGate(masked, purged,
+          "kept-store purge changed the packed export")
+        .orderBy(col("shard"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.releasePinned(masked)
+      graft.operators.Checkpoints.releasePinned(purged)
+      out
+    }
+  }
+  private val q228Sql = {
+    val h = dHash("CAST(doc_id AS VARCHAR)")
+    s"""WITH pk AS (SELECT doc_id, $h AS h,
+       |  CAST(len($dTokens) AS BIGINT) AS n_tokens FROM documents
+       |  WHERE doc_id % 7 <> 0),
+       |pc AS (SELECT doc_id, h % 4 AS shard, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY h % 4 ORDER BY h, CAST(doc_id AS VARCHAR)
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum_before
+       |  FROM pk)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT cum_before // 512) AS n_seqs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(SUM(CASE WHEN n_tokens > 0
+       |    AND (cum_before + n_tokens - 1) // 512 > cum_before // 512
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddles
+       |FROM pc GROUP BY shard ORDER BY shard""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q126 — global ORDER-PRESERVING token-budget sharding: documents in
   // doc_id order, cut into ~2000-token contiguous shards (time/crawl-
   // order export, curriculum phases). The oracle is the one-line
@@ -1286,6 +1352,7 @@ object CurationQueries {
     QueryDef("q62_mixture_weights", q62, Some(q62Sql)),
     QueryDef("q64_sequence_packing", q64, Some(q64Sql)),
     QueryDef("q227_epoch_shuffle", q227, Some(q227Sql)),
+    QueryDef("q228_kept_erasure", q228, Some(q228Sql)),
     QueryDef("q126_contiguous_shards", q126, Some(q126Sql)),
     QueryDef("q65_length_trim", q65, Some(q65Sql)),
   )

@@ -386,8 +386,55 @@ object ExtendedQueries {
       |FROM documents GROUP BY source
       |ORDER BY as_of, source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q229 — STORE SCHEMA EVOLUTION ([[graft.operators.BatchStore.read]]
+  // mergeSchema + [[graft.operators.BatchStore.compactEvolved]]): a
+  // year of appends grows the schema — batch 1 is the year-1 shape
+  // (doc_id, n_chars), batch 2 adds `lang`. The plain read's schema
+  // depends on WHICH file wins inference (silent column loss); the
+  // merged read unions footers and null-fills pre-evolution rows
+  // deterministically, the pre-schema rows roll up under a sentinel,
+  // and compactEvolved makes the unified schema physical (strict
+  // compact on the drifted store fails loudly instead — Round15Spec)
+  // with the compacted serve row-identical in-plan.
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    StoreGates.withTempStore(s, "graft_q229_evo") { root =>
+      graft.operators.BatchStore.append(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("n_chars")), root, batchId = 1L)
+      graft.operators.BatchStore.append(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("n_chars"), col("lang")),
+        root, batchId = 2L)
+      def rollup(df: DataFrame) = df
+        .groupBy(coalesce(col("lang"), lit("(pre-schema)")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      val merged = rollup(
+          graft.operators.BatchStore.read(s, root, mergeSchema = true))
+        .localCheckpoint()
+      graft.operators.BatchStore.compactEvolved(s, root, newBatchId = 3L)
+      // post-compaction the unified schema is physical — the PLAIN
+      // read serves it
+      val compacted = rollup(graft.operators.BatchStore.read(s, root))
+        .localCheckpoint()
+      val out = StoreGates.compactionIdentityGate(merged, compacted,
+          "evolved compaction changed the served rollup")
+        .orderBy(col("lang"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.releasePinned(merged)
+      graft.operators.Checkpoints.releasePinned(compacted)
+      out
+    }
+  }
+  private val q229Sql =
+    """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '(pre-schema)' END AS lang,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q226_store_asof", q226, Some(q226Sql)),
+    QueryDef("q229_store_evolution", q229, Some(q229Sql)),
     QueryDef("q78_zorder_buckets", q78, Some(q78Sql)),
     QueryDef("q81_bloom_semi_join", q81, Some(q81Sql)),
     QueryDef("q96_argmax_agg", q96, Some(q96Sql)),

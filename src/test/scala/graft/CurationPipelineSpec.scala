@@ -232,6 +232,35 @@ class CurationPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kept-corpus erasure: masked read, masked packed export, physical purge") {
+    import spark.implicits._
+    withBase() { (st, gates) =>
+      (0 to 1).foreach(i => CP.processSlice(spark, st, gates,
+        docs.filter(col("doc_id") % 3 === i), "doc_id", "source", "text",
+        1L + i))
+      val before = keptIds(st)
+      val victim = before.head
+      Erasure.forget(docs.filter(col("doc_id") === victim),
+        "doc_id", "text", Seq(Erasure.KeptStore(st.kept)), batchId = 50L)
+      // masked read drops the victim; packedShards exports through it
+      val masked = CP.readKept(spark, st.kept, "doc_id")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(masked == before - victim, s"mask must drop $victim")
+      val packedDocs = Packing.packSequences(
+        CP.readKept(spark, st.kept, "doc_id"), "doc_id", "text",
+        shards = 2, budgetTokens = 64)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(!packedDocs.contains(victim),
+        "a post-takedown shard build must not re-pack forgotten text")
+      // purge: physically gone, tombstones retired
+      Erasure.purgeEverywhere(spark, Seq(Erasure.KeptStore(st.kept)),
+        "doc_id", newBatchId = 51L)
+      assert(BatchStore.read(spark, st.kept)
+        .filter(col("doc_id") === victim).count() == 0)
+      assert(Tombstones.batches(spark, st.kept).isEmpty)
+    }
+  }
+
   test("ledger committed but kept missing (crash window): retry skips the ledger and still commits kept") {
     withBase(ledger = true) { (st, gates) =>
       val slice = docs.filter(col("doc_id") % 3 === 0)

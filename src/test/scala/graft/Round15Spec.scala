@@ -123,6 +123,31 @@ class Round15Spec extends AnyFunSuite {
       s"missing=${expect.diff(got).take(5)} extra=${got.diff(expect).take(5)}")
   }
 
+  // -------------------------------------------- store schema evolution
+
+  test("schema drift: strict compact fails loudly; compactEvolved null-fills and makes the schema physical") {
+    import spark.implicits._
+    val root = tmp("graft_evo")
+    try {
+      BatchStore.append(Seq((1L, 10L)).toDF("id", "n"), root, 1L)
+      BatchStore.append(Seq((2L, 20L, "en")).toDF("id", "n", "lang"),
+        root, 2L)
+      // the default compact refuses the drifted store — silent
+      // null-filling would turn an upstream bug into data corruption
+      intercept[org.apache.spark.sql.AnalysisException] {
+        BatchStore.compact(spark, root, newBatchId = 3L)
+      }
+      // evolution is opt-in: merged, null-filled, physically unified
+      assert(BatchStore.compactEvolved(spark, root, newBatchId = 3L) == 2)
+      val after = BatchStore.read(spark, root)
+      assert(after.columns.toSet == Set("id", "n", "lang", "batch"))
+      val rows = after.select("id", "lang").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(rows == Set((1L, None), (2L, Some("en"))),
+        s"pre-evolution rows must null-fill: ${rows.mkString(",")}")
+    } finally rm(root)
+  }
+
   test("readAsOf below the oldest surviving batch fails loudly after compaction") {
     import spark.implicits._
     val root = tmp("graft_asof_compact")
