@@ -235,7 +235,11 @@ object Bench {
     "q228_kept_erasure",
     // q229 appends two schema generations, serves the merged-footer
     // read, and compacts evolved — corpus-sized writes dominate
-    "q229_store_evolution")
+    "q229_store_evolution",
+    // q230 chunks the corpus, hashes every chunk's tokens, and ranks
+    // sparse cosines against the broadcast queries — token-volume
+    // explode + one (id, bucket) agg + the bucket-join dots
+    "q230_hashed_retrieval")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:

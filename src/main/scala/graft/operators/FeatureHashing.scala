@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextFunctions.{hash60, tokens}
+
+/** MODEL-FREE sparse semantic-ish retrieval via the signed hashing
+  * trick (Weinberger et al., "Feature Hashing for Large Scale
+  * Multitask Learning"): each token hashes to one of `dim` buckets
+  * with a ±1 sign from an independent hash bit, so a document becomes
+  * a sparse integer vector whose inner products are unbiased
+  * estimates of the full bag-of-words inner product — no vocabulary,
+  * no trained embedder, no dictionary broadcast. The cosine between
+  * two hashed vectors is the classic cheap retrieval baseline that
+  * needs nothing but the corpus itself, and the natural fallback
+  * wherever a dense-embedding column does not exist.
+  *
+  * Scale design (100 TB):
+  *  - [[hashedTf]] is one explode + one (id, bucket) partial-agg
+  *    shuffle — map-side combine eats the token volume; output is
+  *    min(dim, distinct tokens) rows per doc.
+  *  - [[cosineTopK]] computes SPARSE dots by joining on `bucket`:
+  *    the query side is broadcast (query sets are small), so the
+  *    corpus side never shuffles for the join; the (query, doc)
+  *    partial products map-side-combine into the dot. Norms are
+  *    exact integer sums computed once per side. The rank keeps the
+  *    `InferWindowGroupLimit` shape (map-side partial top-k below
+  *    the exchange — the [[Similarity.bruteForceTopK]] discipline).
+  *  - All weights/dots/norm² are EXACT integers; only the final
+  *    cosine divides in doubles — bit-identical cross-engine (the
+  *    q34 discipline), so the whole retrieval is oracle-replayable.
+  */
+object FeatureHashing {
+
+  /** Signed hashed term frequencies: one row per (id, bucket) with
+    * integer `weight` = Σ ±1 over the doc's tokens landing in the
+    * bucket. Zero-weight rows (sign cancellation) are dropped — they
+    * contribute nothing to any inner product and sparsify the
+    * output. */
+  def hashedTf(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"need dim > 0, got $dim")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        pmod(hash60(col("__tok")), lit(dim.toLong)).as("bucket"),
+        when(pmod(hash60(concat(lit("s:"), col("__tok"))), lit(2L)) === 0,
+          lit(1L)).otherwise(lit(-1L)).as("__sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("__sign")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
+  /** Exact top-`k` hashed-cosine neighbors of each query over the
+    * corpus features (both sides in [[hashedTf]]'s (id, bucket,
+    * weight) shape). The query side must be broadcast-sized. Output:
+    * queryIdCol, rank, corpusIdCol, cosine — ties break on the lower
+    * corpus id. Docs/queries with no surviving feature rows (all
+    * signs cancelled) simply produce no pairs. */
+  def cosineTopK(corpusFeats: DataFrame, queryFeats: DataFrame,
+      corpusIdCol: String, queryIdCol: String, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    require(corpusIdCol != queryIdCol,
+      "corpusIdCol and queryIdCol must differ (they meet in one row)")
+    val cn = corpusFeats.groupBy(col(corpusIdCol))
+      .agg(sum(col("weight") * col("weight")).as("__cn2"))
+    val qn = queryFeats.groupBy(col(queryIdCol))
+      .agg(sum(col("weight") * col("weight")).as("__qn2"))
+    val dots = corpusFeats
+      .select(col(corpusIdCol), col("bucket"), col("weight").as("__cw"))
+      .join(broadcast(queryFeats
+        .select(col(queryIdCol), col("bucket"), col("weight").as("__qw"))),
+        Seq("bucket"))
+      .groupBy(col(queryIdCol), col(corpusIdCol))
+      .agg(sum(col("__cw") * col("__qw")).as("__dot"))
+    val scored = dots
+      .join(cn, Seq(corpusIdCol)).join(broadcast(qn), Seq(queryIdCol))
+      .withColumn("cosine", col("__dot").cast("double")
+        / (sqrt(col("__cn2").cast("double"))
+          * sqrt(col("__qn2").cast("double"))))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(desc("cosine"), col(corpusIdCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(corpusIdCol), col("cosine"))
+  }
+}

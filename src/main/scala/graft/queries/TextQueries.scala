@@ -3668,7 +3668,75 @@ object TextQueries {
       |FROM th LEFT JOIN c USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q230 — FEATURE-HASHED CHUNK RETRIEVAL ([[graft.operators
+  // .FeatureHashing]] ∘ [[graft.operators.Chunking]]): the model-free
+  // RAG-shaped composition — documents chunk into 64-token windows,
+  // every chunk becomes a SIGNED hashed sparse vector (the hashing
+  // trick: bucket = h(tok) % 512, sign from an independent hash bit —
+  // inner products unbiased, no vocabulary, no trained embedder), and
+  // each query doc retrieves its top-3 chunks by sparse cosine: dots
+  // from a bucket join against the broadcast query side (the corpus
+  // never shuffles for the join), norms exact integer sums, rank in
+  // the map-side-partial top-k shape. Weights/dots/norm² are exact
+  // integers; only the final cosine divides in doubles — the oracle
+  // replays chunking (1-based clamped list slices), hashing, signs,
+  // sparse dots, and the rank bit-identically.
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val FH = graft.operators.FeatureHashing
+    val docs = Tables.documents(s, dir)
+    val chunks = graft.operators.Chunking.chunkByTokens(
+      docs.filter(col("doc_id") >= 3), "doc_id", "text",
+      chunkTokens = 64, strideTokens = 64)
+      .select((col("doc_id") * 1000000L + col("chunk_id")).as("chunk_key"),
+        col("chunk_text"))
+    val corpusFeats = FH.hashedTf(chunks, "chunk_key", "chunk_text", dim = 512)
+    val queryFeats = FH.hashedTf(
+      docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("text")),
+      "query_id", "text", dim = 512)
+    FH.cosineTopK(corpusFeats, queryFeats, "chunk_key", "query_id", k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private val q230Sql = {
+    def feats(tokSrc: String, keyCol: String) =
+      s"""SELECT $keyCol, bucket, w FROM (
+         |  SELECT $keyCol, ${dHash("tok")} % 512 AS bucket,
+         |    CAST(SUM(CASE WHEN ${dHash("'s:' || tok")} % 2 = 0
+         |      THEN 1 ELSE -1 END) AS BIGINT) AS w
+         |  FROM $tokSrc GROUP BY 1, 2) WHERE w <> 0""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, $dTokens AS t FROM documents),
+       |ch AS (SELECT doc_id, CAST((u.s - 1) // 64 AS BIGINT) AS chunk_id,
+       |    t[u.s : u.s + 63] AS ct
+       |  FROM toks, UNNEST(generate_series(1, len(t), 64)) u(s)
+       |  WHERE doc_id >= 3),
+       |ctok AS (SELECT doc_id * 1000000 + chunk_id AS chunk_key,
+       |    unnest(ct) AS tok FROM ch),
+       |qtok AS (SELECT doc_id AS query_id, unnest(t) AS tok
+       |  FROM toks WHERE doc_id < 3),
+       |cf AS (${feats("ctok", "chunk_key")}),
+       |qf AS (${feats("qtok", "query_id")}),
+       |cn AS (SELECT chunk_key, CAST(SUM(w * w) AS BIGINT) AS cn2
+       |  FROM cf GROUP BY 1),
+       |qn AS (SELECT query_id, CAST(SUM(w * w) AS BIGINT) AS qn2
+       |  FROM qf GROUP BY 1),
+       |dots AS (SELECT q.query_id, c.chunk_key,
+       |    CAST(SUM(c.w * q.w) AS BIGINT) AS dot
+       |  FROM cf c JOIN qf q ON c.bucket = q.bucket GROUP BY 1, 2),
+       |sc AS (SELECT d.query_id, d.chunk_key, CAST(dot AS DOUBLE)
+       |      / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))
+       |      AS cosine
+       |  FROM dots d JOIN cn ON d.chunk_key = cn.chunk_key
+       |  JOIN qn ON d.query_id = qn.query_id),
+       |rk AS (SELECT query_id, chunk_key, cosine, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, chunk_key) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, chunk_key, cosine FROM rk
+       |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q230_hashed_retrieval", q230, Some(q230Sql)),
     QueryDef("q121_substring_dedup", q121, Some(q121Sql)),
     QueryDef("q108_av_containers", q108, Some(q108Sql)),
     QueryDef("q116_compressed_audio", q116, Some(q116Sql)),

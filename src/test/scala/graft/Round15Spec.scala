@@ -123,6 +123,68 @@ class Round15Spec extends AnyFunSuite {
       s"missing=${expect.diff(got).take(5)} extra=${got.diff(expect).take(5)}")
   }
 
+  // -------------------------------------------- feature hashing
+
+  test("hashedTf + cosineTopK match a naive driver-side reference on random corpora") {
+    import spark.implicits._
+    import graft.operators.FeatureHashing
+    def md5_60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val dim = 16 // small so buckets collide and signs cancel
+    val rnd = new scala.util.Random(1552)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def text() = Seq.fill(rnd.nextInt(40) + 1)(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (0L until 50L).map(i => (i, text()))
+    val queries = (100L until 104L).map(i => (i, text()))
+    def feats(docs: Seq[(Long, String)]): Map[(Long, Long), Long] =
+      docs.flatMap { case (id, t) =>
+        t.trim.split("\\s+").filter(_.nonEmpty).map { tok =>
+          ((id, math.floorMod(md5_60(tok), dim.toLong)),
+            if (math.floorMod(md5_60("s:" + tok), 2L) == 0) 1L else -1L)
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .filter(_._2 != 0L)
+    val cF = feats(corpus); val qF = feats(queries)
+    // operator side
+    val gotF = FeatureHashing.hashedTf(corpus.toDF("id", "text"),
+        "id", "text", dim)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(gotF == cF, "hashedTf must equal the naive signed counts")
+    // full retrieval
+    val got = FeatureHashing.cosineTopK(
+        FeatureHashing.hashedTf(corpus.toDF("cid", "text"), "cid", "text", dim),
+        FeatureHashing.hashedTf(queries.toDF("qid", "text"), "qid", "text", dim),
+        "cid", "qid", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def norm2(f: Map[(Long, Long), Long], id: Long) =
+      f.collect { case ((i, _), w) if i == id => w * w }.sum
+    def buckets(f: Map[(Long, Long), Long], id: Long) =
+      f.keys.collect { case (i, b) if i == id => b }.toSet
+    val expect = queries.map(_._1).flatMap { q =>
+      // a pair exists iff it SHARES >= 1 bucket (join semantics) —
+      // cross-bucket cancellation to dot 0 still yields a row
+      val scoredAll = corpus.map(_._1).flatMap { c =>
+        if (buckets(cF, c).intersect(buckets(qF, q)).isEmpty) None
+        else {
+          val dot = (0L until dim.toLong).map(b =>
+            cF.getOrElse((c, b), 0L) * qF.getOrElse((q, b), 0L)).sum
+          Some((c, dot.toDouble /
+            (math.sqrt(norm2(cF, c).toDouble)
+              * math.sqrt(norm2(qF, q).toDouble))))
+        }
+      }
+      scoredAll.sortBy { case (c, cos) => (-cos, c) }.take(3)
+        .zipWithIndex.map { case ((c, _), i) => (q, i + 1L, c) }
+    }.toSet
+    assert(got == expect,
+      s"missing=${expect.diff(got).take(5)} extra=${got.diff(expect).take(5)}")
+  }
+
   // -------------------------------------------- store schema evolution
 
   test("schema drift: strict compact fails loudly; compactEvolved null-fills and makes the schema physical") {
