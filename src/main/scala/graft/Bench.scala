@@ -239,7 +239,15 @@ object Bench {
     // q230 chunks the corpus, hashes every chunk's tokens, and ranks
     // sparse cosines against the broadcast queries — token-volume
     // explode + one (id, bucket) agg + the bucket-join dots
-    "q230_hashed_retrieval")
+    "q230_hashed_retrieval",
+    // q231 runs the hashed-store lifecycle (two appends + tombstone
+    // erasure + masked serve + purge + served-identity gate) —
+    // sf-scaled like q189/q216
+    "q231_hashed_store",
+    // q232 streams the corpus slices through the exactly-once
+    // hashed-store sink then serves — corpus work dominates, like
+    // q177/q194
+    "q232_hashed_streamed")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:

@@ -76,6 +76,9 @@ object Erasure {
     * the registry; [[CurationPipeline.packedShards]] exports through
     * the masked read. */
   final case class KeptStore(root: String) extends StoreRef
+  /** Hashed-feature retrieval store ([[FeatureHashing
+    * .writeHashedStore]]) — doc-id tombstones. */
+  final case class HashedTfStore(root: String) extends StoreRef
 
   /** Fan the erased slice across every registered store. `docs`
     * carries `idCol`, `textCol` and whatever label/domain columns the
@@ -144,6 +147,9 @@ object Erasure {
       case KeptStore(r) =>
         CurationPipeline.deleteFromKept(pinned.select(col(idCol)),
           idCol, r, batchId)
+      case HashedTfStore(r) =>
+        FeatureHashing.deleteFromHashedStore(pinned.select(col(idCol)),
+          idCol, r, batchId)
     } finally {
       Checkpoints.releasePinned(pinned)
       pinnedVecs.foreach { case (vf, _) => Checkpoints.releasePinned(vf) }
@@ -189,6 +195,8 @@ object Erasure {
           CurationPipeline.purgeLedger(spark, r, idCol, newBatchId)
         case KeptStore(r) =>
           CurationPipeline.purgeKept(spark, r, idCol, newBatchId)
+        case HashedTfStore(r) =>
+          FeatureHashing.purgeHashedStore(spark, r, idCol, newBatchId)
       }
       (ref, n)
     }

@@ -85,4 +85,103 @@ object FeatureHashing {
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col(corpusIdCol), col("cosine"))
   }
+
+  // ------------------------------------------ persisted feature store
+
+  private def dimMetaPath(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_dim")
+
+  /** Pin the store's `dim` in a `_dim` meta file on first write; every
+    * later write and serve validates against it — a dim mismatch
+    * would not fail, it would silently score zero overlap (buckets
+    * beyond the smaller dim never meet), which is exactly the silent
+    * corruption a meta guard exists for. Creating the meta on a root
+    * that ALREADY has batches (a legacy store) fails loudly instead
+    * of committing mixed-dim features beside them. */
+  private def ensureDim(spark: org.apache.spark.sql.SparkSession,
+      root: String, dim: Int): Unit = {
+    val p = dimMetaPath(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val have = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      require(have == dim,
+        s"store at $root was written with dim=$have, got dim=$dim")
+    } else {
+      val rp = new org.apache.hadoop.fs.Path(root)
+      require(!fs.exists(rp) || !fs.listStatus(rp).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch=")),
+        s"store at $root has batches but no _dim meta — a pre-meta " +
+          "legacy store; rebuild it rather than appending mixed dims")
+      val out = fs.create(p, false)
+      try out.write(s"$dim\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def storedDim(spark: org.apache.spark.sql.SparkSession,
+      root: String): Int = {
+    val p = dimMetaPath(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no _dim meta under $root — not a hashed store")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Append one slice's hashed features to the persisted store —
+    * (id, bucket, weight) rows, delta-sized; `dim` is pinned in the
+    * `_dim` meta (see [[ensureDim]]). */
+  def writeHashedStore(df: DataFrame, idCol: String, textCol: String,
+      dim: Int, root: String, batchId: Long): Unit = {
+    ensureDim(df.sparkSession, root, dim)
+    BatchStore.append(hashedTf(df, idCol, textCol, dim), root, batchId)
+  }
+
+  /** Maintain the store FROM A STREAM — the exactly-once foreachBatch
+    * epoch discipline (batch id = `baseBatchId + epochId`; a replayed
+    * epoch's committed batch no-ops). Features are per-doc rows, so
+    * the served retrieval is epoch-chunking-independent. */
+  def hashedStoreSink(idCol: String, textCol: String, dim: Int,
+      root: String, baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+    (batch, epochId) => {
+      val dest = new org.apache.hadoop.fs.Path(root,
+        s"batch=${baseBatchId + epochId}")
+      val fs = dest.getFileSystem(batch.sparkSession.sessionState.newHadoopConf())
+      if (!fs.exists(dest))
+        writeHashedStore(batch, idCol, textCol, dim, root,
+          baseBatchId + epochId)
+    }
+
+  /** Tombstone `ids` out of every serve (mask-on-read,
+    * delete-volume-sized — the shared [[Tombstones]] discipline;
+    * registered in [[Erasure]] as `HashedTfStore`). */
+  def deleteFromHashedStore(ids: DataFrame, idCol: String, root: String,
+      batchId: Long): Unit =
+    Tombstones.append(ids, idCol, root, batchId)
+
+  /** Physically drop tombstoned feature rows and retire the applied
+    * tombstones (maintenance window). */
+  def purgeHashedStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String, newBatchId: Long): Int =
+    Tombstones.purge(spark, root, idCol, newBatchId)
+
+  /** Serve top-`k` hashed-cosine retrieval FROM the store: queries are
+    * hashed at the store's pinned dim (a caller cannot mismatch),
+    * the store read is tombstone-masked BEFORE ranking, and the
+    * result is materialized (the FromStore contract — the caller owns
+    * the returned pin). */
+  def hashedTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+      root: String, queries: DataFrame, queryIdCol: String,
+      textCol: String, corpusIdCol: String, k: Int): DataFrame = {
+    val dim = storedDim(spark, root)
+    val feats = Tombstones(spark, root,
+      BatchStore.read(spark, root)
+        .select(col(corpusIdCol), col("bucket"), col("weight")),
+      corpusIdCol)
+    val out = cosineTopK(feats,
+      hashedTf(queries, queryIdCol, textCol, dim),
+      corpusIdCol, queryIdCol, k).localCheckpoint()
+    out
+  }
 }

@@ -3735,8 +3735,115 @@ object TextQueries {
        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q231/q232 shared oracle: doc-level hashed-cosine retrieval over
+    * the surviving corpus (`corpusWhere`), queries = docs < 3, k = 5,
+    * dim = 512 — the q230 chain minus the chunking. */
+  private def hashedStoreSqlFor(corpusWhere: String) = {
+    def feats(tokSrc: String, keyCol: String) =
+      s"""SELECT $keyCol, bucket, w FROM (
+         |  SELECT $keyCol, ${dHash("tok")} % 512 AS bucket,
+         |    CAST(SUM(CASE WHEN ${dHash("'s:' || tok")} % 2 = 0
+         |      THEN 1 ELSE -1 END) AS BIGINT) AS w
+         |  FROM $tokSrc GROUP BY 1, 2) WHERE w <> 0""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, $dTokens AS t FROM documents),
+       |ctok AS (SELECT doc_id, unnest(t) AS tok FROM toks
+       |  WHERE $corpusWhere),
+       |qtok AS (SELECT doc_id AS query_id, unnest(t) AS tok
+       |  FROM toks WHERE doc_id < 3),
+       |cf AS (${feats("ctok", "doc_id")}),
+       |qf AS (${feats("qtok", "query_id")}),
+       |cn AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS cn2
+       |  FROM cf GROUP BY 1),
+       |qn AS (SELECT query_id, CAST(SUM(w * w) AS BIGINT) AS qn2
+       |  FROM qf GROUP BY 1),
+       |dots AS (SELECT q.query_id, c.doc_id,
+       |    CAST(SUM(c.w * q.w) AS BIGINT) AS dot
+       |  FROM cf c JOIN qf q ON c.bucket = q.bucket GROUP BY 1, 2),
+       |sc AS (SELECT d.query_id, d.doc_id, CAST(dot AS DOUBLE)
+       |      / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))
+       |      AS cosine
+       |  FROM dots d JOIN cn ON d.doc_id = cn.doc_id
+       |  JOIN qn ON d.query_id = qn.query_id),
+       |rk AS (SELECT query_id, doc_id, cosine, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, doc_id, cosine FROM rk
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  // q231 — HASHED-FEATURE STORE LIFECYCLE ([[graft.operators
+  // .FeatureHashing.writeHashedStore]] + the q189 discipline): the
+  // retrieval index persists its (id, bucket, weight) rows once
+  // (dim pinned in a `_dim` meta — a mismatched serve would not fail,
+  // it would silently score zero overlap); a takedown tombstones the
+  // doc_id % 5 = 0 sub-slice (mask-on-read, registered in the
+  // [[graft.operators.Erasure]] fan-out as `HashedTfStore`); the
+  // masked serve and the post-purge serve are row-identical in-plan.
+  // Oracle: the q230 doc-level chain over the remaining corpus.
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val FH = graft.operators.FeatureHashing
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") >= 3)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    StoreGates.withTempStore(s, "graft_q231_hstore") { root =>
+      FH.writeHashedStore(corpus.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", dim = 512, root, batchId = 1L)
+      FH.writeHashedStore(corpus.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", dim = 512, root, batchId = 2L)
+      FH.deleteFromHashedStore(
+        corpus.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
+        "doc_id", root, batchId = 3L)
+      def serve() = FH.hashedTopKFromStore(s, root, queries,
+        "query_id", "text", "doc_id", k = 5)
+      val masked = serve()
+      FH.purgeHashedStore(s, root, "doc_id", newBatchId = 4L)
+      val purged = serve()
+      val out = StoreGates.compactionIdentityGate(masked, purged,
+          "hashed-store purge changed the served retrieval")
+        .orderBy(col("query_id"), col("rank"))
+        .localCheckpoint()
+      graft.operators.Checkpoints.releasePinned(masked)
+      graft.operators.Checkpoints.releasePinned(purged)
+      out
+    }
+  }
+  private lazy val q231Sql =
+    hashedStoreSqlFor("doc_id >= 3 AND doc_id % 5 <> 0")
+
+  // ---------------------------------------------------------------
+  // q232 — STREAMED HASHED-STORE MAINTENANCE ([[graft.operators
+  // .FeatureHashing.hashedStoreSink]]): the exactly-once foreachBatch
+  // epoch discipline on the retrieval index — two corpus slices land
+  // one per micro-batch through the checkpointed file source, each
+  // epoch appending its feature delta (replay no-ops). Features are
+  // per-doc rows, so the served retrieval is epoch-chunking-
+  // independent: the oracle is the single-shot q231 chain with no
+  // deletions.
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val FH = graft.operators.FeatureHashing
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") >= 3)
+      .select(col("doc_id"), col("text"))
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    StoreGates.withStreamedStore(s, "graft_q232",
+      slices = Seq(corpus.filter(col("doc_id") % 2 === 0),
+        corpus.filter(col("doc_id") % 2 === 1)),
+      sink = store => FH.hashedStoreSink("doc_id", "text", dim = 512, store)
+    ) { store =>
+      FH.hashedTopKFromStore(s, store, queries,
+          "query_id", "text", "doc_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }
+  }
+  private lazy val q232Sql = hashedStoreSqlFor("doc_id >= 3")
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q230_hashed_retrieval", q230, Some(q230Sql)),
+    QueryDef("q231_hashed_store", q231, Some(q231Sql)),
+    QueryDef("q232_hashed_streamed", q232, Some(q232Sql)),
     QueryDef("q121_substring_dedup", q121, Some(q121Sql)),
     QueryDef("q108_av_containers", q108, Some(q108Sql)),
     QueryDef("q116_compressed_audio", q116, Some(q116Sql)),

@@ -185,6 +185,54 @@ class Round15Spec extends AnyFunSuite {
       s"missing=${expect.diff(got).take(5)} extra=${got.diff(expect).take(5)}")
   }
 
+  test("hashed store: dim meta guards mismatched writes/serves and legacy roots; erased ids never rank") {
+    import spark.implicits._
+    import graft.operators.{BatchStore, FeatureHashing => FH}
+    val root = tmp("graft_hstore")
+    try {
+      val corpus = Seq((10L, "alpha beta gamma"), (11L, "alpha beta"),
+        (12L, "delta epsilon zeta")).toDF("doc_id", "text")
+      FH.writeHashedStore(corpus.filter(col("doc_id") <= 11),
+        "doc_id", "text", dim = 64, root, 1L)
+      // a mismatched dim fails loudly — it would otherwise silently
+      // score zero overlap
+      val e = intercept[IllegalArgumentException] {
+        FH.writeHashedStore(corpus.filter(col("doc_id") === 12L),
+          "doc_id", "text", dim = 128, root, 2L)
+      }
+      assert(e.getMessage.contains("dim=64"), e.getMessage)
+      FH.writeHashedStore(corpus.filter(col("doc_id") === 12L),
+        "doc_id", "text", dim = 64, root, 2L)
+      val q = Seq((1L, "alpha beta gamma")).toDF("query_id", "text")
+      val served = FH.hashedTopKFromStore(spark, root, q,
+        "query_id", "text", "doc_id", k = 3)
+      val ranked = served.orderBy(col("rank"))
+        .select("doc_id").as[Long].collect().toSeq
+      // identical text scores cosine 1.0 — rank 1 must be doc 10
+      assert(ranked.headOption.contains(10L) && ranked.contains(11L), ranked)
+      graft.operators.Checkpoints.releasePinned(served)
+      // erasure: tombstoned doc never ranks again, purge is physical
+      FH.deleteFromHashedStore(Seq(10L).toDF("doc_id"), "doc_id", root, 3L)
+      val masked = FH.hashedTopKFromStore(spark, root, q,
+        "query_id", "text", "doc_id", k = 3)
+      assert(!masked.select("doc_id").as[Long].collect().contains(10L))
+      graft.operators.Checkpoints.releasePinned(masked)
+      FH.purgeHashedStore(spark, root, "doc_id", newBatchId = 4L)
+      assert(BatchStore.read(spark, root)
+        .filter(col("doc_id") === 10L).count() == 0)
+      // a legacy root (batches, no meta) refuses new-meta creation
+      val legacy = tmp("graft_hstore_legacy")
+      try {
+        BatchStore.append(Seq((1L, 0L, 1L)).toDF("doc_id", "bucket", "weight"),
+          legacy, 1L)
+        val e2 = intercept[IllegalArgumentException] {
+          FH.writeHashedStore(corpus, "doc_id", "text", 64, legacy, 2L)
+        }
+        assert(e2.getMessage.contains("legacy"), e2.getMessage)
+      } finally rm(legacy)
+    } finally rm(root)
+  }
+
   // -------------------------------------------- store schema evolution
 
   test("schema drift: strict compact fails loudly; compactEvolved null-fills and makes the schema physical") {
