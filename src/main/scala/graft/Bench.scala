@@ -247,7 +247,12 @@ object Bench {
     // q232 streams the corpus slices through the exactly-once
     // hashed-store sink then serves — corpus work dominates, like
     // q177/q194
-    "q232_hashed_streamed")
+    "q232_hashed_streamed",
+    // q233 is q230 through the SQL front door — same shape
+    "q233_hashed_retrieval_sql",
+    // q234 ranks the corpus twice (exact-TF truth + dim-64 hashed)
+    // and joins the top-5 sets — two q230-shaped passes
+    "q234_hashing_recall")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:

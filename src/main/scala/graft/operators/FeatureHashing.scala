@@ -52,6 +52,20 @@ object FeatureHashing {
       .filter(col("weight") =!= 0)
   }
 
+  /** UNHASHED bag-of-words counts — the exactness truth for measuring
+    * the hashing trick's approximation: the token itself is the
+    * "bucket" (weight = its count), so [[cosineTopK]] over these
+    * features computes the exact TF cosine the hashed vectors
+    * estimate. Costs a string-keyed shuffle where [[hashedTf]]
+    * shuffles bounded integer keys — that trade IS what the hashing
+    * trick buys at 100 TB (dim-bounded key space, fixed-width rows,
+    * no vocabulary skew), and the recall gate (q234) measures what it
+    * costs in ranking fidelity. */
+  def exactTf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("weight"))
+
   /** Exact top-`k` hashed-cosine neighbors of each query over the
     * corpus features (both sides in [[hashedTf]]'s (id, bucket,
     * weight) shape). The query side must be broadcast-sized. Output:

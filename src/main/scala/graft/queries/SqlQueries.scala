@@ -419,7 +419,62 @@ object SqlQueries {
       |FROM documents WHERE source <> 'src1'
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q233 — THE HASHED RETRIEVAL THROUGH THE SQL FRONT DOOR: q230's
+  // entire chunk-retrieval pipeline as ONE `spark.sql` statement —
+  // HOF tokenization (filter∘split), window slicing
+  // (transform∘sequence + posexplode), the injected `graft_hash60`
+  // for buckets and signs, sparse dots, and the ranked top-3. Proves
+  // the new operator family needs nothing the SQL surface can't
+  // express (the q46/q77 discipline); the oracle is q230's verbatim,
+  // so the front door must hash-match the DSL's results exactly.
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    registerViews(s, dir, "documents")
+    s.sql("""WITH toks AS (
+        |  SELECT doc_id, filter(split(trim(text), '\\s+'), t -> t != '') AS t
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS chunk_id, ct
+        |  FROM (SELECT doc_id,
+        |          posexplode(transform(sequence(1, size(t), 64),
+        |            st -> slice(t, st, 64))) AS (pos, ct)
+        |        FROM toks WHERE size(t) > 0)
+        |  WHERE doc_id >= 3),
+        |ctok AS (SELECT doc_id * 1000000 + chunk_id AS chunk_key,
+        |    explode(ct) AS tok FROM ch),
+        |qtok AS (SELECT doc_id AS query_id, explode(t) AS tok
+        |  FROM toks WHERE doc_id < 3),
+        |cf AS (SELECT chunk_key, bucket, w FROM (
+        |  SELECT chunk_key, pmod(graft_hash60(tok), 512) AS bucket,
+        |    SUM(CASE WHEN pmod(graft_hash60(concat('s:', tok)), 2) = 0
+        |      THEN 1L ELSE -1L END) AS w
+        |  FROM ctok GROUP BY 1, 2) WHERE w != 0),
+        |qf AS (SELECT query_id, bucket, w FROM (
+        |  SELECT query_id, pmod(graft_hash60(tok), 512) AS bucket,
+        |    SUM(CASE WHEN pmod(graft_hash60(concat('s:', tok)), 2) = 0
+        |      THEN 1L ELSE -1L END) AS w
+        |  FROM qtok GROUP BY 1, 2) WHERE w != 0),
+        |cn AS (SELECT chunk_key, SUM(w * w) AS cn2 FROM cf GROUP BY 1),
+        |qn AS (SELECT query_id, SUM(w * w) AS qn2 FROM qf GROUP BY 1),
+        |dots AS (SELECT q.query_id, c.chunk_key, SUM(c.w * q.w) AS dot
+        |  FROM cf c JOIN qf q ON c.bucket = q.bucket GROUP BY 1, 2),
+        |sc AS (SELECT d.query_id, d.chunk_key, CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(cn2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE)))
+        |      AS cosine
+        |  FROM dots d JOIN cn ON d.chunk_key = cn.chunk_key
+        |  JOIN qn ON d.query_id = qn.query_id),
+        |rk AS (SELECT query_id, chunk_key, cosine,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, chunk_key)
+        |      AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT query_id, rank, chunk_key, cosine FROM rk
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+  }
+  private lazy val q233Sql = TextQueries.q230Sql
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q233_hashed_retrieval_sql", q233, Some(q233Sql)),
     QueryDef("q46_sql_surface", q46, Some(q46Sql)),
     QueryDef("q77_sql_native_fns", q77, Some(q77Sql)),
     QueryDef("q98_grouping_sets", q98, Some(q98Sql)),

@@ -3698,7 +3698,7 @@ object TextQueries {
     FH.cosineTopK(corpusFeats, queryFeats, "chunk_key", "query_id", k = 3)
       .orderBy(col("query_id"), col("rank"))
   }
-  private val q230Sql = {
+  private[queries] val q230Sql = {
     def feats(tokSrc: String, keyCol: String) =
       s"""SELECT $keyCol, bucket, w FROM (
          |  SELECT $keyCol, ${dHash("tok")} % 512 AS bucket,
@@ -3840,10 +3840,87 @@ object TextQueries {
   }
   private lazy val q232Sql = hashedStoreSqlFor("doc_id >= 3")
 
+  // ---------------------------------------------------------------
+  // q234 — HASHING-TRICK RECALL ([[graft.operators.FeatureHashing
+  // .exactTf]] as truth): the measured cost of the dim-bounded key
+  // space — per query, the exact bag-of-words TF-cosine top-5 (token
+  // strings as buckets, exact integer counts) against the dim=64
+  // hashed top-5; output n_hits and recall. dim deliberately SMALL so
+  // collisions actually bite and the gate pins a real degradation
+  // number, not a vacuous 1.0 (the q110 IVF-recall discipline).
+  // Everything is deterministic: both rankings tie-break on doc id,
+  // recall is a single exact division.
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val FH = graft.operators.FeatureHashing
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") >= 3)
+      .select(col("doc_id"), col("text"))
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val truth = FH.cosineTopK(FH.exactTf(corpus, "doc_id", "text"),
+      FH.exactTf(queries, "query_id", "text"), "doc_id", "query_id", k = 5)
+    val approx = FH.cosineTopK(FH.hashedTf(corpus, "doc_id", "text", 64),
+      FH.hashedTf(queries, "query_id", "text", 64), "doc_id", "query_id",
+      k = 5)
+    truth.select(col("query_id"), col("doc_id"))
+      .join(approx.select(col("query_id"), col("doc_id"))
+        .withColumn("__hit", lit(1L)), Seq("query_id", "doc_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_truth").cast("double"))
+      .orderBy(col("query_id"))
+  }
+  private lazy val q234Sql = {
+    def feats(tokSrc: String, keyCol: String) =
+      s"""SELECT $keyCol, bucket, w FROM (
+         |  SELECT $keyCol, ${dHash("tok")} % 64 AS bucket,
+         |    CAST(SUM(CASE WHEN ${dHash("'s:' || tok")} % 2 = 0
+         |      THEN 1 ELSE -1 END) AS BIGINT) AS w
+         |  FROM $tokSrc GROUP BY 1, 2) WHERE w <> 0""".stripMargin
+    def exact(tokSrc: String, keyCol: String) =
+      s"""SELECT $keyCol, tok AS bucket, CAST(COUNT(*) AS BIGINT) AS w
+         |FROM $tokSrc GROUP BY 1, 2""".stripMargin
+    def rank(cf: String, qf: String, alias: String) =
+      s"""$alias AS (SELECT query_id, doc_id FROM (
+         |  SELECT d.query_id, d.doc_id, row_number() OVER (
+         |      PARTITION BY d.query_id ORDER BY CAST(d.dot AS DOUBLE)
+         |        / (sqrt(CAST(cn.n2 AS DOUBLE)) * sqrt(CAST(qn.n2 AS DOUBLE)))
+         |        DESC, d.doc_id) AS rnk
+         |  FROM (SELECT q.query_id, c.doc_id,
+         |      CAST(SUM(c.w * q.w) AS BIGINT) AS dot
+         |    FROM $cf c JOIN $qf q ON c.bucket = q.bucket GROUP BY 1, 2) d
+         |  JOIN (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+         |    FROM $cf GROUP BY 1) cn ON d.doc_id = cn.doc_id
+         |  JOIN (SELECT query_id, CAST(SUM(w * w) AS BIGINT) AS n2
+         |    FROM $qf GROUP BY 1) qn ON d.query_id = qn.query_id)
+         |  WHERE rnk <= 5)""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, $dTokens AS t FROM documents),
+       |ctok AS (SELECT doc_id, unnest(t) AS tok FROM toks WHERE doc_id >= 3),
+       |qtok AS (SELECT doc_id AS query_id, unnest(t) AS tok
+       |  FROM toks WHERE doc_id < 3),
+       |cfe AS (${exact("ctok", "doc_id")}),
+       |qfe AS (${exact("qtok", "query_id")}),
+       |cfh AS (${feats("ctok", "doc_id")}),
+       |qfh AS (${feats("qtok", "query_id")}),
+       |${rank("cfe", "qfe", "truth")},
+       |${rank("cfh", "qfh", "approx")}
+       |SELECT t.query_id, COUNT(*) AS n_truth,
+       |  CAST(SUM(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  CAST(SUM(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS recall
+       |FROM truth t LEFT JOIN approx a
+       |  ON t.query_id = a.query_id AND t.doc_id = a.doc_id
+       |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q230_hashed_retrieval", q230, Some(q230Sql)),
     QueryDef("q231_hashed_store", q231, Some(q231Sql)),
     QueryDef("q232_hashed_streamed", q232, Some(q232Sql)),
+    QueryDef("q234_hashing_recall", q234, Some(q234Sql)),
     QueryDef("q121_substring_dedup", q121, Some(q121Sql)),
     QueryDef("q108_av_containers", q108, Some(q108Sql)),
     QueryDef("q116_compressed_audio", q116, Some(q116Sql)),
