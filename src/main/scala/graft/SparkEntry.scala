@@ -35,6 +35,12 @@ import graft.queries._
   *  - [[ScaleQueries]]       q82, q85, q87–q88, q94–q95: salted join,
   *    histogram+CDF, CUBE, weighted deterministic sample, incremental
   *    partial-aggregate rollup, quantile binning
+  *  - Round-15 session 2 additions: q224 (curation disposition
+  *    ledger), q225 (prototype pruning), q226 (store as-of read),
+  *    q227 (epoch reshuffle), q228 (kept-corpus takedown), q229
+  *    (store schema evolution), q230–q234 (feature-hashed sparse
+  *    retrieval: chunk composition, persisted store lifecycle,
+  *    streamed sink, SQL front door, measured hashing recall)
   */
 object SparkEntry {
 
