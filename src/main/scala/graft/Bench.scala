@@ -252,7 +252,10 @@ object Bench {
     "q233_hashed_retrieval_sql",
     // q234 ranks the corpus twice (exact-TF truth + dim-64 hashed)
     // and joins the top-5 sets — two q230-shaped passes
-    "q234_hashing_recall")
+    "q234_hashing_recall",
+    // q235 appends three slices to the packed-layout store — three
+    // slice-sized q64 windows + sidecar-carried offsets
+    "q235_incremental_packing")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:

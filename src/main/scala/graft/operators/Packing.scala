@@ -82,6 +82,95 @@ object Packing {
             expr(s"cum_before DIV $budgetTokens")).as("straddles"))
   }
 
+  /** INCREMENTAL packing — the continuous-ingestion path. [[
+    * packSequences]] is corpus-global (a doc's offset depends on every
+    * doc in its shard), so a daily pipeline that re-packs the
+    * accumulated corpus pays corpus-sized work per day and REWRITES
+    * history shards a trainer may already have consumed. This appends
+    * instead: shard assignment stays hash60(id) (identical to
+    * [[packSequences]] — locality stable), and within a shard each
+    * slice lays out AFTER all previously committed slices (slice
+    * arrival order, then (hash60(id), id) within the slice — the
+    * first-arrival discipline the dedup store uses). Committed layout
+    * is immutable: a doc's (shard, seq_id, seq_offset) never changes
+    * once packed, which is exactly the contract a resumable training
+    * run needs.
+    *
+    * Scale: per-day cost is SLICE-sized, never corpus-sized — the
+    * append reads the carried per-shard token totals from a
+    * shard-count-sized `_offsets` SIDECAR (underscore-prefixed, so
+    * the main store read never sees it), not by rescanning history
+    * (spec-pinned via input-records). Equivalent to a sequential fold
+    * of per-slice [[packSequences]] with carried offsets — and
+    * therefore to ONE global window ordered by (arrival, hash, id),
+    * which is what the oracle replays. Commit protocol: the packed
+    * batch commits first, then its offsets snapshot; a replayed batch
+    * id no-ops; a crash between the two commits heals on replay (the
+    * sidecar re-derives from the committed batch). */
+  def packIncrement(slice: DataFrame, idCol: String, textCol: String,
+      shards: Int, budgetTokens: Long, root: String, batchId: Long): Unit = {
+    val spark = slice.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(conf)
+    val offRoot = new org.apache.hadoop.fs.Path(root, "_offsets").toString
+    val batchDir = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+    def offDir(id: Long) =
+      new org.apache.hadoop.fs.Path(offRoot, s"batch=$id")
+    if (fs.exists(batchDir) && fs.exists(offDir(batchId))) return // replay
+    // carried totals: the LATEST committed offsets snapshot
+    // (shard-count-sized), or derive from the store if the previous
+    // append crashed between its two commits
+    def committedIds(dir: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    }
+    val mainIds = committedIds(root)
+    val offIds = committedIds(offRoot)
+    val priorIds = mainIds.filterNot(_ == batchId)
+    require(priorIds.forall(_ < batchId),
+      s"batch ids must be monotone: appending $batchId over " +
+        s"committed ${priorIds.max} would re-base committed layout")
+    val base: DataFrame =
+      if (priorIds.isEmpty)
+        spark.range(0).select(col("id").as("shard"), col("id").as("__base"))
+      else if (offIds.nonEmpty && offIds.max == priorIds.max)
+        spark.read.parquet(s"$offRoot/batch=${offIds.max}")
+          .select(col("shard"), col("total_tokens").as("__base"))
+      else // heal: a prior append crashed between its two commits —
+        // re-derive from the committed batches BEFORE this one (the
+        // replayed batch itself must not count toward its own base)
+        BatchStore.read(spark, root)
+          .filter(col("batch") =!= batchId)
+          .groupBy(col("shard"))
+          .agg(sum(col("n_tokens")).as("__base"))
+    if (!fs.exists(batchDir)) {
+      val packed = packSequences(slice, idCol, textCol, shards, budgetTokens)
+        .join(broadcast(base), Seq("shard"), "left")
+        .withColumn("__cum", coalesce(col("__base"), lit(0L))
+          + col("seq_id") * budgetTokens + col("seq_offset"))
+        .select(col(idCol), col("shard"), col("n_tokens"),
+          expr(s"__cum DIV $budgetTokens").as("seq_id"),
+          (col("__cum") % budgetTokens).as("seq_offset"),
+          (col("n_tokens") > 0 &&
+            expr(s"(__cum + n_tokens - 1) DIV $budgetTokens") >
+              expr(s"__cum DIV $budgetTokens")).as("straddles"))
+      BatchStore.append(packed, root, batchId)
+    }
+    // offsets snapshot AFTER the batch commit (shard-count-sized):
+    // carried totals + this slice's per-shard token sums
+    val newTotals = spark.read.parquet(batchDir.toString)
+      .groupBy(col("shard")).agg(sum(col("n_tokens")).as("__slice"))
+      .join(base, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("__base"), lit(0L)) + coalesce(col("__slice"), lit(0L)))
+          .as("total_tokens"))
+    BatchStore.append(newTotals, offRoot, batchId)
+  }
+
   /** Global ORDER-PRESERVING token-budget sharding: documents are laid
     * out in `idCol` order and cut into shards of ~`budget` tokens, so
     * shard s holds the contiguous id range whose exclusive token

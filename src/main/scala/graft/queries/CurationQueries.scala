@@ -345,6 +345,55 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------
+  // q235 — INCREMENTAL PACKING ([[graft.operators.Packing
+  // .packIncrement]]): the continuous-ingestion path — re-packing the
+  // accumulated corpus daily is corpus-sized work per day AND
+  // rewrites history shards a trainer already consumed. Three slices
+  // append instead: shard = hash60(id) (stable), within a shard each
+  // slice lays out AFTER the committed ones (arrival order, then
+  // (hash, id) — committed layout immutable), and the carried
+  // per-shard totals come from the shard-count-sized `_offsets`
+  // sidecar, never a history rescan (Round15Spec pins the
+  // input-records bound, replay idempotence, and the
+  // crash-between-commits heal). Oracle: the fold is equivalent to
+  // ONE window ordered by (epoch, hash, id) within shard — q64's
+  // chain with arrival prepended to the ORDER BY.
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    StoreGates.withTempStore(s, "graft_q235_incpack") { root =>
+      (0 to 2).foreach { e =>
+        Packing.packIncrement(docs.filter(col("doc_id") % 3 === e),
+          "doc_id", "text", shards = 4, budgetTokens = 512, root,
+          batchId = 1L + e)
+      }
+      graft.operators.BatchStore.read(s, root)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"), col("straddles"),
+          (col("batch") - 1).cast("long").as("epoch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+  }
+  private val q235Sql = {
+    val h = dHash("CAST(doc_id AS VARCHAR)")
+    s"""WITH t AS (SELECT doc_id, doc_id % 3 AS epoch, $h AS h,
+       |  CAST(len($dTokens) AS BIGINT) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, epoch, h % 4 AS shard, n_tokens,
+       |  CAST(COALESCE(SUM(n_tokens) OVER (
+       |    PARTITION BY h % 4 ORDER BY epoch, h, CAST(doc_id AS VARCHAR)
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum
+       |  FROM t)
+       |SELECT doc_id, shard, n_tokens,
+       |  cum // 512 AS seq_id,
+       |  cum % 512 AS seq_offset,
+       |  n_tokens > 0 AND (cum + n_tokens - 1) // 512 > cum // 512
+       |    AS straddles,
+       |  CAST(epoch AS BIGINT) AS epoch
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // q126 — global ORDER-PRESERVING token-budget sharding: documents in
   // doc_id order, cut into ~2000-token contiguous shards (time/crawl-
   // order export, curriculum phases). The oracle is the one-line
@@ -1353,6 +1402,7 @@ object CurationQueries {
     QueryDef("q64_sequence_packing", q64, Some(q64Sql)),
     QueryDef("q227_epoch_shuffle", q227, Some(q227Sql)),
     QueryDef("q228_kept_erasure", q228, Some(q228Sql)),
+    QueryDef("q235_incremental_packing", q235, Some(q235Sql)),
     QueryDef("q126_contiguous_shards", q126, Some(q126Sql)),
     QueryDef("q65_length_trim", q65, Some(q65Sql)),
   )

@@ -233,6 +233,78 @@ class Round15Spec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  // -------------------------------------------- incremental packing
+
+  test("packIncrement: sequential-fold layout, replay no-op, crash heal, no history rescan") {
+    import spark.implicits._
+    import graft.operators.{BatchStore, Packing}
+    val root = tmp("graft_incpack")
+    try {
+      val docs = (0L until 60L).map(i =>
+        (i, Seq.fill((i % 9 + 1).toInt)(s"t$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      def slice(e: Int) = docs.filter(col("doc_id") % 3 === e)
+      (0 to 1).foreach(e => Packing.packIncrement(slice(e), "doc_id",
+        "text", shards = 4, budgetTokens = 32, root, batchId = 1L + e))
+      // the third append must read the sidecar, not the 40-row history
+      val (_, m) = Metrics.capture(spark) {
+        Packing.packIncrement(slice(2), "doc_id", "text", shards = 4,
+          budgetTokens = 32, root, batchId = 3L)
+      }
+      assert(m.inputRecords < 40,
+        s"append must not rescan history: read ${m.inputRecords} records")
+      // layout == ONE window ordered by (epoch, hash, id) within shard
+      val got = BatchStore.read(spark, root)
+        .select("doc_id", "shard", "seq_id", "seq_offset")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard"))
+        .orderBy(col("__e"), graft.operators.TextFunctions.hash60(
+          col("doc_id").cast("string")), col("doc_id").cast("string"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val ref = docs
+        .withColumn("__e", col("doc_id") % 3)
+        .withColumn("shard", pmod(graft.operators.TextFunctions.hash60(
+          col("doc_id").cast("string")), lit(4L)))
+        .withColumn("n_tokens", size(graft.operators.TextFunctions
+          .tokens(col("text"))).cast("long"))
+        .withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"),
+          expr("cum DIV 32").as("seq_id"), (col("cum") % 32).as("seq_offset"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got == ref, "fold must equal the one-window reference")
+      // replay: both commits exist → complete no-op
+      Packing.packIncrement(slice(2), "doc_id", "text", 4, 32, root, 3L)
+      assert(BatchStore.read(spark, root).count() === 60)
+      // crash heal: offsets snapshot missing for the last batch —
+      // the NEXT append re-derives base excluding nothing it
+      // shouldn't, and a REPLAY of the crashed batch heals its
+      // own sidecar without double-counting
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(root, "_offsets/batch=3"), true)
+      Packing.packIncrement(slice(2), "doc_id", "text", 4, 32, root, 3L)
+      val healed = spark.read.parquet(s"$root/_offsets/batch=3")
+        .select(col("shard"), col("total_tokens"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val truth = BatchStore.read(spark, root).groupBy(col("shard"))
+        .agg(sum(col("n_tokens")).as("t")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(healed == truth,
+        s"healed sidecar must equal store totals: $healed vs $truth")
+      // a FRESH batch id below the committed max refuses (a replayed
+      // committed id is a no-op, but a new out-of-order id would
+      // re-base committed layout)
+      val e = intercept[IllegalArgumentException] {
+        Packing.packIncrement(slice(0), "doc_id", "text", 4, 32, root, 0L)
+      }
+      assert(e.getMessage.contains("monotone"), e.getMessage)
+    } finally rm(root)
+  }
+
   // -------------------------------------------- store schema evolution
 
   test("schema drift: strict compact fails loudly; compactEvolved null-fills and makes the schema physical") {
