@@ -255,7 +255,10 @@ object Bench {
     "q234_hashing_recall",
     // q235 appends three slices to the packed-layout store — three
     // slice-sized q64 windows + sidecar-carried offsets
-    "q235_incremental_packing")
+    "q235_incremental_packing",
+    // q236 is q235 fed by the checkpointed file source (pinned-mtime
+    // epoch order) — stream machinery + the same slice windows
+    "q236_incremental_packing_streamed")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:

@@ -171,6 +171,21 @@ object Packing {
     BatchStore.append(newTotals, offRoot, batchId)
   }
 
+  /** [[packIncrement]] as a `foreachBatch` sink — batch id =
+    * `baseBatchId + epochId`, the exactly-once epoch discipline every
+    * store sink in the library shares. UNLIKE the order-free count
+    * stores, arrival order is SEMANTIC here (a slice lays out after
+    * the epochs before it), so the source must deliver slices in
+    * arrival order — the file source with pinned mtimes, or any
+    * ordered log. A replayed epoch no-ops against both commits; a
+    * crash between them heals on the replay ([[packIncrement]]'s
+    * protocol). */
+  def packIncrementSink(idCol: String, textCol: String, shards: Int,
+      budgetTokens: Long, root: String,
+      baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+    (batch, epochId) => packIncrement(batch, idCol, textCol, shards,
+      budgetTokens, root, baseBatchId + epochId)
+
   /** Global ORDER-PRESERVING token-budget sharding: documents are laid
     * out in `idCol` order and cut into shards of ~`budget` tokens, so
     * shard s holds the contiguous id range whose exclusive token

@@ -394,6 +394,54 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------
+  // q236 — STREAMED INCREMENTAL PACKING ([[graft.operators.Packing
+  // .packIncrementSink]]): q235's append discipline fed by a
+  // Structured-Streaming file source. Arrival order is SEMANTIC here
+  // (a slice lays out after the epochs before it — unlike the
+  // order-free count-store sinks), so the slice files get pinned
+  // mtimes, the q221 staging discipline. The stream must commit
+  // exactly the sequential fold's layout: oracle = q235's one-window
+  // chain verbatim.
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    StoreGates.withTempStore(s, "graft_q236_incpack") { base =>
+      def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString
+      val (stage, ckpt, store) = (p("stage"), p("ckpt"), p("store"))
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      val baseT = System.currentTimeMillis() - 3600000L
+      var nextIdx = 0
+      (0 to 2).foreach { e =>
+        docs.filter(col("doc_id") % 3 === e)
+          .coalesce(1).write.mode("append").parquet(stage)
+        fs.listStatus(new org.apache.hadoop.fs.Path(stage)).toSeq
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .filter(_.getModificationTime > baseT + 1800000L) // unpinned
+          .sortBy(st => (st.getModificationTime, st.getPath.getName))
+          .foreach { st =>
+            fs.setTimes(st.getPath, baseT + nextIdx * 1000L, -1)
+            nextIdx += 1
+          }
+      }
+      val snk = Packing.packIncrementSink("doc_id", "text", shards = 4,
+        budgetTokens = 512, store)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .foreachBatch((b: DataFrame, id: Long) => snk(b, id))
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.BatchStore.read(s, store)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("seq_id"), col("seq_offset"), col("straddles"),
+          (col("batch") - 1).cast("long").as("epoch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    }
+  }
+
+  // ---------------------------------------------------------------
   // q126 — global ORDER-PRESERVING token-budget sharding: documents in
   // doc_id order, cut into ~2000-token contiguous shards (time/crawl-
   // order export, curriculum phases). The oracle is the one-line
@@ -1403,6 +1451,7 @@ object CurationQueries {
     QueryDef("q227_epoch_shuffle", q227, Some(q227Sql)),
     QueryDef("q228_kept_erasure", q228, Some(q228Sql)),
     QueryDef("q235_incremental_packing", q235, Some(q235Sql)),
+    QueryDef("q236_incremental_packing_streamed", q236, Some(q235Sql)),
     QueryDef("q126_contiguous_shards", q126, Some(q126Sql)),
     QueryDef("q65_length_trim", q65, Some(q65Sql)),
   )

@@ -543,4 +543,24 @@ class PlanSpec extends AnyFunSuite {
     val hits = "percentile\\(".r.findAllIn(p).length
     assert(hits <= 4, s"expected one percentile agg (partial+final ≤4 mentions), got $hits\n$p")
   }
+
+  test("q230: hashed retrieval broadcasts the query features; rank is a map-side partial group-limit") {
+    val p = planOf("q230_hashed_retrieval")
+    // the sparse-dot bucket join must build on the (small) query side —
+    // a sort-merge join here would shuffle the corpus features per query
+    // set; the top-k must keep the map-side partial shape
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assertPartialGroupLimit("q230_hashed_retrieval")
+  }
+
+  test("q225: prototype pruning assigns map-side — one corpus hash-shuffle for the in-cluster rank") {
+    val p = planOf("q225_prototype_prune")
+    // ivfAssign's argmax is the broadcast array_min fold (no join, no
+    // window); the ONLY corpus hash exchange is the centroid_id rank's.
+    // (Remaining exchanges: the 8-row centroid collect, its broadcast,
+    // and the orderBy's range partitioning.)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
