@@ -99,7 +99,11 @@ object BatchStore {
       s"as-of $maxBatchId predates the oldest surviving batch " +
         s"${ids.min} under $root — history was compacted away; as-of " +
         "reads need the append-only batches retained")
-    spark.read.parquet(root)
+    // mergeSchema: a reproducibility read over a SCHEMA-EVOLVED store
+    // must be complete and deterministic — the plain read lets one
+    // file's footer win inference and silently drop (or
+    // nondeterministically keep) columns added mid-history
+    spark.read.option("mergeSchema", "true").parquet(root)
       .filter(org.apache.spark.sql.functions.col("batch") <= maxBatchId)
   }
 
@@ -186,6 +190,49 @@ object BatchStore {
     require(fs.rename(tmp, dest), s"commit rename $tmp -> $dest failed")
     batches.foreach(st => fs.delete(st.getPath, true))
     batches.size
+  }
+
+  /** Write-once scalar META pinned beside a store (the `_dim` /
+    * `_buckets` pattern): a store parameter whose mismatch would not
+    * FAIL but silently corrupt the serve (a hashed store served at
+    * the wrong dim scores zero overlap; a bucketed index pruned at
+    * the wrong bucket count drops passages) is pinned in an
+    * underscore meta file at first write, and every later write or
+    * serve validates against it. Creating the meta on a root that
+    * ALREADY has batches (a legacy pre-meta store) fails loudly
+    * instead of committing mixed-parameter rows beside them.
+    * ([[graft.operators.LateInteraction]]'s `_buckets` predates this
+    * helper and keeps its own copy.) */
+  def ensureIntMeta(spark: SparkSession, root: String, metaName: String,
+      what: String, value: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, metaName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val have = readIntMeta(spark, root, metaName, what)
+      require(have == value,
+        s"store at $root was written with $what=$have, got $what=$value")
+    } else {
+      val rp = new org.apache.hadoop.fs.Path(root)
+      require(!fs.exists(rp) || !fs.listStatus(rp).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch=")),
+        s"store at $root has batches but no $metaName meta — a " +
+          "pre-meta legacy store; rebuild it rather than appending " +
+          s"mixed-$what rows")
+      val out = fs.create(p, false)
+      try out.write(s"$value\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Read the [[ensureIntMeta]] scalar; fails loudly when absent. */
+  def readIntMeta(spark: SparkSession, root: String, metaName: String,
+      what: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(root, metaName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"no $metaName meta under $root — not a $what-pinned store")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+    finally in.close()
   }
 
   /** Delete leftover `.staging-*` dirs from crashed [[append]]s.

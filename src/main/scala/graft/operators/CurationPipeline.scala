@@ -77,9 +77,13 @@ object CurationPipeline {
   def processSlice(spark: SparkSession, st: Stores, gates: Gates,
       batch: DataFrame, idCol: String, domainCol: String, textCol: String,
       batchId: Long): Unit = {
+    // each store root resolves its OWN FileSystem — kept on an object
+    // store with the ledger on HDFS (a plausible split: the audit
+    // surface is dashboard-queried) must not throw Wrong FS
+    def existsAt(p: org.apache.hadoop.fs.Path): Boolean =
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
     val keptDir = new org.apache.hadoop.fs.Path(st.kept, s"batch=$batchId")
-    val fs = keptDir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(keptDir)) return // replayed epoch: already committed
+    if (existsAt(keptDir)) return // replayed epoch: already committed
 
     // 1. markup + boilerplate strip served from the line-df store
     val stripped = Boilerplate.stripRepeatedLinesFromStore(spark, st.lineDf,
@@ -93,10 +97,17 @@ object CurationPipeline {
     val ledgerOn = st.ledger.isDefined
     val hashed = stripped.withColumn("__chash", md5(col(textCol)))
       .localCheckpoint()
+    // history = batches STRICTLY BEFORE this epoch: a replay in the
+    // crash window (signatures committed, kept batch not) would
+    // otherwise dedup the slice against its OWN just-committed
+    // signatures and re-commit an EMPTY kept batch — silent loss of
+    // the whole slice (spec-pinned: the retry must re-commit the
+    // full survivor set)
     val vsStore =
       if (!hasBatches(spark, st.signatures)) hashed
       else hashed.join(
         Dedup.readSignatureStore(spark, st.signatures)
+          .filter(col("batch") < batchId)
           .select(col("chash").as("__chash")).distinct(),
         Seq("__chash"), "left_anti")
     val keeper = Window.partitionBy(col("__chash"))
@@ -118,7 +129,7 @@ object CurationPipeline {
     // must no-op here and still commit the kept batch below.
     val sigDir = new org.apache.hadoop.fs.Path(st.signatures,
       s"batch=$batchId")
-    if (!fs.exists(sigDir))
+    if (!existsAt(sigDir))
       Dedup.writeSignatureStore(kept, idCol, textCol, k = 4, shingleN = 3,
         root = st.signatures, batchId = batchId)
 
@@ -147,7 +158,7 @@ object CurationPipeline {
     // still commits below — the signature-store discipline).
     st.ledger.foreach { lroot =>
       val ldir = new org.apache.hadoop.fs.Path(lroot, s"batch=$batchId")
-      if (!fs.exists(ldir)) {
+      if (!existsAt(ldir)) {
         def ids(f: DataFrame) = f.select(col(idCol))
         def stamp(f: DataFrame, stage: String) =
           f.select(col(idCol), col(domainCol))
@@ -220,28 +231,35 @@ object CurationPipeline {
     Tombstones.purge(spark, root, idCol, newBatchId)
 
   /** The RETENTION FUNNEL over a disposition ledger read ([[Stores
-    * .ledger]] via [[BatchStore.read]]): per (batch, stage) — docs
-    * exiting at that stage, docs that REACHED it, and the exit rate.
-    * `n_reached(s)` = Σ n_exited over stages ≥ s in pipeline order
-    * (dedup → quality → lm → mixture → kept); the `kept` row's
-    * n_exited IS the epoch's kept count and its rate the epoch
-    * retention. Input is ledger-sized (one row per doc per epoch) and
-    * the rollup is (batches × 5) rows — dashboard-sized at any corpus
-    * scale. */
+    * .ledger]] via [[readLedger]]): per (batch, stage) — docs exiting
+    * at that stage, docs that REACHED it, the exit rate, AND the
+    * epoch retention. `n_reached(s)` = Σ n_exited over stages ≥ s in
+    * pipeline order (dedup → quality → lm → mixture → kept). Note the
+    * terminal `kept` row's `exit_rate` is 1.0 BY CONSTRUCTION
+    * (everything that reaches it exits there) — the number a
+    * dashboard wants is `retention` = n_exited(kept) / the epoch's
+    * total input, emitted on every row of the batch. Input is
+    * ledger-sized (one row per doc per epoch) and the rollup is
+    * (batches × 5) rows — dashboard-sized at any corpus scale. */
   def funnel(ledger: DataFrame): DataFrame = {
     val ord = when(col("stage") === "dedup", 1)
       .when(col("stage") === "quality", 2)
       .when(col("stage") === "lm", 3)
       .when(col("stage") === "mixture", 4)
       .otherwise(5)
+    val byBatch = Window.partitionBy(col("batch"))
     ledger.groupBy(col("batch"), col("stage"))
       .agg(count(lit(1)).as("n_exited"))
       .withColumn("__ord", ord)
       .withColumn("n_reached", sum(col("n_exited")).over(
-        Window.partitionBy(col("batch")).orderBy(col("__ord").desc)
+        byBatch.orderBy(col("__ord").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("exit_rate",
         col("n_exited").cast("double") / col("n_reached"))
+      .withColumn("retention",
+        sum(when(col("stage") === "kept", col("n_exited"))
+          .otherwise(lit(0L))).over(byBatch).cast("double")
+          / sum(col("n_exited")).over(byBatch))
       .drop("__ord")
   }
 

@@ -102,46 +102,18 @@ object FeatureHashing {
 
   // ------------------------------------------ persisted feature store
 
-  private def dimMetaPath(root: String) =
-    new org.apache.hadoop.fs.Path(root, "_dim")
-
-  /** Pin the store's `dim` in a `_dim` meta file on first write; every
-    * later write and serve validates against it — a dim mismatch
-    * would not fail, it would silently score zero overlap (buckets
-    * beyond the smaller dim never meet), which is exactly the silent
-    * corruption a meta guard exists for. Creating the meta on a root
-    * that ALREADY has batches (a legacy store) fails loudly instead
-    * of committing mixed-dim features beside them. */
+  /** The store's `dim` rides the shared write-once meta protocol
+    * ([[BatchStore.ensureIntMeta]]): a dim mismatch would not fail —
+    * it would silently score zero overlap (buckets beyond the smaller
+    * dim never meet) — so writes and serves validate against the
+    * pinned value. */
   private def ensureDim(spark: org.apache.spark.sql.SparkSession,
-      root: String, dim: Int): Unit = {
-    val p = dimMetaPath(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val have = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-        finally in.close()
-      require(have == dim,
-        s"store at $root was written with dim=$have, got dim=$dim")
-    } else {
-      val rp = new org.apache.hadoop.fs.Path(root)
-      require(!fs.exists(rp) || !fs.listStatus(rp).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("batch=")),
-        s"store at $root has batches but no _dim meta — a pre-meta " +
-          "legacy store; rebuild it rather than appending mixed dims")
-      val out = fs.create(p, false)
-      try out.write(s"$dim\n".getBytes("UTF-8")) finally out.close()
-    }
-  }
+      root: String, dim: Int): Unit =
+    BatchStore.ensureIntMeta(spark, root, "_dim", "dim", dim)
 
   private def storedDim(spark: org.apache.spark.sql.SparkSession,
-      root: String): Int = {
-    val p = dimMetaPath(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p), s"no _dim meta under $root — not a hashed store")
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-    finally in.close()
-  }
+      root: String): Int =
+    BatchStore.readIntMeta(spark, root, "_dim", "dim")
 
   /** Append one slice's hashed features to the persisted store —
     * (id, bucket, weight) rows, delta-sized; `dim` is pinned in the

@@ -169,6 +169,13 @@ object Packing {
         (coalesce(col("__base"), lit(0L)) + coalesce(col("__slice"), lit(0L)))
           .as("total_tokens"))
     BatchStore.append(newTotals, offRoot, batchId)
+    // retire superseded snapshots: only the max id is ever read, and
+    // without retirement a year of daily appends leaves 365 sidecar
+    // dirs whose listing cost grows with history — the small-files
+    // problem the sidecar exists to avoid. Safe after the new
+    // snapshot's commit (single maintainer, readers resolve max).
+    committedIds(offRoot).filter(_ < batchId).foreach(id =>
+      fs.delete(offDir(id), true))
   }
 
   /** [[packIncrement]] as a `foreachBatch` sink — batch id =

@@ -406,23 +406,12 @@ object CurationQueries {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     StoreGates.withTempStore(s, "graft_q236_incpack") { base =>
       def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString
-      val (stage, ckpt, store) = (p("stage"), p("ckpt"), p("store"))
-      val fs = new org.apache.hadoop.fs.Path(base)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      val baseT = System.currentTimeMillis() - 3600000L
-      var nextIdx = 0
-      (0 to 2).foreach { e =>
-        docs.filter(col("doc_id") % 3 === e)
-          .coalesce(1).write.mode("append").parquet(stage)
-        fs.listStatus(new org.apache.hadoop.fs.Path(stage)).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .filter(_.getModificationTime > baseT + 1800000L) // unpinned
-          .sortBy(st => (st.getModificationTime, st.getPath.getName))
-          .foreach { st =>
-            fs.setTimes(st.getPath, baseT + nextIdx * 1000L, -1)
-            nextIdx += 1
-          }
-      }
+      val (ckpt, store) = (p("ckpt"), p("store"))
+      // arrival order is semantic here too — shared staging discipline
+      val stager = new StoreGates.PinnedMtimeStager(s, p("stage"))
+      val stage = stager.stage
+      (0 to 2).foreach(e =>
+        stager.stageSlice(docs.filter(col("doc_id") % 3 === e)))
       val snk = Packing.packIncrementSink("doc_id", "text", shards = 4,
         budgetTokens = 512, store)
       val q = s.readStream.schema(docs.schema)
@@ -1194,29 +1183,14 @@ object CurationQueries {
           pmod(graft.operators.TextFunctions.hash60(
             concat(col("source"), lit(":"), col("doc_id").cast("string"))),
             lit(4L)) < 2)
-      val stage = p("stage"); val ckpt = p("ckpt")
-      val fs = new org.apache.hadoop.fs.Path(base)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      // pin each slice file's mtime to baseT + (arrival index)·1s the
-      // first time we see it (real write times are ~an hour above
-      // baseT, so pinned and unpinned files never confuse), keeping
-      // the source's processing order = staging order across restarts
-      val baseT = System.currentTimeMillis() - 3600000L
-      var nextIdx = 0
-      val stageSlices: Seq[Long] => Unit = epochs => {
-        epochs.foreach { e =>
-          stream.filter(col("__epoch") === e).drop("__epoch")
-            .coalesce(1).write.mode("append").parquet(stage)
-        }
-        fs.listStatus(new org.apache.hadoop.fs.Path(stage)).toSeq
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .filter(_.getModificationTime > baseT + 1800000L) // unpinned
-          .sortBy(st => (st.getModificationTime, st.getPath.getName))
-          .foreach { st =>
-            fs.setTimes(st.getPath, baseT + nextIdx * 1000L, -1)
-            nextIdx += 1
-          }
-      }
+      val ckpt = p("ckpt")
+      // arrival order is semantic (dedup keeps first arrival) — the
+      // shared pinned-mtime staging discipline
+      val stager = new StoreGates.PinnedMtimeStager(s, p("stage"))
+      val stage = stager.stage
+      val stageSlices: Seq[Long] => Unit = epochs =>
+        epochs.foreach(e => stager.stageSlice(
+          stream.filter(col("__epoch") === e).drop("__epoch")))
       val drain: () => Unit = () => {
         val snk = CP.sink(stores, gates, "doc_id", "source", "text")
         val q = s.readStream.schema(stream.drop("__epoch").schema)

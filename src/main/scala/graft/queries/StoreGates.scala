@@ -59,6 +59,36 @@ private[queries] object StoreGates {
     }
   }
 
+  /** Ordered slice staging for file-source streams where ARRIVAL
+    * ORDER is semantic (curation dedup keeps first arrival,
+    * incremental packing lays slices out in commit order — unlike the
+    * order-free count-store sinks): each newly staged file's mtime is
+    * pinned to `baseT + arrivalIdx·1s`, so the source's
+    * (mtime, path) processing order equals staging order across
+    * restarts. Plain sequential writes can land same-millisecond
+    * mtimes and the source then orders by path — random part names.
+    * Real write times are ~an hour above `baseT`, so pinned and
+    * unpinned files never confuse; the arrival index persists across
+    * [[stageSlice]] calls (the kill/restart harnesses stage more
+    * slices into the same directory). */
+  final class PinnedMtimeStager(s: SparkSession, val stage: String) {
+    private val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    private val baseT = System.currentTimeMillis() - 3600000L
+    private var nextIdx = 0
+    def stageSlice(df: DataFrame): Unit = {
+      df.coalesce(1).write.mode("append").parquet(stage)
+      fs.listStatus(new org.apache.hadoop.fs.Path(stage)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .filter(_.getModificationTime > baseT + 1800000L) // unpinned
+        .sortBy(st => (st.getModificationTime, st.getPath.getName))
+        .foreach { st =>
+          fs.setTimes(st.getPath, baseT + nextIdx * 1000L, -1)
+          nextIdx += 1
+        }
+    }
+  }
+
   /** In-plan pre/post-compaction equality gate: asserts `masked` and
     * `compacted` are row-multiset-identical — every distinct row
     * appears exactly twice in their union and the group count matches

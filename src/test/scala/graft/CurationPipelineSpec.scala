@@ -267,12 +267,18 @@ class CurationPipelineSpec extends AnyFunSuite {
       CP.processSlice(spark, st, gates, slice, "doc_id", "source", "text", 1L)
       val fs = new org.apache.hadoop.fs.Path(st.kept)
         .getFileSystem(spark.sessionState.newHadoopConf())
+      val cleanKept = keptIds(st)
       // simulate: the crash happened between the ledger commit and the
       // kept commit — delete the kept batch, leave ledger + signatures
       fs.delete(new org.apache.hadoop.fs.Path(st.kept, "batch=1"), true)
       CP.processSlice(spark, st, gates, slice, "doc_id", "source", "text", 1L)
       assert(fs.exists(new org.apache.hadoop.fs.Path(st.kept, "batch=1")),
         "retry must re-commit the kept batch")
+      // the retry must NOT dedup the slice against its OWN committed
+      // signatures — the re-committed batch carries the full survivor
+      // set, not an empty frame (the silent-loss crash-window bug)
+      assert(keptIds(st) == cleanKept && cleanKept.nonEmpty,
+        s"retry must re-commit the full survivors: ${keptIds(st)} vs $cleanKept")
       assert(BatchStore.read(spark, st.ledger.get).count() == 20,
         "retry must not double-commit the ledger")
     }
@@ -290,12 +296,17 @@ class CurationPipelineSpec extends AnyFunSuite {
         "doc_id", "source", "text", gates.minDf)
       Dedup.writeSignatureStore(stripped, "doc_id", "text", k = 4,
         shingleN = 3, root = st.signatures, batchId = 2L)
-      // retry must no-op the signature write and still commit kept
+      // retry must no-op the signature write and still commit kept —
+      // and must NOT dedup the slice against its own pre-committed
+      // signatures (the silent-loss crash window): batch=2 carries
+      // epoch 1's real survivors
       CP.processSlice(spark, st, gates, slice2, "doc_id", "source", "text",
         batchId = 2L)
-      assert(new org.apache.hadoop.fs.Path(st.kept, "batch=2")
-        .getFileSystem(spark.sessionState.newHadoopConf())
-        .exists(new org.apache.hadoop.fs.Path(st.kept, "batch=2")))
+      val batch2 = BatchStore.read(spark, st.kept)
+        .filter(col("batch") === 2).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(batch2.nonEmpty && batch2.contains(1L),
+        s"retry must commit epoch 1's survivors, got $batch2")
     }
   }
 }
