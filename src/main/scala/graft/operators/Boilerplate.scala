@@ -71,7 +71,7 @@ object Boilerplate {
     * `(domainCol, __lh)` — shared by the in-memory path (df counted
     * on the same corpus) and the served path (df summed from the
     * persisted store). */
-  private def stripAgainst(docs: DataFrame, boiler: DataFrame,
+  private[operators] def stripAgainst(docs: DataFrame, boiler: DataFrame,
       idCol: String, domainCol: String, textCol: String): DataFrame = {
     val boilerSets = boiler
       .groupBy(col(domainCol)).agg(collect_set(col("__lh")).as("__bset"))
@@ -104,15 +104,47 @@ object Boilerplate {
       .groupBy(col(domainCol), col("__lh"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Default domain-bucket count for the store's partitioned layout —
+    * the [[LateInteraction.DefaultBuckets]] sizing logic: the line-df
+    * store is the pipeline's LARGEST count store (corpus-line
+    * cardinality), and the serve reads only the batch's domains'
+    * buckets, so a production store wants enough buckets that one
+    * slice's domains open a small fraction of the dirs (1024+ at
+    * 100 TB); gate scale keeps it small so batches aren't shredded
+    * into empty dirs. Fixed at first append (`_dbuckets` meta). */
+  val DefaultDomainBuckets: Int = 16
+
+  /** The store's partition key: a deterministic hash of the domain
+    * into `[0, buckets)`. Never oracle-visible — it moves bytes, not
+    * values (the [[LateInteraction]] `__pb` discipline). */
+  private def domainBucket(domainCol: String, buckets: Int) =
+    pmod(xxhash64(col(domainCol)), lit(buckets.toLong))
+
+  private def storedDomainBuckets(spark: SparkSession,
+      root: String): Option[Int] =
+    BatchStore.readIntMetaOpt(spark, root, "_dbuckets", "domain-buckets")
+
   /** Append one document slice's line-df counts to the persisted
     * detector at `root` — the [[LanguageModel.writeLmStore]] delta
     * discipline on the boilerplate model: a daily slice appends only
     * its own counts; the served threshold reads the sum-on-read
-    * union, so line statistics are never recomputed over history. */
+    * union, so line statistics are never recomputed over history.
+    * Batches are partitioned into `buckets` domain-hash dirs
+    * (`batch=<id>/__db=<b>/…`, write-once `_dbuckets` meta) so the
+    * served strip opens only the BATCH'S domains' buckets — per-epoch
+    * scan input scales with the slice's domains, not the store
+    * ([[stripRepeatedLinesFromStore]]). */
   def writeLineDfStore(docs: DataFrame, idCol: String, domainCol: String,
-      textCol: String, root: String, batchId: Long): Unit =
-    BatchStore.append(lineDfCounts(docs, idCol, domainCol, textCol),
-      root, batchId)
+      textCol: String, root: String, batchId: Long,
+      buckets: Int = DefaultDomainBuckets): Unit = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    BatchStore.ensureIntMeta(docs.sparkSession, root, "_dbuckets",
+      "domain-buckets", buckets)
+    BatchStore.append(
+      lineDfCounts(docs, idCol, domainCol, textCol)
+        .withColumn("__db", domainBucket(domainCol, buckets)),
+      root, batchId, partitionBy = Seq("__db"))
+  }
 
   /** Maintain the detector FROM A STREAM — the exactly-once epoch
     * discipline shared by every count store ([[LanguageModel
@@ -134,20 +166,35 @@ object Boilerplate {
     * takedown's lines stop counting toward the threshold on the very
     * next serve, with no history recount. */
   def deleteFromLineDfStore(deleted: DataFrame, idCol: String,
-      domainCol: String, textCol: String, root: String, batchId: Long): Unit =
-    BatchStore.append(
-      lineDfCounts(deleted, idCol, domainCol, textCol)
-        .select(col(domainCol), col("__lh"), (-col("cnt")).as("cnt")),
-      root, batchId)
+      domainCol: String, textCol: String, root: String, batchId: Long): Unit = {
+    val negated = lineDfCounts(deleted, idCol, domainCol, textCol)
+      .select(col(domainCol), col("__lh"), (-col("cnt")).as("cnt"))
+    storedDomainBuckets(deleted.sparkSession, root) match {
+      case Some(n) => BatchStore.append(
+        negated.withColumn("__db", domainBucket(domainCol, n)),
+        root, batchId, partitionBy = Seq("__db"))
+      case None => BatchStore.append(negated, root, batchId) // legacy flat
+    }
+  }
 
   /** Fold the detector's delta batches into one physically-clean dir —
     * fail loudly on negative net counts, drop net-zero keys
     * ([[LanguageModel.foldNonNegativeCounts]]). Serving before and
     * after is value-identical (q216 pins it in-plan). */
   def compactLineDfStore(spark: SparkSession, root: String, domainCol: String,
-      newBatchId: Long): Int =
-    BatchStore.compactWith(spark, root, newBatchId,
-      m => LanguageModel.foldNonNegativeCounts(m, Seq(domainCol, "__lh")))
+      newBatchId: Long): Int = {
+    def fold(m: DataFrame) =
+      LanguageModel.foldNonNegativeCounts(m, Seq(domainCol, "__lh"))
+    storedDomainBuckets(spark, root) match {
+      // re-establish the __db layout on the merged batch (a flat
+      // compaction would silently forfeit the serve's dir pruning)
+      case Some(n) => BatchStore.compact(spark, root, newBatchId,
+        m => fold(m.drop("__db"))
+          .withColumn("__db", domainBucket(domainCol, n)),
+        () => (), partitionBy = Seq("__db"))
+      case None => BatchStore.compactWith(spark, root, newBatchId, fold)
+    }
+  }
 
   /** [[stripRepeatedLines]] with the line statistics summed from the
     * persisted store — one (domain, line-hash)-keyed re-aggregate
@@ -155,12 +202,63 @@ object Boilerplate {
     * strip; value-identical to counting on the appended-minus-erased
     * corpus (oracle-gated, q216). `docs` is the frame to STRIP — at a
     * daily cadence, today's slice against the accumulated corpus
-    * statistics. */
+    * statistics.
+    *
+    * Scale: the store is the pipeline's largest count store, and this
+    * serve is per-epoch in the streamed DAG — so the scan is pruned
+    * to the BATCH'S domains before anything re-aggregates: the
+    * batch's distinct domain-hash buckets (≤ `_dbuckets` rows,
+    * driver-safe at any slice size) become a PARTITION filter on the
+    * `__db` dirs, then an exact broadcast semi-join on the domain
+    * values drops same-bucket strangers. Per-epoch store input scales
+    * with the slice's domains, not the corpus (MetricsSpec pins input
+    * records; a legacy flat store falls back to the full scan +
+    * semi-join). */
+  /** The store's FULL above-threshold boilerplate frame
+    * `(domainCol, __lh, df)` — [[repeatedLines]] replayed from the
+    * persisted counts, batch-independent. This is the frame a
+    * cross-epoch cache holds ([[ModelCache]]): one store re-aggregate
+    * serves every epoch until the store changes, where the pruned
+    * per-call path ([[stripRepeatedLinesFromStore]]) re-scans the
+    * batch's buckets per serve — the right trade flips exactly when
+    * serves-per-store-change exceeds ~the store/batch domain ratio. */
+  def repeatedLinesFromStore(spark: SparkSession, root: String,
+      domainCol: String, minDf: Long): DataFrame = {
+    require(minDf >= 2, s"need minDf >= 2, got $minDf")
+    BatchStore.read(spark, root)
+      .groupBy(col(domainCol), col("__lh"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0 && col("cnt") >= minDf)
+      .select(col(domainCol), col("__lh"), col("cnt").as("df"))
+  }
+
   def stripRepeatedLinesFromStore(spark: SparkSession, root: String,
       docs: DataFrame, idCol: String, domainCol: String, textCol: String,
       minDf: Long): DataFrame = {
     require(minDf >= 2, s"need minDf >= 2, got $minDf")
-    val boiler = BatchStore.read(spark, root)
+    val domains = docs.select(col(domainCol)).distinct()
+    val pruned = storedDomainBuckets(spark, root) match {
+      case Some(n) =>
+        val bks = domains.select(domainBucket(domainCol, n).as("__db"))
+          .distinct().collect().map(_.getLong(0)).sorted
+        val st = BatchStore.read(spark, root)
+        if (bks.isEmpty) st.filter(lit(false))
+        else {
+          // hit the partition column at its DISCOVERED type: small
+          // dir values infer as int, and a long literal would wrap
+          // the column in a cast and forfeit directory pruning (the
+          // [[LateInteraction.prunedStoreRead]] rule)
+          val lits: Seq[Any] = st.schema("__db").dataType match {
+            case org.apache.spark.sql.types.IntegerType =>
+              bks.toSeq.map(_.toInt)
+            case _ => bks.toSeq
+          }
+          st.filter(col("__db").isin(lits: _*))
+        }
+      case None => BatchStore.read(spark, root)
+    }
+    val boiler = pruned
+      .join(broadcast(domains), Seq(domainCol), "left_semi")
       .groupBy(col(domainCol), col("__lh"))
       .agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0 && col("cnt") >= minDf)

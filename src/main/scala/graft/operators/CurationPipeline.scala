@@ -73,10 +73,18 @@ object CurationPipeline {
   /** Run one slice through every gate and commit its survivors (and
     * their signatures) as batch `batchId` — idempotent: an epoch
     * whose kept batch is already committed no-ops entirely (the
-    * exactly-once replay discipline every store sink here shares). */
+    * exactly-once replay discipline every store sink here shares).
+    *
+    * `models`: a cross-epoch [[ModelCache]] — the three PRE-TRAINED
+    * model serves (boilerplate threshold frame, classifier counts, LM
+    * counts) re-aggregate their stores once and serve every following
+    * epoch from the pinned frame until the store changes, instead of
+    * paying a store-sized scan + re-aggregate per micro-batch
+    * ([[sink]] wires one per stream; `None` keeps the stateless
+    * one-shot behavior, every serve released before return). */
   def processSlice(spark: SparkSession, st: Stores, gates: Gates,
       batch: DataFrame, idCol: String, domainCol: String, textCol: String,
-      batchId: Long): Unit = {
+      batchId: Long, models: Option[ModelCache] = None): Unit = {
     // each store root resolves its OWN FileSystem — kept on an object
     // store with the ledger on HDFS (a plausible split: the audit
     // surface is dashboard-queried) must not throw Wrong FS
@@ -86,9 +94,19 @@ object CurationPipeline {
     if (existsAt(keptDir)) return // replayed epoch: already committed
 
     // 1. markup + boilerplate strip served from the line-df store
-    val stripped = Boilerplate.stripRepeatedLinesFromStore(spark, st.lineDf,
-      batch.withColumn(textCol, Boilerplate.stripMarkup(col(textCol))),
-      idCol, domainCol, textCol, gates.minDf)
+    // (cached: the above-threshold frame is batch-independent, so one
+    // store re-aggregate serves every epoch until the store changes)
+    val marked = batch.withColumn(textCol,
+      Boilerplate.stripMarkup(col(textCol)))
+    val stripped = models match {
+      case Some(mc) => Boilerplate.stripAgainst(marked,
+        mc.cached(spark, st.lineDf, s"boiler-minDf=${gates.minDf}")(
+          Boilerplate.repeatedLinesFromStore(spark, st.lineDf, domainCol,
+            gates.minDf)),
+        idCol, domainCol, textCol)
+      case None => Boilerplate.stripRepeatedLinesFromStore(spark, st.lineDf,
+        marked, idCol, domainCol, textCol, gates.minDf)
+    }
 
     // 2. exact dedup: against the signature store (history = all
     // prior epochs), then first-min-id within the batch; the batch
@@ -103,13 +121,25 @@ object CurationPipeline {
     // signatures and re-commit an EMPTY kept batch — silent loss of
     // the whole slice (spec-pinned: the retry must re-commit the
     // full survivor set)
+    // the [[Dedup.incrementalDedupFromStore]] exact-pass shape: the
+    // history's digests stream MAP-SIDE against the broadcast batch
+    // digest set (the matched set is ≤ batch-sized by the distinct),
+    // then the batch anti-joins the broadcast matched set — the
+    // signature store contributes ~zero shuffle bytes per epoch at
+    // ANY history depth (MetricsSpec pins it measured; the naive
+    // `store.distinct()` anti-join this replaced shuffled the whole
+    // history's digests every micro-batch)
     val vsStore =
       if (!hasBatches(spark, st.signatures)) hashed
-      else hashed.join(
-        Dedup.readSignatureStore(spark, st.signatures)
+      else {
+        val matched = Dedup.readSignatureStore(spark, st.signatures)
           .filter(col("batch") < batchId)
-          .select(col("chash").as("__chash")).distinct(),
-        Seq("__chash"), "left_anti")
+          .select(col("chash").as("__chash"))
+          .join(broadcast(hashed.select(col("__chash")).distinct()),
+            Seq("__chash"))
+          .distinct()
+        hashed.join(broadcast(matched), Seq("__chash"), "left_anti")
+      }
     val keeper = Window.partitionBy(col("__chash"))
     val kept0 = vsStore
       .withColumn("__keep", min(col(idCol)).over(keeper))
@@ -133,17 +163,35 @@ object CurationPipeline {
       Dedup.writeSignatureStore(kept, idCol, textCol, k = 4, shingleN = 3,
         root = st.signatures, batchId = batchId)
 
-    // 4. classifier gate (model re-aggregated from the store's deltas)
-    val good0 = QualityClassifier.classifyFromStore(spark, st.quality,
+    // 4. classifier gate (model re-aggregated from the store's deltas
+    // — cached across epochs when `models` is wired). `classified` is
+    // classify's pinned output; released at the end of the epoch (it
+    // previously leaked to the ContextCleaner, one slice-sized pin
+    // per micro-batch).
+    val classified = models match {
+      case Some(mc) => QualityClassifier.classify(kept,
+        mc.cached(spark, st.quality, s"quality-b=${gates.buckets}")(
+          LanguageModel.mergedStoreCounts(spark, st.quality,
+            Seq("label", "bucket"))),
+        idCol, textCol, gates.buckets)
+      case None => QualityClassifier.classifyFromStore(spark, st.quality,
         kept, idCol, textCol, gates.buckets)
+    }
+    val good0 = classified
       .filter(col("label_pred") === gates.keepLabel)
       .select(col(idCol))
     val good = if (ledgerOn) good0.localCheckpoint() else good0
     val keptGood = kept.join(good, Seq(idCol))
 
     // 5. LM perplexity gate at the absolute cut
-    val lmOk = LanguageModel.lmThresholdFilterFromStore(spark, st.lm,
-      keptGood, idCol, textCol, gates.lmCutAvgFp)
+    val lmOk = models match {
+      case Some(mc) => LanguageModel.lmThresholdFilter(keptGood,
+        mc.cached(spark, st.lm, "lm-bigrams")(
+          LanguageModel.mergedStoreCounts(spark, st.lm, Seq("w1", "w2"))),
+        idCol, textCol, gates.lmCutAvgFp)
+      case None => LanguageModel.lmThresholdFilterFromStore(spark, st.lm,
+        keptGood, idCol, textCol, gates.lmCutAvgFp)
+    }
     val survivors = keptGood.join(lmOk.select(col(idCol)), Seq(idCol))
 
     // 6. deterministic mixture coin; the final kept slice
@@ -182,6 +230,7 @@ object CurationPipeline {
       finalKept.select(col(idCol), col(domainCol), col(textCol)),
       st.kept, batchId)
     Checkpoints.releasePinned(lmOk)
+    Checkpoints.releasePinned(classified)
     if (ledgerOn) {
       Checkpoints.releasePinned(kept)
       Checkpoints.releasePinned(good)
@@ -265,11 +314,16 @@ object CurationPipeline {
 
   /** [[processSlice]] as a `foreachBatch` sink — batch id = `base +
     * epochId`, the exactly-once epoch discipline shared by every
-    * store sink in the library. */
+    * store sink in the library. `models` (a per-stream
+    * [[ModelCache]], recommended for any multi-epoch run) makes the
+    * three pre-trained model serves one-time costs instead of
+    * per-micro-batch ones; the caller releases it
+    * (`models.releaseAll()`) when the stream ends. */
   def sink(st: Stores, gates: Gates, idCol: String, domainCol: String,
-      textCol: String, baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+      textCol: String, baseBatchId: Long = 1L,
+      models: Option[ModelCache] = None): (DataFrame, Long) => Unit =
     (batch, epochId) => processSlice(batch.sparkSession, st, gates,
-      batch, idCol, domainCol, textCol, baseBatchId + epochId)
+      batch, idCol, domainCol, textCol, baseBatchId + epochId, models)
 
   /** The post-stream export: [[Packing.packSequences]] over the
     * accumulated kept store, summarized per shard. Packing is

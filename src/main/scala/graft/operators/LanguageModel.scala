@@ -221,12 +221,22 @@ object LanguageModel {
       minAvgFp: Double): DataFrame = {
     val cb = mergedStoreCounts(spark, root, Seq("w1", "w2"))
       .localCheckpoint()
-    val out = scoredAll(candidates, cb, idCol, textCol)
-      .filter(col("lm_avg") >= minAvgFp)
-      .localCheckpoint()
+    val out = lmThresholdFilter(candidates, cb, idCol, textCol, minAvgFp)
     Checkpoints.releasePinned(cb)
     out
   }
+
+  /** [[lmThresholdFilterFromStore]] against an ALREADY-MATERIALIZED
+    * counts frame — the hook a cross-epoch model cache needs
+    * ([[ModelCache]]): the caller owns the counts pin (it feeds the
+    * row-count, vocabulary and seen-join consumers, so it must be a
+    * checkpointed/staged frame, never a live plan); this call never
+    * releases it. Returned frame is the call's only NEW checkpoint. */
+  def lmThresholdFilter(candidates: DataFrame, counts: DataFrame,
+      idCol: String, textCol: String, minAvgFp: Double): DataFrame =
+    scoredAll(candidates, counts, idCol, textCol)
+      .filter(col("lm_avg") >= minAvgFp)
+      .localCheckpoint()
 
   /** [[lmQualityFilter]] with counts summed from the persisted LM
     * store — the production composition: the store is maintained by

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-epoch cache for SERVED MODEL FRAMES — the re-aggregated
+  * count stores a streamed pipeline consults every micro-batch (the
+  * quality classifier's (label, bucket) counts, the LM's bigram
+  * counts, the boilerplate detector's above-threshold line sets).
+  * Those stores are PRE-TRAINED relative to the stream: epochs read
+  * them, they change only on an explicit append/erasure/compaction —
+  * yet the uncached serve re-runs a store-sized scan + re-aggregate
+  * per epoch, a constant that dominates short micro-batches.
+  *
+  * An entry is keyed by (store root, serve descriptor) and guarded by
+  * the store's committed-batch FINGERPRINT — the `batch=` dir names
+  * plus their modification times, so an append, a purge, a compaction,
+  * or even a delete-and-recreate at the same path invalidates it
+  * (mtime moves). On a hit the pinned frame (`localCheckpoint` — the
+  * blocks are the data, no store re-scan, no lineage back to the
+  * deleted-able dirs) serves directly; on a miss the stale pin is
+  * released, `compute` runs once, and the fresh frame pins.
+  *
+  * Lifecycle: an instance is scoped to its pipeline run (the
+  * [[CurationPipeline.sink]] wiring creates one per stream) —
+  * [[releaseAll]] when the run ends; entries hold executor-memory
+  * blocks until then. Model frames are model-sized (counts, not
+  * corpus), so the working set is a few small frames per store.
+  * Thread-safe; concurrent epochs of one stream serialize on the
+  * instance.
+  */
+final class ModelCache {
+
+  private final case class Entry(fingerprint: Set[(String, Long)],
+      frame: DataFrame)
+  private val entries =
+    scala.collection.mutable.HashMap.empty[(String, String), Entry]
+
+  /** The store's committed-batch identity: dir names + mtimes (the
+    * [[BatchStore]] commit rename stamps the mtime). Tombstone batches
+    * ride the same guard — a masked serve cached here must invalidate
+    * on a new tombstone, and `.tombstones/batch=` dirs are listed by
+    * the recursive walk. */
+  private def fingerprint(spark: SparkSession,
+      root: String): Set[(String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def batchDirs(dir: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("batch="))
+          Seq((s"${dir.getName}/$n", st.getModificationTime))
+        else Seq.empty
+      }
+    (batchDirs(p) ++
+      batchDirs(new org.apache.hadoop.fs.Path(root, ".tombstones"))).toSet
+  }
+
+  /** Serve the model for (`root`, `kind`): the cached pinned frame
+    * when the store's committed batches are unchanged since it was
+    * computed, else release the stale pin, run `compute`, pin and
+    * remember its result. `kind` distinguishes serves with different
+    * parameters over one store (e.g. two minDf thresholds) — bake
+    * every value the computation closes over into it. */
+  def cached(spark: SparkSession, root: String, kind: String)(
+      compute: => DataFrame): DataFrame = synchronized {
+    val key = (root, kind)
+    val fp = fingerprint(spark, root)
+    entries.get(key) match {
+      case Some(e) if e.fingerprint == fp => e.frame
+      case stale =>
+        stale.foreach(e => Checkpoints.releasePinned(e.frame))
+        val pinned = compute.localCheckpoint()
+        entries.update(key, Entry(fp, pinned))
+        pinned
+    }
+  }
+
+  /** Release every cached pin and forget the entries — call when the
+    * pipeline run ends (the pinned blocks are executor memory). */
+  def releaseAll(): Unit = synchronized {
+    entries.values.foreach(e => Checkpoints.releasePinned(e.frame))
+    entries.clear()
+  }
+
+  /** Entry count (test observability). */
+  private[graft] def size: Int = synchronized(entries.size)
+}

@@ -1191,8 +1191,13 @@ object CurationQueries {
       val stageSlices: Seq[Long] => Unit = epochs =>
         epochs.foreach(e => stager.stageSlice(
           stream.filter(col("__epoch") === e).drop("__epoch")))
+      // one model cache across the run's epochs AND restarts (the
+      // pre-trained stores never change mid-stream here; the dedup
+      // signature store does, and is deliberately NOT model-cached)
+      val models = new graft.operators.ModelCache
       val drain: () => Unit = () => {
-        val snk = CP.sink(stores, gates, "doc_id", "source", "text")
+        val snk = CP.sink(stores, gates, "doc_id", "source", "text",
+          models = Some(models))
         val q = s.readStream.schema(stream.drop("__epoch").schema)
           .option("maxFilesPerTrigger", "1").parquet(stage)
           .writeStream
@@ -1201,7 +1206,8 @@ object CurationQueries {
           .start()
         try q.processAllAvailable() finally q.stop()
       }
-      runStream(stageSlices, drain)
+      try runStream(stageSlices, drain)
+      finally models.releaseAll()
       if (ledger)
         CP.readLedger(s, stores.ledger.get, "doc_id")
           .select(col("doc_id"), col("source"), col("stage"),

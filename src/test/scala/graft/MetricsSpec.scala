@@ -177,4 +177,88 @@ class MetricsSpec extends AnyFunSuite {
     assert(big < 30L * small,
       s"shuffle grew ${big.toDouble / small}× for 10× docs — pair-product regression")
   }
+
+  test("curation DAG epoch shuffles batch-proportional bytes — signature-store depth is free") {
+    import graft.operators._
+    val CP = CurationPipeline
+    def mkDocs(lo: Long, hi: Long) = {
+      (lo until hi).map(i => (i, s"src${i % 2}",
+        s"menu\nunique body $i with alpha beta gamma tok$i\nfooter"))
+        .toDF("doc_id", "source", "text")
+    }
+    // per-epoch shuffle bytes for a FIXED 100-doc slice over a prior
+    // signature history of `histN` docs; model stores identical
+    def epochShuffle(histN: Long): Long = {
+      val base = java.nio.file.Files.createTempDirectory("graft_m16").toString
+      def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString
+      try {
+        val st = CP.Stores(p("ldf"), p("qual"), p("lm"), p("sig"), p("kept"))
+        val slice = mkDocs(1000000L, 1000100L)
+        QualityClassifier.writeQualityStore(
+          slice.withColumn("label", lit("good")), "label", "text",
+          buckets = 64, root = st.quality, batchId = 1L)
+        Boilerplate.writeLineDfStore(slice, "doc_id", "source", "text",
+          st.lineDf, batchId = 1L)
+        LanguageModel.writeLmStore(slice, "doc_id", "text", st.lm, 1L)
+        Dedup.writeSignatureStore(mkDocs(0L, histN), "doc_id", "text",
+          k = 4, shingleN = 3, root = st.signatures, batchId = 1L)
+        val gates = CP.Gates(minDf = 1000L, buckets = 64,
+          keepLabel = "good", lmCutAvgFp = 0.0, mixKeep = lit(true))
+        val (_, m) = Metrics.capture(spark) {
+          CP.processSlice(spark, st, gates, slice, "doc_id", "source",
+            "text", batchId = 2L)
+        }
+        m.shuffleWriteBytes
+      } finally {
+        val pp = new org.apache.hadoop.fs.Path(base)
+        pp.getFileSystem(spark.sessionState.newHadoopConf()).delete(pp, true)
+      }
+    }
+    val thin = epochShuffle(100L)
+    val fat = epochShuffle(20000L)
+    // the dedup stage streams the store's digests map-side against the
+    // broadcast batch digest set (Dedup.incrementalDedupFromStore's
+    // exact pass) — a 200× deeper history must not grow the epoch's
+    // shuffle (the pre-fix history-digest distinct() shuffled ~200×
+    // more here). Generous headroom for partition-count constants.
+    assert(thin > 0, "expected a real per-epoch shuffle")
+    assert(fat < thin * 3 / 2 + (64 << 10),
+      s"per-epoch shuffle grew with history depth: thin=$thin fat=$fat")
+  }
+
+  test("served boilerplate strip reads only the batch's domains' buckets — input ∝ slice domains") {
+    import graft.operators._
+    val base = java.nio.file.Files.createTempDirectory("graft_m16b").toString
+    val root = new org.apache.hadoop.fs.Path(base, "ldf").toString
+    try {
+      // 64 domains × 30 docs × 4 lines; the batch strips ONE domain
+      val corpus = (0L until 1920L).map { i =>
+        val d = s"d${i % 64}"
+        (i, d, s"nav $d\nbody $i alpha\nbody $i beta\nfooter $d")
+      }.toDF("doc_id", "domain", "text")
+      Boilerplate.writeLineDfStore(corpus, "doc_id", "domain", "text",
+        root, batchId = 1L)
+      val storeRows = BatchStore.read(spark, root).count()
+      val batch = corpus.filter(col("domain") === "d7")
+      val (got, m) = Metrics.capture(spark) {
+        Boilerplate.stripRepeatedLinesFromStore(spark, root, batch,
+          "doc_id", "domain", "text", minDf = 10L).collect()
+      }
+      // one domain hashes to one of 16 `__db` dirs (~4 domains' rows);
+      // the scan must not read the other 15 buckets
+      assert(m.inputRecords < storeRows / 3,
+        s"read ${m.inputRecords} store rows of $storeRows — __db dir " +
+          "pruning not effective")
+      // value check: the store counts equal corpus counts here, so the
+      // served strip must equal the in-memory strip restricted to d7
+      val expected = Boilerplate.stripRepeatedLines(corpus, "doc_id",
+          "domain", "text", minDf = 10L)
+        .filter(col("domain") === "d7")
+        .orderBy(col("doc_id")).collect()
+      assert(got.sortBy(_.getLong(0)).toSeq == expected.toSeq)
+    } finally {
+      val pp = new org.apache.hadoop.fs.Path(base)
+      pp.getFileSystem(spark.sessionState.newHadoopConf()).delete(pp, true)
+    }
+  }
 }
