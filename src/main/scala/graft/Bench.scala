@@ -258,7 +258,11 @@ object Bench {
     "q235_incremental_packing",
     // q236 is q235 fed by the checkpointed file source (pinned-mtime
     // epoch order) — stream machinery + the same slice windows
-    "q236_incremental_packing_streamed")
+    "q236_incremental_packing_streamed",
+    // q237 is q220 over the COMPLETE 14-kind registry (adds IVF-PQ,
+    // Hamming, ledger, kept, hashed features) — corpus-sized store
+    // writes dominate, one forget + one purge window
+    "q237_forget_full_registry")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:
@@ -284,7 +288,9 @@ object Bench {
     "q220_forget_everywhere", "q221_curation_streamed",
     "q223_curation_restarted",
     // q224 is q221 with the ledger on — the same streamed-DAG cost
-    "q224_curation_ledger")
+    "q224_curation_ledger",
+    // q237 is q220 over the complete 14-kind registry
+    "q237_forget_full_registry")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

@@ -85,7 +85,16 @@ object BatchStore {
     * instead. Stores that need deep time travel should skip
     * compaction (retention is the price of history) or snapshot
     * through [[SnapshotCommit]], whose versions survive vacuum policy
-    * explicitly. */
+    * explicitly.
+    *
+    * This read is UNMASKED — deliberately: the `.tombstones` mask is
+    * CURRENT erasure state, and "the frame exactly as the day-40 job
+    * saw it" is bit-stable only if later deletes don't rewrite
+    * history. But an unmasked rebuild RE-SERVES forgotten rows until
+    * the physical purge — a reproducibility job on a store that
+    * carries takedowns must use [[readAsOfMasked]] (as-of history ∖
+    * current tombstones, the [[Tombstones]]/readKept discipline)
+    * unless it is explicitly auditing pre-erasure state. */
   def readAsOf(spark: SparkSession, root: String,
       maxBatchId: Long): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -106,6 +115,16 @@ object BatchStore {
     spark.read.option("mergeSchema", "true").parquet(root)
       .filter(org.apache.spark.sql.functions.col("batch") <= maxBatchId)
   }
+
+  /** [[readAsOf]] with the store's CURRENT tombstones applied — the
+    * erasure-safe reproducibility read: batches committed by
+    * `maxBatchId`, minus every id forgotten since. Use this to
+    * REBUILD corpora/indexes from historical state (a takedown must
+    * hold across rebuilds); use the raw [[readAsOf]] only to audit
+    * what a past job actually saw. */
+  def readAsOfMasked(spark: SparkSession, root: String, maxBatchId: Long,
+      idCol: String): DataFrame =
+    Tombstones(spark, root, readAsOf(spark, root, maxBatchId), idCol)
 
   /** Compact every committed batch into ONE new batch and delete the
     * originals — the maintenance an append-only store needs (a year
@@ -200,9 +219,10 @@ object BatchStore {
     * underscore meta file at first write, and every later write or
     * serve validates against it. Creating the meta on a root that
     * ALREADY has batches (a legacy pre-meta store) fails loudly
-    * instead of committing mixed-parameter rows beside them.
-    * ([[graft.operators.LateInteraction]]'s `_buckets` predates this
-    * helper and keeps its own copy.) */
+    * instead of committing mixed-parameter rows beside them. The one
+    * protocol behind [[FeatureHashing]]'s `_dim`,
+    * [[LateInteraction]]'s `_buckets` and [[Boilerplate]]'s
+    * `_dbuckets`. */
   def ensureIntMeta(spark: SparkSession, root: String, metaName: String,
       what: String, value: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(root, metaName)
@@ -218,21 +238,53 @@ object BatchStore {
         s"store at $root has batches but no $metaName meta — a " +
           "pre-meta legacy store; rebuild it rather than appending " +
           s"mixed-$what rows")
-      val out = fs.create(p, false)
+      // stage-and-rename, like every other commit in this store: a
+      // bare create+write crashed mid-write would leave an EMPTY meta
+      // whose parse failure later reads as an opaque NumberFormat
+      // error on every write and serve
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s".$metaName-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
       try out.write(s"$value\n".getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p)) {
+        // a racing writer won the rename: validate against the winner
+        fs.delete(tmp, false)
+        val have = readIntMeta(spark, root, metaName, what)
+        require(have == value,
+          s"store at $root was written with $what=$have, got $what=$value")
+      }
     }
   }
 
   /** Read the [[ensureIntMeta]] scalar; fails loudly when absent. */
   def readIntMeta(spark: SparkSession, root: String, metaName: String,
-      what: String): Int = {
+      what: String): Int =
+    readIntMetaOpt(spark, root, metaName, what).getOrElse(
+      throw new IllegalArgumentException(
+        s"no $metaName meta under $root — not a $what-pinned store"))
+
+  /** [[readIntMeta]] returning `None` when the meta file is absent —
+    * the legacy-layout fallback hook (a pre-meta store serves by its
+    * unpruned path instead of failing). */
+  def readIntMetaOpt(spark: SparkSession, root: String, metaName: String,
+      what: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(root, metaName)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p),
-      s"no $metaName meta under $root — not a $what-pinned store")
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-    finally in.close()
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw =
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      try Some(raw.toInt)
+      catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt $metaName meta at $p (content: '$raw') — the " +
+            s"write-once $what pin is unreadable; restore it to the " +
+            s"store's original $what value (a single integer) before " +
+            "writing or serving")
+      }
+    }
   }
 
   /** Delete leftover `.staging-*` dirs from crashed [[append]]s.

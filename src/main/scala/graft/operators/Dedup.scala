@@ -329,18 +329,10 @@ object Dedup {
     * on the existing dir instead of duplicating signatures. */
   def writeSignatureStore(df: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int, root: String, batchId: Long,
-      stagingDir: Option[String] = None): Unit = {
-    val spark = df.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val dest = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
-    require(!fs.exists(dest), s"signature-store batch $batchId already committed at $dest")
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s".staging-$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
-    dedupSignatures(df, idCol, textCol, k, shingleN, stagingDir)
-      .write.mode("error").parquet(tmp.toString)
-    require(fs.rename(tmp, dest), s"commit rename $tmp -> $dest failed")
-  }
+      stagingDir: Option[String] = None): Unit =
+    BatchStore.append(
+      dedupSignatures(df, idCol, textCol, k, shingleN, stagingDir),
+      root, batchId)
 
   /** Read the whole signature store (all committed batches). The
     * `batch` partition column rides along for auditing; the dedup
@@ -386,16 +378,8 @@ object Dedup {
     * Only run when no concurrent writer is staging (the
     * [[graft.operators.Layout]] vacuum discipline). */
   def vacuumSignatureStaging(spark: org.apache.spark.sql.SparkSession,
-      root: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count { st =>
-      val stale = st.isDirectory && st.getPath.getName.startsWith(".staging-")
-      if (stale) fs.delete(st.getPath, true)
-      stale
-    }
-  }
+      root: String): Int =
+    BatchStore.vacuumStaging(spark, root)
 
   /** Compact the signature store: merge every committed `batch=` dir
     * into ONE new batch and delete the originals — the maintenance a
@@ -451,49 +435,23 @@ object Dedup {
     * lands in (Round10Spec plants one there). */
   private[graft] def compactSignatureStore(
       spark: org.apache.spark.sql.SparkSession, root: String,
-      idCol: String, newBatchId: Long, onBeforeCommit: () => Unit): Int = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    def listIds(): Seq[Long] = fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong)
-    val batches = fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    require(batches.nonEmpty, s"no committed batches under $root")
-    val ids = batches.map(_.getPath.getName.stripPrefix("batch=").toLong)
-    require(newBatchId > ids.max,
-      s"newBatchId=$newBatchId must exceed every existing batch id (max ${ids.max})")
-    val merged = spark.read
-      .parquet(batches.map(_.getPath.toString): _*)
-      .dropDuplicates(idCol, "chash")
-    val conflicts = merged.groupBy(col(idCol))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      .orderBy(col(idCol)).limit(3).collect()
-    require(conflicts.isEmpty,
-      s"conflicting content in signature store: id(s) " +
-        conflicts.map(_.get(0)).mkString(", ") +
-        " carry more than one distinct chash — re-appends must be " +
-        "byte-identical; delete the stale row or re-key the revision " +
-        "before compacting")
-    val tmp = new org.apache.hadoop.fs.Path(root,
-      s".staging-$newBatchId-${java.util.UUID.randomUUID().toString.take(8)}")
-    merged.write.mode("error").parquet(tmp.toString)
-    onBeforeCommit()
-    // re-validate the id invariant against batches committed DURING the
-    // merge write: committing anything but the store's maximum id would
-    // let a later compaction mistake this batch for pre-compaction
-    // history. Fail loudly; the staging dot-dir was never visible.
-    val idsNow = listIds()
-    require(idsNow.max < newBatchId,
-      s"append raced the compaction: batch id ${idsNow.max} committed " +
-        s"during the merge is >= newBatchId=$newBatchId — aborting " +
-        "before the commit rename (single-maintainer contract violated)")
-    val dest = new org.apache.hadoop.fs.Path(root, s"batch=$newBatchId")
-    require(!fs.exists(dest), s"batch $newBatchId already committed at $dest")
-    require(fs.rename(tmp, dest), s"commit rename $tmp -> $dest failed")
-    batches.foreach(st => fs.delete(st.getPath, true))
-    batches.size
-  }
+      idCol: String, newBatchId: Long, onBeforeCommit: () => Unit): Int =
+    // the shared [[BatchStore.compact]] skeleton (stage-and-rename,
+    // id-invariant re-list); only the content-conflict semantics are
+    // this store's own
+    BatchStore.compact(spark, root, newBatchId, merged => {
+      val m = merged.dropDuplicates(idCol, "chash")
+      val conflicts = m.groupBy(col(idCol))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .orderBy(col(idCol)).limit(3).collect()
+      require(conflicts.isEmpty,
+        s"conflicting content in signature store: id(s) " +
+          conflicts.map(_.get(0)).mkString(", ") +
+          " carry more than one distinct chash — re-appends must be " +
+          "byte-identical; delete the stale row or re-key the revision " +
+          "before compacting")
+      m
+    }, onBeforeCommit)
 
   /** Incremental (cross-corpus) dedup: flag each NEW-batch document
     * that duplicates the HISTORY — exact (content md5) or near

@@ -39,9 +39,22 @@ object FeatureHashing {
     * bucket. Zero-weight rows (sign cancellation) are dropped — they
     * contribute nothing to any inner product and sparsify the
     * output. */
+  /** Column names the operators here claim internally or emit — an id
+    * column shadowing one would fail ambiguously or, worse, join
+    * silently wrong (the [[Packing.packSequences]] reserved-name
+    * discipline). */
+  private val Reserved = Seq("bucket", "weight", "cosine", "rank",
+    "__tok", "__sign", "__cw", "__qw", "__cn2", "__qn2", "__dot")
+
+  private def requireUnreserved(what: String, name: String): Unit =
+    require(!Reserved.contains(name),
+      s"$what must not be one of ${Reserved.mkString("/")} (got $name) — " +
+        "these names are claimed by the feature/retrieval frames")
+
   def hashedTf(df: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
     require(dim > 0, s"need dim > 0, got $dim")
+    requireUnreserved("idCol", idCol)
     df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
       .select(col(idCol),
         pmod(hash60(col("__tok")), lit(dim.toLong)).as("bucket"),
@@ -61,10 +74,12 @@ object FeatureHashing {
     * trick buys at 100 TB (dim-bounded key space, fixed-width rows,
     * no vocabulary skew), and the recall gate (q234) measures what it
     * costs in ranking fidelity. */
-  def exactTf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def exactTf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    requireUnreserved("idCol", idCol)
     df.select(col(idCol), explode(tokens(col(textCol))).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("weight"))
+  }
 
   /** Exact top-`k` hashed-cosine neighbors of each query over the
     * corpus features (both sides in [[hashedTf]]'s (id, bucket,
@@ -77,6 +92,8 @@ object FeatureHashing {
     require(k > 0, s"need k > 0, got $k")
     require(corpusIdCol != queryIdCol,
       "corpusIdCol and queryIdCol must differ (they meet in one row)")
+    requireUnreserved("corpusIdCol", corpusIdCol)
+    requireUnreserved("queryIdCol", queryIdCol)
     val cn = corpusFeats.groupBy(col(corpusIdCol))
       .agg(sum(col("weight") * col("weight")).as("__cn2"))
     val qn = queryFeats.groupBy(col(queryIdCol))

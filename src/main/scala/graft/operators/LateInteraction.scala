@@ -155,9 +155,6 @@ object LateInteraction {
     * the store's `_buckets` meta file). */
   val DefaultBuckets: Int = 16
 
-  private def bucketsMetaFile(root: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(root, "_buckets")
-
   /** The store's passage-bucket expression: a deterministic hash of
     * the passage id into `[0, buckets)` — the write side partitions
     * dirs by it, the serve side recomputes it on the CANDIDATE ids
@@ -166,55 +163,24 @@ object LateInteraction {
   private def passageBucket(passageCol: String, buckets: Int) =
     pmod(xxhash64(col(passageCol)), lit(buckets.toLong))
 
-  /** Record (or verify) the store's bucket count — written once at
-    * first append (leading underscore keeps it invisible to the
-    * parquet reader); later appends must match: a store mixing two
-    * bucketings would silently serve partial results. */
+  /** Record (or verify) the store's bucket count — the shared
+    * write-once scalar-meta protocol ([[BatchStore.ensureIntMeta]]:
+    * staged+renamed commit, mismatch and legacy-flat-store appends
+    * fail loudly; a store mixing two bucketings would silently serve
+    * partial results, and a `__pb`-partitioned batch committed beside
+    * flat legacy ones would brick the full-scan fallback on
+    * conflicting directory structures). */
   private def ensureBucketsMeta(spark: org.apache.spark.sql.SparkSession,
       root: String, buckets: Int): Unit = {
     require(buckets >= 1, s"need buckets >= 1, got $buckets")
-    val p = bucketsMetaFile(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    readBucketsMeta(spark, root) match {
-      case Some(n) => require(n == buckets,
-        s"token index at $root is bucketed into $n dirs; append used $buckets")
-      case None =>
-        val rootPath = new org.apache.hadoop.fs.Path(root)
-        // A legacy FLAT store (pre-bucketing batches, no meta) must
-        // stay flat: committing a __pb-partitioned batch beside flat
-        // ones makes spark.read.parquet(root) fail on conflicting
-        // directory structures — the documented full-scan fallback
-        // would be bricked by its first new-code append. Fail loudly
-        // instead of mixing layouts.
-        val legacy = fs.exists(rootPath) &&
-          fs.listStatus(rootPath).exists(s =>
-            s.isDirectory && s.getPath.getName.startsWith("batch="))
-        require(!legacy,
-          s"token index at $root has pre-bucketing flat batches; " +
-            "rebuild the store (purge + re-append) before using the " +
-            "bucketed layout")
-        fs.mkdirs(rootPath)
-        val out = fs.create(p, false) // racing second writer fails fast
-        try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
-    }
+    BatchStore.ensureIntMeta(spark, root, "_buckets", "buckets", buckets)
   }
 
   /** The store's recorded bucket count; `None` for a pre-bucketing
     * (flat) store, which serves by full scan — the legacy fallback. */
   private[operators] def readBucketsMeta(
-      spark: org.apache.spark.sql.SparkSession, root: String): Option[Int] = {
-    val p = bucketsMetaFile(root)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-        Some(new String(buf.toByteArray, "UTF-8").trim.toInt)
-      } finally in.close()
-    }
-  }
+      spark: org.apache.spark.sql.SparkSession, root: String): Option[Int] =
+    BatchStore.readIntMetaOpt(spark, root, "_buckets", "buckets")
 
   /** The candidate-pruned store read — the serve-side half of the
     * bucket layout: collect the DISTINCT buckets the candidate ids

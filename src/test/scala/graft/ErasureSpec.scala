@@ -114,4 +114,23 @@ class ErasureSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("every registered StoreRef kind rides the full-registry takedown gate (q237) — structural, not remembered") {
+    // the RegistryCompleteness discipline on the erasure registry: a
+    // new StoreRef subclass compiles into Erasure.forget's exhaustive
+    // match for free, but NOTHING forces gate coverage — this does.
+    // knownDirectSubclasses is reliable here because the whole sealed
+    // family lives in Erasure.scala (one compilation unit).
+    import scala.reflect.runtime.universe._
+    val declared = typeOf[Erasure.StoreRef].typeSymbol.asClass
+      .knownDirectSubclasses.map(_.name.toString)
+    val gated = graft.queries.ErasureQueries
+      .fullRegistry(n => s"/never-read/$n")
+      .map(_.getClass.getSimpleName).toSet
+    assert(declared.nonEmpty && declared.size >= 14,
+      s"sealed-subclass enumeration broke: $declared")
+    assert(declared == gated,
+      s"StoreRef kinds without q237 coverage: ${declared -- gated}; " +
+        s"gated but no longer declared: ${gated -- declared}")
+  }
 }

@@ -196,7 +196,7 @@ class LateInteractionSpec extends AnyFunSuite {
         Seq((2L, "a b")).toDF("neighbor_id", "text"),
         "neighbor_id", "text", 8, root, batchId = 2L, buckets = 4)
     }
-    assert(e.getMessage.contains("flat batches"), e.getMessage)
+    assert(e.getMessage.contains("no _buckets meta"), e.getMessage)
     // the legacy store still reads whole — no half-committed layout
     assert(graft.operators.BatchStore.read(spark, root).count() == 1L)
     new org.apache.hadoop.fs.Path(root)
@@ -235,7 +235,7 @@ class LateInteractionSpec extends AnyFunSuite {
       LateInteraction.writeTokenIndex(p, "neighbor_id", "text", 8, root,
         batchId = 2L, buckets = 8)
     }
-    assert(e.getMessage.contains("bucketed into 4"), e.getMessage)
+    assert(e.getMessage.contains("buckets=4"), e.getMessage)
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
       .delete(new org.apache.hadoop.fs.Path(root), true)
