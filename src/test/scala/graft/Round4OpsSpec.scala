@@ -122,7 +122,10 @@ class Round4OpsSpec extends AnyFunSuite {
 
     val dimRoot = java.nio.file.Files.createTempDirectory("graft_scd_up").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_scd_ck").toString
-    val pinnedBefore = spark.sparkContext.getPersistentRDDs.size
+    // id-SET delta, not a count: the ContextCleaner may async-drop a
+    // dead pin from an earlier suite between the captures (the
+    // LanguageModelSpec round-15 flake class)
+    val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet.toSet
 
     val b1 = Seq(("p1", "addr one", "Ng"), ("p2", "addr two", "Li"))
     val b2 = Seq(("p1", "addr MOVED", "Ng"), ("p3", "addr three", "Ok"))
@@ -142,8 +145,9 @@ class Round4OpsSpec extends AnyFunSuite {
     // the per-batch TARGETED release kept stream storage flat on its
     // own — no session-wide sweep ran (assert BEFORE the batch twin
     // below checkpoints its own frames)
-    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
-      s"stream leaked blocks: $pinnedBefore -> ${spark.sparkContext.getPersistentRDDs.size}")
+    val leakedPins =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- pinnedBefore
+    assert(leakedPins.isEmpty, s"stream leaked blocks: $leakedPins")
     // batch twin: the same two snapshots applied sequentially
     val d1 = operators.ScdType2(b1.toDF("pid", "address", "last_name"), None,
       "pid", Seq("address", "last_name"), Seq("address", "last_name"), "sk",
@@ -156,8 +160,9 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(streamed.length == 4)
     // release the batch twin's own checkpoints (d2's plan reaches both)
     operators.Checkpoints.releasePinned(d2)
-    assert(spark.sparkContext.getPersistentRDDs.size == pinnedBefore,
-      s"twin release incomplete: ${spark.sparkContext.getPersistentRDDs}")
+    val twinLeaked =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- pinnedBefore
+    assert(twinLeaked.isEmpty, s"twin release incomplete: $twinLeaked")
   }
 
   // ------------------------------------------------------- k-means
