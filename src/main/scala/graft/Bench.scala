@@ -262,7 +262,11 @@ object Bench {
     // q237 is q220 over the COMPLETE 14-kind registry (adds IVF-PQ,
     // Hamming, ledger, kept, hashed features) — corpus-sized store
     // writes dominate, one forget + one purge window
-    "q237_forget_full_registry")
+    "q237_forget_full_registry",
+    // q238 streams the corpus through the exactly-once near-dup
+    // admission sink — per-epoch incrementalDedupFromStore (broadcast
+    // batch side) + the admitted signatures' append, like q142/q221
+    "q238_neardup_admission_streamed")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:
@@ -290,7 +294,9 @@ object Bench {
     // q224 is q221 with the ledger on — the same streamed-DAG cost
     "q224_curation_ledger",
     // q237 is q220 over the complete 14-kind registry
-    "q237_forget_full_registry")
+    "q237_forget_full_registry",
+    // q238 is three streamed epochs of store signing + verdicts
+    "q238_neardup_admission_streamed")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

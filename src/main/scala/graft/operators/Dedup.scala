@@ -765,6 +765,89 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  // ----------------------------- streamed near-dup admission sink
+
+  /** STREAMED NEAR-DUP ADMISSION — the near-dup twin of the curation
+    * DAG's exact dedup stage ([[graft.operators.CurationPipeline
+    * .processSlice]] step 2), as its own exactly-once composition:
+    * admit each slice document iff it has NO exact (content digest)
+    * nor near (banded MinHash collision, Jaccard ≥ `threshold`)
+    * duplicate among PRIOR epochs' ADMITTED content, keep the
+    * min-id among in-slice exact duplicates, then commit the admitted
+    * rows to `keptRoot` and their signatures to `sigRoot` as batch
+    * `batchId` — the daily web-crawl refresh loop ("suppress
+    * re-crawls and boilerplate-level rewrites of anything already
+    * taken") run as a stream.
+    *
+    * Semantics are the sequential-fold contract (spec-pinned): the
+    * admitted set equals folding the same slices in the same order
+    * through [[incrementalDedupFromStore]] + the in-slice exact
+    * keeper. In-slice NEAR duplicates are both admitted — the
+    * incremental contract is history-vs-delta; run [[minhashLshPairs]]
+    * upstream if a slice needs internal near-dedup. Sub-shingle
+    * documents (no MinHash signature) can only exact-dup.
+    *
+    * Scale: inherits [[incrementalDedupFromStore]]'s asymmetry —
+    * every join broadcasts a batch-derived side; the store is never
+    * shuffled, per-epoch cost is one store scan plus the delta's own
+    * signing. Crash-safe per the [[CurationPipeline]] discipline:
+    * the kept commit is the epoch's completion marker, signatures are
+    * committed first and guarded, and verdicts read strictly-prior
+    * batches so a crash-window replay cannot dedup a slice against
+    * its own signatures. */
+  def nearDupAdmitSlice(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, idCol: String, textCol: String, k: Int,
+      shingleN: Int, bands: Int, threshold: Double, sigRoot: String,
+      keptRoot: String, batchId: Long): Unit = {
+    def committed(root: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    def hasBatches(root: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(p) && fs.listStatus(p).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch="))
+    }
+    if (committed(keptRoot)) return // replayed epoch: already committed
+    // pin: the slice feeds the verdict join, the keeper window, and
+    // both commits
+    val hashed = batch
+      .withColumn("__chash", md5(col(textCol))).localCheckpoint()
+    val vsStore =
+      if (!hasBatches(sigRoot)) hashed
+      else {
+        val clean = incrementalDedupFromStore(
+            readSignatureStore(spark, sigRoot)
+              .filter(col("batch") < batchId),
+            hashed, idCol, textCol, k, shingleN, bands, threshold)
+          .filter(!col("is_exact_dup") && col("n_near_dups") === 0)
+          .select(col(idCol))
+        hashed.join(clean, Seq(idCol))
+      }
+    val keeper = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__chash"))
+    val admitted = vsStore
+      .withColumn("__keep", min(col(idCol)).over(keeper))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__chash", "__keep")
+    if (!committed(sigRoot))
+      writeSignatureStore(admitted, idCol, textCol, k, shingleN,
+        sigRoot, batchId)
+    BatchStore.append(admitted, keptRoot, batchId)
+    Checkpoints.releasePinned(hashed)
+  }
+
+  /** [[nearDupAdmitSlice]] as a `foreachBatch` sink — batch id =
+    * `baseBatchId + epochId`, the shared exactly-once epoch
+    * discipline. */
+  def nearDupAdmitSink(idCol: String, textCol: String, k: Int,
+      shingleN: Int, bands: Int, threshold: Double, sigRoot: String,
+      keptRoot: String, baseBatchId: Long = 1L): (DataFrame, Long) => Unit =
+    (batch, epochId) => nearDupAdmitSlice(batch.sparkSession, batch,
+      idCol, textCol, k, shingleN, bands, threshold, sigRoot, keptRoot,
+      baseBatchId + epochId)
+
   // ------------------------------------ persisted Hamming-sketch store
 
   /** Append one slice's banded Hamming sketches (`idCol` + `bandCols`,

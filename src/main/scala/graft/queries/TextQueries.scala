@@ -3916,7 +3916,100 @@ object TextQueries {
        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  // q238 — STREAMED NEAR-DUP ADMISSION ([[graft.operators.Dedup
+  // .nearDupAdmitSink]]): the daily crawl-refresh loop as an
+  // exactly-once stream — each epoch's slice admits only documents
+  // with no exact NOR near (banded MinHash, Jaccard ≥ 0.5) duplicate
+  // among PRIOR epochs' ADMITTED content, keeps the min-id among
+  // in-slice exact dups, and appends the admitted signatures, so a
+  // rejected near-rewrite never suppresses anything and a re-crawl
+  // of admitted content stays out forever. Slices arrive in epoch
+  // order (pinned-mtime staging — arrival order is semantic, the
+  // q221 discipline). Oracle: the 3-epoch fold unrolled over the
+  // q128 MinHash chain — each epoch's exact/band/Jaccard checks run
+  // against the UNION of prior epochs' admitted sets only.
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("__epoch", col("doc_id") % 3)
+    StoreGates.withTempStore(s, "graft_q238_neardup") { base =>
+      def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString
+      val stager = new StoreGates.PinnedMtimeStager(s, p("stage"))
+      (0L to 2L).foreach(e =>
+        stager.stageSlice(docs.filter(col("__epoch") === e).drop("__epoch")))
+      val snk = graft.operators.Dedup.nearDupAdmitSink("doc_id", "text",
+        k = 16, shingleN = 3, bands = 8, threshold = 0.5,
+        sigRoot = p("sig"), keptRoot = p("kept"))
+      val q = s.readStream.schema(docs.drop("__epoch").schema)
+        .option("maxFilesPerTrigger", "1").parquet(stager.stage)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+          snk(b, id))
+        .option("checkpointLocation", p("ckpt"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.operators.BatchStore.read(s, p("kept"))
+        .select(col("doc_id"), (col("batch") - 1).cast("long").as("epoch"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint() // owns the data; the temp stores delete now
+    }
+  }
+  private val q238Sql = {
+    import graft.operators.Dedup.{minhashPermA, minhashPermB, MinhashPrime}
+    val mh = (0 until 16).map(j =>
+      s"list_min(list_transform(hs, h -> (${minhashPermA(j)} * h + ${minhashPermB(j)}) % $MinhashPrime)) AS mh$j")
+      .mkString(",\n ")
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, epoch, $b AS band, CAST(mh${2 * b} AS VARCHAR) || '_' || CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM sigs")
+      .mkString("\n UNION ALL ")
+    val jac = "CAST(len(list_intersect(sb.hs, sh.hs)) AS DOUBLE) / " +
+      "(len(sb.hs) + len(sh.hs) - len(list_intersect(sb.hs, sh.hs)))"
+    // one epoch's fold step: exact + near checks against the admitted
+    // CTE `prior`, then the in-slice min-id exact keeper
+    def fold(e: Int, prior: String): String =
+      s"""ex$e AS (SELECT DISTINCT b.doc_id FROM t b
+        |  JOIN t h ON b.chash = h.chash
+        |  JOIN $prior a ON a.doc_id = h.doc_id WHERE b.epoch = $e),
+        |cand$e AS (SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+        |  FROM bk b JOIN bk h ON b.band = h.band AND b.key = h.key
+        |  JOIN $prior a ON a.doc_id = h.doc_id WHERE b.epoch = $e),
+        |near$e AS (SELECT DISTINCT c.bid FROM cand$e c
+        |  JOIN hb sb ON c.bid = sb.doc_id
+        |  JOIN hb sh ON c.hid = sh.doc_id WHERE $jac >= 0.5),
+        |adm$e AS (SELECT doc_id FROM (
+        |  SELECT b.doc_id, row_number() OVER (
+        |      PARTITION BY b.chash ORDER BY b.doc_id) AS rn
+        |  FROM t b WHERE b.epoch = $e
+        |    AND b.doc_id NOT IN (SELECT doc_id FROM ex$e)
+        |    AND b.doc_id NOT IN (SELECT bid FROM near$e)) WHERE rn = 1)"""
+        .stripMargin
+    s"""WITH t AS (SELECT doc_id, doc_id % 3 AS epoch,
+      |  md5(text) AS chash, $dTokens AS toks FROM documents),
+      |th AS (SELECT doc_id, epoch,
+      |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM t),
+      |hb AS (SELECT doc_id, epoch,
+      |  list_distinct(list_transform(range(1, len(th) - 1),
+      |    i -> ((((th[i] * 65599 + th[i+1]) % 4294967311) * 65599 + th[i+2]) % 4294967311) % 4294967296)) AS hs
+      |  FROM th),
+      |sigs AS (SELECT doc_id, epoch, hs, $mh FROM hb WHERE len(hs) > 0),
+      |bk AS ($bandSelects),
+      |adm0 AS (SELECT doc_id FROM (
+      |  SELECT doc_id, row_number() OVER (
+      |      PARTITION BY chash ORDER BY doc_id) AS rn
+      |  FROM t WHERE epoch = 0) WHERE rn = 1),
+      |${fold(1, "adm0")},
+      |admh AS (SELECT doc_id FROM adm0 UNION ALL SELECT doc_id FROM adm1),
+      |${fold(2, "admh")}
+      |SELECT doc_id, epoch FROM (
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS epoch FROM adm0
+      |  UNION ALL SELECT doc_id, 1 FROM adm1
+      |  UNION ALL SELECT doc_id, 2 FROM adm2)
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q238_neardup_admission_streamed", q238, Some(q238Sql)),
     QueryDef("q230_hashed_retrieval", q230, Some(q230Sql)),
     QueryDef("q231_hashed_store", q231, Some(q231Sql)),
     QueryDef("q232_hashed_streamed", q232, Some(q232Sql)),

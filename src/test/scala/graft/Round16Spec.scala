@@ -170,6 +170,77 @@ class Round16Spec extends AnyFunSuite {
     } finally rm(root)
   }
 
+  // ------------------------------- streamed near-dup admission sink
+
+  test("nearDupAdmitSlice: a stream of slices equals the sequential fold; replay no-ops; crash window heals") {
+    import spark.implicits._
+    // three planted relations across epochs (epoch = id % 3):
+    //  - ids 10/11: byte-identical content in epochs 1 and 2 — the
+    //    epoch-2 copy is an EXACT dup of admitted content;
+    //  - ids 20/21: near-identical (one token changed in a long doc)
+    //    across epochs 2 and 0 — near-dup, the later arrival loses;
+    //  - ids 30/31: in-slice exact dups (both epoch 0) — min id kept;
+    //  - everything else unique and admitted.
+    val body = (0 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, "shared exact content alpha beta gamma delta"),
+      (11L, "shared exact content alpha beta gamma delta"),
+      (21L, body), (20L, body.replace("tok7", "tokX")),
+      (30L, "twin content one two three"),
+      (33L, "twin content one two three"),
+      (1L, "unique one pp qq rr ss tt"),
+      (2L, "unique two aa bb cc dd ee"),
+      (4L, "unique four ff gg hh ii jj"),
+      (5L, "unique five kk ll mm nn oo")).toDF("doc_id", "text")
+    def slices = (0L to 2L).map(e => docs.filter(col("doc_id") % 3 === e))
+    def admittedOf(base: String): Set[Long] =
+      BatchStore.read(spark, s"$base/kept").select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    def run(body: (String, Seq[org.apache.spark.sql.DataFrame]) => Unit)
+        : Set[Long] = {
+      val base = tmp("graft_ndadmit")
+      try { body(base, slices); admittedOf(base) } finally rm(base)
+    }
+    def fold(base: String, sl: Seq[org.apache.spark.sql.DataFrame]): Unit =
+      sl.zipWithIndex.foreach { case (s0, i) =>
+        Dedup.nearDupAdmitSlice(spark, s0, "doc_id", "text", k = 16,
+          shingleN = 3, bands = 8, threshold = 0.5,
+          s"$base/sig", s"$base/kept", 1L + i)
+      }
+    val folded = run(fold)
+    // planted relations: 11 admitted (epoch 2's 10... wait: 10%3=1,
+    // 11%3=2 — epoch-1's 10 admits, epoch-2's 11 is the exact dup;
+    // 21%3=0 admits, 20%3=2 near-dups against it; 30/33 share epoch
+    // 0 — min id 30 keeps
+    assert(!folded.contains(11L) && folded.contains(10L),
+      s"exact dup across epochs must lose: $folded")
+    assert(!folded.contains(20L) && folded.contains(21L),
+      s"near dup across epochs must lose: $folded")
+    assert(!folded.contains(33L) && folded.contains(30L),
+      s"in-slice exact keeper is min id: $folded")
+    assert(Set(1L, 2L, 4L, 5L).subsetOf(folded), folded.toString)
+    // replay of a committed epoch no-ops (no duplicate kept rows)
+    val replayed = run { (base, sl) =>
+      fold(base, sl)
+      Dedup.nearDupAdmitSlice(spark, sl.head, "doc_id", "text", 16, 3, 8,
+        0.5, s"$base/sig", s"$base/kept", 1L)
+    }
+    assert(replayed == folded)
+    // crash window: signatures committed, kept batch not — the retry
+    // must still commit the FULL epoch-2 survivor set (verdicts read
+    // strictly-prior batches, never the epoch's own signatures)
+    val healed = run { (base, sl) =>
+      fold(base, sl.take(2))
+      Dedup.writeSignatureStore(
+        sl(2).join(broadcast(Seq(11L, 20L).toDF("doc_id")), Seq("doc_id"),
+          "left_anti"),
+        "doc_id", "text", 16, 3, s"$base/sig", 3L) // crashed epoch 2
+      fold(base, sl) // resubmission: epochs 1-2 no-op, 3 heals
+    }
+    assert(healed == folded,
+      s"crash-window retry diverged: ${healed.diff(folded)} / ${folded.diff(healed)}")
+  }
+
   // ------------------------------------ feature-hashing name guards
 
   test("FeatureHashing rejects id columns that shadow its internal/output names") {
