@@ -238,21 +238,48 @@ object BatchStore {
         s"store at $root has batches but no $metaName meta — a " +
           "pre-meta legacy store; rebuild it rather than appending " +
           s"mixed-$what rows")
+      commitIntMeta(spark, root, metaName, what, value)
+    }
+  }
+
+  /** Pin a scalar meta WITHOUT the legacy-batches guard — the
+    * migration seam for a store whose batches were just re-committed
+    * under the new layout ([[Boilerplate.migrateLineDfStoreToBuckets]]).
+    * Same commit protocol as [[ensureIntMeta]]'s first write. */
+  private[graft] def commitIntMeta(spark: SparkSession, root: String,
+      metaName: String, what: String, value: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, metaName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    locally {
       // stage-and-rename, like every other commit in this store: a
       // bare create+write crashed mid-write would leave an EMPTY meta
       // whose parse failure later reads as an opaque NumberFormat
-      // error on every write and serve
+      // error on every write and serve. The commit rename goes through
+      // FileContext with Options.Rename.NONE, which FAILS on an
+      // existing destination on every filesystem — FileSystem.rename
+      // on local/POSIX atomically OVERWRITES an existing file, so two
+      // racing first writers with different values could silently
+      // commit the loser's pin, the exact mixed-parameter store this
+      // meta exists to prevent. On the race the loser validates
+      // against the winner's committed value; a final re-read verifies
+      // the winner's own commit too (belt-and-braces on filesystems
+      // with laxer rename semantics).
       val tmp = new org.apache.hadoop.fs.Path(root,
         s".$metaName-${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, false)
       try out.write(s"$value\n".getBytes("UTF-8")) finally out.close()
-      if (!fs.rename(tmp, p)) {
-        // a racing writer won the rename: validate against the winner
-        fs.delete(tmp, false)
-        val have = readIntMeta(spark, root, metaName, what)
-        require(have == value,
-          s"store at $root was written with $what=$have, got $what=$value")
-      }
+      val committed =
+        try {
+          org.apache.hadoop.fs.FileContext
+            .getFileContext(fs.makeQualified(p).toUri,
+              spark.sessionState.newHadoopConf())
+            .rename(fs.makeQualified(tmp), fs.makeQualified(p))
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!committed) fs.delete(tmp, false)
+      val have = readIntMeta(spark, root, metaName, what)
+      require(have == value,
+        s"store at $root was written with $what=$have, got $what=$value")
     }
   }
 

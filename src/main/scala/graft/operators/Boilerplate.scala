@@ -133,7 +133,17 @@ object Boilerplate {
     * (`batch=<id>/__db=<b>/…`, write-once `_dbuckets` meta) so the
     * served strip opens only the BATCH'S domains' buckets — per-epoch
     * scan input scales with the slice's domains, not the store
-    * ([[stripRepeatedLinesFromStore]]). */
+    * ([[stripRepeatedLinesFromStore]]).
+    *
+    * MIGRATION (breaking for pre-bucketed stores): a legacy FLAT
+    * line-df store (batches but no `_dbuckets` meta) cannot be
+    * appended to — `ensureIntMeta` fails loudly rather than commit
+    * bucketed rows beside flat ones. Reads
+    * ([[stripRepeatedLinesFromStore]], [[deleteFromLineDfStore]],
+    * [[compactLineDfStore]]) keep serving a legacy store unpruned;
+    * only new APPENDS require the rebuild. To migrate, re-commit the
+    * history under the bucketed layout once:
+    * [[migrateLineDfStoreToBuckets]]. */
   def writeLineDfStore(docs: DataFrame, idCol: String, domainCol: String,
       textCol: String, root: String, batchId: Long,
       buckets: Int = DefaultDomainBuckets): Unit = {
@@ -204,6 +214,35 @@ object Boilerplate {
         () => (), partitionBy = Seq("__db"))
       case None => BatchStore.compactWith(spark, root, newBatchId, fold)
     }
+  }
+
+  /** ONE-SHOT migration of a pre-bucketed (flat) line-df store to the
+    * `__db`-partitioned layout: fold every flat batch into one
+    * bucketed batch (the [[compactLineDfStore]] fold), then pin the
+    * `_dbuckets` meta — after which appends work again and serves
+    * prune. Crash-safe without reader coordination: before the
+    * compaction rename the legacy store is untouched; between the
+    * rename and the meta pin the store still serves correctly (reads
+    * fall back to the flat path — the `__db` column just rides along)
+    * and a RE-RUN with a fresh `newBatchId` completes the pin. Fails
+    * loudly on a store that is already bucketed. Single maintainer,
+    * like every compaction. Returns the batch dirs folded. */
+  def migrateLineDfStoreToBuckets(spark: SparkSession, root: String,
+      domainCol: String, newBatchId: Long,
+      buckets: Int = DefaultDomainBuckets): Int = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    require(storedDomainBuckets(spark, root).isEmpty,
+      s"store at $root already carries a _dbuckets meta — nothing to migrate")
+    val folded = BatchStore.compact(spark, root, newBatchId,
+      m => bucketAligned(
+        LanguageModel.foldNonNegativeCounts(
+          if (m.columns.contains("__db")) m.drop("__db") else m,
+          Seq(domainCol, "__lh")),
+        domainCol, buckets),
+      () => (), partitionBy = Seq("__db"))
+    BatchStore.commitIntMeta(spark, root, "_dbuckets", "domain-buckets",
+      buckets)
+    folded
   }
 
   /** [[stripRepeatedLines]] with the line statistics summed from the

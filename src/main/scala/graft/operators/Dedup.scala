@@ -811,9 +811,13 @@ object Dedup {
     }
     if (committed(keptRoot)) return // replayed epoch: already committed
     // pin: the slice feeds the verdict join, the keeper window, and
-    // both commits
+    // both commits. Released in the finally — a failure between the
+    // pin and the kept append (e.g. a racing batch-id require in
+    // BatchStore.append) must not leak one pinned slice per failed
+    // epoch in a long-running stream.
     val hashed = batch
       .withColumn("__chash", md5(col(textCol))).localCheckpoint()
+    try {
     val vsStore =
       if (!hasBatches(sigRoot)) hashed
       else {
@@ -835,7 +839,7 @@ object Dedup {
       writeSignatureStore(admitted, idCol, textCol, k, shingleN,
         sigRoot, batchId)
     BatchStore.append(admitted, keptRoot, batchId)
-    Checkpoints.releasePinned(hashed)
+    } finally Checkpoints.releasePinned(hashed)
   }
 
   /** [[nearDupAdmitSlice]] as a `foreachBatch` sink — batch id =

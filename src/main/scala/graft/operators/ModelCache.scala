@@ -30,27 +30,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class ModelCache {
 
-  private final case class Entry(fingerprint: Set[(String, Long)],
+  private final case class Entry(fingerprint: Set[(String, Long, Long, Long, Long)],
       frame: DataFrame)
   private val entries =
     scala.collection.mutable.HashMap.empty[(String, String), Entry]
 
   /** The store's committed-batch identity: dir names + mtimes (the
-    * [[BatchStore]] commit rename stamps the mtime). Tombstone batches
-    * ride the same guard — a masked serve cached here must invalidate
-    * on a new tombstone, and `.tombstones/batch=` dirs are listed by
-    * the recursive walk. */
+    * [[BatchStore]] commit rename stamps the mtime) PLUS each batch
+    * dir's content summary — file count, total length, max file
+    * mtime. The dir mtime alone is not enough everywhere: object
+    * stores (S3A) report synthetic mtimes for directory entries, and
+    * coarse-granularity filesystems can land a delete-and-recreate of
+    * the same batch id within one mtime tick — the file-level summary
+    * catches both (a recreated batch has different file lengths/
+    * mtimes/counts unless it is byte- and timestamp-identical, in
+    * which case serving the cached frame is correct anyway).
+    * Tombstone batches ride the same guard — a masked serve cached
+    * here must invalidate on a new tombstone, and
+    * `.tombstones/batch=` dirs are listed by the recursive walk. */
   private def fingerprint(spark: SparkSession,
-      root: String): Set[(String, Long)] = {
+      root: String): Set[(String, Long, Long, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    def batchDirs(dir: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
+    def contentSummary(dir: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
+      var n = 0L; var bytes = 0L; var maxM = 0L
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val f = it.next()
+        n += 1; bytes += f.getLen
+        if (f.getModificationTime > maxM) maxM = f.getModificationTime
+      }
+      (n, bytes, maxM)
+    }
+    def batchDirs(
+        dir: org.apache.hadoop.fs.Path): Seq[(String, Long, Long, Long, Long)] =
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq.flatMap { st =>
         val n = st.getPath.getName
-        if (st.isDirectory && n.startsWith("batch="))
-          Seq((s"${dir.getName}/$n", st.getModificationTime))
-        else Seq.empty
+        if (st.isDirectory && n.startsWith("batch=")) {
+          val (files, bytes, maxM) = contentSummary(st.getPath)
+          Seq((s"${dir.getName}/$n", st.getModificationTime, files, bytes,
+            maxM))
+        } else Seq.empty
       }
     (batchDirs(p) ++
       batchDirs(new org.apache.hadoop.fs.Path(root, ".tombstones"))).toSet
