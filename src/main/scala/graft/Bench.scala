@@ -266,7 +266,15 @@ object Bench {
     // q238 streams the corpus through the exactly-once near-dup
     // admission sink — per-epoch incrementalDedupFromStore (broadcast
     // batch side) + the admitted signatures' append, like q142/q221
-    "q238_neardup_admission_streamed")
+    "q238_neardup_admission_streamed",
+    // round-17 tail: q239 lands the history as nine banded store
+    // batches (each append also commits its Bloom sidecars) and
+    // serves the day's verdicts through the sidecar-pruned scan —
+    // corpus-sized store writes dominate, like q188/q216
+    "q239_bloom_pruned_dedup",
+    // q240 builds + fully PCM-decodes one fixture WAV per document —
+    // map-side, sf-scaled via the documents id set like q218
+    "q240_wav_pcm_decode")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:
@@ -296,7 +304,10 @@ object Bench {
     // q237 is q220 over the complete 14-kind registry
     "q237_forget_full_registry",
     // q238 is three streamed epochs of store signing + verdicts
-    "q238_neardup_admission_streamed")
+    "q238_neardup_admission_streamed",
+    // q239 is nine store appends (each with its Bloom sidecars) + the
+    // pruned serve — a full store lifecycle like q188
+    "q239_bloom_pruned_dedup")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -401,6 +412,51 @@ object Bench {
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] local artifact write failed: ${e.getMessage}")
     }
+  }
+
+  /** Diff the warmup pass's plan fingerprints against the committed
+    * snapshot (`bench/plans.json`) and — on full runs — rewrite the
+    * snapshot for the next round. Returns the queries whose NORMALIZED
+    * physical plan changed vs the prior snapshot (new queries are
+    * additions, not changes; a snapshot taken at a different sf is
+    * ignored — broadcast thresholds legitimately flip plans across
+    * scale factors). Quick runs diff but never rewrite: they skip
+    * queries, and a partial snapshot would erase the skipped entries
+    * from the next round's prior. */
+  private def diffPlanSnapshot(sfDir: String, current: Map[String, String],
+      quick: Boolean): Seq[String] = {
+    val f = new java.io.File(new java.io.File(repoRoot, "bench"),
+      "plans.json")
+    val sfName = new java.io.File(sfDir).getName
+    val prior: Map[String, String] =
+      if (!f.isFile) Map.empty
+      else try {
+        import org.json4s._
+        val json = org.json4s.jackson.JsonMethods.parse(
+          scala.io.Source.fromFile(f).mkString)
+        if ((json \ "sf") != JString(sfName)) Map.empty
+        else json \ "plans" match {
+          case JObject(fields) =>
+            fields.collect { case (n, JString(h)) => n -> h }.toMap
+          case _ => Map.empty
+        }
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val changed = current.keys.toSeq.sorted
+      .filter(n => prior.get(n).exists(_ != current(n)))
+    if (!quick) {
+      try {
+        f.getParentFile.mkdirs()
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try w.println("{\"sf\":\"" + sfName + "\",\"plans\":{" +
+          current.toSeq.sortBy(_._1)
+            .map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }
+            .mkString(",") + "}}")
+        finally w.close()
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] plan snapshot write failed: ${e.getMessage}")
+      }
+    }
+    changed
   }
 
   /** Prior-round per-query medians for the delta gate. Candidate order:
@@ -532,13 +588,30 @@ object Bench {
     // untimed pass) so measured times reflect the engine, not
     // first-call JIT + planner warmup. A warmup failure is logged, not
     // swallowed — it would otherwise skew only the first timed run and
-    // mask a warmup-only regression.
+    // mask a warmup-only regression. The warmup pass also captures
+    // each query's normalized PLAN FINGERPRINT ([[PlanFingerprint]]):
+    // the artifact's machine-checked "did the plan change" signal,
+    // diffed against the committed prior snapshot below.
+    val planHashes =
+      scala.collection.mutable.LinkedHashMap.empty[String, String]
     items.foreach { case (n, fn) =>
-      try fn()
+      try {
+        SparkEntry.queries.get(n) match {
+          case Some(q) =>
+            val df = q(spark, sfDir)
+            try planHashes += n -> PlanFingerprint.hash(df)
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] plan hash $n failed: ${e.getMessage}")
+            }
+            df.count()
+          case None => fn()
+        }
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
       }
     }
+    val planChanges = diffPlanSnapshot(sfDir, planHashes.toMap, quick)
 
     val loadBefore = loadAvg()
     val gcBefore = gcMs()
@@ -659,7 +732,9 @@ object Bench {
     val failed = errors.nonEmpty
     val headlineValue = if (failed) -1.0 else total
     val mode = if (quick) "quick" else "full"
-    val line = s"""{"metric":"total","value":$headlineValue,"unit":"sec","mode":"$mode","failed":$failed,"partial_total":$total,"total_excludes":$excludesJson,"queries":$qJson,"errors":$errJson,"runs":$runsJson,"runs_per_query":$runsPerQuery,"stat":"median","delta_gate":$deltaJson,"loadavg_before":${numArr(loadBefore)},"loadavg_after":${numArr(loadAfter)},"gc_ms":$gcDelta,"sf":"$sfDir"}"""
+    val planChangesJson =
+      planChanges.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$headlineValue,"unit":"sec","mode":"$mode","failed":$failed,"partial_total":$total,"total_excludes":$excludesJson,"queries":$qJson,"errors":$errJson,"runs":$runsJson,"runs_per_query":$runsPerQuery,"stat":"median","delta_gate":$deltaJson,"plan_changes":$planChangesJson,"plans_hashed":${planHashes.size},"loadavg_before":${numArr(loadBefore)},"loadavg_after":${numArr(loadAfter)},"gc_ms":$gcDelta,"sf":"$sfDir"}"""
     writeLocalArtifact(line, quick)
     println(line)
     // The driver keeps only the LAST 2000 chars of stdout and parses a
@@ -675,7 +750,7 @@ object Bench {
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${if (failed) "-1.0" else fmt(total)},"unit":"sec","failed":$failed,"partial_total":${fmt(total)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"slowest":$slowest,"stat":"median","gc_ms":$gcDelta,"full_artifact":"${if (quick) "bench/local_quick.json" else s"bench/local_r$currentRound.json"}","mode":"$mode","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${if (failed) "-1.0" else fmt(total)},"unit":"sec","failed":$failed,"partial_total":${fmt(total)},"n_queries":${results.size},"n_errors":${errors.size},"errors":$errCompact,"slowest":$slowest,"stat":"median","gc_ms":$gcDelta,"plan_changes":${planChanges.size},"full_artifact":"${if (quick) "bench/local_quick.json" else s"bench/local_r$currentRound.json"}","mode":"$mode","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

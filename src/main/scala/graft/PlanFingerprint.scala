@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Normalized physical-plan digest per gated query — the
+  * machine-checked "no plan change" signal the bench artifact carries.
+  * The box's same-code run-to-run timing breathes 0.98–1.10× with
+  * single-query spikes to 3×, which exceeds the movement a real plan
+  * regression produces on sub-second gates — so round-over-round
+  * triage needs a signal that is NOISE-FREE: the physical plan string,
+  * normalized (expression ids, temp paths, UUIDs, RDD ids stripped)
+  * and hashed. A mover whose plan hash is unchanged is load/GC noise
+  * by construction; a changed hash names exactly the queries whose
+  * shape moved and must be explained in the round notes.
+  *
+  * Scope, honestly: queries whose gate ends in `localCheckpoint()`
+  * (the temp-store lifecycle gates) hash a `Scan ExistingRDD` tail —
+  * their internal store plans are pinned by PlanSpec/MetricsSpec
+  * instead, and this digest still catches changes in everything
+  * around the checkpoint. The digest is computed pre-execution
+  * (AQE's initial plan): deterministic for fixed code + testdata. */
+object PlanFingerprint {
+
+  private[graft] def normalize(plan: String): String = plan
+    // expression ids and plan ids differ per session, not per shape
+    .replaceAll("#\\d+[L]?", "#")
+    .replaceAll("plan_id=\\d+", "plan_id=")
+    .replaceAll("exprId=\\d+", "exprId=")
+    // cached/checkpointed RDD ids and names
+    .replaceAll("RDD\\[\\d+\\]", "RDD[]")
+    .replaceAll("rdd_\\d+_\\d+", "rdd_")
+    // temp dirs, store roots, scheme'd paths, UUID dir components
+    .replaceAll(
+      "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{12}", "<uuid>")
+    .replaceAll("(file|hdfs|s3a?)://?[^\\s,\\)\\]]*", "<path>")
+    .replaceAll("/tmp/[^\\s,\\)\\]]*", "<path>")
+    .replaceAll("Location: \\S+ \\[[^\\]]*\\]", "Location: <loc>")
+    .replaceAll("\\d+ paths", "<n> paths")
+
+  /** Digest of `df`'s normalized physical plan (pre-execution). */
+  def hash(df: DataFrame): String = {
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(normalize(plan).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+}

@@ -281,10 +281,38 @@ object Boilerplate {
       .select(col(domainCol), col("__lh"), col("cnt").as("df"))
   }
 
+  /** Below EITHER threshold the serve skips the pruning machinery
+    * entirely (no bucket-collect job, no partition filter, no
+    * broadcast semi-join — one flat aggregate): measured at gate
+    * scale the layout's serve constants exceeded what pruning saves
+    * (q216 ran 1.7× its flat time on a 3-small-batch store), and the
+    * flat serve is value-identical by construction. Both checks are
+    * listing-cheap: the byte walk only runs when the batch count is
+    * already below its threshold. */
+  private val MinBatchesForDomainPrune: Int = 4
+  private val MinBytesForDomainPrune: Long = 256L << 20
+
+  private def smallStore(fs: org.apache.hadoop.fs.FileSystem,
+      root: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) return true
+    val batches = fs.listStatus(p).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+    batches.length < MinBatchesForDomainPrune &&
+      batches.map(st => fs.getContentSummary(st.getPath).getLength)
+        .sum < MinBytesForDomainPrune
+  }
+
   def stripRepeatedLinesFromStore(spark: SparkSession, root: String,
       docs: DataFrame, idCol: String, domainCol: String, textCol: String,
       minDf: Long): DataFrame = {
     require(minDf >= 2, s"need minDf >= 2, got $minDf")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (smallStore(fs, root))
+      return stripAgainst(docs,
+        repeatedLinesFromStore(spark, root, domainCol, minDf),
+        idCol, domainCol, textCol)
     val domains = docs.select(col(domainCol)).distinct()
     val pruned = storedDomainBuckets(spark, root) match {
       case Some(n) =>

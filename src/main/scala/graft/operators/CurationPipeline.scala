@@ -128,12 +128,17 @@ object CurationPipeline {
     // signature store contributes ~zero shuffle bytes per epoch at
     // ANY history depth (MetricsSpec pins it measured; the naive
     // `store.distinct()` anti-join this replaced shuffled the whole
-    // history's digests every micro-batch)
+    // history's digests every micro-batch). The digest SCAN is
+    // Bloom-pruned too ([[Dedup.storeDigestsPruned]]): only the
+    // strictly-prior batches whose sidecar sketch might contain one
+    // of the slice's digests are read, so per-epoch store input
+    // scales with the slice's collisions, not corpus age (the last
+    // history-proportional term in this stage).
     val vsStore =
       if (!hasBatches(spark, st.signatures)) hashed
       else {
-        val matched = Dedup.readSignatureStore(spark, st.signatures)
-          .filter(col("batch") < batchId)
+        val matched = Dedup.storeDigestsPruned(spark, st.signatures,
+            hashed.select(col("__chash")), beforeBatch = Some(batchId))
           .select(col("chash").as("__chash"))
           .join(broadcast(hashed.select(col("__chash")).distinct()),
             Seq("__chash"))
@@ -278,6 +283,36 @@ object CurationPipeline {
   def purgeLedger(spark: SparkSession, root: String, idCol: String,
       newBatchId: Long): Int =
     Tombstones.purge(spark, root, idCol, newBatchId)
+
+  /** RETENTION for the disposition ledger: physically drop every
+    * ledger batch with id < `cutoffBatchId`. The ledger is the one
+    * store in the DAG that grows UNBOUNDED BY DESIGN — one row per
+    * input doc per epoch, forever (~18 GB/year per daily 10M-doc
+    * slice at the measured ~5 B/row parquet) — and the only store
+    * nothing
+    * recomputes from: the funnel is a dashboard over a recent window,
+    * dedup reads signatures, rebuilds read the kept store. So its
+    * maintenance is retention, not compaction: a year-long run keeps
+    * a sliding audit window (e.g. 90 epochs) and drops the tail.
+    * Epoch batch dirs are the retention unit — each deleted whole, so
+    * a retained batch's funnel rows are always complete. Tombstone
+    * batches are NOT touched: they mask future serves of ids that may
+    * still appear in RETAINED epochs (and ride their own [[Tombstones
+    * .purge]] lifecycle). Single maintainer, like every store
+    * maintenance op. Returns the batch dirs removed. */
+  def retireLedgerBefore(spark: SparkSession, root: String,
+      cutoffBatchId: Long): Int = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      val drop = st.isDirectory && n.startsWith("batch=") &&
+        n.stripPrefix("batch=").toLong < cutoffBatchId
+      if (drop) fs.delete(st.getPath, true)
+      drop
+    }
+  }
 
   /** The RETENTION FUNNEL over a disposition ledger read ([[Stores
     * .ledger]] via [[readLedger]]): per (batch, stage) — docs exiting

@@ -329,10 +329,45 @@ object Dedup {
     * on the existing dir instead of duplicating signatures. */
   def writeSignatureStore(df: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int, root: String, batchId: Long,
-      stagingDir: Option[String] = None): Unit =
+      stagingDir: Option[String] = None): Unit = {
     BatchStore.append(
       dedupSignatures(df, idCol, textCol, k, shingleN, stagingDir),
       root, batchId)
+    // sidecar AFTER the batch commit: a crash in between leaves a
+    // committed batch that is simply always scanned (sound); the
+    // sketches themselves cost two delta-sized aggregations
+    writeBatchBloom(df.sparkSession, root, batchId)
+  }
+
+  /** [[writeSignatureStore]] for a store whose near-dup serves are
+    * Bloom-pruned too: pins the band scheme (`_bands` write-once
+    * meta — the [[BatchStore.ensureIntMeta]] discipline; band keys
+    * are a function of `bands`, so a sidecar built at one banding is
+    * meaningless at another) and writes band-key sketches beside the
+    * digest sketches. Serves requesting a DIFFERENT banding fall back
+    * to the flat near-scan (sound), so the pin constrains pruning,
+    * never correctness. */
+  def writeSignatureStoreBanded(df: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleN: Int, bands: Int, root: String,
+      batchId: Long, stagingDir: Option[String] = None): Unit = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val spark = df.sparkSession
+    // a pre-sidecar LEGACY store (batches, no pin) keeps accepting
+    // appends — it just never gets band sidecars, so near serves scan
+    // flat (sound); pinning mid-history would stamp a banding the
+    // older sidecars never saw
+    val legacy =
+      BatchStore.readIntMetaOpt(spark, root, "_bands", "bands").isEmpty && {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.exists(p) && fs.listStatus(p).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch="))
+      }
+    if (!legacy)
+      BatchStore.ensureIntMeta(spark, root, "_bands", "bands", bands)
+    writeSignatureStore(df, idCol, textCol, k, shingleN, root, batchId,
+      stagingDir)
+  }
 
   /** Read the whole signature store (all committed batches). The
     * `batch` partition column rides along for auditing; the dedup
@@ -380,6 +415,232 @@ object Dedup {
   def vacuumSignatureStaging(spark: org.apache.spark.sql.SparkSession,
       root: String): Int =
     BatchStore.vacuumStaging(spark, root)
+
+  // ------------- per-batch Bloom sidecars: history-flat store serves
+
+  /** Sidecar false-positive rate: cost-only (a false positive scans
+    * one extra batch dir and the exact joins drop it), never
+    * correctness. Sized PER SERVE, not per probe: a serve tests the
+    * whole delta against every batch's sketch, so the per-batch clean
+    * probability is (1-fpp)^|delta| — at the classic 0.01 a 500-doc
+    * delta false-positives on essentially EVERY batch (0.99^500 ≈
+    * 0.7% clean) and the pruning silently degrades to a flat scan.
+    * 1e-8 keeps the expected false scans ≤ ~0.01 per batch even for
+    * million-doc deltas, at ~4.8 bytes/element sidecars (a 10M-doc
+    * production delta sketches at ~48 MB — read distributed, never
+    * broadcast). */
+  private val BloomFpp: Double = 1e-8
+  private val BloomMagic: Int = 0x424c4d31 // "BLM1"
+
+  /** Minimum committed batches before a Bloom-pruned serve pays for
+    * its probe job — below this, scan flat (the line-df-store lesson:
+    * layout constants can exceed what pruning saves on a small
+    * store). */
+  private[graft] val MinBatchesForBloomPrune: Int = 4
+
+  private def bloomPath(root: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(root, s"_bloom/batch=$batchId.bf")
+
+  /** Band-key probe strings over a signatures frame: `"<band>:<key>"`
+    * — the band index baked into the string so ONE Bloom covers every
+    * band's keys. Key text matches the candidate join's
+    * `concat_ws("_", mh…)` exactly; only rows that can near-dup
+    * (non-null signature) contribute. */
+  private[graft] def bandKeyStrings(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val arr = array((0 until bands).map { b =>
+      concat_ws(":", lit(b),
+        concat_ws("_", (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}")): _*))
+    }: _*)
+    sigs.filter(col("mh0").isNotNull).select(explode(arr).as("bkey"))
+  }
+
+  /** Write the Bloom sidecar for a COMMITTED signature batch: a
+    * content-digest Bloom always, plus a band-key Bloom when the
+    * store is band-pinned (`_bands` meta — [[writeSignatureStoreBanded]]).
+    * Read back from the committed dir so the sketch reflects exactly
+    * what readers will scan; staged dot-file + rename. The sidecar is
+    * an OPTIMIZATION commit, not a correctness one: a batch without
+    * one (pre-sidecar legacy, crash between batch commit and sidecar
+    * rename, an unknown format version) is always scanned by the
+    * pruned serves, and erasure/purge leave a stale-superset sketch —
+    * extra scans, never missed duplicates. Cost: one count + one
+    * Bloom aggregation per sketch over the DELTA (never history). */
+  private def writeBatchBloom(spark: org.apache.spark.sql.SparkSession,
+      root: String, batchId: Long): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dirPath)) return
+    val bandsOpt = BatchStore.readIntMetaOpt(spark, root, "_bands", "bands")
+    val b = spark.read.parquet(dirPath.toString)
+    val k = b.columns.count(_.matches("mh\\d+"))
+    val n = math.max(b.count(), 64L)
+    val dig = b.filter(col("chash").isNotNull)
+      .stat.bloomFilter("chash", n, BloomFpp)
+    val band = bandsOpt.filter(bands => k > 0 && k % bands == 0).map { bands =>
+      bandKeyStrings(b, k, bands).stat
+        .bloomFilter("bkey", math.max(n * bands, 64L), BloomFpp)
+    }
+    val p = bloomPath(root, batchId)
+    fs.mkdirs(p.getParent)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".batch=$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try {
+      val dos = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(out))
+      dos.writeInt(BloomMagic)
+      dos.writeInt(band.size)
+      // LENGTH-PREFIXED frames: BloomFilter.readFrom(InputStream)
+      // buffers the whole remaining stream, so back-to-back writeTo
+      // frames are unreadable — each sketch rides its own byte frame
+      def frame(bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
+        val buf = new java.io.ByteArrayOutputStream()
+        bf.writeTo(buf)
+        dos.writeInt(buf.size())
+        buf.writeTo(dos)
+      }
+      frame(dig)
+      band.foreach(frame)
+      dos.flush()
+    } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"bloom sidecar rename $tmp -> $p failed")
+  }
+
+  /** Re-derive missing sidecars and drop dangling ones — the
+    * maintenance hook after [[compactSignatureStore]] (the merged
+    * batch needs a fresh sketch, the replaced batches' sketches must
+    * go) and the one-shot migration for a pre-sidecar store. Returns
+    * the number of sidecars written. */
+  def refreshSignatureBlooms(spark: org.apache.spark.sql.SparkSession,
+      root: String): Int = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return 0
+    val ids = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).toSet
+    val bloomDir = new org.apache.hadoop.fs.Path(root, "_bloom")
+    if (fs.exists(bloomDir))
+      fs.listStatus(bloomDir).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("batch=") && n.endsWith(".bf") &&
+            !ids.contains(n.stripPrefix("batch=").stripSuffix(".bf").toLong)
+        }
+        .foreach(st => fs.delete(st.getPath, false))
+    val missing = ids.toSeq.sorted
+      .filterNot(id => fs.exists(bloomPath(root, id)))
+    missing.foreach(id => writeBatchBloom(spark, root, id))
+    missing.size
+  }
+
+  /** Committed batch ids (strictly before `beforeBatch` when set)
+    * whose sidecar Bloom MIGHT contain any probe — plus every batch
+    * without a usable sidecar (always scanned: sound). `None` = don't
+    * prune (store below [[MinBatchesForBloomPrune]], or no sidecars
+    * at all) — the caller scans flat and pays zero probe jobs.
+    *
+    * Scale shape: one delta-sized probe collect (the incremental
+    * contract's broadcast side, reused here), then ONE job over the
+    * sidecar FILES — executors read the sketches themselves
+    * (`binaryFiles`, no driver-side 4 GB of Blooms at a year of
+    * batches) and early-exit per batch on the first probe hit. Serve
+    * input records then scale with the batches that can match the
+    * delta, not with history depth. */
+  private[graft] def bloomHitBatchIds(spark: org.apache.spark.sql.SparkSession,
+      root: String, probes: DataFrame, band: Boolean,
+      beforeBatch: Option[Long]): Option[Seq[Long]] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return None
+    val ids = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(id => beforeBatch.forall(id < _))
+    if (ids.size < MinBatchesForBloomPrune) return None
+    val withSidecar = ids.filter(id => fs.exists(bloomPath(root, id))).toSet
+    if (withSidecar.isEmpty) return None
+    val noSidecar = ids.filterNot(withSidecar)
+    val probeArr = probes.na.drop().distinct().collect().map(_.getString(0))
+    if (probeArr.isEmpty) return Some(noSidecar.sorted)
+    val bc = spark.sparkContext.broadcast(probeArr)
+    val wantBand = band
+    val wanted = withSidecar
+    val bloomGlob =
+      new org.apache.hadoop.fs.Path(root, "_bloom").toString + "/batch=*.bf"
+    val hits = spark.sparkContext.binaryFiles(bloomGlob)
+      .flatMap { case (path, pds) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val id = name.stripPrefix("batch=").stripSuffix(".bf").toLong
+        if (!wanted.contains(id)) None
+        else {
+          val in = new java.io.DataInputStream(pds.open())
+          val mightMatch =
+            try {
+              if (in.readInt() != BloomMagic) true // unknown format: scan
+              else {
+                val nBand = in.readInt()
+                def readFramed(): org.apache.spark.util.sketch.BloomFilter = {
+                  val bytes = new Array[Byte](in.readInt())
+                  in.readFully(bytes)
+                  org.apache.spark.util.sketch.BloomFilter.readFrom(
+                    new java.io.ByteArrayInputStream(bytes))
+                }
+                val bf =
+                  if (!wantBand) Some(readFramed())
+                  else if (nBand >= 1) { readFramed(); Some(readFramed()) }
+                  else None // digest-only sidecar can't band-prune: scan
+                bf.forall(f => bc.value.exists(f.mightContainString))
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => true // corrupt: scan
+            } finally in.close()
+          if (mightMatch) Some(id) else None
+        }
+      }.collect().toSeq
+    Some((hits ++ noSidecar).distinct.sorted)
+  }
+
+  /** The store pruned to `ids` batches at the DIRECTORY level —
+    * `batch` is a partition column, hit at its DISCOVERED type (small
+    * ids infer int; a long literal would wrap the column in a cast
+    * and forfeit the pruning). */
+  private def readBatchesPruned(spark: org.apache.spark.sql.SparkSession,
+      root: String, ids: Seq[Long]): DataFrame = {
+    val st = spark.read.parquet(root)
+    if (ids.isEmpty) st.filter(lit(false))
+    else {
+      val lits: Seq[Any] = st.schema("batch").dataType match {
+        case org.apache.spark.sql.types.IntegerType => ids.map(_.toInt)
+        case _ => ids
+      }
+      st.filter(col("batch").isin(lits: _*))
+    }
+  }
+
+  /** The signature store's digest column (`chash`), Bloom-pruned to
+    * the committed batches that might contain any of `digests` (one
+    * string column; `beforeBatch` = the strictly-prior epoch cut).
+    * THE streamed-curation dedup read: per-epoch store input scales
+    * with the batches the slice can actually collide with, not with
+    * corpus age. Falls back to the flat scan when the store is small
+    * or sidecar-less — identical values either way (the sketch has no
+    * false negatives). */
+  def storeDigestsPruned(spark: org.apache.spark.sql.SparkSession,
+      root: String, digests: DataFrame,
+      beforeBatch: Option[Long] = None): DataFrame = {
+    val probe = digests.toDF("chash")
+    val raw = bloomHitBatchIds(spark, root, probe, band = false, beforeBatch)
+      match {
+        case Some(ids) => readBatchesPruned(spark, root, ids)
+        case None => spark.read.parquet(root)
+      }
+    beforeBatch.map(b => raw.filter(col("batch") < b)).getOrElse(raw)
+      .select(col("chash"))
+  }
 
   /** Compact the signature store: merge every committed `batch=` dir
     * into ONE new batch and delete the originals — the maintenance a
@@ -435,11 +696,14 @@ object Dedup {
     * lands in (Round10Spec plants one there). */
   private[graft] def compactSignatureStore(
       spark: org.apache.spark.sql.SparkSession, root: String,
-      idCol: String, newBatchId: Long, onBeforeCommit: () => Unit): Int =
+      idCol: String, newBatchId: Long, onBeforeCommit: () => Unit): Int = {
     // the shared [[BatchStore.compact]] skeleton (stage-and-rename,
     // id-invariant re-list); only the content-conflict semantics are
-    // this store's own
-    BatchStore.compact(spark, root, newBatchId, merged => {
+    // this store's own. Sidecars refresh AFTER the compaction: the
+    // replaced batches' sketches are dropped and the merged batch gets
+    // a fresh one — a crash in between leaves the merged batch
+    // sidecar-less (always scanned, sound) until the next refresh.
+    val replaced = BatchStore.compact(spark, root, newBatchId, merged => {
       val m = merged.dropDuplicates(idCol, "chash")
       val conflicts = m.groupBy(col(idCol))
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
@@ -452,6 +716,9 @@ object Dedup {
           "before compacting")
       m
     }, onBeforeCommit)
+    refreshSignatureBlooms(spark, root)
+    replaced
+  }
 
   /** Incremental (cross-corpus) dedup: flag each NEW-batch document
     * that duplicates the HISTORY — exact (content md5) or near
@@ -512,15 +779,80 @@ object Dedup {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     (Seq(idCol, "chash", "hs") ++ (0 until k).map(j => s"mh$j")).foreach(c =>
       require(store.columns.contains(c), s"store is missing column $c — not a dedupSignatures(k=$k) frame"))
+    incrementalVerdicts(store, store, batch,
+      withShingleSignatures(batch, idCol, textCol, k, shingleN),
+      idCol, textCol, k, bands, threshold)
+  }
+
+  /** [[incrementalDedupFromStore]] served from the store's ROOT with
+    * the per-batch Bloom-sidecar pruning: the exact pass scans only
+    * the batch dirs whose digest sketch might contain one of the
+    * delta's digests, and the near pass only the dirs whose band-key
+    * sketch might collide with the delta's bands (store written via
+    * [[writeSignatureStoreBanded]]; a banding mismatch or missing
+    * sidecars fall back to the flat scan — values identical either
+    * way, the sketches have no false negatives). This deletes the
+    * last history-proportional term in the daily-refresh serve: the
+    * flat path's per-epoch store SCAN grew with corpus age even
+    * though it never shuffled; here scanned input scales with the
+    * batches the delta can actually collide with.
+    *
+    * `beforeBatch` is the streamed-epoch cut (verdicts read strictly
+    * prior batches — the [[CurationPipeline]] crash-window
+    * discipline); `masked = true` applies the store's tombstones
+    * (the erasure-aware read, [[deleteFromSignatureStore]]). */
+  def incrementalDedupFromStoreAt(spark: org.apache.spark.sql.SparkSession,
+      root: String, batch: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int, bands: Int, threshold: Double,
+      beforeBatch: Option[Long] = None, masked: Boolean = false,
+      stagingDir: Option[String] = None): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val bSigs = withShingleSignatures(batch, idCol, textCol, k, shingleN,
+      stagingDir)
+    def base(hits: Option[Seq[Long]]): DataFrame = {
+      val raw = hits match {
+        case Some(ids) => readBatchesPruned(spark, root, ids)
+        case None => spark.read.parquet(root)
+      }
+      val cut = beforeBatch.map(b => raw.filter(col("batch") < b))
+        .getOrElse(raw)
+      if (masked) Tombstones(spark, root, cut, idCol) else cut
+    }
+    val exactStore = base(bloomHitBatchIds(spark, root,
+      batch.select(md5(col(textCol)).as("chash")), band = false,
+      beforeBatch))
+    // band pruning only under the pinned banding the sidecars were
+    // built with — any other banding scans the near side flat
+    val nearStore = base(
+      if (BatchStore.readIntMetaOpt(spark, root, "_bands", "bands")
+          .contains(bands))
+        bloomHitBatchIds(spark, root, bandKeyStrings(bSigs, k, bands),
+          band = true, beforeBatch)
+      else None)
+    (Seq(idCol, "chash", "hs") ++ (0 until k).map(j => s"mh$j")).foreach(c =>
+      require(nearStore.columns.contains(c),
+        s"store is missing column $c — not a dedupSignatures(k=$k) store"))
+    incrementalVerdicts(exactStore, nearStore, batch, bSigs, idCol, textCol,
+      k, bands, threshold)
+  }
+
+  /** The incremental-verdict core over possibly DIFFERENTLY-PRUNED
+    * exact/near store frames (identical when serving an explicit
+    * frame): pruning moves scan bytes only — every join still
+    * broadcasts a batch-derived side and the history is never
+    * shuffled. */
+  private def incrementalVerdicts(exactStore: DataFrame,
+      nearStore: DataFrame, batch: DataFrame, bSigs: DataFrame,
+      idCol: String, textCol: String, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
     val rowsPerBand = k / bands
     val bDig = batch.select(col(idCol).as("bid"), md5(col(textCol)).as("chash"))
-    val exact = store.select(col("chash"))
+    val exact = exactStore.select(col("chash"))
       .join(broadcast(bDig), "chash")
       .select(col("bid")).distinct()
       .withColumn("is_exact_dup", lit(true))
 
-    val bSigs = withShingleSignatures(batch, idCol, textCol, k, shingleN)
-    val hSigs = store.filter(col("mh0").isNotNull)
+    val hSigs = nearStore.filter(col("mh0").isNotNull)
     def bandKeys(sigs: DataFrame, outId: String): DataFrame = {
       val arr = array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -821,10 +1153,13 @@ object Dedup {
     val vsStore =
       if (!hasBatches(sigRoot)) hashed
       else {
-        val clean = incrementalDedupFromStore(
-            readSignatureStore(spark, sigRoot)
-              .filter(col("batch") < batchId),
-            hashed, idCol, textCol, k, shingleN, bands, threshold)
+        // Bloom-pruned serve: exact + near passes each scan only the
+        // strictly-prior batches whose sidecar sketch might collide
+        // with THIS slice — per-epoch store input scales with the
+        // slice's collisions, not the admitted history's depth
+        val clean = incrementalDedupFromStoreAt(
+            spark, sigRoot, hashed, idCol, textCol, k, shingleN, bands,
+            threshold, beforeBatch = Some(batchId))
           .filter(!col("is_exact_dup") && col("n_near_dups") === 0)
           .select(col(idCol))
         hashed.join(clean, Seq(idCol))
@@ -836,8 +1171,8 @@ object Dedup {
       .filter(col(idCol) === col("__keep"))
       .drop("__chash", "__keep")
     if (!committed(sigRoot))
-      writeSignatureStore(admitted, idCol, textCol, k, shingleN,
-        sigRoot, batchId)
+      writeSignatureStoreBanded(admitted, idCol, textCol, k, shingleN,
+        bands, sigRoot, batchId)
     BatchStore.append(admitted, keptRoot, batchId)
     } finally Checkpoints.releasePinned(hashed)
   }

@@ -52,14 +52,21 @@ final class ModelCache {
       root: String): Set[(String, Long, Long, Long, Long)] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // plain listStatus walk, NOT fs.listFiles(dir, recursive): the
+    // located-status iterator computes per-file block locations, which
+    // on the checksummed local filesystem costs ~ms per entry — a
+    // 50-batch bucketed store turned every cache HIT into seconds
     def contentSummary(dir: org.apache.hadoop.fs.Path): (Long, Long, Long) = {
       var n = 0L; var bytes = 0L; var maxM = 0L
-      val it = fs.listFiles(dir, true)
-      while (it.hasNext) {
-        val f = it.next()
-        n += 1; bytes += f.getLen
-        if (f.getModificationTime > maxM) maxM = f.getModificationTime
-      }
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(d).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else {
+            n += 1; bytes += st.getLen
+            if (st.getModificationTime > maxM) maxM = st.getModificationTime
+          }
+        }
+      walk(dir)
       (n, bytes, maxM)
     }
     def batchDirs(

@@ -179,6 +179,94 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Decoded PCM sample statistics: everything integer-exact so a SQL
+    * oracle recomputes them from the generating parameters —
+    * `n_samples` counts samples across channels, `peak` =
+    * max |amplitude|, `clipped` = samples pinned at the type's rails,
+    * `sum_abs`/`sum_sq` are the fixed-point loudness aggregates
+    * (RMS² = sum_sq / n — left as the exact integer numerator; the
+    * caller takes the root if it wants dB). */
+  final case class WavPcm(sample_rate: Int, channels: Int, bits: Int,
+      n_samples: Long, peak: Long, clipped: Long, sum_abs: Long,
+      sum_sq: Long)
+
+  /** REAL WAV PCM decode — the one a/v codec whose "decode" is the
+    * container's own byte layout (integer PCM behind the RIFF header
+    * [[tryDecodeWav]] already walks), so it ships decoded for real
+    * with zero dependencies; MP3/MP4 payload decode stays the honest
+    * stub ([[decodeStub]]). Same untrusted-input discipline as every
+    * probe: bounds-checked reads, declared sizes clamped to the
+    * payload, structural violations → None. Supports format 1 (integer
+    * PCM) at 8 (unsigned, rebased to signed around 128), 16, 24 and
+    * 32 bits (signed little-endian); trailing bytes short of one full
+    * sample are ignored. Overflow honesty: `sum_sq` is exact in a
+    * Long for ≥16-bit audio up to ~10⁹ samples per file (hours at
+    * 48 kHz) — beyond that, window the file upstream. */
+  def decodeWavPcm(bytes: Array[Byte]): Option[WavPcm] =
+    try {
+      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+        None
+      else {
+        var i = 12
+        var fmt: Option[(Int, Int, Int)] = None // (rate, ch, bits)
+        var pcm = false
+        var dataOff = -1
+        var dataLen = -1L
+        while (i + 8 <= bytes.length && (fmt.isEmpty || dataOff < 0)) {
+          val id = tag(bytes, i)
+          val size = u32le(bytes, i + 4)
+          val body = i + 8
+          if (id == "fmt " && size >= 16 && body + 16 <= bytes.length) {
+            val format = u16le(bytes, body)
+            val channels = u16le(bytes, body + 2)
+            val rate = u32le(bytes, body + 4)
+            val bits = u16le(bytes, body + 14)
+            pcm = format == 1
+            if (channels >= 1 && channels <= 64 &&
+                rate >= 1 && rate <= 10000000 &&
+                (bits == 8 || bits == 16 || bits == 24 || bits == 32))
+              fmt = Some((rate.toInt, channels, bits))
+          } else if (id == "data") {
+            dataOff = body
+            dataLen = math.min(size, (bytes.length - body).toLong)
+          }
+          i = body + size.toInt + (size.toInt & 1) // word-aligned chunks
+          if (size > Int.MaxValue - 16) i = bytes.length // malformed: stop
+        }
+        fmt.collect { case (rate, ch, bits) if pcm && dataOff >= 0 =>
+          val bytesPerSample = bits / 8
+          val n = dataLen / bytesPerSample
+          val (railLo, railHi) =
+            if (bits == 8) (-128L, 127L)
+            else (-(1L << (bits - 1)), (1L << (bits - 1)) - 1)
+          var peak = 0L; var clipped = 0L; var sumAbs = 0L; var sumSq = 0L
+          var s = 0L
+          while (s < n) {
+            val o = dataOff + (s * bytesPerSample).toInt
+            val amp: Long = bits match {
+              case 8 => (bytes(o) & 0xff).toLong - 128L
+              case 16 =>
+                (((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort).toLong
+              case 24 =>
+                val v = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+                  (bytes(o + 2) << 16)
+                v.toLong
+              case _ =>
+                ((bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+                  ((bytes(o + 2) & 0xffL) << 16) |
+                  (bytes(o + 3).toLong << 24))
+            }
+            val a = math.abs(amp)
+            if (a > peak) peak = a
+            if (amp == railLo || amp == railHi) clipped += 1
+            sumAbs += a; sumSq += amp * amp
+            s += 1
+          }
+          WavPcm(rate, ch, bits, n, peak, clipped, sumAbs, sumSq)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Parsed MP3 metadata: fields of the FIRST frame header plus a
     * whole-file frame walk — `frames` complete frames found,
     * `durationMs` from the accumulated per-frame sample counts
@@ -1391,7 +1479,10 @@ object Multimodal {
           case Some((w, h)) =>
             MediaFeatures(m.media_id, m.kind, n, width = w, height = h, frames = 1)
           case None =>
-            // ??? <- audio/video codec goes here; fake is deterministic in n:
+            // ??? <- COMPRESSED audio/video codecs (MP3/AAC/H.26x) go
+            // here; WAV's codec IS raw PCM and decodes for real via
+            // [[decodeWavPcm]] (q240) — the fake below covers only the
+            // codecs this container genuinely lacks, deterministic in n:
             MediaFeatures(m.media_id, m.kind, n,
               width = (n % 640).toInt, height = (n % 480).toInt,
               frames = if (m.kind == "video") (n % 30 + 1).toInt else 1)

@@ -765,6 +765,43 @@ object TextQueries {
   private val q134Sql = q128Sql
 
   // ---------------------------------------------------------------
+  // q239 — q134 THROUGH THE BLOOM-PRUNED STORE SERVE: the history's
+  // signatures land as NINE daily banded batches
+  // ([[graft.operators.Dedup.writeSignatureStoreBanded]] — each
+  // append also commits a content-digest + band-key Bloom sidecar),
+  // and the verdict runs [[graft.operators.Dedup
+  // .incrementalDedupFromStoreAt]], whose exact and near passes scan
+  // ONLY the batch dirs whose sidecar sketch might collide with the
+  // day's delta. Same oracle as q128/q134: sidecars have no false
+  // negatives, so the pruned serve is value-identical to the flat
+  // one — the layout moves scan bytes, never verdicts (Round17Spec
+  // pins the input-record reduction; the depth probe pins flatness
+  // across history). This is the piece that deletes the last
+  // history-proportional term in the daily-refresh serve: per-epoch
+  // store input scales with the delta's collisions, not corpus age.
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val coin = pmod(TextFunctions.hash60(col("doc_id").cast("string")),
+      lit(10L))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_q239_store").toString
+    (1 to 9).foreach { b =>
+      Dedup.writeSignatureStoreBanded(docs.filter(coin === b), "doc_id",
+        "text", k = 16, shingleN = 3, bands = 8, root = root,
+        batchId = b.toLong)
+    }
+    val out = Dedup.incrementalDedupFromStoreAt(s, root,
+        docs.filter(coin < 1), "doc_id", "text", k = 16, shingleN = 3,
+        bands = 8, threshold = 0.5)
+      .localCheckpoint()
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    out.orderBy(col("doc_id"))
+  }
+  private val q239Sql = q128Sql
+
+  // ---------------------------------------------------------------
   // q140 — canonical cluster survivors by QUALITY: the q59 near-dup
   // clusters re-adjudicated with the q26 quality score — each
   // multi-doc cluster keeps its highest-quality member (id ascending
@@ -3171,6 +3208,68 @@ object TextQueries {
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q240 — REAL WAV PCM decode ([[Multimodal.decodeWavPcm]]): the one
+  // a/v codec whose decode is the container's own byte layout, so it
+  // ships decoded for real with zero dependencies (MP3/MP4 payloads
+  // stay the documented stub). Fixture WAVs are BUILT in-query from
+  // per-document parameters (8-bit mono and 16-bit mono/stereo PCM,
+  // [[Multimodal.wavBytes]]'s deterministic `(i % 251)` data bytes),
+  // then the real decoder walks the RIFF chunks and decodes every
+  // sample — peak, clipped-at-rails count and the fixed-point
+  // loudness aggregates (sum |amp|, sum amp²) are integer-exact, so
+  // the oracle recomputes them arithmetically from the same
+  // generating formula. parse(build(p)) over the FULL payload, not
+  // just the header: a one-byte decode error shifts sum_sq and fails
+  // the hash.
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("tlen"))
+    params.as[(Long, Long)].map { case (id, tlen) =>
+      val bytes =
+        if (id % 5 == 0)
+          Multimodal.wavBytes(11025, 1, 8, (50 + tlen % 200).toInt)
+        else
+          Multimodal.wavBytes(8000, (1 + id % 2).toInt, 16,
+            (100 + tlen % 400).toInt)
+      val p = Multimodal.decodeWavPcm(bytes).getOrElse(
+        throw new IllegalStateException(s"fixture WAV $id failed to decode"))
+      (id, p.sample_rate, p.channels, p.bits, p.n_samples, p.peak,
+        p.clipped, p.sum_abs, p.sum_sq)
+    }.toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
+      "peak", "clipped", "sum_abs", "sum_sq")
+      .orderBy(col("doc_id"))
+  }
+  private val q240Sql =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS tlen FROM documents),
+      |p AS (
+      |  SELECT id, 11025 AS rate, 1 AS ch, 8 AS bits,
+      |      50 + tlen % 200 AS ns FROM d WHERE id % 5 = 0
+      |  UNION ALL
+      |  SELECT id, 8000, 1 + id % 2, 16,
+      |      (100 + tlen % 400) * (1 + id % 2) FROM d WHERE id % 5 <> 0),
+      |s AS (SELECT id, rate, ch, bits, ns, unnest(range(ns)) AS j FROM p),
+      |a AS (SELECT id, rate, ch, bits, ns,
+      |    CASE WHEN bits = 8 THEN (j % 251) - 128
+      |         WHEN ((2*j) % 251) + 256 * (((2*j)+1) % 251) >= 32768
+      |           THEN ((2*j) % 251) + 256 * (((2*j)+1) % 251) - 65536
+      |         ELSE ((2*j) % 251) + 256 * (((2*j)+1) % 251) END AS amp
+      |  FROM s)
+      |SELECT id AS doc_id, CAST(rate AS INTEGER) AS sample_rate,
+      |  CAST(ch AS INTEGER) AS channels, CAST(bits AS INTEGER) AS bits,
+      |  CAST(ns AS BIGINT) AS n_samples,
+      |  CAST(MAX(ABS(amp)) AS BIGINT) AS peak,
+      |  CAST(SUM(CASE WHEN (bits = 8 AND amp IN (-128, 127))
+      |      OR (bits = 16 AND amp IN (-32768, 32767))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS clipped,
+      |  CAST(SUM(ABS(amp)) AS BIGINT) AS sum_abs,
+      |  CAST(SUM(amp * amp) AS BIGINT) AS sum_sq
+      |FROM a GROUP BY id, rate, ch, bits, ns
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q111 — REAL pixel decode ([[Multimodal.imageStats]]): per-doc PNG
   // fixtures with closed-form channel ramps are ENCODED through the
   // JDK's real PNG writer in-query, then fully decoded back
@@ -4010,6 +4109,8 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q238_neardup_admission_streamed", q238, Some(q238Sql)),
+    QueryDef("q239_bloom_pruned_dedup", q239, Some(q239Sql)),
+    QueryDef("q240_wav_pcm_decode", q240, Some(q240Sql)),
     QueryDef("q230_hashed_retrieval", q230, Some(q230Sql)),
     QueryDef("q231_hashed_store", q231, Some(q231Sql)),
     QueryDef("q232_hashed_streamed", q232, Some(q232Sql)),

@@ -231,13 +231,17 @@ class MetricsSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_m16b").toString
     val root = new org.apache.hadoop.fs.Path(base, "ldf").toString
     try {
-      // 64 domains × 30 docs × 4 lines; the batch strips ONE domain
+      // 64 domains × 30 docs × 4 lines; the batch strips ONE domain.
+      // Four store batches: the serve skips the pruning machinery on
+      // smaller stores (the size-gated degrade), and this pin is the
+      // LARGE case — dir pruning must engage and be effective.
       val corpus = (0L until 1920L).map { i =>
         val d = s"d${i % 64}"
         (i, d, s"nav $d\nbody $i alpha\nbody $i beta\nfooter $d")
       }.toDF("doc_id", "domain", "text")
-      Boilerplate.writeLineDfStore(corpus, "doc_id", "domain", "text",
-        root, batchId = 1L)
+      (0L until 4L).foreach(b =>
+        Boilerplate.writeLineDfStore(corpus.filter(col("doc_id") % 4 === b),
+          "doc_id", "domain", "text", root, batchId = b + 1L))
       val storeRows = BatchStore.read(spark, root).count()
       val batch = corpus.filter(col("domain") === "d7")
       val (got, m) = Metrics.capture(spark) {

@@ -67,6 +67,169 @@ class Round17Spec extends AnyFunSuite {
     mc.releaseAll()
   }
 
+  test("PlanFingerprint: same query twice → same hash; different " +
+      "queries differ; session noise normalizes away") {
+    val sf = "/root/testdata/sf0.001"
+    def h(n: String) = PlanFingerprint.hash(
+      SparkEntry.queries(n)(spark, sf))
+    assert(h("q09_top20_ltv") == h("q09_top20_ltv"),
+      "re-planning the same query must fingerprint identically")
+    assert(h("q09_top20_ltv") != h("q01_global_agg"))
+    // the normalizer strips exactly the per-session noise: expression
+    // ids, temp paths, UUIDs, RDD ids
+    val a = "HashAggregate(keys=[chash#4512], functions=[count(1)]) " +
+      "Scan parquet [doc_id#12L] Location: InMemoryFileIndex " +
+      "[file:/tmp/graft_q134_store12/batch=1], RDD[1377] rdd_22_1 " +
+      "31ce66b2-07b1-4b2c-9c5e-aaaaaaaaaaaa"
+    val b = "HashAggregate(keys=[chash#99], functions=[count(1)]) " +
+      "Scan parquet [doc_id#7L] Location: InMemoryFileIndex " +
+      "[file:/tmp/graft_q134_store99/batch=1], RDD[9] rdd_4_0 " +
+      "00000000-1111-2222-3333-444444444444"
+    assert(PlanFingerprint.normalize(a) == PlanFingerprint.normalize(b))
+    assert(PlanFingerprint.normalize(a) !=
+      PlanFingerprint.normalize(a.replace("count(1)", "sum(1)")))
+  }
+
+  test("decodeWavPcm: exact sample math on 8/16-bit, clip rails, and " +
+      "the untrusted-input fallbacks") {
+    import graft.operators.Multimodal
+    // hand-built 16-bit mono: amplitudes 0, 32767, -32768, -1
+    val b16 = Multimodal.wavBytes(8000, 1, 16, 4)
+    val data = b16.length - 8 // patch the 8 data bytes in place
+    def put16(i: Int, v: Int): Unit = {
+      b16(data + 2 * i) = (v & 0xff).toByte
+      b16(data + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put16(0, 0); put16(1, 32767); put16(2, -32768 & 0xffff); put16(3, -1)
+    val p = Multimodal.decodeWavPcm(b16).get
+    assert(p.n_samples == 4 && p.peak == 32768 && p.clipped == 2)
+    assert(p.sum_abs == 0L + 32767 + 32768 + 1)
+    assert(p.sum_sq == 32767L * 32767 + 32768L * 32768 + 1)
+    // 8-bit is unsigned-rebased: bytes (i % 251) → amp (i % 251) - 128
+    val p8 = Multimodal.decodeWavPcm(Multimodal.wavBytes(11025, 1, 8, 3)).get
+    assert(p8.bits == 8 && p8.n_samples == 3)
+    assert(p8.sum_abs == 128 + 127 + 126 && p8.clipped == 1)
+    // truncated data chunk: declared size clamps to the bytes present
+    val trunc = Multimodal.wavBytes(8000, 1, 16, 10).dropRight(5)
+    assert(Multimodal.decodeWavPcm(trunc).get.n_samples == 7,
+      "15 data bytes = 7 whole samples")
+    // non-PCM format code and garbage both take the None fallback
+    val nonPcm = Multimodal.wavBytes(8000, 1, 16, 2)
+    nonPcm(20) = 3 // fmt audioFormat = IEEE float
+    assert(Multimodal.decodeWavPcm(nonPcm).isEmpty)
+    assert(Multimodal.decodeWavPcm("not a wav".getBytes).isEmpty)
+  }
+
+  test("retireLedgerBefore drops whole epochs below the cutoff, keeps " +
+      "tombstones, and the funnel over the retained window is intact") {
+    import spark.implicits._
+    val root = tmpDir("graft_ledger_ret")
+    def epoch(b: Long) = Seq(
+      (b * 10 + 1, "d1", "kept"), (b * 10 + 2, "d1", "dedup"),
+      (b * 10 + 3, "d2", "quality")).toDF("doc_id", "source", "stage")
+    (1L to 4L).foreach(b => BatchStore.append(epoch(b), root, b))
+    CurationPipeline.deleteFromLedger(Seq(31L).toDF("doc_id"), "doc_id",
+      root, batchId = 5L)
+    assert(CurationPipeline.retireLedgerBefore(spark, root, 3L) == 2)
+    val served = CurationPipeline.readLedger(spark, root, "doc_id")
+    assert(served.select("batch").distinct().as[Int].collect().sorted
+      .toSeq == Seq(3, 4), "only epochs >= cutoff survive")
+    assert(served.filter(col("doc_id") === 31L).isEmpty,
+      "tombstones still mask retained epochs after retention")
+    val funnel = CurationPipeline.funnel(served)
+    assert(funnel.filter(col("batch") === 4).count() == 3)
+    // idempotent re-run
+    assert(CurationPipeline.retireLedgerBefore(spark, root, 3L) == 0)
+  }
+
+  // ------------- signature-store Bloom sidecars (the pruned serves)
+
+  /** 6 history batches of mutually-distinct docs + a slice that
+    * collides only with batch 2 — the fixture every bloom-prune test
+    * shares. Docs are 12 tokens so near-dups shingle richly. */
+  private def bloomFixture(root: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    def doc(b: Int, i: Int): String =
+      (0 until 12).map(t => s"w${b}x${i}t$t").mkString(" ")
+    (1 to 6).foreach { b =>
+      val docs = (0 until 30)
+        .map(i => (b * 1000L + i, doc(b, i))).toDF("doc_id", "text")
+      operators.Dedup.writeSignatureStoreBanded(docs, "doc_id", "text",
+        k = 8, shingleN = 3, bands = 4, root = root, batchId = b.toLong)
+    }
+    // slice: one exact dup of batch 2, one near-dup of batch 2 (last
+    // token changed), two fresh docs
+    Seq(
+      (9001L, doc(2, 5)),
+      (9002L, doc(2, 7).split(" ").init.mkString(" ") + " zzz"),
+      (9003L, (0 until 12).map(t => s"fresh9003t$t").mkString(" ")),
+      (9004L, (0 until 12).map(t => s"fresh9004t$t").mkString(" ")))
+      .toDF("doc_id", "text").localCheckpoint()
+  }
+
+  test("bloom-pruned incremental dedup equals the flat serve and reads " +
+      "a fraction of the store's records") {
+    val root = tmpDir("graft_sig_bloom")
+    val slice = bloomFixture(root)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val (prunedOut, prunedM) = Metrics.capture(spark) {
+      sorted(operators.Dedup.incrementalDedupFromStoreAt(spark, root,
+        slice, "doc_id", "text", k = 8, shingleN = 3, bands = 4,
+        threshold = 0.5))
+    }
+    val (flatOut, flatM) = Metrics.capture(spark) {
+      sorted(operators.Dedup.incrementalDedupFromStore(
+        operators.Dedup.readSignatureStore(spark, root),
+        slice, "doc_id", "text", k = 8, shingleN = 3, bands = 4,
+        threshold = 0.5))
+    }
+    assert(prunedOut == flatOut, "pruning must never change the verdict")
+    // the slice's dup really is flagged (the fixture is live)
+    assert(prunedOut.exists(r => r.head == 9001L && r(1) == true))
+    // exact + near passes each scanned ~1 of 6 batches instead of 6
+    assert(prunedM.inputRecords * 2 < flatM.inputRecords,
+      s"pruned=${prunedM.inputRecords} flat=${flatM.inputRecords}")
+  }
+
+  test("bloom sidecars: compaction refreshes them; erasure keeps the " +
+      "masked pruned serve identical to the masked flat serve") {
+    import spark.implicits._
+    val root = tmpDir("graft_sig_bloom_life")
+    val slice = bloomFixture(root)
+    def prunedVerdicts() =
+      operators.Dedup.incrementalDedupFromStoreAt(spark, root, slice,
+        "doc_id", "text", k = 8, shingleN = 3, bands = 4, threshold = 0.5,
+        masked = true)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val before = prunedVerdicts()
+    // erase the doc the slice exact-dups: both serve paths must admit
+    // the content again (the store no longer remembers it)
+    operators.Dedup.deleteFromSignatureStore(
+      Seq(2005L).toDF("doc_id"), "doc_id", root, batchId = 7L)
+    val afterErase = prunedVerdicts()
+    assert(afterErase != before, "erased content must change the verdict")
+    assert(afterErase.exists(r => r.head == 9001L && r(1) == false),
+      "content matching only the ERASED doc must be admitted again")
+    val flatMasked = operators.Dedup.incrementalDedupFromStore(
+      operators.Dedup.readSignatureStore(spark, root, "doc_id"),
+      slice, "doc_id", "text", k = 8, shingleN = 3, bands = 4,
+      threshold = 0.5).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(afterErase == flatMasked,
+      "masked pruned serve must equal the masked flat serve")
+    // compact: dangling sidecars dropped, the merged batch re-sketched
+    operators.Dedup.purgeSignatureStore(spark, root, "doc_id", 8L)
+    operators.Dedup.compactSignatureStore(spark, root, "doc_id", 9L)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecars = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "_bloom"))
+      .map(_.getPath.getName).filter(_.endsWith(".bf")).sorted.toSeq
+    assert(sidecars == Seq("batch=9.bf"), sidecars)
+    assert(prunedVerdicts() == afterErase,
+      "compaction must not change the served verdicts")
+  }
+
   test("migrateLineDfStoreToBuckets: legacy flat store serves " +
       "identically after migration and accepts appends again") {
     import spark.implicits._
