@@ -418,28 +418,10 @@ object Dedup {
 
   // ------------- per-batch Bloom sidecars: history-flat store serves
 
-  /** Sidecar false-positive rate: cost-only (a false positive scans
-    * one extra batch dir and the exact joins drop it), never
-    * correctness. Sized PER SERVE, not per probe: a serve tests the
-    * whole delta against every batch's sketch, so the per-batch clean
-    * probability is (1-fpp)^|delta| — at the classic 0.01 a 500-doc
-    * delta false-positives on essentially EVERY batch (0.99^500 ≈
-    * 0.7% clean) and the pruning silently degrades to a flat scan.
-    * 1e-8 keeps the expected false scans ≤ ~0.01 per batch even for
-    * million-doc deltas, at ~4.8 bytes/element sidecars (a 10M-doc
-    * production delta sketches at ~48 MB — read distributed, never
-    * broadcast). */
-  private val BloomFpp: Double = 1e-8
-  private val BloomMagic: Int = 0x424c4d31 // "BLM1"
-
-  /** Minimum committed batches before a Bloom-pruned serve pays for
-    * its probe job — below this, scan flat (the line-df-store lesson:
-    * layout constants can exceed what pruning saves on a small
-    * store). */
-  private[graft] val MinBatchesForBloomPrune: Int = 4
-
-  private def bloomPath(root: String, batchId: Long) =
-    new org.apache.hadoop.fs.Path(root, s"_bloom/batch=$batchId.bf")
+  // Sidecar protocol, fpp sizing rationale and probe-job shape live in
+  // [[BatchBlooms]] (shared with the Hamming sketch store).
+  private[graft] val MinBatchesForBloomPrune: Int =
+    BatchBlooms.MinBatchesForPrune
 
   /** Band-key probe strings over a signatures frame: `"<band>:<key>"`
     * — the band index baked into the string so ONE Bloom covers every
@@ -475,38 +457,19 @@ object Dedup {
     val bandsOpt = BatchStore.readIntMetaOpt(spark, root, "_bands", "bands")
     val b = spark.read.parquet(dirPath.toString)
     val k = b.columns.count(_.matches("mh\\d+"))
-    val n = math.max(b.count(), 64L)
+    val n = b.count()
+    // ONE tagged sketch covers both key families — one aggregation
+    // job instead of one per family (the write-side constant that
+    // showed up on every store-lifecycle gate)
     val dig = b.filter(col("chash").isNotNull)
-      .stat.bloomFilter("chash", n, BloomFpp)
+      .select(concat(lit("d:"), col("chash")).as("k"))
     val band = bandsOpt.filter(bands => k > 0 && k % bands == 0).map { bands =>
-      bandKeyStrings(b, k, bands).stat
-        .bloomFilter("bkey", math.max(n * bands, 64L), BloomFpp)
+      bandKeyStrings(b, k, bands).select(concat(lit("b:"), col("bkey")).as("k"))
     }
-    val p = bloomPath(root, batchId)
-    fs.mkdirs(p.getParent)
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
-      s".batch=$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, false)
-    try {
-      val dos = new java.io.DataOutputStream(
-        new java.io.BufferedOutputStream(out))
-      dos.writeInt(BloomMagic)
-      dos.writeInt(band.size)
-      // LENGTH-PREFIXED frames: BloomFilter.readFrom(InputStream)
-      // buffers the whole remaining stream, so back-to-back writeTo
-      // frames are unreadable — each sketch rides its own byte frame
-      def frame(bf: org.apache.spark.util.sketch.BloomFilter): Unit = {
-        val buf = new java.io.ByteArrayOutputStream()
-        bf.writeTo(buf)
-        dos.writeInt(buf.size())
-        buf.writeTo(dos)
-      }
-      frame(dig)
-      band.foreach(frame)
-      dos.flush()
-    } finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"bloom sidecar rename $tmp -> $p failed")
+    val keys = band.foldLeft(dig)(_ unionAll _)
+    val expected = n * (1L + band.map(_ => bandsOpt.get.toLong).getOrElse(0L))
+    BatchBlooms.write(spark, root, batchId, keys, expected,
+      Seq("d") ++ band.map(_ => "b"))
   }
 
   /** Re-derive missing sidecars and drop dangling ones — the
@@ -516,92 +479,9 @@ object Dedup {
     * the number of sidecars written. */
   def refreshSignatureBlooms(spark: org.apache.spark.sql.SparkSession,
       root: String): Int = {
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(rootPath)) return 0
-    val ids = fs.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong).toSet
-    val bloomDir = new org.apache.hadoop.fs.Path(root, "_bloom")
-    if (fs.exists(bloomDir))
-      fs.listStatus(bloomDir).toSeq
-        .filter { st =>
-          val n = st.getPath.getName
-          n.startsWith("batch=") && n.endsWith(".bf") &&
-            !ids.contains(n.stripPrefix("batch=").stripSuffix(".bf").toLong)
-        }
-        .foreach(st => fs.delete(st.getPath, false))
-    val missing = ids.toSeq.sorted
-      .filterNot(id => fs.exists(bloomPath(root, id)))
+    val missing = BatchBlooms.danglingSweep(spark, root)
     missing.foreach(id => writeBatchBloom(spark, root, id))
     missing.size
-  }
-
-  /** Committed batch ids (strictly before `beforeBatch` when set)
-    * whose sidecar Bloom MIGHT contain any probe — plus every batch
-    * without a usable sidecar (always scanned: sound). `None` = don't
-    * prune (store below [[MinBatchesForBloomPrune]], or no sidecars
-    * at all) — the caller scans flat and pays zero probe jobs.
-    *
-    * Scale shape: one delta-sized probe collect (the incremental
-    * contract's broadcast side, reused here), then ONE job over the
-    * sidecar FILES — executors read the sketches themselves
-    * (`binaryFiles`, no driver-side 4 GB of Blooms at a year of
-    * batches) and early-exit per batch on the first probe hit. Serve
-    * input records then scale with the batches that can match the
-    * delta, not with history depth. */
-  private[graft] def bloomHitBatchIds(spark: org.apache.spark.sql.SparkSession,
-      root: String, probes: DataFrame, band: Boolean,
-      beforeBatch: Option[Long]): Option[Seq[Long]] = {
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(rootPath)) return None
-    val ids = fs.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch=").toLong)
-      .filter(id => beforeBatch.forall(id < _))
-    if (ids.size < MinBatchesForBloomPrune) return None
-    val withSidecar = ids.filter(id => fs.exists(bloomPath(root, id))).toSet
-    if (withSidecar.isEmpty) return None
-    val noSidecar = ids.filterNot(withSidecar)
-    val probeArr = probes.na.drop().distinct().collect().map(_.getString(0))
-    if (probeArr.isEmpty) return Some(noSidecar.sorted)
-    val bc = spark.sparkContext.broadcast(probeArr)
-    val wantBand = band
-    val wanted = withSidecar
-    val bloomGlob =
-      new org.apache.hadoop.fs.Path(root, "_bloom").toString + "/batch=*.bf"
-    val hits = spark.sparkContext.binaryFiles(bloomGlob)
-      .flatMap { case (path, pds) =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        val id = name.stripPrefix("batch=").stripSuffix(".bf").toLong
-        if (!wanted.contains(id)) None
-        else {
-          val in = new java.io.DataInputStream(pds.open())
-          val mightMatch =
-            try {
-              if (in.readInt() != BloomMagic) true // unknown format: scan
-              else {
-                val nBand = in.readInt()
-                def readFramed(): org.apache.spark.util.sketch.BloomFilter = {
-                  val bytes = new Array[Byte](in.readInt())
-                  in.readFully(bytes)
-                  org.apache.spark.util.sketch.BloomFilter.readFrom(
-                    new java.io.ByteArrayInputStream(bytes))
-                }
-                val bf =
-                  if (!wantBand) Some(readFramed())
-                  else if (nBand >= 1) { readFramed(); Some(readFramed()) }
-                  else None // digest-only sidecar can't band-prune: scan
-                bf.forall(f => bc.value.exists(f.mightContainString))
-              }
-            } catch {
-              case scala.util.control.NonFatal(_) => true // corrupt: scan
-            } finally in.close()
-          if (mightMatch) Some(id) else None
-        }
-      }.collect().toSeq
-    Some((hits ++ noSidecar).distinct.sorted)
   }
 
   /** The store pruned to `ids` batches at the DIRECTORY level —
@@ -632,12 +512,11 @@ object Dedup {
   def storeDigestsPruned(spark: org.apache.spark.sql.SparkSession,
       root: String, digests: DataFrame,
       beforeBatch: Option[Long] = None): DataFrame = {
-    val probe = digests.toDF("chash")
-    val raw = bloomHitBatchIds(spark, root, probe, band = false, beforeBatch)
-      match {
-        case Some(ids) => readBatchesPruned(spark, root, ids)
-        case None => spark.read.parquet(root)
-      }
+    val raw = BatchBlooms.hits(spark, root,
+        Seq("d" -> digests.toDF("chash")), beforeBatch) match {
+      case Some(Seq(ids)) => readBatchesPruned(spark, root, ids)
+      case _ => spark.read.parquet(root)
+    }
     beforeBatch.map(b => raw.filter(col("batch") < b)).getOrElse(raw)
       .select(col("chash"))
   }
@@ -818,17 +697,23 @@ object Dedup {
         .getOrElse(raw)
       if (masked) Tombstones(spark, root, cut, idCol) else cut
     }
-    val exactStore = base(bloomHitBatchIds(spark, root,
-      batch.select(md5(col(textCol)).as("chash")), band = false,
-      beforeBatch))
     // band pruning only under the pinned banding the sidecars were
-    // built with — any other banding scans the near side flat
-    val nearStore = base(
-      if (BatchStore.readIntMetaOpt(spark, root, "_bands", "bands")
-          .contains(bands))
-        bloomHitBatchIds(spark, root, bandKeyStrings(bSigs, k, bands),
-          band = true, beforeBatch)
-      else None)
+    // built with — any other banding scans the near side flat. Both
+    // probe families ride ONE sidecar job ([[BatchBlooms.hits]]).
+    val bandPinned = BatchStore
+      .readIntMetaOpt(spark, root, "_bands", "bands").contains(bands)
+    val groups =
+      Seq("d" -> batch.select(md5(col(textCol)).as("chash"))) ++
+        (if (bandPinned) Seq("b" -> bandKeyStrings(bSigs, k, bands))
+         else Seq.empty)
+    val (exactHits, nearHits) =
+      BatchBlooms.hits(spark, root, groups, beforeBatch) match {
+        case Some(hs) =>
+          (Some(hs.head), if (bandPinned) Some(hs(1)) else None)
+        case None => (None, None)
+      }
+    val exactStore = base(exactHits)
+    val nearStore = base(nearHits)
     (Seq(idCol, "chash", "hs") ++ (0 until k).map(j => s"mh$j")).foreach(c =>
       require(nearStore.columns.contains(c),
         s"store is missing column $c — not a dedupSignatures(k=$k) store"))
@@ -1198,9 +1083,36 @@ object Dedup {
     * a store scan, never a history re-decode. Each id must live in
     * exactly one batch (append deltas, don't re-append). */
   def writeHammingStore(hashes: DataFrame, idCol: String,
-      bandCols: Seq[String], root: String, batchId: Long): Unit =
+      bandCols: Seq[String], root: String, batchId: Long): Unit = {
     BatchStore.append(
       hashes.select((idCol +: bandCols).map(col): _*), root, batchId)
+    // Bloom sidecar over the batch's (band, value) keys — the
+    // signature-store discipline on the Hamming modality: the
+    // incremental serve then scans only the history batches that can
+    // band-collide with the slice. Written AFTER the batch commit (a
+    // crash window leaves a batch that is simply always scanned);
+    // compaction's merged batch is likewise sidecar-less until the
+    // next delta append era — sound, never wrong.
+    val spark = hashes.sparkSession
+    val dirPath = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(dirPath)) {
+      val b = spark.read.parquet(dirPath.toString)
+      BatchBlooms.write(spark, root, batchId,
+        hammingKeyStrings(b, bandCols).select(concat(lit("h:"),
+          col("hkey")).as("k")),
+        b.count() * bandCols.size, Seq("h"))
+    }
+  }
+
+  /** The Hamming band-key probe strings: `"<band index>:<value>"` —
+    * shared verbatim by the sidecar build and the serve's probes so
+    * the sketch space and the probe space are one. */
+  private def hammingKeyStrings(df: DataFrame,
+      bandCols: Seq[String]): DataFrame =
+    df.select(explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+      concat_ws(":", lit(i), col(c).cast("string"))
+    }: _*)).as("hkey"))
 
   /** Erase ids from the Hamming store — the shared [[Tombstones]]
     * discipline: content matching an ERASED image is admitted again
@@ -1233,8 +1145,17 @@ object Dedup {
       bandCols: Seq[String], maxDist: Int): DataFrame = {
     require(bandCols.nonEmpty, "need at least one band column")
     require(maxDist >= 0, s"need maxDist >= 0, got $maxDist")
-    val store = Tombstones.apply(spark, root,
-      BatchStore.read(spark, root), idCol)
+    // Bloom-pruned store read (the signature-store discipline): only
+    // history batches whose sidecar might band-collide with the slice
+    // are scanned — serve input ∝ the slice's collisions, not corpus
+    // age. Flat fallback below 4 batches / missing sidecars; pruned ≡
+    // flat always (no false negatives).
+    val raw = BatchBlooms.hits(spark, root,
+        Seq("h" -> hammingKeyStrings(batch, bandCols)), None) match {
+      case Some(Seq(ids)) => readBatchesPruned(spark, root, ids)
+      case _ => BatchStore.read(spark, root)
+    }
+    val store = Tombstones.apply(spark, root, raw, idCol)
     def keys(df: DataFrame, outId: String) =
       df.select(col(idCol).as(outId),
         posexplode(array(bandCols.map(col): _*)).as(Seq("__band", "__key")))

@@ -230,6 +230,42 @@ class Round17Spec extends AnyFunSuite {
       "compaction must not change the served verdicts")
   }
 
+  test("hamming store: bloom-pruned incremental dedup equals the flat " +
+      "scan era and reads a fraction of the store") {
+    import spark.implicits._
+    val root = tmpDir("graft_ham_bloom")
+    val bandCols = Seq("b0", "b1", "b2", "b3")
+    def bands(b: Int, i: Int): (Long, Long, Long, Long, Long) =
+      (b * 1000L + i, b * 100000L + i * 4 + 0, b * 100000L + i * 4 + 1,
+        b * 100000L + i * 4 + 2, b * 100000L + i * 4 + 3)
+    (1 to 6).foreach { b =>
+      operators.Dedup.writeHammingStore(
+        (0 until 40).map(i => bands(b, i))
+          .toDF("img_id", "b0", "b1", "b2", "b3"),
+        "img_id", bandCols, root, b.toLong)
+    }
+    // slice: one exact collision with batch 2's doc 5, two strangers
+    val slice = Seq(
+      (9001L, 200020L, 200021L, 200022L, 200023L),
+      (9002L, 777L, 778L, 779L, 780L),
+      (9003L, 881L, 882L, 883L, 884L))
+      .toDF("img_id", "b0", "b1", "b2", "b3").localCheckpoint()
+    val (out, m) = Metrics.capture(spark) {
+      operators.Dedup.incrementalHammingDedup(spark, root, slice,
+        "img_id", bandCols, maxDist = 0)
+        .orderBy("img_id").collect().map(_.toSeq).toSeq
+    }
+    assert(out.exists(r => r.head == 9001L && r(1) == 1L),
+      "the planted collision must be found through the pruned scan")
+    assert(out.exists(r => r.head == 9002L && r(1) == 0L))
+    // 6 batches × 40 rows on disk; the serve must scan ~1 batch (the
+    // candidate + verify passes), not all 6
+    assert(m.inputRecords < 40L * 6,
+      s"read ${m.inputRecords} records — hamming sidecar pruning not " +
+        "effective")
+    operators.Checkpoints.releasePinned(slice)
+  }
+
   test("migrateLineDfStoreToBuckets: legacy flat store serves " +
       "identically after migration and accepts appends again") {
     import spark.implicits._
