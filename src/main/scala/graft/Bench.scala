@@ -274,7 +274,10 @@ object Bench {
     "q239_bloom_pruned_dedup",
     // q240 builds + fully PCM-decodes one fixture WAV per document —
     // map-side, sf-scaled via the documents id set like q218
-    "q240_wav_pcm_decode")
+    "q240_wav_pcm_decode",
+    // q241 streams the corpus through the DAG with near-dup admission
+    // on — q221's cost plus the per-epoch MinHash signing/verdicts
+    "q241_curation_neardup")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:
@@ -307,7 +310,9 @@ object Bench {
     "q238_neardup_admission_streamed",
     // q239 is nine store appends (each with its Bloom sidecars) + the
     // pruned serve — a full store lifecycle like q188
-    "q239_bloom_pruned_dedup")
+    "q239_bloom_pruned_dedup",
+    // q241 is the streamed DAG with near-dup admission — the q221 cost
+    "q241_curation_neardup")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy

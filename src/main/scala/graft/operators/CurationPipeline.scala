@@ -55,13 +55,29 @@ object CurationPipeline {
   final case class Stores(lineDf: String, quality: String, lm: String,
       signatures: String, kept: String, ledger: Option[String] = None)
 
+  /** Near-dup admission parameters for the DAG's dedup stage — the
+    * RefinedWeb/FineWeb discipline: suppress a slice doc whose
+    * stripped text is a banded-MinHash near duplicate (Jaccard ≥
+    * `threshold`) of PRIOR epochs' kept content, not just an exact
+    * re-crawl. Semantics are [[Dedup.nearDupAdmitSlice]]'s: in-slice
+    * NEAR dups are both kept (history-vs-delta contract), in-slice
+    * exact dups keep the min id, rejected docs never enter the
+    * store. */
+  final case class NearDup(k: Int, shingleN: Int, bands: Int,
+      threshold: Double)
+
   /** Gate constants: boilerplate df threshold, classifier feature
     * buckets, the label the classifier must assign to keep a doc,
     * the absolute LM cut, and the deterministic mixture predicate
     * (a Column over the batch's columns — e.g. a [[TextFunctions
-    * .hash60]] coin keyed on (domain, id) with per-domain rates). */
+    * .hash60]] coin keyed on (domain, id) with per-domain rates).
+    * `nearDup` upgrades the dedup stage from exact-only to
+    * exact+near ([[NearDup]]); the signature store then persists
+    * full MinHash rows (banded, Bloom-sidecarred) instead of
+    * digest-only rows. */
   final case class Gates(minDf: Long, buckets: Int, keepLabel: String,
-      lmCutAvgFp: Double, mixKeep: Column)
+      lmCutAvgFp: Double, mixKeep: Column,
+      nearDup: Option[NearDup] = None)
 
   private def hasBatches(spark: SparkSession, root: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(root)
@@ -134,16 +150,33 @@ object CurationPipeline {
     // of the slice's digests are read, so per-epoch store input
     // scales with the slice's collisions, not corpus age (the last
     // history-proportional term in this stage).
+    // near mode's verdict frame pins the slice's signature checkpoint
+    // (the withShingleSignatures barrier inside the serve) — released
+    // with the epoch's other pins below
+    var nearVerdict: Option[DataFrame] = None
     val vsStore =
       if (!hasBatches(spark, st.signatures)) hashed
-      else {
-        val matched = Dedup.storeDigestsPruned(spark, st.signatures,
-            hashed.select(col("__chash")), beforeBatch = Some(batchId))
-          .select(col("chash").as("__chash"))
-          .join(broadcast(hashed.select(col("__chash")).distinct()),
-            Seq("__chash"))
-          .distinct()
-        hashed.join(broadcast(matched), Seq("__chash"), "left_anti")
+      else gates.nearDup match {
+        case Some(nd) =>
+          // exact + near verdicts against prior epochs' kept content
+          // ([[Dedup.incrementalDedupFromStoreAt]] — Bloom-pruned,
+          // broadcast-batch-only joins, history never shuffles)
+          val verd = Dedup.incrementalDedupFromStoreAt(spark,
+            st.signatures, hashed, idCol, textCol, nd.k, nd.shingleN,
+            nd.bands, nd.threshold, beforeBatch = Some(batchId))
+          nearVerdict = Some(verd)
+          val clean = verd
+            .filter(!col("is_exact_dup") && col("n_near_dups") === 0)
+            .select(col(idCol))
+          hashed.join(broadcast(clean), Seq(idCol))
+        case None =>
+          val matched = Dedup.storeDigestsPruned(spark, st.signatures,
+              hashed.select(col("__chash")), beforeBatch = Some(batchId))
+            .select(col("chash").as("__chash"))
+            .join(broadcast(hashed.select(col("__chash")).distinct()),
+              Seq("__chash"))
+            .distinct()
+          hashed.join(broadcast(matched), Seq("__chash"), "left_anti")
       }
     val keeper = Window.partitionBy(col("__chash"))
     val kept0 = vsStore
@@ -164,9 +197,12 @@ object CurationPipeline {
     // must no-op here and still commit the kept batch below.
     val sigDir = new org.apache.hadoop.fs.Path(st.signatures,
       s"batch=$batchId")
-    if (!existsAt(sigDir))
-      Dedup.writeSignatureStore(kept, idCol, textCol, k = 4, shingleN = 3,
-        root = st.signatures, batchId = batchId)
+    if (!existsAt(sigDir)) gates.nearDup match {
+      case Some(nd) => Dedup.writeSignatureStoreBanded(kept, idCol,
+        textCol, nd.k, nd.shingleN, nd.bands, st.signatures, batchId)
+      case None => Dedup.writeSignatureStore(kept, idCol, textCol,
+        k = 4, shingleN = 3, root = st.signatures, batchId = batchId)
+    }
 
     // 4. classifier gate (model re-aggregated from the store's deltas
     // — cached across epochs when `models` is wired). `classified` is
@@ -240,6 +276,7 @@ object CurationPipeline {
       Checkpoints.releasePinned(kept)
       Checkpoints.releasePinned(good)
     }
+    nearVerdict.foreach(Checkpoints.releasePinned)
     Checkpoints.releasePinned(hashed)
   }
 

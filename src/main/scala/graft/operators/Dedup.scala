@@ -1034,6 +1034,10 @@ object Dedup {
     // epoch in a long-running stream.
     val hashed = batch
       .withColumn("__chash", md5(col(textCol))).localCheckpoint()
+    // the verdict frame pins the slice's signature checkpoint (the
+    // withShingleSignatures barrier inside the serve) — released with
+    // the epoch's other pins so a long-running stream stays flat
+    var verdict: Option[DataFrame] = None
     try {
     val vsStore =
       if (!hasBatches(sigRoot)) hashed
@@ -1042,9 +1046,11 @@ object Dedup {
         // strictly-prior batches whose sidecar sketch might collide
         // with THIS slice — per-epoch store input scales with the
         // slice's collisions, not the admitted history's depth
-        val clean = incrementalDedupFromStoreAt(
-            spark, sigRoot, hashed, idCol, textCol, k, shingleN, bands,
-            threshold, beforeBatch = Some(batchId))
+        val verd = incrementalDedupFromStoreAt(
+          spark, sigRoot, hashed, idCol, textCol, k, shingleN, bands,
+          threshold, beforeBatch = Some(batchId))
+        verdict = Some(verd)
+        val clean = verd
           .filter(!col("is_exact_dup") && col("n_near_dups") === 0)
           .select(col(idCol))
         hashed.join(clean, Seq(idCol))
@@ -1059,7 +1065,10 @@ object Dedup {
       writeSignatureStoreBanded(admitted, idCol, textCol, k, shingleN,
         bands, sigRoot, batchId)
     BatchStore.append(admitted, keptRoot, batchId)
-    } finally Checkpoints.releasePinned(hashed)
+    } finally {
+      Checkpoints.releasePinned(hashed)
+      verdict.foreach(Checkpoints.releasePinned)
+    }
   }
 
   /** [[nearDupAdmitSlice]] as a `foreachBatch` sink — batch id =

@@ -1143,7 +1143,8 @@ object CurationQueries {
     * everything currently staged" closure plus a "stage more slices"
     * closure; finish with the packed-shard export. */
   private def withCurationDag(s: SparkSession, dir: String, prefix: String,
-      ledger: Boolean = false)(
+      ledger: Boolean = false,
+      nearDup: Option[graft.operators.CurationPipeline.NearDup] = None)(
       runStream: (Seq[Long] => Unit, () => Unit) => Unit): DataFrame = {
     val CP = graft.operators.CurationPipeline
     val docs = Tables.documents(s, dir)
@@ -1182,7 +1183,8 @@ object CurationQueries {
         mixKeep = substring(col("source"), 4, 10).cast("int") % 2 =!= 0 ||
           pmod(graft.operators.TextFunctions.hash60(
             concat(col("source"), lit(":"), col("doc_id").cast("string"))),
-            lit(4L)) < 2)
+            lit(4L)) < 2,
+        nearDup = nearDup)
       val ckpt = p("ckpt")
       // arrival order is semantic (dedup keeps first arrival) — the
       // shared pinned-mtime staging discipline
@@ -1279,7 +1281,19 @@ object CurationQueries {
     * replayed in DuckDB through the `mix` CTE (final kept doc ids) —
     * q221/q223 append the packing prefix sums, q224 the per-doc
     * disposition join. */
-  private lazy val curationChainSql = {
+  private lazy val curationChainSql = curationChain(
+    """ded AS (SELECT doc_id, source, n_chars, text FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY md5(text) ORDER BY epoch, doc_id) AS rn FROM reb)
+      |  WHERE rn = 1)""".stripMargin)
+
+  /** The chain with the DEDUP stage swappable: `dedCtes` must end in
+    * a CTE named `ded` with columns (doc_id, source, n_chars, text) —
+    * the exact first-arrival keeper for q221/q223/q224, the per-epoch
+    * MinHash fold for q241. Pre-strip the margin of `dedCtes`; no
+    * line of it may START with `||` (the outer stripMargin would eat
+    * the first pipe). */
+  private def curationChain(dedCtes: String): String = {
     val toks = dTokens
     def toksOf(t: String) = dToksOf(t)
     s"""WITH str AS (
@@ -1314,10 +1328,7 @@ object CurationQueries {
       |reb AS (SELECT doc_id, source, n_chars, epoch,
       |    string_agg(line, chr(10) ORDER BY pos) AS text
       |  FROM skept GROUP BY 1, 2, 3, 4),
-      |ded AS (SELECT doc_id, source, n_chars, text FROM (
-      |    SELECT *, row_number() OVER (
-      |      PARTITION BY md5(text) ORDER BY epoch, doc_id) AS rn FROM reb)
-      |  WHERE rn = 1),
+      |$dedCtes,
       |tr AS (SELECT
       |    CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END AS label,
       |    $toks AS toks FROM documents),
@@ -1383,7 +1394,90 @@ object CurationQueries {
       |     OR ${dHash("d.source || ':' || CAST(d.doc_id AS VARCHAR)")} % 4 < 2)""".stripMargin
   }
 
-  private lazy val q221Sql = curationChainSql + "," + s"""
+  private lazy val q221Sql = curationChainSql + "," + packingTailSql
+
+  // ---------------------------------------------------------------
+  // q241 — THE CURATION DAG WITH NEAR-DUP ADMISSION (q221's stream
+  // with [[graft.operators.CurationPipeline.Gates.nearDup]] on): the
+  // dedup stage upgrades from exact-only to the RefinedWeb shape — a
+  // slice doc is suppressed when its STRIPPED text is an exact OR
+  // banded-MinHash (Jaccard >= 0.5) duplicate of PRIOR epochs' kept
+  // content; in-slice near dups are both kept, in-slice exact dups
+  // keep the min id; kept signatures persist as banded MinHash rows
+  // (Bloom-sidecarred, the q239 layout). Everything downstream
+  // (classifier, LM gate, mixture, packing) is q221's verbatim.
+  // Oracle: the shared chain with the `ded` CTE swapped for the
+  // per-epoch MinHash fold (the q238 discipline over the stripped
+  // text, epochs 0..3 — near-dup is NOT reducible to a global
+  // first-arrival window, so the fold is explicit).
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    withCurationDag(s, dir, "graft_q241",
+      nearDup = Some(graft.operators.CurationPipeline.NearDup(
+        k = 16, shingleN = 3, bands = 8, threshold = 0.5))) {
+      (stage, drain) => stage(Seq(0L, 1L, 2L)); drain()
+    }
+  private lazy val q241Sql =
+    curationChain(nearDupDedCtes) + "," + packingTailSql
+
+  /** The near-dup `ded` CTE stack: MinHash signatures over the
+    * STRIPPED text (`reb`), then the 4-epoch admission fold — each
+    * epoch's exact/band/Jaccard checks run against the union of
+    * prior epochs' ADMITTED sets only (the q238 oracle discipline).
+    * Margin pre-stripped (the [[curationChain]] contract). */
+  private lazy val nearDupDedCtes: String = {
+    import graft.operators.Dedup.{minhashPermA, minhashPermB, MinhashPrime}
+    val mh = (0 until 16).map(j =>
+      s"list_min(list_transform(hs, h -> (${minhashPermA(j)} * h + ${minhashPermB(j)}) % $MinhashPrime)) AS mh$j")
+      .mkString(",\n ")
+    val bandSelects = (0 until 8).map(b =>
+      s"SELECT doc_id, epoch, $b AS band, CAST(mh${2 * b} AS VARCHAR) " +
+        s"|| '_' || CAST(mh${2 * b + 1} AS VARCHAR) AS key FROM nsigs")
+      .mkString("\n UNION ALL ")
+    val jac = "CAST(len(list_intersect(sb.hs, sh.hs)) AS DOUBLE) / " +
+      "(len(sb.hs) + len(sh.hs) - len(list_intersect(sb.hs, sh.hs)))"
+    def fold(e: Int, prior: String): String =
+      s"""nex$e AS MATERIALIZED (SELECT DISTINCT b.doc_id FROM nt b
+        |  JOIN nt h ON b.chash = h.chash
+        |  JOIN $prior a ON a.doc_id = h.doc_id WHERE b.epoch = $e),
+        |ncand$e AS MATERIALIZED (SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+        |  FROM nbk b JOIN nbk h ON b.band = h.band AND b.key = h.key
+        |  JOIN $prior a ON a.doc_id = h.doc_id WHERE b.epoch = $e),
+        |nnear$e AS MATERIALIZED (SELECT DISTINCT c.bid FROM ncand$e c
+        |  JOIN nhb sb ON c.bid = sb.doc_id
+        |  JOIN nhb sh ON c.hid = sh.doc_id WHERE $jac >= 0.5),
+        |nadm$e AS MATERIALIZED (SELECT doc_id FROM (
+        |  SELECT b.doc_id, row_number() OVER (
+        |      PARTITION BY b.chash ORDER BY b.doc_id) AS rn
+        |  FROM nt b WHERE b.epoch = $e
+        |    AND b.doc_id NOT IN (SELECT doc_id FROM nex$e)
+        |    AND b.doc_id NOT IN (SELECT bid FROM nnear$e)) WHERE rn = 1)"""
+        .stripMargin
+    s"""nt AS MATERIALIZED (SELECT doc_id, epoch, md5(text) AS chash,
+      |  ${dToksOf("text")} AS toks FROM reb),
+      |nth AS (SELECT doc_id, epoch, chash,
+      |  list_transform(toks, x -> ${dHash("x")} % 4294967296) AS th FROM nt),
+      |nhb AS MATERIALIZED (SELECT doc_id, epoch, chash,
+      |  list_distinct(list_transform(range(1, len(th) - 1),
+      |    i -> ((((th[i] * 65599 + th[i+1]) % 4294967311) * 65599 + th[i+2]) % 4294967311) % 4294967296)) AS hs
+      |  FROM nth),
+      |nsigs AS MATERIALIZED (SELECT doc_id, epoch, hs, $mh FROM nhb WHERE len(hs) > 0),
+      |nbk AS MATERIALIZED ($bandSelects),
+      |nadm0 AS MATERIALIZED (SELECT doc_id FROM (
+      |  SELECT doc_id, row_number() OVER (
+      |      PARTITION BY chash ORDER BY doc_id) AS rn
+      |  FROM nt WHERE epoch = 0) WHERE rn = 1),
+      |${fold(1, "nadm0")},
+      |nadmh1 AS MATERIALIZED (SELECT doc_id FROM nadm0 UNION ALL SELECT doc_id FROM nadm1),
+      |${fold(2, "nadmh1")},
+      |nadmh2 AS MATERIALIZED (SELECT doc_id FROM nadmh1 UNION ALL SELECT doc_id FROM nadm2),
+      |${fold(3, "nadmh2")},
+      |ded AS MATERIALIZED (SELECT r.doc_id, r.source, r.n_chars, r.text FROM reb r
+      |  JOIN (SELECT doc_id FROM nadmh2
+      |        UNION ALL SELECT doc_id FROM nadm3) a USING (doc_id))"""
+      .stripMargin
+  }
+
+  private lazy val packingTailSql = s"""
       |pk AS (SELECT doc_id, ${dHash("CAST(doc_id AS VARCHAR)")} AS h,
       |    CAST(len(${dToksOf("text")}) AS BIGINT) AS n_tokens FROM mix),
       |pc AS (SELECT doc_id, h % 4 AS shard, n_tokens,
@@ -1401,6 +1495,7 @@ object CurationQueries {
       |FROM pc GROUP BY shard ORDER BY shard""".stripMargin
 
   val all: Seq[QueryDef] = Seq(
+    QueryDef("q241_curation_neardup", q241, Some(q241Sql)),
     QueryDef("q221_curation_streamed", q221, Some(q221Sql)),
     QueryDef("q223_curation_restarted", q223, Some(q221Sql)),
     QueryDef("q224_curation_ledger", q224, Some(q224Sql)),
