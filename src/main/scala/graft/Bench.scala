@@ -277,7 +277,12 @@ object Bench {
     "q240_wav_pcm_decode",
     // q241 streams the corpus through the DAG with near-dup admission
     // on — q221's cost plus the per-epoch MinHash signing/verdicts
-    "q241_curation_neardup")
+    "q241_curation_neardup",
+    // round-18 tail: q242 windows q240's decoded samples — the same
+    // map-side per-doc decode cost plus the per-window integer folds
+    "q242_wav_energy_windows",
+    // q243 is q224's streamed-DAG cost plus the retire + retained serve
+    "q243_ledger_retention")
 
   /** `--quick` skips these — the composite LIFECYCLE/serving gates
     * that dominate the wall clock (top of the r13 cost profile:
@@ -312,7 +317,9 @@ object Bench {
     // pruned serve — a full store lifecycle like q188
     "q239_bloom_pruned_dedup",
     // q241 is the streamed DAG with near-dup admission — the q221 cost
-    "q241_curation_neardup")
+    "q241_curation_neardup",
+    // q243 is q224 with the retention leg — the same streamed-DAG cost
+    "q243_ledger_retention")
 
   private val runsPerQuery = 3
   /** Extra runs granted when max/min spread exceeds this — one noisy
@@ -419,49 +426,57 @@ object Bench {
     }
   }
 
-  /** Diff the warmup pass's plan fingerprints against the committed
-    * snapshot (`bench/plans.json`) and — on full runs — rewrite the
-    * snapshot for the next round. Returns the queries whose NORMALIZED
-    * physical plan changed vs the prior snapshot (new queries are
-    * additions, not changes; a snapshot taken at a different sf is
-    * ignored — broadcast thresholds legitimately flip plans across
-    * scale factors). Quick runs diff but never rewrite: they skip
-    * queries, and a partial snapshot would erase the skipped entries
-    * from the next round's prior. */
-  private def diffPlanSnapshot(sfDir: String, current: Map[String, String],
-      quick: Boolean): Seq[String] = {
-    val f = new java.io.File(new java.io.File(repoRoot, "bench"),
-      "plans.json")
+  /** The committed plan snapshot (`bench/plans.json`) for `sfDir` —
+    * empty when absent, unparseable, or taken at a different sf
+    * (broadcast thresholds legitimately flip plans across scale
+    * factors). */
+  private[graft] def readPlanSnapshot(sfDir: String,
+      benchDir: java.io.File = new java.io.File(repoRoot, "bench"))
+      : Map[String, String] = {
+    val f = new java.io.File(benchDir, "plans.json")
     val sfName = new java.io.File(sfDir).getName
-    val prior: Map[String, String] =
-      if (!f.isFile) Map.empty
-      else try {
-        import org.json4s._
-        val json = org.json4s.jackson.JsonMethods.parse(
-          scala.io.Source.fromFile(f).mkString)
-        if ((json \ "sf") != JString(sfName)) Map.empty
-        else json \ "plans" match {
-          case JObject(fields) =>
-            fields.collect { case (n, JString(h)) => n -> h }.toMap
-          case _ => Map.empty
-        }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    val changed = current.keys.toSeq.sorted
-      .filter(n => prior.get(n).exists(_ != current(n)))
-    if (!quick) {
-      try {
-        f.getParentFile.mkdirs()
-        val w = new java.io.PrintWriter(f, "UTF-8")
-        try w.println("{\"sf\":\"" + sfName + "\",\"plans\":{" +
-          current.toSeq.sortBy(_._1)
-            .map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }
-            .mkString(",") + "}}")
-        finally w.close()
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] plan snapshot write failed: ${e.getMessage}")
+    if (!f.isFile) Map.empty
+    else try {
+      import org.json4s._
+      val json = org.json4s.jackson.JsonMethods.parse(
+        scala.io.Source.fromFile(f).mkString)
+      if ((json \ "sf") != JString(sfName)) Map.empty
+      else json \ "plans" match {
+        case JObject(fields) =>
+          fields.collect { case (n, JString(h)) => n -> h }.toMap
+        case _ => Map.empty
       }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+  }
+
+  /** Rewrite the snapshot for the next round — called AFTER the timed
+    * runs complete and only on an error-free full run (a bench that
+    * fails must not have already clobbered the prior snapshot during
+    * warmup). Prior entries for queries MISSING from `current` (a
+    * warmup whose plan hash failed) are kept as long as the query is
+    * still registered — dropping them would make a real plan change
+    * there read as an 'addition' next round; entries for deleted
+    * queries are retired. Quick runs never write: they skip queries,
+    * and a partial snapshot would erase the skipped entries from the
+    * next round's prior. */
+  private[graft] def writePlanSnapshot(sfDir: String,
+      prior: Map[String, String], current: Map[String, String],
+      benchDir: java.io.File = new java.io.File(repoRoot, "bench")): Unit = {
+    val f = new java.io.File(benchDir, "plans.json")
+    val sfName = new java.io.File(sfDir).getName
+    val merged =
+      prior.filter(kv => SparkEntry.queries.contains(kv._1)) ++ current
+    try {
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println("{\"sf\":\"" + sfName + "\",\"plans\":{" +
+        merged.toSeq.sortBy(_._1)
+          .map { case (n, h) => "\"" + n + "\":\"" + h + "\"" }
+          .mkString(",") + "}}")
+      finally w.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] plan snapshot write failed: ${e.getMessage}")
     }
-    changed
   }
 
   /** Prior-round per-query medians for the delta gate. Candidate order:
@@ -616,7 +631,9 @@ object Bench {
         System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
       }
     }
-    val planChanges = diffPlanSnapshot(sfDir, planHashes.toMap, quick)
+    val priorPlans = readPlanSnapshot(sfDir)
+    val planChanges = planHashes.keys.toSeq.sorted
+      .filter(n => priorPlans.get(n).exists(_ != planHashes(n)))
 
     val loadBefore = loadAvg()
     val gcBefore = gcMs()
@@ -735,6 +752,10 @@ object Bench {
     // errored, value=31.16 looked like a speedup). value=-1 marks the
     // artifact failed; the partial sum stays available, clearly named.
     val failed = errors.nonEmpty
+    // snapshot rewrite AFTER the timed runs, and only when every run
+    // succeeded — see [[writePlanSnapshot]]
+    if (!quick && !failed)
+      writePlanSnapshot(sfDir, priorPlans, planHashes.toMap)
     val headlineValue = if (failed) -1.0 else total
     val mode = if (quick) "quick" else "full"
     val planChangesJson =

@@ -37,6 +37,12 @@ object PlanFingerprint {
     .replaceAll("/tmp/[^\\s,\\)\\]]*", "<path>")
     .replaceAll("Location: \\S+ \\[[^\\]]*\\]", "Location: <loc>")
     .replaceAll("\\d+ paths", "<n> paths")
+    // typed-Dataset closures render as Class$$Lambda$1234/0x00007f...@abcd;
+    // both the lambda index and the hex addresses are JVM-assigned —
+    // stable within one JVM but not across runs. Strip them so plans
+    // containing MapElements/SerializeFromObject hash deterministically.
+    .replaceAll("\\$\\$Lambda(\\$\\d+)?(/0x[0-9a-fA-F]+)?", "\\$\\$Lambda")
+    .replaceAll("@[0-9a-fA-F]{4,}", "@")
 
   /** Digest of `df`'s normalized physical plan (pre-execution). */
   def hash(df: DataFrame): String = {

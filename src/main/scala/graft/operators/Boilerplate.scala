@@ -281,7 +281,7 @@ object Boilerplate {
       .select(col(domainCol), col("__lh"), col("cnt").as("df"))
   }
 
-  /** Below EITHER threshold the serve skips the pruning machinery
+  /** Below BOTH thresholds the serve skips the pruning machinery
     * entirely (no bucket-collect job, no partition filter, no
     * broadcast semi-join — one flat aggregate): measured at gate
     * scale the layout's serve constants exceeded what pruning saves

@@ -131,6 +131,13 @@ object CurationPipeline {
     val ledgerOn = st.ledger.isDefined
     val hashed = stripped.withColumn("__chash", md5(col(textCol)))
       .localCheckpoint()
+    // every slice-sized pin taken past this point is registered here
+    // and released in the finally below — an exception mid-epoch
+    // (classifier/LM failure, append race) must not leak one pinned
+    // slice per failed epoch in a long-running stream (release is
+    // idempotent unpersist, so the happy path pays nothing extra)
+    val pins = scala.collection.mutable.ListBuffer[DataFrame](hashed)
+    try {
     // history = batches STRICTLY BEFORE this epoch: a replay in the
     // crash window (signatures committed, kept batch not) would
     // otherwise dedup the slice against its OWN just-committed
@@ -152,8 +159,7 @@ object CurationPipeline {
     // history-proportional term in this stage).
     // near mode's verdict frame pins the slice's signature checkpoint
     // (the withShingleSignatures barrier inside the serve) — released
-    // with the epoch's other pins below
-    var nearVerdict: Option[DataFrame] = None
+    // with the epoch's other pins in the finally
     val vsStore =
       if (!hasBatches(spark, st.signatures)) hashed
       else gates.nearDup match {
@@ -164,7 +170,7 @@ object CurationPipeline {
           val verd = Dedup.incrementalDedupFromStoreAt(spark,
             st.signatures, hashed, idCol, textCol, nd.k, nd.shingleN,
             nd.bands, nd.threshold, beforeBatch = Some(batchId))
-          nearVerdict = Some(verd)
+          pins += verd
           val clean = verd
             .filter(!col("is_exact_dup") && col("n_near_dups") === 0)
             .select(col(idCol))
@@ -188,6 +194,7 @@ object CurationPipeline {
     // intermediates so the model-store joins run once, not once per
     // reuse
     val kept = if (ledgerOn) kept0.localCheckpoint() else kept0
+    if (ledgerOn) pins += kept
 
     // 3. the new content's signatures join the store BEFORE the
     // quality gates — dedup is about having SEEN content, not about
@@ -221,7 +228,9 @@ object CurationPipeline {
     val good0 = classified
       .filter(col("label_pred") === gates.keepLabel)
       .select(col(idCol))
+    pins += classified
     val good = if (ledgerOn) good0.localCheckpoint() else good0
+    if (ledgerOn) pins += good
     val keptGood = kept.join(good, Seq(idCol))
 
     // 5. LM perplexity gate at the absolute cut
@@ -233,6 +242,7 @@ object CurationPipeline {
       case None => LanguageModel.lmThresholdFilterFromStore(spark, st.lm,
         keptGood, idCol, textCol, gates.lmCutAvgFp)
     }
+    pins += lmOk
     val survivors = keptGood.join(lmOk.select(col(idCol)), Seq(idCol))
 
     // 6. deterministic mixture coin; the final kept slice
@@ -270,14 +280,7 @@ object CurationPipeline {
     BatchStore.append(
       finalKept.select(col(idCol), col(domainCol), col(textCol)),
       st.kept, batchId)
-    Checkpoints.releasePinned(lmOk)
-    Checkpoints.releasePinned(classified)
-    if (ledgerOn) {
-      Checkpoints.releasePinned(kept)
-      Checkpoints.releasePinned(good)
-    }
-    nearVerdict.foreach(Checkpoints.releasePinned)
-    Checkpoints.releasePinned(hashed)
+    } finally pins.foreach(Checkpoints.releasePinned)
   }
 
   /** Masked KEPT-CORPUS read: the committed survivors minus tombstoned

@@ -330,6 +330,15 @@ object Dedup {
   def writeSignatureStore(df: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int, root: String, batchId: Long,
       stagingDir: Option[String] = None): Unit = {
+    // drop any STALE sidecar for this id BEFORE the batch commits
+    // (re-append of a compacted-away id after a crashed
+    // refresh/sweep): the commit→fresh-sidecar window must leave a
+    // sidecar-LESS batch (always scanned, sound), never one pruned
+    // against another batch's sketch (a possible missed duplicate)
+    val sidecar = BatchBlooms.path(root, batchId)
+    val sfs = sidecar.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    if (sfs.exists(sidecar)) sfs.delete(sidecar, false)
     BatchStore.append(
       dedupSignatures(df, idCol, textCol, k, shingleN, stagingDir),
       root, batchId)
@@ -401,8 +410,15 @@ object Dedup {
     * countDistinct discipline); [[compactSignatureStore]] remains the
     * op that folds them. */
   def purgeSignatureStore(spark: org.apache.spark.sql.SparkSession,
-      root: String, idCol: String, newBatchId: Long): Int =
-    Tombstones.purge(spark, root, idCol, newBatchId)
+      root: String, idCol: String, newBatchId: Long): Int = {
+    val n = Tombstones.purge(spark, root, idCol, newBatchId)
+    // purge compacts every batch into one: the replaced batches'
+    // sidecars dangle and the merged batch has none — sweep + rebuild
+    // so the store converges back to pruned serves instead of
+    // silently scanning flat forever
+    refreshSignatureBlooms(spark, root)
+    n
+  }
 
   /** Delete leftover `.staging-*` dirs from CRASHED
     * [[writeSignatureStore]] writes. Readers never see them (dot-dirs
@@ -1093,6 +1109,18 @@ object Dedup {
     * exactly one batch (append deltas, don't re-append). */
   def writeHammingStore(hashes: DataFrame, idCol: String,
       bandCols: Seq[String], root: String, batchId: Long): Unit = {
+    // drop any STALE sidecar for this batch id BEFORE the batch
+    // commits: if a compacted-away id is re-appended, the window
+    // between the batch commit and the fresh sidecar's rename would
+    // otherwise let a concurrent serve prune the NEW batch against
+    // the OLD batch's sketch — a possible missed duplicate (false
+    // negative, the one failure class sidecars must never cause).
+    // With the pre-delete the window's worst case is a sidecar-less
+    // batch: always scanned, sound.
+    val spark = hashes.sparkSession
+    val sidecar = BatchBlooms.path(root, batchId)
+    val sfs = sidecar.getFileSystem(spark.sessionState.newHadoopConf())
+    if (sfs.exists(sidecar)) sfs.delete(sidecar, false)
     BatchStore.append(
       hashes.select((idCol +: bandCols).map(col): _*), root, batchId)
     // Bloom sidecar over the batch's (band, value) keys — the
@@ -1100,9 +1128,8 @@ object Dedup {
     // incremental serve then scans only the history batches that can
     // band-collide with the slice. Written AFTER the batch commit (a
     // crash window leaves a batch that is simply always scanned);
-    // compaction's merged batch is likewise sidecar-less until the
-    // next delta append era — sound, never wrong.
-    val spark = hashes.sparkSession
+    // compaction's merged batch is likewise sidecar-less until
+    // [[refreshHammingBlooms]] — sound, never wrong.
     val dirPath = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(dirPath)) {
@@ -1132,10 +1159,38 @@ object Dedup {
     Tombstones.append(ids, idCol, root, batchId)
 
   /** Physically drop tombstoned sketches and retire applied
-    * tombstones. */
+    * tombstones. Sidecar hygiene runs after: the replaced batches'
+    * sketches are swept (stale litter a later re-append of the same
+    * batch id must never trust) — the purged batch itself stays
+    * sidecar-less (always scanned, sound) until
+    * [[refreshHammingBlooms]]. */
   def purgeHammingStore(spark: org.apache.spark.sql.SparkSession,
-      root: String, idCol: String, newBatchId: Long): Int =
-    Tombstones.purge(spark, root, idCol, newBatchId)
+      root: String, idCol: String, newBatchId: Long): Int = {
+    val n = Tombstones.purge(spark, root, idCol, newBatchId)
+    BatchBlooms.danglingSweep(spark, root)
+    n
+  }
+
+  /** Re-derive missing Hamming sidecars and drop dangling ones — the
+    * maintenance hook after purge/compaction, and the convergence path
+    * for a store that lost sidecars (crash between batch commit and
+    * sidecar rename): without it such a store silently scans flat
+    * forever. [[refreshSignatureBlooms]]' twin on the Hamming
+    * modality; `bandCols` must match the store's layout. Returns the
+    * number of sidecars written. */
+  def refreshHammingBlooms(spark: org.apache.spark.sql.SparkSession,
+      root: String, bandCols: Seq[String]): Int = {
+    val missing = BatchBlooms.danglingSweep(spark, root)
+    missing.foreach { id =>
+      val dirPath = new org.apache.hadoop.fs.Path(root, s"batch=$id")
+      val b = spark.read.parquet(dirPath.toString)
+      BatchBlooms.write(spark, root, id,
+        hammingKeyStrings(b, bandCols).select(concat(lit("h:"),
+          col("hkey")).as("k")),
+        b.count() * bandCols.size, Seq("h"))
+    }
+    missing.size
+  }
 
   /** Near-dup verdicts for a DELTA of banded sketches against the
     * persisted history — [[incrementalDedupFromStore]]'s asymmetry on

@@ -195,17 +195,41 @@ object LateInteraction {
     * stores (no meta file) fall back to the full scan. */
   private[graft] def prunedStoreRead(spark: org.apache.spark.sql.SparkSession,
       root: String, candIds: DataFrame, passageCol: String): DataFrame = {
-    val st = BatchStore.read(spark, root)
+    val st0 = BatchStore.read(spark, root)
+    // batch-level Bloom-sidecar prune UNDER the bucket prune: each
+    // passage lives wholly in one batch (the write contract), so a
+    // serve for K candidates can touch at most K batches — the
+    // sidecar ("i:<passage id>" tags, [[BatchBlooms]]) names them,
+    // making serve input HISTORY-FLAT on deep stores where bucket
+    // pruning alone still reads the candidates' buckets of EVERY
+    // batch (input ∝ history/buckets). Sidecar-less/small stores
+    // scan all batches (sound; pruned ≡ flat — no false negatives).
+    val storeIdType = st0.schema(passageCol).dataType
+    val typedIds0 = candIds.select(col(passageCol).cast(storeIdType)
+      .as(passageCol))
+    val st = BatchBlooms.hits(spark, root,
+        Seq("i" -> typedIds0.select(col(passageCol).cast("string"))),
+        beforeBatch = None) match {
+      case Some(Seq(ids)) =>
+        if (ids.isEmpty) st0.filter(lit(false))
+        else {
+          val lits: Seq[Any] = st0.schema("batch").dataType match {
+            case org.apache.spark.sql.types.IntegerType => ids.map(_.toInt)
+            case _ => ids
+          }
+          st0.filter(col("batch").isin(lits: _*))
+        }
+      case _ => st0
+    }
     readBucketsMeta(spark, root) match {
       case Some(n) =>
         // xxhash64(int) != xxhash64(long) for the same value: a
         // candidate frame whose id dtype differs from the stored
         // passage column would prune the WRONG dirs and silently
         // drop passages the equi-join would have matched — hash at
-        // the store's dtype.
-        val storeIdType = st.schema(passageCol).dataType
-        val typedIds = candIds.select(col(passageCol).cast(storeIdType)
-          .as(passageCol))
+        // the store's dtype (typedIds0 above; the sidecar probe keys
+        // stringify the same cast for the same reason).
+        val typedIds = typedIds0
         val bks = typedIds.select(passageBucket(passageCol, n).as("__pb"))
           .distinct().collect().map(_.getLong(0)).sorted
         if (bks.isEmpty) st.filter(lit(false)).drop("__pb")
@@ -257,8 +281,52 @@ object LateInteraction {
       .select(col(passageCol),
         col("__tv").as("__dv"), col("__tn").as("__dn"))
       .withColumn("__pb", passageBucket(passageCol, buckets))
+    dropStaleSidecar(passages.sparkSession, root, batchId)
     BatchStore.append(rows, root, batchId, partitionBy = Seq("__pb"))
+    writeBatchIdBloom(passages.sparkSession, root, batchId, passageCol)
     Checkpoints.releasePinned(pairs)
+  }
+
+  /** The stale-sidecar pre-delete ([[Dedup.writeSignatureStore]]'s
+    * discipline): a re-append of a compacted-away batch id must never
+    * leave a window where the NEW batch is pruned against the OLD
+    * batch's sketch — the pre-delete makes the window's worst case a
+    * sidecar-less batch (always scanned, sound). */
+  private def dropStaleSidecar(spark: org.apache.spark.sql.SparkSession,
+      root: String, batchId: Long): Unit = {
+    val p = BatchBlooms.path(root, batchId)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** Bloom sidecar over the committed batch's DISTINCT passage ids
+    * (`"i:<id>"` tags — [[prunedStoreRead]]'s probe space): written
+    * AFTER the batch commit (a crash in between leaves a batch that
+    * is simply always scanned); read back from the committed dir so
+    * the sketch reflects exactly what readers will scan. Cost: one
+    * distinct+count+Bloom aggregation over the DELTA's ids. */
+  private def writeBatchIdBloom(spark: org.apache.spark.sql.SparkSession,
+      root: String, batchId: Long, passageCol: String): Unit = {
+    val dirPath = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dirPath)) return
+    val ids = spark.read.parquet(dirPath.toString)
+      .select(col(passageCol)).distinct()
+    BatchBlooms.write(spark, root, batchId,
+      ids.select(concat(lit("i:"), col(passageCol).cast("string")).as("k")),
+      ids.count(), Seq("i"))
+  }
+
+  /** Re-derive missing passage-id sidecars and drop dangling ones —
+    * the maintenance hook after [[purgeTokenIndex]]/compaction and
+    * the convergence path for a store that lost sidecars (crash
+    * between batch commit and sidecar rename). Returns the number of
+    * sidecars written. */
+  def refreshTokenIndexBlooms(spark: org.apache.spark.sql.SparkSession,
+      root: String, passageCol: String): Int = {
+    val missing = BatchBlooms.danglingSweep(spark, root)
+    missing.foreach(id => writeBatchIdBloom(spark, root, id, passageCol))
+    missing.size
   }
 
   /** The QUANTIZED token index — [[writeTokenIndex]] with the real
@@ -289,7 +357,9 @@ object LateInteraction {
     val rows = pairs.join(vocab, Seq("__tok"))
       .select(col(passageCol), col("__qb"))
       .withColumn("__pb", passageBucket(passageCol, buckets))
+    dropStaleSidecar(passages.sparkSession, root, batchId)
     BatchStore.append(rows, root, batchId, partitionBy = Seq("__pb"))
+    writeBatchIdBloom(passages.sparkSession, root, batchId, passageCol)
     Checkpoints.releasePinned(pairs)
   }
 
@@ -329,9 +399,11 @@ object LateInteraction {
   /** Maintain the token index FROM A STREAM — the
     * [[LanguageModel.lmStoreSink]] discipline on the vector store:
     * batch id = `baseBatchId + epochId`, exactly-once under epoch
-    * replay (single [[BatchStore]] dir, no sidecar — `batch=$id`
-    * either committed completely or absent, so a replay no-ops or
-    * writes normally; nothing to heal). Each streamed passage must
+    * replay (`batch=$id` either committed completely or absent, so a
+    * replay no-ops or writes normally; a crash between the batch
+    * commit and its Bloom sidecar leaves a batch that is simply
+    * always scanned until [[refreshTokenIndexBlooms]] — sound, the
+    * shared sidecar discipline). Each streamed passage must
     * arrive wholly in one epoch (the per-passage distinct-token
     * collapse happens within the batch), which file/kafka sources
     * carrying whole documents guarantee. Serving is independent of
@@ -363,10 +435,16 @@ object LateInteraction {
     * .purgeIvfPqIndex]] rule). Serving before and after is
     * value-identical (q199 pins it in-plan). */
   def purgeTokenIndex(spark: org.apache.spark.sql.SparkSession,
-      root: String, passageCol: String, newBatchId: Long): Int =
-    Tombstones.purge(spark, root, passageCol, newBatchId,
+      root: String, passageCol: String, newBatchId: Long): Int = {
+    val n = Tombstones.purge(spark, root, passageCol, newBatchId,
       partitionBy =
         if (readBucketsMeta(spark, root).isDefined) Seq("__pb") else Seq.empty)
+    // purge compacts every batch into one: sweep the replaced
+    // batches' sidecars and re-sketch the merged batch so serves
+    // converge back to batch-pruned instead of scanning flat forever
+    refreshTokenIndexBlooms(spark, root, passageCol)
+    n
+  }
 
   /** [[maxSimRerank]] served from the persisted token index — the
     * production serving shape: the passage side reads PRECOMPUTED

@@ -202,70 +202,133 @@ object Multimodal {
     * sample are ignored. Overflow honesty: `sum_sq` is exact in a
     * Long for ≥16-bit audio up to ~10⁹ samples per file (hours at
     * 48 kHz) — beyond that, window the file upstream. */
-  def decodeWavPcm(bytes: Array[Byte]): Option[WavPcm] =
-    try {
-      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
-        None
-      else {
-        var i = 12
-        var fmt: Option[(Int, Int, Int)] = None // (rate, ch, bits)
-        var pcm = false
-        var dataOff = -1
-        var dataLen = -1L
-        while (i + 8 <= bytes.length && (fmt.isEmpty || dataOff < 0)) {
-          val id = tag(bytes, i)
-          val size = u32le(bytes, i + 4)
-          val body = i + 8
-          if (id == "fmt " && size >= 16 && body + 16 <= bytes.length) {
-            val format = u16le(bytes, body)
-            val channels = u16le(bytes, body + 2)
-            val rate = u32le(bytes, body + 4)
-            val bits = u16le(bytes, body + 14)
-            pcm = format == 1
-            if (channels >= 1 && channels <= 64 &&
-                rate >= 1 && rate <= 10000000 &&
-                (bits == 8 || bits == 16 || bits == 24 || bits == 32))
-              fmt = Some((rate.toInt, channels, bits))
-          } else if (id == "data") {
-            dataOff = body
-            dataLen = math.min(size, (bytes.length - body).toLong)
-          }
-          i = body + size.toInt + (size.toInt & 1) // word-aligned chunks
-          if (size > Int.MaxValue - 16) i = bytes.length // malformed: stop
+  /** The parsed integer-PCM layout behind [[decodeWavPcm]] and
+    * [[pcmWindowEnergy]]: `(rate, channels, bits, dataOff, nSamples)`
+    * after the full untrusted-input chunk walk — None on anything
+    * structurally unsound or non-integer-PCM. */
+  private def parsePcmLayout(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
+    if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+      None
+    else {
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // (rate, ch, bits)
+      var pcm = false
+      var dataOff = -1
+      var dataLen = -1L
+      while (i + 8 <= bytes.length && (fmt.isEmpty || dataOff < 0)) {
+        val id = tag(bytes, i)
+        val size = u32le(bytes, i + 4)
+        val body = i + 8
+        if (id == "fmt " && size >= 16 && body + 16 <= bytes.length) {
+          val format = u16le(bytes, body)
+          val channels = u16le(bytes, body + 2)
+          val rate = u32le(bytes, body + 4)
+          val bits = u16le(bytes, body + 14)
+          pcm = format == 1
+          if (channels >= 1 && channels <= 64 &&
+              rate >= 1 && rate <= 10000000 &&
+              (bits == 8 || bits == 16 || bits == 24 || bits == 32))
+            fmt = Some((rate.toInt, channels, bits))
+        } else if (id == "data") {
+          dataOff = body
+          dataLen = math.min(size, (bytes.length - body).toLong)
         }
-        fmt.collect { case (rate, ch, bits) if pcm && dataOff >= 0 =>
-          val bytesPerSample = bits / 8
-          val n = dataLen / bytesPerSample
-          val (railLo, railHi) =
-            if (bits == 8) (-128L, 127L)
-            else (-(1L << (bits - 1)), (1L << (bits - 1)) - 1)
-          var peak = 0L; var clipped = 0L; var sumAbs = 0L; var sumSq = 0L
-          var s = 0L
-          while (s < n) {
-            val o = dataOff + (s * bytesPerSample).toInt
-            val amp: Long = bits match {
-              case 8 => (bytes(o) & 0xff).toLong - 128L
-              case 16 =>
-                (((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort).toLong
-              case 24 =>
-                val v = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
-                  (bytes(o + 2) << 16)
-                v.toLong
-              case _ =>
-                ((bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-                  ((bytes(o + 2) & 0xffL) << 16) |
-                  (bytes(o + 3).toLong << 24))
-            }
-            val a = math.abs(amp)
-            if (a > peak) peak = a
-            if (amp == railLo || amp == railHi) clipped += 1
-            sumAbs += a; sumSq += amp * amp
-            s += 1
-          }
-          WavPcm(rate, ch, bits, n, peak, clipped, sumAbs, sumSq)
-        }
+        i = body + size.toInt + (size.toInt & 1) // word-aligned chunks
+        if (size > Int.MaxValue - 16) i = bytes.length // malformed: stop
       }
+      fmt.collect { case (rate, ch, bits) if pcm && dataOff >= 0 =>
+        (rate, ch, bits, dataOff, dataLen / (bits / 8))
+      }
+    }
+  }
+
+  /** Sample `s`'s signed amplitude (8-bit rebased around 128; 16/24/32
+    * signed little-endian). */
+  private def pcmSample(bytes: Array[Byte], dataOff: Int, bits: Int,
+      s: Long): Long = {
+    val o = dataOff + (s * (bits / 8)).toInt
+    bits match {
+      case 8 => (bytes(o) & 0xff).toLong - 128L
+      case 16 =>
+        (((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort).toLong
+      case 24 =>
+        val v = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          (bytes(o + 2) << 16)
+        v.toLong
+      case _ =>
+        ((bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) |
+          (bytes(o + 3).toLong << 24))
+    }
+  }
+
+  def decodeWavPcm(bytes: Array[Byte]): Option[WavPcm] =
+    try parsePcmLayout(bytes).map { case (rate, ch, bits, dataOff, n) =>
+      val (railLo, railHi) =
+        if (bits == 8) (-128L, 127L)
+        else (-(1L << (bits - 1)), (1L << (bits - 1)) - 1)
+      var peak = 0L; var clipped = 0L; var sumAbs = 0L; var sumSq = 0L
+      var s = 0L
+      while (s < n) {
+        val amp = pcmSample(bytes, dataOff, bits, s)
+        val a = math.abs(amp)
+        if (a > peak) peak = a
+        if (amp == railLo || amp == railHi) clipped += 1
+        sumAbs += a; sumSq += amp * amp
+        s += 1
+      }
+      WavPcm(rate, ch, bits, n, peak, clipped, sumAbs, sumSq)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Fixed-window energy segmentation over the REAL decoded samples —
+    * the gate a training pipeline actually runs on decoded audio
+    * (silence trimming / voice-activity-ish admission), all integer
+    * arithmetic so a SQL oracle recomputes it exactly. Window `w`
+    * covers samples `[w*window, min((w+1)*window, n))` (the last
+    * window may be short); a window is ACTIVE iff its energy exceeds
+    * the per-sample threshold on its OWN length — `sum_sq >
+    * threshold * n_w`, strict, so the short tail window is judged by
+    * the same mean-square bar as full ones, not by a diluted absolute
+    * one. `first_active`/`last_active` are -1 on an all-silent file
+    * (trim everything); `voiced_samples`/`voiced_sum_sq` aggregate
+    * the active windows only. */
+  final case class PcmWindows(sample_rate: Int, channels: Int, bits: Int,
+      n_samples: Long, n_windows: Int, active_windows: Int,
+      first_active: Int, last_active: Int, voiced_samples: Long,
+      voiced_sum_sq: Long)
+
+  def pcmWindowEnergy(bytes: Array[Byte], window: Int,
+      threshold: Long): Option[PcmWindows] = {
+    require(window >= 1, s"need window >= 1, got $window")
+    require(threshold >= 0, s"need threshold >= 0, got $threshold")
+    try parsePcmLayout(bytes).map { case (rate, ch, bits, dataOff, n) =>
+      var w = 0; var active = 0; var first = -1; var last = -1
+      var voiced = 0L; var voicedSq = 0L
+      var s = 0L
+      while (s < n) {
+        val end = math.min(s + window, n)
+        val nw = end - s
+        var sumSq = 0L
+        var j = s
+        while (j < end) {
+          val amp = pcmSample(bytes, dataOff, bits, j)
+          sumSq += amp * amp
+          j += 1
+        }
+        if (sumSq > threshold * nw) {
+          active += 1
+          if (first < 0) first = w
+          last = w
+          voiced += nw; voicedSq += sumSq
+        }
+        w += 1
+        s = end
+      }
+      PcmWindows(rate, ch, bits, n, w, active, first, last, voiced,
+        voicedSq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Parsed MP3 metadata: fields of the FIRST frame header plus a
     * whole-file frame walk — `frames` complete frames found,

@@ -1144,7 +1144,8 @@ object CurationQueries {
     * closure; finish with the packed-shard export. */
   private def withCurationDag(s: SparkSession, dir: String, prefix: String,
       ledger: Boolean = false,
-      nearDup: Option[graft.operators.CurationPipeline.NearDup] = None)(
+      nearDup: Option[graft.operators.CurationPipeline.NearDup] = None,
+      retireLedgerBelow: Option[Long] = None)(
       runStream: (Seq[Long] => Unit, () => Unit) => Unit): DataFrame = {
     val CP = graft.operators.CurationPipeline
     val docs = Tables.documents(s, dir)
@@ -1210,6 +1211,11 @@ object CurationQueries {
       }
       try runStream(stageSlices, drain)
       finally models.releaseAll()
+      // the retention leg: drop whole ledger epochs below the cutoff
+      // BEFORE the serve — the gate then proves funnel completeness
+      // over exactly the retained window
+      retireLedgerBelow.foreach(cut =>
+        CP.retireLedgerBefore(s, stores.ledger.get, cut))
       if (ledger)
         CP.readLedger(s, stores.ledger.get, "doc_id")
           .select(col("doc_id"), col("source"), col("stage"),
@@ -1274,6 +1280,36 @@ object CurationQueries {
       |LEFT JOIN lmk l ON r.doc_id = l.doc_id
       |LEFT JOIN mix m ON r.doc_id = m.doc_id
       |ORDER BY r.doc_id""".stripMargin
+  // ---------------------------------------------------------------
+  // q243 — LEDGER RETENTION IN THE LIFECYCLE (q224's chain +
+  // [[graft.operators.CurationPipeline.retireLedgerBefore]] before
+  // the serve): a production audit surface is retained by window, not
+  // forever (~18 GB/yr at daily 10M-doc slices — SCALE.md's growth
+  // audit), so the gate proves the retention maintenance composes
+  // with the funnel guarantee — epochs 0 retired as WHOLE units, and
+  // over the retained window (epochs 1–2) every streamed doc still
+  // appears exactly once with its first-failing-stage attribution.
+  // Oracle: q224's full-DAG replay restricted to the retained epochs.
+  private def q243(s: SparkSession, dir: String): DataFrame =
+    withCurationDag(s, dir, "graft_q243", ledger = true,
+      retireLedgerBelow = Some(2L)) { (stage, drain) =>
+      stage(Seq(0L, 1L, 2L)); drain()
+    }
+  private lazy val q243Sql = curationChainSql + """
+      |SELECT r.doc_id, r.source, CAST(r.epoch AS BIGINT) AS epoch,
+      |  CASE WHEN d.doc_id IS NULL THEN 'dedup'
+      |       WHEN g.doc_id IS NULL THEN 'quality'
+      |       WHEN l.doc_id IS NULL THEN 'lm'
+      |       WHEN m.doc_id IS NULL THEN 'mixture'
+      |       ELSE 'kept' END AS stage
+      |FROM reb r
+      |LEFT JOIN ded d ON r.doc_id = d.doc_id
+      |LEFT JOIN goodk g ON r.doc_id = g.doc_id
+      |LEFT JOIN lmk l ON r.doc_id = l.doc_id
+      |LEFT JOIN mix m ON r.doc_id = m.doc_id
+      |WHERE r.epoch >= 1
+      |ORDER BY r.doc_id""".stripMargin
+
   private def dToksOf(t: String) =
     s"list_filter(regexp_split_to_array(trim($t), '\\s+'), t -> t <> '')"
 
@@ -1499,6 +1535,7 @@ object CurationQueries {
     QueryDef("q221_curation_streamed", q221, Some(q221Sql)),
     QueryDef("q223_curation_restarted", q223, Some(q221Sql)),
     QueryDef("q224_curation_ledger", q224, Some(q224Sql)),
+    QueryDef("q243_ledger_retention", q243, Some(q243Sql)),
     QueryDef("q201_dsir_store_erasure", q201, Some(q201Sql)),
     QueryDef("q202_dsir_store_streamed", q202, Some(q202Sql)),
     QueryDef("q209_boilerplate_strip", q209, Some(q209Sql)),

@@ -3270,6 +3270,77 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // q242 — fixed-window energy segmentation over the REAL decoded
+  // samples ([[Multimodal.pcmWindowEnergy]]): the op a training
+  // pipeline actually runs on decoded audio — silence trimming /
+  // voice-activity-ish admission — in pure integer arithmetic
+  // (per-window sum-of-squares vs an integer per-sample threshold on
+  // the window's OWN length, so the short tail window is judged by
+  // the same mean-square bar). Same deterministic fixture WAVs as
+  // q240; thresholds 2^(2·bits−4) sit near the generator's mean
+  // square, so both codecs produce interleaved active/silent windows
+  // (first/last trim and the voiced aggregates are all non-trivial).
+  // The oracle re-windows the generating formula with `j // 64` and
+  // recomputes every aggregate exactly.
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = Tables.documents(s, dir).select(
+      col("doc_id").as("id"),
+      octet_length(encode(col("text"), "UTF-8")).cast("long").as("tlen"))
+    params.as[(Long, Long)].map { case (id, tlen) =>
+      val (bytes, thr) =
+        if (id % 5 == 0)
+          (Multimodal.wavBytes(11025, 1, 8, (50 + tlen % 200).toInt),
+            1L << 12)
+        else
+          (Multimodal.wavBytes(8000, (1 + id % 2).toInt, 16,
+            (100 + tlen % 400).toInt), 1L << 28)
+      val p = Multimodal.pcmWindowEnergy(bytes, window = 64, threshold = thr)
+        .getOrElse(throw new IllegalStateException(
+          s"fixture WAV $id failed to decode"))
+      (id, p.bits, p.n_samples, p.n_windows, p.active_windows,
+        p.first_active, p.last_active, p.voiced_samples, p.voiced_sum_sq)
+    }.toDF("doc_id", "bits", "n_samples", "n_windows", "active_windows",
+      "first_active", "last_active", "voiced_samples", "voiced_sum_sq")
+      .orderBy(col("doc_id"))
+  }
+  private val q242Sql =
+    """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS tlen FROM documents),
+      |p AS (
+      |  SELECT id, 8 AS bits, 50 + tlen % 200 AS ns,
+      |      CAST(4096 AS BIGINT) AS thr FROM d WHERE id % 5 = 0
+      |  UNION ALL
+      |  SELECT id, 16, (100 + tlen % 400) * (1 + id % 2),
+      |      CAST(268435456 AS BIGINT) FROM d WHERE id % 5 <> 0),
+      |s AS (SELECT id, bits, ns, thr, unnest(range(ns)) AS j FROM p),
+      |a AS (SELECT id, bits, ns, thr, j // 64 AS win,
+      |    CASE WHEN bits = 8 THEN (j % 251) - 128
+      |         WHEN ((2*j) % 251) + 256 * (((2*j)+1) % 251) >= 32768
+      |           THEN ((2*j) % 251) + 256 * (((2*j)+1) % 251) - 65536
+      |         ELSE ((2*j) % 251) + 256 * (((2*j)+1) % 251) END AS amp
+      |  FROM s),
+      |w AS (SELECT id, bits, ns, thr, win, COUNT(*) AS nw,
+      |    CAST(SUM(amp * amp) AS BIGINT) AS ss
+      |  FROM a GROUP BY id, bits, ns, thr, win),
+      |v AS (SELECT id, bits, ns, win, nw, ss, ss > thr * nw AS act FROM w)
+      |SELECT id AS doc_id, CAST(bits AS INTEGER) AS bits,
+      |  CAST(ns AS BIGINT) AS n_samples,
+      |  CAST(COUNT(*) AS INTEGER) AS n_windows,
+      |  CAST(SUM(CASE WHEN act THEN 1 ELSE 0 END) AS INTEGER)
+      |    AS active_windows,
+      |  CAST(COALESCE(MIN(CASE WHEN act THEN win END), -1) AS INTEGER)
+      |    AS first_active,
+      |  CAST(COALESCE(MAX(CASE WHEN act THEN win END), -1) AS INTEGER)
+      |    AS last_active,
+      |  CAST(COALESCE(SUM(CASE WHEN act THEN nw END), 0) AS BIGINT)
+      |    AS voiced_samples,
+      |  CAST(COALESCE(SUM(CASE WHEN act THEN ss END), 0) AS BIGINT)
+      |    AS voiced_sum_sq
+      |FROM v GROUP BY id, bits, ns
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // q111 — REAL pixel decode ([[Multimodal.imageStats]]): per-doc PNG
   // fixtures with closed-form channel ramps are ENCODED through the
   // JDK's real PNG writer in-query, then fully decoded back
@@ -4111,6 +4182,7 @@ object TextQueries {
     QueryDef("q238_neardup_admission_streamed", q238, Some(q238Sql)),
     QueryDef("q239_bloom_pruned_dedup", q239, Some(q239Sql)),
     QueryDef("q240_wav_pcm_decode", q240, Some(q240Sql)),
+    QueryDef("q242_wav_energy_windows", q242, Some(q242Sql)),
     QueryDef("q230_hashed_retrieval", q230, Some(q230Sql)),
     QueryDef("q231_hashed_store", q231, Some(q231Sql)),
     QueryDef("q232_hashed_streamed", q232, Some(q232Sql)),
