@@ -43,6 +43,19 @@ object PlanFingerprint {
     // containing MapElements/SerializeFromObject hash deterministically.
     .replaceAll("\\$\\$Lambda(\\$\\d+)?(/0x[0-9a-fA-F]+)?", "\\$\\$Lambda")
     .replaceAll("@[0-9a-fA-F]{4,}", "@")
+    // higher-order-function lambda variables (transform/aggregate/
+    // zip_with) are freshly named from a SESSION-GLOBAL counter —
+    // `lambda x_8#` in a fresh JVM is `lambda x_31#` after other
+    // queries planned in the same session (r18: the residual source
+    // of the phantom plan_changes on the MinHash/array-fold family)
+    .replaceAll("lambda ([a-zA-Z]+)_\\d+#", "lambda $1#")
+    // scan-metadata fields (DataFilters etc.) render TRUNCATED at a
+    // fixed raw width; raw exprId digit counts shift the cut point,
+    // so the surviving prefix differs per session. A bracketed field
+    // whose closing bracket was swallowed by the `...` is collapsed
+    // entirely — its full content is already hashed from the plan
+    // nodes above the scan.
+    .replaceAll("\\[[^\\]]*\\.\\.\\.", "[<trunc>")
 
   /** Digest of `df`'s normalized physical plan (pre-execution). */
   def hash(df: DataFrame): String = {

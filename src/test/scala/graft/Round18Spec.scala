@@ -39,6 +39,34 @@ class Round18Spec extends AnyFunSuite {
       "graft.operators.MinHashUnion@1f2e3d4c, ...)])"
     val e2 = e1.replace("@1f2e3d4c", "@77aa88bb")
     assert(PlanFingerprint.normalize(e1) == PlanFingerprint.normalize(e2))
+    // higher-order-function lambda variables draw fresh names from a
+    // SESSION-GLOBAL counter: `x_8` in a fresh JVM is `x_31` after
+    // other queries planned in the same session (r18: the residual
+    // phantom plan_changes on the MinHash/array-fold family)
+    val f1 = "Project [array_min(transform(hs#201, lambdafunction(" +
+      "(((lambda x_8#202 * 1103527590) + 1861195998) % 4294967311), " +
+      "lambda x_8#202, false))) AS mh0#203]"
+    val f2 = f1.replace("x_8#202", "x_31#417").replace("#201", "#988")
+      .replace("#203", "#991")
+    assert(PlanFingerprint.normalize(f1) == PlanFingerprint.normalize(f2))
+    // ... but a different fold CONSTANT is a real shape change
+    val f3 = f1.replace("1103527590", "1103527591")
+    assert(PlanFingerprint.normalize(f1) != PlanFingerprint.normalize(f3))
+    // scan-metadata fields truncate at a fixed RAW width, so exprId
+    // digit counts shift the cut point — a truncated bracketed field
+    // collapses entirely instead of hashing its session-dependent tail
+    val g1 = "FileScan parquet [doc_id#12,text#13] DataFilters: " +
+      "[isnotnull(text#13), (octet_length(static_invoke(Encode.encode(" +
+      "text#13, UTF-8..., Format: Parquet, " +
+      "PushedFilters: [IsNotNull(text)], ReadSchema: struct<text:string>"
+    val g2 = g1.replace("text#13, UTF-8...", "text#1333, UT...")
+      .replace("text#13)", "text#1333)")
+    assert(PlanFingerprint.normalize(g1) == PlanFingerprint.normalize(g2))
+    // the UNtruncated parts of the scan line still pin shape: a
+    // pushed-filter change is a real plan change
+    val g3 = g1.replace("PushedFilters: [IsNotNull(text)]",
+      "PushedFilters: []")
+    assert(PlanFingerprint.normalize(g1) != PlanFingerprint.normalize(g3))
   }
 
   // ------------- the bounded sidecar probe (driver-memory cap)
