@@ -81,17 +81,19 @@ object JobProfile {
       val sumMs = js.map(j => math.max(0L, j.end - j.start)).sum
       println(f"===== JOBPROFILE $name pass $r: $n rows, wall $wall%.2f s, " +
         f"${js.size} jobs, job-sum ${sumMs / 1000.0}%.2f s =====")
+      def clean(s: String) = s.replaceAll("\\s+", " ").trim
       println("  ms | tasks | taskms |  shufR |  shufW |  inMB | inRecs | site | desc")
       js.foreach { j =>
         val dur = math.max(0L, j.end - j.start)
         if (dur >= 20)
-          println(f"$dur%6d | ${j.tasks}%5d | ${j.taskMs}%6d | ${j.shufR}%6d | ${j.shufW}%6d | ${j.inBytes / 1e6}%5.1f | ${j.inRecs}%6d | ${j.site.take(48)}%-48s | ${j.desc.take(60)}")
+          println(f"$dur%6d | ${j.tasks}%5d | ${j.taskMs}%6d | ${j.shufR}%6d | ${j.shufW}%6d | ${j.inBytes / 1e6}%5.1f | ${j.inRecs}%6d | ${clean(j.site).take(44)}%-44s | ${clean(j.desc).take(70)}")
       }
-      println("----- by callsite -----")
-      js.groupBy(_.site).toSeq
+      println("----- by description/callsite -----")
+      js.groupBy(j => if (j.desc.nonEmpty) clean(j.desc).take(70)
+          else clean(j.site).take(70)).toSeq
         .map { case (s, g) =>
           (s, g.map(j => math.max(0L, j.end - j.start)).sum, g.size) }
-        .sortBy(-_._2).take(25)
+        .sortBy(-_._2).take(30)
         .foreach { case (s, ms, n2) =>
           println(f"$ms%7d ms  x$n2%-4d $s") }
     }

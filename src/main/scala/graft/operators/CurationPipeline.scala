@@ -79,6 +79,17 @@ object CurationPipeline {
       lmCutAvgFp: Double, mixKeep: Column,
       nearDup: Option[NearDup] = None)
 
+  /** Label the jobs a stage body triggers (guide §1.5: readable UI /
+    * profiler attribution). Thread-local, restored after; purely
+    * cosmetic — no plan or semantic effect. */
+  private def labeled[T](spark: SparkSession, stage: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"curation: $stage")
+    try body
+    finally sc.setJobDescription(prev)
+  }
+
   private def hasBatches(spark: SparkSession, root: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -129,8 +140,10 @@ object CurationPipeline {
     // pins once — it feeds the store anti-join, the window, and the
     // downstream gates
     val ledgerOn = st.ledger.isDefined
-    val hashed = stripped.withColumn("__chash", md5(col(textCol)))
-      .localCheckpoint()
+    val hashed = labeled(spark, "strip+hash") {
+      stripped.withColumn("__chash", md5(col(textCol)))
+        .localCheckpoint()
+    }
     // every slice-sized pin taken past this point is registered here
     // and released in the finally below — an exception mid-epoch
     // (classifier/LM failure, append race) must not leak one pinned
@@ -157,31 +170,46 @@ object CurationPipeline {
     // of the slice's digests are read, so per-epoch store input
     // scales with the slice's collisions, not corpus age (the last
     // history-proportional term in this stage).
-    // near mode's verdict frame pins the slice's signature checkpoint
-    // (the withShingleSignatures barrier inside the serve) — released
-    // with the epoch's other pins in the finally
+    // near mode signs the slice ONCE (r18): the pinned signature frame
+    // feeds BOTH the dedup verdicts and the epoch's signature-store
+    // append below — the text-fed path shingled + hashed the slice
+    // twice per epoch (once inside the serve, once inside the store
+    // write), and the signing pass is the stage's dominant map cost
+    // at any scale. chash reuses the already-computed __chash.
+    val signedNd = gates.nearDup.map { nd =>
+      labeled(spark, "slice signing") {
+        Dedup.dedupSignaturesFromHashed(hashed, idCol, "__chash",
+          textCol, nd.k, nd.shingleN)
+      }
+    }
+    signedNd.foreach(pins += _)
     val vsStore =
       if (!hasBatches(spark, st.signatures)) hashed
       else gates.nearDup match {
         case Some(nd) =>
           // exact + near verdicts against prior epochs' kept content
-          // ([[Dedup.incrementalDedupFromStoreAt]] — Bloom-pruned,
-          // broadcast-batch-only joins, history never shuffles)
-          val verd = Dedup.incrementalDedupFromStoreAt(spark,
-            st.signatures, hashed, idCol, textCol, nd.k, nd.shingleN,
-            nd.bands, nd.threshold, beforeBatch = Some(batchId))
+          // ([[Dedup.incrementalDedupFromStoreAtSigned]] — Bloom-
+          // pruned, broadcast-batch-only joins, history never
+          // shuffles; fed the pre-signed slice)
+          val verd = labeled(spark, "dedup near serve") {
+            Dedup.incrementalDedupFromStoreAtSigned(spark,
+              st.signatures, signedNd.get, idCol, nd.k,
+              nd.bands, nd.threshold, beforeBatch = Some(batchId))
+          }
           pins += verd
           val clean = verd
             .filter(!col("is_exact_dup") && col("n_near_dups") === 0)
             .select(col(idCol))
           hashed.join(broadcast(clean), Seq(idCol))
         case None =>
-          val matched = Dedup.storeDigestsPruned(spark, st.signatures,
+          val matched = labeled(spark, "dedup exact serve") {
+            Dedup.storeDigestsPruned(spark, st.signatures,
               hashed.select(col("__chash")), beforeBatch = Some(batchId))
             .select(col("chash").as("__chash"))
             .join(broadcast(hashed.select(col("__chash")).distinct()),
               Seq("__chash"))
             .distinct()
+          }
           hashed.join(broadcast(matched), Seq("__chash"), "left_anti")
       }
     val keeper = Window.partitionBy(col("__chash"))
@@ -193,7 +221,8 @@ object CurationPipeline {
     // (the next gate + the disposition diff) — pin the slice-sized
     // intermediates so the model-store joins run once, not once per
     // reuse
-    val kept = if (ledgerOn) kept0.localCheckpoint() else kept0
+    val kept = if (ledgerOn) labeled(spark, "kept pin") {
+      kept0.localCheckpoint() } else kept0
     if (ledgerOn) pins += kept
 
     // 3. the new content's signatures join the store BEFORE the
@@ -204,11 +233,14 @@ object CurationPipeline {
     // must no-op here and still commit the kept batch below.
     val sigDir = new org.apache.hadoop.fs.Path(st.signatures,
       s"batch=$batchId")
-    if (!existsAt(sigDir)) gates.nearDup match {
-      case Some(nd) => Dedup.writeSignatureStoreBanded(kept, idCol,
-        textCol, nd.k, nd.shingleN, nd.bands, st.signatures, batchId)
-      case None => Dedup.writeSignatureStore(kept, idCol, textCol,
-        k = 4, shingleN = 3, root = st.signatures, batchId = batchId)
+    if (!existsAt(sigDir)) labeled(spark, "signature append") {
+      gates.nearDup match {
+        case Some(nd) => Dedup.writeSignatureStoreBandedSigned(
+          signedNd.get.join(broadcast(kept.select(col(idCol))), Seq(idCol)),
+          idCol, nd.k, nd.bands, st.signatures, batchId)
+        case None => Dedup.writeSignatureStore(kept, idCol, textCol,
+          k = 4, shingleN = 3, root = st.signatures, batchId = batchId)
+      }
     }
 
     // 4. classifier gate (model re-aggregated from the store's deltas
@@ -216,32 +248,49 @@ object CurationPipeline {
     // classify's pinned output; released at the end of the epoch (it
     // previously leaked to the ContextCleaner, one slice-sized pin
     // per micro-batch).
-    val classified = models match {
-      case Some(mc) => QualityClassifier.classify(kept,
-        mc.cached(spark, st.quality, s"quality-b=${gates.buckets}")(
+    val classified = labeled(spark, "classifier gate") { models match {
+      case Some(mc) =>
+        // counts AND the model-derived classes frame are both cached
+        // per store version — a steady-state epoch pays zero
+        // model-sized aggregations here (r18; classify() used to
+        // re-run the per-class totals + vocab size every micro-batch)
+        val cb = mc.cached(spark, st.quality,
+          s"quality-b=${gates.buckets}")(
           LanguageModel.mergedStoreCounts(spark, st.quality,
-            Seq("label", "bucket"))),
-        idCol, textCol, gates.buckets)
+            Seq("label", "bucket")))
+        val classes = mc.cached(spark, st.quality,
+          s"quality-classes-b=${gates.buckets}")(
+          QualityClassifier.classModel(cb))
+        QualityClassifier.classifyWith(kept, cb, classes, idCol, textCol,
+          gates.buckets)
       case None => QualityClassifier.classifyFromStore(spark, st.quality,
         kept, idCol, textCol, gates.buckets)
-    }
+    } }
     val good0 = classified
       .filter(col("label_pred") === gates.keepLabel)
       .select(col(idCol))
     pins += classified
-    val good = if (ledgerOn) good0.localCheckpoint() else good0
+    val good = if (ledgerOn) labeled(spark, "good pin") {
+      good0.localCheckpoint() } else good0
     if (ledgerOn) pins += good
     val keptGood = kept.join(good, Seq(idCol))
 
     // 5. LM perplexity gate at the absolute cut
-    val lmOk = models match {
-      case Some(mc) => LanguageModel.lmThresholdFilter(keptGood,
-        mc.cached(spark, st.lm, "lm-bigrams")(
-          LanguageModel.mergedStoreCounts(spark, st.lm, Seq("w1", "w2"))),
-        idCol, textCol, gates.lmCutAvgFp)
+    val lmOk = labeled(spark, "lm gate") { models match {
+      case Some(mc) =>
+        // same discipline as the classifier: per-context totals and
+        // vocab size cached per store version (r18)
+        val cb = mc.cached(spark, st.lm, "lm-bigrams")(
+          LanguageModel.mergedStoreCounts(spark, st.lm, Seq("w1", "w2")))
+        val cl = mc.cached(spark, st.lm, "lm-bigrams-cl")(
+          LanguageModel.lmContextTotals(cb))
+        val v = mc.cached(spark, st.lm, "lm-bigrams-v")(
+          LanguageModel.lmVocabSize(cb))
+        LanguageModel.lmThresholdFilterWith(keptGood, cb, cl, v,
+          idCol, textCol, gates.lmCutAvgFp)
       case None => LanguageModel.lmThresholdFilterFromStore(spark, st.lm,
         keptGood, idCol, textCol, gates.lmCutAvgFp)
-    }
+    } }
     pins += lmOk
     val survivors = keptGood.join(lmOk.select(col(idCol)), Seq(idCol))
 
@@ -249,37 +298,47 @@ object CurationPipeline {
     val finalKept = survivors.filter(gates.mixKeep)
 
     // 7. the disposition ledger: one row per INPUT doc — the first
-    // gate that dropped it, or `kept`. Pure id-projected anti-joins
-    // over the pinned slice-sized stage sets (never the corpus, never
-    // a store scan); committed BEFORE the kept batch so the
-    // crash-between-commits replay window stays covered (a retry that
-    // committed the ledger but not the kept batch skips here and
-    // still commits below — the signature-store discipline).
+    // gate that dropped it, or `kept`, computed as ONE pass over the
+    // pinned slice with four broadcast membership flags and a CASE
+    // (r18: replaced five unioned anti-join branches that re-scanned
+    // the stage sets — same rows, the oracle's own CASE shape, one
+    // slice scan + 4 broadcast joins instead of 5 scans + a union
+    // exchange). The stage sets partition the slice because each gate
+    // filters the previous gate's survivors: absent-from-kept ⇒
+    // dedup, else absent-from-good ⇒ quality, else absent-from-lmOk
+    // ⇒ lm, else absent-from-finalKept ⇒ mixture, else kept.
+    // Committed BEFORE the kept batch so the crash-between-commits
+    // replay window stays covered (a retry that committed the ledger
+    // but not the kept batch skips here and still commits below —
+    // the signature-store discipline).
     st.ledger.foreach { lroot =>
       val ldir = new org.apache.hadoop.fs.Path(lroot, s"batch=$batchId")
       if (!existsAt(ldir)) {
-        def ids(f: DataFrame) = f.select(col(idCol))
-        def stamp(f: DataFrame, stage: String) =
-          f.select(col(idCol), col(domainCol))
-            .withColumn("stage", lit(stage))
-        val disposition =
-          stamp(hashed.join(ids(kept), Seq(idCol), "left_anti"), "dedup")
-            .unionByName(stamp(
-              kept.join(good, Seq(idCol), "left_anti"), "quality"))
-            .unionByName(stamp(
-              keptGood.join(ids(lmOk), Seq(idCol), "left_anti"), "lm"))
-            .unionByName(stamp(
-              survivors.join(ids(finalKept), Seq(idCol), "left_anti"),
-              "mixture"))
-            .unionByName(stamp(finalKept, "kept"))
-        BatchStore.append(disposition, lroot, batchId)
+        def flag(f: DataFrame, name: String) =
+          broadcast(f.select(col(idCol)).withColumn(name, lit(true)))
+        val disposition = hashed.select(col(idCol), col(domainCol))
+          .join(flag(kept, "__k"), Seq(idCol), "left")
+          .join(flag(good, "__g"), Seq(idCol), "left")
+          .join(flag(lmOk, "__l"), Seq(idCol), "left")
+          .join(flag(finalKept, "__f"), Seq(idCol), "left")
+          .withColumn("stage",
+            when(col("__k").isNull, "dedup")
+              .when(col("__g").isNull, "quality")
+              .when(col("__l").isNull, "lm")
+              .when(col("__f").isNull, "mixture")
+              .otherwise("kept"))
+          .select(col(idCol), col(domainCol), col("stage"))
+        labeled(spark, "ledger append") {
+          BatchStore.append(disposition, lroot, batchId) }
       }
     }
 
     // 8. the exactly-once kept commit
-    BatchStore.append(
-      finalKept.select(col(idCol), col(domainCol), col(textCol)),
-      st.kept, batchId)
+    labeled(spark, "kept append") {
+      BatchStore.append(
+        finalKept.select(col(idCol), col(domainCol), col(textCol)),
+        st.kept, batchId)
+    }
     } finally pins.foreach(Checkpoints.releasePinned)
   }
 

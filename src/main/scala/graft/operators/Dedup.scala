@@ -316,6 +316,30 @@ object Dedup {
           .as(s"mh$j")): _*)
   }
 
+  /** [[dedupSignatures]] over a frame that ALREADY carries the content
+    * digest (`chashCol` — MUST equal `md5(textCol)`; the curation DAG's
+    * pinned slice computes it once at epoch start): same output shape
+    * and values, one md5-per-doc pass saved, and the returned frame's
+    * materialization barrier is the caller's to release
+    * ([[Checkpoints.releasePinned]]). The r18 sign-once hook: a near-
+    * mode epoch derives BOTH its dedup verdicts and its signature-store
+    * append from this one frame instead of shingling + hashing the
+    * slice twice ([[incrementalDedupFromStoreAtSigned]] /
+    * [[writeSignatureStoreBandedSigned]]). */
+  def dedupSignaturesFromHashed(hashed: DataFrame, idCol: String,
+      chashCol: String, textCol: String, k: Int, shingleN: Int,
+      stagingDir: Option[String] = None): DataFrame = {
+    val base = materialize(
+      hashed.select(col(idCol), col(chashCol).as("chash"),
+        hashedShingles(tokens(col(textCol)), shingleN).as("hs")),
+      stagingDir)
+    base.select(col(idCol) +: col("chash") +: col("hs") +:
+      (0 until k).map(j =>
+        array_min(transform(col("hs"),
+          h => (lit(minhashPermA(j)) * h + minhashPermB(j)) % MinhashPrime))
+          .as(s"mh$j")): _*)
+  }
+
   /** Append one batch's [[dedupSignatures]] to the signature store at
     * `root` — the persistence that deletes incremental dedup's last
     * history-sized cost (re-tokenizing and re-hashing the entire
@@ -376,6 +400,38 @@ object Dedup {
       BatchStore.ensureIntMeta(spark, root, "_bands", "bands", bands)
     writeSignatureStore(df, idCol, textCol, k, shingleN, root, batchId,
       stagingDir)
+  }
+
+  /** [[writeSignatureStoreBanded]] fed an ALREADY-SIGNED frame (a
+    * [[dedupSignatures]]/[[dedupSignaturesFromHashed]] result, caller-
+    * pinned — e.g. the verdict pass's frame filtered to the epoch's
+    * kept ids): byte-identical store rows, zero re-tokenizing or
+    * re-hashing. Same meta pin, stale-sidecar pre-delete, commit and
+    * sidecar protocol as the text-fed path. */
+  def writeSignatureStoreBandedSigned(signed: DataFrame, idCol: String,
+      k: Int, bands: Int, root: String, batchId: Long): Unit = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    (Seq(idCol, "chash", "hs") ++ (0 until k).map(j => s"mh$j")).foreach(c =>
+      require(signed.columns.contains(c),
+        s"signed frame is missing column $c — not a dedupSignatures(k=$k) frame"))
+    val spark = signed.sparkSession
+    val legacy =
+      BatchStore.readIntMetaOpt(spark, root, "_bands", "bands").isEmpty && {
+        val p = new org.apache.hadoop.fs.Path(root)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.exists(p) && fs.listStatus(p).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch="))
+      }
+    if (!legacy)
+      BatchStore.ensureIntMeta(spark, root, "_bands", "bands", bands)
+    val sidecar = BatchBlooms.path(root, batchId)
+    val sfs = sidecar.getFileSystem(spark.sessionState.newHadoopConf())
+    if (sfs.exists(sidecar)) sfs.delete(sidecar, false)
+    BatchStore.append(
+      signed.select(col(idCol) +: col("chash") +: col("hs") +:
+        (0 until k).map(j => col(s"mh$j")): _*),
+      root, batchId)
+    writeBatchBloom(spark, root, batchId)
   }
 
   /** Read the whole signature store (all committed batches). The
@@ -737,6 +793,58 @@ object Dedup {
       k, bands, threshold)
   }
 
+  /** [[incrementalDedupFromStoreAt]] fed a PRE-SIGNED batch frame — a
+    * [[dedupSignatures]]/[[dedupSignaturesFromHashed]] result the
+    * caller owns (pinned): digests, band keys and shingle sets all
+    * derive from it, so the slice's text is never re-tokenized or
+    * re-hashed here. Verdicts are value-identical to the text-fed
+    * path (same hash family, same joins); the r18 sign-once serve the
+    * curation DAG's near mode uses so one signing pass feeds both the
+    * verdicts and the epoch's signature-store append. */
+  def incrementalDedupFromStoreAtSigned(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      signed: DataFrame, idCol: String, k: Int, bands: Int,
+      threshold: Double, beforeBatch: Option[Long] = None,
+      masked: Boolean = false): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    (Seq(idCol, "chash", "hs") ++ (0 until k).map(j => s"mh$j")).foreach(c =>
+      require(signed.columns.contains(c),
+        s"signed batch is missing column $c — not a dedupSignatures(k=$k) frame"))
+    // withShingleSignatures drops rows that cannot shingle (null mh0);
+    // the signed store frame keeps them for the exact pass — restore
+    // the near side's filter here
+    val bSigs = signed.filter(col("mh0").isNotNull)
+    def base(hits: Option[Seq[Long]]): DataFrame = {
+      val raw = hits match {
+        case Some(ids) => readBatchesPruned(spark, root, ids)
+        case None => spark.read.parquet(root)
+      }
+      val cut = beforeBatch.map(b => raw.filter(col("batch") < b))
+        .getOrElse(raw)
+      if (masked) Tombstones(spark, root, cut, idCol) else cut
+    }
+    val bandPinned = BatchStore
+      .readIntMetaOpt(spark, root, "_bands", "bands").contains(bands)
+    val groups =
+      Seq("d" -> signed.select(col("chash"))) ++
+        (if (bandPinned) Seq("b" -> bandKeyStrings(bSigs, k, bands))
+         else Seq.empty)
+    val (exactHits, nearHits) =
+      BatchBlooms.hits(spark, root, groups, beforeBatch) match {
+        case Some(hs) =>
+          (Some(hs.head), if (bandPinned) Some(hs(1)) else None)
+        case None => (None, None)
+      }
+    val exactStore = base(exactHits)
+    val nearStore = base(nearHits)
+    (Seq(idCol, "chash", "hs") ++ (0 until k).map(j => s"mh$j")).foreach(c =>
+      require(nearStore.columns.contains(c),
+        s"store is missing column $c — not a dedupSignatures(k=$k) store"))
+    incrementalVerdictsCore(exactStore, nearStore,
+      signed.select(col(idCol).as("bid"), col("chash")),
+      signed.select(col(idCol)), bSigs, idCol, k, bands, threshold)
+  }
+
   /** The incremental-verdict core over possibly DIFFERENTLY-PRUNED
     * exact/near store frames (identical when serving an explicit
     * frame): pruning moves scan bytes only — every join still
@@ -745,9 +853,19 @@ object Dedup {
   private def incrementalVerdicts(exactStore: DataFrame,
       nearStore: DataFrame, batch: DataFrame, bSigs: DataFrame,
       idCol: String, textCol: String, k: Int, bands: Int,
+      threshold: Double): DataFrame =
+    incrementalVerdictsCore(exactStore, nearStore,
+      batch.select(col(idCol).as("bid"), md5(col(textCol)).as("chash")),
+      batch.select(col(idCol)), bSigs, idCol, k, bands, threshold)
+
+  /** [[incrementalVerdicts]] with the batch's digest and id frames
+    * supplied directly — the seam the pre-signed serve shares with the
+    * text-fed path (identical joins and arithmetic). */
+  private def incrementalVerdictsCore(exactStore: DataFrame,
+      nearStore: DataFrame, bDig: DataFrame, bIds: DataFrame,
+      bSigs: DataFrame, idCol: String, k: Int, bands: Int,
       threshold: Double): DataFrame = {
     val rowsPerBand = k / bands
-    val bDig = batch.select(col(idCol).as("bid"), md5(col(textCol)).as("chash"))
     val exact = exactStore.select(col("chash"))
       .join(broadcast(bDig), "chash")
       .select(col("bid")).distinct()
@@ -783,7 +901,7 @@ object Dedup {
     val near = ver.groupBy(col("bid")).agg(
       countDistinct(col("hid")).as("n_near_dups"),
       max(col("jaccard")).as("best_jaccard"))
-    batch.select(col(idCol))
+    bIds
       .join(broadcast(exact), col(idCol) === exact("bid"), "left").drop("bid")
       .join(broadcast(near), col(idCol) === near("bid"), "left").drop("bid")
       .select(col(idCol),

@@ -108,7 +108,11 @@ object Erasure {
     val pinned = docs.localCheckpoint()
     val pinnedVecs = vecIds.map { case (vf, vc) =>
       (vf.select(col(vc)).localCheckpoint(), vc) }
-    try stores.foreach {
+    // independent stores (distinct roots, one tombstone append each) —
+    // run the fan-out CONCURRENTLY (guide §2.6: the next store's jobs
+    // back-fill the previous one's straggler tail; r18 — the composed
+    // takedown was paying 14 sequential job tails)
+    try ParallelJobs.run(stores.map(ref => () => (ref: @unchecked) match {
       case SignatureStore(r) =>
         Dedup.deleteFromSignatureStore(pinned.select(col(idCol)),
           idCol, r, batchId)
@@ -150,7 +154,7 @@ object Erasure {
       case HashedTfStore(r) =>
         FeatureHashing.deleteFromHashedStore(pinned.select(col(idCol)),
           idCol, r, batchId)
-    } finally {
+    })) finally {
       Checkpoints.releasePinned(pinned)
       pinnedVecs.foreach { case (vf, _) => Checkpoints.releasePinned(vf) }
     }
@@ -167,8 +171,10 @@ object Erasure {
   def purgeEverywhere(spark: SparkSession, stores: Seq[StoreRef],
       idCol: String, newBatchId: Long,
       vecIdCol: String = "vec_id"): Seq[(StoreRef, Int)] =
-    stores.map { ref =>
-      val n = ref match {
+    // store-independent and idempotent per store (scaladoc above) —
+    // the maintenance window overlaps them (guide §2.6, r18)
+    ParallelJobs.map(stores.map(ref => () => {
+      val n = (ref: @unchecked) match {
         case SignatureStore(r) =>
           Dedup.purgeSignatureStore(spark, r, idCol, newBatchId)
         case PostingStore(r) =>
@@ -199,5 +205,5 @@ object Erasure {
           FeatureHashing.purgeHashedStore(spark, r, idCol, newBatchId)
       }
       (ref, n)
-    }
+    }))
 }

@@ -139,10 +139,33 @@ object LanguageModel {
     * ([[lmQualityFilter]]). */
   private def scoredAll(candidates: DataFrame, cb: DataFrame,
       idCol: String, textCol: String,
+      carryCols: Seq[String] = Nil): DataFrame =
+    scoredAllWith(candidates, cb, lmContextTotals(cb), lmVocabSize(cb),
+      idCol, textCol, carryCols)
+
+  /** The LM's model-DERIVED per-context totals `(w1, cl)` — a pure
+    * function of the counts frame. A streamed pipeline caches it per
+    * store version ([[ModelCache]]) so epochs stop re-running a
+    * model-sized aggregation per micro-batch (r18: at production
+    * model sizes this re-aggregate is the LM serve's only
+    * history-scale term). */
+  def lmContextTotals(counts: DataFrame): DataFrame =
+    counts.groupBy(col("w1")).agg(sum(col("cnt")).as("cl"))
+
+  /** The LM's vocabulary size `(v)` as a one-row frame — the Laplace
+    * denominator's other model-derived constant; cache like
+    * [[lmContextTotals]]. */
+  def lmVocabSize(counts: DataFrame): DataFrame =
+    counts.agg(countDistinct(col("w2")).as("v"))
+
+  /** [[scoredAll]] against caller-owned model frames (`cb` counts,
+    * `cl` = [[lmContextTotals]], `v` = [[lmVocabSize]] — typically
+    * [[ModelCache]] pins; never checkpointed or released here).
+    * Arithmetic identical. */
+  private def scoredAllWith(candidates: DataFrame, cb: DataFrame,
+      cl: DataFrame, v: DataFrame, idCol: String, textCol: String,
       carryCols: Seq[String] = Nil): DataFrame = {
     val carried = carryCols.map(col)
-    val cl = cb.groupBy(col("w1")).agg(sum(col("cnt")).as("cl"))
-    val v = cb.agg(countDistinct(col("w2")).as("v"))
     // carryCols (e.g. the quality gate's group key) ride the single
     // candidate scan — grouping by (id, carry) is grouping by id
     // since the carries are per-doc attributes; no second scan.
@@ -235,6 +258,17 @@ object LanguageModel {
   def lmThresholdFilter(candidates: DataFrame, counts: DataFrame,
       idCol: String, textCol: String, minAvgFp: Double): DataFrame =
     scoredAll(candidates, counts, idCol, textCol)
+      .filter(col("lm_avg") >= minAvgFp)
+      .localCheckpoint()
+
+  /** [[lmThresholdFilter]] against caller-owned model frames (the
+    * [[ModelCache]] hook: `cb` counts + [[lmContextTotals]] +
+    * [[lmVocabSize]], all pinned by the caller) — the streamed DAG's
+    * steady-state serve pays zero model-sized aggregations per epoch. */
+  def lmThresholdFilterWith(candidates: DataFrame, cb: DataFrame,
+      cl: DataFrame, v: DataFrame, idCol: String, textCol: String,
+      minAvgFp: Double): DataFrame =
+    scoredAllWith(candidates, cb, cl, v, idCol, textCol)
       .filter(col("lm_avg") >= minAvgFp)
       .localCheckpoint()
 

@@ -58,13 +58,36 @@ object QualityClassifier {
   def classify(cand: DataFrame, counts: DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame = {
     val cb = counts.localCheckpoint() // feeds cl, V, and the seen join
-    val cl = cb.groupBy(col("label")).agg(sum(col("cnt")).as("cl"))
-    val v = cb.agg(countDistinct(col("bucket")).as("v"))
-    val classes = cl.crossJoin(broadcast(v))
+    val out = classifyWith(cand, cb, classModel(cb), idCol, textCol, buckets)
+    Checkpoints.releasePinned(cb)
+    out
+  }
+
+  /** The classifier's model-DERIVED constants — per-class totals,
+    * vocabulary size, and the Laplace zero-count floor — as a
+    * classes-sized frame `(label, cl, v, floor0)`. Pure function of
+    * the counts frame; a streamed pipeline caches it per store
+    * version ([[ModelCache]]) so epochs stop re-running two
+    * model-sized aggregations per micro-batch (r18: at production
+    * model sizes those re-aggregates are the classifier serve's only
+    * history-scale term). */
+  def classModel(counts: DataFrame): DataFrame = {
+    val cl = counts.groupBy(col("label")).agg(sum(col("cnt")).as("cl"))
+    val v = counts.agg(countDistinct(col("bucket")).as("v"))
+    cl.crossJoin(broadcast(v))
       .withColumn("floor0", floor(
         lit(1L).cast("double") * lit(1073741824.0)
           / (col("cl") + col("v"))).cast("long"))
       .select(col("label"), col("cl"), col("v"), col("floor0"))
+  }
+
+  /** [[classify]] against caller-owned MATERIALIZED model frames: `cb`
+    * = the merged counts, `classes` = [[classModel]]'s frame — both
+    * typically [[ModelCache]] pins. Never checkpoints or releases
+    * them; the returned frame is the call's only new checkpoint.
+    * Arithmetic identical to [[classify]]. */
+  def classifyWith(cand: DataFrame, cb: DataFrame, classes: DataFrame,
+      idCol: String, textCol: String, buckets: Int): DataFrame = {
     // the hashed candidate features feed the per-doc totals AND the
     // seen join — deliberately NOT checkpointed: measured at sf0.1,
     // materializing the corpus-scale feature rows costs more than the
@@ -85,7 +108,7 @@ object QualityClassifier {
         count(lit(1)).as("n_seen"))
     val byDoc = Window.partitionBy(col(idCol))
       .orderBy(desc("score_fp"), col("label"))
-    val out = nF
+    nF
       .crossJoin(broadcast(classes.select(col("label"), col("floor0"))))
       .join(seen, Seq(idCol, "label"), "left")
       .withColumn("score_fp",
@@ -95,8 +118,6 @@ object QualityClassifier {
       .filter(col("__rn") === 1)
       .select(col(idCol), col("label").as("label_pred"), col("score_fp"))
       .localCheckpoint()
-    Checkpoints.releasePinned(cb)
-    out
   }
 
   // ------------------------------------------ persisted model store

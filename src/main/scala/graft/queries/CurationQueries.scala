@@ -1167,18 +1167,20 @@ object CurationQueries {
         ledger = if (ledger) Some(p("led")) else None)
       // pre-trained models: line-df on the stripped-markup originals
       // (what the serve strips against), quality + LM on the RAW
-      // originals (history text, labels from the n_chars rule)
-      graft.operators.Boilerplate.writeLineDfStore(
-        marked.withColumn("text",
-          graft.operators.Boilerplate.stripMarkup(col("text"))),
-        "doc_id", "source", "text", stores.lineDf, batchId = 1L)
-      graft.operators.QualityClassifier.writeQualityStore(
-        docs.withColumn("label",
-          when(col("n_chars") >= 300, lit("good")).otherwise(lit("bad"))),
-        "label", "text", buckets = 4096, root = stores.quality,
-        batchId = 1L)
-      graft.operators.LanguageModel.writeLmStore(docs, "doc_id", "text",
-        stores.lm, batchId = 1L)
+      // originals (history text, labels from the n_chars rule) —
+      // three independent stores, built CONCURRENTLY (guide §2.6, r18)
+      graft.operators.ParallelJobs.run(Seq(
+        () => graft.operators.Boilerplate.writeLineDfStore(
+          marked.withColumn("text",
+            graft.operators.Boilerplate.stripMarkup(col("text"))),
+          "doc_id", "source", "text", stores.lineDf, batchId = 1L),
+        () => graft.operators.QualityClassifier.writeQualityStore(
+          docs.withColumn("label",
+            when(col("n_chars") >= 300, lit("good")).otherwise(lit("bad"))),
+          "label", "text", buckets = 4096, root = stores.quality,
+          batchId = 1L),
+        () => graft.operators.LanguageModel.writeLmStore(docs, "doc_id",
+          "text", stores.lm, batchId = 1L)))
       val gates = CP.Gates(minDf = 10L, buckets = 4096,
         keepLabel = "good", lmCutAvgFp = 3.6e7,
         mixKeep = substring(col("source"), 4, 10).cast("int") % 2 =!= 0 ||

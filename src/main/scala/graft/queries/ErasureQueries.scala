@@ -55,26 +55,37 @@ object ErasureQueries {
         Erasure.DsirTargetStore(p("dsir"), buckets = 64),
         Erasure.QualityStore(p("qual"), "lang", buckets = 64))
 
-      // one append per store
-      Dedup.writeSignatureStore(docs, "doc_id", "text", k = 8,
-        shingleN = 3, root = p("sig"), batchId = 1L)
-      InvertedIndex.writePostingStore(docs, "doc_id", "text", p("post"), 1L)
-      LateInteraction.writeTokenIndex(docs, "doc_id", "text", dim = 8,
-        p("ti"), batchId = 1L)
-      val cb = Similarity.pqCodebook(
-        Similarity.pqSeeds(vecs, "vec_id", centroids = 8),
-        "vec_id", "embedding", dim = 64, m = 4)
-        .localCheckpoint() // feeds the write; released before return
-      Similarity.writePqIndex(vecs, cb, "vec_id", "embedding",
-        dim = 64, m = 4, p("pq"), batchId = 1L)
-      LanguageModel.writeLmStore(docs, "doc_id", "text", p("lm"), 1L)
-      LanguageModel.writeLangIdStore(docs, "lang", "text", p("lid"), 1L)
-      Boilerplate.writeLineDfStore(docs, "doc_id", "source", "text",
-        p("ldf"), 1L)
-      DataSelection.writeDsirTargetStore(docs, "doc_id", "text",
-        buckets = 64, root = p("dsir"), batchId = 1L)
-      QualityClassifier.writeQualityStore(docs, "lang", "text",
-        buckets = 64, root = p("qual"), batchId = 1L)
+      // one append per store — the nine builds are INDEPENDENT
+      // (distinct roots), so they overlap (guide §2.6, r18: the
+      // sequential chain paid nine straggler tails; the PQ codebook
+      // rides inside its own task)
+      val pinnedDocs = docs.localCheckpoint()
+      var cb: DataFrame = null
+      ParallelJobs.run(Seq(
+        () => Dedup.writeSignatureStore(pinnedDocs, "doc_id", "text", k = 8,
+          shingleN = 3, root = p("sig"), batchId = 1L),
+        () => InvertedIndex.writePostingStore(pinnedDocs, "doc_id", "text",
+          p("post"), 1L),
+        () => LateInteraction.writeTokenIndex(pinnedDocs, "doc_id", "text",
+          dim = 8, p("ti"), batchId = 1L),
+        () => {
+          cb = Similarity.pqCodebook(
+            Similarity.pqSeeds(vecs, "vec_id", centroids = 8),
+            "vec_id", "embedding", dim = 64, m = 4)
+            .localCheckpoint() // feeds the write; released before return
+          Similarity.writePqIndex(vecs, cb, "vec_id", "embedding",
+            dim = 64, m = 4, p("pq"), batchId = 1L)
+        },
+        () => LanguageModel.writeLmStore(pinnedDocs, "doc_id", "text",
+          p("lm"), 1L),
+        () => LanguageModel.writeLangIdStore(pinnedDocs, "lang", "text",
+          p("lid"), 1L),
+        () => Boilerplate.writeLineDfStore(pinnedDocs, "doc_id", "source",
+          "text", p("ldf"), 1L),
+        () => DataSelection.writeDsirTargetStore(pinnedDocs, "doc_id", "text",
+          buckets = 64, root = p("dsir"), batchId = 1L),
+        () => QualityClassifier.writeQualityStore(pinnedDocs, "lang", "text",
+          buckets = 64, root = p("qual"), batchId = 1L)))
 
       // the composed takedown: one call, every store
       Erasure.forget(docs.filter(col("doc_id") % 10 === 0),
@@ -83,6 +94,7 @@ object ErasureQueries {
       Erasure.purgeEverywhere(s, stores, "doc_id", newBatchId = 3L,
         vecIdCol = "vec_id")
       Checkpoints.releasePinned(cb)
+      Checkpoints.releasePinned(pinnedDocs)
 
       // post-purge physical surface, one (store, metric, value) frame
       val sig = BatchStore.read(s, p("sig"))
@@ -227,47 +239,60 @@ object ErasureQueries {
       def p(n: String) = new org.apache.hadoop.fs.Path(base, n).toString
       val stores = fullRegistry(p)
 
-      // one append per store (per-store ceremony is gated elsewhere)
-      Dedup.writeSignatureStore(docs, "doc_id", "text", k = 8,
-        shingleN = 3, root = p("sig"), batchId = 1L)
-      InvertedIndex.writePostingStore(docs, "doc_id", "text", p("post"), 1L)
-      LateInteraction.writeTokenIndex(docs, "doc_id", "text", dim = 8,
-        p("ti"), batchId = 1L)
-      val cb = Similarity.pqCodebook(
-        Similarity.pqSeeds(vecs, "vec_id", centroids = 8),
-        "vec_id", "embedding", dim = 64, m = 4)
-        .localCheckpoint() // feeds both vector-index writes
-      Similarity.writePqIndex(vecs, cb, "vec_id", "embedding",
-        dim = 64, m = 4, p("pq"), batchId = 1L)
-      // frozen coarse centroids; the residual codebook's VALUES are
-      // irrelevant to this gate's physical surface (row counts), any
-      // well-formed (sub, code, cv) frame codes every vector
-      Similarity.writeIvfPqIndex(vecs, allVecs.filter(col("vec_id") < 8),
-        cb, "vec_id", "embedding", dim = 64, m = 4, p("ivfpq"), 1L)
-      LanguageModel.writeLmStore(docs, "doc_id", "text", p("lm"), 1L)
-      LanguageModel.writeLangIdStore(docs, "lang", "text", p("lid"), 1L)
-      Boilerplate.writeLineDfStore(docs, "doc_id", "source", "text",
-        p("ldf"), 1L)
-      DataSelection.writeDsirTargetStore(docs, "doc_id", "text",
-        buckets = 64, root = p("dsir"), batchId = 1L)
-      QualityClassifier.writeQualityStore(docs, "lang", "text",
-        buckets = 64, root = p("qual"), batchId = 1L)
-      // Hamming bands derived from the 60-bit hash, keyed by VECTOR id
-      // (media ids ride the vecIds leg) — oracle-replayable without an
-      // image decode; the perceptual-hash path is gated in q222
-      val bandCols = Seq("b0", "b1", "b2", "b3")
-      Dedup.writeHammingStore(
-        vecs.select(col("vec_id") +: bandCols.map(b =>
-          pmod(graft.operators.TextFunctions.hash60(
-            concat(lit(s"$b:"), col("vec_id").cast("string"))),
-            lit(65536L)).as(b)): _*),
-        "vec_id", bandCols, p("ham"), batchId = 1L)
-      BatchStore.append(docs.select(col("doc_id"), col("source"),
-        lit("kept").as("stage")), p("led"), 1L)
-      BatchStore.append(docs.select(col("doc_id"), col("source"),
-        col("text")), p("kept"), 1L)
-      FeatureHashing.writeHashedStore(docs, "doc_id", "text", dim = 64,
-        p("hash"), batchId = 1L)
+      // one append per store (per-store ceremony is gated elsewhere).
+      // The fourteen builds are INDEPENDENT (distinct roots) and
+      // overlap (guide §2.6, r18); only the IVF-PQ write waits on the
+      // PQ codebook, so both vector indexes share one task.
+      val pinnedDocs = docs.localCheckpoint()
+      var cb: DataFrame = null
+      ParallelJobs.run(Seq(
+        () => Dedup.writeSignatureStore(pinnedDocs, "doc_id", "text", k = 8,
+          shingleN = 3, root = p("sig"), batchId = 1L),
+        () => InvertedIndex.writePostingStore(pinnedDocs, "doc_id", "text",
+          p("post"), 1L),
+        () => LateInteraction.writeTokenIndex(pinnedDocs, "doc_id", "text",
+          dim = 8, p("ti"), batchId = 1L),
+        () => {
+          cb = Similarity.pqCodebook(
+            Similarity.pqSeeds(vecs, "vec_id", centroids = 8),
+            "vec_id", "embedding", dim = 64, m = 4)
+            .localCheckpoint() // feeds both vector-index writes
+          Similarity.writePqIndex(vecs, cb, "vec_id", "embedding",
+            dim = 64, m = 4, p("pq"), batchId = 1L)
+          // frozen coarse centroids; the residual codebook's VALUES are
+          // irrelevant to this gate's physical surface (row counts), any
+          // well-formed (sub, code, cv) frame codes every vector
+          Similarity.writeIvfPqIndex(vecs, allVecs.filter(col("vec_id") < 8),
+            cb, "vec_id", "embedding", dim = 64, m = 4, p("ivfpq"), 1L)
+        },
+        () => LanguageModel.writeLmStore(pinnedDocs, "doc_id", "text",
+          p("lm"), 1L),
+        () => LanguageModel.writeLangIdStore(pinnedDocs, "lang", "text",
+          p("lid"), 1L),
+        () => Boilerplate.writeLineDfStore(pinnedDocs, "doc_id", "source",
+          "text", p("ldf"), 1L),
+        () => DataSelection.writeDsirTargetStore(pinnedDocs, "doc_id", "text",
+          buckets = 64, root = p("dsir"), batchId = 1L),
+        () => QualityClassifier.writeQualityStore(pinnedDocs, "lang", "text",
+          buckets = 64, root = p("qual"), batchId = 1L),
+        () => {
+          // Hamming bands derived from the 60-bit hash, keyed by VECTOR
+          // id (media ids ride the vecIds leg) — oracle-replayable
+          // without an image decode; the perceptual-hash path is q222
+          val bandCols = Seq("b0", "b1", "b2", "b3")
+          Dedup.writeHammingStore(
+            vecs.select(col("vec_id") +: bandCols.map(b =>
+              pmod(graft.operators.TextFunctions.hash60(
+                concat(lit(s"$b:"), col("vec_id").cast("string"))),
+                lit(65536L)).as(b)): _*),
+            "vec_id", bandCols, p("ham"), batchId = 1L)
+        },
+        () => BatchStore.append(pinnedDocs.select(col("doc_id"),
+          col("source"), lit("kept").as("stage")), p("led"), 1L),
+        () => BatchStore.append(pinnedDocs.select(col("doc_id"),
+          col("source"), col("text")), p("kept"), 1L),
+        () => FeatureHashing.writeHashedStore(pinnedDocs, "doc_id", "text",
+          dim = 64, p("hash"), batchId = 1L)))
 
       // the composed takedown: ONE call, the COMPLETE registry
       Erasure.forget(docs.filter(col("doc_id") % 10 === 0),
@@ -276,6 +301,7 @@ object ErasureQueries {
       Erasure.purgeEverywhere(s, stores, "doc_id", newBatchId = 3L,
         vecIdCol = "vec_id")
       Checkpoints.releasePinned(cb)
+      Checkpoints.releasePinned(pinnedDocs)
 
       // post-purge physical surface, one (store, metric, value) frame
       def rd(n: String) = BatchStore.read(s, p(n))
