@@ -54,8 +54,35 @@ object PlanFingerprint {
     // so the surviving prefix differs per session. A bracketed field
     // whose closing bracket was swallowed by the `...` is collapsed
     // entirely — its full content is already hashed from the plan
-    // nodes above the scan.
-    .replaceAll("\\[[^\\]]*\\.\\.\\.", "[<trunc>")
+    // nodes above the scan. ANCHORED to the scan-metadata keys (r19,
+    // per ADVICE): the old any-bracket rule also matched Spark's
+    // `[a#, b#, ... N more fields]` elision in wide Project/Scan
+    // output lists, erasing the first ~25 field names from the hash —
+    // a real change confined to those fields would not have flipped
+    // the fingerprint. (The field-count elision cuts at a FIELD COUNT,
+    // not a raw width, so exprId digit shifts cannot move it — it is
+    // deterministic and safe to hash.)
+    .replaceAll(
+      "(DataFilters|PartitionFilters|PushedFilters): \\[[^\\]]*\\.\\.\\.",
+      "$1: [<trunc>")
+    // shuffle partition counts in Exchange renders: for
+    // ENSURE_REQUIREMENTS / REPARTITION_BY_COL shuffles the count is
+    // spark.sql.shuffle.partitions — a CONFIG (= cores in local mode;
+    // the driver benches the same code at 32 and 8 cores), not plan
+    // shape, so the same code hashed differently per core count and
+    // the cross-run plan-change gate fired on every shuffle-bearing
+    // query (r18: 117 phantom changes on the 8-core rerun).
+    // REPARTITION_BY_NUM counts normalize too: the library's explicit
+    // counts are defaultParallelism-derived ([[graft.operators
+    // .Parallelism.spread]] — explicit so AQE cannot coalesce the
+    // deliberate spread), equally core-dependent. The cost — a literal
+    // repartition(5)→repartition(9) edit no longer flips the gate —
+    // trades a count-only tune for core-count-invariant hashes; the
+    // exchange's EXISTENCE, keys and origin stay hashed.
+    .replaceAll(", \\d+\\), (ENSURE_REQUIREMENTS|REPARTITION_BY_COL" +
+      "|REPARTITION_BY_NUM)", ", <np>), $1")
+    .replaceAll("RoundRobinPartitioning\\(\\d+\\)",
+      "RoundRobinPartitioning(<np>)")
 
   /** Digest of `df`'s normalized physical plan (pre-execution). */
   def hash(df: DataFrame): String = {

@@ -314,6 +314,34 @@ object BatchStore {
     }
   }
 
+  /** EXACT row count of a committed batch from its parquet FOOTERS —
+    * driver-side metadata reads, zero Spark jobs. Sidecar-sketch
+    * sizing needs the batch's row count right after [[append]], and a
+    * `spark.read.parquet(...).count()` there schedules a full job
+    * (scan tasks + result collection) to recover a number the footers
+    * already record exactly (r19: one such job per store append,
+    * across every lifecycle gate). Footer reads are one open+seek per
+    * file — bounded by the batch's file count, the same listing the
+    * write just performed. */
+  def committedRowCount(spark: SparkSession, root: String,
+      batchId: Long): Long = {
+    val dir = new org.apache.hadoop.fs.Path(root, s"batch=$batchId")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = dir.getFileSystem(conf)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+        else Seq.empty
+      }
+    walk(dir).map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try rdr.getRecordCount finally rdr.close()
+    }.sum
+  }
+
   /** Delete leftover `.staging-*` dirs from crashed [[append]]s.
     * Never touches committed batches; only run when no concurrent
     * writer is staging. Returns the number of dirs removed. */

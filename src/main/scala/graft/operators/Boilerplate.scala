@@ -97,7 +97,10 @@ object Boilerplate {
     * by the count-store delta discipline. */
   def lineDfCounts(docs: DataFrame, idCol: String, domainCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol), col(domainCol),
+    // adaptive parallelism floor (guide §2.5, r19): line split + md5
+    // inherit the scan's task count otherwise
+    Parallelism.spread(docs, idCol)
+      .select(col(idCol), col(domainCol),
         explode(split(col(textCol), "\n")).as("__line"))
       .select(col(idCol), col(domainCol), hash60(col("__line")).as("__lh"))
       .distinct()

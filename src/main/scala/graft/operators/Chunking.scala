@@ -41,7 +41,11 @@ object Chunking {
     val starts = sequence(lit(1), size(col("__toks")), lit(strideTokens))
     val windows = transform(starts,
       start => slice(col("__toks"), start, lit(chunkTokens)))
-    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // adaptive parallelism floor (guide §2.5): the tokenize+window
+    // chain is the expensive part and inherits the scan's task count —
+    // one task on the single-row-group gate corpora (r19 profile); a
+    // multi-row-group production scan makes this a no-op
+    Parallelism.spread(df, idCol).select(col(idCol), tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col(idCol), posexplode(windows).as(Seq("chunk_id", "__chunk")))
       .select(

@@ -120,10 +120,16 @@ object CurationPipeline {
     val keptDir = new org.apache.hadoop.fs.Path(st.kept, s"batch=$batchId")
     if (existsAt(keptDir)) return // replayed epoch: already committed
 
+    // adaptive parallelism floor (guide §2.5, r19): a micro-batch
+    // arrives as one staged file = one scan task, and the whole
+    // strip + md5 chain inherits it; no-op when the source is already
+    // parallel
+    val spreadBatch = Parallelism.spread(batch, idCol)
+
     // 1. markup + boilerplate strip served from the line-df store
     // (cached: the above-threshold frame is batch-independent, so one
     // store re-aggregate serves every epoch until the store changes)
-    val marked = batch.withColumn(textCol,
+    val marked = spreadBatch.withColumn(textCol,
       Boilerplate.stripMarkup(col(textCol)))
     val stripped = models match {
       case Some(mc) => Boilerplate.stripAgainst(marked,
@@ -217,14 +223,22 @@ object CurationPipeline {
       .withColumn("__keep", min(col(idCol)).over(keeper))
       .filter(col(idCol) === col("__keep"))
       .drop("__chash", "__keep")
-    // with the ledger on, each stage's survivor set is consumed twice
-    // (the next gate + the disposition diff) — pin the slice-sized
-    // intermediates so the model-store joins run once, not once per
-    // reuse
-    val kept = if (ledgerOn) labeled(spark, "kept pin") {
-      kept0.localCheckpoint() } else kept0
-    if (ledgerOn) pins += kept
+    // the dedup survivors feed THREE consumers (the signature append,
+    // the classifier gate, the keptGood join — plus the disposition
+    // diff with the ledger on): pin once so the window + store joins
+    // run once per epoch, not once per consumer (r19; r18 pinned only
+    // under the ledger)
+    val kept = labeled(spark, "kept pin") { kept0.localCheckpoint() }
+    pins += kept
 
+    // 3 ∥ 4 (r19, guide §2.6): the signature append and the
+    // classifier gate are INDEPENDENT legs over the pinned survivors
+    // (the append writes the dedup store; the classifier only reads
+    // the quality store), so they overlap — each leg's job tail
+    // back-fills the other's idle cores. Commit-order discipline is
+    // unchanged: signatures still commit before the ledger and the
+    // kept batch.
+    //
     // 3. the new content's signatures join the store BEFORE the
     // quality gates — dedup is about having SEEN content, not about
     // having kept it (a rejected doc's re-crawl must not re-enter).
@@ -233,14 +247,17 @@ object CurationPipeline {
     // must no-op here and still commit the kept batch below.
     val sigDir = new org.apache.hadoop.fs.Path(st.signatures,
       s"batch=$batchId")
-    if (!existsAt(sigDir)) labeled(spark, "signature append") {
-      gates.nearDup match {
-        case Some(nd) => Dedup.writeSignatureStoreBandedSigned(
-          signedNd.get.join(broadcast(kept.select(col(idCol))), Seq(idCol)),
-          idCol, nd.k, nd.bands, st.signatures, batchId)
-        case None => Dedup.writeSignatureStore(kept, idCol, textCol,
-          k = 4, shingleN = 3, root = st.signatures, batchId = batchId)
+    val signatureAppend: () => DataFrame = () => {
+      if (!existsAt(sigDir)) labeled(spark, "signature append") {
+        gates.nearDup match {
+          case Some(nd) => Dedup.writeSignatureStoreBandedSigned(
+            signedNd.get.join(broadcast(kept.select(col(idCol))), Seq(idCol)),
+            idCol, nd.k, nd.bands, st.signatures, batchId)
+          case None => Dedup.writeSignatureStore(kept, idCol, textCol,
+            k = 4, shingleN = 3, root = st.signatures, batchId = batchId)
+        }
       }
+      null
     }
 
     // 4. classifier gate (model re-aggregated from the store's deltas
@@ -248,24 +265,29 @@ object CurationPipeline {
     // classify's pinned output; released at the end of the epoch (it
     // previously leaked to the ContextCleaner, one slice-sized pin
     // per micro-batch).
-    val classified = labeled(spark, "classifier gate") { models match {
+    val classifierGate: () => DataFrame = () =>
+      labeled(spark, "classifier gate") { models match {
       case Some(mc) =>
         // counts AND the model-derived classes frame are both cached
         // per store version — a steady-state epoch pays zero
         // model-sized aggregations here (r18; classify() used to
-        // re-run the per-class totals + vocab size every micro-batch)
-        val cb = mc.cached(spark, st.quality,
+        // re-run the per-class totals + vocab size every micro-batch).
+        // ONE cachedDerived entry (r19): base counts and the classes
+        // frame share one fingerprint taken at one instant, so a store
+        // change landing mid-epoch can never pair fresh counts with a
+        // stale derived frame (or vice versa).
+        val (cb, derived) = mc.cachedDerived(spark, st.quality,
           s"quality-b=${gates.buckets}")(
           LanguageModel.mergedStoreCounts(spark, st.quality,
-            Seq("label", "bucket")))
-        val classes = mc.cached(spark, st.quality,
-          s"quality-classes-b=${gates.buckets}")(
-          QualityClassifier.classModel(cb))
-        QualityClassifier.classifyWith(kept, cb, classes, idCol, textCol,
-          gates.buckets)
+            Seq("label", "bucket")))(
+          b => Seq(QualityClassifier.classModel(b)))
+        QualityClassifier.classifyWith(kept, cb, derived.head, idCol,
+          textCol, gates.buckets)
       case None => QualityClassifier.classifyFromStore(spark, st.quality,
         kept, idCol, textCol, gates.buckets)
     } }
+    val classified = ParallelJobs.map(
+      Seq(signatureAppend, classifierGate), parallelism = 2)(1)
     val good0 = classified
       .filter(col("label_pred") === gates.keepLabel)
       .select(col(idCol))
@@ -279,15 +301,14 @@ object CurationPipeline {
     val lmOk = labeled(spark, "lm gate") { models match {
       case Some(mc) =>
         // same discipline as the classifier: per-context totals and
-        // vocab size cached per store version (r18)
-        val cb = mc.cached(spark, st.lm, "lm-bigrams")(
-          LanguageModel.mergedStoreCounts(spark, st.lm, Seq("w1", "w2")))
-        val cl = mc.cached(spark, st.lm, "lm-bigrams-cl")(
-          LanguageModel.lmContextTotals(cb))
-        val v = mc.cached(spark, st.lm, "lm-bigrams-v")(
-          LanguageModel.lmVocabSize(cb))
-        LanguageModel.lmThresholdFilterWith(keptGood, cb, cl, v,
-          idCol, textCol, gates.lmCutAvgFp)
+        // vocab size cached per store version (r18), all three frames
+        // under ONE cachedDerived entry / fingerprint (r19 coherence)
+        val (cb, derived) = mc.cachedDerived(spark, st.lm, "lm-bigrams")(
+          LanguageModel.mergedStoreCounts(spark, st.lm, Seq("w1", "w2")))(
+          b => Seq(LanguageModel.lmContextTotals(b),
+            LanguageModel.lmVocabSize(b)))
+        LanguageModel.lmThresholdFilterWith(keptGood, cb, derived(0),
+          derived(1), idCol, textCol, gates.lmCutAvgFp)
       case None => LanguageModel.lmThresholdFilterFromStore(spark, st.lm,
         keptGood, idCol, textCol, gates.lmCutAvgFp)
     } }

@@ -60,7 +60,11 @@ object DataSelection {
     * twin). */
   private[operators] def hashedFeatures(df: DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame = {
-    val t = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // adaptive parallelism floor (guide §2.5, r19); keyed on
+    // (idCol, textCol) because training passes a LABEL as idCol —
+    // low-cardinality alone, jointly unique with the text
+    val t = Parallelism.spread(df, idCol, textCol)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
     val uni = t.select(col(idCol), explode(col("__t")).as("__g"))
     val bi = t.filter(size(col("__t")) >= 2)
       .select(col(idCol), explode(zip_with(

@@ -193,6 +193,11 @@ object Dedup {
     // and the corpus is re-tokenized and re-hashed k times per row
     // (measured 10×+ slowdown). Local checkpoint by default; pass
     // `stagingDir` to stage through parquet at production scale.
+    // NOTE r19: deliberately NOT Parallelism.spread here — this seam
+    // signs the RECOMPUTE-path history (q128/q131), whose shuffle
+    // budget is pinned at "history never shuffles" (MetricsSpec); the
+    // store writers and the delta-side serves spread at their own
+    // entry points instead.
     val withBase = materialize(
       df.select(col(idCol) +: carry.map(col) :+
         hashedShingles(tokens(col(textCol)), shingleN).as("hs"): _*),
@@ -364,7 +369,11 @@ object Dedup {
       df.sparkSession.sessionState.newHadoopConf())
     if (sfs.exists(sidecar)) sfs.delete(sidecar, false)
     BatchStore.append(
-      dedupSignatures(df, idCol, textCol, k, shingleN, stagingDir),
+      // adaptive parallelism floor (guide §2.5, r19): the batch's
+      // shingle+MinHash signing inherits the scan's task count — one
+      // task on single-row-group inputs; no-op on parallel inputs
+      dedupSignatures(Parallelism.spread(df, idCol), idCol, textCol, k,
+        shingleN, stagingDir),
       root, batchId)
     // sidecar AFTER the batch commit: a crash in between leaves a
     // committed batch that is simply always scanned (sound); the
@@ -380,15 +389,16 @@ object Dedup {
     * digest sketches. Serves requesting a DIFFERENT banding fall back
     * to the flat near-scan (sound), so the pin constrains pruning,
     * never correctness. */
-  def writeSignatureStoreBanded(df: DataFrame, idCol: String,
-      textCol: String, k: Int, shingleN: Int, bands: Int, root: String,
-      batchId: Long, stagingDir: Option[String] = None): Unit = {
+  /** Pin the store's band scheme (`_bands` write-once meta) unless it
+    * is a pre-sidecar LEGACY store (batches, no pin) — shared by the
+    * text-fed and pre-signed banded writers; the protocol is
+    * correctness-bearing, so it lives in exactly one place. A legacy
+    * store keeps accepting appends — it just never gets band sidecars,
+    * so near serves scan flat (sound); pinning mid-history would stamp
+    * a banding the older sidecars never saw. */
+  private def ensureBandsPin(spark: org.apache.spark.sql.SparkSession,
+      root: String, k: Int, bands: Int): Unit = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val spark = df.sparkSession
-    // a pre-sidecar LEGACY store (batches, no pin) keeps accepting
-    // appends — it just never gets band sidecars, so near serves scan
-    // flat (sound); pinning mid-history would stamp a banding the
-    // older sidecars never saw
     val legacy =
       BatchStore.readIntMetaOpt(spark, root, "_bands", "bands").isEmpty && {
         val p = new org.apache.hadoop.fs.Path(root)
@@ -398,6 +408,12 @@ object Dedup {
       }
     if (!legacy)
       BatchStore.ensureIntMeta(spark, root, "_bands", "bands", bands)
+  }
+
+  def writeSignatureStoreBanded(df: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleN: Int, bands: Int, root: String,
+      batchId: Long, stagingDir: Option[String] = None): Unit = {
+    ensureBandsPin(df.sparkSession, root, k, bands)
     writeSignatureStore(df, idCol, textCol, k, shingleN, root, batchId,
       stagingDir)
   }
@@ -410,20 +426,11 @@ object Dedup {
     * sidecar protocol as the text-fed path. */
   def writeSignatureStoreBandedSigned(signed: DataFrame, idCol: String,
       k: Int, bands: Int, root: String, batchId: Long): Unit = {
-    require(k % bands == 0, s"k=$k must divide into bands=$bands")
     (Seq(idCol, "chash", "hs") ++ (0 until k).map(j => s"mh$j")).foreach(c =>
       require(signed.columns.contains(c),
         s"signed frame is missing column $c — not a dedupSignatures(k=$k) frame"))
     val spark = signed.sparkSession
-    val legacy =
-      BatchStore.readIntMetaOpt(spark, root, "_bands", "bands").isEmpty && {
-        val p = new org.apache.hadoop.fs.Path(root)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.exists(p) && fs.listStatus(p).exists(st =>
-          st.isDirectory && st.getPath.getName.startsWith("batch="))
-      }
-    if (!legacy)
-      BatchStore.ensureIntMeta(spark, root, "_bands", "bands", bands)
+    ensureBandsPin(spark, root, k, bands)
     val sidecar = BatchBlooms.path(root, batchId)
     val sfs = sidecar.getFileSystem(spark.sessionState.newHadoopConf())
     if (sfs.exists(sidecar)) sfs.delete(sidecar, false)
@@ -529,7 +536,9 @@ object Dedup {
     val bandsOpt = BatchStore.readIntMetaOpt(spark, root, "_bands", "bands")
     val b = spark.read.parquet(dirPath.toString)
     val k = b.columns.count(_.matches("mh\\d+"))
-    val n = b.count()
+    // sketch sizing from the committed footers (exact row count, zero
+    // Spark jobs) — the per-append count() job was pure sizing input
+    val n = BatchStore.committedRowCount(spark, root, batchId)
     // ONE tagged sketch covers both key families — one aggregation
     // job instead of one per family (the write-side constant that
     // showed up on every store-lifecycle gate)
@@ -731,7 +740,12 @@ object Dedup {
     (Seq(idCol, "chash", "hs") ++ (0 until k).map(j => s"mh$j")).foreach(c =>
       require(store.columns.contains(c), s"store is missing column $c — not a dedupSignatures(k=$k) frame"))
     incrementalVerdicts(store, store, batch,
-      withShingleSignatures(batch, idCol, textCol, k, shingleN),
+      // spread the DELTA before signing (guide §2.5, r19): the batch
+      // arrives one-task off a single-row-group scan; its text is
+      // delta-sized, so the exchange stays batch-proportional (the
+      // history still never shuffles — MetricsSpec's q128 pin)
+      withShingleSignatures(Parallelism.spread(batch, idCol), idCol,
+        textCol, k, shingleN),
       idCol, textCol, k, bands, threshold)
   }
 
@@ -758,8 +772,9 @@ object Dedup {
       beforeBatch: Option[Long] = None, masked: Boolean = false,
       stagingDir: Option[String] = None): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val bSigs = withShingleSignatures(batch, idCol, textCol, k, shingleN,
-      stagingDir)
+    // delta-side spread before signing (see incrementalDedupFromStore)
+    val bSigs = withShingleSignatures(Parallelism.spread(batch, idCol),
+      idCol, textCol, k, shingleN, stagingDir)
     def base(hits: Option[Seq[Long]]): DataFrame = {
       val raw = hits match {
         case Some(ids) => readBatchesPruned(spark, root, ids)
@@ -1255,7 +1270,9 @@ object Dedup {
       BatchBlooms.write(spark, root, batchId,
         hammingKeyStrings(b, bandCols).select(concat(lit("h:"),
           col("hkey")).as("k")),
-        b.count() * bandCols.size, Seq("h"))
+        // footer row count — exact, no Spark job (see writeBatchBloom)
+        BatchStore.committedRowCount(spark, root, batchId) * bandCols.size,
+        Seq("h"))
     }
   }
 

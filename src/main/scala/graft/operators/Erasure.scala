@@ -87,11 +87,12 @@ object Erasure {
     * [[PqStore]]/[[IvfPqStore]] is registered. `batchId` is the
     * erasure's batch id in EVERY store (roots are distinct, so one id
     * is unambiguous — and ties the fan-out together for audit).
-    * Deletes commit per store in registry order; they are independent
-    * (distinct roots), so a crash mid-fan leaves a PREFIX committed —
-    * re-running the same batchId fails fast on the committed prefix's
-    * stores (each store's replay guard), so recovery is: drop the
-    * committed refs from the registry and re-run. */
+    * Deletes run CONCURRENTLY ([[ParallelJobs]], r18) and every task
+    * settles even after the first failure — so a failure (or crash)
+    * mid-fan leaves an arbitrary SUBSET committed, not a prefix.
+    * Re-running the same batchId fails fast on each already-committed
+    * store (its replay guard); recovery is: drop the refs whose replay
+    * guards fail fast from the registry and re-run the same batchId. */
   def forget(docs: DataFrame, idCol: String, textCol: String,
       stores: Seq[StoreRef], batchId: Long,
       vecIds: Option[(DataFrame, String)] = None): Unit = {

@@ -420,7 +420,12 @@ object InvertedIndex {
     * (id, token) with map-side partial counts. */
   def writePostingStore(df: DataFrame, idCol: String, textCol: String,
       root: String, batchId: Long): Unit = {
-    val postings = df
+    // adaptive parallelism floor (guide §2.5, r19): the tokenize +
+    // explode map work inherits the scan's task count — one task on
+    // the single-row-group gate corpora; no-op on parallel inputs.
+    // Both the postings chain and the stats pass read the spread rows.
+    val spreadDf = Parallelism.spread(df, idCol)
+    val postings = spreadDf
       .select(col(idCol), size(tokens(col(textCol))).as("doc_len"),
         explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("doc_len"), col("token"))
@@ -603,7 +608,7 @@ object InvertedIndex {
     require(numShards >= 0, s"need numShards >= 0 (0 = session default), got $numShards")
     val shards = if (numShards > 0) numShards
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val postings = df
+    val postings = Parallelism.spread(df, idCol)
       .select(col(idCol), size(tokens(col(textCol))).as("doc_len"),
         explode(tokens(col(textCol))).as("token"))
       .groupBy(col(idCol), col("doc_len"), col("token"))

@@ -69,7 +69,10 @@ object LanguageModel {
   private def bigrams(df: DataFrame, idCol: String, textCol: String,
       carryCols: Seq[String] = Nil): DataFrame = {
     val carried = carryCols.map(col)
-    df.select(col(idCol) +: carried :+ tokens(col(textCol)).as("__t"): _*)
+    // adaptive parallelism floor (guide §2.5, r19): tokenize + the
+    // bigram zip/explode inherit the scan's task count otherwise
+    Parallelism.spread(df, idCol)
+      .select(col(idCol) +: carried :+ tokens(col(textCol)).as("__t"): _*)
       .filter(size(col("__t")) >= 2)
       .select(col(idCol) +: carried :+ explode(zip_with(
         slice(col("__t"), lit(1), size(col("__t")) - 1),
@@ -83,7 +86,8 @@ object LanguageModel {
     * than three tokens contribute nothing at n=3 (the [[bigrams]]
     * rule one order up). */
   private def trigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    Parallelism.spread(df, idCol) // guide §2.5 floor (r19)
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 3)
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__t")) - 2),
@@ -406,7 +410,9 @@ object LanguageModel {
     * numChars / DuckDB substr), so the oracle sees identical grams. */
   private def charTrigrams(df: DataFrame, cols: Seq[String],
       textCol: String): DataFrame =
-    df.filter(length(col(textCol)) >= 3)
+    // guide §2.5 floor (r19); keyed on the text — `cols` may be a
+    // low-cardinality class label
+    Parallelism.spread(df, textCol).filter(length(col(textCol)) >= 3)
       .select(cols.map(col) :+ explode(transform(
         sequence(lit(1), length(col(textCol)) - 2),
         i => col(textCol).substr(i, lit(3)))).as("tri"): _*)
@@ -550,7 +556,7 @@ object LanguageModel {
     * numerator), so the filter is exactly what makes served scoring
     * value-identical to retraining on the remaining corpus
     * (oracle-gated, q189/q191). */
-  private[operators] def mergedStoreCounts(spark: SparkSession, root: String,
+  private[graft] def mergedStoreCounts(spark: SparkSession, root: String,
       keys: Seq[String]): DataFrame =
     BatchStore.read(spark, root)
       .groupBy(keys.map(col): _*)

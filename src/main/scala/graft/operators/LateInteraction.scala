@@ -271,7 +271,7 @@ object LateInteraction {
     // token appearing in ten thousand passages hashes its grams once,
     // the maxSimRerank discipline applied to the write path)
     ensureBucketsMeta(passages.sparkSession, root, buckets)
-    val pairs = passages
+    val pairs = Parallelism.spread(passages, passageCol) // §2.5 floor (r19)
       .select(col(passageCol),
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .distinct()
@@ -329,6 +329,54 @@ object LateInteraction {
     missing.size
   }
 
+  /** [[writeTokenIndex]] for SEVERAL batch slices of ONE passage
+    * frame in ONE tokenize+embed pass — the bulk-ingest shape (a
+    * backfill or a multi-partition daily load): the old per-slice
+    * calls each re-derived the (passage, token) pairs from scratch
+    * (for chunked corpora that re-chunks the WHOLE corpus per slice —
+    * `filter` runs above the chunker) and re-embedded the full
+    * vocabulary per slice (most tokens appear in every slice, so the
+    * md5-gram embedding ran ~|slices|×). Here the pairs and the
+    * vocabulary are computed ONCE (pinned), each slice's rows are a
+    * filter + join over the pinned frames, and the independent batch
+    * commits overlap ([[ParallelJobs]], guide §2.3/§2.6 — distinct
+    * batch ids, the commit protocol is race-hardened).
+    *
+    * Value-identity with per-slice [[writeTokenIndex]] calls: the
+    * slice predicates partition on the passage id, `distinct` on
+    * (passage, token) commutes with a passage-id filter, and the
+    * vocabulary join only ATTACHES per-token values (deterministic,
+    * identical whichever token set they were embedded with) —
+    * Round19Spec pins byte-identical store rows. */
+  def writeTokenIndexSlices(passages: DataFrame, passageCol: String,
+      textCol: String, dim: Int, root: String,
+      slices: Seq[(Long, org.apache.spark.sql.Column)],
+      buckets: Int = DefaultBuckets): Unit = {
+    require(slices.nonEmpty, "need at least one slice")
+    require(slices.map(_._1).distinct.size == slices.size,
+      "duplicate batch ids across slices")
+    val spark = passages.sparkSession
+    ensureBucketsMeta(spark, root, buckets)
+    val pairs = Parallelism.spread(passages, passageCol) // §2.5 floor (r19)
+      .select(col(passageCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .distinct()
+      .localCheckpoint() // feeds the vocabulary AND every slice join
+    val vocab = embedVocab(pairs.select(col("__tok")).distinct(), dim)
+      .select(col("__tok"), col("__tv"), col("__tn"))
+      .localCheckpoint() // embedded ONCE, joined per slice
+    try ParallelJobs.run(slices.map { case (batchId, pred) => () => {
+      val rows = pairs.filter(pred).join(vocab, Seq("__tok"))
+        .select(col(passageCol),
+          col("__tv").as("__dv"), col("__tn").as("__dn"))
+        .withColumn("__pb", passageBucket(passageCol, buckets))
+      dropStaleSidecar(spark, root, batchId)
+      BatchStore.append(rows, root, batchId, partitionBy = Seq("__pb"))
+      writeBatchIdBloom(spark, root, batchId, passageCol)
+    }})
+    finally Seq(pairs, vocab).foreach(Checkpoints.releasePinned)
+  }
+
   /** The QUANTIZED token index — [[writeTokenIndex]] with the real
     * ColBERT storage answer: token vectors are symmetrically
     * int8-quantized ([[Quantize.int8AbsMax]] — per-vector absmax,
@@ -347,7 +395,7 @@ object LateInteraction {
       textCol: String, dim: Int, root: String, batchId: Long,
       buckets: Int = DefaultBuckets): Unit = {
     ensureBucketsMeta(passages.sparkSession, root, buckets)
-    val pairs = passages
+    val pairs = Parallelism.spread(passages, passageCol) // §2.5 floor (r19)
       .select(col(passageCol),
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .distinct()
@@ -361,6 +409,38 @@ object LateInteraction {
     BatchStore.append(rows, root, batchId, partitionBy = Seq("__pb"))
     writeBatchIdBloom(passages.sparkSession, root, batchId, passageCol)
     Checkpoints.releasePinned(pairs)
+  }
+
+  /** [[writeTokenIndexSlices]] for the int8 index — one
+    * tokenize+quantize-embed pass feeding every slice's append, same
+    * value-identity argument (the packed per-token codes are a
+    * deterministic function of the token). */
+  def writeTokenIndexInt8Slices(passages: DataFrame, passageCol: String,
+      textCol: String, dim: Int, root: String,
+      slices: Seq[(Long, org.apache.spark.sql.Column)],
+      buckets: Int = DefaultBuckets): Unit = {
+    require(slices.nonEmpty, "need at least one slice")
+    require(slices.map(_._1).distinct.size == slices.size,
+      "duplicate batch ids across slices")
+    val spark = passages.sparkSession
+    ensureBucketsMeta(spark, root, buckets)
+    val pairs = Parallelism.spread(passages, passageCol) // §2.5 floor (r19)
+      .select(col(passageCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .distinct()
+      .localCheckpoint()
+    val vocab = embedVocabInt8(pairs.select(col("__tok")).distinct(), dim)
+      .select(col("__tok"), graft.plans.Int8Codec.pack(col("q")).as("__qb"))
+      .localCheckpoint()
+    try ParallelJobs.run(slices.map { case (batchId, pred) => () => {
+      val rows = pairs.filter(pred).join(vocab, Seq("__tok"))
+        .select(col(passageCol), col("__qb"))
+        .withColumn("__pb", passageBucket(passageCol, buckets))
+      dropStaleSidecar(spark, root, batchId)
+      BatchStore.append(rows, root, batchId, partitionBy = Seq("__pb"))
+      writeBatchIdBloom(spark, root, batchId, passageCol)
+    }})
+    finally Seq(pairs, vocab).foreach(Checkpoints.releasePinned)
   }
 
   /** [[maxSimFromTokenIndex]] over the int8 index: the passage side

@@ -31,7 +31,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class ModelCache {
 
   private final case class Entry(fingerprint: Set[(String, Long, Long, Long, Long)],
-      frame: DataFrame)
+      frames: Seq[DataFrame]) {
+    def frame: DataFrame = frames.head
+  }
   private val entries =
     scala.collection.mutable.HashMap.empty[(String, String), Entry]
 
@@ -91,23 +93,41 @@ final class ModelCache {
     * parameters over one store (e.g. two minDf thresholds) — bake
     * every value the computation closes over into it. */
   def cached(spark: SparkSession, root: String, kind: String)(
-      compute: => DataFrame): DataFrame = synchronized {
-    val key = (root, kind)
-    val fp = fingerprint(spark, root)
-    entries.get(key) match {
-      case Some(e) if e.fingerprint == fp => e.frame
-      case stale =>
-        stale.foreach(e => Checkpoints.releasePinned(e.frame))
-        val pinned = compute.localCheckpoint()
-        entries.update(key, Entry(fp, pinned))
-        pinned
+      compute: => DataFrame): DataFrame =
+    cachedDerived(spark, root, kind)(compute)(_ => Seq.empty)._1
+
+  /** [[cached]] for a base model frame PLUS frames DERIVED from it
+    * (the classifier's class totals, the LM's context totals / vocab
+    * size): all pinned under ONE entry guarded by ONE fingerprint
+    * taken at ONE instant. Caching base and derived under separate
+    * keys is incoherent — a store change (append/erasure/compaction)
+    * landing between the base fetch and the derived fetch within one
+    * epoch would compute the derived frames from the STALE base but
+    * record them under the NEW fingerprint, and they would then serve
+    * as cache hits forever, pairing fresh counts with stale
+    * denominators. Here `derive` always sees the entry's own pinned
+    * base, so base and derived can never mix store versions. */
+  def cachedDerived(spark: SparkSession, root: String, kind: String)(
+      compute: => DataFrame)(
+      derive: DataFrame => Seq[DataFrame]): (DataFrame, Seq[DataFrame]) =
+    synchronized {
+      val key = (root, kind)
+      val fp = fingerprint(spark, root)
+      entries.get(key) match {
+        case Some(e) if e.fingerprint == fp => (e.frames.head, e.frames.tail)
+        case stale =>
+          stale.foreach(e => e.frames.foreach(Checkpoints.releasePinned))
+          val base = compute.localCheckpoint()
+          val derived = derive(base).map(_.localCheckpoint())
+          entries.update(key, Entry(fp, base +: derived))
+          (base, derived)
+      }
     }
-  }
 
   /** Release every cached pin and forget the entries — call when the
     * pipeline run ends (the pinned blocks are executor memory). */
   def releaseAll(): Unit = synchronized {
-    entries.values.foreach(e => Checkpoints.releasePinned(e.frame))
+    entries.values.foreach(e => e.frames.foreach(Checkpoints.releasePinned))
     entries.clear()
   }
 

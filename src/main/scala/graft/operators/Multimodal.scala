@@ -1348,7 +1348,10 @@ object Multimodal {
     * leave the executor. */
   def imageDHash(spark: SparkSession, media: DataFrame): Dataset[ImageDHash] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions { batch =>
+    // adaptive parallelism floor (guide §2.5, r19): the PNG decode is
+    // the whole cost and inherits the upstream task count — one task
+    // on the single-row-group gate corpora; no-op on parallel inputs
+    Parallelism.spread(media, "media_id").as[MediaRecord].mapPartitions { batch =>
       batch.map { m =>
         val n = m.payload.length.toLong
         val real: Option[ImageDHash] =

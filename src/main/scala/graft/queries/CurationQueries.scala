@@ -726,10 +726,13 @@ object CurationQueries {
     val lined = boilerLined(Tables.documents(s, dir))
     val remaining = lined.filter(col("doc_id") % 10 =!= 3)
     StoreGates.withTempStore(s, "graft_q216_linedf") { root =>
-      B.writeLineDfStore(lined.filter(col("doc_id") % 2 === 0),
-        "doc_id", "source", "text", root, batchId = 1L)
-      B.writeLineDfStore(lined.filter(col("doc_id") % 2 =!= 0),
-        "doc_id", "source", "text", root, batchId = 2L)
+      // independent appends (distinct batch ids; the _dbuckets meta
+      // commit is race-hardened) — overlap (guide §2.6)
+      graft.operators.ParallelJobs.run(Seq(
+        () => B.writeLineDfStore(lined.filter(col("doc_id") % 2 === 0),
+          "doc_id", "source", "text", root, batchId = 1L),
+        () => B.writeLineDfStore(lined.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "source", "text", root, batchId = 2L)))
       B.deleteFromLineDfStore(lined.filter(col("doc_id") % 10 === 3),
         "doc_id", "source", "text", root, batchId = 3L)
       def serve() = B.stripRepeatedLinesFromStore(s, root, remaining,
@@ -807,10 +810,12 @@ object CurationQueries {
     val train = labeled.filter(col("doc_id") % 4 =!= 0)
     val cand = labeled.filter(col("doc_id") % 4 === 0)
     StoreGates.withTempStore(s, "graft_q210_qc") { root =>
-      QC.writeQualityStore(train.filter(col("doc_id") % 2 === 0),
-        "label", "text", buckets = 4096, root, batchId = 1L)
-      QC.writeQualityStore(train.filter(col("doc_id") % 2 =!= 0),
-        "label", "text", buckets = 4096, root, batchId = 2L)
+      // independent appends (distinct batch ids) — overlap (guide §2.6)
+      graft.operators.ParallelJobs.run(Seq(
+        () => QC.writeQualityStore(train.filter(col("doc_id") % 2 === 0),
+          "label", "text", buckets = 4096, root, batchId = 1L),
+        () => QC.writeQualityStore(train.filter(col("doc_id") % 2 =!= 0),
+          "label", "text", buckets = 4096, root, batchId = 2L)))
       QC.deleteFromQualityStore(train.filter(col("doc_id") % 5 === 0),
         "label", "text", buckets = 4096, root, batchId = 3L)
       def serve() = QC.classifyFromStore(s, root, cand,
@@ -935,10 +940,12 @@ object CurationQueries {
     val LM = graft.operators.LanguageModel
     val docs = Tables.documents(s, dir)
     StoreGates.withTempStore(s, "graft_q211_lm") { root =>
-      LM.writeLmStore(docs.filter(col("doc_id") % 3 === 1),
-        "doc_id", "text", root, batchId = 1L)
-      LM.writeLmStore(docs.filter(col("doc_id") % 3 === 2),
-        "doc_id", "text", root, batchId = 2L)
+      // independent appends (distinct batch ids) — overlap (guide §2.6)
+      graft.operators.ParallelJobs.run(Seq(
+        () => LM.writeLmStore(docs.filter(col("doc_id") % 3 === 1),
+          "doc_id", "text", root, batchId = 1L),
+        () => LM.writeLmStore(docs.filter(col("doc_id") % 3 === 2),
+          "doc_id", "text", root, batchId = 2L)))
       LM.lmQualityFilterFromStore(s, root,
           docs.filter(col("doc_id") % 3 === 0),
           "doc_id", "text", groupCol = "source", cutQ = 0.625)
@@ -1068,10 +1075,12 @@ object CurationQueries {
     val target = docs.filter(col("doc_id") % 7 === 0)
     val cand = docs.filter(col("doc_id") % 7 =!= 0)
     StoreGates.withTempStore(s, "graft_q201_dsir") { root =>
-      DS.writeDsirTargetStore(target.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", buckets = 4096, root, batchId = 1L)
-      DS.writeDsirTargetStore(target.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", buckets = 4096, root, batchId = 2L)
+      // independent appends (distinct batch ids) — overlap (guide §2.6)
+      graft.operators.ParallelJobs.run(Seq(
+        () => DS.writeDsirTargetStore(target.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", buckets = 4096, root, batchId = 1L),
+        () => DS.writeDsirTargetStore(target.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", buckets = 4096, root, batchId = 2L)))
       DS.deleteFromDsirTargetStore(target.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", buckets = 4096, root, batchId = 3L)
       val masked = DS.dsirTopKFromStore(s, root, cand,

@@ -34,7 +34,9 @@ object ImageQueries {
     * map. */
   private def renditions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long].flatMap { id =>
+    graft.operators.Parallelism.spread(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      .as[Long].flatMap { id => // §2.5 floor: the PNG encode is the cost
       val w = (12 + id % 4 * 4).toInt
       val h = (8 + id % 3 * 4).toInt
       val base = Multimodal.MediaRecord(2 * id, "image",
@@ -112,9 +114,19 @@ object ImageQueries {
   // recomputes all 64 gradient bits per image from the per-pixel md5
   // channels — a luma rounding drift, an off-by-one in the NN sample
   // map, or a band packed big-endian all break the hash.
-  private def q218(s: SparkSession, dir: String): DataFrame =
-    Multimodal.imageDHash(s, renditions(s, dir))
-      .toDF().orderBy(col("media_id"))
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    // r19: pin the hash rows BEFORE the global sort — orderBy's
+    // range-partitioner runs a SAMPLING pass over its input first, so
+    // the unpinned chain paid the whole fixture (10k JDK PNG encodes)
+    // + decode + hash TWICE; the pinned rows are 5 ints/doc (guide
+    // §5 — recomputing is the expensive side here, unlike q199's
+    // chunk-text trade)
+    val hashes = Multimodal.imageDHash(s, renditions(s, dir))
+      .toDF().localCheckpoint()
+    val out = hashes.orderBy(col("media_id")).localCheckpoint()
+    graft.operators.Checkpoints.releasePinned(hashes)
+    out
+  }
   private val q218Sql =
     s"""WITH $dHashCtes
       |SELECT mid AS media_id, 'image' AS codec, b0, b1, b2, b3 FROM bands
@@ -189,7 +201,9 @@ object ImageQueries {
     val D = Dedup
     def wOf(id: Long) = (12 + id % 4 * 4).toInt
     def hOf(id: Long) = (8 + id % 3 * 4).toInt
-    val ids = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+    val ids = graft.operators.Parallelism.spread(
+      Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+      .as[Long] // §2.5 floor: the PNG encode below is the cost
     val history = ids.filter(_ % 2 == 0).map { e =>
       Multimodal.MediaRecord(e, "image",
         Multimodal.pngNoiseBytes(wOf(e), hOf(e), key = s"img:$e"))
@@ -206,12 +220,19 @@ object ImageQueries {
       Multimodal.MediaRecord(b, "image", rec)
     }.toDF()
     StoreGates.withTempStore(s, "graft_q222_hs") { root =>
-      val hh = Multimodal.imageDHash(s, history).toDF()
+      // r19: pin the history hashes — they feed TWO store appends and
+      // the takedown selection, and the unpinned chain re-encoded +
+      // re-decoded ~2.5k PNGs per consumer (the rows are 5 ints/image;
+      // guide §5 recompute-vs-pin trade clearly favors the pin here)
+      val hh = Multimodal.imageDHash(s, history).toDF().localCheckpoint()
       val bands = Seq("b0", "b1", "b2", "b3")
-      D.writeHammingStore(hh.filter(col("media_id") % 4 === 0),
-        "media_id", bands, root, batchId = 1L)
-      D.writeHammingStore(hh.filter(col("media_id") % 4 === 2),
-        "media_id", bands, root, batchId = 2L)
+      // the two appends are independent (distinct batch ids) — overlap
+      // them (guide §2.6)
+      graft.operators.ParallelJobs.run(Seq(
+        () => D.writeHammingStore(hh.filter(col("media_id") % 4 === 0),
+          "media_id", bands, root, batchId = 1L),
+        () => D.writeHammingStore(hh.filter(col("media_id") % 4 === 2),
+          "media_id", bands, root, batchId = 2L)))
       D.deleteFromHammingStore(
         hh.filter(col("media_id") % 10 === 0).select(col("media_id")),
         "media_id", root, batchId = 3L)
@@ -226,7 +247,7 @@ object ImageQueries {
           "hamming-store compaction changed served verdicts")
         .orderBy(col("media_id"))
         .localCheckpoint()
-      Seq(bh, masked, compacted)
+      Seq(hh, bh, masked, compacted)
         .foreach(graft.operators.Checkpoints.releasePinned)
       out
     }

@@ -712,10 +712,14 @@ object SimilarityQueries {
     }
     val root = java.nio.file.Files
       .createTempDirectory("graft_q179_ivfpq").toString
-    Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0), coarse, rcb,
-      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 1L)
-    Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 1), coarse, rcb,
-      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 2L)
+    // independent appends (distinct batch ids) — overlap (guide §2.6)
+    graft.operators.ParallelJobs.run(Seq(
+      () => Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 0),
+        coarse, rcb, "vec_id", "embedding", dim = 64, m = 4, root,
+        batchId = 1L),
+      () => Similarity.writeIvfPqIndex(e.filter(col("vec_id") % 2 === 1),
+        coarse, rcb, "vec_id", "embedding", dim = 64, m = 4, root,
+        batchId = 2L)))
     val out = Similarity.ivfPqTopKFromStore(s, root, queries, coarse, rcb,
         "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, k = 5)
       .orderBy(col("query_id"), col("rank"))
@@ -952,10 +956,12 @@ object SimilarityQueries {
     }
     val root = java.nio.file.Files
       .createTempDirectory("graft_q176_pqindex").toString
-    Similarity.writePqIndex(e.filter(col("vec_id") % 2 === 0), cb,
-      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 1L)
-    Similarity.writePqIndex(e.filter(col("vec_id") % 2 === 1), cb,
-      "vec_id", "embedding", dim = 64, m = 4, root, batchId = 2L)
+    // independent appends (distinct batch ids) — overlap (guide §2.6)
+    graft.operators.ParallelJobs.run(Seq(
+      () => Similarity.writePqIndex(e.filter(col("vec_id") % 2 === 0), cb,
+        "vec_id", "embedding", dim = 64, m = 4, root, batchId = 1L),
+      () => Similarity.writePqIndex(e.filter(col("vec_id") % 2 === 1), cb,
+        "vec_id", "embedding", dim = 64, m = 4, root, batchId = 2L)))
     val out = Similarity.pqAdcTopKFromStore(s, root, queries, cb,
         "vec_id", "embedding", dim = 64, m = 4, k = 5)
       .orderBy(col("query_id"), col("rank"))

@@ -698,10 +698,12 @@ object TextQueries {
     val batch = docs.filter(isBatch)
     val root = java.nio.file.Files
       .createTempDirectory("graft_q188_store").toString
-    Dedup.writeSignatureStore(hist.filter(col("doc_id") % 2 === 0),
-      "doc_id", "text", k = 16, shingleN = 3, root = root, batchId = 1L)
-    Dedup.writeSignatureStore(hist.filter(col("doc_id") % 2 === 1),
-      "doc_id", "text", k = 16, shingleN = 3, root = root, batchId = 2L)
+    // independent appends (distinct batch ids) — overlap (guide §2.6)
+    graft.operators.ParallelJobs.run(Seq(
+      () => Dedup.writeSignatureStore(hist.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", k = 16, shingleN = 3, root = root, batchId = 1L),
+      () => Dedup.writeSignatureStore(hist.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", k = 16, shingleN = 3, root = root, batchId = 2L)))
     Dedup.deleteFromSignatureStore(
       hist.filter(col("doc_id") % 9 === 4).select(col("doc_id")),
       "doc_id", root, batchId = 3L)
@@ -785,11 +787,14 @@ object TextQueries {
       lit(10L))
     val root = java.nio.file.Files
       .createTempDirectory("graft_q239_store").toString
-    (1 to 9).foreach { b =>
+    // nine independent daily appends (distinct batch ids; the _bands
+    // meta commit is race-hardened) — overlap them, pool of 4 in
+    // flight (guide §2.6, r19: the sequential chain paid nine
+    // straggler tails)
+    graft.operators.ParallelJobs.run((1 to 9).map(b => () =>
       Dedup.writeSignatureStoreBanded(docs.filter(coin === b), "doc_id",
         "text", k = 16, shingleN = 3, bands = 8, root = root,
-        batchId = b.toLong)
-    }
+        batchId = b.toLong)))
     val out = Dedup.incrementalDedupFromStoreAt(s, root,
         docs.filter(coin < 1), "doc_id", "text", k = 16, shingleN = 3,
         bands = 8, threshold = 0.5)
@@ -1099,14 +1104,25 @@ object TextQueries {
   // term filter reaches the store's parquet scan as a pushed
   // In(token, …) predicate (PlanSpec) — a query reads its terms'
   // row groups, not the corpus.
+  /** The posting-store gates' shared two-batch build: even ids as
+    * batch 1, odd as batch 2 — INDEPENDENT appends (distinct batch
+    * ids; postings + stats sidecar are both id-keyed staged commits),
+    * so they overlap (guide §2.6, r19 — each append's shuffle tail
+    * left the cores idle while the other waited). */
+  private def writePostingHalves(docs: DataFrame, root: String): Unit =
+    graft.operators.ParallelJobs.run(Seq(
+      () => graft.operators.InvertedIndex.writePostingStore(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root,
+        batchId = 1L),
+      () => graft.operators.InvertedIndex.writePostingStore(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root,
+        batchId = 2L)))
+
   private def q159(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val root = java.nio.file.Files
       .createTempDirectory("graft_q159_postings").toString
-    graft.operators.InvertedIndex.writePostingStore(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, batchId = 1L)
-    graft.operators.InvertedIndex.writePostingStore(
-      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, batchId = 2L)
+    writePostingHalves(docs, root)
     val out = graft.operators.InvertedIndex.andSearchFromStore(
         graft.operators.BatchStore.read(s, root), "doc_id",
         terms = Seq("spark", "join", "hash"), k = 20)
@@ -1132,10 +1148,7 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val root = java.nio.file.Files
       .createTempDirectory("graft_q169_postings").toString
-    graft.operators.InvertedIndex.writePostingStore(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, batchId = 1L)
-    graft.operators.InvertedIndex.writePostingStore(
-      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, batchId = 2L)
+    writePostingHalves(docs, root)
     val replaced = graft.operators.InvertedIndex.compactPostingStore(
       s, root, newBatchId = 3L)
     require(replaced == 2, s"expected 2 batches replaced, got $replaced")
@@ -1218,10 +1231,7 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val root = java.nio.file.Files
       .createTempDirectory("graft_q180_tomb").toString
-    graft.operators.InvertedIndex.writePostingStore(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, batchId = 1L)
-    graft.operators.InvertedIndex.writePostingStore(
-      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, batchId = 2L)
+    writePostingHalves(docs, root)
     graft.operators.InvertedIndex.deleteFromPostingStore(
       docs.filter(col("doc_id") % 7 === 3), "doc_id", "text", root, batchId = 3L)
     val masked = graft.operators.InvertedIndex.bm25SearchFromStore(
@@ -1325,10 +1335,14 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val root = java.nio.file.Files
       .createTempDirectory("graft_q182_lm").toString
-    graft.operators.LanguageModel.writeLmStore(
-      docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", root, batchId = 1L)
-    graft.operators.LanguageModel.writeLmStore(
-      docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", root, batchId = 2L)
+    // independent appends (distinct batch ids) — overlap (guide §2.6)
+    graft.operators.ParallelJobs.run(Seq(
+      () => graft.operators.LanguageModel.writeLmStore(
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", root,
+        batchId = 1L),
+      () => graft.operators.LanguageModel.writeLmStore(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", root,
+        batchId = 2L)))
     graft.operators.BatchStore.compact(s, root, newBatchId = 3L)
     val out = graft.operators.LanguageModel.bigramLmScoreFromStore(
         s, root, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", k = 20)
@@ -1533,10 +1547,12 @@ object TextQueries {
     * doc_id % 5 = 0)`. */
   private def buildErasedLmStore(docs: DataFrame, root: String): Unit = {
     val LM = graft.operators.LanguageModel
-    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 1),
-      "doc_id", "text", root, batchId = 1L)
-    LM.writeLmStore(docs.filter(col("doc_id") % 3 === 2),
-      "doc_id", "text", root, batchId = 2L)
+    // independent appends (distinct batch ids) — overlap (guide §2.6)
+    graft.operators.ParallelJobs.run(Seq(
+      () => LM.writeLmStore(docs.filter(col("doc_id") % 3 === 1),
+        "doc_id", "text", root, batchId = 1L),
+      () => LM.writeLmStore(docs.filter(col("doc_id") % 3 === 2),
+        "doc_id", "text", root, batchId = 2L)))
     LM.deleteFromLmStore(
       docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 0),
       "doc_id", "text", root, batchId = 3L)
@@ -1629,10 +1645,12 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val train = docs.filter(col("doc_id") % 5 =!= 0)
     withTempStore(s, "graft_q191_lid") { root =>
-      LM.writeLangIdStore(train.filter(col("doc_id") % 2 === 0),
-        "lang", "text", root, batchId = 1L)
-      LM.writeLangIdStore(train.filter(col("doc_id") % 2 === 1),
-        "lang", "text", root, batchId = 2L)
+      // independent appends (distinct batch ids) — overlap (guide §2.6)
+      graft.operators.ParallelJobs.run(Seq(
+        () => LM.writeLangIdStore(train.filter(col("doc_id") % 2 === 0),
+          "lang", "text", root, batchId = 1L),
+        () => LM.writeLangIdStore(train.filter(col("doc_id") % 2 === 1),
+          "lang", "text", root, batchId = 2L)))
       LM.deleteFromLangIdStore(train.filter(col("doc_id") % 7 === 0),
         "lang", "text", root, batchId = 3L)
       val cand = docs.filter(col("doc_id") % 5 === 0)
@@ -1983,10 +2001,13 @@ object TextQueries {
     val LI = graft.operators.LateInteraction
     val (cands, qtext, passages) = maxSimFixture(s, dir)
     withTempStore(s, "graft_q198_ti") { root =>
-      LI.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 0),
-        "neighbor_id", "text", dim = 16, root, batchId = 1L)
-      LI.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 1),
-        "neighbor_id", "text", dim = 16, root, batchId = 2L)
+      // r19: the two daily appends in ONE tokenize+embed pass with
+      // overlapped commits (writeTokenIndexSlices — the per-slice
+      // calls each re-chunked the whole corpus and re-embedded the
+      // shared vocabulary; byte-identical store rows, Round19Spec)
+      LI.writeTokenIndexSlices(passages, "neighbor_id", "text", dim = 16,
+        root, Seq(1L -> (col("neighbor_id") % 2 === 0),
+          2L -> (col("neighbor_id") % 2 === 1)))
       LI.maxSimFromTokenIndex(s, root, cands, qtext,
           "query_id", "neighbor_id", "text",
           dim = 16, maxQueryTokens = 16, k = 5)
@@ -2017,10 +2038,11 @@ object TextQueries {
     val (cands0, qtext, passages) = maxSimFixture(s, dir)
     val cands = cands0.localCheckpoint()
     val res = withTempStore(s, "graft_q199_ti") { root =>
-      LI.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 0),
-        "neighbor_id", "text", dim = 16, root, batchId = 1L)
-      LI.writeTokenIndex(passages.filter(col("neighbor_id") % 2 === 1),
-        "neighbor_id", "text", dim = 16, root, batchId = 2L)
+      // r19: one tokenize+embed pass + overlapped commits (q198's
+      // writeTokenIndexSlices note)
+      LI.writeTokenIndexSlices(passages, "neighbor_id", "text", dim = 16,
+        root, Seq(1L -> (col("neighbor_id") % 2 === 0),
+          2L -> (col("neighbor_id") % 2 === 1)))
       LI.deleteFromTokenIndex(
         passages.filter(col("neighbor_id") % 13 === 5)
           .select(col("neighbor_id")),
@@ -2065,10 +2087,11 @@ object TextQueries {
     val LI = graft.operators.LateInteraction
     val (cands, qtext, passages) = maxSimFixture(s, dir)
     withTempStore(s, "graft_q204_ti8") { root =>
-      LI.writeTokenIndexInt8(passages.filter(col("neighbor_id") % 2 === 0),
-        "neighbor_id", "text", dim = 16, root, batchId = 1L)
-      LI.writeTokenIndexInt8(passages.filter(col("neighbor_id") % 2 === 1),
-        "neighbor_id", "text", dim = 16, root, batchId = 2L)
+      // r19: one tokenize+quantize pass + overlapped commits (q198's
+      // writeTokenIndexSlices note, int8 twin)
+      LI.writeTokenIndexInt8Slices(passages, "neighbor_id", "text",
+        dim = 16, root, Seq(1L -> (col("neighbor_id") % 2 === 0),
+          2L -> (col("neighbor_id") % 2 === 1)))
       LI.maxSimFromTokenIndexInt8(s, root, cands, qtext,
           "query_id", "neighbor_id", "text",
           dim = 16, maxQueryTokens = 16, k = 5)
@@ -2685,10 +2708,7 @@ object TextQueries {
     val docs = Tables.documents(s, dir)
     val root = java.nio.file.Files
       .createTempDirectory("graft_q161_postings").toString
-    graft.operators.InvertedIndex.writePostingStore(
-      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, batchId = 1L)
-    graft.operators.InvertedIndex.writePostingStore(
-      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, batchId = 2L)
+    writePostingHalves(docs, root)
     val out = graft.operators.InvertedIndex.bm25SearchFromStore(
         s, root, "doc_id", q151Terms, k = 20)
       .localCheckpoint()
@@ -2717,10 +2737,7 @@ object TextQueries {
   private def q215(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     withTempStore(s, "graft_q215_prf") { root =>
-      graft.operators.InvertedIndex.writePostingStore(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", root, 1L)
-      graft.operators.InvertedIndex.writePostingStore(
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", root, 2L)
+      writePostingHalves(docs, root)
       graft.operators.InvertedIndex.prfSearchFromStore(
         s, root, docs, "doc_id", "text", q151Terms,
         fbDocs = 5, fbTerms = 3, k = 20)
@@ -3958,10 +3975,13 @@ object TextQueries {
     val queries = docs.filter(col("doc_id") < 3)
       .select(col("doc_id").as("query_id"), col("text"))
     StoreGates.withTempStore(s, "graft_q231_hstore") { root =>
-      FH.writeHashedStore(corpus.filter(col("doc_id") % 2 === 0),
-        "doc_id", "text", dim = 512, root, batchId = 1L)
-      FH.writeHashedStore(corpus.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", dim = 512, root, batchId = 2L)
+      // independent appends (distinct batch ids; the _dim meta commit
+      // is race-hardened) — overlap (guide §2.6)
+      graft.operators.ParallelJobs.run(Seq(
+        () => FH.writeHashedStore(corpus.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", dim = 512, root, batchId = 1L),
+        () => FH.writeHashedStore(corpus.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", dim = 512, root, batchId = 2L)))
       FH.deleteFromHashedStore(
         corpus.filter(col("doc_id") % 5 === 0).select(col("doc_id")),
         "doc_id", root, batchId = 3L)

@@ -253,9 +253,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("q68: chunking is pure map-side — explode, no hash exchange") {
+  test("q68: chunking adds no REQUIRED hash exchange — explode stays " +
+      "map-side above the adaptive spread") {
     val p = planOf("q68_chunking")
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    // r19: Chunking.chunkByTokens may open with ONE deliberate
+    // Parallelism.spread exchange (REPARTITION_BY_NUM — the §2.5
+    // parallelism floor over single-row-group inputs; a no-op on
+    // parallel scans). The pin's intent is unchanged: the chunking
+    // computation itself must not demand a shuffle — no
+    // ENSURE_REQUIREMENTS hash exchange anywhere in the plan (the
+    // final orderBy's RANGE exchange is the gate's own sort, not
+    // chunking's).
+    assert("hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r
+      .findFirstIn(p).isEmpty, p)
     assert(p.contains("Generate"), p) // the posexplode
   }
 
