@@ -82,22 +82,27 @@ object RcmPipeline {
       "fact_transactions" -> Seq("patient_sk"),
       "fact_claims" -> Seq("patient_sk"),
       "dim_patients" -> Seq("unified_patient_id", "is_current"))
-    val loads = (star.dimensions ++ star.facts).toSeq.map { case (name, df) =>
-      val out = clustering.get(name) match {
-        case Some(cols) => df.sortWithinPartitions(cols.map(col): _*)
-        case None       => df
-      }
-      // Materialize once: the count and the write must see the SAME
-      // rows (an uncached lazy plan could legitimately recompute
-      // differently only in the presence of a bug upstream — exactly
-      // what reconciliation exists to catch, not mask).
-      val pinned = out.localCheckpoint()
-      val written = pinned.count()
-      val spark = df.sparkSession
-      pinned.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      val reloaded = spark.read.parquet(s"$outDir/$name.parquet").count()
-      TableLoad(name, written, reloaded)
-    }
+    // each table's pin+count+write+reload chain is independent of the
+    // others' (distinct sink paths) — overlap them so one table's job
+    // tail back-fills the next's (guide §2.6, r19; the sequential loop
+    // paid ~4 actions × |tables| straggler tails)
+    val loads = graft.operators.ParallelJobs.map(
+      (star.dimensions ++ star.facts).toSeq.map { case (name, df) => () => {
+        val out = clustering.get(name) match {
+          case Some(cols) => df.sortWithinPartitions(cols.map(col): _*)
+          case None       => df
+        }
+        // Materialize once: the count and the write must see the SAME
+        // rows (an uncached lazy plan could legitimately recompute
+        // differently only in the presence of a bug upstream — exactly
+        // what reconciliation exists to catch, not mask).
+        val pinned = out.localCheckpoint()
+        val written = pinned.count()
+        val spark = df.sparkSession
+        pinned.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        val reloaded = spark.read.parquet(s"$outDir/$name.parquet").count()
+        TableLoad(name, written, reloaded)
+      }})
     val bad = loads.filterNot(_.reconciled)
     require(bad.isEmpty,
       s"post-load reconciliation failed: ${bad.mkString(", ")}")

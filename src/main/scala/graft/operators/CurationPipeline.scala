@@ -120,11 +120,18 @@ object CurationPipeline {
     val keptDir = new org.apache.hadoop.fs.Path(st.kept, s"batch=$batchId")
     if (existsAt(keptDir)) return // replayed epoch: already committed
 
-    // adaptive parallelism floor (guide §2.5, r19): a micro-batch
-    // arrives as one staged file = one scan task, and the whole
-    // strip + md5 chain inherits it; no-op when the source is already
-    // parallel
-    val spreadBatch = Parallelism.spread(batch, idCol)
+    // adaptive parallelism floor (guide §2.5, r19), NEAR MODE ONLY —
+    // measured: a micro-batch arrives as one staged file = one scan
+    // task, and near mode's MinHash signing is the epoch's one
+    // corpus-grade map chain above it (the spread took the signing
+    // pass 889 ms → 213 ms per run, q241 1.6×). Exact mode has no
+    // such chain — there the spread only fanned every later slice-
+    // sized stage (pins, ledger diff, appends) across cores-many
+    // kilobyte tasks and cost more than its md5 saved (q243 +1.3 s) —
+    // so it keeps the arrival layout.
+    val spreadBatch =
+      if (gates.nearDup.isDefined) Parallelism.spread(batch, idCol)
+      else batch
 
     // 1. markup + boilerplate strip served from the line-df store
     // (cached: the above-threshold frame is batch-independent, so one

@@ -60,11 +60,13 @@ object DataSelection {
     * twin). */
   private[operators] def hashedFeatures(df: DataFrame, idCol: String,
       textCol: String, buckets: Int): DataFrame = {
-    // adaptive parallelism floor (guide §2.5, r19); keyed on
-    // (idCol, textCol) because training passes a LABEL as idCol —
-    // low-cardinality alone, jointly unique with the text
-    val t = Parallelism.spread(df, idCol, textCol)
-      .select(col(idCol), tokens(col(textCol)).as("__t"))
+    // NO Parallelism.spread here (r19, measured): this frame feeds TWO
+    // consumers (per-doc totals + the seen join), so a spread exchange
+    // runs twice, and the per-slice gram volume is small enough that
+    // the 64-task fan-out cost 2× the single-task md5 work it replaced
+    // (q243's classifier gate: 3.1 s → 7.2 s job time). The serve's
+    // candidate frames are slice-sized at any corpus scale.
+    val t = df.select(col(idCol), tokens(col(textCol)).as("__t"))
     val uni = t.select(col(idCol), explode(col("__t")).as("__g"))
     val bi = t.filter(size(col("__t")) >= 2)
       .select(col(idCol), explode(zip_with(

@@ -69,10 +69,12 @@ object LanguageModel {
   private def bigrams(df: DataFrame, idCol: String, textCol: String,
       carryCols: Seq[String] = Nil): DataFrame = {
     val carried = carryCols.map(col)
-    // adaptive parallelism floor (guide §2.5, r19): tokenize + the
-    // bigram zip/explode inherit the scan's task count otherwise
-    Parallelism.spread(df, idCol)
-      .select(col(idCol) +: carried :+ tokens(col(textCol)).as("__t"): _*)
+    // NO Parallelism.spread here (r19, measured): the bigram zip/
+    // explode is cheap relative to the exchange at training-slice and
+    // candidate-slice sizes — the spread cost q181/q182/q194/q211
+    // 15-25% each. Contrast charTrigrams, whose per-CHAR explode is
+    // two orders heavier per row and keeps its spread (q185 1.6×).
+    df.select(col(idCol) +: carried :+ tokens(col(textCol)).as("__t"): _*)
       .filter(size(col("__t")) >= 2)
       .select(col(idCol) +: carried :+ explode(zip_with(
         slice(col("__t"), lit(1), size(col("__t")) - 1),
@@ -86,8 +88,7 @@ object LanguageModel {
     * than three tokens contribute nothing at n=3 (the [[bigrams]]
     * rule one order up). */
   private def trigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    Parallelism.spread(df, idCol) // guide §2.5 floor (r19)
-      .select(col(idCol), tokens(col(textCol)).as("__t"))
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 3)
       .select(col(idCol), explode(transform(
         sequence(lit(1), size(col("__t")) - 2),

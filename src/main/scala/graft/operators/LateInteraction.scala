@@ -276,15 +276,23 @@ object LateInteraction {
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .distinct()
       .localCheckpoint()
-    val vocab = embedVocab(pairs.select(col("__tok")).distinct(), dim)
-    val rows = pairs.join(vocab, Seq("__tok"))
-      .select(col(passageCol),
-        col("__tv").as("__dv"), col("__tn").as("__dn"))
+    // parallel embed + bucket-aligned join/write — the slice writers'
+    // discipline (AQE pins the distinct at ~1 partition at gate scale)
+    val toks = pairs.select(col("__tok")).distinct().localCheckpoint()
+    val vocab = embedVocab(Parallelism.spread(toks, "__tok"), dim)
+      .select(col("__tok"), col("__tv"), col("__tn"))
+      .localCheckpoint()
+    Checkpoints.releasePinned(toks)
+    val rows = pairs
       .withColumn("__pb", passageBucket(passageCol, buckets))
+      .repartition(buckets, col("__pb"))
+      .join(broadcast(vocab), Seq("__tok"))
+      .select(col(passageCol),
+        col("__tv").as("__dv"), col("__tn").as("__dn"), col("__pb"))
     dropStaleSidecar(passages.sparkSession, root, batchId)
     BatchStore.append(rows, root, batchId, partitionBy = Seq("__pb"))
     writeBatchIdBloom(passages.sparkSession, root, batchId, passageCol)
-    Checkpoints.releasePinned(pairs)
+    Seq(pairs, vocab).foreach(Checkpoints.releasePinned)
   }
 
   /** The stale-sidecar pre-delete ([[Dedup.writeSignatureStore]]'s
@@ -362,14 +370,31 @@ object LateInteraction {
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .distinct()
       .localCheckpoint() // feeds the vocabulary AND every slice join
-    val vocab = embedVocab(pairs.select(col("__tok")).distinct(), dim)
+    // the distinct's AQE-coalesced layout pins at ~1 partition at gate
+    // scale (bytes are tiny, the per-token md5-gram embedding is not —
+    // byte-based coalescing can't see compute cost): pin the tiny
+    // token frame, spread it, embed parallel
+    val toks = pairs.select(col("__tok")).distinct().localCheckpoint()
+    val vocab = embedVocab(Parallelism.spread(toks, "__tok"), dim)
       .select(col("__tok"), col("__tv"), col("__tn"))
       .localCheckpoint() // embedded ONCE, joined per slice
+    Checkpoints.releasePinned(toks)
     try ParallelJobs.run(slices.map { case (batchId, pred) => () => {
-      val rows = pairs.filter(pred).join(vocab, Seq("__tok"))
-        .select(col(passageCol),
-          col("__tv").as("__dv"), col("__tn").as("__dn"))
+      // bucket-align BEFORE the vector join (the [[Boilerplate]]
+      // bucketAligned discipline): one exchange of the tiny
+      // (passage, token) rows buys a buckets-way parallel join +
+      // array-build + parquet encode AND exactly one file per bucket
+      // dir (an unaligned parallel write fans tasks × buckets small
+      // files; the unpinned-aligned write ran the heavy join 1-task)
+      val rows = pairs.filter(pred)
         .withColumn("__pb", passageBucket(passageCol, buckets))
+        .repartition(buckets, col("__pb"))
+        // broadcast FORCED: a pinned frame's size estimate can be
+        // pessimistic, and a sort-merge fallback would re-exchange the
+        // rows and break the bucket alignment
+        .join(broadcast(vocab), Seq("__tok"))
+        .select(col(passageCol),
+          col("__tv").as("__dv"), col("__tn").as("__dn"), col("__pb"))
       dropStaleSidecar(spark, root, batchId)
       BatchStore.append(rows, root, batchId, partitionBy = Seq("__pb"))
       writeBatchIdBloom(spark, root, batchId, passageCol)
@@ -400,15 +425,20 @@ object LateInteraction {
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .distinct()
       .localCheckpoint() // feeds the vocabulary AND the join back
-    val vocab = embedVocabInt8(pairs.select(col("__tok")).distinct(), dim)
+    val toks = pairs.select(col("__tok")).distinct().localCheckpoint()
+    val vocab = embedVocabInt8(Parallelism.spread(toks, "__tok"), dim)
       .select(col("__tok"), graft.plans.Int8Codec.pack(col("q")).as("__qb"))
-    val rows = pairs.join(vocab, Seq("__tok"))
-      .select(col(passageCol), col("__qb"))
+      .localCheckpoint()
+    Checkpoints.releasePinned(toks)
+    val rows = pairs
       .withColumn("__pb", passageBucket(passageCol, buckets))
+      .repartition(buckets, col("__pb"))
+      .join(broadcast(vocab), Seq("__tok"))
+      .select(col(passageCol), col("__qb"), col("__pb"))
     dropStaleSidecar(passages.sparkSession, root, batchId)
     BatchStore.append(rows, root, batchId, partitionBy = Seq("__pb"))
     writeBatchIdBloom(passages.sparkSession, root, batchId, passageCol)
-    Checkpoints.releasePinned(pairs)
+    Seq(pairs, vocab).foreach(Checkpoints.releasePinned)
   }
 
   /** [[writeTokenIndexSlices]] for the int8 index — one
@@ -429,13 +459,23 @@ object LateInteraction {
         explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .distinct()
       .localCheckpoint()
-    val vocab = embedVocabInt8(pairs.select(col("__tok")).distinct(), dim)
+    // pin + spread the tiny token frame so the quantized embedding
+    // runs parallel (see the float writer's note)
+    val toks = pairs.select(col("__tok")).distinct().localCheckpoint()
+    val vocab = embedVocabInt8(Parallelism.spread(toks, "__tok"), dim)
       .select(col("__tok"), graft.plans.Int8Codec.pack(col("q")).as("__qb"))
       .localCheckpoint()
+    Checkpoints.releasePinned(toks)
     try ParallelJobs.run(slices.map { case (batchId, pred) => () => {
-      val rows = pairs.filter(pred).join(vocab, Seq("__tok"))
-        .select(col(passageCol), col("__qb"))
+      // bucket-aligned join + write (see the float writer's note)
+      val rows = pairs.filter(pred)
         .withColumn("__pb", passageBucket(passageCol, buckets))
+        .repartition(buckets, col("__pb"))
+        // broadcast FORCED: a pinned frame's size estimate can be
+        // pessimistic, and a sort-merge fallback would re-exchange the
+        // rows and break the bucket alignment
+        .join(broadcast(vocab), Seq("__tok"))
+        .select(col(passageCol), col("__qb"), col("__pb"))
       dropStaleSidecar(spark, root, batchId)
       BatchStore.append(rows, root, batchId, partitionBy = Seq("__pb"))
       writeBatchIdBloom(spark, root, batchId, passageCol)
